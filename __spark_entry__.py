@@ -1,38 +1,766 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry pairs a Spark implementation (through the mack_spark public
+API) with a DuckDB oracle (``oracle_sql``). Determinism conventions:
+
+* double aggregates go through DECIMAL(18,2) (associative) then back to
+  DOUBLE; ratios/scores are single IEEE divisions or round()ed;
+* all hashing is md5 (identical hex in Spark & DuckDB); no RNG;
+* rankings always carry a full tie-break;
+* session timezone pinned to UTC (timestamps in the testdata are naive).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from itertools import combinations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from mack_spark import dedup, scd
+from mack_spark.operators import (
+    brute_force_topk,
+    corpus_rollup,
+    doc_stats,
+    exact_dedup_survivors,
+    lsh_bucketed_topk,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    sessionize,
+    simhash_bits,
+)
+from mack_spark.operators.similarity import hyperplane_components
+from mack_spark import functions as mf
+from mack_spark.queries import (
+    events_hourly,
+    pricing_summary,
+    regional_revenue,
+    top_customers,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+]
+ORDERS_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+    "o_orderpriority",
+]
+CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from mack_spark.sources import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# fixture builders shared by Spark side (oracle side repeats them as SQL CTEs)
+# ---------------------------------------------------------------------------
+
+def _scd_base(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select(
+        *CUSTOMER_COLS,
+        F.lit(True).alias("is_current"),
+        F.to_timestamp(F.lit("2020-01-01")).alias("effective_time"),
+        F.lit(None).cast("timestamp").alias("end_time"),
+    )
+
+
+def _scd_updates(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    eff = F.to_timestamp(F.lit("2021-06-01")).alias("effective_time")
+    changed = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", "c_name", "c_nationkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"), "c_mktsegment", eff,
+    )
+    brand_new = c.filter(F.col("c_custkey") % 7 == 3).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", eff,
+    )
+    unchanged = c.filter(F.col("c_custkey") % 7 == 5).select(*CUSTOMER_COLS, eff)
+    return changed.unionByName(brand_new).unionByName(unchanged)
+
+
+_SCD_SQL_CTES = """
+base AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         TRUE AS is_current,
+         TIMESTAMP '2020-01-01' AS effective_time,
+         CAST(NULL AS TIMESTAMP) AS end_time
+  FROM customer
+),
+updates AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+         c_mktsegment, TIMESTAMP '2021-06-01' AS effective_time
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '2021-06-01'
+  FROM customer WHERE c_custkey % 7 = 3
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '2021-06-01'
+  FROM customer WHERE c_custkey % 7 = 5
+)
+"""
+
+
+def _dirty_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_orderkey") % 17 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity"),
+        F.when(F.col("l_orderkey") % 13 == 0, F.lit(-0.5))
+        .otherwise(F.col("l_discount"))
+        .alias("l_discount"),
+        "l_extendedprice",
+    )
+
+
+_DIRTY_SQL = """
+dirty AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey % 17 = 0 THEN NULL ELSE l_quantity END AS l_quantity,
+         CASE WHEN l_orderkey % 13 = 0 THEN -0.5 ELSE l_discount END AS l_discount,
+         l_extendedprice
+  FROM lineitem
+)
+"""
+_CONSTRAINTS = "l_quantity > 0 and l_discount >= 0"
+
+
+def _append_batch(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    new_keys = o.filter(F.col("o_orderkey") % 10 < 2).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"), *ORDERS_COLS[1:]
+    )
+    existing = o.filter(F.col("o_orderkey") % 10 >= 8).select(*ORDERS_COLS)
+    # union new_keys twice: in-batch duplicates the operator must collapse
+    return new_keys.unionByName(new_keys).unionByName(existing)
+
+
+_APPEND_SQL_CTE = """
+append AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 < 2
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 < 2
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 10 >= 8
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL building blocks (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+def _toks_sql(col: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'),"
+        " x -> x <> '')"
+    )
+
+
+def _shingles_sql(toks: str, n: int = 3) -> str:
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')) "
+        "ELSE [] END"
+    )
+
+
+def _minhash_sql(shingles: str, seed: int) -> str:
+    return f"list_min(list_transform({shingles}, s -> md5('{seed}:' || s)))"
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE)))"
+    )
+
+
+def _norm_sql(a: str, dim: int = 64) -> str:
+    return f"sqrt({_dot_sql(a, a, dim)})"
+
+
+def _hp_sql(seed: int, dim: int = 64) -> str:
+    comps = hyperplane_components(seed, dim)
+    return "[" + ",".join(f"{c:.1f}" for c in comps) + "]::DOUBLE[]"
+
+
+_EN = "['a','the','of','and','is','to','in']"
+_DE = "['der','die','das','und','ist','nicht','ein']"
+_FR = "['le','la','les','et','est','un','une']"
+
+
+def _stop_hits_sql(toks: str, words: str) -> str:
+    return f"len(list_filter({toks}, t -> list_contains({words}, t)))"
+
+
+def _quality_sql(text: str) -> str:
+    toks = _toks_sql(text)
+    n = f"len({toks})"
+    mean_tok = f"CASE WHEN {n} > 0 THEN (length({text}) - ({n} - 1)) / {n} ELSE 0.0 END"
+    stop_ratio = f"CASE WHEN {n} > 0 THEN {_stop_hits_sql(toks, _EN)} / {n} ELSE 0.0 END"
+    len_band = f"CASE WHEN {n} >= 20 AND {n} <= 2000 THEN 1.0 WHEN {n} > 0 THEN 0.5 ELSE 0.0 END"
+    tok_band = f"CASE WHEN ({mean_tok}) >= 2.0 AND ({mean_tok}) <= 12.0 THEN 1.0 ELSE 0.5 END"
+    stop_band = f"CASE WHEN ({stop_ratio}) > 0.01 THEN 1.0 ELSE 0.6 END"
+    return f"round(0.5 * ({len_band}) + 0.3 * ({tok_band}) + 0.2 * ({stop_band}), 6)"
+
+
+def _lang_sql(toks: str) -> str:
+    e, d, fr = (_stop_hits_sql(toks, w) for w in (_EN, _DE, _FR))
+    return (
+        f"CASE WHEN ({e}) + ({d}) + ({fr}) = 0 THEN 'und' "
+        f"WHEN ({e}) >= ({d}) AND ({e}) >= ({fr}) THEN 'en' "
+        f"WHEN ({d}) >= ({fr}) THEN 'de' ELSE 'fr' END"
+    )
+
+
+def _simhash_sql(text: str, num_bits: int = 64) -> str:
+    toks = _toks_sql(text)
+    hexes = f"list_transform({toks}, t -> md5(t))"
+    bits = []
+    for i in range(num_bits):
+        digit, mask = i // 4, 8 >> (i % 4)
+        vote = (
+            f"list_sum(list_transform({hexes}, h -> CASE WHEN "
+            f"((strpos('0123456789abcdef', substr(h, {digit + 1}, 1)) - 1) & {mask}) > 0 "
+            "THEN 1 ELSE -1 END))"
+        )
+        bits.append(f"CASE WHEN ({vote}) >= 0 THEN '1' ELSE '0' END")
+    sig = " || ".join(bits)
+    return f"CASE WHEN len({toks}) > 0 THEN {sig} ELSE NULL END"
+
+
+LI_ORDER_ALL = (
+    "l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, "
+    "l_tax, l_returnflag, l_linestatus, l_shipdate"
+)
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: broadcast star join + decimal-stable aggregation."""
+    return regional_revenue(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ----- relational analytics (flagship + bench heads)
+    q["pricing_summary"] = pricing_summary
+    q["regional_revenue"] = regional_revenue
+    q["top_customers"] = top_customers
+    q["events_hourly_rollup"] = events_hourly
+
+    def q_sessionize(spark, sf_dir):
+        out = sessionize(
+            _t(spark, sf_dir, "events"), "user_id", "ts", 30, tiebreak_cols=["event_id"]
+        )
+        return out.select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_events", "session_start", "session_end",
+        )
+
+    q["sessionize"] = q_sessionize
+
+    # ----- reference core: dedup family (post-states over lineitem)
+    def q_dup_groups(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.count("*").alias("n_rows"))
+            .filter(F.col("n_rows") > 1)
+        )
+
+    q["dup_detect_groups"] = q_dup_groups
+
+    def q_kill(spark, sf_dir):
+        return dedup.kill_duplicates_post(
+            _t(spark, sf_dir, "lineitem"), ["l_partkey", "l_suppkey"]
+        )
+
+    q["kill_duplicates"] = q_kill
+
+    def q_ddp(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return dedup.drop_duplicates_pkey_post(
+            li, LINEITEM_COLS, ["l_partkey", "l_suppkey"]
+        )
+
+    q["drop_duplicates_pkey"] = q_ddp
+
+    def q_dd(spark, sf_dir):
+        return _t(spark, sf_dir, "lineitem").drop_duplicates()
+
+    q["drop_duplicates"] = q_dd
+
+    def q_awd(spark, sf_dir):
+        orders = _t(spark, sf_dir, "orders")
+        return orders.unionByName(
+            dedup.append_new_rows(orders, _append_batch(spark, sf_dir), ["o_orderkey"])
+        )
+
+    q["append_without_duplicates"] = q_awd
+
+    # ----- reference core: SCD2 post-state
+    def q_scd2(spark, sf_dir):
+        return scd.scd2_post_state(
+            _scd_base(spark, sf_dir),
+            _scd_updates(spark, sf_dir),
+            "c_custkey",
+            ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+            "is_current", "effective_time", "end_time",
+        )
+
+    q["type_2_scd_upsert"] = q_scd2
+
+    # ----- reference core: constraint/validated appends
+    def q_cpass(spark, sf_dir):
+        return _dirty_lineitem(spark, sf_dir).filter(_CONSTRAINTS)
+
+    def q_cquar(spark, sf_dir):
+        return _dirty_lineitem(spark, sf_dir).filter(f"not ({_CONSTRAINTS})")
+
+    q["constraint_append_pass"] = q_cpass
+    q["constraint_append_quarantine"] = q_cquar
+
+    def q_va(spark, sf_dir):
+        cust = _t(spark, sf_dir, "customer")
+        appended = (
+            cust.filter(F.col("c_custkey") % 9 == 0)
+            .withColumn("note", F.lit("batch-2"))
+        )
+        return cust.withColumn("note", F.lit(None).cast("string")).unionByName(appended)
+
+    q["validate_append"] = q_va
+
+    # ----- reference core: keys & surrogate keys
+    def q_md5(spark, sf_dir):
+        part = _t(spark, sf_dir, "part").select(
+            "p_partkey",
+            F.when(F.col("p_partkey") % 11 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("p_brand"))
+            .alias("p_brand"),
+            "p_type",
+        )
+        return mf.F.broadcast(part).select(
+            "p_partkey", "p_brand", "p_type",
+            F.md5(F.concat_ws("||", "p_brand", "p_type")).alias("md5_p_brand_p_type"),
+        )
+
+    q["with_md5_cols"] = q_md5
+
+    def q_ikc(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+
+        def probe(cols):
+            n = (
+                li.groupBy(*cols).count().filter(F.col("count") > 1)
+                .agg(F.count("*").alias("dup_groups"))
+                .select(
+                    F.lit(",".join(cols)).alias("key_cols"),
+                    "dup_groups",
+                    (F.col("dup_groups") == 0).alias("is_candidate"),
+                )
+            )
+            return n
+
+        return probe(["l_orderkey", "l_linenumber"]).unionByName(
+            probe(["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"])
+        )
+
+    q["is_composite_key_candidate"] = q_ikc
+
+    def q_fck(spark, sf_dir):
+        from mack_spark.keys import find_composite_key_candidates
+
+        res = find_composite_key_candidates(_t(spark, sf_dir, "nation"))
+        return _t(spark, sf_dir, "nation").sparkSession.createDataFrame(
+            [(",".join(res),)], "candidate string"
+        )
+
+    q["find_composite_key_candidates"] = q_fck
+
+    # ----- LLM pipeline: text analysis
+    def q_doc_stats(spark, sf_dir):
+        return doc_stats(_t(spark, sf_dir, "documents"))
+
+    q["doc_stats"] = q_doc_stats
+
+    def q_rollup(spark, sf_dir):
+        return corpus_rollup(_t(spark, sf_dir, "documents"))
+
+    q["corpus_rollup"] = q_rollup
+
+    # ----- LLM pipeline: dedup
+    def q_exact(spark, sf_dir):
+        return exact_dedup_survivors(_t(spark, sf_dir, "documents"))
+
+    q["dedup_exact"] = q_exact
+
+    def q_lsh(spark, sf_dir):
+        return lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+    q["dedup_minhash_lsh"] = q_lsh
+
+    def q_jacc(spark, sf_dir):
+        return ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), min_jaccard=0.1
+        )
+
+    q["dedup_ngram_jaccard"] = q_jacc
+
+    def q_simhash(spark, sf_dir):
+        return simhash_bits(_t(spark, sf_dir, "documents"))
+
+    q["dedup_simhash"] = q_simhash
+
+    # ----- LLM pipeline: similarity search
+    def q_knn(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+    q["knn_brute_force"] = q_knn
+
+    def q_knn_lsh(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        return lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, bits=4)
+
+    q["knn_lsh"] = q_knn_lsh
+
+    def q_norms(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        return emb.select(
+            "vec_id", F.round(mf.l2_norm(F.col("embedding")), 4).alias("l2_norm")
+        )
+
+    q["embedding_norms"] = q_norms
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    # Matches mack_spark.queries._dec_sum: fix-point via floor (binary
+    # double arithmetic, engine-identical), exact decimal sum, one final
+    # double division.
+    dec = lambda expr, alias: (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * 10000.0) AS DECIMAL(38,0))) AS DOUBLE)"
+        f" / 10000.0 AS {alias}"
+    )
+
+    o["pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {dec('l_quantity', 'sum_qty')},
+       {dec('l_extendedprice', 'sum_base_price')},
+       {dec('l_extendedprice * (1.0 - l_discount)', 'sum_disc_price')},
+       count(*) AS count_order
+FROM lineitem WHERE l_discount <= 0.08
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+    o["regional_revenue"] = f"""
+SELECT r_name AS region, n_name AS nation,
+       {dec('l_extendedprice * (1.0 - l_discount)', 'revenue')},
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY region, nation
+"""
+
+    o["top_customers"] = f"""
+WITH revenue AS (
+  SELECT o_custkey, {dec('o_totalprice', 'revenue')}, count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, o_custkey ASC) AS rank
+  FROM revenue
+)
+SELECT rank, o_custkey AS custkey, c_name AS name, c_mktsegment AS mktsegment,
+       revenue, n_orders
+FROM ranked JOIN customer ON o_custkey = c_custkey
+WHERE rank <= 10 ORDER BY rank
+"""
+
+    o["events_hourly_rollup"] = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       {dec('"value"', 'total_value')},
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+    o["sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+"""
+
+    o["dup_detect_groups"] = """
+SELECT l_partkey, l_suppkey, count(*) AS n_rows
+FROM lineitem GROUP BY l_partkey, l_suppkey HAVING count(*) > 1
+"""
+
+    o["kill_duplicates"] = """
+WITH dup_keys AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+  GROUP BY l_partkey, l_suppkey HAVING count(*) > 1)
+SELECT * FROM lineitem l
+WHERE NOT EXISTS (
+  SELECT 1 FROM dup_keys d WHERE d.pk = l.l_partkey AND d.sk = l.l_suppkey)
+"""
+
+    o["drop_duplicates_pkey"] = f"""
+SELECT {', '.join(LINEITEM_COLS)} FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_partkey, l_suppkey ORDER BY {LI_ORDER_ALL}) AS rn
+  FROM lineitem) WHERE rn = 1
+"""
+
+    o["drop_duplicates"] = "SELECT DISTINCT * FROM lineitem"
+
+    o["append_without_duplicates"] = f"""
+WITH {_APPEND_SQL_CTE.strip()}
+SELECT * FROM orders
+UNION ALL
+SELECT DISTINCT * FROM append
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+    o["type_2_scd_upsert"] = f"""
+WITH {_SCD_SQL_CTES.strip()},
+changed AS (
+  SELECT u.* FROM updates u
+  JOIN base b ON b.c_custkey = u.c_custkey AND b.is_current
+  WHERE u.c_name <> b.c_name OR u.c_nationkey <> b.c_nationkey
+     OR u.c_acctbal <> b.c_acctbal OR u.c_mktsegment <> b.c_mktsegment
+)
+SELECT b.c_custkey, b.c_name, b.c_nationkey, b.c_acctbal, b.c_mktsegment,
+       CASE WHEN c.c_custkey IS NOT NULL THEN FALSE ELSE b.is_current END AS is_current,
+       b.effective_time,
+       CASE WHEN c.c_custkey IS NOT NULL THEN c.effective_time ELSE b.end_time END AS end_time
+FROM base b LEFT JOIN changed c ON b.c_custkey = c.c_custkey AND b.is_current
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       TRUE, effective_time, CAST(NULL AS TIMESTAMP)
+FROM changed
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       TRUE, effective_time, CAST(NULL AS TIMESTAMP)
+FROM updates WHERE c_custkey NOT IN (SELECT c_custkey FROM base)
+"""
+
+    o["constraint_append_pass"] = f"""
+WITH {_DIRTY_SQL.strip()}
+SELECT * FROM dirty WHERE {_CONSTRAINTS}
+"""
+
+    o["constraint_append_quarantine"] = f"""
+WITH {_DIRTY_SQL.strip()}
+SELECT * FROM dirty WHERE NOT ({_CONSTRAINTS})
+"""
+
+    o["validate_append"] = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       CAST(NULL AS VARCHAR) AS note
+FROM customer
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'batch-2'
+FROM customer WHERE c_custkey % 9 = 0
+"""
+
+    o["with_md5_cols"] = """
+WITH p AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 11 = 0 THEN NULL ELSE p_brand END AS p_brand,
+         p_type
+  FROM part)
+SELECT p_partkey, p_brand, p_type,
+       md5(concat_ws('||', p_brand, p_type)) AS md5_p_brand_p_type
+FROM p
+"""
+
+    o["is_composite_key_candidate"] = """
+SELECT key_cols, dup_groups, dup_groups = 0 AS is_candidate FROM (
+  SELECT 'l_orderkey,l_linenumber' AS key_cols,
+         (SELECT count(*) FROM (SELECT 1 FROM lineitem
+            GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)) AS dup_groups
+  UNION ALL
+  SELECT 'l_orderkey,l_partkey,l_suppkey,l_linenumber',
+         (SELECT count(*) FROM (SELECT 1 FROM lineitem
+            GROUP BY l_orderkey, l_partkey, l_suppkey, l_linenumber
+            HAVING count(*) > 1)))
+"""
+
+    # candidate search in itertools.combinations order, sizes 1..2
+    nation_cols = ["n_nationkey", "n_name", "n_regionkey"]
+    cases = []
+    for n in (1, 2):
+        for combo in combinations(nation_cols, n):
+            sel = ", ".join(combo)
+            cases.append(
+                f"WHEN (SELECT count(*) FROM (SELECT DISTINCT {sel} FROM nation)) = "
+                "(SELECT count(*) FROM (SELECT DISTINCT * FROM nation)) "
+                f"THEN '{','.join(combo)}'"
+            )
+    o["find_composite_key_candidates"] = (
+        "SELECT CASE " + " ".join(cases) + " ELSE NULL END AS candidate"
+    )
+
+    toks = _toks_sql("text")
+    o["doc_stats"] = f"""
+SELECT doc_id,
+       length(text) AS n_chars_computed,
+       len({toks}) AS n_tokens,
+       len(list_distinct({toks})) AS n_distinct_tokens,
+       round(len(list_distinct({toks})) / greatest(len({toks}), 1), 6) AS distinct_ratio,
+       {_lang_sql(toks)} AS lang_guess,
+       {_quality_sql('text')} AS quality,
+       md5(array_to_string(list_sort(list_distinct({toks})), ' ')) AS fingerprint
+FROM documents
+"""
+
+    o["corpus_rollup"] = f"""
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(len({toks})) AS BIGINT) AS total_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       round(avg({_quality_sql('text')}), 6) AS avg_quality
+FROM documents GROUP BY lang, source
+"""
+
+    o["dedup_exact"] = """
+SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,
+       count(*) AS n_docs
+FROM documents GROUP BY md5(text)
+"""
+
+    sh = _shingles_sql(toks)
+    num_hashes, bands, r = 12, 4, 3
+    mh_defs = ", ".join(f"{_minhash_sql('sh', i)} AS mh{i}" for i in range(num_hashes))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {', '.join(f'mh{i}' for i in range(num_hashes))}, "
+        f"{b} AS band, md5(concat_ws('|', mh{b * r}, mh{b * r + 1}, mh{b * r + 2})) AS band_key "
+        "FROM sig"
+        for b in range(bands)
+    )
+    est = " + ".join(
+        f"CASE WHEN amh{i} = bmh{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    o["dedup_minhash_lsh"] = f"""
+WITH shingled AS (
+  SELECT doc_id, {sh} AS sh FROM documents
+), sig AS (
+  SELECT doc_id, {mh_defs} FROM shingled
+), bands AS (
+  {band_selects}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         {', '.join(f'a.mh{i} AS amh{i}' for i in range(num_hashes))},
+         {', '.join(f'b.mh{i} AS bmh{i}' for i in range(num_hashes))}
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.band_key IS NOT NULL
+)
+SELECT id_a, id_b, ({est}) / 12.0 AS est_jaccard FROM pairs
+"""
+
+    o["dedup_ngram_jaccard"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({sh})) AS s FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, inter,
+       sa.n + sb.n - inter AS union_size,
+       inter / (sa.n + sb.n - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter / (sa.n + sb.n - inter) >= 0.1
+"""
+
+    o["dedup_simhash"] = f"""
+SELECT doc_id, {_simhash_sql('text')} AS simhash FROM documents
+"""
+
+    knn_core = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_dot_sql('q.qvec', 'e.embedding')} /
+         ({_norm_sql('q.qvec')} * {_norm_sql('e.embedding')}) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id{{bucket_cond}}
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(round(cos, 4) AS DOUBLE) AS cos_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+    o["knn_brute_force"] = knn_core.format(bucket_cond="")
+
+    bucket = "(" + " || ".join(
+        f"CASE WHEN {_dot_sql('{v}', _hp_sql(b))} >= 0 THEN '1' ELSE '0' END"
+        for b in range(4)
+    ) + ")"
+    o["knn_lsh"] = knn_core.format(
+        bucket_cond=" AND "
+        + bucket.replace("{v}", "e.embedding")
+        + " = "
+        + bucket.replace("{v}", "q.qvec")
+    )
+
+    o["embedding_norms"] = f"""
+SELECT vec_id, CAST(round({_norm_sql('embedding')}, 4) AS DOUBLE) AS l2_norm
+FROM embeddings
+"""
+
+    return o

