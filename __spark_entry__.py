@@ -29,8 +29,16 @@ from mack_spark.operators import (
     ngram_jaccard_pairs,
     sessionize,
     simhash_bits,
+    simhash_near_pairs,
+    embedding_near_dup_pairs,
 )
 from mack_spark.operators.similarity import hyperplane_components
+from mack_spark.multimodal import extract_features, with_media_metadata
+from mack_spark.streaming import (
+    run_stream_to_batch,
+    streaming_dedup,
+    tumbling_counts,
+)
 from mack_spark import functions as mf
 from mack_spark.queries import (
     events_hourly,
@@ -438,6 +446,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash"] = q_simhash
 
+    def q_simhash_near(spark, sf_dir):
+        return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+    q["dedup_simhash_near"] = q_simhash_near
+
+    def q_emb_neardup(spark, sf_dir):
+        return embedding_near_dup_pairs(
+            _t(spark, sf_dir, "embeddings"), threshold=0.3, bits=4
+        )
+
+    q["dedup_embedding_cosine"] = q_emb_neardup
+
     # ----- LLM pipeline: similarity search
     def q_knn(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
@@ -458,6 +478,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["embedding_norms"] = q_norms
+
+    # ----- LLM pipeline: multimodal plumbing (text bytes stand in for
+    # media payloads — codecs are stubbed, the Spark plumbing is real)
+    def q_media_meta(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        )
+        out = with_media_metadata(docs, "payload", "image", "png")
+        return out.select(
+            "doc_id",
+            F.col("payload_meta.media_type").alias("media_type"),
+            F.col("payload_meta.format").alias("format"),
+            F.col("payload_meta.n_bytes").alias("n_bytes"),
+            F.col("payload_meta.content_hash").alias("content_hash"),
+        )
+
+    q["multimodal_metadata"] = q_media_meta
+
+    def q_media_features(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        )
+        feats = extract_features(docs, "payload", "doc_id", dim=8)
+        return feats.select(
+            "doc_id",
+            "n_bytes",
+            F.round(
+                F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4
+            ).alias("feature_sum"),
+        )
+
+    q["multimodal_features"] = q_media_features
+
+    # ----- streaming twins (real Structured Streaming execution:
+    # parquet readStream -> watermarked op -> availableNow -> memory)
+    def q_stream_hourly(spark, sf_dir):
+        def tf(s):
+            # decimal fix-point for the double sum (same trick as the
+            # batch `dec` oracle helper) so streaming aggregation order
+            # can't perturb the hash comparison.
+            scaled = s.withColumn(
+                "value", F.floor(F.col("value") * 10000.0).cast("decimal(38,0)")
+            )
+            out = tumbling_counts(
+                scaled, ts_col="ts", window="1 hour", group_cols=["event_type"]
+            )
+            return out.select(
+                "window_start",
+                "window_end",
+                "event_type",
+                "n_events",
+                (F.col("total_value").cast("double") / 10000.0).alias("total_value"),
+            )
+
+        from mack_spark.sources import stream_table
+
+        return run_stream_to_batch(
+            spark, stream_table(spark, sf_dir, "events"), tf, name="stream_hourly"
+        )
+
+    q["streaming_hourly"] = q_stream_hourly
+
+    def q_stream_dedup(spark, sf_dir):
+        from mack_spark.sources import stream_table
+
+        return run_stream_to_batch(
+            spark,
+            stream_table(spark, sf_dir, "events"),
+            lambda s: streaming_dedup(s, ["user_id", "event_type"], ts_col="ts")
+            .select("user_id", "event_type"),
+            name="stream_dedup",
+            output_mode="append",
+        )
+
+    q["streaming_dedup_keys"] = q_stream_dedup
 
     return q
 
@@ -761,6 +856,66 @@ FROM ranked WHERE rank <= 5
     o["embedding_norms"] = f"""
 SELECT vec_id, CAST(round({_norm_sql('embedding')}, 4) AS DOUBLE) AS l2_norm
 FROM embeddings
+"""
+
+    # near-dup pairs by simhash banding (4 chunks of 16 bits; pigeonhole
+    # guarantees every pair with hamming <= 3 shares a chunk)
+    chunk_eq = " OR ".join(
+        f"substr(a.simhash, {c * 16 + 1}, 16) = substr(b.simhash, {c * 16 + 1}, 16)"
+        for c in range(4)
+    )
+    hamming = " + ".join(
+        f"CASE WHEN substr(a.simhash, {i + 1}, 1) <> substr(b.simhash, {i + 1}, 1) "
+        "THEN 1 ELSE 0 END"
+        for i in range(64)
+    )
+    o["dedup_simhash_near"] = f"""
+WITH sigs AS (
+  SELECT doc_id, {_simhash_sql('text')} AS simhash FROM documents
+), nn AS (SELECT doc_id, simhash FROM sigs WHERE simhash IS NOT NULL)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, {hamming} AS hamming
+  FROM nn a JOIN nn b ON a.doc_id < b.doc_id AND ({chunk_eq})
+) WHERE hamming <= 3
+"""
+
+    emb_bucket = "(" + " || ".join(
+        f"CASE WHEN {_dot_sql('{v}', _hp_sql(b))} >= 0 THEN '1' ELSE '0' END"
+        for b in range(4)
+    ) + ")"
+    o["dedup_embedding_cosine"] = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {emb_bucket.replace('{v}', 'embedding')} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         {_dot_sql('x.embedding', 'y.embedding')} /
+         ({_norm_sql('x.embedding')} * {_norm_sql('y.embedding')}) AS cos
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, CAST(round(cos, 4) AS DOUBLE) AS cos_sim
+FROM scored WHERE cos >= 0.3
+"""
+
+    o["multimodal_metadata"] = """
+SELECT doc_id, 'image' AS media_type, 'png' AS format,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash
+FROM documents
+"""
+
+    o["streaming_hourly"] = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       {dec('"value"', 'total_value')}
+FROM events GROUP BY 1, 2, 3
+"""
+
+    o["streaming_dedup_keys"] = """
+SELECT DISTINCT user_id, event_type FROM events
 """
 
     return o

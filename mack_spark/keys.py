@@ -100,7 +100,10 @@ def find_composite_key_candidates(
     total = deduped.count()
     for n in range(1, total_cols + 1):
         combos = list(combinations(df.columns, n))
-        if n < total_cols:
+        if len(combos) <= 16:
+            # Few combos: one exact aggregation job beats sketch+verify.
+            exact = _distinct_count_exact(deduped, combos)
+        elif n < total_cols:
             approx = _distinct_count_approx(deduped, combos, rsd=0.02)
             # 5% slack over the sketch's 2% rsd: never prefilter away a
             # true key; false positives are caught by the exact pass.
@@ -114,7 +117,7 @@ def find_composite_key_candidates(
         else:
             exact = {combos[0]: total}
         for combo in combos:
-            if combo in exact and exact[combo] == total:
+            if exact.get(combo) == total:
                 if len(combo) == total_cols:
                     raise ValueError("No composite key candidates could be identified.")
                 return list(combo)

@@ -1,0 +1,144 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns plus a typed metadata struct; all
+per-item compute rides ``mapInPandas`` (Arrow-batched, one Python
+worker round-trip per partition batch — never per row). The actual
+codec calls are STUBBED (Pillow/torchaudio/ffmpeg are not in this
+container): ``decode_fn=None`` selects a deterministic fake decoder so
+the Spark-side plumbing — schema, batch shapes, partitioning — is real
+and tested, and a real codec slots in as a one-argument function.
+
+SCALE: media rows are orders of magnitude wider than text rows.
+``repartition`` by byte-size budget before the UDF stage so one Arrow
+batch (`spark.sql.execution.arrow.maxRecordsPerBatch`) fits executor
+memory; feature outputs are small and re-shuffle cheaply.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType(), False),   # image|audio|video
+        StructField("format", StringType(), True),        # png|wav|mp4|...
+        StructField("n_bytes", LongType(), False),
+        StructField("content_hash", StringType(), False),
+    ]
+)
+
+
+def with_media_metadata(
+    df: DataFrame, binary_col: str, media_type: str, fmt: Optional[str] = None
+) -> DataFrame:
+    """Attach the typed metadata struct derived from the binary payload
+    (pure built-in expressions — no Python)."""
+    return df.withColumn(
+        f"{binary_col}_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).cast("string").alias("format"),
+            F.length(F.col(binary_col)).cast("long").alias("n_bytes"),
+            F.md5(F.col(binary_col)).alias("content_hash"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes, dim: int) -> list:
+    """Deterministic stand-in for a codec+model feature extractor:
+    md5-seeded pseudo-features in [0, 1). Stable across processes."""
+    out = []
+    seed = payload if isinstance(payload, (bytes, bytearray)) else bytes(payload or b"")
+    for i in range(dim):
+        h = hashlib.md5(seed + i.to_bytes(4, "little")).digest()
+        out.append(int.from_bytes(h[:4], "little") / 2**32)
+    return out
+
+
+def extract_features(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    dim: int = 16,
+    decode_fn: Optional[Callable[[bytes], list]] = None,
+    batch_budget_rows: Optional[int] = None,
+) -> DataFrame:
+    """Per-item feature extraction over ``mapInPandas``.
+
+    ``decode_fn`` maps raw bytes → list[float] of length ``dim``. When
+    None, the deterministic fake decoder is used (real codecs are not
+    installed in this environment — see module docstring).
+
+    Returns ``(id_col, features: array<float>, n_bytes)``.
+    """
+    fn = decode_fn or (lambda payload: _fake_decode(payload, dim))
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("features", ArrayType(FloatType()), True),
+            StructField("n_bytes", LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[binary_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "features": [
+                        None if p is None else [float(x) for x in fn(p)]
+                        for p in payloads
+                    ],
+                    "n_bytes": [0 if p is None else len(p) for p in payloads],
+                }
+            )
+
+    narrow = df.select(id_col, binary_col)
+    if batch_budget_rows:
+        narrow = narrow.repartition(
+            max(1, narrow.sparkSession.sparkContext.defaultParallelism)
+        )
+    return narrow.mapInPandas(run, out_schema)
+
+
+def frame_sample_plan(
+    df: DataFrame, binary_col: str, id_col: str, every_n: int = 30
+) -> DataFrame:
+    """Video frame-sampling *plumbing*: emits one row per planned frame
+    index (codec-free — indices derive from payload size as a stand-in
+    for frame count, ``NotImplementedError`` documents the real hook).
+
+    A real implementation replaces ``n_frames`` with the container's
+    frame count read via the codec in ``extract_features``-style
+    mapInPandas; the explode/partition shape is already correct.
+    """
+    n_frames = (F.length(F.col(binary_col)) / F.lit(1024)).cast("int") + 1
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias(
+            "frame_index"
+        ),
+    )
+
+
+def decode_image(payload: bytes):
+    """Real image decode hook — requires Pillow, absent here."""
+    raise NotImplementedError(
+        "image codecs are not installed in this environment; pass a "
+        "decode_fn to extract_features"
+    )

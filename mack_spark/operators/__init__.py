@@ -15,7 +15,11 @@ from mack_spark.operators.dedup_text import (
     simhash_bits,
     simhash_near_pairs,
 )
-from mack_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+from mack_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
 from mack_spark.operators.textstats import doc_stats, corpus_rollup
 from mack_spark.operators.sessionize import sessionize
 
@@ -28,6 +32,7 @@ __all__ = [
     "simhash_bits",
     "simhash_near_pairs",
     "brute_force_topk",
+    "embedding_near_dup_pairs",
     "lsh_bucketed_topk",
     "doc_stats",
     "corpus_rollup",

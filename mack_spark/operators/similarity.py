@@ -109,6 +109,51 @@ def lsh_bucket(vec: F.Column, bits: int, dim: int) -> F.Column:
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scores: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: unordered ``(id_a < id_b)``
+    pairs whose cosine similarity is ≥ ``threshold``, candidate-limited
+    to pairs sharing a hyperplane-LSH bucket.
+
+    The scale path for near-dup dedup over embeddings (reference has no
+    equivalent; LLM-pipeline extension per SURVEY §7 phase 5): the
+    self-join is bucket-local — each of the 2^bits buckets joins only
+    with itself (~n/2^bits rows per side), never the full O(n²) cross
+    product. High-similarity pairs land in the same bucket with
+    probability (1 - θ/π)^bits, so recall is tuned by ``bits`` (fewer
+    bits = higher recall, bigger buckets).
+
+    Returns ``(id_a, id_b, cos_sim)``.
+    """
+    bucketed = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), bits, dim).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            mf.cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", round_scores).alias("cos_sim"))
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

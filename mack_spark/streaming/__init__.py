@@ -1,0 +1,198 @@
+"""Structured Streaming variants of the engine's operators.
+
+The reference is batch-only (SURVEY §1: streams absent); this module is
+the rebuild's extension for continuous ingest, mapping each batch
+operator to its streaming twin:
+
+===========================  =========================================
+batch operator               streaming twin
+===========================  =========================================
+append_without_duplicates    :func:`streaming_dedup` (watermarked
+                             ``dropDuplicates`` /
+                             ``dropDuplicatesWithinWatermark``)
+events_hourly (tumbling agg) :func:`tumbling_counts` (watermark +
+                             ``F.window``)
+sessionize                   :func:`session_counts` (``session_window``
+                             with the same gap semantics)
+type_2_scd_upsert            :func:`foreach_batch_scd2` (per-microbatch
+                             MERGE into a ManagedTable)
+===========================  =========================================
+
+SCALE: watermarks bound state (late rows beyond the watermark are
+dropped); ``dropDuplicatesWithinWatermark`` keeps only in-horizon keys
+in the state store. foreachBatch SCD2 is idempotent per epoch when the
+sink records the batch id — ManagedTable history stores
+``streaming_epoch`` so replayed microbatches can be skipped (the
+txnAppId/txnVersion pattern Delta uses).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mack_spark.scd import scd2_post_state
+from mack_spark.tables import ManagedTable
+
+
+def run_stream_to_batch(
+    spark: SparkSession,
+    stream: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Execute a streaming transform over a bounded streaming source and
+    return the final result as a batch DataFrame.
+
+    This is the verification harness for the streaming twins: a real
+    Structured Streaming run (streaming ``stream`` → transform →
+    ``trigger(availableNow)`` → memory sink), drained to completion so
+    the result is comparable with the batch/oracle answer. The memory
+    sink collects to the driver — use only for tests/verification; the
+    production path swaps in a file/Delta sink with a checkpoint.
+    """
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: List[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Drop duplicate events by key on an unbounded stream.
+
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark`` —
+    dedup among rows whose event times fall inside the watermark
+    horizon, with state evicted as the watermark advances (the only
+    sane mode at 100 TB/day); ``False`` is exact global dedup whose
+    state grows with distinct keys.
+    """
+    wm = stream.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    return wm.dropDuplicates(keys)
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    group_cols: Optional[List[str]] = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (streaming twin of the
+    batch ``events_hourly`` rollup)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), *(group_cols or []))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *(group_cols or []),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_counts(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based session aggregation via ``session_window`` — the
+    streaming twin of :func:`mack_spark.operators.sessionize` (same gap
+    rule; sessions close when the watermark passes gap after the last
+    event)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def foreach_batch_scd2(
+    table: ManagedTable,
+    primary_key: str,
+    attr_col_names: List[str],
+    is_current_col_name: str = "is_current",
+    effective_time_col_name: str = "effective_time",
+    end_time_col_name: str = "end_time",
+):
+    """Build a ``foreachBatch`` function applying each microbatch as an
+    SCD2 upsert into a ManagedTable.
+
+    Idempotent on retries: each applied epoch id is recorded in the
+    table history; a replayed microbatch with an already-applied epoch
+    is skipped (txnVersion pattern).
+
+    Usage::
+
+        q = (stream.writeStream.foreachBatch(
+                foreach_batch_scd2(table, "id", ["attr"]))
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        applied = {
+            h.get("streaming_epoch")
+            for h in table.history()
+            if h.get("streaming_epoch") is not None
+        }
+        if epoch_id in applied:
+            return
+        if batch_df.isEmpty():
+            return
+        # Late/duplicate keys inside one microbatch: keep the latest
+        # effective_time per key so the merge sees one row per key.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(primary_key).orderBy(
+            F.col(effective_time_col_name).desc()
+        )
+        deduped = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        post = scd2_post_state(
+            table.toDF(),
+            deduped,
+            primary_key,
+            attr_col_names,
+            is_current_col_name,
+            effective_time_col_name,
+            end_time_col_name,
+        )
+        table.overwrite(post, operation="STREAMING-MERGE", schema_change=False)
+        meta = table._read_meta()
+        meta["history"][-1]["streaming_epoch"] = epoch_id
+        table._write_meta(meta)
+
+    return apply_batch
