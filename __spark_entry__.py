@@ -36,6 +36,7 @@ from mack_spark.operators.similarity import hyperplane_components
 from mack_spark.multimodal import extract_features, with_media_metadata
 from mack_spark.streaming import (
     run_stream_to_batch,
+    session_counts,
     streaming_dedup,
     tumbling_counts,
 )
@@ -471,6 +472,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_lsh"] = q_knn_lsh
 
+    def q_knn_ivf(spark, sf_dir):
+        from mack_spark.operators import ivf_topk
+
+        emb = _t(spark, sf_dir, "embeddings")
+        return ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8, n_probe=2
+        )
+
+    q["knn_ivf"] = q_knn_ivf
+
     def q_norms(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
         return emb.select(
@@ -553,6 +564,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["streaming_dedup_keys"] = q_stream_dedup
+
+    def q_stream_sessions(spark, sf_dir):
+        from mack_spark.sources import stream_table
+
+        return run_stream_to_batch(
+            spark,
+            stream_table(spark, sf_dir, "events"),
+            lambda s: session_counts(s, gap="30 minutes"),
+            name="stream_sessions",
+        )
+
+    q["streaming_sessionize"] = q_stream_sessions
 
     return q
 
@@ -916,6 +939,67 @@ FROM events GROUP BY 1, 2, 3
 
     o["streaming_dedup_keys"] = """
 SELECT DISTINCT user_id, event_type FROM events
+"""
+
+    # IVF: centroids = 8 lowest-id vectors; nearest-cell assignment with
+    # (cos DESC, cid ASC) tie-break mirrors the Spark struct-max exactly.
+    ivf_cos = (
+        f"{_dot_sql('e.embedding', 'c.cvec')} / "
+        f"({_norm_sql('e.embedding')} * {_norm_sql('c.cvec')})"
+    )
+    o["knn_ivf"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8
+), assigned AS (
+  SELECT neighbor_id, nvec, cid AS cell FROM (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS nvec, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {ivf_cos} DESC, c.cid ASC) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+), probes AS (
+  SELECT query_id, qvec, cid AS cell FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {ivf_cos} DESC, c.cid ASC) AS r
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10
+  ) WHERE r <= 2
+), scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         {_dot_sql('p.qvec', 'a.nvec')} /
+         ({_norm_sql('p.qvec')} * {_norm_sql('a.nvec')}) AS cos
+  FROM probes p JOIN assigned a
+    ON p.cell = a.cell AND a.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, CAST(round(cos, 4) AS DOUBLE) AS cos_sim, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+    # session_window semantics: sessions merge while gaps <= 30 min;
+    # window end = last event + gap (hence the +INTERVAL on max(ts)).
+    o["streaming_sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
 """
 
     return o

