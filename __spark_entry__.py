@@ -424,6 +424,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_rollup"] = q_rollup
 
+    def q_token_counts(spark, sf_dir):
+        return _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            mf.token_count(F.col("text")).alias("n_ws_tokens"),
+            mf.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        )
+
+    q["token_counts"] = q_token_counts
+
+    def q_winnow(spark, sf_dir):
+        from mack_spark.operators import winnow_fingerprints
+
+        return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+    q["fingerprint_winnow"] = q_winnow
+
     # ----- LLM pipeline: dedup
     def q_exact(spark, sf_dir):
         return exact_dedup_survivors(_t(spark, sf_dir, "documents"))
@@ -977,6 +993,35 @@ FROM (
             ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
   FROM scored
 ) WHERE rank <= 5
+"""
+
+    o["token_counts"] = f"""
+SELECT doc_id,
+       len({_toks_sql('text')}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\\s]'))
+         AS n_bpe_tokens
+FROM documents
+"""
+
+    # winnowing: k=7 char-grams, window=8; min per window, distinct.
+    o["fingerprint_winnow"] = """
+WITH g0 AS (
+  SELECT doc_id, text, length(text) - 6 AS n_grams
+  FROM documents WHERE length(text) - 6 >= 8
+), g1 AS (
+  SELECT doc_id, n_grams, unnest(generate_series(1, n_grams)) AS pos, text
+  FROM g0
+), g AS (
+  SELECT doc_id, n_grams, pos,
+         md5(substr(text, CAST(pos AS INT), 7)) AS h
+  FROM g1
+), wm AS (
+  SELECT doc_id, pos, n_grams,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fingerprint
+  FROM g
+)
+SELECT DISTINCT doc_id, fingerprint FROM wm WHERE pos <= n_grams - 7
 """
 
     # session_window semantics: sessions merge while gaps <= 30 min;

@@ -48,6 +48,25 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# Subword-ish tokenization: letter runs chunked to <=4 chars (the
+# typical BPE piece length), single digits, single non-alnum marks.
+# Deliberately lookaround-free so the same pattern runs under Java
+# regex (Spark) and RE2 (DuckDB/Go engines).
+BPE_ISH_RE = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Approximate LLM-token count: number of ``BPE_ISH_RE`` matches.
+
+    A cheap stand-in for a real BPE tokenizer (which would need its
+    merges table shipped to executors — a broadcast + pandas_udf in
+    production): counts subword-sized pieces instead of whitespace
+    words, so long words cost proportionally more, as they do under a
+    real tokenizer.
+    """
+    return F.regexp_count(text, F.lit(BPE_ISH_RE))
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles (space-joined). Empty array when < n tokens."""
     return F.when(

@@ -21,7 +21,11 @@ from mack_spark.operators.similarity import (
     ivf_topk,
     lsh_bucketed_topk,
 )
-from mack_spark.operators.textstats import doc_stats, corpus_rollup
+from mack_spark.operators.textstats import (
+    corpus_rollup,
+    doc_stats,
+    winnow_fingerprints,
+)
 from mack_spark.operators.sessionize import sessionize
 
 __all__ = [
@@ -38,5 +42,6 @@ __all__ = [
     "lsh_bucketed_topk",
     "doc_stats",
     "corpus_rollup",
+    "winnow_fingerprints",
     "sessionize",
 ]

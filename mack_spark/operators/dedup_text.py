@@ -139,12 +139,11 @@ def lsh_candidate_pairs(
     """
     r = num_hashes // bands
     assert r * bands == num_hashes, "num_hashes must divide evenly into bands"
-    # Persist + eager fill: the signature aggregation is referenced by
-    # the band explode and both sides of the signature re-attach; cold
-    # lazy evaluation would run it once per branch (see
-    # simhash_near_pairs). One narrow row per doc.
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size).persist()
-    sigs.count()
+    # No persist: the signature aggregation's exchange (groupBy on
+    # id_col) is identical under all three references, so ReusedExchange
+    # evaluates it once (measured: persisting is net-neutral here while
+    # costing cache memory; contrast simhash_near_pairs).
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
     # Band key: md5 of the concatenated slice of the signature. The pair
     # join carries ONLY ids — the narrow distinct dedups colliding bands
     # cheaply; signatures are re-attached afterwards (Spark reuses the
@@ -222,15 +221,15 @@ def ngram_jaccard_pairs(
 
     Returns ``(id_a, id_b, inter, union_size, jaccard)``.
     """
+    # No persist here (unlike simhash_near_pairs): all three consumers
+    # diverge AFTER the dropDuplicates shuffle, so Spark's
+    # ReusedExchange already evaluates the shingle explode once —
+    # persisting just adds a serialization pass (measured slower).
     shingled = (
         exploded_shingles(df, text_col, id_col, shingle_size)
         .select(F.col(id_col).alias("id"), F.col("sh"))
         .dropDuplicates(["id", "sh"])
-        .persist()
     )
-    # Eager fill — referenced by sizes and both join sides (see
-    # simhash_near_pairs for the race this avoids).
-    shingled.count()
     sizes = shingled.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = (
@@ -330,12 +329,13 @@ def simhash_near_pairs(
     Returns ``(id_a, id_b, hamming)``.
     """
     width = 64 // chunks
-    # The signature aggregation is the expensive stage and this plan
-    # references it three times (two join sides + the attach below);
-    # persist so it runs once. Chunk values are decoded to longs ONCE
-    # per doc here — the band join then compares longs, and the exact
-    # hamming is 4 xor+bit_count ops per pair instead of 64 substring
-    # comparisons.
+    # Chunk values are decoded to longs ONCE per doc here — the band
+    # join then compares longs, and the exact hamming is 4
+    # xor+bit_count ops per pair instead of 64 substring comparisons.
+    # The signature aggregation is referenced four times (band explode,
+    # both join sides' chunk re-attach) but its exchange is identical
+    # under every reference, so ReusedExchange evaluates it once — an
+    # explicit persist measured SLOWER (extra materialization job).
     chunked = (
         simhash_bits(df, text_col, id_col)
         .filter(F.col("simhash").isNotNull())
@@ -348,14 +348,7 @@ def simhash_near_pairs(
                 for c in range(chunks)
             ],
         )
-        .persist()
     )
-    # Eager fill: without it the first action computes the signature
-    # aggregation once per referencing branch concurrently (measured 3×
-    # the work) because racing tasks all find a cold cache. One narrow
-    # row per doc — MEMORY_AND_DISK spills fine at scale; callers
-    # running pipelines should unpersist via spark.catalog.clearCache().
-    chunked.count()
     banded = chunked.select(
         F.col(id_col),
         F.explode(

@@ -6,7 +6,7 @@ map-side combinable, fully oracle-expressible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mack_spark import functions as mf
@@ -74,6 +74,65 @@ def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         F.md5(
             F.array_join(F.coalesce(F.col("dt"), F.array().cast("array<string>")), " ")
         ).alias("fingerprint"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash
+    every char ``k``-gram, slide a ``window`` of consecutive gram
+    hashes, keep each window's minimum, output the distinct selected
+    hashes per document.
+
+    The rolling-hash scale path for plagiarism-style containment
+    detection: two documents sharing any sufficiently long substring
+    (>= k + window - 1 chars) are guaranteed to share a fingerprint.
+    md5 stands in for the rolling polynomial hash — engine-independent
+    and position-shiftable enough for selection purposes; the window
+    min is a plain analytic ``min`` over a row frame, so the whole
+    operator is one explode + one windowed shuffle on ``id_col`` +
+    distinct. Expected output density is 2/(window+1) of the gram
+    count. SCALE: the explode emits one row per character position —
+    for very long documents, pre-chunk or stride-sample upstream.
+
+    Returns ``(id_col, fingerprint)`` distinct pairs.
+    """
+    n_grams = (F.length(F.col(text_col)) - (k - 1)).alias("n_grams")
+    ex = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        n_grams,
+    ).filter(F.col("n_grams") >= window).select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"),
+        F.col(text_col),
+    ).select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.col("pos"),
+        F.md5(F.col(text_col).substr(F.col("pos"), F.lit(k))).alias("h"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        ex.select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.col("pos"),
+            F.min("h").over(w).alias("fingerprint"),
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - (window - 1))
+        .select(id_col, "fingerprint")
+        .distinct()
     )
 
 
