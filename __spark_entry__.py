@@ -440,6 +440,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fingerprint_winnow"] = q_winnow
 
+    def q_asof(spark, sf_dir):
+        from mack_spark.operators import asof_join
+
+        ev = _t(spark, sf_dir, "events")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "value"
+        )
+        out = asof_join(
+            purchases, views, key_cols=["user_id"], ts_col="ts",
+            right_value_cols=["value"], suffix="_view",
+        )
+        return out.select(
+            "event_id", "user_id", "ts",
+            F.col("ts_view"), F.col("value_view"),
+        )
+
+    q["asof_join_purchase_view"] = q_asof
+
     # ----- LLM pipeline: dedup
     def q_exact(spark, sf_dir):
         return exact_dedup_survivors(_t(spark, sf_dir, "documents"))
@@ -993,6 +1014,17 @@ FROM (
             ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
   FROM scored
 ) WHERE rank <= 5
+"""
+
+    # DuckDB's native ASOF JOIN is the oracle for our union+window plan.
+    o["asof_join_purchase_view"] = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, p.ts, v.ts AS ts_view, v.value AS value_view
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
     o["token_counts"] = f"""

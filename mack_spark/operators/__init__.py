@@ -27,6 +27,7 @@ from mack_spark.operators.textstats import (
     winnow_fingerprints,
 )
 from mack_spark.operators.sessionize import sessionize
+from mack_spark.operators.asof import asof_join
 
 __all__ = [
     "exact_dedup_survivors",
@@ -43,5 +44,6 @@ __all__ = [
     "doc_stats",
     "corpus_rollup",
     "winnow_fingerprints",
+    "asof_join",
     "sessionize",
 ]
