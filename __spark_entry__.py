@@ -433,6 +433,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_counts"] = q_token_counts
 
+    def q_cube(spark, sf_dir):
+        from mack_spark.operators import corpus_cube
+
+        return corpus_cube(_t(spark, sf_dir, "documents"))
+
+    q["corpus_cube"] = q_cube
+
+    def q_clusters(spark, sf_dir):
+        from mack_spark.operators import near_dup_clusters
+
+        return near_dup_clusters(
+            _t(spark, sf_dir, "documents"), min_est_jaccard=0.5
+        )
+
+    q["dedup_clusters"] = q_clusters
+
     def q_winnow(spark, sf_dir):
         from mack_spark.operators import winnow_fingerprints
 
@@ -861,6 +877,37 @@ WITH shingled AS (
 SELECT id_a, id_b, ({est}) / 12.0 AS est_jaccard FROM pairs
 """
 
+    # transitive closure of the >=0.5-estimated-jaccard pair graph;
+    # cluster id = min reachable doc id (DuckDB recursive CTE as the
+    # oracle for Spark's min-label-propagation loop)
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE shingled AS (
+  SELECT doc_id, {sh} AS sh FROM documents
+), sig AS (
+  SELECT doc_id, {mh_defs} FROM shingled
+), bands AS (
+  {band_selects}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         {', '.join(f'a.mh{i} AS amh{i}' for i in range(num_hashes))},
+         {', '.join(f'b.mh{i} AS bmh{i}' for i in range(num_hashes))}
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.band_key IS NOT NULL
+), strong AS (
+  SELECT id_a, id_b FROM pairs WHERE ({est}) / 12.0 >= 0.5
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM strong
+  UNION ALL
+  SELECT id_b, id_a FROM strong
+), walk(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON w.node = e.u
+)
+SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+"""
+
     o["dedup_ngram_jaccard"] = f"""
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct({sh})) AS s FROM documents
@@ -1025,6 +1072,13 @@ WITH p AS (
 )
 SELECT p.event_id, p.user_id, p.ts, v.ts AS ts_view, v.value AS value_view
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+    o["corpus_cube"] = f"""
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(len({_toks_sql('text')})) AS BIGINT) AS total_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY CUBE (lang, source)
 """
 
     o["token_counts"] = f"""

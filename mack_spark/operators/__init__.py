@@ -22,12 +22,14 @@ from mack_spark.operators.similarity import (
     lsh_bucketed_topk,
 )
 from mack_spark.operators.textstats import (
+    corpus_cube,
     corpus_rollup,
     doc_stats,
     winnow_fingerprints,
 )
 from mack_spark.operators.sessionize import sessionize
 from mack_spark.operators.asof import asof_join
+from mack_spark.operators.cluster import connected_components, near_dup_clusters
 
 __all__ = [
     "exact_dedup_survivors",
@@ -42,8 +44,11 @@ __all__ = [
     "ivf_topk",
     "lsh_bucketed_topk",
     "doc_stats",
+    "corpus_cube",
     "corpus_rollup",
     "winnow_fingerprints",
     "asof_join",
+    "connected_components",
+    "near_dup_clusters",
     "sessionize",
 ]

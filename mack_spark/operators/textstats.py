@@ -77,6 +77,34 @@ def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def corpus_cube(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """CUBE(lang, source) corpus profile: per-(lang, source), per-lang,
+    per-source, and grand-total rows in ONE pass (rolled-up dimensions
+    come back NULL). SCALE: Spark expands the cube map-side and
+    partial-aggregates before the single shuffle — no per-grouping
+    re-scan of the corpus."""
+    toks = mf.tokens(F.col(text_col))
+    return (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            F.col(source_col).alias("source"),
+            F.size(toks).alias("n_tokens"),
+            F.length(F.col(text_col)).alias("n_chars"),
+        )
+        .cube("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
