@@ -45,6 +45,8 @@ from mack_spark.queries import (
     events_hourly,
     pricing_summary,
     regional_revenue,
+    returned_revenue,
+    shipping_priority,
     top_customers,
 )
 
@@ -281,6 +283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pricing_summary"] = pricing_summary
     q["regional_revenue"] = regional_revenue
     q["top_customers"] = top_customers
+    q["shipping_priority"] = shipping_priority
+    q["returned_revenue"] = returned_revenue
     q["events_hourly_rollup"] = events_hourly
 
     def q_sessionize(spark, sf_dir):
@@ -543,6 +547,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_norms"] = q_norms
 
+    def q_quant(spark, sf_dir):
+        from mack_spark.operators import quantize_embeddings
+
+        return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+    q["embedding_quantize"] = q_quant
+
     # ----- LLM pipeline: multimodal plumbing (text bytes stand in for
     # media payloads — codecs are stubbed, the Spark plumbing is real)
     def q_media_meta(spark, sf_dir):
@@ -680,6 +691,47 @@ SELECT rank, o_custkey AS custkey, c_name AS name, c_mktsegment AS mktsegment,
        revenue, n_orders
 FROM ranked JOIN customer ON o_custkey = c_custkey
 WHERE rank <= 10 ORDER BY rank
+"""
+
+    o["shipping_priority"] = f"""
+WITH agg AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority,
+         {dec('l_extendedprice * (1.0 - l_discount)', 'revenue')}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_shipdate > TIMESTAMP '1998-06-01'
+    AND o_orderdate < TIMESTAMP '1998-06-01'
+    AND c_mktsegment = 'BUILDING'
+  GROUP BY o_orderkey, o_orderdate, o_orderpriority
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY revenue DESC, o_orderkey ASC) AS INT)
+            AS rank
+  FROM agg
+)
+SELECT rank, o_orderkey AS orderkey, o_orderdate AS orderdate,
+       o_orderpriority AS orderpriority, revenue
+FROM ranked WHERE rank <= 10 ORDER BY rank
+"""
+
+    o["returned_revenue"] = f"""
+WITH agg AS (
+  SELECT c_custkey AS custkey, c_name AS name, n_name AS nation,
+         {dec('l_extendedprice * (1.0 - l_discount)', 'lost_revenue')},
+         count(*) AS n_returned_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, n_name
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY lost_revenue DESC, custkey ASC) AS INT)
+            AS rank
+  FROM agg
+)
+SELECT rank, custkey, name, nation, lost_revenue, n_returned_items
+FROM ranked WHERE rank <= 20 ORDER BY rank
 """
 
     o["events_hourly_rollup"] = f"""
@@ -963,6 +1015,27 @@ FROM ranked WHERE rank <= 5
     o["embedding_norms"] = f"""
 SELECT vec_id, CAST(round({_norm_sql('embedding')}, 4) AS DOUBLE) AS l2_norm
 FROM embeddings
+"""
+
+    o["embedding_quantize"] = """
+WITH s AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> CASE WHEN scale > 0
+           THEN CAST(floor(x / scale * 127.0 + 0.5) AS INT) ELSE 0 END) AS qvec,
+         v
+  FROM s
+)
+SELECT vec_id, scale, qvec,
+       round(CASE WHEN scale > 0 THEN list_max(
+         list_transform(list_zip(v, qvec),
+           p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale / 127.0)))
+         ELSE 0.0 END, 6) AS max_abs_err
+FROM q
 """
 
     # near-dup pairs by simhash banding (4 chunks of 16 bits; pigeonhole

@@ -20,6 +20,7 @@ from mack_spark.operators.similarity import (
     embedding_near_dup_pairs,
     ivf_topk,
     lsh_bucketed_topk,
+    quantize_embeddings,
 )
 from mack_spark.operators.textstats import (
     corpus_cube,
@@ -43,6 +44,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "ivf_topk",
     "lsh_bucketed_topk",
+    "quantize_embeddings",
     "doc_stats",
     "corpus_cube",
     "corpus_rollup",

@@ -283,6 +283,53 @@ def ivf_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_err: int = 6,
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the storage
+    scale path (4× smaller than float32, 8× than float64; int8 dot
+    kernels are also what production ANN serving uses).
+
+    Per vector: ``scale = max(|x|)``; ``q_i = floor(x_i/scale*127 +
+    0.5)`` — the floor(+0.5) form is spelled out so every engine rounds
+    identically (no half-even vs half-away ambiguity). Map-only: no
+    shuffle, no explode; the per-row array lambdas evaluate interpreted
+    but beat paying an exchange for a pure storage transform.
+
+    Returns ``(id_col, scale, qvec, max_abs_err)`` where max_abs_err is
+    the reconstruction error bound actually achieved for the vector.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    qexpr = F.transform(
+        v,
+        lambda x: F.when(
+            F.col("scale") > 0,
+            F.floor(x / F.col("scale") * F.lit(127.0) + F.lit(0.5)).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    dq = F.zip_with(
+        v,
+        F.col("qvec"),
+        lambda x, q: F.abs(x - q.cast("double") * F.col("scale") / F.lit(127.0)),
+    )
+    return (
+        df.select(F.col(id_col), F.col(vec_col), scale.alias("scale"))
+        .withColumn("qvec", qexpr)
+        .withColumn(
+            "max_abs_err",
+            F.round(
+                F.when(F.col("scale") > 0, F.array_max(dq)).otherwise(F.lit(0.0)),
+                round_err,
+            ),
+        )
+        .select(id_col, "scale", "qvec", "max_abs_err")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

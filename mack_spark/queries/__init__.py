@@ -91,6 +91,77 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: revenue of unshipped order
+    lines for one market segment — both date filters and the segment
+    filter push to the parquet scans; customer is broadcast; the only
+    big shuffle is lineitem ⋈ orders on the order key."""
+    cutoff = "1998-06-01"
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    customer = F.broadcast(
+        load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            )
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+            "revenue",
+        )
+        .orderBy("rank")
+    )
+
+
+def returned_revenue(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: revenue lost to returns
+    per customer, top-k. The returnflag filter pushes to the lineitem
+    scan; customer/nation broadcast."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders")
+    customer = F.broadcast(load(spark, sf_dir, "customer"))
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "lost_revenue",
+            ),
+            F.count("*").alias("n_returned_items"),
+        )
+    )
+    w = Window.orderBy(F.col("lost_revenue").desc(), F.col("custkey").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "custkey", "name", "nation", "lost_revenue", "n_returned_items")
+        .orderBy("rank")
+    )
+
+
 def top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Top-k customers by order revenue — deterministic tie-break on key."""
     orders = load(spark, sf_dir, "orders")
