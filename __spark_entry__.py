@@ -453,6 +453,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = q_clusters
 
+    def q_interval(spark, sf_dir):
+        from mack_spark.operators import interval_join
+
+        ev = _t(spark, sf_dir, "events")
+        sessions = sessionize(
+            ev, "user_id", "ts", 30, tiebreak_cols=["event_id"]
+        ).select(
+            F.col("user_id").alias("s_user"), "session_start", "session_end"
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "ts"
+        )
+        pairs = interval_join(
+            purchases, sessions,
+            ts_col="ts", start_col="session_start", end_col="session_end",
+        )
+        return pairs.groupBy("event_id").agg(
+            F.count("*").alias("n_active_sessions")
+        )
+
+    q["interval_join_active_sessions"] = q_interval
+
     def q_winnow(spark, sf_dir):
         from mack_spark.operators import winnow_fingerprints
 
@@ -1096,6 +1118,30 @@ FROM events GROUP BY 1, 2, 3
 
     o["streaming_dedup_keys"] = """
 SELECT DISTINCT user_id, event_type FROM events
+"""
+
+    # bucketized interval join vs DuckDB's native inequality (IE) join
+    o["interval_join_active_sessions"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT p.event_id, count(*) AS n_active_sessions
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN sessions s ON p.ts >= s.session_start AND p.ts <= s.session_end
+GROUP BY p.event_id
 """
 
     # IVF: centroids = 8 lowest-id vectors; nearest-cell assignment with

@@ -31,6 +31,7 @@ from mack_spark.operators.textstats import (
 from mack_spark.operators.sessionize import sessionize
 from mack_spark.operators.asof import asof_join
 from mack_spark.operators.cluster import connected_components, near_dup_clusters
+from mack_spark.operators.interval import interval_join
 
 __all__ = [
     "exact_dedup_survivors",
@@ -51,6 +52,7 @@ __all__ = [
     "winnow_fingerprints",
     "asof_join",
     "connected_components",
+    "interval_join",
     "near_dup_clusters",
     "sessionize",
 ]
