@@ -475,6 +475,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["interval_join_active_sessions"] = q_interval
 
+    def q_sample(spark, sf_dir):
+        from mack_spark.operators import deterministic_sample
+
+        return deterministic_sample(
+            _t(spark, sf_dir, "documents"), 0.1, ["doc_id"], salt="mix1"
+        ).select("doc_id", "lang", "source")
+
+    q["sample_deterministic"] = q_sample
+
+    def q_stratified(spark, sf_dir):
+        from mack_spark.operators import stratified_sample
+
+        return stratified_sample(
+            _t(spark, sf_dir, "documents"), ["lang"], 5, ["doc_id"], salt="mix1"
+        ).select("doc_id", "lang")
+
+    q["sample_stratified"] = q_stratified
+
     def q_winnow(spark, sf_dir):
         from mack_spark.operators import winnow_fingerprints
 
@@ -1118,6 +1136,22 @@ FROM events GROUP BY 1, 2, 3
 
     o["streaming_dedup_keys"] = """
 SELECT DISTINCT user_id, event_type FROM events
+"""
+
+    # hash-gated Bernoulli sample: threshold = hex(floor(0.1 * 2^32))
+    o["sample_deterministic"] = """
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(concat_ws('||', 'mix1', doc_id)), 1, 8) < '19999999'
+"""
+
+    o["sample_stratified"] = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY substr(md5(concat_ws('||', 'mix1', doc_id)), 1, 8),
+                      doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
 """
 
     # bucketized interval join vs DuckDB's native inequality (IE) join

@@ -24,7 +24,7 @@ docstring's SCALE note).
 """
 
 from mack_spark.fmt import humanize_bytes, humanize_bytes_binary
-from mack_spark.tables import ManagedTable, copy_table, rename_table, latest_version, file_sizes, show_file_sizes
+from mack_spark.tables import ManagedTable, copy_table, rename_table, latest_version, file_sizes, optimize_compact, show_file_sizes
 from mack_spark.keys import (
     is_composite_key_candidate,
     find_composite_key_candidates,
@@ -55,6 +55,7 @@ __all__ = [
     "rename_table",
     "latest_version",
     "file_sizes",
+    "optimize_compact",
     "show_file_sizes",
     "is_composite_key_candidate",
     "find_composite_key_candidates",

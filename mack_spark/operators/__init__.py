@@ -32,6 +32,7 @@ from mack_spark.operators.sessionize import sessionize
 from mack_spark.operators.asof import asof_join
 from mack_spark.operators.cluster import connected_components, near_dup_clusters
 from mack_spark.operators.interval import interval_join
+from mack_spark.operators.sampling import deterministic_sample, stratified_sample
 
 __all__ = [
     "exact_dedup_survivors",
@@ -52,7 +53,9 @@ __all__ = [
     "winnow_fingerprints",
     "asof_join",
     "connected_components",
+    "deterministic_sample",
     "interval_join",
+    "stratified_sample",
     "near_dup_clusters",
     "sessionize",
 ]

@@ -349,6 +349,34 @@ def file_sizes(table: ManagedTable) -> Dict[str, Union[int, float]]:
     }
 
 
+def optimize_compact(
+    table: ManagedTable, target_file_bytes: int = 128 * 1024 * 1024
+) -> Dict[str, int]:
+    """OPTIMIZE-style small-file compaction: rewrite the current
+    snapshot into ``max(1, ceil(size / target_file_bytes))`` files.
+
+    The remedy for the small-file problem ``file_sizes`` diagnoses
+    (the reference exposes the diagnosis, mack/__init__.py:459-509, but
+    not the fix — Delta users reach for ``OPTIMIZE``). SCALE: one
+    distributed read + ``repartition`` + write; 128 MB targets the
+    parquet row-group / HDFS-block sweet spot. Partitioned tables keep
+    their partitioning (the repartition happens within the write).
+
+    Returns ``{"files_before": int, "files_after": int}``.
+    """
+    import math
+
+    before = table.detail()
+    n = max(1, math.ceil(before["sizeInBytes"] / target_file_bytes))
+    table.overwrite(
+        table.toDF().repartition(n), operation="OPTIMIZE", schema_change=False
+    )
+    return {
+        "files_before": before["numFiles"],
+        "files_after": table.detail()["numFiles"],
+    }
+
+
 def show_file_sizes(table: ManagedTable, humanize_binary: bool = False) -> None:
     """Print humanized file sizes (reference mack/__init__.py:480-509)."""
     from mack_spark.fmt import humanize_bytes, humanize_bytes_binary

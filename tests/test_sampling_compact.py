@@ -1,0 +1,62 @@
+"""Deterministic sampling invariants and OPTIMIZE-style compaction."""
+
+from mack_spark import optimize_compact
+from mack_spark.operators import deterministic_sample, stratified_sample
+from mack_spark.tables import ManagedTable
+
+from conftest import assert_df_equality
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, "en" if i % 3 else "de", f"text {i}") for i in range(200)],
+        ["doc_id", "lang", "text"],
+    )
+
+
+def test_deterministic_sample_is_stable_and_partition_independent(spark):
+    df = _docs(spark)
+    a = deterministic_sample(df, 0.2, ["doc_id"]).select("doc_id")
+    b = deterministic_sample(df.repartition(7), 0.2, ["doc_id"]).select("doc_id")
+    assert_df_equality(a, b)
+    n = a.count()
+    assert 0 < n < 200  # roughly 20%, definitely a strict subset
+    # a different salt draws a different subset
+    c = deterministic_sample(df, 0.2, ["doc_id"], salt="other").select("doc_id")
+    assert {r[0] for r in a.collect()} != {r[0] for r in c.collect()}
+
+
+def test_deterministic_sample_fraction_bounds(spark):
+    df = _docs(spark)
+    assert deterministic_sample(df, 0.0, ["doc_id"]).count() == 0
+    assert deterministic_sample(df, 1.0, ["doc_id"]).count() == 200
+    try:
+        deterministic_sample(df, 1.5, ["doc_id"])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_stratified_sample_quota(spark):
+    df = _docs(spark)
+    out = stratified_sample(df, ["lang"], 7, ["doc_id"])
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"en": 7, "de": 7}
+    # stable under repartition
+    out2 = stratified_sample(df.repartition(5), ["lang"], 7, ["doc_id"])
+    assert_df_equality(
+        out.select("doc_id", "lang"), out2.select("doc_id", "lang")
+    )
+
+
+def test_optimize_compact_reduces_files(spark, tmp_path):
+    df = _docs(spark).repartition(16)
+    t = ManagedTable.create(spark, str(tmp_path / "t"), df)
+    before = t.detail()
+    assert before["numFiles"] >= 8
+    stats = optimize_compact(t, target_file_bytes=10**9)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1
+    assert t.toDF().count() == 200
+    assert t.history()[-1]["operation"] == "OPTIMIZE"
