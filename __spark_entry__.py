@@ -37,6 +37,7 @@ from mack_spark.multimodal import extract_features, with_media_metadata
 from mack_spark.streaming import (
     run_stream_to_batch,
     session_counts,
+    sliding_counts,
     streaming_dedup,
     tumbling_counts,
 )
@@ -681,6 +682,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_sessionize"] = q_stream_sessions
 
+    def q_stream_sliding(spark, sf_dir):
+        from mack_spark.sources import stream_table
+
+        return run_stream_to_batch(
+            spark,
+            stream_table(spark, sf_dir, "events"),
+            lambda s: sliding_counts(s, group_cols=["event_type"]),
+            name="stream_sliding",
+        )
+
+    q["streaming_sliding"] = q_stream_sliding
+
     return q
 
 
@@ -1136,6 +1149,24 @@ FROM events GROUP BY 1, 2, 3
 
     o["streaming_dedup_keys"] = """
 SELECT DISTINCT user_id, event_type FROM events
+"""
+
+    # 1h windows sliding by 30min, epoch-aligned like Spark's window():
+    # every event belongs to exactly two windows (starts g and g-30m).
+    o["streaming_sliding"] = """
+WITH grid AS (
+  SELECT event_type, ts,
+         make_timestamp(CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT)
+                        * 1800000000) AS g
+  FROM events
+), wins AS (
+  SELECT event_type, g AS ws FROM grid
+  UNION ALL
+  SELECT event_type, g - INTERVAL 30 MINUTE AS ws FROM grid
+)
+SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end, event_type,
+       count(*) AS n_events
+FROM wins GROUP BY 1, 2, 3
 """
 
     # hash-gated Bernoulli sample: threshold = hex(floor(0.1 * 2^32))

@@ -113,6 +113,31 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "30 minutes",
+    group_cols: Optional[List[str]] = None,
+) -> DataFrame:
+    """Sliding-window counts: each event lands in ``window/slide``
+    overlapping windows (Spark expands the windows map-side; state is
+    one aggregate row per open window per group, bounded by the
+    watermark)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide), *(group_cols or []))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *(group_cols or []),
+            "n_events",
+        )
+    )
+
+
 def session_counts(
     stream: DataFrame,
     user_col: str = "user_id",

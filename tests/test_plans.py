@@ -1,0 +1,62 @@
+"""Physical-plan regression guards: the properties that matter at scale
+(pushdown, pruning, broadcast dims, shuffle counts) asserted from
+explain output, so a refactor that silently de-optimizes a plan fails
+CI rather than only showing up in the benchmark."""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry.queries()
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark, queries):
+    plan = _plan(queries["pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_discount), LessThanOrEqual(l_discount,0.08)" in plan
+    # projection pruned to the 5 referenced columns at the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 5
+    # partial + final aggregation
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+
+
+def test_regional_revenue_broadcasts_all_dimensions(spark, queries):
+    plan = _plan(queries["regional_revenue"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_is_single_shuffle(spark, queries):
+    plan = _plan(queries["asof_join_purchase_view"](spark, SF_DIR))
+    # one Exchange for the window; no join operator at all
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_shipping_priority_pushes_all_three_filters(spark, queries):
+    plan = _plan(queries["shipping_priority"](spark, SF_DIR))
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_dedup_detection_shuffles_once_on_dup_key(spark, queries):
+    plan = _plan(queries["dup_detect_groups"](spark, SF_DIR))
+    # window count over the duplication columns: a single exchange
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
