@@ -43,10 +43,17 @@ from mack_spark.streaming import (
 )
 from mack_spark import functions as mf
 from mack_spark.queries import (
+    brand_part_rank,
+    click_and_purchase,
+    click_without_purchase,
     events_hourly,
+    order_gap_stats,
+    order_priority_semi,
     pricing_summary,
+    quiet_customers_anti,
     regional_revenue,
     returned_revenue,
+    revenue_grouping_sets,
     shipping_priority,
     top_customers,
 )
@@ -286,6 +293,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["top_customers"] = top_customers
     q["shipping_priority"] = shipping_priority
     q["returned_revenue"] = returned_revenue
+    q["order_priority_semi"] = order_priority_semi
+    q["quiet_customers_anti"] = quiet_customers_anti
+    q["order_gap_stats"] = order_gap_stats
+    q["brand_part_rank"] = brand_part_rank
+    q["click_without_purchase"] = click_without_purchase
+    q["click_and_purchase"] = click_and_purchase
+    q["revenue_grouping_sets"] = revenue_grouping_sets
     q["events_hourly_rollup"] = events_hourly
 
     def q_sessionize(spark, sf_dir):
@@ -785,6 +799,84 @@ WITH agg AS (
 )
 SELECT rank, custkey, name, nation, lost_revenue, n_returned_items
 FROM ranked WHERE rank <= 20 ORDER BY rank
+"""
+
+    o["order_priority_semi"] = f"""
+SELECT o_orderpriority AS orderpriority,
+       count(*) AS n_orders,
+       {dec('o_totalprice', 'total_price')}
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY orderpriority
+"""
+
+    o["quiet_customers_anti"] = f"""
+SELECT c_mktsegment AS mktsegment,
+       count(*) AS n_customers,
+       {dec('c_acctbal', 'total_acctbal')}
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 480000.0)
+GROUP BY c_mktsegment
+ORDER BY mktsegment
+"""
+
+    o["order_gap_stats"] = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT c_mktsegment AS mktsegment,
+       count(*) AS n_gaps,
+       sum(gap_days) AS sum_gap_days,
+       round(CAST(sum(gap_days) AS DOUBLE) / count(*), 6) AS avg_gap_days
+FROM gaps JOIN customer ON o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+ORDER BY mktsegment
+"""
+
+    o["brand_part_rank"] = f"""
+WITH rev AS (
+  SELECT l_partkey, {dec('l_extendedprice * (1.0 - l_discount)', 'revenue')}
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT p_brand AS brand,
+         CAST(rank() OVER (PARTITION BY p_brand
+              ORDER BY revenue DESC, p_partkey ASC) AS INT) AS rank,
+         p_partkey AS partkey, p_name AS part_name, revenue
+  FROM rev JOIN part ON l_partkey = p_partkey
+)
+SELECT brand, rank, partkey, part_name, revenue
+FROM ranked WHERE rank <= 3 ORDER BY brand, rank
+"""
+
+    o["click_without_purchase"] = """
+SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'
+"""
+
+    o["click_and_purchase"] = """
+SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'
+"""
+
+    o["revenue_grouping_sets"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {dec('l_extendedprice * (1.0 - l_discount)', 'revenue')},
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY l_returnflag, l_linestatus
 """
 
     o["events_hourly_rollup"] = f"""

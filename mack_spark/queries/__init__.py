@@ -190,6 +190,154 @@ def top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
+def order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: count orders (recent window)
+    with at least one returned line — a LEFT SEMI join, so the probe side
+    never multiplies rows and needs no post-join dedup; the returnflag
+    filter pushes to the lineitem scan. SCALE: semi join ships only the
+    join key of the filtered lineitem side through the shuffle."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1997-01-01")
+    returned = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "total_price"),
+        )
+        .orderBy("orderpriority")
+    )
+
+
+def quiet_customers_anti(
+    spark: SparkSession, sf_dir: str, threshold: float = 480000.0
+) -> DataFrame:
+    """Customers with NO high-value order — a LEFT ANTI join (NOT EXISTS)
+    against the filtered orders key set, grouped by market segment.
+    SCALE: the anti side is filtered before the shuffle and only its key
+    column survives pruning."""
+    customer = load(spark, sf_dir, "customer")
+    big = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > threshold)
+        .select("o_custkey")
+    )
+    return (
+        customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dec_sum(F.col("c_acctbal"), "total_acctbal"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between consecutive orders per customer (lag window with a
+    full tie-break), averaged per market segment. One shuffle for the
+    window on o_custkey; customer dim broadcast."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .withColumn("gap_days", F.datediff("o_orderdate", "prev_date"))
+    )
+    customer = F.broadcast(load(spark, sf_dir, "customer"))
+    return (
+        gaps.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("gap_days").alias("sum_gap_days"),
+            F.round(F.sum("gap_days") / F.count("*"), 6).alias("avg_gap_days"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+def brand_part_rank(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k parts by revenue within each brand — rank() over a
+    partitioned window with a full tie-break (deterministic). The
+    per-part aggregation happens BEFORE the part join, so the broadcast
+    join sees one row per part, not one per lineitem."""
+    rev = load(spark, sf_dir, "lineitem").groupBy("l_partkey").agg(
+        _dec_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"
+        )
+    )
+    part = F.broadcast(load(spark, sf_dir, "part"))
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        rev.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("rank", F.rank().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("p_brand").alias("brand"),
+            "rank",
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            "revenue",
+        )
+        .orderBy("brand", "rank")
+    )
+
+
+def _user_days(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == event_type)
+        .select("user_id", F.to_date("ts").alias("day"))
+    )
+
+
+def click_without_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, day) pairs with a click but no purchase — EXCEPT DISTINCT
+    set difference (Spark ``subtract``). SCALE: both sides are pruned to
+    two columns before the set-op shuffle."""
+    clicks = _user_days(spark, sf_dir, "click")
+    purchases = _user_days(spark, sf_dir, "purchase")
+    return clicks.subtract(purchases).orderBy("user_id", "day")
+
+
+def click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, day) pairs with both a click and a purchase — INTERSECT
+    DISTINCT."""
+    clicks = _user_days(spark, sf_dir, "click")
+    purchases = _user_days(spark, sf_dir, "purchase")
+    return clicks.intersect(purchases).orderBy("user_id", "day")
+
+
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue at three explicit grouping granularities in ONE pass —
+    GROUPING SETS ((returnflag, linestatus), (returnflag), ()) — instead
+    of three scans + a union. Partial aggregation applies per set."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            ),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling one-hour aggregation of the event stream (batch view of
     the streaming tumbling-window operator)."""

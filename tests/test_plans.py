@@ -56,6 +56,36 @@ def test_shipping_priority_pushes_all_three_filters(spark, queries):
     assert "EqualTo(c_mktsegment,BUILDING)" in plan
 
 
+def test_semi_join_broadcasts_only_the_key_column(spark, queries):
+    plan = _plan(queries["order_priority_semi"](spark, SF_DIR))
+    assert "BroadcastHashJoin LeftSemi" in plan
+    # the broadcast side is pruned to the single join key after its filter
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert re.search(r"BroadcastExchange\nInput \[1\]: \[l_orderkey", plan)
+
+
+def test_anti_join_is_broadcast_with_pushed_filter(spark, queries):
+    plan = _plan(queries["quiet_customers_anti"](spark, SF_DIR))
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "GreaterThan(o_totalprice,480000.0)" in plan
+
+
+def test_brand_rank_uses_window_group_limit(spark, queries):
+    # Spark's top-k pushdown: partial WindowGroupLimit BEFORE the
+    # exchange prunes each map partition to k rows per brand, so the
+    # shuffle carries O(k * brands), not the full part table.
+    plan = _plan(queries["brand_part_rank"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) WindowGroupLimit", plan)) == 2
+    assert "rank(revenue" in plan and ", 3, Partial" in plan
+
+
+def test_grouping_sets_is_single_scan_expand(spark, queries):
+    plan = _plan(queries["revenue_grouping_sets"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+
+
 def test_dedup_detection_shuffles_once_on_dup_key(spark, queries):
     plan = _plan(queries["dup_detect_groups"](spark, SF_DIR))
     # window count over the duplication columns: a single exchange
