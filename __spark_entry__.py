@@ -35,11 +35,13 @@ from mack_spark.operators import (
 from mack_spark.operators.similarity import hyperplane_components
 from mack_spark.multimodal import extract_features, with_media_metadata
 from mack_spark.streaming import (
+    latest_state_per_key,
     run_stream_to_batch,
     session_counts,
     sliding_counts,
     streaming_dedup,
     tumbling_counts,
+    user_running_stats,
 )
 from mack_spark import functions as mf
 from mack_spark.queries import (
@@ -708,6 +710,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_sliding"] = q_stream_sliding
 
+    def q_stream_user_stats(spark, sf_dir):
+        from mack_spark.sources import stream_table
+
+        emissions = run_stream_to_batch(
+            spark,
+            stream_table(spark, sf_dir, "events"),
+            user_running_stats,
+            name="stream_user_stats",
+            output_mode="update",
+        )
+        # update mode re-emits a key's row each microbatch it appears in;
+        # the final state is the max-count row per user.
+        return latest_state_per_key(emissions, "user_id", "n_events").orderBy(
+            "user_id"
+        )
+
+    q["streaming_user_stats"] = q_stream_user_stats
+
     return q
 
 
@@ -1259,6 +1279,15 @@ WITH grid AS (
 SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end, event_type,
        count(*) AS n_events
 FROM wins GROUP BY 1, 2, 3
+"""
+
+    # Final state of the custom stateful operator == a plain per-user
+    # aggregate (running counts converge to the totals).
+    o["streaming_user_stats"] = """
+SELECT user_id, count(*) AS n_events,
+       CAST(count(DISTINCT event_type) AS INT) AS n_types,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM events GROUP BY user_id ORDER BY user_id
 """
 
     # hash-gated Bernoulli sample: threshold = hex(floor(0.1 * 2^32))

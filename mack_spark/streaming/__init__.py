@@ -162,6 +162,80 @@ def session_counts(
     )
 
 
+def user_running_stats(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count, distinct-type count, and first/last event time,
+    emitted each microbatch.
+
+    This is the capability the built-in windowed aggregates can't
+    express — arbitrary per-key state (here a distinct-type set plus
+    min/max watermark-free timestamps) carried across microbatches in
+    the state store, updated with Arrow-batched pandas (not row-at-a-time
+    Python). SCALE: state is one small tuple per user; the distinct-type
+    set is bounded by the event-type cardinality. For unbounded key
+    domains a production deployment adds a timeout
+    (``GroupStateTimeout.ProcessingTimeTimeout``) to evict idle keys.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{user_col} bigint, n_events bigint, n_types int, "
+        "first_ts timestamp, last_ts timestamp"
+    )
+    state_schema = "n bigint, types string, first_us bigint, last_us bigint"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            n, types_s, first_us, last_us = state.get
+            types = set(types_s.split("|")) if types_s else set()
+        else:
+            n, types, first_us, last_us = 0, set(), None, None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            n += len(pdf)
+            types.update(pdf[type_col].astype(str))
+            us = pdf[ts_col].astype("int64") // 1000  # ns → µs
+            mn, mx = int(us.min()), int(us.max())
+            first_us = mn if first_us is None else min(first_us, mn)
+            last_us = mx if last_us is None else max(last_us, mx)
+        state.update((n, "|".join(sorted(types)), first_us, last_us))
+        yield pd.DataFrame(
+            {
+                user_col: [key[0]],
+                "n_events": [n],
+                "n_types": [len(types)],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def latest_state_per_key(df: DataFrame, key_col: str, version_col: str) -> DataFrame:
+    """Collapse an update-mode emission log to the final state per key
+    (the row with the highest ``version_col`` — running counts only grow,
+    so the max-count row IS the final state)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(version_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def foreach_batch_scd2(
     table: ManagedTable,
     primary_key: str,
