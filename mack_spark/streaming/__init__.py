@@ -43,6 +43,7 @@ def run_stream_to_batch(
     transform: Callable[[DataFrame], DataFrame],
     name: str,
     output_mode: str = "complete",
+    shuffle_partitions: int = 8,
 ) -> DataFrame:
     """Execute a streaming transform over a bounded streaming source and
     return the final result as a batch DataFrame.
@@ -53,16 +54,29 @@ def run_stream_to_batch(
     the result is comparable with the batch/oracle answer. The memory
     sink collects to the driver — use only for tests/verification; the
     production path swaps in a file/Delta sink with a checkpoint.
+
+    ``shuffle_partitions`` sizes the state store: each stateful streaming
+    partition is its own state-store instance with per-batch snapshot
+    I/O, so partition count should track key cardinality / throughput,
+    not the batch-side CPU count (32 stores for a few hundred keys is
+    pure overhead — measured ~2× on the bounded fixtures). Pass 0 to
+    leave the session setting untouched.
     """
-    q = (
-        transform(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
