@@ -24,7 +24,18 @@ docstring's SCALE note).
 """
 
 from mack_spark.fmt import humanize_bytes, humanize_bytes_binary
-from mack_spark.tables import ManagedTable, copy_table, rename_table, latest_version, file_sizes, optimize_compact, show_file_sizes
+from mack_spark.tables import (
+    ManagedTable,
+    copy_table,
+    rename_table,
+    latest_version,
+    file_sizes,
+    optimize_compact,
+    show_file_sizes,
+    delta_file_sizes,
+    show_delta_file_sizes,
+    rename_delta_table,
+)
 from mack_spark.keys import (
     is_composite_key_candidate,
     find_composite_key_candidates,
@@ -57,6 +68,9 @@ __all__ = [
     "file_sizes",
     "optimize_compact",
     "show_file_sizes",
+    "delta_file_sizes",
+    "show_delta_file_sizes",
+    "rename_delta_table",
     "is_composite_key_candidate",
     "find_composite_key_candidates",
     "with_md5_cols",

@@ -390,3 +390,12 @@ def show_file_sizes(table: ManagedTable, humanize_binary: bool = False) -> None:
         f"with a size of {fmt(sizes['size_in_bytes'])}."
         f" The average file size is {fmt(int(sizes['average_file_size_in_bytes']))}"
     )
+
+
+# Drop-in aliases under the reference's exact public names
+# (mack/__init__.py:459 delta_file_sizes, :480 show_delta_file_sizes,
+# :696 rename_delta_table) so reference callers can switch imports
+# without renaming call sites.
+delta_file_sizes = file_sizes
+show_delta_file_sizes = show_file_sizes
+rename_delta_table = rename_table

@@ -458,3 +458,11 @@ def test_humanize_bytes_binary_keeps_si_labels():
     # Binary divisor with SI labels (reference tests:730-734).
     assert mk.humanize_bytes_binary(12_345_678) == "11.77 MB"
     assert mk.humanize_bytes_binary(1_048_576) == "1.00 MB"
+
+
+def test_reference_name_aliases():
+    # The reference's exact public names (mack/__init__.py:459, :480, :696)
+    # resolve to the same callables as our canonical names — drop-in imports.
+    assert mk.delta_file_sizes is mk.file_sizes
+    assert mk.show_delta_file_sizes is mk.show_file_sizes
+    assert mk.rename_delta_table is mk.rename_table
