@@ -49,14 +49,19 @@ from mack_spark.queries import (
     click_and_purchase,
     click_without_purchase,
     events_hourly,
+    idle_rich_customers,
+    large_volume_orders,
+    min_cost_supplier,
     order_gap_stats,
     order_priority_semi,
+    parts_supplier_counts,
     pricing_summary,
     quiet_customers_anti,
     regional_revenue,
     returned_revenue,
     revenue_grouping_sets,
     shipping_priority,
+    supplier_revenue_share,
     top_customers,
 )
 
@@ -303,6 +308,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["click_and_purchase"] = click_and_purchase
     q["revenue_grouping_sets"] = revenue_grouping_sets
     q["events_hourly_rollup"] = events_hourly
+    q["min_cost_supplier"] = min_cost_supplier
+    q["supplier_revenue_share"] = supplier_revenue_share
+    q["large_volume_orders"] = large_volume_orders
+    q["parts_supplier_counts"] = parts_supplier_counts
+    q["idle_rich_customers"] = idle_rich_customers
 
     def q_sessionize(spark, sf_dir):
         out = sessionize(
@@ -905,6 +915,80 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        {dec('"value"', 'total_value')},
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+    o["min_cost_supplier"] = """
+WITH m AS (
+  SELECT l_partkey, min(l_extendedprice) AS min_price
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT DISTINCT lineitem.l_partkey AS partkey, p_name AS part_name,
+       l_suppkey AS suppkey, s_name AS supp_name, min_price
+FROM lineitem
+JOIN m ON lineitem.l_partkey = m.l_partkey
+      AND lineitem.l_extendedprice = m.min_price
+JOIN part ON p_partkey = lineitem.l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+ORDER BY partkey, suppkey
+"""
+
+    o["supplier_revenue_share"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, {dec('l_extendedprice * (1.0 - l_discount)', 'revenue')}
+  FROM lineitem GROUP BY l_suppkey
+), totals AS (
+  SELECT CAST(SUM(CAST(FLOOR(revenue * 10000.0) AS DECIMAL(38,0))) AS DOUBLE)
+           / 10000.0 AS total_revenue,
+         count(*) AS n_suppliers
+  FROM rev
+)
+SELECT l_suppkey AS suppkey, s_name AS supp_name, revenue,
+       round(revenue / total_revenue, 6) AS share
+FROM rev CROSS JOIN totals
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE revenue > 1.05 * total_revenue / n_suppliers
+ORDER BY suppkey
+"""
+
+    o["large_volume_orders"] = f"""
+WITH sums AS (
+  SELECT l_orderkey, {dec('l_quantity', 'total_qty')}
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(FLOOR(l_quantity * 10000.0) AS DECIMAL(38,0))) AS DOUBLE)
+           / 10000.0 > 200.0
+)
+SELECT c_custkey AS custkey, c_name AS name, o_orderkey AS orderkey,
+       o_orderdate AS orderdate, o_totalprice AS totalprice, total_qty
+FROM sums
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, orderkey
+"""
+
+    o["parts_supplier_counts"] = """
+SELECT p_brand AS brand, p_type AS type, p_size AS size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, brand, type, size
+"""
+
+    o["idle_rich_customers"] = f"""
+WITH avg_row AS (
+  SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 10000.0) AS DECIMAL(38,0))) AS DOUBLE)
+           / 10000.0 / count(*) AS avg_pos_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment AS mktsegment, count(*) AS n_customers,
+       {dec('c_acctbal', 'total_acctbal')}
+FROM customer CROSS JOIN avg_row
+WHERE c_acctbal > avg_pos_bal
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_mktsegment
+ORDER BY mktsegment
 """
 
     o["sessionize"] = """

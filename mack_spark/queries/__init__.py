@@ -354,3 +354,182 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped: for each part, the supplier(s) offering the
+    minimum extended price.
+
+    The correlated scalar subquery (``price = (SELECT min(price) ...
+    WHERE partkey = outer.partkey)``) is expressed as a window min over
+    the part key — ONE shuffle on ``l_partkey``, no self-join, no
+    re-scan of the fact table. ``min`` over doubles is exact (no
+    summation), so the equality filter is engine-stable. SCALE: the
+    window and the distinct reuse the same hash partitioning on
+    ``l_partkey``; part/supplier dims are broadcast.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = F.broadcast(load(spark, sf_dir, "part"))
+    supplier = F.broadcast(load(spark, sf_dir, "supplier"))
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("min_price"),
+        )
+        .distinct()
+        .orderBy("partkey", "suppkey")
+    )
+
+
+def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11/Q15-shaped: suppliers whose revenue exceeds 1.05× the
+    per-supplier average, with their share of total revenue.
+
+    The global scalar (total revenue and supplier count) is an
+    unpartitioned window over the ALREADY-AGGREGATED per-supplier frame
+    — that frame has only #suppliers rows, so the single-partition
+    window costs nothing, and the 100 TB fact table is scanned exactly
+    ONCE (an aggregate-subquery formulation would re-scan it for the
+    total). Both the per-supplier and the global sums use the fix-point
+    decimal idiom so the threshold comparison is bit-identical across
+    engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    supplier = F.broadcast(load(spark, sf_dir, "supplier"))
+    rev_expr = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(_dec_sum(rev_expr, "revenue"))
+    w = Window.partitionBy()
+    rev = rev.withColumn(
+        "total_revenue",
+        F.sum(F.floor(F.col("revenue") * F.lit(10000.0)).cast("decimal(38,0)")).over(w).cast("double")
+        / F.lit(10000.0),
+    ).withColumn("n_suppliers", F.count("*").over(w))
+    return (
+        rev.filter(
+            F.col("revenue")
+            > F.lit(1.05) * F.col("total_revenue") / F.col("n_suppliers")
+        )
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("revenue"),
+            F.round(F.col("revenue") / F.col("total_revenue"), 6).alias("share"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+def large_volume_orders(
+    spark: SparkSession, sf_dir: str, min_qty: float = 200.0
+) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total quantity exceeds a
+    threshold (GROUP BY + HAVING), joined back to order/customer attrs.
+
+    SCALE: the HAVING filter runs on the aggregated (small) side before
+    the joins; customer is broadcast; orders joins on the already
+    aggregated order keys.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = F.broadcast(load(spark, sf_dir, "customer"))
+    sums = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        sums.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), "orderkey")
+    )
+
+
+def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct-supplier counts per part attribute,
+    excluding flagged suppliers (NOT IN → broadcast anti join).
+
+    SCALE: the exclusion list is tiny (negative-balance suppliers) and
+    broadcast; ``count_distinct`` runs partial-final on the
+    (brand, type, size) grouping.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = F.broadcast(load(spark, sf_dir, "part"))
+    excl = F.broadcast(
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(excl, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+            "supplier_cnt",
+        )
+        .orderBy(F.col("supplier_cnt").desc(), "brand", "type", "size")
+    )
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: customers with above-average positive balance
+    and no recent orders (none since 2001-01-01), rolled up by market
+    segment.
+
+    Scalar subquery (global average positive balance, fix-point stable)
+    via broadcast cross join + anti join against order customer keys.
+    """
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    avg_row = customer.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(
+                F.floor(F.col("c_acctbal") * F.lit(10000.0)).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(10000.0)
+            / F.count("*")
+        ).alias("avg_pos_bal")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("avg_pos_bal"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+            ).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dec_sum(F.col("c_acctbal"), "total_acctbal"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            "n_customers",
+            "total_acctbal",
+        )
+        .orderBy("mktsegment")
+    )
