@@ -708,6 +708,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_sessionize"] = q_stream_sessions
 
+    def q_stream_scd2(spark, sf_dir):
+        # Streaming SCD2: the SAME updates batch as type_2_scd_upsert,
+        # but arriving through a real Structured Streaming source and
+        # applied by foreachBatch MERGE into a ManagedTable. One
+        # availableNow microbatch ⇒ the final table state must equal the
+        # batch post-state, so the batch oracle gates the streaming path.
+        import tempfile
+
+        from mack_spark.sources import stream_table
+        from mack_spark.streaming import foreach_batch_scd2
+        from mack_spark.tables import ManagedTable
+
+        tmp = tempfile.mkdtemp(prefix="scd2_stream_")
+        table = ManagedTable.create(
+            spark, f"{tmp}/scd2", _scd_base(spark, sf_dir)
+        )
+        c = stream_table(spark, sf_dir, "customer")
+        eff = F.to_timestamp(F.lit("2021-06-01")).alias("effective_time")
+        changed = c.filter(F.col("c_custkey") % 7 == 0).select(
+            "c_custkey", "c_name", "c_nationkey",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"), "c_mktsegment", eff,
+        )
+        brand_new = c.filter(F.col("c_custkey") % 7 == 3).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", eff,
+        )
+        unchanged = c.filter(F.col("c_custkey") % 7 == 5).select(*CUSTOMER_COLS, eff)
+        updates = changed.unionByName(brand_new).unionByName(unchanged)
+        q = (
+            updates.writeStream.foreachBatch(
+                foreach_batch_scd2(
+                    table, "c_custkey",
+                    ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+                )
+            )
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return table.toDF().select(
+            *CUSTOMER_COLS, "is_current", "effective_time", "end_time"
+        )
+
+    q["streaming_scd2_foreach_batch"] = q_stream_scd2
+
     def q_stream_sliding(spark, sf_dir):
         from mack_spark.sources import stream_table
 
@@ -1063,6 +1109,10 @@ SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
        TRUE, effective_time, CAST(NULL AS TIMESTAMP)
 FROM updates WHERE c_custkey NOT IN (SELECT c_custkey FROM base)
 """
+
+    # The streaming foreachBatch SCD2 must land in exactly the batch
+    # post-state (single availableNow microbatch).
+    o["streaming_scd2_foreach_batch"] = o["type_2_scd_upsert"]
 
     o["constraint_append_pass"] = f"""
 WITH {_DIRTY_SQL.strip()}
