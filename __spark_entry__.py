@@ -48,8 +48,19 @@ from mack_spark.queries import (
     brand_part_rank,
     click_and_purchase,
     click_without_purchase,
+    customer_order_distribution,
+    discounted_revenue,
     events_hourly,
+    forecast_revenue,
     idle_rich_customers,
+    late_shipment_priority,
+    market_share,
+    nation_trade_volume,
+    product_profit,
+    promo_revenue,
+    salted_event_totals,
+    small_quantity_revenue,
+    waiting_suppliers,
     large_volume_orders,
     min_cost_supplier,
     order_gap_stats,
@@ -313,6 +324,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["large_volume_orders"] = large_volume_orders
     q["parts_supplier_counts"] = parts_supplier_counts
     q["idle_rich_customers"] = idle_rich_customers
+    q["forecast_revenue"] = forecast_revenue
+    q["nation_trade_volume"] = nation_trade_volume
+    q["market_share"] = market_share
+    q["product_profit"] = product_profit
+    q["late_shipment_priority"] = late_shipment_priority
+    q["customer_order_distribution"] = customer_order_distribution
+    q["promo_revenue"] = promo_revenue
+    q["small_quantity_revenue"] = small_quantity_revenue
+    q["discounted_revenue"] = discounted_revenue
+    q["waiting_suppliers"] = waiting_suppliers
+    q["salted_event_totals"] = salted_event_totals
 
     def q_sessionize(spark, sf_dir):
         out = sessionize(
@@ -1035,6 +1057,176 @@ WHERE c_acctbal > avg_pos_bal
                         WHERE o_orderdate >= TIMESTAMP '2001-01-01')
 GROUP BY c_mktsegment
 ORDER BY mktsegment
+"""
+
+    o["forecast_revenue"] = f"""
+SELECT {dec('l_extendedprice * l_discount', 'revenue_increase')},
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24
+"""
+
+    o["nation_trade_volume"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       {dec('l_extendedprice * (1.0 - l_discount)', 'volume')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+    o["market_share"] = f"""
+WITH joined AS (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1.0 - l_discount) AS vol,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey AND n2.n_regionkey = 1
+)
+SELECT CAST(o_year AS INT) AS o_year,
+       {dec("CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE 0.0 END",
+            'nation_volume')},
+       {dec('vol', 'total_volume')},
+       round(
+         (CAST(SUM(CAST(FLOOR((CASE WHEN supp_nation = 'NATION_5' THEN vol
+                                    ELSE 0.0 END) * 10000.0)
+                        AS DECIMAL(38,0))) AS DOUBLE) / 10000.0)
+         / (CAST(SUM(CAST(FLOOR(vol * 10000.0) AS DECIMAL(38,0))) AS DOUBLE)
+            / 10000.0), 6) AS mkt_share
+FROM joined
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+    o["product_profit"] = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       {dec('l_extendedprice * (1.0 - l_discount)'
+            ' - 0.1 * p_retailprice * l_quantity', 'sum_profit')}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+    o["late_shipment_priority"] = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS critical_late,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS normal_late,
+       count(*) AS late_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+    o["customer_order_distribution"] = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+    o["promo_revenue"] = f"""
+SELECT {dec("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount)"
+            " ELSE 0.0 END", 'promo_volume')},
+       {dec('l_extendedprice * (1.0 - l_discount)', 'total_volume')},
+       round(
+         100.0
+         * (CAST(SUM(CAST(FLOOR((CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1.0 - l_discount)
+                                      ELSE 0.0 END) * 10000.0)
+                         AS DECIMAL(38,0))) AS DOUBLE) / 10000.0)
+         / (CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0)
+                          AS DECIMAL(38,0))) AS DOUBLE) / 10000.0),
+         6) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+    o["small_quantity_revenue"] = f"""
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+), per_part AS (
+  SELECT l_partkey AS a_partkey,
+         CAST(SUM(CAST(FLOOR(l_quantity * 10000.0) AS DECIMAL(38,0))) AS DOUBLE)
+           / 10000.0 / count(*) AS avg_qty
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT {dec('l_extendedprice', 'small_qty_revenue')}, count(*) AS n_lines
+FROM brand_li JOIN per_part ON l_partkey = a_partkey
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+    o["discounted_revenue"] = f"""
+SELECT {dec('l_extendedprice * (1.0 - l_discount)', 'disc_revenue')},
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity >= 1 AND l_quantity <= 40
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 25
+        AND l_quantity BETWEEN 20 AND 40))
+"""
+
+    o["waiting_suppliers"] = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), facts AS (
+  SELECT l_orderkey,
+         max(l_shipdate) AS max_ship,
+         count(DISTINCT l_suppkey) AS n_supps
+  FROM li GROUP BY l_orderkey
+), blamed AS (
+  SELECT DISTINCT li.l_orderkey, li.l_suppkey
+  FROM li JOIN facts ON li.l_orderkey = facts.l_orderkey
+  WHERE facts.n_supps >= 2 AND li.l_shipdate = facts.max_ship
+    AND 1 = (SELECT count(DISTINCT l2.l_suppkey) FROM li l2
+             WHERE l2.l_orderkey = li.l_orderkey
+               AND l2.l_shipdate = facts.max_ship)
+)
+SELECT s_name AS supplier, count(*) AS numwait,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, s_name ASC) AS INT) AS rank
+FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+QUALIFY rank <= 20
+ORDER BY rank
+"""
+
+    o["salted_event_totals"] = """
+SELECT event_type, count(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 10000.0) AS DECIMAL(38,0))) AS DOUBLE)
+         / 10000.0 AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
 """
 
     o["sessionize"] = """

@@ -533,3 +533,405 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mktsegment")
     )
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue-change: one lineitem scan with
+    every predicate (ship-year range, discount band, quantity cap)
+    pushed to the parquet reader; a single global partial-final sum.
+
+    SCALE: no shuffle at all beyond the final 1-row reduce; the scan
+    reads only the four referenced columns (ReadSchema pruning).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), "revenue_increase"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: revenue shipped between
+    two nations (either direction) per ship year.
+
+    SCALE: both dimension chains (supplier→nation, orders→customer→
+    nation) hang off broadcast joins; the only big shuffle is
+    lineitem ⋈ orders on the order key. The pair filter applies after
+    the broadcasts, before aggregation.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supplier = F.broadcast(load(spark, sf_dir, "supplier"))
+    customer = F.broadcast(load(spark, sf_dir, "customer"))
+    n1 = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "volume",
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: NATION_5 suppliers' share
+    of ECONOMY-part revenue sold to customers of region 1, per year.
+
+    SCALE: conditional aggregation (share numerator as a CASE inside
+    the same partial-final agg) — one pass, no self-join; all five
+    dimensions broadcast.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = F.broadcast(
+        load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    )
+    supplier = F.broadcast(load(spark, sf_dir, "supplier"))
+    customer = F.broadcast(load(spark, sf_dir, "customer"))
+    sn = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    cn = F.broadcast(
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 1)
+        .select(F.col("n_nationkey").alias("c_nkey"))
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sn, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(cn, F.col("c_nationkey") == F.col("c_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _dec_sum(
+                F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0)),
+                "nation_volume",
+            ),
+            _dec_sum(vol, "total_volume"),
+        )
+        .withColumn(
+            "mkt_share",
+            F.round(F.col("nation_volume") / F.col("total_volume"), 6),
+        )
+        .orderBy("o_year")
+    )
+
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product profit: per supplier nation and order
+    year, profit on parts whose name contains 'widget', where profit =
+    revenue minus a retail-price-based supply cost (the synthetic
+    schema has no partsupp, so ps_supplycost ≡ 10% of p_retailprice).
+
+    SCALE: the name filter prunes part before broadcast; profit is a
+    pure column expression inside one partial-final agg.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = F.broadcast(
+        load(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    )
+    supplier = F.broadcast(load(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    profit = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - F.lit(
+        0.1
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(_dec_sum(profit, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped late-shipment accounting: lines shipped more
+    than 90 days after the order date, split by order priority into
+    critical (1-URGENT / 2-HIGH) and non-critical counts.
+
+    SCALE: the lateness predicate is evaluated on the joined row (needs
+    both sides) but the join itself is a plain equi shuffle on the
+    order key; counts are conditional sums in one partial-final agg.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0)).alias("critical_late"),
+            F.sum(F.when(~critical, 1).otherwise(0)).alias("normal_late"),
+            F.count("*").alias("late_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped order-count distribution: how many customers
+    placed exactly N non-urgent orders, including the zero-order bucket
+    (left outer join).
+
+    SCALE: two shuffles by construction (orders per customer, then
+    customers per count) — the classic double aggregation; the second
+    input is already tiny (one row per customer).
+    """
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo share: percentage of one ship-month's
+    revenue coming from PROMO-type parts.
+
+    SCALE: month filter pushes to the lineitem scan; part is broadcast;
+    numerator is a CASE inside the same single-row agg (no second
+    pass).
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = F.broadcast(load(spark, sf_dir, "part"))
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            _dec_sum(
+                F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)),
+                "promo_volume",
+            ),
+            _dec_sum(vol, "total_volume"),
+        )
+        .withColumn(
+            "promo_share",
+            F.round(F.lit(100.0) * F.col("promo_volume") / F.col("total_volume"), 6),
+        )
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-order revenue: for Brand#1 parts, revenue
+    of lines ordering less than half the part's average quantity.
+
+    SCALE: the per-part average is computed once on the already
+    brand-filtered lineitem slice and broadcast back — a broadcast of
+    one row per qualifying part, never a correlated per-row subquery.
+    """
+    part = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        part, F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part = F.broadcast(
+        li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+            (
+                F.sum(
+                    F.floor(F.col("l_quantity") * F.lit(10000.0)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(10000.0)
+                / F.count("*")
+            ).alias("avg_qty")
+        )
+    )
+    return (
+        li.join(per_part, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            _dec_sum(F.col("l_extendedprice"), "small_qty_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three OR'd
+    brand/size/quantity branches evaluated in one joined pass.
+
+    SCALE: the part-side conjuncts (brand, size) prune the broadcast
+    build side; the common l_quantity bounds push to the lineitem scan
+    even though the full predicate is disjunctive.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 40)
+    )
+    part = F.broadcast(load(spark, sf_dir, "part"))
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(20, 40))
+        )
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "disc_revenue",
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q21-shaped blame analysis: on finished multi-supplier
+    orders, the unique supplier whose line shipped last "kept the order
+    waiting"; count such orders per supplier.
+
+    SCALE: all per-order facts (latest ship date, #distinct suppliers,
+    #distinct suppliers at the latest date) come from ONE window pass
+    partitioned by order key — no self-joins of lineitem against
+    itself; supplier names arrive by broadcast at the very end.
+    """
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem").join(
+        orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    w = Window.partitionBy("l_orderkey")
+    facts = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .withColumn("max_ship", F.max("l_shipdate").over(w))
+        .withColumn("n_supps", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "late_supps",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("l_shipdate") == F.col("max_ship"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+    )
+    blamed = (
+        facts.filter(
+            (F.col("n_supps") >= 2)
+            & (F.col("late_supps") == 1)
+            & (F.col("l_shipdate") == F.col("max_ship"))
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supplier = F.broadcast(load(spark, sf_dir, "supplier"))
+    counted = (
+        blamed.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name").alias("supplier"))
+        .agg(F.count("*").alias("numwait"))
+    )
+    rw = Window.orderBy(F.col("numwait").desc(), F.col("supplier").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("supplier", "numwait", "rank")
+    )
+
+
+def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient aggregation: events has only 5 event_type keys, so
+    a naive groupBy lands the whole table on 5 reducers. Phase 1 salts
+    each row into (event_type, hash(event_id) % 64) and partially
+    aggregates; phase 2 folds the ≤ 5×64 salted partials into final
+    per-type totals.
+
+    The sum is floor-fix-pointed per ROW before any aggregation, so the
+    two-phase decimal arithmetic is exactly associative and the result
+    is bit-identical to a single-phase sum (and to the oracle's).
+
+    SCALE: this is the salting pattern for power-law keys — the wide
+    shuffle distributes over keys×64 buckets; the second shuffle moves
+    only ~320 tiny rows. On a uniform synthetic table the plan shape is
+    identical to the skewed case, which is the point of the test.
+    """
+    ev = load(spark, sf_dir, "events")
+    salted = (
+        ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(64)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("pc"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(10000.0)).cast("decimal(38,0)")
+            ).alias("pv"),
+        )
+    )
+    return (
+        salted.groupBy("event_type")
+        .agg(
+            F.sum("pc").alias("n_events"),
+            (F.sum("pv").cast("double") / F.lit(10000.0)).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -90,3 +90,48 @@ def test_dedup_detection_shuffles_once_on_dup_key(spark, queries):
     plan = _plan(queries["dup_detect_groups"](spark, SF_DIR))
     # window count over the duplication columns: a single exchange
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_forecast_revenue_pushes_every_predicate(spark, queries):
+    plan = _plan(queries["forecast_revenue"](spark, SF_DIR))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.02)" in plan
+    assert "LessThan(l_quantity,24" in plan
+    # scan reads only the four referenced columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 4
+    # no shuffle-inducing operator besides the single-row final agg
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_nation_trade_volume_only_fact_join_shuffles(spark, queries):
+    plan = _plan(queries["nation_trade_volume"](spark, SF_DIR))
+    # supplier/customer/nation×2 all broadcast
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 4
+
+
+def test_product_profit_prunes_part_before_broadcast(spark, queries):
+    plan = _plan(queries["product_profit"](spark, SF_DIR))
+    assert "Contains(p_name,widget)" in plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 3
+
+
+def test_salted_totals_is_two_phase(spark, queries):
+    plan = _plan(queries["salted_event_totals"](spark, SF_DIR))
+    # phase-1 (salted) and phase-2 aggregations each partial+final
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 4
+    # three exchanges: salted-key shuffle, final per-type shuffle, and
+    # the range partitioning for the output orderBy
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 3
+
+
+def test_waiting_suppliers_single_window_pass(spark, queries):
+    plan = _plan(queries["waiting_suppliers"](spark, SF_DIR))
+    # per-order facts come from window passes over ONE order-key
+    # shuffle (Exchange 9 feeds both lineitem Windows; the third Window
+    # ranks the tiny per-supplier counts) — never a lineitem self-join
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 3
+    assert "SortMergeJoin" not in plan
