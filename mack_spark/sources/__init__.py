@@ -48,3 +48,88 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in NANO_TS_TABLES.get(name, []):
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
     return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV reader with a MANDATORY explicit schema.
+
+    Schema inference reads the whole input once before the real scan —
+    at 100 TB that doubles the job, so this engine refuses to infer:
+    callers pass a ``StructType`` (or DDL string) and the reader does a
+    single pass. ``PERMISSIVE`` mode plus ``_corrupt_record`` keeps bad
+    rows observable instead of silently dropped.
+    """
+    if schema is None:
+        raise TypeError("read_csv requires an explicit schema (no inference)")
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines reader with a mandatory explicit schema (same
+    no-inference rule as :func:`read_csv`; JSON inference is an extra
+    full pass). One JSON object per line — the layout Spark splits
+    across executors; multiline JSON cannot be split and serializes the
+    whole file through one task."""
+    if schema is None:
+        raise TypeError("read_jsonl requires an explicit schema (no inference)")
+    return spark.read.schema(schema).json(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Hive-partitioned parquet sink.
+
+    Partition columns become directories, so downstream filters on them
+    prune whole directories before any I/O (partition pruning).
+    ``maxRecordsPerFile`` bounds file size without an extra
+    repartition; pair with a low-cardinality partition key — a
+    high-cardinality key at 100 TB means millions of tiny files and a
+    listing-bound metastore.
+    """
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles rows into
+    ``num_buckets`` hash buckets on ``bucket_by`` at WRITE time.
+
+    Two tables bucketed the same way join with ZERO exchange — the
+    bucketing metadata satisfies the join's distribution requirement,
+    so a 100 TB fact ⋈ fact join that would otherwise shuffle both
+    sides runs map-side (see tests/test_sources_sinks.py for the
+    no-Exchange plan assertion). Size ``num_buckets`` so one bucket of
+    the BIGGER table fits an executor (~128-512 MB of parquet).
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table_name)
