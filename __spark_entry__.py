@@ -806,6 +806,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_user_stats"] = q_stream_user_stats
 
+    def q_stream_stream_join(spark, sf_dir):
+        # Real stream-stream inner join (two watermarked streaming
+        # sides, time-bounded condition → bounded state), drained via
+        # availableNow; the attribution pairs then roll up in batch.
+        from mack_spark.sources import stream_table
+        from mack_spark.streaming import stream_stream_attribution
+
+        ev = stream_table(spark, sf_dir, "events")
+        pairs = run_stream_to_batch(
+            spark,
+            ev,
+            lambda s: stream_stream_attribution(
+                s.filter(F.col("event_type") == "click"),
+                stream_table(spark, sf_dir, "events").filter(
+                    F.col("event_type") == "purchase"
+                ),
+            ),
+            name="stream_attribution",
+            output_mode="append",
+        )
+        return (
+            pairs.groupBy(F.date_trunc("hour", F.col("click_ts")).alias("click_hour"))
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.count_distinct(F.col("c_user")).alias("n_users"),
+                F.sum(
+                    F.floor(F.col("purchase_value") * F.lit(10000.0)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double").alias("value_fp"),
+            )
+            .withColumn("attributed_value", F.col("value_fp") / F.lit(10000.0))
+            .drop("value_fp")
+            .orderBy("click_hour")
+        )
+
+    q["streaming_stream_stream_join"] = q_stream_stream_join
+
     return q
 
 
@@ -1218,6 +1256,26 @@ FROM blamed JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_name
 QUALIFY rank <= 20
 ORDER BY rank
+"""
+
+    o["streaming_stream_stream_join"] = """
+WITH clicks AS (
+  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts AS purchase_ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT date_trunc('hour', click_ts) AS click_hour,
+       count(*) AS n_pairs,
+       count(DISTINCT c.user_id) AS n_users,
+       CAST(SUM(CAST(FLOOR(value * 10000.0) AS DECIMAL(38,0))) AS DOUBLE)
+         / 10000.0 AS attributed_value
+FROM clicks c JOIN purchases p
+  ON c.user_id = p.user_id
+ AND p.purchase_ts >= c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+GROUP BY click_hour
+ORDER BY click_hour
 """
 
     o["salted_event_totals"] = """

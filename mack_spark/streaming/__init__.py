@@ -309,3 +309,53 @@ def foreach_batch_scd2(
         table._write_meta(meta)
 
     return apply_batch
+
+
+def stream_stream_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the clicks
+    by the same user in the preceding ``horizon``.
+
+    Both sides carry watermarks AND the join condition is time-bounded
+    (purchase_ts in [click_ts, click_ts + horizon]) — together these
+    let Spark evict join state as the watermark advances; without the
+    time bound, both sides' state grows forever, which is the classic
+    stream-stream join OOM at scale. The equi part (user_id) keys the
+    state store; the range part bounds its lifetime.
+
+    Returns one row per (click, purchase) attribution pair with the
+    click hour, for downstream rollup.
+    """
+    c = (
+        clicks.withWatermark(ts_col, watermark)
+        .select(
+            F.col(user_col).alias("c_user"),
+            F.col(ts_col).alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark(ts_col, watermark)
+        .select(
+            F.col(user_col).alias("p_user"),
+            F.col(ts_col).alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+        "inner",
+    )
