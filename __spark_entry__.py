@@ -588,6 +588,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_ngram_jaccard"] = q_jacc
 
+    def q_contamination(spark, sf_dir):
+        from mack_spark.operators import contamination_check
+
+        docs = _t(spark, sf_dir, "documents")
+        return contamination_check(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            threshold=0.02,
+        )
+
+    q["contamination_check"] = q_contamination
+
     def q_simhash(spark, sf_dir):
         return simhash_bits(_t(spark, sf_dir, "documents"))
 
@@ -1526,6 +1538,30 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE inter / (sa.n + sb.n - inter) >= 0.1
+"""
+
+    o["contamination_check"] = f"""
+WITH corpus AS (
+  SELECT doc_id, {_shingles_sql(_toks_sql('text'))} AS shs
+  FROM documents WHERE doc_id % 97 <> 0
+), bench AS (
+  SELECT doc_id, {_shingles_sql(_toks_sql('text'))} AS shs
+  FROM documents WHERE doc_id % 97 = 0
+), cg AS (
+  SELECT doc_id, unnest(list_distinct(shs)) AS g FROM corpus
+), bg AS (
+  SELECT DISTINCT unnest(list_distinct(shs)) AS g FROM bench
+), stats AS (
+  SELECT cg.doc_id, count(*) AS total_grams, count(bg.g) AS shared_grams
+  FROM cg LEFT JOIN bg ON cg.g = bg.g
+  GROUP BY cg.doc_id
+)
+SELECT doc_id, total_grams, shared_grams,
+       round(CAST(shared_grams AS DOUBLE) / total_grams, 6) AS contamination
+FROM stats
+WHERE shared_grams > 0
+  AND round(CAST(shared_grams AS DOUBLE) / total_grams, 6) >= 0.02
+ORDER BY doc_id
 """
 
     o["dedup_simhash"] = f"""

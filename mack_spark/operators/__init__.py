@@ -11,6 +11,7 @@ from mack_spark.operators.dedup_text import (
     exact_duplicate_groups,
     minhash_signatures,
     lsh_candidate_pairs,
+    contamination_check,
     ngram_jaccard_pairs,
     simhash_bits,
     simhash_near_pairs,
@@ -39,6 +40,7 @@ __all__ = [
     "exact_duplicate_groups",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "contamination_check",
     "ngram_jaccard_pairs",
     "simhash_bits",
     "simhash_near_pairs",

@@ -403,3 +403,60 @@ def simhash_near_pairs(
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose distinct
+    word n-grams overlap a benchmark/eval set above ``threshold``.
+
+    The training-data hygiene primitive: before a corpus ships, every
+    document is screened against the eval benchmarks so test questions
+    don't leak into training text (the reference has no analogue; this
+    extends SURVEY §2's dedup family to cross-corpus overlap).
+
+    Plan shape, scale-first:
+
+    * both sides explode to DISTINCT (doc, gram) rows — dedup before
+      the join so a gram repeated inside one document counts once;
+    * the benchmark side collapses to a distinct gram set. Benchmarks
+      are small (thousands of eval docs against billions of corpus
+      docs), so Catalyst broadcasts it — the corpus side is never
+      shuffled by the probe;
+    * one left join + per-doc conditional count gives total vs shared
+      grams in a single aggregation keyed by the SAME id the explode
+      already partitioned by, so the gram→doc rollup reuses that
+      exchange.
+    """
+    corpus_grams = exploded_shingles(df, text_col, id_col, shingle_size).distinct()
+    bench_grams = (
+        exploded_shingles(benchmark, text_col, id_col, shingle_size)
+        .select(F.col("sh").alias("bench_sh"))
+        .distinct()
+    )
+    stats = (
+        corpus_grams.join(
+            bench_grams, F.col("sh") == F.col("bench_sh"), "left_outer"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("total_grams"),
+            F.count(F.col("bench_sh")).alias("shared_grams"),
+        )
+    )
+    contamination = F.round(
+        F.col("shared_grams").cast("double") / F.col("total_grams"), 6
+    )
+    return (
+        stats.withColumn("contamination", contamination)
+        .filter(
+            (F.col("shared_grams") > 0) & (F.col("contamination") >= threshold)
+        )
+        .orderBy(id_col)
+    )
