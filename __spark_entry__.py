@@ -600,6 +600,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contamination_check"] = q_contamination
 
+    def q_profile(spark, sf_dir):
+        from mack_spark.operators import column_profile
+
+        return column_profile(_t(spark, sf_dir, "customer"))
+
+    q["column_profile"] = q_profile
+
+    def q_histogram(spark, sf_dir):
+        from mack_spark.operators import numeric_histogram
+
+        return numeric_histogram(
+            _t(spark, sf_dir, "orders"), "o_totalprice", 0.0, 500000.0, 25
+        )
+
+    q["totalprice_histogram"] = q_histogram
+
+    def q_percentiles(spark, sf_dir):
+        from mack_spark.operators import exact_percentiles
+
+        return exact_percentiles(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+    q["totalprice_percentiles"] = q_percentiles
+
     def q_simhash(spark, sf_dir):
         return simhash_bits(_t(spark, sf_dir, "documents"))
 
@@ -1268,6 +1291,54 @@ FROM blamed JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_name
 QUALIFY rank <= 20
 ORDER BY rank
+"""
+
+    o["column_profile"] = """
+SELECT 'c_acctbal' AS "column", count(*) AS n_rows,
+       count(*) - count(c_acctbal) AS n_nulls,
+       count(DISTINCT c_acctbal) AS n_distinct FROM customer
+UNION ALL
+SELECT 'c_custkey', count(*), count(*) - count(c_custkey),
+       count(DISTINCT c_custkey) FROM customer
+UNION ALL
+SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+       count(DISTINCT c_mktsegment) FROM customer
+UNION ALL
+SELECT 'c_name', count(*), count(*) - count(c_name),
+       count(DISTINCT c_name) FROM customer
+UNION ALL
+SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+       count(DISTINCT c_nationkey) FROM customer
+ORDER BY "column"
+"""
+
+    o["totalprice_histogram"] = """
+SELECT bucket, 0.0 + (bucket - 1) * 20000.0 AS bucket_lo,
+       0.0 + bucket * 20000.0 AS bucket_hi, count(*) AS n_rows
+FROM (SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                  WHEN o_totalprice >= 500000.0 THEN 26
+                  ELSE CAST(FLOOR((o_totalprice - 0.0) / 20000.0) AS BIGINT) + 1
+             END AS bucket
+      FROM orders WHERE o_totalprice IS NOT NULL)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+    o["totalprice_percentiles"] = """
+WITH counts AS (
+  SELECT o_totalprice AS value, count(*) AS cnt
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_totalprice
+), cum AS (
+  SELECT value,
+         sum(cnt) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER () AS total
+  FROM counts
+), ps AS (SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS p)
+SELECT p, min(value) AS value
+FROM cum CROSS JOIN ps
+WHERE cum >= ceil(p * total)
+GROUP BY p
+ORDER BY p
 """
 
     o["streaming_stream_stream_join"] = """

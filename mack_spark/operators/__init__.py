@@ -6,6 +6,11 @@ search, text statistics, sessionization. All return DataFrames (no table
 mutation) so they compose with the table layer and the oracle harness.
 """
 
+from mack_spark.operators.profile import (
+    column_profile,
+    exact_percentiles,
+    numeric_histogram,
+)
 from mack_spark.operators.dedup_text import (
     exact_dedup_survivors,
     exact_duplicate_groups,
@@ -40,7 +45,10 @@ __all__ = [
     "exact_duplicate_groups",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "column_profile",
     "contamination_check",
+    "exact_percentiles",
+    "numeric_histogram",
     "ngram_jaccard_pairs",
     "simhash_bits",
     "simhash_near_pairs",

@@ -1,0 +1,114 @@
+"""Data-profiling operators: column stats, histograms, exact quantiles.
+
+The reference's key-discovery functions (mack/__init__.py:415-456,
+:558-586) are narrow profiling — column-set uniqueness. This module
+generalizes to the profiling a 100 TB ingest actually runs first:
+null/distinct counts per column, value histograms, and quantiles.
+
+Scale notes per operator are on the functions; the short version:
+``column_profile`` and ``numeric_histogram`` are single-pass
+partial-final aggregations (embarrassingly parallel), while
+``exact_percentiles`` needs a global value order by definition — it
+rolls up by DISTINCT value first so the ordered pass sees one row per
+value, and the production path at full scale is ``approx_percentile``
+(t-digest sketch, mergeable, one pass) with this as the audit.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def column_profile(df: DataFrame, cols: List[str] | None = None) -> DataFrame:
+    """Per-column row/null/distinct counts, one output row per column.
+
+    One scan: every column's three counts are computed in a single
+    aggregate row (count_distinct over k columns makes Catalyst plan an
+    Expand — k rows per input row — which is the standard exact
+    multi-distinct strategy and still one pass over the files), then
+    unpivoted driver-free with ``stack``.
+    """
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__rows_{c}"),
+            F.count(F.col(c)).alias(f"__nonnull_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__distinct_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __rows_{c}, __rows_{c} - __nonnull_{c}, __distinct_{c}"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (column, n_rows, n_nulls, n_distinct)"
+    ).orderBy("column")
+
+
+def numeric_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    num_buckets: int = 20,
+) -> DataFrame:
+    """Fixed-width value histogram via ``width_bucket``: bucket index,
+    inclusive-exclusive bounds, and row count per non-empty bucket.
+
+    SCALE: bucket assignment is a pure row-local expression and the
+    rollup is a partial-final aggregate on ≤ num_buckets+2 keys — no
+    sort, no window, one shuffle of at most a few hundred tiny rows.
+    Bounds are caller-provided (one prior min/max pass or domain
+    knowledge) so the histogram itself stays single-pass.
+    """
+    width = (hi - lo) / num_buckets
+    b = F.width_bucket(F.col(col), F.lit(lo), F.lit(hi), F.lit(num_buckets))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count("*").alias("n_rows"))
+        .withColumn(
+            "bucket_lo", F.lit(lo) + (F.col("bucket") - 1) * F.lit(width)
+        )
+        .withColumn("bucket_hi", F.lit(lo) + F.col("bucket") * F.lit(width))
+        .select("bucket", "bucket_lo", "bucket_hi", "n_rows")
+        .orderBy("bucket")
+    )
+
+
+def exact_percentiles(
+    df: DataFrame, col: str, ps: Sequence[float] = (0.25, 0.5, 0.75, 0.95, 0.99)
+) -> DataFrame:
+    """Exact discrete percentiles: for each p, the smallest value whose
+    cumulative row count reaches ``ceil(p * n)`` — pure integer-rank
+    arithmetic, so the result is engine-independent (no interpolation
+    float hazards).
+
+    SCALE: rows collapse to (value, count) by a partial-final groupBy
+    FIRST, so the inherently-ordered step (cumulative sum window) runs
+    over distinct values, not rows. The window is unpartitioned by
+    definition of a global quantile — at 100 TB use
+    ``approx_percentile`` for steering and keep this as the exact audit
+    on samples/partitions.
+    """
+    counts = df.filter(F.col(col).isNotNull()).groupBy(
+        F.col(col).alias("value")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy())
+    )
+    pdf = df.sparkSession.createDataFrame(
+        [(float(p),) for p in ps], "p double"
+    )
+    return (
+        cum.crossJoin(F.broadcast(pdf))
+        .filter(F.col("cum") >= F.ceil(F.col("p") * F.col("total")))
+        .groupBy("p")
+        .agg(F.min("value").alias("value"))
+        .orderBy("p")
+    )
