@@ -607,6 +607,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["column_profile"] = q_profile
 
+    def q_repetition(spark, sf_dir):
+        from mack_spark.operators.textstats import repetition_stats
+
+        return repetition_stats(_t(spark, sf_dir, "documents"))
+
+    q["repetition_stats"] = q_repetition
+
+    def q_props_json(spark, sf_dir):
+        # Semi-structured path: events.props is a JSON string; extract
+        # props.k (JVM-side get_json_object, no UDF) and aggregate per
+        # event_type over k-parity. At scale the extraction is a pure
+        # row-local expression inside codegen; one partial-final agg.
+        ev = _t(spark, sf_dir, "events")
+        k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+        return (
+            ev.withColumn("k", k)
+            .groupBy("event_type", (F.col("k") % 2 == 0).alias("k_even"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("k").alias("sum_k"),
+                F.count_distinct("k").alias("n_distinct_k"),
+            )
+            .orderBy("event_type", "k_even")
+        )
+
+    q["props_json_stats"] = q_props_json
+
     def q_histogram(spark, sf_dir):
         from mack_spark.operators import numeric_histogram
 
@@ -1291,6 +1318,37 @@ FROM blamed JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_name
 QUALIFY rank <= 20
 ORDER BY rank
+"""
+
+    o["repetition_stats"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_shingles_sql(_toks_sql('text'), 2)}) AS sh
+  FROM documents
+), per_gram AS (
+  SELECT doc_id, sh, count(*) AS cnt FROM sh GROUP BY doc_id, sh
+), per_doc AS (
+  SELECT doc_id, sum(cnt) AS total_bigrams, count(*) AS distinct_bigrams,
+         max(cnt) AS top_bigram_count
+  FROM per_gram GROUP BY doc_id
+)
+SELECT doc_id, total_bigrams, distinct_bigrams, top_bigram_count,
+       round(CAST(total_bigrams - distinct_bigrams AS DOUBLE) / total_bigrams,
+             6) AS dup_bigram_frac,
+       round(CAST(top_bigram_count AS DOUBLE) / total_bigrams,
+             6) AS top_bigram_frac,
+       round(CAST(total_bigrams - distinct_bigrams AS DOUBLE) / total_bigrams,
+             6) > 0.2 AS flagged
+FROM per_doc
+ORDER BY doc_id
+"""
+
+    o["props_json_stats"] = """
+SELECT event_type, (k % 2 = 0) AS k_even, count(*) AS n_events,
+       sum(k) AS sum_k, count(DISTINCT k) AS n_distinct_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type, k_even
+ORDER BY event_type, k_even
 """
 
     o["column_profile"] = """

@@ -191,3 +191,46 @@ def corpus_rollup(
             F.round(F.avg("quality"), 6).alias("avg_quality"),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher-style repetition quality gate: per document, the fraction
+    of word-bigram OCCURRENCES that are repeats of an already-seen
+    bigram, plus the most-frequent bigram's share; flags documents
+    whose duplicate-bigram fraction exceeds ``max_dup_frac``
+    (boilerplate / template spam in web corpora).
+
+    SCALE: explode to (doc, bigram) once, aggregate to per-(doc,bigram)
+    counts, then roll up per doc — both aggregations hash-partition on
+    the SAME leading key (doc id), so Catalyst reuses one exchange for
+    the two levels. No windows, no self-joins; cost is linear in token
+    count.
+    """
+    from mack_spark.operators.dedup_text import exploded_shingles
+
+    grams = exploded_shingles(df, text_col, id_col, shingle_size=2)
+    per_gram = grams.groupBy(id_col, "sh").agg(F.count("*").alias("cnt"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("cnt").alias("total_bigrams"),
+        F.count("*").alias("distinct_bigrams"),
+        F.max("cnt").alias("top_bigram_count"),
+    )
+    dup_frac = F.round(
+        (F.col("total_bigrams") - F.col("distinct_bigrams")).cast("double")
+        / F.col("total_bigrams"),
+        6,
+    )
+    top_frac = F.round(
+        F.col("top_bigram_count").cast("double") / F.col("total_bigrams"), 6
+    )
+    return (
+        per_doc.withColumn("dup_bigram_frac", dup_frac)
+        .withColumn("top_bigram_frac", top_frac)
+        .withColumn("flagged", F.col("dup_bigram_frac") > max_dup_frac)
+        .orderBy(id_col)
+    )
