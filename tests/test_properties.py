@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) — the reference has none
+(SURVEY §5), so these are rebuild-only hardening: driver-side
+formatting invariants plus seeded distributed-equivalence checks."""
+
+import math
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mack_spark.fmt import humanize_bytes, humanize_bytes_binary
+
+
+@given(st.integers(min_value=0, max_value=10**18))
+@settings(max_examples=200, deadline=None)
+def test_humanize_bytes_parses_back_close(n):
+    s = humanize_bytes(n)
+    num, unit = s.split(" ")
+    scale = {"B": 1, "kB": 1e3, "MB": 1e6, "GB": 1e9, "TB": 1e12, "PB": 1e15}[unit]
+    back = float(num) * scale
+    # 2-decimal formatting: relative error bounded by half an ulp of
+    # the printed value plus the 0.9 threshold band
+    assert back == 0 if n == 0 else math.isclose(back, n, rel_tol=6e-3)
+
+
+@given(st.integers(min_value=0, max_value=10**18))
+@settings(max_examples=200, deadline=None)
+def test_humanize_monotone_unit_order(n):
+    # bigger byte counts never print a smaller unit than smaller counts
+    units = ["B", "kB", "MB", "GB", "TB", "PB"]
+    u1 = humanize_bytes(n).split(" ")[1]
+    u2 = humanize_bytes(n * 2 + 1).split(" ")[1]
+    assert units.index(u2) >= units.index(u1)
+
+
+@given(st.integers(min_value=0, max_value=10**18))
+@settings(max_examples=100, deadline=None)
+def test_binary_variant_never_exceeds_si_value(n):
+    # same n: dividing by 1024-powers yields a number <= the SI one
+    si = float(humanize_bytes(n).split(" ")[0])
+    bi = float(humanize_bytes_binary(n).split(" ")[0])
+    unit_si = humanize_bytes(n).split(" ")[1]
+    unit_bi = humanize_bytes_binary(n).split(" ")[1]
+    if unit_si == unit_bi:
+        assert bi <= si
+
+
+def test_salted_agg_equals_plain_agg_on_random_skew(spark):
+    # heavily skewed synthetic keys: the salted two-phase plan must be
+    # bit-identical to the naive single-phase aggregation
+    rng = random.Random(7)
+    rows = [
+        (
+            "hot" if rng.random() < 0.9 else f"cold{rng.randrange(50)}",
+            rng.randrange(10**9),
+            rng.uniform(-1000, 1000),
+        )
+        for _ in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    fp = F.floor(F.col("value") * F.lit(10000.0)).cast("decimal(38,0)")
+    plain = {
+        r["event_type"]: (r["n"], r["tv"])
+        for r in df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(fp).cast("double") / F.lit(10000.0)).alias("tv"),
+        )
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["n"], r["tv"])
+        for r in df.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(64)))
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("pc"), F.sum(fp).alias("pv"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("pc").alias("n"),
+            (F.sum("pv").cast("double") / F.lit(10000.0)).alias("tv"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_exact_percentiles_match_sorted_ranks(spark):
+    from mack_spark.operators import exact_percentiles
+
+    rng = random.Random(11)
+    vals = [rng.uniform(0, 10**6) for _ in range(4321)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r["p"]: r["value"]
+        for r in exact_percentiles(df, "x", (0.1, 0.5, 0.9)).collect()
+    }
+    s = sorted(vals)
+    for p in (0.1, 0.5, 0.9):
+        assert got[p] == s[math.ceil(p * len(s)) - 1]
