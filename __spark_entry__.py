@@ -906,6 +906,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_stream_stream_join"] = q_stream_stream_join
 
+    def q_stream_rollup(spark, sf_dir):
+        # Continuous aggregate: an hourly (hour × event_type) rollup
+        # table incrementally maintained by foreachBatch MERGE of each
+        # microbatch's partial aggregate. Post-stream state must equal
+        # the batch rollup, which is the oracle.
+        import tempfile
+
+        from mack_spark.sources import stream_table
+        from mack_spark.streaming import foreach_batch_rollup
+        from mack_spark.tables import ManagedTable
+
+        tmp = tempfile.mkdtemp(prefix="rollup_stream_")
+        empty = spark.createDataFrame(
+            [],
+            "event_hour timestamp, event_type string, n_events bigint,"
+            " value_fp decimal(38,0)",
+        )
+        table = ManagedTable.create(spark, f"{tmp}/rollup", empty)
+        ev = stream_table(spark, sf_dir, "events").withColumn(
+            "event_hour", F.date_trunc("hour", F.col("ts"))
+        )
+        sq = (
+            ev.writeStream.foreachBatch(
+                foreach_batch_rollup(table, ["event_hour", "event_type"])
+            )
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        return (
+            table.toDF()
+            .withColumn(
+                "total_value", F.col("value_fp").cast("double") / F.lit(10000.0)
+            )
+            .select("event_hour", "event_type", "n_events", "total_value")
+            .orderBy("event_hour", "event_type")
+        )
+
+    q["streaming_continuous_rollup"] = q_stream_rollup
+
     return q
 
 
@@ -1417,6 +1458,16 @@ FROM clicks c JOIN purchases p
  AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
 GROUP BY click_hour
 ORDER BY click_hour
+"""
+
+    o["streaming_continuous_rollup"] = """
+SELECT date_trunc('hour', ts) AS event_hour, event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 10000.0) AS DECIMAL(38,0))) AS DOUBLE)
+         / 10000.0 AS total_value
+FROM events
+GROUP BY event_hour, event_type
+ORDER BY event_hour, event_type
 """
 
     o["salted_event_totals"] = """

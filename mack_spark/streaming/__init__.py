@@ -359,3 +359,54 @@ def stream_stream_attribution(
         ),
         "inner",
     )
+
+
+def foreach_batch_rollup(
+    table: ManagedTable,
+    group_cols: List[str],
+):
+    """Build a ``foreachBatch`` function maintaining a continuous
+    aggregate (a "hypertable rollup"): the target table keeps one row
+    per ``group_cols`` with running ``n_events`` / ``value_fp`` (the
+    fix-pointed value sum), updated by MERGING each microbatch's
+    partial aggregate.
+
+    The incremental-view-maintenance pattern for streaming rollups:
+    each microbatch is aggregated DOWN to one row per touched group
+    first (count + decimal sum are mergeable partials), so the merge
+    touches O(groups-in-batch) rows, not O(events). Replays are
+    idempotent via recorded epoch ids, the same txnVersion trick as
+    :func:`foreach_batch_scd2`.
+    """
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        applied = {
+            h.get("streaming_epoch")
+            for h in table.history()
+            if h.get("streaming_epoch") is not None
+        }
+        if epoch_id in applied:
+            return
+        if batch_df.isEmpty():
+            return
+        partial = batch_df.groupBy(*group_cols).agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(10000.0)).cast("decimal(38,0)")
+            ).alias("value_fp"),
+        )
+        cur = table.toDF()
+        merged = (
+            cur.unionByName(partial)
+            .groupBy(*group_cols)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("value_fp").alias("value_fp"),
+            )
+        )
+        table.merge_overwrite(merged, operation="STREAMING-ROLLUP")
+        meta = table._read_meta()
+        meta["history"][-1]["streaming_epoch"] = epoch_id
+        table._write_meta(meta)
+
+    return apply_batch

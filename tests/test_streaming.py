@@ -131,3 +131,39 @@ def test_run_stream_to_batch_matches_batch_aggregate(spark, tmp_path):
         .select("event_type", "ws", "n")
     )
     assert_df_equality(out, expected)
+
+
+def test_foreach_batch_rollup_incremental_and_idempotent(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mack_spark.streaming import foreach_batch_rollup
+    from mack_spark.tables import ManagedTable
+
+    empty = spark.createDataFrame(
+        [], "g string, n_events bigint, value_fp decimal(38,0)"
+    )
+    table = ManagedTable.create(spark, str(tmp_path / "rollup"), empty)
+    apply_batch = foreach_batch_rollup(table, ["g"])
+
+    b1 = spark.createDataFrame(
+        [("a", 1.5), ("a", 2.5), ("b", 10.0)], "g string, value double"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 0.25), ("c", -3.0)], "g string, value double"
+    )
+    apply_batch(b1, 0)
+    apply_batch(b2, 1)
+    apply_batch(b2, 1)  # replayed epoch must be a no-op
+
+    got = {
+        r["g"]: (r["n_events"], float(r["value_fp"]) / 10000.0)
+        for r in table.toDF().collect()
+    }
+    assert got == {"a": (3, 4.25), "b": (1, 10.0), "c": (1, -3.0)}
+    # exactly two applied epochs in history
+    epochs = [
+        h["streaming_epoch"]
+        for h in table.history()
+        if h.get("streaming_epoch") is not None
+    ]
+    assert epochs == [0, 1]
