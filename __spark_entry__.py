@@ -674,6 +674,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_brute_force"] = q_knn
 
+    def q_knn_np(spark, sf_dir):
+        from mack_spark.operators import brute_force_topk_pandas
+
+        emb = _t(spark, sf_dir, "embeddings")
+        return brute_force_topk_pandas(
+            emb, emb.filter(F.col("vec_id") < 10), k=5
+        )
+
+    q["knn_brute_force_numpy"] = q_knn_np
+
     def q_knn_lsh(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
         return lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, bits=4)
@@ -1765,6 +1775,8 @@ SELECT query_id, neighbor_id, CAST(round(cos, 4) AS DOUBLE) AS cos_sim, rank
 FROM ranked WHERE rank <= 5
 """
     o["knn_brute_force"] = knn_core.format(bucket_cond="")
+    # numpy-BLAS physical path, same logical query → same oracle
+    o["knn_brute_force_numpy"] = knn_core.format(bucket_cond="")
 
     bucket = "(" + " || ".join(
         f"CASE WHEN {_dot_sql('{v}', _hp_sql(b))} >= 0 THEN '1' ELSE '0' END"

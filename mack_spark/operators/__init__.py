@@ -23,6 +23,7 @@ from mack_spark.operators.dedup_text import (
 )
 from mack_spark.operators.similarity import (
     brute_force_topk,
+    brute_force_topk_pandas,
     embedding_near_dup_pairs,
     ivf_topk,
     lsh_bucketed_topk,
@@ -53,6 +54,7 @@ __all__ = [
     "simhash_bits",
     "simhash_near_pairs",
     "brute_force_topk",
+    "brute_force_topk_pandas",
     "embedding_near_dup_pairs",
     "ivf_topk",
     "lsh_bucketed_topk",

@@ -383,3 +383,73 @@ def lsh_bucketed_topk(
             "rank",
         )
     )
+
+
+def brute_force_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scores: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k scored by numpy BLAS inside ``mapInPandas`` —
+    the vectorized-Python twin of :func:`brute_force_topk` for high
+    dimensions, where one ``C @ Q.T`` matmul per Arrow batch beats
+    per-pair JVM expression evaluation.
+
+    SCALE: the query block is collected once (queries are small by
+    contract — this is batch KNN, not a join of two big sides) and
+    shipped in the task closure; each executor scores its corpus
+    partition batch-at-a-time and emits only its LOCAL top-k rows per
+    query (≤ q·k rows per batch), so the global ranking window sees
+    O(batches · q · k) rows, never the n·q score matrix. Arithmetic is
+    float64, matching the JVM path to well below the rounded digits.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+            sims = (cmat @ qmat.T) / np.outer(cnorm, qnorm)
+            sims[cids[:, None] == qids[None, :]] = -np.inf  # self-matches
+            top = min(k, sims.shape[0])
+            # per-query local top-k within this Arrow batch
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top, :]
+            out_q, out_n, out_c = [], [], []
+            for j in range(sims.shape[1]):
+                rows = idx[:, j]
+                out_q.extend([qids[j]] * len(rows))
+                out_n.extend(cids[rows])
+                out_c.extend(sims[rows, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos": out_c}
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.filter(F.col("cos") != float("-inf"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", round_scores).alias("cos_sim"),
+            "rank",
+        )
+    )
