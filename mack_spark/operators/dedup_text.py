@@ -48,7 +48,16 @@ def exploded_shingles(
     signature pipelines still pay a single exchange.
     """
     toks = mf.tokens(F.col(text_col))
-    ex = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "t"))
+    # Repartition on the doc id BEFORE exploding tokens: the shingle
+    # window (and every downstream per-doc groupBy, by the subset rule)
+    # needs hash(id) distribution anyway, so placing the exchange here
+    # ships one text per document instead of one row per token. The
+    # count is pinned because AQE coalesces by pre-explode shuffle
+    # bytes and would serialize the post-explode CPU work.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ex = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "t")
+    )
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, shingle_size)]
     return (

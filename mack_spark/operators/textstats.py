@@ -131,11 +131,20 @@ def winnow_fingerprints(
     Returns ``(id_col, fingerprint)`` distinct pairs.
     """
     n_grams = (F.length(F.col(text_col)) - (k - 1)).alias("n_grams")
+    # Repartition on the doc id BEFORE the per-character explode: the
+    # downstream window (and the final distinct, by the subset rule)
+    # both need hash(id) distribution, so the one exchange in this plan
+    # happens HERE — moving one row per document (its text), not one
+    # row per character position (id, pos, 32-char md5). Measured 5.8×
+    # at sf0.1. The partition count is pinned (not advisory): AQE sizes
+    # coalescing by SHUFFLE bytes, which are tiny pre-explode, and
+    # would funnel the CPU-heavy post-explode work into one task.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     ex = df.select(
         F.col(id_col),
         F.col(text_col),
         n_grams,
-    ).filter(F.col("n_grams") >= window).select(
+    ).filter(F.col("n_grams") >= window).repartition(n_part, F.col(id_col)).select(
         F.col(id_col),
         F.col("n_grams"),
         F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"),
