@@ -52,10 +52,14 @@ def connected_components(
             .agg(F.min("component").alias("nbr_component"))
             .withColumnRenamed("v", "node")
         )
-        new_comp = (
+        # carry the previous label through the checkpoint so the
+        # convergence probe is a filter on materialized data, not
+        # another join against the old labeling
+        staged = (
             comp.join(nbr_min, "node", "left")
             .select(
                 "node",
+                F.col("component").alias("prev_component"),
                 F.least(
                     F.col("component"),
                     F.coalesce("nbr_component", F.col("component")),
@@ -64,13 +68,11 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
+            staged.filter(F.col("component") != F.col("prev_component"))
             .limit(1)
             .count()
         )
-        comp = new_comp
+        comp = staged.select("node", "component")
         if changed == 0:
             return comp
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
