@@ -650,6 +650,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["totalprice_percentiles"] = q_percentiles
 
+    def q_zorder(spark, sf_dir):
+        # Z-order re-clustering is a pure layout transform: the rows
+        # (and the oracle) are unchanged; the VALUE is in the per-file
+        # min/max stats, asserted in tests/test_layout.py.
+        from mack_spark.layout import cluster_by_zorder
+
+        return cluster_by_zorder(
+            _t(spark, sf_dir, "orders"), ["o_custkey", "o_totalprice"], 16
+        )
+
+    q["zorder_cluster"] = q_zorder
+
     def q_simhash(spark, sf_dir):
         return simhash_bits(_t(spark, sf_dir, "documents"))
 
@@ -1400,6 +1412,12 @@ FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
       FROM events)
 GROUP BY event_type, k_even
 ORDER BY event_type, k_even
+"""
+
+    o["zorder_cluster"] = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders
 """
 
     o["column_profile"] = """

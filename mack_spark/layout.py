@@ -1,0 +1,91 @@
+"""Physical-layout operators: multi-dimensional clustering for data
+skipping (OPTIMIZE ZORDER BY, rebuilt on open Spark primitives).
+
+At 100 TB the scan is the query: parquet/Delta readers skip whole files
+whose column min/max stats exclude the predicate. A table range-sorted
+on ONE column skips beautifully on that column and not at all on any
+other; interleaving the bits of several columns into one Z-order key
+and range-partitioning on it gives every clustered column
+locality — each file covers a narrow range of EVERY dimension, so
+filters on any of them prune files.
+
+Everything here is plain DataFrame expressions + ``repartitionByRange``:
+the z-key is built from JVM bitwise ops (shiftleft / bitwise OR) inside
+whole-stage codegen, the range partitioner does one sampled shuffle,
+and the sink is any parquet/bucketed writer.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BITS = 16  # per-dimension resolution: 65536 buckets is plenty for file-level skipping
+
+
+def _normalize_to_int(c: Column, lo: Column, hi: Column) -> Column:
+    """Scale a numeric/date column to [0, 2^16) using its min/max."""
+    span = (hi.cast("double") - lo.cast("double"))
+    frac = F.when(span <= 0, F.lit(0.0)).otherwise(
+        (c.cast("double") - lo.cast("double")) / span
+    )
+    scaled = F.floor(frac * F.lit((1 << _BITS) - 1)).cast("bigint")
+    return F.greatest(F.lit(0), F.least(F.lit((1 << _BITS) - 1), scaled))
+
+
+def zorder_key(norm_cols: List[Column]) -> Column:
+    """Interleave the low ``_BITS`` bits of each normalized column into
+    one Z-order (Morton) key — bit i of dim d lands at position
+    ``i * ndims + d``. Pure shiftleft/OR expression tree, fully
+    codegen'd; no UDF."""
+    n = len(norm_cols)
+    parts = []
+    for d, col in enumerate(norm_cols):
+        for i in range(_BITS):
+            bit = F.shiftright(col, i).bitwiseAND(F.lit(1))
+            parts.append(F.shiftleft(bit, i * n + d))
+    return reduce(lambda a, b: a.bitwiseOR(b), parts).alias("__zkey")
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: List[str],
+    num_files: int = 64,
+) -> DataFrame:
+    """Return ``df`` re-clustered so that writing it yields files whose
+    min/max stats are narrow in EVERY column of ``cols``.
+
+    Plan: one tiny min/max aggregate per clustered column (broadcast
+    back as literals via crossJoin — a single-row build side), z-key
+    synthesis, ``repartitionByRange(num_files, zkey)`` (sampled range
+    boundaries — one shuffle), and a within-partition sort so row
+    groups inside each file are clustered too. The key column is
+    dropped before the write.
+
+    Size ``num_files`` so each output file lands near the target file
+    size (128-512 MB parquet); at 100 TB that is tens of thousands of
+    files, which the range partitioner handles the same way.
+    """
+    bounds = df.agg(
+        *[F.min(c).alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).alias(f"__hi_{c}") for c in cols],
+    )
+    with_key = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "__zkey",
+        zorder_key(
+            [
+                _normalize_to_int(
+                    F.col(c), F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+                )
+                for c in cols
+            ]
+        ),
+    )
+    return (
+        with_key.repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols])
+    )
