@@ -44,6 +44,7 @@ from mack_spark.streaming import (
     user_running_stats,
 )
 from mack_spark import functions as mf
+from mack_spark.queries import _dec_sum as _dec_sum_entry
 from mack_spark.queries import (
     brand_part_rank,
     click_and_purchase,
@@ -661,6 +662,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["zorder_cluster"] = q_zorder
+
+    def q_salted_join(spark, sf_dir):
+        # Big-big salted join: row-identical to the plain join (each
+        # left row matches exactly one right replica), verified by the
+        # plain-SQL oracle.
+        from mack_spark.operators import salted_join
+
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        joined = salted_join(li, orders, "l_orderkey", "o_orderkey", num_salts=8)
+        return (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                _dec_sum_entry(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                    "revenue",
+                ),
+                F.count("*").alias("n_lines"),
+            )
+            .orderBy("o_orderpriority")
+        )
+
+    q["salted_join_revenue"] = q_salted_join
 
     def q_simhash(spark, sf_dir):
         return simhash_bits(_t(spark, sf_dir, "documents"))
@@ -1412,6 +1440,15 @@ FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
       FROM events)
 GROUP BY event_type, k_even
 ORDER BY event_type, k_even
+"""
+
+    o["salted_join_revenue"] = f"""
+SELECT o_orderpriority,
+       {dec('l_extendedprice * (1.0 - l_discount)', 'revenue')},
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
 """
 
     o["zorder_cluster"] = """

@@ -6,6 +6,7 @@ search, text statistics, sessionization. All return DataFrames (no table
 mutation) so they compose with the table layer and the oracle harness.
 """
 
+from mack_spark.operators.skew import salted_join
 from mack_spark.operators.profile import (
     column_profile,
     exact_percentiles,
@@ -47,6 +48,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "column_profile",
+    "salted_join",
     "contamination_check",
     "exact_percentiles",
     "numeric_histogram",

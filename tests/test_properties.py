@@ -97,3 +97,22 @@ def test_exact_percentiles_match_sorted_ranks(spark):
     s = sorted(vals)
     for p in (0.1, 0.5, 0.9):
         assert got[p] == s[math.ceil(p * len(s)) - 1]
+
+
+def test_salted_left_join_keeps_unmatched_once(spark):
+    from mack_spark.operators import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (99, "zz")], "k long, lv string"
+    )
+    right = spark.createDataFrame([(1, "X"), (2, "Y")], "rk long, rv string")
+    got = sorted(
+        map(tuple, salted_join(left, right, "k", "rk", num_salts=4, how="left")
+            .select("k", "lv", "rv").collect())
+    )
+    assert got == [(1, "a", "X"), (1, "b", "X"), (2, "c", "Y"), (99, "zz", None)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(left, right, "k", "rk", how="full")
