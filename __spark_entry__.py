@@ -690,6 +690,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["salted_join_revenue"] = q_salted_join
 
+    def q_pivot(spark, sf_dir):
+        # Pivot with a PINNED value list: Spark skips the extra
+        # distinct-values job and the output schema is static — the
+        # only sane form at scale (and for schema-stable oracles).
+        orders = _t(spark, sf_dir, "orders")
+        fp = F.floor(F.col("o_totalprice") * F.lit(10000.0)).cast("decimal(38,0)")
+        return (
+            orders.withColumn("fp", fp)
+            .groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg((F.sum("fp").cast("double") / F.lit(10000.0)))
+            .withColumnRenamed("F", "total_f")
+            .withColumnRenamed("O", "total_o")
+            .withColumnRenamed("P", "total_p")
+            .orderBy("o_orderpriority")
+        )
+
+    q["revenue_pivot_by_status"] = q_pivot
+
+    def q_trend(spark, sf_dir):
+        # Built-in linear regression aggregate (JVM-side): spend trend
+        # per market segment, slope of order total over order date.
+        orders = _t(spark, sf_dir, "orders")
+        customer = F.broadcast(_t(spark, sf_dir, "customer"))
+        days = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        return (
+            orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_mktsegment", days.alias("d"), "o_totalprice")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.round(F.regr_slope(F.col("o_totalprice"), F.col("d")), 4).alias(
+                    "slope"
+                ),
+                F.round(
+                    F.regr_intercept(F.col("o_totalprice"), F.col("d")), 2
+                ).alias("intercept"),
+                F.regr_count(F.col("o_totalprice"), F.col("d")).alias("n_orders"),
+            )
+            .orderBy("c_mktsegment")
+        )
+
+    q["segment_spend_trend"] = q_trend
+
     def q_simhash(spark, sf_dir):
         return simhash_bits(_t(spark, sf_dir, "documents"))
 
@@ -1449,6 +1492,35 @@ SELECT o_orderpriority,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
+"""
+
+    o["revenue_pivot_by_status"] = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(FLOOR(o_totalprice * 10000.0) AS DECIMAL(38,0))
+                END) AS DOUBLE) / 10000.0 AS total_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(FLOOR(o_totalprice * 10000.0) AS DECIMAL(38,0))
+                END) AS DOUBLE) / 10000.0 AS total_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                     THEN CAST(FLOOR(o_totalprice * 10000.0) AS DECIMAL(38,0))
+                END) AS DOUBLE) / 10000.0 AS total_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+    o["segment_spend_trend"] = """
+SELECT c_mktsegment,
+       round(regr_slope(o_totalprice, d), 4) AS slope,
+       round(regr_intercept(o_totalprice, d), 2) AS intercept,
+       regr_count(o_totalprice, d) AS n_orders
+FROM (SELECT c_mktsegment,
+             datediff('day', DATE '1995-01-01', o_orderdate) AS d,
+             o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
 """
 
     o["zorder_cluster"] = """
