@@ -733,6 +733,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["segment_spend_trend"] = q_trend
 
+    def q_robust(spark, sf_dir):
+        from mack_spark.operators.profile import grouped_robust_stats
+
+        return grouped_robust_stats(
+            _t(spark, sf_dir, "documents"), "lang", "n_chars"
+        )
+
+    q["lang_robust_stats"] = q_robust
+
     def q_simhash(spark, sf_dir):
         return simhash_bits(_t(spark, sf_dir, "documents"))
 
@@ -1521,6 +1530,20 @@ FROM (SELECT c_mktsegment,
       FROM orders JOIN customer ON o_custkey = c_custkey)
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
+"""
+
+    o["lang_robust_stats"] = """
+WITH m AS (
+  SELECT lang, median(n_chars) AS med, mad(n_chars) AS mad_v, count(*) AS n
+  FROM documents GROUP BY lang
+)
+SELECT d.lang, round(m.med, 4) AS median, round(m.mad_v, 4) AS mad,
+       m.n AS n,
+       CAST(sum(CASE WHEN abs(d.n_chars - m.med) > 3.0 * m.mad_v
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM documents d JOIN m ON d.lang = m.lang
+GROUP BY d.lang, m.med, m.mad_v, m.n
+ORDER BY d.lang
 """
 
     o["zorder_cluster"] = """

@@ -112,3 +112,49 @@ def exact_percentiles(
         .agg(F.min("value").alias("value"))
         .orderBy("p")
     )
+
+
+def grouped_robust_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    mad_k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust statistics via grouped-map ``applyInPandas``:
+    median, MAD (median absolute deviation), and the count of
+    ``|x - median| > mad_k * MAD`` outliers.
+
+    The grouped-map pattern: one Arrow batch per group key, numpy doing
+    the two nested medians no single SQL aggregate expresses. Right
+    when groups are few and fat (languages, sources, shards) — each
+    group must fit one executor's memory. For high-cardinality keys use
+    the window/rank formulation instead; for a global median at 100 TB
+    use ``approx_percentile``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        med = float(np.median(x))
+        dev = np.abs(x - med)
+        mad = float(np.median(dev))
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "median": [round(med, 4)],
+                "mad": [round(mad, 4)],
+                "n": [len(x)],
+                "n_outliers": [int((dev > mad_k * mad).sum())],
+            }
+        )
+
+    out_schema = (
+        f"{group_col} string, median double, mad double, n long, n_outliers long"
+    )
+    return (
+        df.select(group_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(stats, out_schema)
+        .orderBy(group_col)
+    )
