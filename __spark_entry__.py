@@ -742,6 +742,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_robust_stats"] = q_robust
 
+    def q_full_outer(spark, sf_dir):
+        # Full-outer day alignment: days with clicks but no purchases
+        # and vice versa both survive, zero-filled. Both sides are
+        # pre-aggregated to one row per day BEFORE the join, so the
+        # full-outer matches tiny frames, not raw events.
+        ev = _t(spark, sf_dir, "events")
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .groupBy(F.to_date("ts").alias("c_day"))
+            .agg(F.count("*").alias("n_clicks"))
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy(F.to_date("ts").alias("p_day"))
+            .agg(F.count("*").alias("n_purchases"))
+        )
+        return (
+            clicks.join(
+                purchases, F.col("c_day") == F.col("p_day"), "full_outer"
+            )
+            .select(
+                F.coalesce(F.col("c_day"), F.col("p_day")).alias("day"),
+                F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+                F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+            )
+            .orderBy("day")
+        )
+
+    q["daily_funnel_full_outer"] = q_full_outer
+
     def q_simhash(spark, sf_dir):
         return simhash_bits(_t(spark, sf_dir, "documents"))
 
@@ -1530,6 +1560,21 @@ FROM (SELECT c_mktsegment,
       FROM orders JOIN customer ON o_custkey = c_custkey)
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
+"""
+
+    o["daily_funnel_full_outer"] = """
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS c_day, count(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY c_day
+), p AS (
+  SELECT CAST(ts AS DATE) AS p_day, count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY p_day
+)
+SELECT COALESCE(c_day, p_day) AS day,
+       COALESCE(n_clicks, 0) AS n_clicks,
+       COALESCE(n_purchases, 0) AS n_purchases
+FROM c FULL OUTER JOIN p ON c_day = p_day
+ORDER BY day
 """
 
     o["lang_robust_stats"] = """
