@@ -133,3 +133,15 @@ def write_bucketed(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table_name)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader (schema travels with the file, so no inference pass
+    to forbid). ORC and parquet are both fine at scale; this exists so
+    ORC-resident corpora don't need a pre-conversion step."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink with the same footprint controls as the parquet path."""
+    df.write.mode(mode).orc(path)

@@ -90,3 +90,16 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_orc_round_trips(spark, tmp_path):
+    from mack_spark.sources import read_orc, write_orc
+
+    supplier = load_table(spark, SF_DIR, "supplier")
+    out = str(tmp_path / "supplier_orc")
+    write_orc(supplier, out)
+    back = read_orc(spark, out)
+    assert back.schema == supplier.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, supplier.collect())
+    )
