@@ -772,6 +772,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["daily_funnel_full_outer"] = q_full_outer
 
+    def q_sql_frontend(spark, sf_dir):
+        # The raw-SQL front-end: ONE dialect-neutral SQL string executed
+        # verbatim by both Spark and the DuckDB oracle (modulo nothing —
+        # see oracle_sql, it is the same text). Demonstrates that a
+        # reference user can keep writing SQL against this engine.
+        from mack_spark.sources import register_star_schema
+
+        register_star_schema(spark, sf_dir)
+        return spark.sql(_SQL_FRONTEND_QUERY)
+
+    q["sql_frontend_topsegments"] = q_sql_frontend
+
     def q_simhash(spark, sf_dir):
         return simhash_bits(_t(spark, sf_dir, "documents"))
 
@@ -1082,8 +1094,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
+_SQL_FRONTEND_QUERY = """
+SELECT c_mktsegment AS segment, o_orderstatus AS status,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0) AS DECIMAL(38,0)))
+            AS DOUBLE) / 10000.0 AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderstatus
+ORDER BY segment, status
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
+    o["sql_frontend_topsegments"] = _SQL_FRONTEND_QUERY
 
     # Matches mack_spark.queries._dec_sum: fix-point via floor (binary
     # double arithmetic, engine-identical), exact decimal sum, one final

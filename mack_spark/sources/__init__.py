@@ -145,3 +145,17 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink with the same footprint controls as the parquet path."""
     df.write.mode(mode).orc(path)
+
+
+STAR_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def register_star_schema(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so callers can use
+    the raw ``spark.sql`` front-end — same names the DuckDB oracle
+    pre-registers, so one SQL string can run on both engines."""
+    for name in STAR_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
