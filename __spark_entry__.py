@@ -784,6 +784,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sql_frontend_topsegments"] = q_sql_frontend
 
+    def q_gap_fill(spark, sf_dir):
+        from mack_spark.operators.sessionize import gap_fill_daily
+
+        return gap_fill_daily(_t(spark, sf_dir, "events"))
+
+    q["gap_fill_daily"] = q_gap_fill
+
     def q_simhash(spark, sf_dir):
         return simhash_bits(_t(spark, sf_dir, "documents"))
 
@@ -1584,6 +1591,26 @@ FROM (SELECT c_mktsegment,
       FROM orders JOIN customer ON o_custkey = c_custkey)
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
+"""
+
+    o["gap_fill_daily"] = """
+WITH daily AS (
+  SELECT event_type AS series, CAST(ts AS DATE) AS d, count(*) AS n,
+         round(CAST(SUM(CAST(FLOOR(value * 10000.0) AS DECIMAL(38,0)))
+                    AS DOUBLE) / 10000.0 / count(*), 6) AS avg_v
+  FROM events GROUP BY series, d
+), spine AS (
+  SELECT series, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+  FROM (SELECT series, min(d) AS lo, max(d) AS hi FROM daily GROUP BY series)
+)
+SELECT s.series, s.day,
+       COALESCE(n, 0) AS n_events,
+       last_value(avg_v IGNORE NULLS) OVER (
+         PARTITION BY s.series ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS avg_value_ff
+FROM spine s LEFT JOIN daily ON s.series = daily.series AND s.day = daily.d
+ORDER BY s.series, s.day
 """
 
     o["daily_funnel_full_outer"] = """

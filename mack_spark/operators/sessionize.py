@@ -49,3 +49,67 @@ def sessionize(
             F.max(ts_col).alias("session_end"),
         )
     )
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series daily gap fill: aggregate to (series, day), build the
+    full min..max date spine per series, left-join, zero-fill counts
+    and forward-fill the last observed daily mean.
+
+    SCALE: the spine is ``sequence(min_day, max_day)`` exploded from
+    one row per series — thousands of rows for years of days, never a
+    driver loop. The forward-fill window partitions by the series key,
+    so state and sort stay per-series (a global unpartitioned
+    gap-fill would serialize; always carry a series key at scale).
+    """
+    daily = (
+        df.groupBy(
+            F.col(series_col).alias("series"), F.to_date(ts_col).alias("d")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(
+                    F.floor(F.col(value_col) * F.lit(10000.0)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(10000.0)
+                / F.count("*"),
+                6,
+            ).alias("avg_v"),
+        )
+    )
+    spine = (
+        daily.groupBy("series")
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(
+            "series",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    daily_r = daily.withColumnRenamed("series", "d_series")
+    return (
+        spine.join(
+            daily_r,
+            (F.col("series") == F.col("d_series")) & (F.col("day") == F.col("d")),
+            "left",
+        )
+        .select(
+            "series",
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("avg_v", ignorenulls=True).over(w).alias("avg_value_ff"),
+        )
+        .orderBy("series", "day")
+    )
