@@ -27,7 +27,12 @@ from mack_spark.operators.similarity import (
     brute_force_topk_pandas,
     embedding_near_dup_pairs,
     ivf_topk,
+    lsh_bucket,
+    lsh_bucket_int,
     lsh_bucketed_topk,
+    lsh_multitable_topk,
+    lsh_probe_buckets,
+    lsh_probe_buckets_subset,
     quantize_embeddings,
 )
 from mack_spark.operators.textstats import (

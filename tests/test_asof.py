@@ -43,6 +43,22 @@ def test_asof_backward_inclusive_and_unmatched(spark):
     )
 
 
+def test_asof_null_right_value_not_stitched_from_older_row(spark):
+    """A matched right row with a genuine NULL in one value column must
+    surface that NULL, not a value forward-filled from an older right
+    row (the per-column last(ignorenulls) bug)."""
+    left = spark.createDataFrame([(1, _ts(30), "p")], ["k", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, _ts(5), 50.0, "old"), (1, _ts(20), None, "new")],
+        "k long, ts timestamp, v double, src string",
+    )
+    out = asof_join(left, right, ["k"], "ts", ["v", "src"], suffix="_r")
+    row = out.select("ts_r", "v_r", "src_r").collect()[0]
+    assert row["ts_r"] == _ts(20)
+    assert row["v_r"] is None          # NOT 50.0 from the older row
+    assert row["src_r"] == "new"
+
+
 def test_asof_right_tiebreak_picks_greatest(spark):
     left = spark.createDataFrame([(1, _ts(10), "p")], ["k", "ts", "tag"])
     right = spark.createDataFrame(
