@@ -104,10 +104,13 @@ def find_composite_key_candidates(
             # Few combos: one exact aggregation job beats sketch+verify.
             exact = _distinct_count_exact(deduped, combos)
         elif n < total_cols:
-            approx = _distinct_count_approx(deduped, combos, rsd=0.02)
-            # 5% slack over the sketch's 2% rsd: never prefilter away a
-            # true key; false positives are caught by the exact pass.
-            shortlisted = [c for c in combos if approx[c] >= total * 0.93]
+            # rsd=0.05 (Spark's default): tighter sketches cost ~5x more
+            # per update (HLL++ switches to high-precision registers) for
+            # accuracy we don't need — the shortlist threshold below sits
+            # 4 sigma under the target, so a true key is never filtered
+            # out; false positives just ride into the exact-verify job.
+            approx = _distinct_count_approx(deduped, combos, rsd=0.05)
+            shortlisted = [c for c in combos if approx[c] >= total * 0.8]
             if not shortlisted:
                 continue
             exact = _distinct_count_exact(

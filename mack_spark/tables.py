@@ -419,16 +419,31 @@ def _to_df(source: Union[ManagedTable, DataFrame]) -> DataFrame:
 def copy_table(
     table: ManagedTable,
     target_path: str = "",
+    target_table: str = "",
     spark: Optional[SparkSession] = None,
-) -> ManagedTable:
+) -> Optional[ManagedTable]:
     """Clone data + partitioning + properties, NOT history.
 
     Parity with reference ``copy_table`` (mack/__init__.py:287-325): the
-    copy starts a fresh history (reference README.md:201).
+    copy starts a fresh history (reference README.md:201). Like the
+    reference, the target is either a filesystem path (``target_path``,
+    returns the new :class:`ManagedTable`) or a metastore table name
+    (``target_table`` → ``saveAsTable`` with the source's partitioning
+    and properties carried as writer options, reference
+    mack/__init__.py:312-318; returns None — the copy is owned by the
+    catalog, query it via ``spark.table(target_table)``).
     """
-    if not target_path:
-        raise ValueError("a target_path must be specified")
+    if not target_path and not target_table:
+        raise TypeError("Either target_path or target_table must be specified.")
     details = table.detail()
+    if target_table:
+        (
+            table.toDF()
+            .write.partitionBy(details["partitionColumns"])
+            .options(**details["properties"])
+            .saveAsTable(target_table)
+        )
+        return None
     return ManagedTable.create(
         spark or table.spark,
         target_path,

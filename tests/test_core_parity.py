@@ -418,6 +418,32 @@ def test_copy_table_preserves_metadata(spark, tmp_path):
     assert clone.toDF().count() == 3
 
 
+def test_copy_table_to_metastore_table(spark, tmp_path):
+    # target_table variant: saveAsTable into the session catalog with the
+    # source's partitioning (reference mack/__init__.py:312-318).
+    df = spark.createDataFrame([(1, "A", "x"), (2, "B", "y")], DUP_SCHEMA)
+    table = ManagedTable.create(
+        spark, str(tmp_path / "src_meta"), df=df, partition_by=["c1"]
+    )
+    spark.sql("DROP TABLE IF EXISTS mack_copy_test")
+    try:
+        assert mk.copy_table(table, target_table="mack_copy_test") is None
+        got = spark.table("mack_copy_test")
+        assert got.count() == 2
+        assert sorted(got.columns) == sorted(df.columns)
+        part_cols = [
+            c.name for c in spark.catalog.listColumns("mack_copy_test")
+            if c.isPartition
+        ]
+        assert part_cols == ["c1"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mack_copy_test")
+
+    import pytest as _pytest
+    with _pytest.raises(TypeError, match="target_path or target_table"):
+        mk.copy_table(table)
+
+
 def test_rename_table(spark, tmp_path):
     table = make_table(spark, tmp_path / "old", [(1, "A", "x")], DUP_SCHEMA)
     renamed = mk.rename_table(table, str(tmp_path / "new"))
