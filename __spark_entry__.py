@@ -2145,6 +2145,33 @@ SELECT doc_id, 'image' AS media_type, 'png' AS format,
 FROM documents
 """
 
+    # Recomputes the deterministic fake decoder in SQL: feature_i =
+    # le_uint32(md5(payload || '|' || i)[:4]) / 2^32 quantized to
+    # float32 (CAST AS REAL) exactly as Spark stores array<float>.
+    # The 8 summands are dyadic rationals, so the double sum is EXACT
+    # and order-independent — round(...,4) can't be perturbed by
+    # aggregation order on either engine.
+    o["multimodal_features"] = """
+WITH hexmap AS (
+  SELECT lower(lpad(to_hex(r), 2, '0')) AS hx, r AS val FROM range(256) t(r)
+), hashed AS (
+  SELECT d.doc_id, CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+         md5(d.text || '|' || CAST(i AS VARCHAR)) AS h
+  FROM documents d CROSS JOIN range(8) ix(i)
+), feat AS (
+  SELECT doc_id, n_bytes,
+         CAST(CAST((m0.val + 256 * m1.val + 65536 * m2.val
+                    + 16777216 * m3.val) / 4294967296.0 AS REAL) AS DOUBLE) AS f
+  FROM hashed
+  JOIN hexmap m0 ON substr(h, 1, 2) = m0.hx
+  JOIN hexmap m1 ON substr(h, 3, 2) = m1.hx
+  JOIN hexmap m2 ON substr(h, 5, 2) = m2.hx
+  JOIN hexmap m3 ON substr(h, 7, 2) = m3.hx
+)
+SELECT doc_id, n_bytes, round(SUM(f), 4) AS feature_sum
+FROM feat GROUP BY doc_id, n_bytes
+"""
+
     o["streaming_hourly"] = f"""
 SELECT date_trunc('hour', ts) AS window_start,
        date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,

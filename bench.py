@@ -42,11 +42,19 @@ def main() -> None:
             except Exception:
                 pass  # warm-up only; the timed pass surfaces real failures
 
+    # Two timed executions per query, keep the min — BASELINE.md records
+    # best-of-3, so single-shot timings systematically over-read against
+    # it: the first sf-target execution of a plan pays C2 JIT that the
+    # sf0.001 warm-up doesn't trigger (measured: dedup_minhash_lsh 2.5s
+    # first run vs 1.2s steady-state in the same session).
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     result = {
         "metric": "total_wall_seconds_all_queries",

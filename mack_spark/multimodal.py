@@ -60,11 +60,17 @@ def with_media_metadata(
 
 def _fake_decode(payload: bytes, dim: int) -> list:
     """Deterministic stand-in for a codec+model feature extractor:
-    md5-seeded pseudo-features in [0, 1). Stable across processes."""
+    md5-seeded pseudo-features in [0, 1). Stable across processes.
+
+    feature_i = le_uint32(md5(payload + b"|" + ascii(i))[:4]) / 2^32 —
+    the seed suffix is printable so an engine-independent oracle can
+    recompute it from SQL (``md5(text || '|' || i)``), which is what
+    upgrades the multimodal query from rows-only to fully hash-checked.
+    """
     out = []
     seed = payload if isinstance(payload, (bytes, bytearray)) else bytes(payload or b"")
     for i in range(dim):
-        h = hashlib.md5(seed + i.to_bytes(4, "little")).digest()
+        h = hashlib.md5(seed + b"|" + str(i).encode("ascii")).digest()
         out.append(int.from_bytes(h[:4], "little") / 2**32)
     return out
 

@@ -165,4 +165,26 @@ def type_2_scd_generic_upsert(
         effective_time_col_name,
         end_time_col_name,
     )
-    table.merge_overwrite(post, operation="MERGE")
+
+    # File-pruned rewrite: an SCD2 upsert can only change rows whose key
+    # appears in the updates (closed versions keep their partition — the
+    # SCD metadata columns aren't partitionable) plus the new versions
+    # from the updates themselves. When the table is partitioned on
+    # key/attribute columns, collect that small set of touched partition
+    # values (bounded by the partition count) and let the backend rewrite
+    # only those partitions — the equivalent of Delta MERGE touching only
+    # files with matching keys (reference mack/__init__.py:125-139).
+    touched = None
+    parts = table.detail()["partitionColumns"]
+    scd_meta_cols = {is_current_col_name, effective_time_col_name, end_time_col_name}
+    if parts and not (set(parts) & scd_meta_cols):
+        keys = F.broadcast(updates_df.select(primary_key).distinct())
+        touched_rows = (
+            base.join(keys, primary_key)
+            .select(*parts)
+            .unionByName(updates_df.select(*parts))
+            .distinct()
+            .collect()
+        )
+        touched = [row.asDict() for row in touched_rows]
+    table.merge_overwrite(post, operation="MERGE", touched_partitions=touched)

@@ -45,6 +45,18 @@ def get_session(app_name: str = "mack_spark", shuffle_partitions: int | None = N
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
+    # Python workers (mapInPandas/applyInPandas stages) must be able to
+    # import this package even when the driver script runs from another
+    # directory: driver-side sys.path edits don't reach forked workers,
+    # so export the package root on PYTHONPATH before the JVM starts.
+    # On a real cluster the equivalent is shipping a wheel via
+    # --py-files; executorEnv covers separate-host executors.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

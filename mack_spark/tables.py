@@ -37,18 +37,33 @@ the plan shape (join → filter → union) is identical.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import shutil
 import time
 import uuid
 from typing import Dict, List, Optional, Union
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 META_FILE = "_mack_meta.json"
+
+
+def _partition_value_str(value) -> str:
+    """A partition value as Spark spells it in the directory name
+    (``col=<this>``): lowercase booleans, ISO dates, Hive NULL marker.
+    Supported partition-column types: str/int/bool/date/timestamp."""
+    if value is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, datetime.datetime):
+        return value.isoformat(sep=" ")
+    return str(value)
 
 
 class ManagedTable:
@@ -274,15 +289,73 @@ class ManagedTable:
         self._commit(meta, operation, new_snapshot=new_snapshot)
         shutil.rmtree(os.path.join(self.path, old_snapshot), ignore_errors=True)
 
-    def merge_overwrite(self, post_state: DataFrame, operation: str) -> None:
+    def merge_overwrite(
+        self,
+        post_state: DataFrame,
+        operation: str,
+        touched_partitions: Optional[List[dict]] = None,
+    ) -> None:
         """Commit a merge-style mutation expressed as a post-state plan.
 
-        SCALE: on the Delta backend this is replaced by
-        ``DeltaTable.merge`` (file-pruned rewrite). Here the lazy
+        SCALE: when the caller knows which partitions the mutation can
+        touch (``touched_partitions``: list of ``{part_col: value}``
+        dicts), only those partitions are rewritten from ``post_state``
+        — the filter pushes down through the post-state plan to the
+        base scan, so untouched partitions are neither read nor written
+        (their files are hard-linked from the previous snapshot). This
+        is the parquet-backend equivalent of Delta MERGE's file-pruned
+        rewrite (reference mack/__init__.py:125-139); on the Delta
+        adapter the same hint becomes a ``replaceWhere`` overwrite.
+        Without the hint (or on an unpartitioned table) the lazy
         ``post_state`` plan — typically (current ∪ staged) minus deleted
         rows via join/filter — executes once, writing the next snapshot.
         """
-        self.overwrite(post_state, operation=operation, schema_change=False)
+        meta = self._read_meta()
+        parts = meta["partition_columns"]
+        if not parts or touched_partitions is None:
+            self.overwrite(post_state, operation=operation, schema_change=False)
+            return
+        touched = {
+            tuple(_partition_value_str(t[c]) for c in parts)
+            for t in touched_partitions
+        }
+        cond = F.lit(False)
+        for t in touched_partitions:
+            this = F.lit(True)
+            for c in parts:
+                this = this & F.col(c).eqNullSafe(F.lit(t[c]))
+            cond = cond | this
+        old_snapshot = meta["current"]
+        new_snapshot = f"v={meta['version'] + 1}"
+        new_dir = os.path.join(self.path, new_snapshot)
+        (
+            post_state.filter(cond)
+            .write.mode("overwrite")
+            .partitionBy(*parts)
+            .parquet(new_dir)
+        )
+        # Untouched partitions: hard-link data files from the previous
+        # snapshot (same filesystem, zero copy); the old snapshot dir is
+        # removed after commit but the links keep the bytes alive.
+        old_dir = os.path.join(self.path, old_snapshot)
+        for root, _dirs, names in os.walk(old_dir):
+            rel = os.path.relpath(root, old_dir)
+            comps = [] if rel == "." else rel.split(os.sep)
+            if len(comps) != len(parts) or not all("=" in c for c in comps):
+                continue
+            key = tuple(unquote(c.split("=", 1)[1]) for c in comps)
+            if key in touched:
+                continue
+            dest = os.path.join(new_dir, rel)
+            os.makedirs(dest, exist_ok=True)
+            for n in names:
+                if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                    try:
+                        os.link(os.path.join(root, n), os.path.join(dest, n))
+                    except OSError:
+                        shutil.copy2(os.path.join(root, n), os.path.join(dest, n))
+        self._commit(meta, operation, new_snapshot=new_snapshot)
+        shutil.rmtree(old_dir, ignore_errors=True)
 
     # ---------------------------------------------------------------- props
     def set_properties(self, props: Dict[str, str]) -> None:
@@ -364,8 +437,35 @@ class DeltaBackedTable:
         (df.write.format("delta").mode("append")
          .option("mergeSchema", str(merge_schema).lower()).save(self.path))
 
-    def merge_overwrite(self, post_state: DataFrame, operation: str) -> None:
-        (post_state.write.format("delta").mode("overwrite").save(self.path))
+    def merge_overwrite(
+        self,
+        post_state: DataFrame,
+        operation: str,
+        touched_partitions: Optional[List[dict]] = None,
+    ) -> None:
+        w = post_state.write.format("delta").mode("overwrite")
+        if touched_partitions:
+            # Delta's native file-pruned overwrite: only partitions
+            # matching the predicate are replaced (and post_state is
+            # filtered to them by replaceWhere's constraint check).
+            def lit_sql(v):
+                if v is None:
+                    return "NULL"
+                if isinstance(v, bool):
+                    return "true" if v else "false"
+                if isinstance(v, (int, float)):
+                    return repr(v)
+                return "'" + str(v).replace("'", "''") + "'"
+
+            clauses = []
+            for t in touched_partitions:
+                ands = " AND ".join(
+                    f"`{c}` IS NULL" if v is None else f"`{c}` = {lit_sql(v)}"
+                    for c, v in t.items()
+                )
+                clauses.append(f"({ands})")
+            w = w.option("replaceWhere", " OR ".join(clauses))
+        w.save(self.path)
 
     def overwrite(self, df: DataFrame, operation: str = "WRITE",
                   partition_by: Optional[List[str]] = None,

@@ -1,0 +1,61 @@
+"""Multimodal plumbing: metadata struct, mapInPandas feature extraction
+(deterministic fake decoder), frame-sample plan shape, codec hook."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from mack_spark.multimodal import (
+    decode_image,
+    extract_features,
+    frame_sample_plan,
+    with_media_metadata,
+)
+
+
+def _media_df(spark):
+    rows = [(1, b"payload-one"), (2, b"payload-two-longer"), (3, None)]
+    return spark.createDataFrame(rows, "id bigint, payload binary")
+
+
+def test_with_media_metadata_struct(spark):
+    out = with_media_metadata(_media_df(spark), "payload", "image", "png")
+    got = {r["id"]: r["payload_meta"] for r in out.collect()}
+    assert got[1]["media_type"] == "image"
+    assert got[1]["format"] == "png"
+    assert got[1]["n_bytes"] == len(b"payload-one")
+    assert got[1]["content_hash"] == hashlib.md5(b"payload-one").hexdigest()
+
+
+def test_extract_features_deterministic_and_null_safe(spark):
+    out = extract_features(_media_df(spark), "payload", "id", dim=4)
+    assert [f.name for f in out.schema.fields] == ["id", "features", "n_bytes"]
+    got = {r["id"]: r for r in out.collect()}
+    # fake decoder contract: le_uint32(md5(payload + b"|" + ascii(i))[:4]) / 2^32
+    expected0 = (
+        int.from_bytes(hashlib.md5(b"payload-one|0").digest()[:4], "little") / 2**32
+    )
+    assert got[1]["features"][0] == pytest.approx(expected0, rel=1e-6)
+    assert len(got[1]["features"]) == 4
+    assert got[1]["n_bytes"] == len(b"payload-one")
+    # NULL payload -> NULL features, zero bytes, row preserved
+    assert got[3]["features"] is None
+    assert got[3]["n_bytes"] == 0
+    # custom decode_fn slots in
+    custom = extract_features(
+        _media_df(spark), "payload", "id", dim=2, decode_fn=lambda p: [1.0, 2.0]
+    )
+    assert custom.filter("id = 1").first()["features"] == [1.0, 2.0]
+
+
+def test_frame_sample_plan_shape(spark):
+    df = spark.createDataFrame([(1, b"x" * 3000)], "id bigint, payload binary")
+    out = frame_sample_plan(df, "payload", "id", every_n=2)
+    # n_frames = 3000 // 1024 + 1 = 3 -> planned indices 0, 2
+    assert [r["frame_index"] for r in out.orderBy("frame_index").collect()] == [0, 2]
+
+
+def test_decode_image_is_documented_stub():
+    with pytest.raises(NotImplementedError, match="decode_fn"):
+        decode_image(b"\x89PNG")
