@@ -852,7 +852,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_quant(spark, sf_dir):
         from mack_spark.operators import quantize_embeddings
 
-        return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+        # Project the int8 array through a stable string serialization:
+        # the driver's pandas canonicalization can't sort list-typed
+        # columns, so both sides emit a comma-joined rendering.
+        out = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+        return out.select(
+            "vec_id",
+            "scale",
+            F.array_join(
+                F.transform("qvec", lambda x: x.cast("string")), ","
+            ).alias("qvec_csv"),
+            "max_abs_err",
+        )
 
     q["embedding_quantize"] = q_quant
 
@@ -2090,7 +2101,8 @@ WITH s AS (
          v
   FROM s
 )
-SELECT vec_id, scale, qvec,
+SELECT vec_id, scale,
+       array_to_string(qvec, ',') AS qvec_csv,
        round(CASE WHEN scale > 0 THEN list_max(
          list_transform(list_zip(v, qvec),
            p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale / 127.0)))

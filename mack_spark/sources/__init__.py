@@ -1,19 +1,41 @@
 """Source readers for the engine's star-schema inputs.
 
-Centralizes the one genuinely fiddly input: ``events.parquet`` stores
-``ts`` as parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-rejects outright. We flip ``spark.sql.legacy.parquet.nanosAsLong`` and
-rebuild a microsecond timestamp with integer arithmetic
-(``ts DIV 1000``) — same truncation DuckDB applies when it narrows ns
-to its µs TIMESTAMP, so both engines observe identical instants.
+Centralizes the one genuinely fiddly input: timestamp normalization on
+``events.parquet``. Testdata generations have shipped ``ts`` as either
+parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects
+unless ``spark.sql.legacy.parquet.nanosAsLong`` maps it to int64) or
+plain TIMESTAMP(MICROS) with isAdjustedToUTC=false (which Spark 4
+reads as TIMESTAMP_NTZ). We normalize both to a session-UTC
+``timestamp`` so every downstream operator — and DuckDB, which reads
+the same file as a naive µs TIMESTAMP — observes identical instants:
+
+* int64 nanos  → ``timestamp_micros(ts DIV 1000)`` (integer DIV, the
+  same truncation DuckDB applies when narrowing ns to µs),
+* TIMESTAMP_NTZ → cast to ``timestamp`` under the UTC session zone
+  (a pure relabel: the wall-clock fields are unchanged),
+* already TIMESTAMP → no-op.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 NANO_TS_TABLES = {"events": ["ts"]}
+
+
+def _normalize_ts(df: DataFrame, cols) -> DataFrame:
+    """Normalize each named column to µs-precision session-UTC timestamp,
+    adapting to whatever physical type the parquet shipped with."""
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, LongType):
+            # Integer DIV, not `/`: double division can round the µs up.
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -22,10 +44,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in NANO_TS_TABLES:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        for c in NANO_TS_TABLES[name]:
-            # Integer DIV, not `/`: double division can round the µs up.
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
-        return df
+        return _normalize_ts(df, NANO_TS_TABLES[name])
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -45,9 +64,7 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
-    for c in NANO_TS_TABLES.get(name, []):
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
-    return df
+    return _normalize_ts(df, NANO_TS_TABLES.get(name, []))
 
 
 def read_csv(
