@@ -583,9 +583,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = q_lsh
 
     def q_jacc(spark, sf_dir):
-        return ngram_jaccard_pairs(
-            _t(spark, sf_dir, "documents"), min_jaccard=0.1
-        )
+        # Composed scale pipeline: LSH candidate generation bounds the
+        # exact-Jaccard verify — the candidate pair set, not a shingle
+        # self-join, drives the intersection (skew-immune at 100 TB).
+        docs = _t(spark, sf_dir, "documents")
+        cands = lsh_candidate_pairs(docs)
+        return ngram_jaccard_pairs(docs, min_jaccard=0.1, candidates=cands)
 
     q["dedup_ngram_jaccard"] = q_jacc
 
@@ -2006,14 +2009,27 @@ SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
 """
 
     o["dedup_ngram_jaccard"] = f"""
-WITH sh AS (
-  SELECT doc_id, unnest(list_distinct({sh})) AS s FROM documents
+WITH shingled AS (
+  SELECT doc_id, {sh} AS shl FROM documents
+), sig AS (
+  SELECT doc_id, {mh_defs} FROM (SELECT doc_id, shl AS sh FROM shingled)
+), bands AS (
+  {band_selects}
+), cpairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.band_key IS NOT NULL
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(shl)) AS s FROM shingled
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cpairs c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b, inter,
        sa.n + sb.n - inter AS union_size,

@@ -25,6 +25,7 @@ docstring's SCALE note).
 
 from mack_spark.fmt import humanize_bytes, humanize_bytes_binary
 from mack_spark.tables import (
+    ConcurrentModificationError,
     ManagedTable,
     copy_table,
     rename_table,
@@ -53,6 +54,7 @@ from mack_spark.appends import validate_append, constraint_append
 __version__ = "0.1.0"
 
 __all__ = [
+    "ConcurrentModificationError",
     "ManagedTable",
     "type_2_scd_upsert",
     "type_2_scd_generic_upsert",

@@ -232,6 +232,15 @@ def ngram_jaccard_pairs(
     relation — correct but quadratic in colliding shingles; at scale,
     pass ``lsh_candidate_pairs`` output to verify only survivors.
 
+    With ``candidates``, the candidate pair set BOUNDS the work: the
+    intersection is computed by walking each candidate pair's two
+    shingle sets (``cand ⋈ shingles(id_a) ⋈ shingles(id_b)`` on equal
+    shingle), never by the quadratic shingle self-join — O(|candidates|
+    × shingles-per-doc) regardless of shingle skew, so one hot
+    boilerplate shingle cannot blow up a bucket. Candidate pairs with
+    an empty intersection drop out (their Jaccard is 0, below any
+    positive ``min_jaccard``).
+
     Returns ``(id_a, id_b, inter, union_size, jaccard)``.
     """
     # Persist + eager fill: three consumers (sizes + both join sides);
@@ -246,19 +255,28 @@ def ngram_jaccard_pairs(
     )
     shingled.count()
     sizes = shingled.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a, b = shingled.alias("a"), shingled.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(
-            candidates.select(
-                F.col("id_a").alias("ca"), F.col("id_b").alias("cb")
-            ),
-            (F.col("id_a") == F.col("ca")) & (F.col("id_b") == F.col("cb")),
-            "left_semi",
+        # Candidate-driven plan: explode each candidate pair into its
+        # a-side shingles, then equi-join (id_b, sh) to count shingles
+        # present in BOTH docs. Both joins are plain equi-joins on
+        # (id[, sh]) — no shingle self-join anywhere in the plan.
+        cand = candidates.select("id_a", "id_b").distinct()
+        ash = shingled.select(F.col("id").alias("id_a"), "sh")
+        bsh = shingled.select(F.col("id").alias("id_b"), "sh")
+        inter = (
+            cand.join(ash, "id_a")
+            .join(bsh, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        a, b = shingled.alias("a"), shingled.alias("b")
+        inter = (
+            a.join(
+                b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id"))
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
         )
     out = (
         inter.join(sizes.withColumnsRenamed({"id": "sa", "n_sh": "n_a"}), F.col("id_a") == F.col("sa"))

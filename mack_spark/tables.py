@@ -51,6 +51,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 META_FILE = "_mack_meta.json"
+COMMITS_DIR = "_commits"
+
+
+class ConcurrentModificationError(RuntimeError):
+    """Another writer committed a version after this operation's snapshot
+    read — the operation's post-state was computed against stale data,
+    so committing it would silently drop the other writer's changes.
+
+    Mirrors Delta Lake's optimistic-concurrency conflict surface
+    (``ConcurrentAppendException`` etc., implied by every reference
+    MERGE call site, reference mack/__init__.py:125-140): callers
+    re-read the table and retry the whole operation.
+    """
 
 
 def _partition_value_str(value) -> str:
@@ -91,14 +104,48 @@ class ManagedTable:
             json.dump(meta, f, indent=1)
         os.replace(tmp, self._meta_path)
 
-    def _commit(self, meta: dict, operation: str, new_snapshot: Optional[str] = None) -> None:
-        meta["version"] += 1
+    def _claim_version(self, meta: dict, operation: str) -> int:
+        """Claim version N+1 by creating ``_commits/v<N+1>.commit`` with
+        O_EXCL — the same put-if-absent protocol Delta's ``_delta_log``
+        uses (one file per version; the filesystem arbitrates). Exactly
+        one writer wins a given version; the loser raises
+        ConcurrentModificationError with its staged work never made
+        visible (the meta pointer still names the winner's snapshot)."""
+        target = meta["version"] + 1
+        commits = os.path.join(self.path, COMMITS_DIR)
+        os.makedirs(commits, exist_ok=True)
+        marker = os.path.join(commits, f"v{target:020d}.commit")
+        try:
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentModificationError(
+                f"concurrent write to {self.path}: version {target} was "
+                f"committed by another writer after this operation read "
+                f"version {meta['version']}; re-read the table and retry"
+            ) from None
+        try:
+            os.write(
+                fd,
+                json.dumps({"operation": operation, "timestamp": time.time()}).encode(),
+            )
+        finally:
+            os.close(fd)
+        return target
+
+    def _finalize(self, meta: dict, operation: str, target: int,
+                  new_snapshot: Optional[str] = None) -> None:
+        meta["version"] = target
         if new_snapshot is not None:
             meta["current"] = new_snapshot
         meta["history"].append(
             {"version": meta["version"], "operation": operation, "timestamp": time.time()}
         )
         self._write_meta(meta)
+
+    def _commit(self, meta: dict, operation: str, new_snapshot: Optional[str] = None) -> None:
+        """Optimistic-concurrency commit = claim (CAS) then finalize."""
+        target = self._claim_version(meta, operation)
+        self._finalize(meta, operation, target, new_snapshot=new_snapshot)
 
     # ------------------------------------------------------------------ create
     @classmethod
@@ -246,6 +293,10 @@ class ManagedTable:
             if meta["partition_columns"]:
                 writer = writer.partitionBy(*meta["partition_columns"])
             writer.parquet(staging)
+            # Claim the version BEFORE moving files into the live
+            # snapshot: a writer that loses the CAS leaves nothing
+            # visible (its staging dir is simply removed).
+            target = self._claim_version(meta, operation)
             snap = self._snapshot_dir(meta)
             for root, _dirs, names in os.walk(staging):
                 rel = os.path.relpath(root, staging)
@@ -257,7 +308,7 @@ class ManagedTable:
                     os.replace(os.path.join(root, n), os.path.join(dest_dir, n))
         finally:
             shutil.rmtree(staging, ignore_errors=True)
-        self._commit(meta, operation)
+        self._finalize(meta, operation, target)
 
     def overwrite(
         self,
@@ -277,7 +328,9 @@ class ManagedTable:
         """
         meta = self._read_meta()
         old_snapshot = meta["current"]
-        new_snapshot = f"v={meta['version'] + 1}"
+        # Writer-unique dir name: two racing overwrites must stage into
+        # DIFFERENT directories; the commit CAS then picks one pointer.
+        new_snapshot = f"v={meta['version'] + 1}-{uuid.uuid4().hex[:8]}"
         parts = partition_by if partition_by is not None else meta["partition_columns"]
         writer = df.write.mode("overwrite")
         if parts:
@@ -286,7 +339,11 @@ class ManagedTable:
         meta["partition_columns"] = list(parts or [])
         if schema_change:
             meta["schema"] = df.schema.json()
-        self._commit(meta, operation, new_snapshot=new_snapshot)
+        try:
+            self._commit(meta, operation, new_snapshot=new_snapshot)
+        except ConcurrentModificationError:
+            shutil.rmtree(os.path.join(self.path, new_snapshot), ignore_errors=True)
+            raise
         shutil.rmtree(os.path.join(self.path, old_snapshot), ignore_errors=True)
 
     def merge_overwrite(
@@ -326,7 +383,7 @@ class ManagedTable:
                 this = this & F.col(c).eqNullSafe(F.lit(t[c]))
             cond = cond | this
         old_snapshot = meta["current"]
-        new_snapshot = f"v={meta['version'] + 1}"
+        new_snapshot = f"v={meta['version'] + 1}-{uuid.uuid4().hex[:8]}"
         new_dir = os.path.join(self.path, new_snapshot)
         (
             post_state.filter(cond)
@@ -354,7 +411,11 @@ class ManagedTable:
                         os.link(os.path.join(root, n), os.path.join(dest, n))
                     except OSError:
                         shutil.copy2(os.path.join(root, n), os.path.join(dest, n))
-        self._commit(meta, operation, new_snapshot=new_snapshot)
+        try:
+            self._commit(meta, operation, new_snapshot=new_snapshot)
+        except ConcurrentModificationError:
+            shutil.rmtree(new_dir, ignore_errors=True)
+            raise
         shutil.rmtree(old_dir, ignore_errors=True)
 
     # ---------------------------------------------------------------- props

@@ -1,0 +1,129 @@
+"""Optimistic-concurrency commit protocol (ManagedTable CAS).
+
+Delta Lake arbitrates concurrent writers through its ``_delta_log``
+(one put-if-absent file per version) — the reference inherits that for
+free at every MERGE call site (reference mack/__init__.py:125-140).
+The ManagedTable stand-in mirrors the protocol with O_EXCL commit
+markers: exactly one writer wins a version; the loser raises
+ConcurrentModificationError instead of silently dropping the winner's
+commit.
+"""
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import Row
+
+from mack_spark import ConcurrentModificationError
+from mack_spark.tables import ManagedTable
+
+
+class _BarrierTable(ManagedTable):
+    """Test double: every writer reads table state, then waits at a
+    barrier before committing — forcing both writers to base their
+    commit on the SAME snapshot version (the race the CAS must catch).
+    """
+
+    barrier = None
+
+    def _read_meta(self):
+        meta = super()._read_meta()
+        b = type(self).barrier
+        if b is not None:
+            b.wait(timeout=60)
+        return meta
+
+
+def _mk(spark, tmp_path, n=5):
+    df = spark.createDataFrame([Row(id=i, v=f"x{i}") for i in range(n)])
+    ManagedTable.create(spark, str(tmp_path / "t"), df)
+    return str(tmp_path / "t")
+
+
+def test_stale_writer_append_raises(spark, tmp_path):
+    """A writer whose snapshot read predates another commit must abort."""
+    path = _mk(spark, tmp_path)
+    t = ManagedTable(spark, path)
+    stale_meta = t._read_meta()
+    t.append(spark.createDataFrame([Row(id=100, v="b")]))  # other writer wins v1
+    with pytest.raises(ConcurrentModificationError):
+        t._commit(stale_meta, "WRITE")
+    # the winner's commit is intact
+    assert t._read_meta()["version"] == 1
+    assert t.toDF().count() == 6
+
+
+def test_threaded_appends_one_wins_one_raises(spark, tmp_path):
+    """Two concurrent appends based on the same snapshot: exactly one
+    commits, the other raises — no lost update either way."""
+    path = _mk(spark, tmp_path)
+    _BarrierTable.barrier = threading.Barrier(2)
+    errors, done = [], []
+
+    def writer(tag):
+        t = _BarrierTable(spark, path)
+        try:
+            t.append(spark.createDataFrame([Row(id=200, v=tag)]))
+            done.append(tag)
+        except ConcurrentModificationError:
+            errors.append(tag)
+        except threading.BrokenBarrierError:  # pragma: no cover
+            errors.append(("barrier", tag))
+
+    try:
+        threads = [threading.Thread(target=writer, args=(f"w{i}",)) for i in range(2)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+    finally:
+        _BarrierTable.barrier = None
+
+    assert len(done) == 1, f"exactly one writer should win: done={done} err={errors}"
+    assert len(errors) == 1
+    t = ManagedTable(spark, path)
+    assert t._read_meta()["version"] == 1
+    # The loser claimed nothing and moved nothing: exactly the winner's
+    # row was added (5 base rows + 1), and it is the one visible.
+    rows = t.toDF().collect()
+    assert len(rows) == 6
+    assert done[0] in {r.v for r in rows}
+
+
+def test_racing_overwrites_do_not_corrupt(spark, tmp_path):
+    """Racing overwrites stage into distinct snapshot dirs; the loser's
+    dir is cleaned up and the winner's snapshot is fully readable."""
+    path = _mk(spark, tmp_path)
+    _BarrierTable.barrier = threading.Barrier(2)
+    outcomes = {}
+
+    def writer(tag, val):
+        t = _BarrierTable(spark, path)
+        try:
+            t.overwrite(spark.createDataFrame([Row(id=1, v=val)]))
+            outcomes[tag] = "ok"
+        except ConcurrentModificationError:
+            outcomes[tag] = "conflict"
+
+    try:
+        threads = [
+            threading.Thread(target=writer, args=(f"w{i}", f"val{i}")) for i in range(2)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+    finally:
+        _BarrierTable.barrier = None
+
+    assert sorted(outcomes.values()) == ["conflict", "ok"]
+    t = ManagedTable(spark, path)
+    rows = t.toDF().collect()
+    assert len(rows) == 1 and rows[0].v in ("val0", "val1")
+    # loser's staged snapshot dir was removed; only the winner's remains
+    snap_dirs = [d for d in os.listdir(path) if d.startswith("v=") ]
+    assert len(snap_dirs) == 1
+    with open(os.path.join(path, "_mack_meta.json")) as f:
+        assert json.load(f)["current"] == snap_dirs[0]
