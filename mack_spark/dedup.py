@@ -94,8 +94,15 @@ def kill_duplicates(table: ManagedTable, duplication_columns: List[str]) -> None
         raise TypeError("Duplication columns must be specified")
     df = table.toDF()
     _require_columns(df, duplication_columns)
+    # File-pruned rewrite hint: only rows in duplicate groups change, so
+    # files whose key range misses every duplicate key survive as-is.
+    dup_keys = (
+        df.groupBy(*duplication_columns).count().filter(F.col("count") > 1).drop("count")
+    )
     table.merge_overwrite(
-        kill_duplicates_post(df, duplication_columns), operation="MERGE-DELETE"
+        kill_duplicates_post(df, duplication_columns),
+        operation="MERGE-DELETE",
+        touched_keys=(duplication_columns[0], dup_keys.select(duplication_columns[0])),
     )
 
 
@@ -120,9 +127,13 @@ def drop_duplicates_pkey(
         raise TypeError("Primary key must not be part of the duplication columns.")
     df = table.toDF()
     _require_columns(df, [primary_key] + duplication_columns)
+    dup_keys = (
+        df.groupBy(*duplication_columns).count().filter(F.col("count") > 1).drop("count")
+    )
     table.merge_overwrite(
         drop_duplicates_pkey_post(df, [primary_key], duplication_columns),
         operation="MERGE-DELETE",
+        touched_keys=(duplication_columns[0], dup_keys.select(duplication_columns[0])),
     )
 
 
@@ -136,8 +147,14 @@ def drop_duplicates(table: ManagedTable, duplication_columns: List[str]) -> None
     if not duplication_columns or len(duplication_columns) == 0:
         raise TypeError("A duplication column must be specified.")
     df = table.toDF()
+    _require_columns(df, duplication_columns)
+    dup_keys = (
+        df.groupBy(*duplication_columns).count().filter(F.col("count") > 1).drop("count")
+    )
     table.merge_overwrite(
-        df.drop_duplicates(duplication_columns), operation="WRITE"
+        df.drop_duplicates(duplication_columns),
+        operation="WRITE",
+        touched_keys=(duplication_columns[0], dup_keys.select(duplication_columns[0])),
     )
 
 

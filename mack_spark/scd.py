@@ -187,4 +187,12 @@ def type_2_scd_generic_upsert(
             .collect()
         )
         touched = [row.asDict() for row in touched_rows]
-    table.merge_overwrite(post, operation="MERGE", touched_partitions=touched)
+    # Unpartitioned tables get FILE-pruned rewrite instead: an SCD2
+    # upsert only touches rows whose primary key appears in the updates,
+    # so files whose key range misses every update key are hard-linked.
+    table.merge_overwrite(
+        post,
+        operation="MERGE",
+        touched_partitions=touched,
+        touched_keys=(primary_key, updates_df.select(primary_key)),
+    )

@@ -104,3 +104,147 @@ def test_pruned_merge_handles_deleted_partition(spark, tmp_path):
     post = t.toDF().filter("seg <> 's1'")
     t.merge_overwrite(post, operation="DELETE", touched_partitions=[{"seg": "s1"}])
     assert [r["seg"] for r in t.toDF().collect()] == ["s2"]
+
+
+# ---------------------------------------------------------------- file-pruned
+# merge_overwrite(touched_keys=...) on UNPARTITIONED tables: per-file
+# min/max footer stats pick the files a touched key can live in; the
+# rest are hard-linked (same inode) into the new snapshot.
+
+
+def _snapshot_files(table):
+    snap = table._snapshot_dir()
+    return {
+        n: os.stat(os.path.join(snap, n)).st_ino
+        for n in os.listdir(snap)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    }
+
+
+def _ranged_table(spark, path, n=100, files=4):
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").cast("int").alias("pkey"),
+            F.concat(F.lit("v"), F.col("id")).alias("attr"),
+        )
+        .repartitionByRange(files, "pkey")
+        .sortWithinPartitions("pkey")
+    )
+    return ManagedTable.create(spark, str(path), df=df)
+
+
+def test_file_pruned_scd2_links_untouched_files(spark, tmp_path):
+    table = _ranged_table(spark, tmp_path / "t")
+    before = _snapshot_files(table)
+    assert len(before) == 4
+
+    updates = spark.createDataFrame(
+        [(5, "A2", None)], "pkey int, attr string, effective_time timestamp"
+    ).withColumn("effective_time", F.to_timestamp(F.lit("2021-06-01")))
+    base = table.toDF().select(
+        "pkey", "attr",
+        F.lit(True).alias("is_current"),
+        F.to_timestamp(F.lit("2020-01-01")).alias("effective_time"),
+        F.lit(None).cast("timestamp").alias("end_time"),
+    )
+    table.overwrite(base, operation="WRITE")
+    # overwrite rewrote everything; re-cluster by key so file ranges are
+    # disjoint again, then snapshot inodes
+    table.overwrite(
+        table.toDF().repartitionByRange(4, "pkey").sortWithinPartitions("pkey"),
+        operation="WRITE",
+    )
+    before = _snapshot_files(table)
+    assert len(before) == 4
+
+    mk.type_2_scd_generic_upsert(
+        table, updates, "pkey", ["attr"],
+        "is_current", "effective_time", "end_time",
+    )
+
+    after = _snapshot_files(table)
+    shared = set(before.values()) & set(after.values())
+    # key 5 lives in exactly one of the four range files: the other
+    # three must be hard links of the previous snapshot's files
+    assert len(shared) == 3, (before, after)
+
+    out = table.toDF()
+    assert out.count() == 101  # 100 rows + one closed version
+    s = {(r["attr"], r["is_current"]) for r in out.filter("pkey = 5").collect()}
+    assert s == {("v5", False), ("A2", True)}
+
+
+def test_file_pruned_drop_duplicates_pkey(spark, tmp_path):
+    df = (
+        spark.range(100)
+        .select(
+            F.col("id").cast("int").alias("pkey"),
+            (F.col("id") % 50).cast("int").alias("c1"),
+        )
+    )
+    # duplicate c1 groups: each c1 value appears twice (pkey k and k+50)
+    clustered = df.repartitionByRange(4, "c1").sortWithinPartitions("c1")
+    table = ManagedTable.create(spark, str(tmp_path / "dd"), df=clustered)
+    before = _snapshot_files(table)
+
+    mk.drop_duplicates_pkey(table, "pkey", ["c1"])
+
+    out = table.toDF()
+    assert out.count() == 50
+    assert out.agg(F.max("pkey")).collect()[0][0] == 49  # min-pkey survivors
+    # every file had duplicates (c1 values repeat everywhere), so this
+    # asserts only correctness; the pruning assertion is the disjoint
+    # case below
+
+
+def test_file_pruned_out_of_range_insert_survives(spark, tmp_path):
+    table = _ranged_table(spark, tmp_path / "oor")
+    base = table.toDF().select(
+        "pkey", "attr",
+        F.lit(True).alias("is_current"),
+        F.to_timestamp(F.lit("2020-01-01")).alias("effective_time"),
+        F.lit(None).cast("timestamp").alias("end_time"),
+    ).repartitionByRange(4, "pkey").sortWithinPartitions("pkey")
+    table.overwrite(base, operation="WRITE")
+    before = _snapshot_files(table)
+
+    # key 1000 is beyond every file's max: the insert must land in the
+    # rewrite region even though no existing file range contains it
+    updates = spark.createDataFrame(
+        [(1000, "NEW", None)], "pkey int, attr string, effective_time timestamp"
+    ).withColumn("effective_time", F.to_timestamp(F.lit("2021-06-01")))
+    mk.type_2_scd_generic_upsert(
+        table, updates, "pkey", ["attr"],
+        "is_current", "effective_time", "end_time",
+    )
+    out = table.toDF()
+    assert out.count() == 101
+    assert out.filter("pkey = 1000").count() == 1
+    # no base file contained key 1000 -> ALL base files stay hard-linked
+    after = _snapshot_files(table)
+    assert set(before.values()) <= set(after.values())
+
+
+def test_file_pruned_matches_full_rewrite(spark, tmp_path):
+    from mack_spark.dedup import drop_duplicates_pkey_post
+
+    df = (
+        spark.range(60)
+        .select(
+            F.col("id").cast("int").alias("pkey"),
+            F.when(F.col("id") < 3, 0).otherwise(F.col("id")).cast("int").alias("c1"),
+        )
+        .repartitionByRange(3, "pkey")
+    )
+    pruned = ManagedTable.create(spark, str(tmp_path / "fp"), df=df)
+    full = ManagedTable.create(spark, str(tmp_path / "ff"), df=df)
+
+    mk.drop_duplicates_pkey(pruned, "pkey", ["c1"])
+    full.merge_overwrite(
+        drop_duplicates_pkey_post(full.toDF(), ["pkey"], ["c1"]),
+        operation="MERGE-DELETE",
+    )
+    assert_df_equality(
+        pruned.toDF().orderBy("pkey"), full.toDF().orderBy("pkey")
+    )
