@@ -81,7 +81,10 @@ def numeric_histogram(
 
 
 def exact_percentiles(
-    df: DataFrame, col: str, ps: Sequence[float] = (0.25, 0.5, 0.75, 0.95, 0.99)
+    df: DataFrame,
+    col: str,
+    ps: Sequence[float] = (0.25, 0.5, 0.75, 0.95, 0.99),
+    num_range_partitions: int = 32,
 ) -> DataFrame:
     """Exact discrete percentiles: for each p, the smallest value whose
     cumulative row count reaches ``ceil(p * n)`` — pure integer-rank
@@ -89,25 +92,55 @@ def exact_percentiles(
     float hazards).
 
     SCALE: rows collapse to (value, count) by a partial-final groupBy
-    FIRST, so the inherently-ordered step (cumulative sum window) runs
-    over distinct values, not rows. The window is unpartitioned by
-    definition of a global quantile — at 100 TB use
-    ``approx_percentile`` for steering and keep this as the exact audit
-    on samples/partitions.
+    FIRST, so ordered work runs over distinct values, not rows. The
+    global cumulative count is then computed WITHOUT a single-partition
+    sort: the (value, count) relation is range-partitioned by value
+    (partition index ascends with value), each partition cumsums
+    locally in parallel, and the per-partition totals — at most
+    ``num_range_partitions`` numbers — come back to the driver to form
+    broadcast prefix offsets. global_rank = local_cumsum +
+    offset[partition]. This is the classic distributed prefix-sum; no
+    stage touches more than one partition's distinct values at a time,
+    so the plan survives an arbitrarily large value domain.
+
+    The range-partitioned relation is pinned with an eager
+    ``localCheckpoint``: range boundaries come from sampling, and the
+    offsets job and the final job must observe the SAME partitioning.
     """
-    counts = df.filter(F.col(col).isNotNull()).groupBy(
-        F.col(col).alias("value")
-    ).agg(F.count("*").alias("cnt"))
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cum = counts.withColumn("cum", F.sum("cnt").over(w)).withColumn(
-        "total", F.sum("cnt").over(Window.partitionBy())
+    spark = df.sparkSession
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count("*").alias("cnt"))
     )
-    pdf = df.sparkSession.createDataFrame(
-        [(float(p),) for p in ps], "p double"
+    parts = (
+        counts.repartitionByRange(num_range_partitions, "value")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
+    part_sums = {r["pid"]: r["s"] for r in parts.groupBy("pid").agg(F.sum("cnt").alias("s")).collect()}
+    total = sum(part_sums.values())
+    if total == 0:
+        return spark.createDataFrame([], "p double, value " + dict(df.dtypes)[col])
+    offsets, acc = [], 0
+    for pid in sorted(part_sums):
+        offsets.append((pid, acc))
+        acc += part_sums[pid]
+    off_df = spark.createDataFrame(offsets, "pid int, off long")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        parts.withColumn("cum_local", F.sum("cnt").over(w))
+        .join(F.broadcast(off_df), "pid")
+        .withColumn("cum", F.col("cum_local") + F.col("off"))
+    )
+    pdf = df.sparkSession.createDataFrame([(float(p),) for p in ps], "p double")
     return (
         cum.crossJoin(F.broadcast(pdf))
-        .filter(F.col("cum") >= F.ceil(F.col("p") * F.col("total")))
+        .filter(F.col("cum") >= F.ceil(F.col("p") * F.lit(float(total))))
         .groupBy("p")
         .agg(F.min("value").alias("value"))
         .orderBy("p")
