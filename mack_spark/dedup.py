@@ -25,7 +25,7 @@ from typing import List, Union
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mack_spark.tables import ManagedTable
+from mack_spark.tables import KeyedMerge, ManagedTable
 
 
 def _require_columns(df: DataFrame, required: List[str]) -> None:
@@ -103,6 +103,15 @@ def kill_duplicates(table: ManagedTable, duplication_columns: List[str]) -> None
         kill_duplicates_post(df, duplication_columns),
         operation="MERGE-DELETE",
         touched_keys=(duplication_columns[0], dup_keys.select(duplication_columns[0])),
+        # Delta form: MERGE on the duplicate key set, delete every match
+        # (reference mack/__init__.py:183-191 — whenMatchedDelete).
+        keyed_merge=KeyedMerge(
+            source=dup_keys,
+            condition=" AND ".join(
+                f"t.`{c}` <=> s.`{c}`" for c in duplication_columns
+            ),
+            matched_delete=True,
+        ),
     )
 
 
@@ -130,10 +139,23 @@ def drop_duplicates_pkey(
     dup_keys = (
         df.groupBy(*duplication_columns).count().filter(F.col("count") > 1).drop("count")
     )
+    # Delta form: the non-survivors (rank > 1 under the pkey order) are
+    # identified by primary key; MERGE deletes exactly those rows.
+    w = Window.partitionBy(*duplication_columns).orderBy(primary_key)
+    losers = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(primary_key)
+    )
     table.merge_overwrite(
         drop_duplicates_pkey_post(df, [primary_key], duplication_columns),
         operation="MERGE-DELETE",
         touched_keys=(duplication_columns[0], dup_keys.select(duplication_columns[0])),
+        keyed_merge=KeyedMerge(
+            source=losers,
+            condition=f"t.`{primary_key}` = s.`{primary_key}`",
+            matched_delete=True,
+        ),
     )
 
 

@@ -34,7 +34,67 @@ from typing import List, Union
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mack_spark.tables import ManagedTable
+from mack_spark.tables import KeyedMerge, ManagedTable
+
+
+def scd2_keyed_merge(
+    base: DataFrame,
+    updates: DataFrame,
+    primary_key: str,
+    attr_col_names: List[str],
+    is_current_col_name: str,
+    effective_time_col_name: str,
+    end_time_col_name: str,
+) -> KeyedMerge:
+    """The SCD2 upsert as a native keyed MERGE — the reference's staged
+    dual-row idiom verbatim (reference mack/__init__.py:99-140): each
+    update row is staged twice, once with ``mergeKey = NULL`` when it
+    closes a changed current row (NULL never matches, forcing the
+    insert clause) and once with ``mergeKey = primary_key``. On a Delta
+    backend this compiles to ``DeltaTable.merge`` and rewrites only
+    files containing matched keys; the parquet backend ignores it in
+    favor of the equivalent ``scd2_post_state`` plan.
+    """
+    changed_sql = " OR ".join(
+        f"staged.`{a}` <> base.`{a}`" for a in attr_col_names
+    )
+    b_cur = base.where(F.col(is_current_col_name) == F.lit(True))
+    closers = (
+        updates.alias("u")
+        .join(b_cur.alias("b"), F.col(f"u.{primary_key}") == F.col(f"b.{primary_key}"))
+        .where(
+            reduce(
+                lambda acc, a: acc | (F.col(f"u.{a}") != F.col(f"b.{a}")),
+                attr_col_names[1:],
+                F.col(f"u.{attr_col_names[0]}") != F.col(f"b.{attr_col_names[0]}"),
+            )
+        )
+        .select(F.lit(None).cast(base.schema[primary_key].dataType).alias("mergeKey"), "u.*")
+    )
+    staged = closers.unionByName(
+        updates.select(F.col(primary_key).alias("mergeKey"), "*")
+    )
+    insert_values = {
+        primary_key: f"staged.`{primary_key}`",
+        **{a: f"staged.`{a}`" for a in attr_col_names},
+        is_current_col_name: "true",
+        effective_time_col_name: f"staged.`{effective_time_col_name}`",
+        end_time_col_name: "null",
+    }
+    return KeyedMerge(
+        source=staged,
+        condition=f"base.`{primary_key}` = staged.mergeKey",
+        target_alias="base",
+        source_alias="staged",
+        matched_update={
+            is_current_col_name: "false",
+            end_time_col_name: f"staged.`{effective_time_col_name}`",
+        },
+        matched_update_condition=(
+            f"base.`{is_current_col_name}` = true AND ({changed_sql})"
+        ),
+        not_matched_insert=insert_values,
+    )
 
 
 def type_2_scd_upsert(
@@ -195,4 +255,13 @@ def type_2_scd_generic_upsert(
         operation="MERGE",
         touched_partitions=touched,
         touched_keys=(primary_key, updates_df.select(primary_key)),
+        keyed_merge=scd2_keyed_merge(
+            base,
+            updates_df,
+            primary_key,
+            attr_col_names,
+            is_current_col_name,
+            effective_time_col_name,
+            end_time_col_name,
+        ),
     )

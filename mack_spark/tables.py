@@ -37,6 +37,7 @@ the plan shape (join → filter → union) is identical.
 
 from __future__ import annotations
 
+import dataclasses
 import datetime
 import json
 import os
@@ -52,6 +53,63 @@ from pyspark.sql.types import StructType
 
 META_FILE = "_mack_meta.json"
 COMMITS_DIR = "_commits"
+
+
+@dataclasses.dataclass
+class KeyedMerge:
+    """Declarative description of a keyed MERGE, for backends with a
+    native MERGE executor (Delta Lake). Operators that can express
+    their mutation as match/insert/delete clauses attach one of these
+    alongside the post-state plan; the parquet ManagedTable ignores it
+    (it commits the post-state), while DeltaBackedTable compiles it to
+    ``DeltaTable.merge`` — Delta then rewrites only files with matching
+    keys (reference mack/__init__.py:125-139), the file-pruned behavior
+    the reference gets for free.
+
+    ``condition`` and every expression string are SQL over
+    ``target_alias`` / ``source_alias`` columns, exactly as
+    ``DeltaTable.alias(...).merge(...)`` consumes them.
+    ``not_matched_insert`` is either the string ``"*"``
+    (``whenNotMatchedInsertAll``) or a column→expression map.
+    ``matched_delete`` is True or a condition string.
+    """
+
+    source: DataFrame
+    condition: str
+    target_alias: str = "t"
+    source_alias: str = "s"
+    matched_update: Optional[Dict[str, str]] = None
+    matched_update_condition: Optional[str] = None
+    matched_delete: Union[bool, str, None] = None
+    not_matched_insert: Union[str, Dict[str, str], None] = None
+
+
+def apply_keyed_merge(dt, km: KeyedMerge) -> None:
+    """Compile a :class:`KeyedMerge` onto a ``DeltaTable``-shaped merge
+    builder (``alias → merge → whenMatched*/whenNotMatched* → execute``).
+    Factored out of DeltaBackedTable so the clause construction is
+    testable without delta-spark on the classpath
+    (tests/test_backend_seam.py drives it with a recording fake)."""
+    m = dt.alias(km.target_alias).merge(
+        km.source.alias(km.source_alias), km.condition
+    )
+    if km.matched_update:
+        if km.matched_update_condition:
+            m = m.whenMatchedUpdate(
+                condition=km.matched_update_condition, set=km.matched_update
+            )
+        else:
+            m = m.whenMatchedUpdate(set=km.matched_update)
+    if km.matched_delete:
+        if isinstance(km.matched_delete, str):
+            m = m.whenMatchedDelete(condition=km.matched_delete)
+        else:
+            m = m.whenMatchedDelete()
+    if km.not_matched_insert == "*":
+        m = m.whenNotMatchedInsertAll()
+    elif isinstance(km.not_matched_insert, dict):
+        m = m.whenNotMatchedInsert(values=km.not_matched_insert)
+    m.execute()
 
 
 class ConcurrentModificationError(RuntimeError):
@@ -530,8 +588,13 @@ class ManagedTable:
         operation: str,
         touched_partitions: Optional[List[dict]] = None,
         touched_keys: Optional[tuple] = None,
+        keyed_merge: Optional[KeyedMerge] = None,
     ) -> None:
         """Commit a merge-style mutation expressed as a post-state plan.
+
+        ``keyed_merge`` is accepted (and ignored) for interface parity
+        with DeltaBackedTable, which compiles it to a native MERGE; the
+        parquet backend always commits the equivalent ``post_state``.
 
         SCALE: when the caller knows which partitions the mutation can
         touch (``touched_partitions``: list of ``{part_col: value}``
@@ -703,7 +766,13 @@ class DeltaBackedTable:
         operation: str,
         touched_partitions: Optional[List[dict]] = None,
         touched_keys: Optional[tuple] = None,
+        keyed_merge: Optional[KeyedMerge] = None,
     ) -> None:
+        if keyed_merge is not None:
+            # Native file-pruned path: Delta MERGE rewrites only files
+            # containing matching keys; the post_state plan is unused.
+            apply_keyed_merge(self._dt, keyed_merge)
+            return
         w = post_state.write.format("delta").mode("overwrite")
         if touched_partitions:
             # Delta's native file-pruned overwrite: only partitions

@@ -91,3 +91,107 @@ def test_delta_adapter_requires_delta(spark, tmp_path):
         pytest.skip("delta-spark installed; adapter is constructible")
     with pytest.raises(ImportError):
         DeltaBackedTable(spark, str(tmp_path))
+
+
+# ------------------------------------------------------------- keyed merge
+# KeyedMerge clause construction, driven with a recording fake so the
+# Delta MERGE path is interface-tested without delta-spark installed.
+
+
+class _FakeBuilder:
+    def __init__(self, log):
+        self.log = log
+
+    def merge(self, source, condition):
+        self.log.append(("merge", condition))
+        return self
+
+    def whenMatchedUpdate(self, condition=None, set=None):
+        self.log.append(("whenMatchedUpdate", condition, dict(set)))
+        return self
+
+    def whenMatchedDelete(self, condition=None):
+        self.log.append(("whenMatchedDelete", condition))
+        return self
+
+    def whenNotMatchedInsertAll(self):
+        self.log.append(("whenNotMatchedInsertAll",))
+        return self
+
+    def whenNotMatchedInsert(self, values=None):
+        self.log.append(("whenNotMatchedInsert", dict(values)))
+        return self
+
+    def execute(self):
+        self.log.append(("execute",))
+
+
+class _FakeDeltaTable:
+    def __init__(self):
+        self.log = []
+
+    def alias(self, a):
+        self.log.append(("alias", a))
+        return _FakeBuilder(self.log)
+
+
+def _scd_frames(spark):
+    base = spark.createDataFrame(
+        [(1, "A", True, None, None)],
+        "pkey int, attr string, is_current boolean, effective_time timestamp, end_time timestamp",
+    )
+    updates = spark.createDataFrame(
+        [(1, "A2", None)], "pkey int, attr string, effective_time timestamp"
+    )
+    return base, updates
+
+
+def test_scd2_keyed_merge_compiles_reference_clauses(spark):
+    from mack_spark.scd import scd2_keyed_merge
+    from mack_spark.tables import apply_keyed_merge
+
+    base, updates = _scd_frames(spark)
+    km = scd2_keyed_merge(
+        base, updates, "pkey", ["attr"],
+        "is_current", "effective_time", "end_time",
+    )
+    # staged source carries the dual-row mergeKey idiom
+    assert km.source.columns[0] == "mergeKey"
+    staged = {(r["mergeKey"], r["attr"]) for r in km.source.collect()}
+    assert staged == {(None, "A2"), (1, "A2")}
+
+    fake = _FakeDeltaTable()
+    apply_keyed_merge(fake, km)
+    ops = [e[0] for e in fake.log]
+    assert ops == ["alias", "merge", "whenMatchedUpdate", "whenNotMatchedInsert", "execute"]
+    assert fake.log[1][1] == "base.`pkey` = staged.mergeKey"
+    upd_cond, upd_set = fake.log[2][1], fake.log[2][2]
+    assert "base.`is_current` = true" in upd_cond and "staged.`attr` <> base.`attr`" in upd_cond
+    assert upd_set == {"is_current": "false", "end_time": "staged.`effective_time`"}
+    ins = fake.log[3][1]
+    assert ins["pkey"] == "staged.`pkey`" and ins["is_current"] == "true"
+    assert ins["end_time"] == "null"
+
+
+def test_kill_duplicates_keyed_merge_is_delete(spark):
+    from mack_spark.tables import KeyedMerge, apply_keyed_merge
+
+    src = spark.createDataFrame([(1,)], ["c1"])
+    km = KeyedMerge(source=src, condition="t.`c1` <=> s.`c1`", matched_delete=True)
+    fake = _FakeDeltaTable()
+    apply_keyed_merge(fake, km)
+    assert ("whenMatchedDelete", None) in fake.log
+    assert ("whenNotMatchedInsertAll",) not in fake.log
+
+
+def test_managed_table_ignores_keyed_merge(spark, tmp_path):
+    """The parquet backend commits the post-state even when a KeyedMerge
+    rides along (it has no MERGE executor)."""
+    import mack_spark as mk
+
+    t = ManagedTable.create(
+        spark, str(tmp_path / "km"),
+        df=spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["pkey", "c1"]),
+    )
+    mk.kill_duplicates(t, ["c1"])
+    assert [r["c1"] for r in t.toDF().collect()] == ["b"]
