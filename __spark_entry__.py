@@ -844,6 +844,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_ivf"] = q_knn_ivf
 
+    def q_knn_ivf_kmeans(spark, sf_dir):
+        # Production IVF path: Spark-ML k-means coarse quantizer under a
+        # fixed seed. No oracle entry — k-means isn't SQL-expressible —
+        # so the driver records the weaker rows-only check; recall vs
+        # brute force is asserted in tests/test_similarity_recall.py
+        # (0.945 at equal candidate budget vs LSH multi-table's 0.922).
+        from mack_spark.operators import ivf_topk
+
+        emb = _t(spark, sf_dir, "embeddings")
+        return ivf_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 10),
+            k=5,
+            n_cells=16,
+            n_probe=4,
+            centroids="kmeans",
+        )
+
+    q["knn_ivf_kmeans"] = q_knn_ivf_kmeans
+
     def q_norms(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
         return emb.select(

@@ -408,35 +408,67 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_scores: int = 4,
+    centroids: str = "first",
+    seed: int = 42,
+    fit_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into ``n_cells``
     inverted lists, probe the ``n_probe`` closest lists per query, and
     brute-force only inside the probed lists.
 
-    The coarse quantizer is deterministic — centroids are the
-    ``n_cells`` lowest-id corpus vectors — so any SQL engine can
-    reproduce the exact cell assignment (no k-means randomness). At
-    scale the interesting properties hold regardless of centroid
-    quality: assignment is one broadcast (centroids) + map-side argmax
-    (partial aggregation collapses the n_cells candidate rows per
-    vector before any shuffle), and the candidate join shuffles on the
-    cell id, so each executor scores ~``n_probe/n_cells`` of the
-    corpus per query block instead of all of it. Swap the centroid
-    seed for Spark-ML k-means centers in production; the plan shape is
-    unchanged.
+    Two coarse quantizers, one plan:
+
+    * ``centroids="kmeans"`` (the production path): Spark-ML k-means
+      under a fixed ``seed`` — centroids adapt to the data's density,
+      which is what makes probed lists contain the true neighbors.
+      ``fit_fraction`` subsamples the fit at scale (centroid quality
+      needs only a sample; assignment still covers every vector).
+      Recall is measured against brute force in
+      tests/test_similarity_recall.py.
+    * ``centroids="first"``: the ``n_cells`` lowest-id corpus vectors —
+      fully deterministic, so any SQL engine reproduces the exact cell
+      assignment (the oracle-checkable form the declared query uses).
+
+    At scale the interesting properties hold under either quantizer:
+    assignment is one broadcast (centroids) + map-side argmax (partial
+    aggregation collapses the n_cells candidate rows per vector before
+    any shuffle), and the candidate join shuffles on the cell id, so
+    each executor scores ~``n_probe/n_cells`` of the corpus per query
+    block instead of all of it.
 
     Returns ``(query_id, neighbor_id, cos_sim, rank)`` — same contract
     as :func:`brute_force_topk` (self-matches excluded).
     """
-    cents = F.broadcast(
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("cvec"),
-            mf.l2_norm(F.col(vec_col)).alias("cnrm"),
+    if centroids == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        fit_df = corpus.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
         )
-    )
+        if fit_fraction < 1.0:
+            fit_df = fit_df.sample(fit_fraction, seed)
+        model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(fit_df)
+        centers = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        cents = F.broadcast(
+            corpus.sparkSession.createDataFrame(
+                centers, "cid bigint, cvec array<double>"
+            ).select("cid", "cvec", mf.l2_norm(F.col("cvec")).alias("cnrm"))
+        )
+    elif centroids == "first":
+        cents = F.broadcast(
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).alias("cvec"),
+                mf.l2_norm(F.col(vec_col)).alias("cnrm"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown centroids mode: {centroids!r}")
 
     def assign(df: DataFrame, out_id: str, out_vec: str, top: int) -> DataFrame:
         scored = df.select(
