@@ -205,6 +205,32 @@ class ManagedTable:
         target = self._claim_version(meta, operation)
         self._finalize(meta, operation, target, new_snapshot=new_snapshot)
 
+    def _plan_retention(self, meta: dict, old_snapshot: str) -> List[str]:
+        """Decide the outgoing snapshot's fate under the
+        ``mack.retain_snapshots`` table property (default 0: delete
+        immediately — the pre-time-travel behavior). With N > 0 the last
+        N replaced snapshots stay on disk and readable
+        (``toDF(version=...)`` / ``restore``), Delta-style time travel
+        with an explicit retention knob instead of a VACUUM horizon.
+        Mutates ``meta['retained']`` (so it rides the same commit) and
+        returns the dirs to physically delete AFTER the commit succeeds.
+        Hard-linked files shared with newer snapshots survive deletion
+        of the dir that first wrote them (inode refcounting).
+        """
+        try:
+            retain = int(meta.get("properties", {}).get("mack.retain_snapshots", 0))
+        except (TypeError, ValueError):
+            retain = 0
+        retained = meta.setdefault("retained", [])
+        to_delete = []
+        if retain > 0:
+            retained.append({"version": meta["version"], "dir": old_snapshot})
+            while len(retained) > retain:
+                to_delete.append(retained.pop(0)["dir"])
+        else:
+            to_delete.append(old_snapshot)
+        return to_delete
+
     # ------------------------------------------------------------------ create
     @classmethod
     def create(
@@ -272,8 +298,16 @@ class ManagedTable:
         meta = meta or self._read_meta()
         return os.path.join(self.path, meta["current"])
 
-    def toDF(self) -> DataFrame:
+    def toDF(self, version: Optional[int] = None) -> DataFrame:
         """Current snapshot as a DataFrame (mirrors ``DeltaTable.toDF()``).
+
+        ``version`` time-travels to a RETAINED snapshot (Delta's
+        ``versionAsOf``): available for the last ``mack.retain_snapshots``
+        replaced versions (table property, default 0 = no retention).
+        Retained snapshots are read with the CURRENT declared schema —
+        columns added since surface as NULLs, columns dropped since are
+        absent — matching how Delta reads old files through the live
+        table schema.
 
         Reads with the *declared* schema: files written before a
         merge-schema append lack the newer columns (surfaced as NULLs),
@@ -282,13 +316,65 @@ class ManagedTable:
         scan (Catalyst ``PushedFilters``).
         """
         meta = self._read_meta()
+        snap_dir = self._snapshot_dir(meta)
+        if version is not None and version != meta["version"]:
+            entry = next(
+                (s for s in meta.get("retained", []) if s["version"] == version),
+                None,
+            )
+            if entry is None:
+                avail = [s["version"] for s in meta.get("retained", [])]
+                raise ValueError(
+                    f"version {version} is not retained (current="
+                    f"{meta['version']}, retained={avail}); set the "
+                    f"'mack.retain_snapshots' table property to keep "
+                    f"replaced snapshots readable"
+                )
+            snap_dir = os.path.join(self.path, entry["dir"])
         reader = self.spark.read.schema(
             StructType.fromJson(json.loads(meta["schema"]))
         )
         if meta["partition_columns"]:
             # Partition discovery needs basePath so partition cols survive.
-            reader = reader.option("basePath", self._snapshot_dir(meta))
-        return reader.parquet(self._snapshot_dir(meta))
+            reader = reader.option("basePath", snap_dir)
+        return reader.parquet(snap_dir)
+
+    def restore(self, version: int) -> None:
+        """RESTORE TABLE ... TO VERSION AS OF: commit a NEW version whose
+        content is the retained snapshot's content (history moves
+        forward, as in Delta — a restore is an operation, not an undo).
+        The restored files are hard-linked, so the restore itself is
+        metadata-speed regardless of table size."""
+        meta = self._read_meta()
+        entry = next(
+            (s for s in meta.get("retained", []) if s["version"] == version), None
+        )
+        if entry is None:
+            raise ValueError(f"version {version} is not retained")
+        src = os.path.join(self.path, entry["dir"])
+        old_snapshot = meta["current"]
+        new_snapshot = f"v={meta['version'] + 1}-{uuid.uuid4().hex[:8]}"
+        new_dir = os.path.join(self.path, new_snapshot)
+        for root, _dirs, names in os.walk(src):
+            rel = os.path.relpath(root, src)
+            dest = new_dir if rel == "." else os.path.join(new_dir, rel)
+            os.makedirs(dest, exist_ok=True)
+            for n in names:
+                if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                    try:
+                        os.link(os.path.join(root, n), os.path.join(dest, n))
+                    except OSError:
+                        shutil.copy2(os.path.join(root, n), os.path.join(dest, n))
+        to_delete = self._plan_retention(meta, old_snapshot)
+        try:
+            self._commit(
+                meta, f"RESTORE VERSION AS OF {version}", new_snapshot=new_snapshot
+            )
+        except ConcurrentModificationError:
+            shutil.rmtree(new_dir, ignore_errors=True)
+            raise
+        for d in to_delete:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     @property
     def declared_schema(self) -> StructType:
@@ -397,12 +483,14 @@ class ManagedTable:
         meta["partition_columns"] = list(parts or [])
         if schema_change:
             meta["schema"] = df.schema.json()
+        to_delete = self._plan_retention(meta, old_snapshot)
         try:
             self._commit(meta, operation, new_snapshot=new_snapshot)
         except ConcurrentModificationError:
             shutil.rmtree(os.path.join(self.path, new_snapshot), ignore_errors=True)
             raise
-        shutil.rmtree(os.path.join(self.path, old_snapshot), ignore_errors=True)
+        for d in to_delete:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     def _file_key_stats(self, files: List[str], key_col: str):
         """Per-file (min, max, has_nulls) of ``key_col`` from parquet
@@ -574,12 +662,14 @@ class ManagedTable:
                 os.link(f, dest)
             except OSError:
                 shutil.copy2(f, dest)
+        to_delete = self._plan_retention(meta, old_snapshot)
         try:
             self._commit(meta, operation, new_snapshot=new_snapshot)
         except ConcurrentModificationError:
             shutil.rmtree(new_dir, ignore_errors=True)
             raise
-        shutil.rmtree(os.path.join(self.path, old_snapshot), ignore_errors=True)
+        for d in to_delete:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         return True
 
     def merge_overwrite(
@@ -673,12 +763,14 @@ class ManagedTable:
                         os.link(os.path.join(root, n), os.path.join(dest, n))
                     except OSError:
                         shutil.copy2(os.path.join(root, n), os.path.join(dest, n))
+        to_delete = self._plan_retention(meta, old_snapshot)
         try:
             self._commit(meta, operation, new_snapshot=new_snapshot)
         except ConcurrentModificationError:
             shutil.rmtree(new_dir, ignore_errors=True)
             raise
-        shutil.rmtree(old_dir, ignore_errors=True)
+        for d in to_delete:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     # ---------------------------------------------------------------- props
     def set_properties(self, props: Dict[str, str]) -> None:
@@ -922,7 +1014,9 @@ def file_sizes(table: ManagedTable) -> Dict[str, Union[int, float]]:
 
 
 def optimize_compact(
-    table: ManagedTable, target_file_bytes: int = 128 * 1024 * 1024
+    table: ManagedTable,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: Optional[List[str]] = None,
 ) -> Dict[str, int]:
     """OPTIMIZE-style small-file compaction: rewrite the current
     snapshot into ``max(1, ceil(size / target_file_bytes))`` files.
@@ -934,15 +1028,26 @@ def optimize_compact(
     parquet row-group / HDFS-block sweet spot. Partitioned tables keep
     their partitioning (the repartition happens within the write).
 
+    ``sort_by`` range-clusters the rewrite on the given columns
+    (``OPTIMIZE ... ZORDER BY``'s one-dimensional cousin): files get
+    disjoint key ranges, which is exactly what makes
+    ``merge_overwrite(touched_keys=...)``'s footer-stats file pruning
+    effective — run a keyed compaction once, and every subsequent keyed
+    merge rewrites only the files whose range the keys hit. For true
+    multi-column locality use :func:`mack_spark.operators.zorder_by`.
+
     Returns ``{"files_before": int, "files_after": int}``.
     """
     import math
 
     before = table.detail()
     n = max(1, math.ceil(before["sizeInBytes"] / target_file_bytes))
-    table.overwrite(
-        table.toDF().repartition(n), operation="OPTIMIZE", schema_change=False
-    )
+    df = table.toDF()
+    if sort_by:
+        df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n)
+    table.overwrite(df, operation="OPTIMIZE", schema_change=False)
     return {
         "files_before": before["numFiles"],
         "files_after": table.detail()["numFiles"],
