@@ -29,6 +29,7 @@ from mack_spark.tables import (
     ManagedTable,
     copy_table,
     rename_table,
+    rename_catalog_table,
     latest_version,
     file_sizes,
     optimize_compact,
@@ -66,6 +67,7 @@ __all__ = [
     "constraint_append",
     "copy_table",
     "rename_table",
+    "rename_catalog_table",
     "latest_version",
     "file_sizes",
     "optimize_compact",

@@ -303,7 +303,16 @@ def foreach_batch_scd2(
             effective_time_col_name,
             end_time_col_name,
         )
-        table.merge_overwrite(post, operation="STREAMING-MERGE")
+        # File-pruned per-epoch commit: a micro-batch touches only its
+        # own keys, so on a key-clustered table each epoch rewrites only
+        # the files whose range the batch hits (tables.py footer-stats
+        # pruning) — the property that keeps per-epoch MERGE cost
+        # proportional to batch size, not table size, at 100 TB.
+        table.merge_overwrite(
+            post,
+            operation="STREAMING-MERGE",
+            touched_keys=(primary_key, deduped.select(primary_key)),
+        )
         meta = table._read_meta()
         meta["history"][-1]["streaming_epoch"] = epoch_id
         table._write_meta(meta)
@@ -404,7 +413,14 @@ def foreach_batch_rollup(
                 F.sum("value_fp").alias("value_fp"),
             )
         )
-        table.merge_overwrite(merged, operation="STREAMING-ROLLUP")
+        # Groups absent from this batch aggregate to themselves —
+        # identity outside the batch's keys, so footer-stats pruning
+        # applies on a key-clustered rollup table.
+        table.merge_overwrite(
+            merged,
+            operation="STREAMING-ROLLUP",
+            touched_keys=(group_cols[0], partial.select(group_cols[0])),
+        )
         meta = table._read_meta()
         meta["history"][-1]["streaming_epoch"] = epoch_id
         table._write_meta(meta)

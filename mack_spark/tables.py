@@ -992,6 +992,21 @@ def rename_table(table: ManagedTable, new_path: str) -> ManagedTable:
     return ManagedTable(table.spark, new_path)
 
 
+def rename_catalog_table(spark: SparkSession, old_name: str, new_name: str) -> None:
+    """Rename a METASTORE-registered table with one DDL statement — the
+    reference's Databricks branch (reference mack/__init__.py:733:
+    ``ALTER TABLE ... RENAME TO``), which renames in catalog metadata
+    without touching data files or history. The path-based twin is
+    :func:`rename_table`. Works against any Spark catalog (tested on
+    the local session catalog; on a Hive/Unity metastore it is the same
+    statement).
+    """
+    if not old_name or not new_name:
+        raise TypeError("both old_name and new_name must be provided")
+    quote = lambda n: ".".join(f"`{p}`" for p in n.split("."))  # noqa: E731
+    spark.sql(f"ALTER TABLE {quote(old_name)} RENAME TO {quote(new_name)}")
+
+
 def latest_version(table: ManagedTable) -> int:
     """Max version in history (reference mack/__init__.py:616-627)."""
     return max(h["version"] for h in table.history())

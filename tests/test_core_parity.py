@@ -492,3 +492,21 @@ def test_reference_name_aliases():
     assert mk.delta_file_sizes is mk.file_sizes
     assert mk.show_delta_file_sizes is mk.show_file_sizes
     assert mk.rename_delta_table is mk.rename_table
+
+
+def test_rename_catalog_table(spark, tmp_path):
+    """The reference's Databricks rename branch (ALTER TABLE RENAME TO)
+    against the local session catalog: data and properties survive, the
+    old name stops resolving."""
+    spark.sql("DROP TABLE IF EXISTS rct_src")
+    spark.sql("DROP TABLE IF EXISTS rct_dst")
+    spark.createDataFrame([(1, "a")], ["id", "v"]).write.saveAsTable("rct_src")
+    try:
+        mk.rename_catalog_table(spark, "rct_src", "rct_dst")
+        assert spark.table("rct_dst").count() == 1
+        assert not spark.catalog.tableExists("rct_src")
+        with pytest.raises(TypeError):
+            mk.rename_catalog_table(spark, "", "x")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rct_src")
+        spark.sql("DROP TABLE IF EXISTS rct_dst")
