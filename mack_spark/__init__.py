@@ -33,6 +33,7 @@ from mack_spark.tables import (
     latest_version,
     file_sizes,
     optimize_compact,
+    vacuum,
     show_file_sizes,
     delta_file_sizes,
     show_delta_file_sizes,
@@ -71,6 +72,7 @@ __all__ = [
     "latest_version",
     "file_sizes",
     "optimize_compact",
+    "vacuum",
     "show_file_sizes",
     "delta_file_sizes",
     "show_delta_file_sizes",

@@ -992,6 +992,36 @@ def rename_table(table: ManagedTable, new_path: str) -> ManagedTable:
     return ManagedTable(table.spark, new_path)
 
 
+def vacuum(table: ManagedTable, dry_run: bool = False) -> List[str]:
+    """Delete files no live version references — Delta's ``VACUUM``
+    for this layout. Removable garbage accumulates from (a) writers that
+    crashed mid-stage (``.staging-*`` dirs), (b) commit-CAS losers that
+    died before their own cleanup ran (orphan ``v=*`` dirs), and (c)
+    nothing else: the current snapshot, every retained snapshot, and the
+    commit markers are live by definition.
+
+    Safe under the commit protocol: a CONCURRENT writer stages into
+    ``.staging-*``/unique ``v=*`` dirs *before* claiming a version, so
+    vacuum can race it — run vacuum when no writer is active (the same
+    operational contract as Delta VACUUM with retention 0).
+
+    Returns the deleted (or, with ``dry_run``, deletable) paths.
+    """
+    meta = table._read_meta()
+    live = {meta["current"]} | {s["dir"] for s in meta.get("retained", [])}
+    doomed = []
+    for name in sorted(os.listdir(table.path)):
+        full = os.path.join(table.path, name)
+        if not os.path.isdir(full) or name == COMMITS_DIR:
+            continue
+        if (name.startswith("v=") or name.startswith(".staging-")) and name not in live:
+            doomed.append(full)
+    if not dry_run:
+        for d in doomed:
+            shutil.rmtree(d, ignore_errors=True)
+    return doomed
+
+
 def rename_catalog_table(spark: SparkSession, old_name: str, new_name: str) -> None:
     """Rename a METASTORE-registered table with one DDL statement — the
     reference's Databricks branch (reference mack/__init__.py:733:

@@ -89,3 +89,21 @@ def test_compact_sort_by_clusters_for_pruning(spark, tmp_path):
     assert len(ivs) == len(stats)
     for (alo, ahi), (blo, bhi) in zip(ivs, ivs[1:]):
         assert ahi < blo, ivs
+
+
+def test_vacuum_removes_orphans_keeps_live(spark, tmp_path):
+    import os
+
+    t = _mk(spark, tmp_path, retain=1)
+    t.overwrite(spark.createDataFrame([(1, "v1")], "id int, v string"))
+    # fabricate crash debris: an orphan snapshot dir and a stale staging dir
+    os.makedirs(os.path.join(t.path, "v=99-deadbeef"))
+    os.makedirs(os.path.join(t.path, ".staging-deadbeef"))
+    doomed = mk.vacuum(t, dry_run=True)
+    assert {os.path.basename(d) for d in doomed} == {"v=99-deadbeef", ".staging-deadbeef"}
+    mk.vacuum(t)
+    names = set(os.listdir(t.path))
+    assert "v=99-deadbeef" not in names and ".staging-deadbeef" not in names
+    # live current + retained snapshots still readable
+    assert t.toDF().collect()[0].v == "v1"
+    assert t.toDF(version=0).collect()[0].v == "v0"
