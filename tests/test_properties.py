@@ -116,3 +116,56 @@ def test_salted_left_join_keeps_unmatched_once(spark):
 
     with _pytest.raises(ValueError, match="inner/left"):
         salted_join(left, right, "k", "rk", how="full")
+
+
+# ---------------------------------------------------------- pruned merge
+# The file-pruned merge (tables.py _merge_file_pruned) must be
+# result-equivalent to a full-snapshot rewrite for ANY physical layout:
+# random clustering (overlapping file ranges -> closure degrades toward
+# full rewrite), range clustering, NULL keys, out-of-range inserts.
+
+
+@given(st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=6, deadline=None)
+def test_file_pruned_merge_equals_full_rewrite(seed):
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    from mack_spark.dedup import drop_duplicates_pkey_post
+    from mack_spark.tables import ManagedTable
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[4]"
+    ).getOrCreate()
+    rng = random.Random(seed)
+    n = rng.randint(20, 80)
+    null_every = rng.choice([0, 7])  # some runs have NULL dup keys
+    rows = []
+    for i in range(n):
+        c1 = rng.randint(0, 14)
+        rows.append(
+            (i, None if (null_every and c1 % null_every == 0) else c1)
+        )
+    df = spark.createDataFrame(rows, "pkey int, c1 int")
+    layout = rng.choice(["random", "ranged"])
+    if layout == "ranged":
+        df = df.repartitionByRange(rng.randint(2, 5), "c1")
+    else:
+        df = df.repartition(rng.randint(2, 5))
+
+    with tempfile.TemporaryDirectory() as d:
+        pruned = ManagedTable.create(spark, d + "/p", df=df)
+        full = ManagedTable.create(spark, d + "/f", df=df)
+        dup_keys = (
+            df.groupBy("c1").count().filter(F.col("count") > 1).drop("count")
+        )
+        post_p = drop_duplicates_pkey_post(pruned.toDF(), ["pkey"], ["c1"])
+        post_f = drop_duplicates_pkey_post(full.toDF(), ["pkey"], ["c1"])
+        pruned.merge_overwrite(
+            post_p, operation="MERGE-DELETE", touched_keys=("c1", dup_keys)
+        )
+        full.merge_overwrite(post_f, operation="MERGE-DELETE")
+        a = sorted(tuple(r) for r in pruned.toDF().collect())
+        e = sorted(tuple(r) for r in full.toDF().collect())
+        assert a == e, f"seed={seed} layout={layout}: {a} != {e}"
