@@ -411,6 +411,7 @@ def ivf_topk(
     centroids: str = "first",
     seed: int = 42,
     fit_fraction: float = 1.0,
+    max_iter: int = 10,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into ``n_cells``
     inverted lists, probe the ``n_probe`` closest lists per query, and
@@ -448,7 +449,7 @@ def ivf_topk(
         )
         if fit_fraction < 1.0:
             fit_df = fit_df.sample(fit_fraction, seed)
-        model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(fit_df)
+        model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(fit_df)
         centers = [
             (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
         ]
