@@ -922,6 +922,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features"] = q_media_features
 
+    def q_frame_sample(spark, sf_dir):
+        from mack_spark.multimodal import frame_sample_plan
+
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        )
+        out = frame_sample_plan(docs, "payload", "doc_id", every_n=30)
+        return out.select(
+            "doc_id", F.col("frame_index").cast("bigint").alias("frame_index")
+        )
+
+    q["multimodal_frame_sample"] = q_frame_sample
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -2199,6 +2212,18 @@ FROM scored WHERE cos >= 0.3
 SELECT doc_id, 'image' AS media_type, 'png' AS format,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS content_hash
+FROM documents
+"""
+
+    # Frame-sampling plumbing: planned frame indices derive from payload
+    # size (1 KiB ~ one frame, the codec-free stand-in documented in
+    # multimodal.py frame_sample_plan); DuckDB's range() mirrors Spark's
+    # sequence(0, n-1, step) for positive n.
+    o["multimodal_frame_sample"] = """
+SELECT doc_id,
+       unnest(range(0,
+         CAST(floor(octet_length(encode(text)) / 1024) AS BIGINT) + 1,
+         30)) AS frame_index
 FROM documents
 """
 
