@@ -473,6 +473,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_stats"] = q_doc_stats
 
+    def q_curation(spark, sf_dir):
+        # End-to-end corpus curation: language gate -> quality gate ->
+        # exact-dedup survivors, the canonical pretraining-data filter
+        # chain, composed from the same operators the individual
+        # queries verify. Every stage is a groupBy/join plan — the
+        # chain is one Catalyst plan, no materialization between stages.
+        docs = _t(spark, sf_dir, "documents")
+        stats = doc_stats(docs)
+        kept = docs.join(stats, "doc_id").filter(
+            (F.col("lang_guess") == "en") & (F.col("quality") >= 0.8)
+        )
+        surv = kept.groupBy(F.md5("text").alias("h")).agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        return (
+            kept.join(surv.select("doc_id"), "doc_id", "left_semi")
+            .select("doc_id", "lang_guess", "quality", "n_tokens")
+        )
+
+    q["corpus_curation"] = q_curation
+
     def q_rollup(spark, sf_dir):
         return corpus_rollup(_t(spark, sf_dir, "documents"))
 
@@ -1973,6 +1994,22 @@ SELECT doc_id,
        {_quality_sql('text')} AS quality,
        md5(array_to_string(list_sort(list_distinct({toks})), ' ')) AS fingerprint
 FROM documents
+"""
+
+    o["corpus_curation"] = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         {_lang_sql(toks)} AS lang_guess,
+         {_quality_sql('text')} AS quality,
+         CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents
+), kept AS (
+  SELECT * FROM s WHERE lang_guess = 'en' AND quality >= 0.8
+), surv AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+)
+SELECT k.doc_id, k.lang_guess, k.quality, k.n_tokens
+FROM kept k JOIN surv USING (doc_id)
 """
 
     o["corpus_rollup"] = f"""
