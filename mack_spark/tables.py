@@ -596,7 +596,15 @@ class ManagedTable:
                 ]
             ),
         )
-        keys = keys_df.select(F.col(key_col).alias("__k")).distinct()
+        # Evaluate the caller's key plan ONCE: it is consumed twice here
+        # (range join + NULL probe) and may be arbitrarily expensive
+        # (e.g. a dup-detection aggregate over the whole table). The
+        # checkpointed relation is one narrow column of touched keys.
+        keys = (
+            keys_df.select(F.col(key_col).alias("__k"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         touched_ids = {
             r.fid
             for r in keys.join(
@@ -613,9 +621,7 @@ class ManagedTable:
         # a NULL in the touched-key set (possible for dedup group keys)
         # likewise forces NULL rows into the rewrite.
         null_files = {f for f, s in known.items() if s[2]}
-        keys_have_null = (
-            keys_df.filter(F.col(key_col).isNull()).limit(1).count() > 0
-        )
+        keys_have_null = keys.filter(F.col("__k").isNull()).limit(1).count() > 0
         include_nulls = bool(null_files) or keys_have_null
         touched |= null_files
         # Closure: untouched ranges must be disjoint from touched ones,
