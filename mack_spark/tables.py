@@ -529,8 +529,18 @@ class ManagedTable:
                     break
                 if st.null_count is None or st.null_count > 0:
                     nulls = True
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
+                mn, mx = st.min, st.max
+                # Footers without a UTF8 annotation surface BYTE_ARRAY
+                # stats as bytes; normalize so they compare with the
+                # declared string type. (parquet truncates long string
+                # stats but keeps them valid bounds — min rounded down,
+                # max incremented — so pruning stays correct.)
+                if isinstance(mn, bytes):
+                    mn = mn.decode("utf-8", "surrogateescape")
+                if isinstance(mx, bytes):
+                    mx = mx.decode("utf-8", "surrogateescape")
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
             out[path] = (lo, hi, nulls) if ok and lo is not None else None
         return out
 

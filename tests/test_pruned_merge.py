@@ -248,3 +248,38 @@ def test_file_pruned_matches_full_rewrite(spark, tmp_path):
     assert_df_equality(
         pruned.toDF().orderBy("pkey"), full.toDF().orderBy("pkey")
     )
+
+
+def test_file_pruned_merge_string_key(spark, tmp_path):
+    """String-typed merge keys: footer min/max are strings; range
+    pruning and the rewrite filter must behave identically."""
+    df = (
+        spark.range(90)
+        .select(
+            F.concat(F.lit("cust-"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("ckey"),
+            (F.col("id") % 45).cast("int").alias("grp"),
+            F.col("id").cast("int").alias("pkey"),
+        )
+        .repartitionByRange(3, "ckey")
+        .sortWithinPartitions("ckey")
+    )
+    pruned = ManagedTable.create(spark, str(tmp_path / "sp"), df=df)
+    full = ManagedTable.create(spark, str(tmp_path / "sf"), df=df)
+
+    # delete the rows of three specific string keys
+    doomed = spark.createDataFrame(
+        [("cust-0003",), ("cust-0004",), ("cust-0088",)], "ckey string"
+    )
+    post_p = pruned.toDF().join(doomed, "ckey", "left_anti")
+    post_f = full.toDF().join(doomed, "ckey", "left_anti")
+    before = _snapshot_files(pruned)
+    pruned.merge_overwrite(
+        post_p, operation="MERGE-DELETE", touched_keys=("ckey", doomed)
+    )
+    full.merge_overwrite(post_f, operation="MERGE-DELETE")
+    assert_df_equality(
+        pruned.toDF().orderBy("ckey"), full.toDF().orderBy("ckey")
+    )
+    # keys hit files 1 and 3 of 3; the middle file must be hard-linked
+    after = _snapshot_files(pruned)
+    assert len(set(before.values()) & set(after.values())) == 1
