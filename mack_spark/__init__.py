@@ -34,6 +34,8 @@ from mack_spark.tables import (
     file_sizes,
     optimize_compact,
     vacuum,
+    shallow_clone,
+    table_changes,
     show_file_sizes,
     delta_file_sizes,
     show_delta_file_sizes,
@@ -73,6 +75,8 @@ __all__ = [
     "file_sizes",
     "optimize_compact",
     "vacuum",
+    "shallow_clone",
+    "table_changes",
     "show_file_sizes",
     "delta_file_sizes",
     "show_delta_file_sizes",

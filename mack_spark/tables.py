@@ -1008,6 +1008,82 @@ def rename_table(table: ManagedTable, new_path: str) -> ManagedTable:
     return ManagedTable(table.spark, new_path)
 
 
+def shallow_clone(table: ManagedTable, target_path: str) -> ManagedTable:
+    """Zero-copy clone (Delta ``CREATE TABLE ... SHALLOW CLONE``): the
+    clone's snapshot hard-links the source's current data files, so a
+    clone of any size costs metadata only. The clone starts version 0
+    with the source's schema/partitioning/properties and an independent
+    commit history; subsequent writes on either side never affect the
+    other (mutations replace whole files, and hard-linked bytes survive
+    via inode refcounting — same invariant the pruned merge relies on).
+    Unlike Delta, there is no shared transaction log to dangle: deleting
+    the source cannot break the clone.
+    """
+    target_path = os.path.abspath(target_path)
+    if os.path.exists(target_path):
+        raise ValueError(f"target {target_path} already exists")
+    meta = table._read_meta()
+    src_dir = table._snapshot_dir(meta)
+    snap = "v=0"
+    dst_dir = os.path.join(target_path, snap)
+    for root, _dirs, names in os.walk(src_dir):
+        rel = os.path.relpath(root, src_dir)
+        dest = dst_dir if rel == "." else os.path.join(dst_dir, rel)
+        os.makedirs(dest, exist_ok=True)
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                try:
+                    os.link(os.path.join(root, n), os.path.join(dest, n))
+                except OSError:
+                    shutil.copy2(os.path.join(root, n), os.path.join(dest, n))
+    os.makedirs(dst_dir, exist_ok=True)  # empty-source clone still valid
+    new_meta = {
+        "version": 0,
+        "current": snap,
+        "partition_columns": list(meta["partition_columns"]),
+        "schema": meta["schema"],
+        "properties": dict(meta["properties"]),
+        "history": [
+            {
+                "version": 0,
+                "operation": f"SHALLOW CLONE {table.path}",
+                "timestamp": time.time(),
+            }
+        ],
+    }
+    clone = ManagedTable.__new__(ManagedTable)
+    clone.spark = table.spark
+    clone.path = target_path
+    clone._write_meta(new_meta)
+    return ManagedTable(table.spark, target_path)
+
+
+def table_changes(
+    table: ManagedTable, from_version: int, to_version: Optional[int] = None
+) -> DataFrame:
+    """Row-level change feed between two readable versions — Delta
+    Change Data Feed's query surface (``table_changes(...)``), computed
+    by diffing snapshots instead of logging per-commit deltas: inserted
+    rows carry ``_change_type='insert'``, removed rows ``'delete'``; an
+    update appears as its delete+insert pair (CDF's
+    ``update_preimage``/``update_postimage`` without a row identity
+    contract, which a snapshot diff cannot infer).
+
+    Requires both endpoints readable: ``from_version`` retained (the
+    ``mack.retain_snapshots`` property) and ``to_version`` retained or
+    current (default: current). SCALE: one full-outer anti-join pair
+    over the two snapshots — exact, but O(both snapshots); a log-based
+    CDF (Delta's) is cheaper per query, which is why this is the
+    audit/backfill path, not a streaming source.
+    """
+    pre = table.toDF(version=from_version)
+    post = table.toDF(version=to_version) if to_version is not None else table.toDF()
+    cols = pre.columns
+    inserts = post.exceptAll(pre).withColumn("_change_type", F.lit("insert"))
+    deletes = pre.exceptAll(post).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes).select(*cols, "_change_type")
+
+
 def vacuum(table: ManagedTable, dry_run: bool = False) -> List[str]:
     """Delete files no live version references — Delta's ``VACUUM``
     for this layout. Removable garbage accumulates from (a) writers that

@@ -107,3 +107,44 @@ def test_vacuum_removes_orphans_keeps_live(spark, tmp_path):
     # live current + retained snapshots still readable
     assert t.toDF().collect()[0].v == "v1"
     assert t.toDF(version=0).collect()[0].v == "v0"
+
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
+    import os
+
+    src_df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id int, v string"
+    )
+    src = ManagedTable.create(
+        spark, str(tmp_path / "src"), src_df,
+        properties={"team": "x"}, partition_by=None,
+    )
+    clone = mk.shallow_clone(src, str(tmp_path / "clone"))
+    # zero-copy: every clone file shares an inode with a source file
+    src_inodes = {os.stat(f).st_ino for f in src._data_files()}
+    clone_inodes = {os.stat(f).st_ino for f in clone._data_files()}
+    assert clone_inodes <= src_inodes and clone_inodes
+    assert clone.toDF().count() == 10
+    assert clone.detail()["properties"]["team"] == "x"
+    assert mk.latest_version(clone) == 0
+    # independence: mutate the clone, source unchanged; delete source,
+    # clone still readable (inode refcounting keeps shared bytes alive)
+    mk.kill_duplicates(clone, ["v"])  # no dups -> no-op content, new version
+    clone.append(spark.createDataFrame([(99, "new")], "id int, v string"))
+    assert src.toDF().count() == 10
+    import shutil as _sh
+    _sh.rmtree(src.path)
+    assert clone.toDF().count() == 11
+
+
+def test_table_changes_insert_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path, retain=3)
+    t.overwrite(spark.createDataFrame([(1, "v0"), (2, "x")], "id int, v string"))
+    t.overwrite(spark.createDataFrame([(2, "x"), (3, "y")], "id int, v string"))
+    ch = mk.table_changes(t, from_version=1).orderBy("id", "_change_type")
+    rows = [(r.id, r.v, r._change_type) for r in ch.collect()]
+    assert rows == [(1, "v0", "delete"), (3, "y", "insert")]
+    # explicit endpoints: v0 [(1,v0)] -> v1 [(1,v0),(2,x)] = one insert
+    ch2 = mk.table_changes(t, from_version=0, to_version=1)
+    got = {(r.id, r.v, r._change_type) for r in ch2.collect()}
+    assert got == {(2, "x", "insert")}
