@@ -956,6 +956,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_frame_sample"] = q_frame_sample
 
+    def q_resize(spark, sf_dir):
+        from mack_spark.multimodal import resize_media
+
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        )
+        out = resize_media(docs, "payload", "doc_id", target_w=16, target_h=16)
+        # binary column excluded: content_hash audits the payload and the
+        # harness canonicalization can't sort raw bytes
+        return out.select(
+            "doc_id", "in_bytes", "out_w", "out_h", "out_bytes", "content_hash"
+        )
+
+    q["multimodal_resize"] = q_resize
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -2261,6 +2276,20 @@ SELECT doc_id,
        unnest(range(0,
          CAST(floor(octet_length(encode(text)) / 1024) AS BIGINT) + 1,
          30)) AS frame_index
+FROM documents
+"""
+
+    # Resize plumbing stand-in: budget = out_w*out_h bytes, resized =
+    # payload[:budget], hash = md5(resized). The corpus is ASCII (the
+    # deterministic generator emits no multibyte chars — asserted by
+    # length(text) = octet_length(encode(text)) across SFs), so DuckDB's
+    # char-based substr equals the byte truncation Spark hashes.
+    o["multimodal_resize"] = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS in_bytes,
+       16 AS out_w, 16 AS out_h,
+       CAST(least(octet_length(encode(text)), 256) AS BIGINT) AS out_bytes,
+       md5(substr(text, 1, 256)) AS content_hash
 FROM documents
 """
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -120,6 +121,68 @@ def extract_features(
             max(1, narrow.sparkSession.sparkContext.defaultParallelism)
         )
     return narrow.mapInPandas(run, out_schema)
+
+
+def resize_media(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    target_w: int = 16,
+    target_h: int = 16,
+    resize_fn: Optional[Callable[[bytes, int, int], bytes]] = None,
+) -> DataFrame:
+    """Image-resize *plumbing* over Arrow-batched ``mapInPandas``.
+
+    ``resize_fn`` maps (payload, w, h) → resized bytes via a real codec
+    (Pillow's ``Image.open(...).resize(...)``) — absent in this
+    environment, so the default is the documented codec-free stand-in:
+    the output "pixel budget" is ``w*h`` bytes (1 byte/px grayscale)
+    and "resize" truncates the byte stream to that budget. The Spark
+    side — binary in/out schema, Arrow batch shape, per-batch hashing,
+    partition preservation — is real and identical under either fn.
+
+    Returns ``(id_col, resized: binary, in_bytes, out_w, out_h,
+    out_bytes, content_hash)``; ``content_hash`` is the md5 of the
+    resized payload, so any engine can audit the transform.
+    """
+    import hashlib
+
+    fn = resize_fn or (lambda payload, w, h: payload[: w * h])
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("resized", BinaryType(), True),
+            StructField("in_bytes", LongType(), True),
+            StructField("out_w", IntegerType(), True),
+            StructField("out_h", IntegerType(), True),
+            StructField("out_bytes", LongType(), True),
+            StructField("content_hash", StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[binary_col]
+            resized = [
+                None if p is None else fn(bytes(p), target_w, target_h)
+                for p in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "resized": resized,
+                    "in_bytes": [None if p is None else len(p) for p in payloads],
+                    "out_w": [None if r is None else target_w for r in resized],
+                    "out_h": [None if r is None else target_h for r in resized],
+                    "out_bytes": [None if r is None else len(r) for r in resized],
+                    "content_hash": [
+                        None if r is None else hashlib.md5(r).hexdigest()
+                        for r in resized
+                    ],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, out_schema)
 
 
 def frame_sample_plan(

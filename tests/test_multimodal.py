@@ -59,3 +59,27 @@ def test_frame_sample_plan_shape(spark):
 def test_decode_image_is_documented_stub():
     with pytest.raises(NotImplementedError, match="decode_fn"):
         decode_image(b"\x89PNG")
+
+
+def test_resize_media_stub_and_hook(spark):
+    import hashlib
+
+    from mack_spark.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 500), (2, b"short"), (3, None)], "id long, payload binary"
+    )
+    out = resize_media(df, "payload", "id", target_w=4, target_h=4).orderBy("id")
+    rows = out.collect()
+    # stub: truncate to 16-byte budget
+    assert (rows[0].out_bytes, rows[0].in_bytes) == (16, 500)
+    assert rows[0].resized == b"x" * 16
+    assert rows[0].content_hash == hashlib.md5(b"x" * 16).hexdigest()
+    assert (rows[1].out_bytes, rows[1].resized) == (5, b"short")
+    assert rows[2].resized is None and rows[2].content_hash is None
+    # the real-codec hook: any (payload, w, h) -> bytes drops in
+    out2 = resize_media(
+        df.filter("id = 1"), "payload", "id", target_w=2, target_h=3,
+        resize_fn=lambda p, w, h: bytes([len(p) % 256]) * (w * h),
+    ).collect()[0]
+    assert out2.resized == bytes([244]) * 6 and out2.out_bytes == 6
