@@ -46,15 +46,23 @@ def main() -> None:
     # best-of-3, so single-shot timings systematically over-read against
     # it: the first sf-target execution of a plan pays C2 JIT that the
     # sf0.001 warm-up doesn't trigger (measured: dedup_minhash_lsh 2.5s
-    # first run vs 1.2s steady-state in the same session).
+    # first run vs 1.2s steady-state in the same session). The box also
+    # shows transient multi-second external stalls (round-4 measurements
+    # varied 2-3x run-to-run under load), so when the two reps disagree
+    # by >1.5x a third rep arbitrates — bounded cost, and a single stall
+    # can no longer define a query's number.
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        best = float("inf")
+        reps = []
         for _ in range(2):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            reps.append(time.perf_counter() - start)
+        if max(reps) > 1.5 * min(reps):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            reps.append(time.perf_counter() - start)
+        timings[name] = round(min(reps), 3)
 
     result = {
         "metric": "total_wall_seconds_all_queries",
