@@ -169,3 +169,91 @@ def test_file_pruned_merge_equals_full_rewrite(seed):
         a = sorted(tuple(r) for r in pruned.toDF().collect())
         e = sorted(tuple(r) for r in full.toDF().collect())
         assert a == e, f"seed={seed} layout={layout}: {a} != {e}"
+
+
+# ------------------------------------------------------------------ SCD2
+# Randomized SCD2 upserts vs an independent Python model of the
+# reference's semantics (null-unsafe <> change detection, idempotent
+# re-sends, close+insert pairs, brand-new keys insert as current).
+
+
+def _scd2_expected(base_rows, updates, eff):
+    """Expected post-state computed directly from the SCD2 rules
+    (reference mack/__init__.py:99-140), no Spark involved."""
+    out = [dict(r) for r in base_rows]
+    current = {r["pkey"]: r for r in out if r["is_current"]}
+    for u in updates:
+        b = current.get(u["pkey"])
+        if b is None:
+            out.append(
+                dict(pkey=u["pkey"], attr=u["attr"], is_current=True,
+                     effective_time=eff, end_time=None)
+            )
+            continue
+        # null-unsafe <>: a change registers only when both sides are
+        # non-NULL and differ
+        a, bb = u["attr"], b["attr"]
+        changed = a is not None and bb is not None and a != bb
+        if changed:
+            b["is_current"] = False
+            b["end_time"] = eff
+            out.append(
+                dict(pkey=u["pkey"], attr=u["attr"], is_current=True,
+                     effective_time=eff, end_time=None)
+            )
+    return out
+
+
+@given(st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=6, deadline=None)
+def test_scd2_random_batches_match_model(seed):
+    import datetime
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    import mack_spark as mk
+    from mack_spark.tables import ManagedTable
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[4]"
+    ).getOrCreate()
+    rng = random.Random(seed)
+    attrs = [None, "a", "b", "c", "d"]
+    t0 = datetime.datetime(2020, 1, 1)
+    eff = datetime.datetime(2021, 6, 1)
+    n_keys = rng.randint(3, 12)
+    base_rows = [
+        dict(pkey=k, attr=rng.choice(attrs), is_current=True,
+             effective_time=t0, end_time=None)
+        for k in range(n_keys)
+    ]
+    # updates: resends, changes, NULL transitions, brand-new keys;
+    # one row per key (the reference's MERGE source contract)
+    upd_keys = rng.sample(range(n_keys + 5), rng.randint(1, n_keys + 3))
+    updates = [dict(pkey=k, attr=rng.choice(attrs)) for k in upd_keys]
+
+    schema = ("pkey int, attr string, is_current boolean, "
+              "effective_time timestamp, end_time timestamp")
+    with tempfile.TemporaryDirectory() as d:
+        t = ManagedTable.create(
+            spark, d + "/t", df=spark.createDataFrame(
+                [tuple(r.values()) for r in base_rows], schema)
+        )
+        mk.type_2_scd_generic_upsert(
+            t,
+            spark.createDataFrame(
+                [(u["pkey"], u["attr"], eff) for u in updates],
+                "pkey int, attr string, effective_time timestamp",
+            ),
+            "pkey", ["attr"], "is_current", "effective_time", "end_time",
+        )
+        got = sorted(
+            (r.pkey, r.attr, r.is_current, r.effective_time, r.end_time)
+            for r in t.toDF().collect()
+        )
+        want = sorted(
+            (r["pkey"], r["attr"], r["is_current"], r["effective_time"], r["end_time"])
+            for r in _scd2_expected(base_rows, updates, eff)
+        )
+        assert got == want, f"seed={seed}"
