@@ -148,3 +148,26 @@ def test_table_changes_insert_delete(spark, tmp_path):
     ch2 = mk.table_changes(t, from_version=0, to_version=1)
     got = {(r.id, r.v, r._change_type) for r in ch2.collect()}
     assert got == {(2, "x", "insert")}
+
+
+def test_partitioned_pruned_merge_respects_retention(spark, tmp_path):
+    """The partition-pruned merge path routes through the same retention
+    planner: the replaced snapshot stays readable, and its hard-linked
+    untouched partitions are intact in both versions."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "A", "s1"), (2, "B", "s2")], "pkey int, attr string, seg string"
+    )
+    t = ManagedTable.create(
+        spark, str(tmp_path / "pr"), df, partition_by=["seg"],
+        properties={"mack.retain_snapshots": "2"},
+    )
+    post = t.toDF().withColumn(
+        "attr", F.when(F.col("seg") == "s1", F.lit("A2")).otherwise(F.col("attr"))
+    )
+    t.merge_overwrite(post, operation="MERGE", touched_partitions=[{"seg": "s1"}])
+    assert {(r.pkey, r.attr) for r in t.toDF().collect()} == {(1, "A2"), (2, "B")}
+    assert {(r.pkey, r.attr) for r in t.toDF(version=0).collect()} == {
+        (1, "A"), (2, "B"),
+    }
