@@ -53,6 +53,12 @@ from pyspark.sql.types import StructType
 
 META_FILE = "_mack_meta.json"
 COMMITS_DIR = "_commits"
+# A commit marker older than this whose version was never finalized is
+# treated as the debris of a crashed writer and may be reclaimed by the
+# next claimer (Delta-style stale-transaction cleanup). Large enough
+# that no live writer sits between claim and finalize this long (both
+# are driver-local metadata writes, microseconds apart).
+STALE_COMMIT_TTL_SECONDS = 300.0
 
 
 @dataclasses.dataclass
@@ -162,33 +168,108 @@ class ManagedTable:
             json.dump(meta, f, indent=1)
         os.replace(tmp, self._meta_path)
 
-    def _claim_version(self, meta: dict, operation: str) -> int:
+    def _conflict(self, target: int, meta: dict) -> ConcurrentModificationError:
+        return ConcurrentModificationError(
+            f"concurrent write to {self.path}: version {target} was "
+            f"committed by another writer after this operation read "
+            f"version {meta['version']}; re-read the table and retry"
+        )
+
+    def _claim_version(
+        self, meta: dict, operation: str, payload: Optional[dict] = None
+    ) -> int:
         """Claim version N+1 by creating ``_commits/v<N+1>.commit`` with
         O_EXCL — the same put-if-absent protocol Delta's ``_delta_log``
         uses (one file per version; the filesystem arbitrates). Exactly
         one writer wins a given version; the loser raises
         ConcurrentModificationError with its staged work never made
-        visible (the meta pointer still names the winner's snapshot)."""
+        visible (the meta pointer still names the winner's snapshot).
+
+        Crash recovery (Delta-style stale-transaction cleanup): a writer
+        that dies between claim and finalize leaves an orphaned marker
+        with meta never advancing — without recovery every later writer
+        targets the same version and loses the CAS forever (a permanent
+        write wedge). On FileExistsError the claimer re-reads meta: if
+        the marker's version is already committed the conflict is
+        genuine; if meta is still behind AND the marker is older than
+        ``STALE_COMMIT_TTL_SECONDS``, the marker is reclaimed — undoing
+        any half-applied append files it recorded — and the CAS
+        re-raced. After winning, the claimer re-checks the on-disk
+        version: ``vacuum()`` prunes markers only for durably committed
+        versions, so a stale writer that slips through a pruned marker
+        is deterministically caught here and never finalizes."""
         target = meta["version"] + 1
         commits = os.path.join(self.path, COMMITS_DIR)
         os.makedirs(commits, exist_ok=True)
         marker = os.path.join(commits, f"v{target:020d}.commit")
+        fd = None
+        for attempt in (0, 1):
+            try:
+                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if attempt == 0 and self._reclaim_orphan_marker(marker, target):
+                    continue
+                raise self._conflict(target, meta) from None
         try:
-            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise ConcurrentModificationError(
-                f"concurrent write to {self.path}: version {target} was "
-                f"committed by another writer after this operation read "
-                f"version {meta['version']}; re-read the table and retry"
-            ) from None
-        try:
-            os.write(
-                fd,
-                json.dumps({"operation": operation, "timestamp": time.time()}).encode(),
-            )
+            if self._read_meta()["version"] >= target:
+                os.unlink(marker)
+                raise self._conflict(target, meta)
+            body = {"operation": operation, "timestamp": time.time()}
+            if payload:
+                body.update(payload)
+            os.write(fd, json.dumps(body).encode())
         finally:
             os.close(fd)
         return target
+
+    def _reclaim_orphan_marker(self, marker: str, target: int) -> bool:
+        """True iff ``marker`` was orphaned by a crashed writer and has
+        now been removed, so the caller should re-race the CAS. Reclaims
+        only when (a) the on-disk committed version is still below the
+        marker's — a finalized commit is never reclaimed — and (b) the
+        marker is older than ``STALE_COMMIT_TTL_SECONDS``, so an
+        in-flight writer between claim and finalize is never preempted.
+        Any staged-file list a crashed ``append`` recorded in the marker
+        is rolled back first, so a half-applied append can't be made
+        durable by the next commit. Removal is race-safe: concurrent
+        reclaimers both unlink (one wins, the other ignores ENOENT),
+        then re-race the O_EXCL create, which again admits exactly one.
+        """
+        if self._read_meta()["version"] >= target:
+            return False
+        try:
+            st = os.stat(marker)
+        except FileNotFoundError:
+            return True  # another reclaimer got it first; re-race
+        if time.time() - st.st_mtime < STALE_COMMIT_TTL_SECONDS:
+            return False
+        self._undo_marker_files(marker)
+        try:
+            os.unlink(marker)
+        except FileNotFoundError:
+            pass
+        return True
+
+    def _undo_marker_files(self, marker: str) -> None:
+        """Roll back the half-applied append a crashed writer recorded
+        in its marker: unlink every staged file it listed from the live
+        snapshot (files it never got to move are simply absent). Staged
+        names are writer-unique (spark part-<task>-<uuid>), so this
+        never touches another commit's files."""
+        try:
+            with open(marker) as f:
+                body = json.load(f)
+        except (OSError, ValueError):
+            return
+        snap = self._snapshot_dir()
+        for rel in body.get("files") or []:
+            if os.path.isabs(rel) or ".." in rel.split(os.sep):
+                continue
+            try:
+                os.unlink(os.path.join(snap, rel))
+            except OSError:
+                pass
 
     def _finalize(self, meta: dict, operation: str, target: int,
                   new_snapshot: Optional[str] = None) -> None:
@@ -439,17 +520,24 @@ class ManagedTable:
             writer.parquet(staging)
             # Claim the version BEFORE moving files into the live
             # snapshot: a writer that loses the CAS leaves nothing
-            # visible (its staging dir is simply removed).
-            target = self._claim_version(meta, operation)
-            snap = self._snapshot_dir(meta)
+            # visible (its staging dir is simply removed). The staged
+            # file list rides in the marker so a crash between claim
+            # and finalize can be rolled back by the next claimer
+            # (_undo_marker_files) instead of leaving a half-applied
+            # append visible forever.
+            staged = []
             for root, _dirs, names in os.walk(staging):
                 rel = os.path.relpath(root, staging)
                 for n in names:
                     if not n.endswith(".parquet") or n.startswith(("_", ".")):
                         continue
-                    dest_dir = snap if rel == "." else os.path.join(snap, rel)
-                    os.makedirs(dest_dir, exist_ok=True)
-                    os.replace(os.path.join(root, n), os.path.join(dest_dir, n))
+                    staged.append(n if rel == "." else os.path.join(rel, n))
+            target = self._claim_version(meta, operation, payload={"files": staged})
+            snap = self._snapshot_dir(meta)
+            for rel in staged:
+                dest = os.path.join(snap, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.replace(os.path.join(staging, rel), dest)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         self._finalize(meta, operation, target)
@@ -497,8 +585,8 @@ class ManagedTable:
         footers — a driver-side metadata-only read, O(#files), the same
         information Delta keeps per-file in its transaction log
         (``stats.minValues/maxValues/nullCount``). Returns ``None`` for
-        a file whose statistics are missing (caller must treat it as
-        touched)."""
+        a file whose statistics are missing (caller must disable
+        pruning — a range-less file voids the disjointness closure)."""
         import pyarrow.parquet as pq
 
         out = {}
@@ -588,10 +676,17 @@ class ManagedTable:
         if len(files) < 2:
             return False
         stats = self._file_key_stats(files, key_col)
-        known = {f: s for f, s in stats.items() if s is not None}
-        if not known:
+        if any(s is None for s in stats.values()):
+            # A range-less file (unreadable footer, key column absent —
+            # e.g. written before a merge_schema append added the key —
+            # or writer-suppressed min/max) breaks the disjointness
+            # closure: its rows could fall inside an untouched file's
+            # [min,max] and be excluded by the rewrite filter while the
+            # file itself is never hard-linked. Pruning is only sound
+            # when every file has trustworthy stats.
             return False
-        touched = {f for f, s in stats.items() if s is None}
+        known = dict(stats)
+        touched = set()
         # Which files can contain a touched key: broadcast the per-file
         # ranges (one short row per file) and range-join the key set —
         # the distributed twin of Delta's stats-vs-predicate file skip.
@@ -1089,8 +1184,12 @@ def vacuum(table: ManagedTable, dry_run: bool = False) -> List[str]:
     for this layout. Removable garbage accumulates from (a) writers that
     crashed mid-stage (``.staging-*`` dirs), (b) commit-CAS losers that
     died before their own cleanup ran (orphan ``v=*`` dirs), and (c)
-    nothing else: the current snapshot, every retained snapshot, and the
-    commit markers are live by definition.
+    commit markers for already-committed versions — safe to prune
+    because every claimer re-checks the on-disk version after winning
+    the marker CAS (``_claim_version``), so a pruned marker can never
+    readmit a stale writer. A marker ABOVE the committed version is
+    left alone: it is either an in-flight writer or crash debris, and
+    ``_claim_version`` reclaims the latter after its staleness TTL.
 
     Safe under the commit protocol: a CONCURRENT writer stages into
     ``.staging-*``/unique ``v=*`` dirs *before* claiming a version, so
@@ -1108,9 +1207,26 @@ def vacuum(table: ManagedTable, dry_run: bool = False) -> List[str]:
             continue
         if (name.startswith("v=") or name.startswith(".staging-")) and name not in live:
             doomed.append(full)
+    commits = os.path.join(table.path, COMMITS_DIR)
+    if os.path.isdir(commits):
+        for name in sorted(os.listdir(commits)):
+            if not name.endswith(".commit"):
+                continue
+            try:
+                v = int(name[1 : -len(".commit")])
+            except ValueError:
+                continue
+            if v <= meta["version"]:
+                doomed.append(os.path.join(commits, name))
     if not dry_run:
         for d in doomed:
-            shutil.rmtree(d, ignore_errors=True)
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+            else:
+                try:
+                    os.unlink(d)
+                except OSError:
+                    pass
     return doomed
 
 

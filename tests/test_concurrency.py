@@ -127,3 +127,102 @@ def test_racing_overwrites_do_not_corrupt(spark, tmp_path):
     assert len(snap_dirs) == 1
     with open(os.path.join(path, "_mack_meta.json")) as f:
         assert json.load(f)["current"] == snap_dirs[0]
+
+
+# ------------------------------------------------------- crash recovery
+# A writer that dies between claim and finalize leaves an orphaned
+# marker with meta never advancing. Without recovery every later writer
+# targets the same version and loses the CAS forever — a permanent
+# write wedge with no vacuum escape hatch.
+
+
+def _marker(path, version):
+    return os.path.join(path, "_commits", f"v{version:020d}.commit")
+
+
+def _plant_marker(path, version, body):
+    m = _marker(path, version)
+    os.makedirs(os.path.dirname(m), exist_ok=True)
+    with open(m, "w") as f:
+        json.dump(body, f)
+    return m
+
+
+def test_orphaned_marker_wedges_then_recovers(spark, tmp_path, monkeypatch):
+    """Within the TTL an orphaned marker still conflicts (the claimant
+    may be in flight); past the TTL it is reclaimed and writes proceed."""
+    import mack_spark.tables as T
+
+    path = _mk(spark, tmp_path)
+    t = ManagedTable(spark, path)
+    _plant_marker(path, 1, {"operation": "WRITE", "timestamp": 0})
+
+    with pytest.raises(ConcurrentModificationError):
+        t.append(spark.createDataFrame([Row(id=300, v="blocked")]))
+
+    monkeypatch.setattr(T, "STALE_COMMIT_TTL_SECONDS", 0.0)
+    t.append(spark.createDataFrame([Row(id=300, v="recovered")]))
+    assert t._read_meta()["version"] == 1
+    rows = t.toDF().collect()
+    assert len(rows) == 6
+    assert "recovered" in {r.v for r in rows}
+
+
+def test_crashed_append_rolled_back_on_reclaim(spark, tmp_path, monkeypatch):
+    """A half-applied append (some staged files moved into the live
+    snapshot, then the writer died before finalize) is rolled back from
+    the marker's recorded file list when the marker is reclaimed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import mack_spark.tables as T
+
+    path = _mk(spark, tmp_path)
+    t = ManagedTable(spark, path)
+    snap = t._snapshot_dir()
+    orphan = "part-99999-dead-writer.parquet"
+    pq.write_table(
+        pa.table({"id": pa.array([999], pa.int64()), "v": pa.array(["ghost"])}),
+        os.path.join(snap, orphan),
+    )
+    _plant_marker(
+        path,
+        1,
+        {
+            "operation": "WRITE",
+            "timestamp": 0,
+            "files": [orphan, "part-never-moved.parquet"],
+        },
+    )
+    # the uncommitted file is (wrongly) visible — that's the debris
+    assert t.toDF().filter("id = 999").count() == 1
+
+    monkeypatch.setattr(T, "STALE_COMMIT_TTL_SECONDS", 0.0)
+    t.append(spark.createDataFrame([Row(id=400, v="next")]))
+    out = t.toDF()
+    assert out.filter("id = 999").count() == 0
+    assert out.filter("id = 400").count() == 1
+    assert out.count() == 6
+
+
+def test_vacuum_prunes_markers_and_recheck_blocks_stale_writer(spark, tmp_path):
+    """vacuum() prunes markers for committed versions; the post-claim
+    version recheck keeps that safe — a stale writer that wins the CAS
+    through a pruned marker is caught before finalize."""
+    from mack_spark import vacuum
+
+    path = _mk(spark, tmp_path)
+    t = ManagedTable(spark, path)
+    stale = t._read_meta()  # version 0
+    t.append(spark.createDataFrame([Row(id=500, v="a")]))  # v1
+    t.append(spark.createDataFrame([Row(id=501, v="b")]))  # v2
+    vacuum(t)
+    assert [
+        n for n in os.listdir(os.path.join(path, "_commits")) if n.endswith(".commit")
+    ] == []
+
+    with pytest.raises(ConcurrentModificationError):
+        t._commit(stale, "WRITE")
+    assert t._read_meta()["version"] == 2
+    # the stale writer's claim was released, not left as new debris
+    assert not os.path.exists(_marker(path, 1))

@@ -283,3 +283,54 @@ def test_file_pruned_merge_string_key(spark, tmp_path):
     # keys hit files 1 and 3 of 3; the middle file must be hard-linked
     after = _snapshot_files(pruned)
     assert len(set(before.values()) & set(after.values())) == 1
+
+
+def test_file_pruned_refuses_statless_file(spark, tmp_path):
+    """A file with suppressed footer stats voids the disjointness
+    closure: pruning must fall back to the full overwrite instead of
+    silently dropping that file's rows whose keys sit inside an
+    untouched file's [min,max] interval."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = (
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in list(range(10)) + list(range(15, 36))],
+            "pkey int, attr string",
+        )
+        .repartitionByRange(2, "pkey")
+        .sortWithinPartitions("pkey")
+    )
+    table = ManagedTable.create(spark, str(tmp_path / "nostat"), df=df)
+
+    # plant a file whose keys (20-29) sit INSIDE the second spark file's
+    # [15,35] range but whose footer carries no statistics
+    snap = table._snapshot_dir()
+    planted = pa.table(
+        {
+            "pkey": pa.array(range(20, 30), pa.int32()),
+            "attr": pa.array([f"x{i}" for i in range(20, 30)]),
+        }
+    )
+    pq.write_table(
+        planted,
+        os.path.join(snap, "part-nostats.parquet"),
+        write_statistics=False,
+    )
+    assert table.toDF().count() == 41
+
+    # touch key 0 only: broken pruning would mark the planted file
+    # "touched" rangelessly and its 10 rows would vanish from the
+    # rewrite region while never being hard-linked
+    doomed = spark.createDataFrame([(0,)], "pkey int")
+    post = table.toDF().join(doomed, "pkey", "left_anti")
+    before = _snapshot_files(table)
+    table.merge_overwrite(
+        post, operation="MERGE-DELETE", touched_keys=("pkey", doomed)
+    )
+    out = table.toDF()
+    assert out.count() == 40
+    assert out.filter(F.col("pkey").between(20, 29)).count() == 20
+    # the fallback is a full rewrite: no previous-snapshot hard links
+    after = _snapshot_files(table)
+    assert not (set(before.values()) & set(after.values()))

@@ -100,10 +100,17 @@ def test_vacuum_removes_orphans_keeps_live(spark, tmp_path):
     os.makedirs(os.path.join(t.path, "v=99-deadbeef"))
     os.makedirs(os.path.join(t.path, ".staging-deadbeef"))
     doomed = mk.vacuum(t, dry_run=True)
-    assert {os.path.basename(d) for d in doomed} == {"v=99-deadbeef", ".staging-deadbeef"}
+    # debris dirs plus the marker of the committed overwrite (markers
+    # for durably committed versions are prunable — see _claim_version)
+    assert {os.path.basename(d) for d in doomed} == {
+        "v=99-deadbeef",
+        ".staging-deadbeef",
+        "v00000000000000000001.commit",
+    }
     mk.vacuum(t)
     names = set(os.listdir(t.path))
     assert "v=99-deadbeef" not in names and ".staging-deadbeef" not in names
+    assert os.listdir(os.path.join(t.path, "_commits")) == []
     # live current + retained snapshots still readable
     assert t.toDF().collect()[0].v == "v1"
     assert t.toDF(version=0).collect()[0].v == "v0"
