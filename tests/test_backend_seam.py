@@ -195,3 +195,106 @@ def test_managed_table_ignores_keyed_merge(spark, tmp_path):
     )
     mk.kill_duplicates(t, ["c1"])
     assert [r["c1"] for r in t.toDF().collect()] == ["b"]
+
+
+# -------------------------------------------------- descriptor semantics
+# The recording-fake tests above pin the SHAPE of the compiled clauses;
+# these pin their MEANING: interpreting the KeyedMerge descriptor with a
+# faithful pure-DataFrame MERGE executor (tests/merge_interpreter.py)
+# must reproduce scd2_post_state — the plan the parquet backend commits
+# — on randomized bases and update batches. A wrong clause set,
+# condition string, or staging expression diverges here.
+
+
+def _random_scd2_inputs(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    attrs = ["red", "blue", "green", None]
+    eff0 = "2020-01-01"
+    base_rows = []
+    for pk in range(rng.randint(3, 12)):
+        versions = rng.randint(0, 2)  # 0 = pkey absent from base
+        for v in range(versions):
+            is_cur = v == versions - 1 and rng.random() < 0.85
+            base_rows.append(
+                (
+                    pk,
+                    rng.choice(attrs),
+                    is_cur,
+                    f"{eff0} 00:00:0{v}",
+                    None if is_cur else f"{eff0} 00:00:0{v + 1}",
+                )
+            )
+    upd_rows = []
+    for pk in rng.sample(range(16), rng.randint(1, 8)):  # unique pkeys
+        upd_rows.append((pk, rng.choice(attrs), "2021-06-01 00:00:00"))
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        base_rows or [(0, "red", True, f"{eff0} 00:00:00", None)],
+        "pkey int, attr string, is_current boolean, effective_time string, end_time string",
+    ).select(
+        "pkey",
+        "attr",
+        "is_current",
+        F.to_timestamp("effective_time").alias("effective_time"),
+        F.to_timestamp("end_time").alias("end_time"),
+    )
+    updates = spark.createDataFrame(
+        upd_rows, "pkey int, attr string, effective_time string"
+    ).select("pkey", "attr", F.to_timestamp("effective_time").alias("effective_time"))
+    return base, updates
+
+
+def test_keyed_merge_descriptor_equals_post_state(spark):
+    from merge_interpreter import interpret_keyed_merge
+
+    from mack_spark.scd import scd2_keyed_merge, scd2_post_state
+
+    for seed in range(12):
+        base, updates = _random_scd2_inputs(spark, seed)
+        km = scd2_keyed_merge(
+            base, updates, "pkey", ["attr"],
+            "is_current", "effective_time", "end_time",
+        )
+        merged = interpret_keyed_merge(base, km)
+        expected = scd2_post_state(
+            base, updates, "pkey", ["attr"],
+            "is_current", "effective_time", "end_time",
+        )
+        nonesafe = lambda t: tuple((v is None, v) for v in t)
+        a = sorted((tuple(r) for r in merged.collect()), key=nonesafe)
+        e = sorted((tuple(r) for r in expected.collect()), key=nonesafe)
+        assert a == e, f"seed={seed}: merge clauses diverge from post-state\n{a}\n{e}"
+
+
+def test_keyed_merge_interpreter_rejects_ambiguous_source(spark):
+    """Duplicate update pkeys match one target row twice — the
+    interpreter must refuse like Delta does, not pick a winner."""
+    import pytest as _pytest
+
+    from merge_interpreter import interpret_keyed_merge
+
+    from mack_spark.scd import scd2_keyed_merge
+
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, "red", True, "2020-01-01 00:00:00", None)],
+        "pkey int, attr string, is_current boolean, effective_time string, end_time string",
+    ).select(
+        "pkey", "attr", "is_current",
+        F.to_timestamp("effective_time").alias("effective_time"),
+        F.to_timestamp("end_time").alias("end_time"),
+    )
+    updates = spark.createDataFrame(
+        [(1, "blue", "2021-01-01 00:00:00"), (1, "green", "2021-01-01 00:00:00")],
+        "pkey int, attr string, effective_time string",
+    ).select("pkey", "attr", F.to_timestamp("effective_time").alias("effective_time"))
+    km = scd2_keyed_merge(
+        base, updates, "pkey", ["attr"],
+        "is_current", "effective_time", "end_time",
+    )
+    with _pytest.raises(ValueError, match="ambiguous"):
+        interpret_keyed_merge(base, km).collect()
