@@ -1,0 +1,245 @@
+"""Dependency-free image codecs for the multimodal operators.
+
+The container has no Pillow/ffmpeg, but three common formats decode
+with nothing beyond the stdlib + numpy:
+
+* **BMP** — uncompressed 24/32-bpp Windows bitmaps (BITMAPINFOHEADER);
+* **PPM/PGM** — binary P6 (RGB) / P5 (grayscale) netpbm;
+* **PNG** — 8-bit gray/gray-alpha/RGB/RGBA, non-interlaced, all five
+  scanline filters, inflated with stdlib ``zlib``.
+
+``decode_image`` sniffs the magic bytes and returns a ``(h, w, c)``
+uint8 numpy array; ``encode_ppm`` re-encodes for byte-stable output
+(P6 for 3-channel, P5 for 1-channel) and ``resize_nearest`` is a
+vectorized nearest-neighbor resampler. Together they make
+``extract_features`` / ``resize_media`` operate on genuine pixels
+(reference has no multimodal surface; this is rebuild-extension
+surface, VERDICT r4 item 3).
+
+SCALE: decoding runs inside Arrow-batched ``mapInPandas`` workers, one
+image at a time per batch row — the per-image cost is the codec, the
+distribution shape is unchanged from the stub path.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+class ImageFormatError(ValueError):
+    """Payload is not a decodable image in a supported format."""
+
+
+# ------------------------------------------------------------------ BMP
+def decode_bmp(payload: bytes) -> np.ndarray:
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ImageFormatError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise ImageFormatError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise ImageFormatError(
+            f"unsupported BMP: compression={compression} bpp={bpp}"
+        )
+    top_down = height < 0
+    height = abs(height)
+    nch = bpp // 8
+    stride = (width * nch + 3) & ~3  # rows pad to 4 bytes
+    need = pixel_off + stride * height
+    if len(payload) < need:
+        raise ImageFormatError("truncated BMP pixel array")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=pixel_off
+    ).reshape(height, stride)[:, : width * nch]
+    img = rows.reshape(height, width, nch)
+    if not top_down:
+        img = img[::-1]
+    # BGR(A) -> RGB(A)
+    if nch == 4:
+        img = img[:, :, [2, 1, 0, 3]]
+    else:
+        img = img[:, :, ::-1]
+    return np.ascontiguousarray(img)
+
+
+# ------------------------------------------------------------ PPM / PGM
+def _pnm_tokens(payload: bytes, n: int, start: int):
+    """Read n whitespace-separated numeric tokens after ``start``,
+    skipping ``#`` comments; returns (values, offset_after_last_ws)."""
+    vals, i = [], start
+    while len(vals) < n:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ImageFormatError("truncated PNM header")
+        vals.append(int(payload[i:j]))
+        i = j
+    return vals, i + 1  # single whitespace after maxval per spec
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ImageFormatError("not a binary PGM/PPM payload")
+    nch = 3 if magic == b"P6" else 1
+    (w, h, maxval), off = _pnm_tokens(payload, 3, 2)
+    if maxval <= 0 or maxval > 255:
+        raise ImageFormatError(f"unsupported PNM maxval {maxval}")
+    need = w * h * nch
+    if len(payload) < off + need:
+        raise ImageFormatError("truncated PNM pixel data")
+    img = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    return img.reshape(h, w, nch).copy()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Byte-stable netpbm encoding: P6 for 3 channels, P5 for 1."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c == 1:
+        return b"P5\n%d %d\n255\n" % (w, h) + img.tobytes()
+    if c == 3:
+        return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+    if c == 4:  # drop alpha for the netpbm container
+        return encode_ppm(img[:, :, :3])
+    if c == 2:  # gray+alpha -> gray
+        return encode_ppm(img[:, :, :1])
+    raise ImageFormatError(f"cannot encode {c}-channel image as PNM")
+
+
+# ------------------------------------------------------------------ PNG
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    if not payload.startswith(_PNG_SIG):
+        raise ImageFormatError("not a PNG payload")
+    i, ihdr, idat = len(_PNG_SIG), None, []
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, i)
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ImageFormatError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_code, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ImageFormatError(
+            f"unsupported PNG: depth={depth} interlace={interlace}"
+        )
+    if ctype_code not in _PNG_CHANNELS:
+        raise ImageFormatError(f"unsupported PNG color type {ctype_code}")
+    nch = _PNG_CHANNELS[ctype_code]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ImageFormatError("truncated PNG scanlines")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += stride + 1
+        cur = _png_unfilter(ftype, line, prev, nch)
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, nch)
+
+
+def _png_unfilter(ftype: int, line: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    if ftype == 0:  # None
+        return line.copy()
+    if ftype == 2:  # Up
+        return (line.astype(np.int16) + prev).astype(np.uint8)
+    cur = line.astype(np.int16)
+    if ftype == 1:  # Sub: sequential in x
+        for x in range(bpp, len(cur)):
+            cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        return cur.astype(np.uint8)
+    if ftype == 3:  # Average
+        for x in range(len(cur)):
+            left = cur[x - bpp] if x >= bpp else 0
+            cur[x] = (cur[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        return cur.astype(np.uint8)
+    if ftype == 4:  # Paeth
+        for x in range(len(cur)):
+            a = int(cur[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            cur[x] = (cur[x] + pred) & 0xFF
+        return cur.astype(np.uint8)
+    raise ImageFormatError(f"unknown PNG filter type {ftype}")
+
+
+# ------------------------------------------------------------ dispatch
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff the payload's magic and decode to ``(h, w, c)`` uint8."""
+    if payload is None:
+        raise ImageFormatError("payload is None")
+    payload = bytes(payload)
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_pnm(payload)
+    raise ImageFormatError("unrecognized image magic")
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Vectorized nearest-neighbor resample (pixel-center mapping)."""
+    h, w = img.shape[:2]
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return img[ys][:, xs]
+
+
+def resize_image_bytes(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Real ``resize_fn`` for :func:`mack_spark.multimodal.resize_media`:
+    decode → nearest-neighbor resample → re-encode as netpbm (byte-
+    stable, so content hashes are engine-reproducible)."""
+    return encode_ppm(resize_nearest(decode_image(payload), out_w, out_h))
+
+
+def pixel_feature_fn(dim: int):
+    """Real ``decode_fn`` for ``extract_features``: an intensity
+    histogram over genuine pixels, L1-normalized to ``dim`` buckets —
+    deterministic, pixel-derived, and invariant to byte-level container
+    differences between formats encoding the same image."""
+
+    def fn(payload: bytes) -> list:
+        img = decode_image(payload)
+        rgb = img[:, :, :3] if img.shape[2] >= 3 else img[:, :, :1]
+        intensity = rgb.mean(axis=2, dtype=np.float64)
+        hist, _ = np.histogram(intensity, bins=dim, range=(0.0, 256.0))
+        total = hist.sum()
+        return (hist / total if total else hist).astype(float).tolist()
+
+    return fn

@@ -2,11 +2,14 @@
 
 Media are opaque ``binary`` columns plus a typed metadata struct; all
 per-item compute rides ``mapInPandas`` (Arrow-batched, one Python
-worker round-trip per partition batch — never per row). The actual
-codec calls are STUBBED (Pillow/torchaudio/ffmpeg are not in this
-container): ``decode_fn=None`` selects a deterministic fake decoder so
-the Spark-side plumbing — schema, batch shapes, partitioning — is real
-and tested, and a real codec slots in as a one-argument function.
+worker round-trip per partition batch — never per row). Image decode
+is REAL for BMP / PPM / PGM / PNG via the dependency-free codecs in
+:mod:`mack_spark.codecs` (``decode_image``, ``resize_image_bytes``,
+``pixel_feature_fn``); audio/video codecs remain out of scope for this
+container, so ``decode_fn=None`` on the generic operators selects a
+deterministic byte-level fake — the engine-independent oracle contract
+for the declared queries — and any real codec slots in as a
+one-argument function.
 
 SCALE: media rows are orders of magnitude wider than text rows.
 ``repartition`` by byte-size budget before the UDF stage so one Arrow
@@ -190,7 +193,8 @@ def frame_sample_plan(
 ) -> DataFrame:
     """Video frame-sampling *plumbing*: emits one row per planned frame
     index (codec-free — indices derive from payload size as a stand-in
-    for frame count, ``NotImplementedError`` documents the real hook).
+    for frame count; video containers remain out of scope here, unlike
+    images which decode for real via :mod:`mack_spark.codecs`).
 
     A real implementation replaces ``n_frames`` with the container's
     frame count read via the codec in ``extract_features``-style
@@ -206,8 +210,15 @@ def frame_sample_plan(
 
 
 def decode_image(payload: bytes):
-    """Real image decode hook — requires Pillow, absent here."""
-    raise NotImplementedError(
-        "image codecs are not installed in this environment; pass a "
-        "decode_fn to extract_features"
-    )
+    """Decode an image payload to an ``(h, w, c)`` uint8 numpy array.
+
+    Backed by the dependency-free codecs in :mod:`mack_spark.codecs`
+    (uncompressed BMP, binary PPM/PGM, 8-bit non-interlaced PNG via
+    stdlib zlib). Formats beyond those raise
+    :class:`mack_spark.codecs.ImageFormatError`; a full-coverage codec
+    (Pillow) can still be slotted in as ``decode_fn``/``resize_fn`` on
+    the operators above.
+    """
+    from mack_spark.codecs import decode_image as _decode
+
+    return _decode(payload)

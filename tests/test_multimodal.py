@@ -56,9 +56,18 @@ def test_frame_sample_plan_shape(spark):
     assert [r["frame_index"] for r in out.orderBy("frame_index").collect()] == [0, 2]
 
 
-def test_decode_image_is_documented_stub():
-    with pytest.raises(NotImplementedError, match="decode_fn"):
-        decode_image(b"\x89PNG")
+def test_decode_image_routes_to_real_codecs():
+    from mack_spark.codecs import ImageFormatError
+
+    # a bare PNG magic with no chunks is recognized but malformed
+    with pytest.raises(ImageFormatError, match="IHDR"):
+        decode_image(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ImageFormatError, match="magic"):
+        decode_image(b"not an image")
+    img = decode_image(b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 0, 255]))
+    assert img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [0, 0, 255]
 
 
 def test_resize_media_stub_and_hook(spark):
