@@ -6,20 +6,27 @@ means A, B, C are one group, keep one" — which is connected components.
 This is the one genuinely iterative algorithm in the engine: min-label
 propagation, a driver loop of join+aggregate rounds.
 
-SCALE: each round is one shuffle (join comps to edges, min-agg per
-neighbor). Rounds needed = graph diameter, and near-dup clusters are
-dense (tiny diameters), so 3-5 rounds is typical regardless of corpus
-size. ``localCheckpoint`` after every round truncates lineage —
-without it the plan doubles each round and the job dies on planning
-long before it dies on data. For web-scale graphs swap the loop body
-for the large-star/small-star variant; the driver-loop skeleton and
+SCALE: each round is two shuffles (neighbor-min join + the pointer-
+doubling self-join). Rounds needed = O(log diameter) — the label-of-
+label hop halves the distance a minimum still has to travel, so even a
+pathological million-node chain converges in ~20 rounds where plain
+neighbor propagation would need a million. Near-dup clusters are dense
+(tiny diameters), so 2-4 rounds is typical regardless of corpus size.
+``localCheckpoint`` after every round truncates lineage — without it
+the plan doubles each round and the job dies on planning long before
+it dies on data. For web-scale graphs swap the loop body for the
+large-star/small-star variant; the driver-loop skeleton and
 convergence check stay the same.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def connected_components(
@@ -33,7 +40,10 @@ def connected_components(
 
     Returns ``(node, component)`` for every node appearing in ``edges``.
     Raises ``RuntimeError`` if not converged within ``max_iter`` rounds
-    (returning a half-propagated labeling would be silently wrong).
+    (returning a half-propagated labeling would be silently wrong); at
+    the O(log diameter) convergence rate the default cap covers any
+    graph that fits on a cluster, so hitting it means a logic error,
+    not a big input.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -45,24 +55,37 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         nbr_min = (
             comp.join(sym, comp["node"] == sym["u"])
             .groupBy("v")
             .agg(F.min("component").alias("nbr_component"))
             .withColumnRenamed("v", "node")
         )
+        # pointer doubling: also jump to the label OF my label — labels
+        # are node ids, so comp[comp[node]] is one self-join. This is
+        # what turns O(diameter) propagation into O(log diameter).
+        hop = (
+            comp.alias("a")
+            .join(comp.alias("b"), F.col("a.component") == F.col("b.node"), "left")
+            .select(
+                F.col("a.node").alias("node"),
+                F.coalesce("b.component", "a.component").alias("hop_component"),
+            )
+        )
         # carry the previous label through the checkpoint so the
         # convergence probe is a filter on materialized data, not
         # another join against the old labeling
         staged = (
             comp.join(nbr_min, "node", "left")
+            .join(hop, "node")
             .select(
                 "node",
                 F.col("component").alias("prev_component"),
                 F.least(
                     F.col("component"),
                     F.coalesce("nbr_component", F.col("component")),
+                    F.col("hop_component"),
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
@@ -74,6 +97,7 @@ def connected_components(
         )
         comp = staged.select("node", "component")
         if changed == 0:
+            logger.info("connected_components converged in %d rounds", rounds)
             return comp
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 

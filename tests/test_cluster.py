@@ -26,3 +26,30 @@ def test_non_convergence_raises(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_long_chain_converges_under_default_cap(spark):
+    """A 120-node chain (diameter 119) must converge well inside the
+    default max_iter — pointer doubling makes rounds O(log diameter),
+    where plain neighbor-min propagation would need 119 rounds."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], ["id_a", "id_b"]
+    )
+    out = connected_components(edges).collect()
+    assert len(out) == 120
+    assert {r["component"] for r in out} == {0}
+
+
+def test_two_long_chains_stay_separate(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)]
+        + [(1000 + i, 1001 + i) for i in range(40)],
+        ["id_a", "id_b"],
+    )
+    out = connected_components(edges).collect()
+    comps = {}
+    for r in out:
+        comps.setdefault(r["component"], set()).add(r["node"])
+    assert set(comps) == {0, 1000}
+    assert comps[0] == set(range(41))
+    assert comps[1000] == set(range(1000, 1041))
