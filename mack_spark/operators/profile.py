@@ -95,18 +95,22 @@ def exact_percentiles(
     FIRST, so ordered work runs over distinct values, not rows. The
     global cumulative count is then computed WITHOUT a single-partition
     sort: the (value, count) relation is range-partitioned by value
-    (partition index ascends with value), each partition cumsums
-    locally in parallel, and the per-partition totals — at most
-    ``num_range_partitions`` numbers — come back to the driver to form
-    broadcast prefix offsets. global_rank = local_cumsum +
-    offset[partition]. This is the classic distributed prefix-sum; no
-    stage touches more than one partition's distinct values at a time,
-    so the plan survives an arbitrarily large value domain.
+    (partition index ascends with value) and the per-partition totals —
+    at most ``num_range_partitions`` numbers — come back to the driver,
+    which does the prefix-sum arithmetic itself: for each target rank
+    ``ceil(p*n)`` it computes WHICH partition holds that rank and the
+    residual local rank inside it. The final job then windows ONLY the
+    probed partitions (≤ one per requested percentile) — the classic
+    distributed prefix-sum with the rank lookup fused into the offsets
+    pass, so no stage ever cumsums the full value domain and nothing
+    collapses to a single partition.
 
     The range-partitioned relation is pinned with an eager
     ``localCheckpoint``: range boundaries come from sampling, and the
     offsets job and the final job must observe the SAME partitioning.
     """
+    import math
+
     spark = df.sparkSession
     counts = (
         df.filter(F.col(col).isNotNull())
@@ -122,25 +126,35 @@ def exact_percentiles(
     total = sum(part_sums.values())
     if total == 0:
         return spark.createDataFrame([], "p double, value " + dict(df.dtypes)[col])
-    offsets, acc = [], 0
+    # Driver-side rank → (partition, local rank) resolution: ≤ one
+    # tiny tuple per requested percentile.
+    bounds, acc = [], 0
     for pid in sorted(part_sums):
-        offsets.append((pid, acc))
         acc += part_sums[pid]
-    off_df = spark.createDataFrame(offsets, "pid int, off long")
+        bounds.append((pid, acc))  # cumulative count through pid
+    probes = []
+    for p in ps:
+        # smallest value whose cumulative count reaches ceil(p*n);
+        # double multiply matches Spark's ceil(p * total) exactly
+        rank = max(1, math.ceil(float(p) * float(total)))
+        lo = 0
+        for pid, cum_through in bounds:
+            if rank <= cum_through:
+                probes.append((float(p), pid, rank - lo))
+                break
+            lo = cum_through
+    probe_df = spark.createDataFrame(probes, "p double, pid int, local_rank long")
+    needed = sorted({pid for _, pid, _ in probes})
     w = (
         Window.partitionBy("pid")
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = (
-        parts.withColumn("cum_local", F.sum("cnt").over(w))
-        .join(F.broadcast(off_df), "pid")
-        .withColumn("cum", F.col("cum_local") + F.col("off"))
-    )
-    pdf = df.sparkSession.createDataFrame([(float(p),) for p in ps], "p double")
     return (
-        cum.crossJoin(F.broadcast(pdf))
-        .filter(F.col("cum") >= F.ceil(F.col("p") * F.lit(float(total))))
+        parts.filter(F.col("pid").isin(needed))
+        .withColumn("cum_local", F.sum("cnt").over(w))
+        .join(F.broadcast(probe_df), "pid")
+        .filter(F.col("cum_local") >= F.col("local_rank"))
         .groupBy("p")
         .agg(F.min("value").alias("value"))
         .orderBy("p")
