@@ -25,8 +25,10 @@ from mack_spark.operators.dedup_text import (
 from mack_spark.operators.similarity import (
     brute_force_topk,
     brute_force_topk_pandas,
+    build_ivf_index,
     embedding_near_dup_pairs,
     ivf_topk,
+    ivf_topk_from_index,
     lsh_bucket,
     lsh_bucket_int,
     lsh_bucketed_topk,
@@ -63,7 +65,9 @@ __all__ = [
     "brute_force_topk",
     "brute_force_topk_pandas",
     "embedding_near_dup_pairs",
+    "build_ivf_index",
     "ivf_topk",
+    "ivf_topk_from_index",
     "lsh_bucketed_topk",
     "quantize_embeddings",
     "doc_stats",

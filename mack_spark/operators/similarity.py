@@ -440,6 +440,26 @@ def ivf_topk(
     Returns ``(query_id, neighbor_id, cos_sim, rank)`` — same contract
     as :func:`brute_force_topk` (self-matches excluded).
     """
+    cents = _ivf_centroids(
+        corpus, n_cells, centroids, id_col, vec_col, seed, fit_fraction, max_iter
+    )
+    lists = _ivf_corpus_cells(corpus, cents, id_col, vec_col)
+    probes = _ivf_assign_topn(queries, cents, id_col, vec_col, n_probe)
+    return _ivf_rank(probes, lists, k, round_scores)
+
+
+def _ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    centroids: str,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    fit_fraction: float,
+    max_iter: int,
+) -> DataFrame:
+    """Broadcast-ready coarse-quantizer centroids ``(cid, cvec, cnrm)``
+    (see :func:`ivf_topk` for the two quantizer modes)."""
     if centroids == "kmeans":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -453,13 +473,13 @@ def ivf_topk(
         centers = [
             (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
         ]
-        cents = F.broadcast(
+        return F.broadcast(
             corpus.sparkSession.createDataFrame(
                 centers, "cid bigint, cvec array<double>"
             ).select("cid", "cvec", mf.l2_norm(F.col("cvec")).alias("cnrm"))
         )
-    elif centroids == "first":
-        cents = F.broadcast(
+    if centroids == "first":
+        return F.broadcast(
             corpus.orderBy(id_col)
             .limit(n_cells)
             .select(
@@ -468,34 +488,43 @@ def ivf_topk(
                 mf.l2_norm(F.col(vec_col)).alias("cnrm"),
             )
         )
-    else:
-        raise ValueError(f"unknown centroids mode: {centroids!r}")
+    raise ValueError(f"unknown centroids mode: {centroids!r}")
 
-    def assign(df: DataFrame, out_id: str, out_vec: str, top: int) -> DataFrame:
-        scored = df.select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).alias(out_vec),
-            mf.l2_norm(F.col(vec_col)).alias("vnrm"),
-        ).join(cents, how="cross").select(
-            out_id,
-            out_vec,
-            "vnrm",
-            "cid",
-            (
-                mf.dot(F.col(out_vec), F.col("cvec"))
-                / (F.col("vnrm") * F.col("cnrm"))
-            ).alias("cc"),
-        )
-        w = Window.partitionBy(out_id).orderBy(F.col("cc").desc(), F.col("cid").asc())
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= top)
-            .select(out_id, out_vec, F.col("vnrm"), F.col("cid").alias("cell"))
-        )
 
-    # Corpus side: exact argmax per vector via one aggregation — the
-    # struct max picks highest cosine, then lowest cid on ties; first()
-    # is safe because every row in an id-group carries the same vector.
+def _ivf_assign_topn(
+    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str, top: int
+) -> DataFrame:
+    """Assign each vector its ``top`` closest cells (query-side probe
+    list): broadcast centroid cross + windowed top-n per vector."""
+    scored = df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        mf.l2_norm(F.col(vec_col)).alias("vnrm"),
+    ).join(cents, how="cross").select(
+        "query_id",
+        "qvec",
+        "vnrm",
+        "cid",
+        (
+            mf.dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("vnrm") * F.col("cnrm"))
+        ).alias("cc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cc").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= top)
+        .select("query_id", "qvec", "vnrm", F.col("cid").alias("cell"))
+    )
+
+
+def _ivf_corpus_cells(
+    corpus: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Corpus-side cell assignment ``(neighbor_id, nvec, nnrm, cell)``:
+    exact argmax per vector via one aggregation — the struct max picks
+    highest cosine, then lowest cid on ties; first() is safe because
+    every row in an id-group carries the same vector."""
     corpus_scored = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec_full"),
@@ -510,14 +539,16 @@ def ivf_topk(
         ).alias("cc"),
         F.col("cid"),
     )
-    lists = corpus_scored.groupBy("neighbor_id").agg(
+    return corpus_scored.groupBy("neighbor_id").agg(
         F.max(F.struct(F.col("cc"), (-F.col("cid")).alias("negcid"))).alias("best"),
         F.first("cvec_full").alias("nvec"),
         F.first("nnrm").alias("nnrm"),
     ).select("neighbor_id", "nvec", "nnrm", (-F.col("best.negcid")).alias("cell"))
 
-    probes = assign(queries, "query_id", "qvec", n_probe)
 
+def _ivf_rank(
+    probes: DataFrame, lists: DataFrame, k: int, round_scores: int
+) -> DataFrame:
     cand = probes.join(lists, "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -543,6 +574,111 @@ def ivf_topk(
             "rank",
         )
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    centroids: str = "kmeans",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_fraction: float = 1.0,
+    max_iter: int = 10,
+    n_files: int | None = None,
+):
+    """Persist IVF state at INGEST time instead of refitting per query
+    batch: fit/choose the coarse quantizer once, assign every corpus
+    vector its cell, and write ``(id, vec, nrm, cell)`` as a
+    ManagedTable range-clustered on ``cell`` with the centroids stored
+    in table properties.
+
+    The clustering is what makes probing cheap at 100 TB: files carry
+    disjoint cell ranges, so a probe's ``cell IN (...)`` predicate
+    prunes whole files from the parquet scan (footer min/max stats —
+    the same mechanism Delta data-skipping uses). Re-run after large
+    appends, exactly like ``OPTIMIZE`` after ingest.
+
+    Returns the created :class:`mack_spark.tables.ManagedTable`.
+    """
+    import json as _json
+
+    from mack_spark.tables import ManagedTable
+
+    spark = corpus.sparkSession
+    cents = _ivf_centroids(
+        corpus, n_cells, centroids, id_col, vec_col, seed, fit_fraction, max_iter
+    )
+    center_rows = [
+        (r["cid"], [float(x) for x in r["cvec"]]) for r in cents.collect()
+    ]
+    lists = _ivf_corpus_cells(corpus, cents, id_col, vec_col).select(
+        F.col("neighbor_id").alias(id_col),
+        F.col("nvec").alias("vec"),
+        F.col("nnrm").alias("nrm"),
+        "cell",
+    )
+    files = n_files or min(n_cells, 16)
+    clustered = lists.repartitionByRange(files, "cell").sortWithinPartitions("cell")
+    return ManagedTable.create(
+        spark,
+        path,
+        df=clustered,
+        properties={
+            "mack.ivf.id_col": id_col,
+            "mack.ivf.n_cells": str(n_cells),
+            "mack.ivf.centroids": _json.dumps(center_rows),
+        },
+    )
+
+
+def ivf_topk_from_index(
+    index,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scores: int = 4,
+) -> DataFrame:
+    """ANN over a persisted :func:`build_ivf_index` table: no fit, no
+    corpus-wide assignment — centroids come from table properties, the
+    query block picks its probe cells, and the scan reads ONLY the
+    probed cells (literal ``cell IN (...)`` predicate, pushed to the
+    parquet footers of the cell-clustered files).
+
+    Result-identical to :func:`ivf_topk` with the same quantizer
+    parameters; the fit and assignment costs are paid once at ingest.
+    """
+    import json as _json
+
+    spark = queries.sparkSession
+    props = index.detail()["properties"]
+    center_rows = _json.loads(props["mack.ivf.centroids"])
+    idx_id_col = props.get("mack.ivf.id_col", "vec_id")
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in center_rows],
+            "cid bigint, cvec array<double>",
+        ).select("cid", "cvec", mf.l2_norm(F.col("cvec")).alias("cnrm"))
+    )
+    probes = _ivf_assign_topn(queries, cents, id_col, vec_col, n_probe)
+    # The probe cell list is <= n_cells tiny integers — collect it so
+    # the scan filter is a literal IN, the form parquet footer pruning
+    # and partition pruning both understand.
+    cells = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
+    lists = (
+        index.toDF()
+        .filter(F.col("cell").isin(cells))
+        .select(
+            F.col(idx_id_col).alias("neighbor_id"),
+            F.col("vec").alias("nvec"),
+            F.col("nrm").alias("nnrm"),
+            "cell",
+        )
+    )
+    return _ivf_rank(probes, lists, k, round_scores)
 
 
 def quantize_embeddings(
