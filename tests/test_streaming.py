@@ -167,3 +167,71 @@ def test_foreach_batch_rollup_incremental_and_idempotent(spark, tmp_path):
         if h.get("streaming_epoch") is not None
     ]
     assert epochs == [0, 1]
+
+
+def test_streaming_sessionize_matches_batch_under_late_data(spark, tmp_path):
+    """Property: a real Structured Streaming run of session_counts over
+    randomly SHUFFLED arrival order (late data, multiple microbatches
+    via maxFilesPerTrigger=1) must produce exactly the sessions the
+    batch sessionize computes on the same events, as long as lateness
+    stays within the watermark.
+
+    Correspondence: session_window's end is last-event + gap, the batch
+    operator's session_end is the last event itself. Gaps are generated
+    away from the exact 30-minute boundary, where the two definitions
+    legitimately differ (batch `>` vs window non-overlap)."""
+    import random
+
+    from mack_spark.operators.sessionize import sessionize
+    from mack_spark.streaming import session_counts
+
+    rng = random.Random(13)
+    rows = []
+    for user in range(6):
+        t = dt.datetime(2021, 1, 1) + dt.timedelta(seconds=rng.randrange(3600))
+        for _ in range(rng.randint(5, 25)):
+            rows.append((user, t))
+            gap_s = (
+                rng.randint(1, 1500)
+                if rng.random() < 0.6
+                else rng.randint(2100, 7200)
+            )
+            t += dt.timedelta(seconds=gap_s)
+    rng.shuffle(rows)  # arrival order != event-time order
+
+    src = str(tmp_path / "events")
+    chunks = 5
+    for i in range(chunks):
+        spark.createDataFrame(
+            rows[i::chunks], "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = run_stream_to_batch(
+        spark,
+        stream,
+        lambda s: session_counts(s, gap="30 minutes", watermark="30 days"),
+        name="prop_sessions",
+    )
+    batch = sessionize(
+        spark.createDataFrame(rows, "user_id long, ts timestamp"),
+        gap_minutes=30,
+    )
+    b = {
+        (
+            r["user_id"],
+            r["session_start"],
+            r["n_events"],
+            r["session_end"] + dt.timedelta(minutes=30),
+        )
+        for r in batch.collect()
+    }
+    s_ = {
+        (r["user_id"], r["session_start"], r["n_events"], r["session_end"])
+        for r in got.collect()
+    }
+    assert s_ == b, (sorted(s_ - b)[:5], sorted(b - s_)[:5])
