@@ -901,6 +901,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_ivf_kmeans"] = q_knn_ivf_kmeans
 
+    def q_knn_ivf_indexed(spark, sf_dir):
+        # Persisted-index twin of knn_ivf: build_ivf_index once per
+        # (session, sf_dir) with the deterministic "first" quantizer,
+        # then probe the cell-clustered table (cell IN (...) pushed to
+        # parquet footers). Result-identical to ivf_topk with the same
+        # quantizer (tests/test_ivf_index.py), so knn_ivf's SQL oracle
+        # checks this path too — a fully hash-checked driver row for
+        # the ingest-time-index code.
+        import tempfile
+
+        from mack_spark.operators import build_ivf_index, ivf_topk_from_index
+        from mack_spark.tables import ManagedTable
+
+        emb = _t(spark, sf_dir, "embeddings")
+        key = (spark.sparkContext.applicationId, sf_dir, "first")
+        path = _ivf_index_cache.get(key)
+        if path is None or not ManagedTable.is_managed(path):
+            path = tempfile.mkdtemp(prefix="mack-ivff-") + "/index"
+            build_ivf_index(emb, path, n_cells=8, centroids="first")
+            _ivf_index_cache[key] = path
+        return ivf_topk_from_index(
+            ManagedTable.for_path(spark, path),
+            emb.filter(F.col("vec_id") < 10),
+            k=5,
+            n_probe=2,
+        )
+
+    q["knn_ivf_indexed"] = q_knn_ivf_indexed
+
     def q_norms(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
         return emb.select(
@@ -1239,7 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority", "returned_revenue", "market_share",
         "promo_revenue", "with_md5_cols", "is_composite_key_candidate",
         "find_composite_key_candidates", "doc_stats", "corpus_rollup",
-        "token_counts", "zorder_cluster",
+        "token_counts", "knn_ivf_indexed",
     ]
     assert len(front_r5) == 50, len(front_r5)
     fset = set(front_r5)
@@ -2464,6 +2493,10 @@ FROM (
   FROM scored
 ) WHERE rank <= 5
 """
+
+    # The persisted-index path is result-identical to ivf_topk under the
+    # same deterministic quantizer, so it shares knn_ivf's oracle.
+    o["knn_ivf_indexed"] = o["knn_ivf"]
 
     # DuckDB's native ASOF JOIN is the oracle for our union+window plan.
     o["asof_join_purchase_view"] = """

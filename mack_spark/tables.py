@@ -1322,10 +1322,42 @@ def show_file_sizes(table: ManagedTable, humanize_binary: bool = False) -> None:
     )
 
 
+def rename_delta_table(
+    delta_table: ManagedTable,
+    new_table_name: str,
+    table_location: Optional[str] = None,
+    databricks: bool = False,
+    spark_session: Optional[SparkSession] = None,
+) -> None:
+    """The reference's flag-shaped rename, signature-for-signature
+    (reference mack/__init__.py:696-738): ``databricks=True`` issues
+    ``ALTER TABLE ... RENAME TO`` through the provided session (a
+    catalog-metadata rename — data files untouched); otherwise the
+    table's rows are materialized under the new catalog name via
+    ``saveAsTable`` (the reference's non-Databricks behavior, which
+    rewrites data and does not carry history). Error contract mirrors
+    the reference exactly: TypeError for a non-table first argument,
+    TypeError for ``databricks=True`` without a session.
+
+    ``table_location`` names the CURRENT catalog entry for the
+    databricks path (the reference reads ``delta_table.name``; a
+    path-backed ManagedTable has no catalog name, so the caller supplies
+    it — defaulting to the path's basename). History-preserving renames
+    of path-based tables should use :func:`rename_table` instead.
+    """
+    if not isinstance(delta_table, ManagedTable):
+        raise TypeError("An existing delta table must be specified for delta_table.")
+    if databricks and spark_session is None:
+        raise TypeError("A spark session must be specified for databricks.")
+    if databricks:
+        old_name = table_location or os.path.basename(delta_table.path)
+        rename_catalog_table(spark_session, old_name, new_table_name)
+    else:
+        delta_table.toDF().write.mode("overwrite").saveAsTable(new_table_name)
+
+
 # Drop-in aliases under the reference's exact public names
-# (mack/__init__.py:459 delta_file_sizes, :480 show_delta_file_sizes,
-# :696 rename_delta_table) so reference callers can switch imports
-# without renaming call sites.
+# (mack/__init__.py:459 delta_file_sizes, :480 show_delta_file_sizes)
+# so reference callers can switch imports without renaming call sites.
 delta_file_sizes = file_sizes
 show_delta_file_sizes = show_file_sizes
-rename_delta_table = rename_table

@@ -487,11 +487,46 @@ def test_humanize_bytes_binary_keeps_si_labels():
 
 
 def test_reference_name_aliases():
-    # The reference's exact public names (mack/__init__.py:459, :480, :696)
+    # The reference's exact public names (mack/__init__.py:459, :480)
     # resolve to the same callables as our canonical names — drop-in imports.
     assert mk.delta_file_sizes is mk.file_sizes
     assert mk.show_delta_file_sizes is mk.show_file_sizes
-    assert mk.rename_delta_table is mk.rename_table
+
+
+def test_rename_delta_table_reference_shape(spark, tmp_path):
+    """The reference's flag-shaped rename (mack/__init__.py:696-738):
+    same parameters, same TypeError contracts, both dispatch branches."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    table = ManagedTable.create(spark, str(tmp_path / "rdt_src"), df)
+
+    # reference error contract, verbatim conditions
+    with pytest.raises(TypeError, match="existing delta table"):
+        mk.rename_delta_table("not a table", "x")
+    with pytest.raises(TypeError, match="spark session"):
+        mk.rename_delta_table(table, "x", databricks=True)
+
+    # non-databricks branch: rows materialize under the new catalog name
+    spark.sql("DROP TABLE IF EXISTS rdt_new")
+    try:
+        mk.rename_delta_table(table, "rdt_new")
+        assert spark.table("rdt_new").count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rdt_new")
+
+    # databricks branch: catalog-metadata rename through the session
+    spark.sql("DROP TABLE IF EXISTS rdt_cat_src")
+    spark.sql("DROP TABLE IF EXISTS rdt_cat_dst")
+    df.write.saveAsTable("rdt_cat_src")
+    try:
+        mk.rename_delta_table(
+            table, "rdt_cat_dst", table_location="rdt_cat_src",
+            databricks=True, spark_session=spark,
+        )
+        assert spark.table("rdt_cat_dst").count() == 2
+        assert not spark.catalog.tableExists("rdt_cat_src")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rdt_cat_src")
+        spark.sql("DROP TABLE IF EXISTS rdt_cat_dst")
 
 
 def test_rename_catalog_table(spark, tmp_path):
