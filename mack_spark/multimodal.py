@@ -5,11 +5,15 @@ per-item compute rides ``mapInPandas`` (Arrow-batched, one Python
 worker round-trip per partition batch — never per row). Image decode
 is REAL for BMP / PPM / PGM / PNG via the dependency-free codecs in
 :mod:`mack_spark.codecs` (``decode_image``, ``resize_image_bytes``,
-``pixel_feature_fn``); audio/video codecs remain out of scope for this
-container, so ``decode_fn=None`` on the generic operators selects a
-deterministic byte-level fake — the engine-independent oracle contract
-for the declared queries — and any real codec slots in as a
-one-argument function.
+``pixel_feature_fn``); audio decode is REAL for PCM/float WAV via
+:mod:`mack_spark.audio` (``decode_wav``, ``audio_feature_fn`` —
+duration/RMS/ZCR/peak + log-spaced FFT band energies); multi-frame
+decode is REAL for animated GIF via :mod:`mack_spark.video`
+(``decode_gif_frames``, ``gif_frame_count``). Containers that need
+ffmpeg (mp4/webm, mp3/ogg) stay out of scope: ``decode_fn=None`` on
+the generic operators selects a deterministic byte-level fake — the
+engine-independent oracle contract for the declared queries — and any
+real codec slots in as a one-argument function.
 
 SCALE: media rows are orders of magnitude wider than text rows.
 ``repartition`` by byte-size budget before the UDF stage so one Arrow
@@ -189,23 +193,49 @@ def resize_media(
 
 
 def frame_sample_plan(
-    df: DataFrame, binary_col: str, id_col: str, every_n: int = 30
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    every_n: int = 30,
+    frame_count_fn: Optional[Callable[[bytes], int]] = None,
 ) -> DataFrame:
-    """Video frame-sampling *plumbing*: emits one row per planned frame
-    index (codec-free — indices derive from payload size as a stand-in
-    for frame count; video containers remain out of scope here, unlike
-    images which decode for real via :mod:`mack_spark.codecs`).
+    """Video frame-sampling: one row per sampled frame index.
 
-    A real implementation replaces ``n_frames`` with the container's
-    frame count read via the codec in ``extract_features``-style
-    mapInPandas; the explode/partition shape is already correct.
+    With ``frame_count_fn`` (e.g. :func:`mack_spark.video
+    .gif_frame_count`, which walks GIF block structure without decoding
+    pixels) the count comes from the REAL container; the counting runs
+    in an Arrow-batched ``mapInPandas`` stage and only then explodes —
+    so at 100 TB each worker holds one clip's bytes, and the exploded
+    index rows (id, int) are the only thing that shuffles. When None,
+    the codec-free byte-size heuristic keeps the engine-independent
+    oracle contract for the declared query.
     """
-    n_frames = (F.length(F.col(binary_col)) / F.lit(1024)).cast("int") + 1
-    return df.select(
+    if frame_count_fn is None:
+        n_frames = (F.length(F.col(binary_col)) / F.lit(1024)).cast("int") + 1
+        counted = df.select(F.col(id_col), n_frames.alias("n_frames"))
+    else:
+        count_schema = StructType(
+            [df.schema[id_col], StructField("n_frames", IntegerType(), True)]
+        )
+
+        def count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "n_frames": [
+                            None if p is None else int(frame_count_fn(bytes(p)))
+                            for p in pdf[binary_col]
+                        ],
+                    }
+                )
+
+        counted = df.select(id_col, binary_col).mapInPandas(count, count_schema)
+    return counted.select(
         F.col(id_col),
-        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias(
-            "frame_index"
-        ),
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_index"),
     )
 
 
