@@ -1016,6 +1016,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_resize"] = q_resize
 
+    # ----- LLM pipeline: PII scrubbing (map-only JVM regex; the corpus
+    # has no organic PII, so each query first injects deterministic PII
+    # derived from (doc_id, n_chars) — the identical expression exists
+    # in the oracle SQL, so redaction output is fully hash-checked)
+    def _with_pii(docs):
+        d = F.col("doc_id").cast("string")
+        nc = F.col("n_chars")
+        did = F.col("doc_id")
+        injected = F.concat(
+            F.substring(F.col("text"), 1, 40),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" reach user"), d, F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                nc % 2 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (nc % 200).cast("string"),
+                    F.lit("."),
+                    (did % 250).cast("string"),
+                    F.lit("."),
+                    (nc % 250).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((did % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((nc % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                nc % 5 == 0,
+                F.concat(
+                    F.lit(" id "),
+                    F.lpad((did % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((nc % 100).cast("string"), 2, "0"),
+                    F.lit("-"),
+                    F.lpad(((did * 7) % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 2 == 1,
+                F.concat(
+                    F.lit(" see https://example.com/d/"), d, F.lit("?ref=corpus")
+                ),
+            ).otherwise(F.lit("")),
+        )
+        return docs.select("doc_id", "source", injected.alias("text"))
+
+    def q_pii_redact(spark, sf_dir):
+        from mack_spark.operators.redact import redact_pii
+
+        docs = _with_pii(_t(spark, sf_dir, "documents"))
+        return redact_pii(docs, "text", output_col="redacted").select(
+            "doc_id", "redacted"
+        )
+
+    q["pii_redact"] = q_pii_redact
+
+    def q_pii_stats(spark, sf_dir):
+        from mack_spark.operators.redact import pii_counts
+
+        docs = _with_pii(_t(spark, sf_dir, "documents"))
+        out = pii_counts(docs, "text")
+        return out.select(
+            "doc_id",
+            F.col("n_url").cast("bigint").alias("n_url"),
+            F.col("n_email").cast("bigint").alias("n_email"),
+            F.col("n_ssn").cast("bigint").alias("n_ssn"),
+            F.col("n_phone").cast("bigint").alias("n_phone"),
+            F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+            F.col("n_pii_total").cast("bigint").alias("n_pii_total"),
+        )
+
+    q["pii_stats"] = q_pii_stats
+
+    def q_pii_rollup(spark, sf_dir):
+        from mack_spark.operators.redact import pii_rollup
+
+        docs = _with_pii(_t(spark, sf_dir, "documents"))
+        out = pii_rollup(docs, "text", group_cols=["source"])
+        return out.select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "total_url",
+            "total_email",
+            "total_ssn",
+            "total_phone",
+            "total_ipv4",
+            "docs_with_pii",
+        )
+
+    q["pii_rollup_by_source"] = q_pii_rollup
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -1263,10 +1362,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_near", "contamination_check", "dedup_ngram_jaccard",
         # streaming (sessionize equivalence property-tested this round)
         "streaming_sessionize", "streaming_scd2_foreach_batch",
+        # new this round: PII scrubbing family (redact.py)
+        "pii_redact", "pii_stats", "pii_rollup_by_source",
         # long-unchecked rotation fills (last driver row r1/r2)
-        "pricing_summary", "regional_revenue", "top_customers",
-        "shipping_priority", "returned_revenue", "market_share",
-        "promo_revenue", "with_md5_cols", "is_composite_key_candidate",
+        "pricing_summary", "regional_revenue",
+        "shipping_priority", "market_share",
+        "with_md5_cols", "is_composite_key_candidate",
         "find_composite_key_candidates", "doc_stats", "corpus_rollup",
         "token_counts", "knn_ivf_indexed",
     ]
@@ -2347,6 +2448,91 @@ SELECT doc_id,
        md5(substr(text, 1, 256)) AS content_hash
 FROM documents
 WHERE (SELECT bad FROM ascii_guard) = 0
+"""
+
+    # PII scrubbing family: the injection CTE mirrors _with_pii
+    # expression-for-expression; patterns are the Java∩RE2-safe subset
+    # from mack_spark.operators.redact.PII_PATTERNS (single source of
+    # truth — interpolated here, apostrophes SQL-escaped). DuckDB's
+    # regexp_replace needs the 'g' flag to match Spark's replace-all.
+    from mack_spark.operators.redact import PII_PATTERNS as _pii_pats
+
+    def _sqlpat(kind):
+        return _pii_pats[kind].replace("'", "''")
+
+    _pii_inject_cte = """
+WITH inj AS (
+  SELECT doc_id, source,
+    substr(text, 1, 40)
+    || CASE WHEN doc_id % 3 = 0
+         THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         ELSE '' END
+    || CASE WHEN n_chars % 2 = 0
+         THEN ' from 10.' || CAST(n_chars % 200 AS VARCHAR) || '.'
+              || CAST(doc_id % 250 AS VARCHAR) || '.'
+              || CAST(n_chars % 250 AS VARCHAR)
+         ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+         THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(n_chars % 10000 AS VARCHAR), 4, '0')
+         ELSE '' END
+    || CASE WHEN n_chars % 5 = 0
+         THEN ' id ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(n_chars % 100 AS VARCHAR), 2, '0')
+              || '-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
+         ELSE '' END
+    || CASE WHEN doc_id % 2 = 1
+         THEN ' see https://example.com/d/' || CAST(doc_id AS VARCHAR)
+              || '?ref=corpus'
+         ELSE '' END
+    AS text
+  FROM documents
+)"""
+
+    _redact_chain = "text"
+    for _kind in _pii_pats:  # dict order == redact_pii application order
+        _redact_chain = (
+            f"regexp_replace({_redact_chain}, '{_sqlpat(_kind)}',"
+            f" '<{_kind.upper()}>', 'g')"
+        )
+    o["pii_redact"] = f"""
+{_pii_inject_cte}
+SELECT doc_id, {_redact_chain} AS redacted FROM inj
+"""
+
+    _cnt = {
+        k: f"len(regexp_extract_all(text, '{_sqlpat(k)}'))" for k in _pii_pats
+    }
+    o["pii_stats"] = f"""
+{_pii_inject_cte}
+SELECT doc_id,
+       CAST({_cnt['url']} AS BIGINT) AS n_url,
+       CAST({_cnt['email']} AS BIGINT) AS n_email,
+       CAST({_cnt['ssn']} AS BIGINT) AS n_ssn,
+       CAST({_cnt['phone']} AS BIGINT) AS n_phone,
+       CAST({_cnt['ipv4']} AS BIGINT) AS n_ipv4,
+       CAST({_cnt['url']} + {_cnt['email']} + {_cnt['ssn']}
+            + {_cnt['phone']} + {_cnt['ipv4']} AS BIGINT) AS n_pii_total
+FROM inj
+"""
+
+    o["pii_rollup_by_source"] = f"""
+{_pii_inject_cte}, per_doc AS (
+  SELECT source,
+         {_cnt['url']} AS n_url, {_cnt['email']} AS n_email,
+         {_cnt['ssn']} AS n_ssn, {_cnt['phone']} AS n_phone,
+         {_cnt['ipv4']} AS n_ipv4
+  FROM inj
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_url) AS BIGINT) AS total_url,
+       CAST(sum(n_email) AS BIGINT) AS total_email,
+       CAST(sum(n_ssn) AS BIGINT) AS total_ssn,
+       CAST(sum(n_phone) AS BIGINT) AS total_phone,
+       CAST(sum(n_ipv4) AS BIGINT) AS total_ipv4,
+       CAST(sum(CASE WHEN n_url + n_email + n_ssn + n_phone + n_ipv4 > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+FROM per_doc GROUP BY source
 """
 
     # Recomputes the deterministic fake decoder in SQL: feature_i =

@@ -48,8 +48,18 @@ from mack_spark.operators.asof import asof_join
 from mack_spark.operators.cluster import connected_components, near_dup_clusters
 from mack_spark.operators.interval import interval_join
 from mack_spark.operators.sampling import deterministic_sample, stratified_sample
+from mack_spark.operators.redact import (
+    pii_counts,
+    pii_rollup,
+    redact_pii,
+    strip_urls,
+)
 
 __all__ = [
+    "pii_counts",
+    "pii_rollup",
+    "redact_pii",
+    "strip_urls",
     "exact_dedup_survivors",
     "exact_duplicate_groups",
     "minhash_signatures",
