@@ -107,10 +107,19 @@ def kill_duplicates(table: ManagedTable, duplication_columns: List[str]) -> None
         # (reference mack/__init__.py:183-191 — whenMatchedDelete).
         keyed_merge=KeyedMerge(
             source=dup_keys,
+            # plain equality, NOT <=>: the reference's merge condition
+            # (mack/__init__.py:184-192, `old.col = new.col`) never
+            # matches NULL-group rows, so NULL-keyed duplicates survive
+            # — kill_duplicates_post's on-name anti-join has the same
+            # three-valued behavior by construction
             condition=" AND ".join(
-                f"t.`{c}` <=> s.`{c}`" for c in duplication_columns
+                f"t.`{c}` = s.`{c}`" for c in duplication_columns
             ),
             matched_delete=True,
+            # the full condition implies t.dup0 = s.dup0, so files
+            # touched on the first column are a superset of true matches
+            target_key_col=duplication_columns[0],
+            source_key_col=duplication_columns[0],
         ),
     )
 
@@ -155,6 +164,8 @@ def drop_duplicates_pkey(
             source=losers,
             condition=f"t.`{primary_key}` = s.`{primary_key}`",
             matched_delete=True,
+            target_key_col=primary_key,
+            source_key_col=primary_key,
         ),
     )
 

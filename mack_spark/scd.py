@@ -94,6 +94,10 @@ def scd2_keyed_merge(
             f"base.`{is_current_col_name}` = true AND ({changed_sql})"
         ),
         not_matched_insert=insert_values,
+        # condition is exactly base.pk = staged.mergeKey — the file-
+        # skipping contract _merge_keyed_files needs
+        target_key_col=primary_key,
+        source_key_col="mergeKey",
     )
 
 

@@ -33,8 +33,8 @@ from typing import Callable, List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mack_spark.scd import scd2_post_state
-from mack_spark.tables import ManagedTable
+from mack_spark.scd import scd2_keyed_merge, scd2_post_state
+from mack_spark.tables import KeyedMerge, ManagedTable
 
 
 def run_stream_to_batch(
@@ -306,12 +306,23 @@ def foreach_batch_scd2(
         # File-pruned per-epoch commit: a micro-batch touches only its
         # own keys, so on a key-clustered table each epoch rewrites only
         # the files whose range the batch hits (tables.py footer-stats
-        # pruning) — the property that keeps per-epoch MERGE cost
+        # pruning); the keyed descriptor keeps that property on
+        # UNCLUSTERED layouts too (exact touched-file scan,
+        # tables.py _merge_keyed_files) — per-epoch MERGE cost stays
         # proportional to batch size, not table size, at 100 TB.
         table.merge_overwrite(
             post,
             operation="STREAMING-MERGE",
             touched_keys=(primary_key, deduped.select(primary_key)),
+            keyed_merge=scd2_keyed_merge(
+                table.toDF(),
+                deduped,
+                primary_key,
+                attr_col_names,
+                is_current_col_name,
+                effective_time_col_name,
+                end_time_col_name,
+            ),
         )
         meta = table._read_meta()
         meta["history"][-1]["streaming_epoch"] = epoch_id
@@ -415,11 +426,33 @@ def foreach_batch_rollup(
         )
         # Groups absent from this batch aggregate to themselves —
         # identity outside the batch's keys, so footer-stats pruning
-        # applies on a key-clustered rollup table.
+        # applies on a key-clustered rollup table; the keyed descriptor
+        # (update matched group totals, insert new groups) extends the
+        # per-epoch pruning to unclustered layouts.
+        batch_totals = merged.join(
+            partial.select(*group_cols).distinct(), group_cols, "left_semi"
+        )
         table.merge_overwrite(
             merged,
             operation="STREAMING-ROLLUP",
             touched_keys=(group_cols[0], partial.select(group_cols[0])),
+            keyed_merge=KeyedMerge(
+                source=batch_totals,
+                # null-safe: groupBy put NULL keys in one group, so the
+                # merge must match them too (plain = would insert a
+                # duplicate NULL-keyed group instead of updating it)
+                condition=" AND ".join(
+                    f"t.`{c}` <=> s.`{c}`" for c in group_cols
+                ),
+                matched_update={
+                    "n_events": "s.`n_events`",
+                    "value_fp": "s.`value_fp`",
+                },
+                not_matched_insert="*",
+                target_key_col=group_cols[0],
+                source_key_col=group_cols[0],
+                null_safe=True,
+            ),
         )
         meta = table._read_meta()
         meta["history"][-1]["streaming_epoch"] = epoch_id

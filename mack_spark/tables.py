@@ -41,11 +41,12 @@ import dataclasses
 import datetime
 import json
 import os
+import pathlib
 import shutil
 import time
 import uuid
 from typing import Dict, List, Optional, Union
-from urllib.parse import unquote
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -88,6 +89,17 @@ class KeyedMerge:
     matched_update_condition: Optional[str] = None
     matched_delete: Union[bool, str, None] = None
     not_matched_insert: Union[str, Dict[str, str], None] = None
+    # Optional file-skipping contract: when set, the builder asserts
+    # that ``condition`` IMPLIES ``t.target_key_col = s.source_key_col``
+    # (``<=>`` when null_safe) — i.e. a target row can only match when
+    # its key equals some source key. ManagedTable then executes the
+    # descriptor natively with file-level pruning
+    # (:meth:`ManagedTable._merge_keyed_files`): exactly the files
+    # containing matched keys are rewritten, everything else is
+    # hard-linked — Delta MERGE's two-phase shape on parquet.
+    target_key_col: Optional[str] = None
+    source_key_col: Optional[str] = None
+    null_safe: bool = False
 
 
 def apply_keyed_merge(dt, km: KeyedMerge) -> None:
@@ -759,11 +771,25 @@ class ManagedTable:
         rewrite_cond = ~in_untouched
         if include_nulls:
             rewrite_cond = rewrite_cond | F.col(key_col).isNull()
+        self._commit_partial_rewrite(
+            meta, operation, post_state.filter(rewrite_cond), untouched
+        )
+        return True
+
+    def _commit_partial_rewrite(
+        self,
+        meta: dict,
+        operation: str,
+        rewrite_df: DataFrame,
+        untouched_files: List[str],
+    ) -> None:
+        """Write ``rewrite_df`` as the next snapshot's rewritten region,
+        hard-link ``untouched_files`` unchanged (zero copy), commit."""
         old_snapshot = meta["current"]
         new_snapshot = f"v={meta['version'] + 1}-{uuid.uuid4().hex[:8]}"
         new_dir = os.path.join(self.path, new_snapshot)
-        post_state.filter(rewrite_cond).write.mode("overwrite").parquet(new_dir)
-        for f in untouched:
+        rewrite_df.write.mode("overwrite").parquet(new_dir)
+        for f in untouched_files:
             dest = os.path.join(new_dir, os.path.basename(f))
             if os.path.exists(dest):  # pragma: no cover - uuid part names
                 dest = os.path.join(
@@ -781,6 +807,203 @@ class ManagedTable:
             raise
         for d in to_delete:
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def _execute_merge_clauses(
+        self, target: DataFrame, km: KeyedMerge, declared: StructType
+    ) -> DataFrame:
+        """Apply a :class:`KeyedMerge`'s clauses to ``target`` with
+        Delta's MERGE semantics: first applicable matched clause in
+        registration order (update, then delete), NULL clause condition
+        = not applicable, ambiguous multi-source match raises, source
+        rows matching nothing take the insert clause, every output
+        column cast to the declared schema. The independent verifier
+        for these semantics is tests/merge_interpreter.py (the two are
+        deliberately separate implementations)."""
+        t, s = km.target_alias, km.source_alias
+        out_cols = [f.name for f in declared.fields]
+        tb = target.withColumn("__tid", F.monotonically_increasing_id()).alias(t)
+        src = km.source.alias(s)
+        on = F.expr(km.condition)
+        pairs = tb.join(src, on, "inner")
+        ambiguous = (
+            pairs.groupBy("__tid").count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if ambiguous:
+            raise ValueError(
+                "ambiguous merge: a target row is matched by multiple source rows"
+            )
+        if km.matched_update is None:
+            upd = F.lit(False)
+        elif km.matched_update_condition is None:
+            upd = F.lit(True)
+        else:
+            upd = F.coalesce(F.expr(km.matched_update_condition), F.lit(False))
+        if km.matched_delete is None:
+            dele = F.lit(False)
+        elif km.matched_delete is True:
+            dele = F.lit(True)
+        else:
+            dele = F.coalesce(F.expr(km.matched_delete), F.lit(False))
+        updated = pairs.where(upd).select(
+            *[
+                F.expr(km.matched_update[c]).alias(c)
+                if c in (km.matched_update or {})
+                else F.col(f"{t}.`{c}`").alias(c)
+                for c in out_cols
+            ]
+        )
+        kept = pairs.where(~upd & ~dele).select(
+            *[F.col(f"{t}.`{c}`").alias(c) for c in out_cols]
+        )
+        unmatched = tb.join(src, on, "left_anti").select(
+            *[F.col(f"`{c}`").alias(c) for c in out_cols]
+        )
+        result = updated.unionByName(kept).unionByName(unmatched)
+        if km.not_matched_insert is not None:
+            new_src = src.join(tb, on, "left_anti")
+            if km.not_matched_insert == "*":
+                inserts = new_src.select(
+                    *[F.col(f"{s}.`{c}`").alias(c) for c in out_cols]
+                )
+            else:
+                inserts = new_src.select(
+                    *[F.expr(km.not_matched_insert[c]).alias(c) for c in out_cols]
+                )
+            result = result.unionByName(inserts)
+        for f in declared.fields:
+            result = result.withColumn(f.name, F.col(f.name).cast(f.dataType))
+        return result
+
+    def _merge_keyed_files(
+        self, km: Optional[KeyedMerge], operation: str, meta: dict
+    ) -> bool:
+        """Native execution of a :class:`KeyedMerge` with Delta MERGE's
+        two-phase file-level shape, for unpartitioned tables. Returns
+        False when inapplicable — caller falls back.
+
+        Phase 1 (find touched files): footer min/max stats skip files
+        whose range misses every source key (no false negatives; files
+        with missing stats simply stay candidates — unlike the interval
+        rewrite there is NO disjointness closure to void, because
+        provenance is explicit); then the candidates' key column is
+        scanned with ``_metadata.file_path`` and semi-joined against the
+        distinct source keys — EXACTLY the files containing a matched
+        key survive (this is Delta MERGE job 1: a columnar key scan +
+        shuffle join, no full-width read). Phase 2 (rewrite): only the
+        touched files' rows flow through the merge clauses; every other
+        file is hard-linked byte-identical. Correctness rests on the
+        descriptor contract that ``condition`` implies key equality
+        (KeyedMerge.target_key_col), so a matched target row can only
+        live in a touched file, and source rows that match no touched
+        row match nothing — inserts computed against the touched subset
+        equal inserts against the full table.
+
+        This strictly beats the interval rewrite on UNCLUSTERED layouts:
+        overlapping ranges collapse the interval closure to a full
+        rewrite, while the exact key scan still prunes every file that
+        merely range-overlaps without containing a matched key.
+        """
+        if km is None or not km.target_key_col or not km.source_key_col:
+            return False
+        if meta["partition_columns"]:
+            return False
+        declared = StructType.fromJson(json.loads(meta["schema"]))
+        key_col = km.target_key_col
+        if key_col not in declared.fieldNames():
+            return False
+        files = self._data_files()
+        if len(files) < 2:
+            return False
+        # The source plan is consumed by key extraction, the pair join,
+        # and the insert anti-join; evaluate it once.
+        source = km.source.localCheckpoint(eager=True)
+        km = dataclasses.replace(km, source=source)
+        keys = source.select(F.col(km.source_key_col).alias("__k")).distinct()
+        nn_keys = keys.filter(F.col("__k").isNotNull()).localCheckpoint(eager=True)
+        keys_have_null = (
+            km.null_safe
+            and keys.filter(F.col("__k").isNull()).limit(1).count() > 0
+        )
+        stats = self._file_key_stats(files, key_col)
+        known = {f: s for f, s in stats.items() if s is not None}
+        cands = {f for f in files if stats[f] is None}
+        key_type = declared[key_col].dataType
+        from pyspark.sql.types import (
+            ByteType, DateType, DoubleType, FloatType, IntegerType,
+            LongType, ShortType, StringType, StructField, TimestampType,
+        )
+        rangeable = isinstance(
+            key_type,
+            (ByteType, ShortType, IntegerType, LongType, FloatType,
+             DoubleType, StringType, DateType, TimestampType),
+        )
+        if known and rangeable:
+            flist = sorted(known)
+            ranges_df = self.spark.createDataFrame(
+                [(i, known[f][0], known[f][1]) for i, f in enumerate(flist)],
+                StructType(
+                    [
+                        StructField("fid", LongType()),
+                        StructField("lo", key_type),
+                        StructField("hi", key_type),
+                    ]
+                ),
+            )
+            hit_ids = {
+                r.fid
+                for r in nn_keys.join(
+                    F.broadcast(ranges_df),
+                    (F.col("__k") >= F.col("lo")) & (F.col("__k") <= F.col("hi")),
+                )
+                .select("fid")
+                .distinct()
+                .collect()
+            }
+            cands |= {flist[i] for i in hit_ids}
+            if keys_have_null:
+                cands |= {f for f, s in known.items() if s[2]}
+        else:
+            cands |= set(known)
+        if cands:
+            scan = (
+                self.spark.read.schema(declared)
+                .parquet(*sorted(cands))
+                .select(
+                    F.col("_metadata.file_path").alias("__file"),
+                    F.col(key_col).alias("__tk"),
+                )
+            )
+            match = (
+                F.col("__tk").eqNullSafe(F.col("__k"))
+                if km.null_safe
+                else F.col("__tk") == F.col("__k")
+            )
+            touched_uris = {
+                r["__file"]
+                for r in scan.join(keys, match, "left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            }
+        else:
+            touched_uris = set()
+        # _metadata.file_path is a URI; map back to local paths.
+        uri_of = {pathlib.Path(f).resolve().as_uri(): f for f in files}
+        touched = set()
+        for u in touched_uris:
+            if u in uri_of:
+                touched.add(uri_of[u])
+            else:  # pragma: no cover - non-file scheme or symlinked root
+                touched.add(unquote(urlparse(u).path))
+        untouched = [f for f in files if f not in touched]
+        if not untouched:
+            return False
+        if touched:
+            target_sub = self.spark.read.schema(declared).parquet(*sorted(touched))
+        else:
+            target_sub = self.spark.createDataFrame([], declared)
+        rewrite = self._execute_merge_clauses(target_sub, km, declared)
+        self._commit_partial_rewrite(meta, operation, rewrite, untouched)
         return True
 
     def merge_overwrite(
@@ -830,8 +1053,17 @@ class ManagedTable:
         if not parts and touched_keys is not None:
             if self._merge_file_pruned(post_state, operation, meta, touched_keys):
                 return
+            # Interval rewrite refused (unclustered layout, missing
+            # stats, unsupported key type): the provenance-explicit
+            # keyed path still prunes — exact touched files via key
+            # scan, clause execution on just their rows.
+            if self._merge_keyed_files(keyed_merge, operation, meta):
+                return
             self.overwrite(post_state, operation=operation, schema_change=False)
             return
+        if not parts and keyed_merge is not None:
+            if self._merge_keyed_files(keyed_merge, operation, meta):
+                return
         if not parts or touched_partitions is None:
             self.overwrite(post_state, operation=operation, schema_change=False)
             return
