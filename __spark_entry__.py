@@ -1115,6 +1115,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_rollup_by_source"] = q_pii_rollup
 
+    def q_unigram_quality(spark, sf_dir):
+        from mack_spark.operators.textstats import unigram_logprob_score
+
+        return unigram_logprob_score(_t(spark, sf_dir, "documents"))
+
+    q["unigram_quality"] = q_unigram_quality
+
+    def q_dataset_split(spark, sf_dir):
+        from mack_spark.operators.sampling import hash_split
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id")
+        return hash_split(docs, ["doc_id"])
+
+    q["dataset_split"] = q_dataset_split
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -1362,13 +1377,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_near", "contamination_check", "dedup_ngram_jaccard",
         # streaming (sessionize equivalence property-tested this round)
         "streaming_sessionize", "streaming_scd2_foreach_batch",
-        # new this round: PII scrubbing family (redact.py)
+        # new this round: PII scrubbing, perplexity proxy, split assign
         "pii_redact", "pii_stats", "pii_rollup_by_source",
+        "unigram_quality", "dataset_split",
         # long-unchecked rotation fills (last driver row r1/r2)
         "pricing_summary", "regional_revenue",
         "shipping_priority", "market_share",
         "with_md5_cols", "is_composite_key_candidate",
-        "find_composite_key_candidates", "doc_stats", "corpus_rollup",
+        "find_composite_key_candidates",
         "token_counts", "knn_ivf_indexed",
     ]
     assert len(front_r5) == 50, len(front_r5)
@@ -2533,6 +2549,58 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN n_url + n_email + n_ssn + n_phone + n_ipv4 > 0
                 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
 FROM per_doc GROUP BY source
+"""
+
+    # Perplexity proxy: the corpus's own add-0.5-smoothed unigram model,
+    # per-token log-probs quantized to 1e-6 fixed point (floor, summed
+    # as BIGINT) so aggregation order can't perturb the mean on either
+    # engine; ln() may differ by 1 ulp between Java and C++ libm, which
+    # flips a 1e-6 floor with probability ~1e-8 per token — negligible.
+    o["unigram_quality"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_toks_sql('text')}) AS t FROM documents
+), counts AS (
+  SELECT t, count(*) AS c FROM toks GROUP BY t
+), model AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS vocab FROM counts
+), scored AS (
+  SELECT doc_id,
+         CAST(floor(ln((c + 0.5) / (total + 0.5 * vocab)) * 1000000.0)
+              AS BIGINT) AS qlp
+  FROM toks JOIN counts USING (t) CROSS JOIN model
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens, CAST(sum(qlp) AS BIGINT) AS qsum
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS INT) AS n_tokens,
+       CASE WHEN coalesce(p.n_tokens, 0) > 0
+            THEN round(CAST(p.qsum AS DOUBLE) / p.n_tokens / 1000000.0, 6)
+            ELSE 0.0 END AS avg_logprob,
+       round(exp(-(CASE WHEN coalesce(p.n_tokens, 0) > 0
+            THEN round(CAST(p.qsum AS DOUBLE) / p.n_tokens / 1000000.0, 6)
+            ELSE 0.0 END)), 4) AS pseudo_ppl
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+    # Deterministic split assignment: thresholds computed with the SAME
+    # accumulation loop as hash_split so the float math (and thus the
+    # hex literals) is bit-identical.
+    _split_weights = (("train", 0.98), ("val", 0.01), ("test", 0.01))
+    _split_total = sum(w for _, w in _split_weights)
+    _acc = 0.0
+    _cases = []
+    for _name, _w in _split_weights[:-1]:
+        _acc += _w / _split_total
+        _thr = format(min(int(_acc * 2**32), 2**32 - 1), "08x")
+        _cases.append(
+            f"WHEN substr(md5('split' || '||' || CAST(doc_id AS VARCHAR)), 1, 8)"
+            f" < '{_thr}' THEN '{_name}'"
+        )
+    o["dataset_split"] = f"""
+SELECT doc_id,
+       CASE {' '.join(_cases)} ELSE '{_split_weights[-1][0]}' END AS split
+FROM documents
 """
 
     # Recomputes the deterministic fake decoder in SQL: feature_i =

@@ -68,3 +68,39 @@ def stratified_sample(
         .filter(F.col("__rn") <= n_per_group)
         .drop("__rn")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: List[str],
+    weights=(("train", 0.98), ("val", 0.01), ("test", 0.01)),
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the row's key hash
+    lands in one of the cumulative-weight buckets of ``[0, 2^32)``.
+    Same (key, salt) → same split, across re-runs, repartitions, and
+    engines (md5 everywhere) — the invariant that keeps a training
+    corpus's held-out set held out forever. Map-only: no shuffle, no
+    RNG, safe to recompute instead of storing.
+
+    ``weights`` is an ordered (name, weight) sequence; weights are
+    normalized, the last bucket absorbs rounding.
+    """
+    names = [n for n, _ in weights]
+    ws = [float(w) for _, w in weights]
+    if len(names) < 2:
+        raise ValueError("need at least two splits")
+    if any(w < 0 for w in ws) or sum(ws) <= 0:
+        raise ValueError(f"weights must be non-negative and sum > 0: {ws}")
+    total = sum(ws)
+    h = _hash_prefix(key_cols, salt)
+    expr = None
+    acc = 0.0
+    for name, w in zip(names[:-1], ws[:-1]):
+        acc += w / total
+        threshold = format(min(int(acc * 2**32), 2**32 - 1), "08x")
+        clause = h < F.lit(threshold)
+        expr = F.when(clause, F.lit(name)) if expr is None else expr.when(clause, F.lit(name))
+    expr = expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)

@@ -243,3 +243,69 @@ def repetition_stats(
         .withColumn("flagged", F.col("dup_bigram_frac") > max_dup_frac)
         .orderBy(id_col)
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Perplexity proxy: score each document by the mean log-probability
+    of its tokens under the corpus's own add-k-smoothed unigram model —
+    the standard cheap quality gate before a real LM scores a corpus
+    (documents full of corpus-rare junk tokens score low).
+
+    Two passes, both shuffle-minimal at 100 TB:
+
+    1. the unigram model is ONE map-side-combined aggregation over the
+       exploded tokens (shuffle carries one row per distinct token, not
+       per instance), plus a single-row total/vocab rollup;
+    2. scoring re-explodes and joins tokens to the model —
+       ``broadcast(counts)``, since a natural-language vocabulary is
+       tens-of-MB even at corpus scale — then aggregates per doc, so
+       the only real shuffle of pass 2 is on ``id_col``.
+
+    Determinism contract (oracle-checked): per-token log-probs are
+    quantized to 1e-6 via ``floor`` and summed as longs — an
+    associative integer sum no aggregation order can perturb — and the
+    mean is derived from that fixed-point total.
+
+    Returns ``(id_col, n_tokens, avg_logprob, pseudo_ppl)``;
+    ``pseudo_ppl = round(exp(-avg_logprob), 4)``, 0-token docs score 0.
+    """
+    toks = df.select(F.col(id_col), F.explode(mf.tokens(F.col(text_col))).alias("t"))
+    counts = toks.groupBy("t").agg(F.count("*").alias("c"))
+    model_stats = counts.agg(
+        F.sum("c").alias("total"), F.count("*").alias("vocab")
+    )
+    k = F.lit(float(smoothing))
+    scored = (
+        toks.join(F.broadcast(counts), "t")
+        .crossJoin(F.broadcast(model_stats))
+        .select(
+            F.col(id_col),
+            F.floor(
+                F.log((F.col("c") + k) / (F.col("total") + k * F.col("vocab")))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("qlp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"), F.sum("qlp").alias("qsum")
+    )
+    base = df.select(id_col)
+    j = base.join(per_doc, id_col, "left")
+    n = F.coalesce(F.col("n_tokens"), F.lit(0))
+    avg = F.when(
+        n > 0,
+        F.round(F.col("qsum").cast("double") / n / F.lit(1000000.0), 6),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        F.col(id_col),
+        n.cast("int").alias("n_tokens"),
+        avg.alias("avg_logprob"),
+        F.round(F.exp(-avg), 4).alias("pseudo_ppl"),
+    )

@@ -121,3 +121,38 @@ class TestRedact:
             ).fetchone()[0].count("<EMAIL>")
             == 1
         )
+
+
+class TestUnigramQuality:
+    def test_scores_rank_junk_below_common_text(self, spark):
+        from mack_spark.operators.textstats import unigram_logprob_score
+
+        docs = [
+            (1, "the cat sat on the mat the cat"),
+            (2, "the dog sat on the mat"),
+            (3, "zxqv jkwp qqzz vvxx"),  # corpus-rare junk
+            (4, ""),
+        ]
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        out = {r["doc_id"]: r for r in unigram_logprob_score(df).collect()}
+        assert out[3]["avg_logprob"] < out[1]["avg_logprob"]
+        assert out[3]["pseudo_ppl"] > out[1]["pseudo_ppl"]
+        assert out[4]["n_tokens"] == 0 and out[4]["avg_logprob"] == 0.0
+
+    def test_exact_two_token_model(self, spark):
+        import math
+
+        from mack_spark.operators.textstats import unigram_logprob_score
+
+        # corpus: "a a a b" -> counts a=3, b=1; total=4, vocab=2
+        df = spark.createDataFrame(
+            [(1, "a a a"), (2, "b")], "doc_id int, text string"
+        )
+        out = {r["doc_id"]: r for r in unigram_logprob_score(df).collect()}
+        pa = math.log((3 + 0.5) / (4 + 0.5 * 2))
+        pb = math.log((1 + 0.5) / (4 + 0.5 * 2))
+        qa = math.floor(pa * 1e6) / 1e6
+        qb = math.floor(pb * 1e6) / 1e6
+        assert out[1]["avg_logprob"] == round(qa, 6)
+        assert out[2]["avg_logprob"] == round(qb, 6)
+        assert out[2]["avg_logprob"] < out[1]["avg_logprob"]

@@ -60,3 +60,51 @@ def test_optimize_compact_reduces_files(spark, tmp_path):
     assert stats["files_after"] == 1
     assert t.toDF().count() == 200
     assert t.history()[-1]["operation"] == "OPTIMIZE"
+
+
+def test_hash_split_deterministic_and_partition_independent(spark):
+    from mack_spark.operators.sampling import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = {r["k"]: r["split"] for r in hash_split(df, ["k"]).collect()}
+    b = {
+        r["k"]: r["split"]
+        for r in hash_split(df.repartition(13), ["k"]).collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    # 98/1/1 within loose tolerance on 2000 keys
+    assert 1900 <= c["train"] <= 1990
+    assert 5 <= c["val"] <= 50 and 5 <= c["test"] <= 50
+    # different salt draws an independent assignment
+    d = {r["k"]: r["split"] for r in hash_split(df, ["k"], salt="v2").collect()}
+    assert d != a
+
+
+def test_hash_split_custom_weights_and_validation(spark):
+    import pytest
+
+    from mack_spark.operators.sampling import hash_split
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    half = hash_split(df, ["k"], weights=(("a", 1), ("b", 1)))
+    from collections import Counter
+
+    c = Counter(r["split"] for r in half.collect())
+    assert abs(c["a"] - c["b"]) < 200
+    with pytest.raises(ValueError, match="at least two"):
+        hash_split(df, ["k"], weights=(("only", 1.0),))
+    with pytest.raises(ValueError, match="non-negative"):
+        hash_split(df, ["k"], weights=(("a", -1), ("b", 2)))
+
+
+def test_hash_split_is_map_only(spark):
+    from mack_spark.operators.sampling import hash_split
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    plan = (
+        hash_split(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
