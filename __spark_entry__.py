@@ -1130,6 +1130,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dataset_split"] = q_dataset_split
 
+    def q_sequence_packing(spark, sf_dir):
+        from mack_spark.operators.packing import pack_sequences
+
+        docs = _t(spark, sf_dir, "documents")
+        return pack_sequences(docs, ["lang"], budget=256)
+
+    q["sequence_packing"] = q_sequence_packing
+
+    def q_packing_efficiency(spark, sf_dir):
+        from mack_spark.operators.packing import pack_sequences, packing_stats
+
+        docs = _t(spark, sf_dir, "documents")
+        packed = pack_sequences(docs, ["lang"], budget=256)
+        return packing_stats(packed, ["lang"], budget=256)
+
+    q["packing_efficiency"] = q_packing_efficiency
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -1380,9 +1397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round: PII scrubbing, perplexity proxy, split assign
         "pii_redact", "pii_stats", "pii_rollup_by_source",
         "unigram_quality", "dataset_split",
+        "sequence_packing", "packing_efficiency",
         # long-unchecked rotation fills (last driver row r1/r2)
         "pricing_summary", "regional_revenue",
-        "shipping_priority", "market_share",
         "with_md5_cols", "is_composite_key_candidate",
         "find_composite_key_candidates",
         "token_counts", "knn_ivf_indexed",
@@ -2581,6 +2598,51 @@ SELECT d.doc_id,
             THEN round(CAST(p.qsum AS DOUBLE) / p.n_tokens / 1000000.0, 6)
             ELSE 0.0 END)), 4) AS pseudo_ppl
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+    # Sequence packing: the oracle replays the greedy next-fit walk as
+    # a recursive CTE over the same id order — integer state only, so
+    # the replay is exact.
+    _pack_cte = f"""
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id,
+         CAST(coalesce(len({_toks_sql('text')}), 0) AS BIGINT) AS n_tokens
+  FROM documents
+), ord AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM toks
+), state AS (
+  SELECT lang, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+         n_tokens AS acc
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN s.acc > 0 AND s.acc + o.n_tokens > 256
+              THEN s.seq_id + 1 ELSE s.seq_id END,
+         CASE WHEN s.acc > 0 AND s.acc + o.n_tokens > 256
+              THEN CAST(0 AS BIGINT) ELSE s.acc END,
+         CASE WHEN s.acc > 0 AND s.acc + o.n_tokens > 256
+              THEN o.n_tokens ELSE s.acc + o.n_tokens END
+  FROM state s JOIN ord o ON o.lang = s.lang AND o.rn = s.rn + 1
+)"""
+
+    o["sequence_packing"] = f"""
+{_pack_cte}
+SELECT lang, doc_id, n_tokens, seq_id, seq_offset FROM state
+"""
+
+    o["packing_efficiency"] = f"""
+{_pack_cte}, per_seq AS (
+  SELECT lang, seq_id, sum(n_tokens) AS seq_tokens, count(*) AS n_docs
+  FROM state GROUP BY lang, seq_id
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sequences,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       round(CAST(sum(least(seq_tokens, 256)) AS DOUBLE)
+             / (count(*) * 256), 6) AS utilization,
+       round(avg(CAST(n_docs AS DOUBLE)), 6) AS avg_docs_per_seq
+FROM per_seq GROUP BY lang
 """
 
     # Deterministic split assignment: thresholds computed with the SAME
