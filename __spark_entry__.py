@@ -901,6 +901,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_ivf_kmeans"] = q_knn_ivf_kmeans
 
+    def q_knn_pq(spark, sf_dir):
+        # PQ/ADC + exact re-rank: the ANN memory-scale path (64-dim
+        # float32 -> 16 code bytes at m=16,k=16; the compressed scan
+        # picks a 10x-k shortlist, exact cosine touches only those).
+        # Codebooks are deterministic (hash-gated sample + fixed-init
+        # Lloyd, operators/pq.py) but nested float argmin/k-means isn't
+        # SQL-expressible, so like knn_ivf_kmeans this records the
+        # rows-only driver check; recall (raw 0.57, reranked 0.986,
+        # bars 0.5/0.9) is pinned in tests/test_pq.py.
+        from mack_spark.operators.pq import pq_search
+
+        emb = _t(spark, sf_dir, "embeddings")
+        return pq_search(
+            emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, m=16,
+            rerank_shortlist=50,
+        )
+
+    q["knn_pq_adc"] = q_knn_pq
+
     def q_knn_ivf_indexed(spark, sf_dir):
         # Persisted-index twin of knn_ivf: build_ivf_index once per
         # (session, sf_dir) with the deterministic "first" quantizer,
@@ -1397,9 +1416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round: PII scrubbing, perplexity proxy, split assign
         "pii_redact", "pii_stats", "pii_rollup_by_source",
         "unigram_quality", "dataset_split",
-        "sequence_packing", "packing_efficiency",
+        "sequence_packing", "packing_efficiency", "knn_pq_adc",
         # long-unchecked rotation fills (last driver row r1/r2)
-        "pricing_summary", "regional_revenue",
+        "regional_revenue",
         "with_md5_cols", "is_composite_key_candidate",
         "find_composite_key_candidates",
         "token_counts", "knn_ivf_indexed",

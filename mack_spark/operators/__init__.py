@@ -48,6 +48,13 @@ from mack_spark.operators.asof import asof_join
 from mack_spark.operators.cluster import connected_components, near_dup_clusters
 from mack_spark.operators.interval import interval_join
 from mack_spark.operators.sampling import deterministic_sample, stratified_sample
+from mack_spark.operators.pq import (
+    encode_pq,
+    pq_search,
+    pq_topk,
+    pq_topk_rerank,
+    train_pq_codebooks,
+)
 from mack_spark.operators.redact import (
     pii_counts,
     pii_rollup,
@@ -56,6 +63,11 @@ from mack_spark.operators.redact import (
 )
 
 __all__ = [
+    "encode_pq",
+    "pq_search",
+    "pq_topk",
+    "pq_topk_rerank",
+    "train_pq_codebooks",
     "pii_counts",
     "pii_rollup",
     "redact_pii",
