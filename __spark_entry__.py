@@ -1141,6 +1141,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["unigram_quality"] = q_unigram_quality
 
+    def q_boilerplate(spark, sf_dir):
+        # CCNet-style boilerplate strip. The corpus has no newlines, so
+        # the demo derives deterministic pseudo-lines (12-token chunks,
+        # identical expression in the oracle) and the operator then runs
+        # for real on them.
+        from mack_spark.operators.boilerplate import strip_boilerplate
+
+        docs = _t(spark, sf_dir, "documents")
+        toks = mf.tokens(F.col("text"))
+        n_chunks = F.ceil(F.size(toks) / F.lit(12.0)).cast("int")
+        lines_arr = F.when(
+            n_chunks > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        pseudo = docs.select(
+            "doc_id", F.array_join(lines_arr, "\n").alias("text")
+        )
+        return strip_boilerplate(pseudo, "text", "doc_id", min_docs=2)
+
+    q["boilerplate_strip"] = q_boilerplate
+
     def q_dataset_split(spark, sf_dir):
         from mack_spark.operators.sampling import hash_split
 
@@ -1417,8 +1441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact", "pii_stats", "pii_rollup_by_source",
         "unigram_quality", "dataset_split",
         "sequence_packing", "packing_efficiency", "knn_pq_adc",
+        "boilerplate_strip",
         # long-unchecked rotation fills (last driver row r1/r2)
-        "regional_revenue",
         "with_md5_cols", "is_composite_key_candidate",
         "find_composite_key_candidates",
         "token_counts", "knn_ivf_indexed",
@@ -2662,6 +2686,43 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_sequences,
              / (count(*) * 256), 6) AS utilization,
        round(avg(CAST(n_docs AS DOUBLE)), 6) AS avg_docs_per_seq
 FROM per_seq GROUP BY lang
+"""
+
+    # Boilerplate strip: pseudo-lines are 12-token chunks (same slicing
+    # both engines — Spark slice(start,len) vs DuckDB 1-based inclusive
+    # list slice produce identical chunks), then line doc-frequency >= 2
+    # lines are removed and the text reassembled in position order.
+    o["boilerplate_strip"] = f"""
+WITH tok_docs AS (
+  SELECT doc_id, {_toks_sql('text')} AS toks,
+         CAST(ceil(len({_toks_sql('text')}) / 12.0) AS INT) AS n_chunks
+  FROM documents
+), chunk_pos AS (
+  SELECT doc_id, toks, unnest(range(n_chunks)) AS pos FROM tok_docs
+), chunks AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         array_to_string(toks[CAST(pos*12+1 AS INT) : CAST(pos*12+12 AS INT)],
+                         ' ') AS line
+  FROM chunk_pos
+), nz AS (
+  SELECT * FROM chunks WHERE line <> ''
+), freq AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM nz)
+  GROUP BY line HAVING count(*) >= 2
+), kept AS (
+  SELECT c.* FROM nz c LEFT JOIN freq f USING (line) WHERE f.line IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_lines FROM nz GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       CAST(coalesce(t.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+FROM documents d
+LEFT JOIN totals t USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
 """
 
     # Deterministic split assignment: thresholds computed with the SAME

@@ -48,6 +48,7 @@ from mack_spark.operators.asof import asof_join
 from mack_spark.operators.cluster import connected_components, near_dup_clusters
 from mack_spark.operators.interval import interval_join
 from mack_spark.operators.sampling import deterministic_sample, stratified_sample
+from mack_spark.operators.boilerplate import line_doc_frequency, strip_boilerplate
 from mack_spark.operators.pq import (
     encode_pq,
     pq_search,
@@ -63,6 +64,8 @@ from mack_spark.operators.redact import (
 )
 
 __all__ = [
+    "line_doc_frequency",
+    "strip_boilerplate",
     "encode_pq",
     "pq_search",
     "pq_topk",
