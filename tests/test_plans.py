@@ -135,3 +135,39 @@ def test_waiting_suppliers_single_window_pass(spark, queries):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 3
     assert "SortMergeJoin" not in plan
+
+
+def test_pii_scrub_is_map_only(spark, queries):
+    plan = _plan(queries["pii_stats"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    # projection pruned to what the counts actually need: source is
+    # dropped (pii_stats doesn't output it), only id/text/n_chars scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "doc_id", "text", "n_chars"
+    }
+
+
+def test_unigram_model_join_is_broadcast(spark, queries):
+    """Pass 2 joins token instances to the vocabulary model: the model
+    side must broadcast (a vocab is tens-of-MB at corpus scale), never
+    shuffle the exploded token instances into a SortMergeJoin."""
+    plan = _plan(queries["unigram_quality"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_packing_python_stage_sees_narrow_rows(spark, queries):
+    """Token counting runs JVM-side; only (group, id, n_tokens) rows may
+    enter the Arrow stage — the text column must not cross into Python."""
+    plan = _plan(queries["sequence_packing"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan
+    m = re.search(r"FlatMapGroupsInPandas \[[^\]]*\], pack\(([^)]*)\)", plan)
+    args = m.group(1) if m else ""
+    assert "text" not in args, args
+
+
+def test_dataset_split_no_shuffle_no_python(spark, queries):
+    plan = _plan(queries["dataset_split"](spark, SF_DIR))
+    assert "Exchange" not in plan and "EvalPython" not in plan
