@@ -1165,6 +1165,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["boilerplate_strip"] = q_boilerplate
 
+    def q_incremental_rollup(spark, sf_dir):
+        # Batch incremental-view maintenance: a rollup table follows a
+        # source ManagedTable through create → append → delete using
+        # only the change feed (rollup.py), never a full rescan. The
+        # oracle aggregates the equivalent final state directly.
+        import tempfile
+
+        from mack_spark.rollup import (
+            create_rollup,
+            refresh_rollup_incremental,
+            rollup_as_view,
+        )
+        from mack_spark.tables import ManagedTable
+
+        tmp = tempfile.mkdtemp(prefix="rollup_inc_")
+        gcols = ["event_hour", "event_type"]
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "event_hour", F.date_trunc("hour", F.col("ts"))
+        ).select("user_id", "event_type", "value", "event_hour")
+        src = ManagedTable.create(
+            spark, f"{tmp}/src", ev.filter(F.col("user_id") % 3 == 0)
+        )
+        src.set_properties({"mack.retain_snapshots": "10"})
+        rollup = create_rollup(src, f"{tmp}/rollup", gcols)
+        src.append(ev.filter(F.col("user_id") % 3 == 1))
+        refresh_rollup_incremental(rollup, src, gcols)
+        src.overwrite(
+            src.toDF().filter(
+                ~((F.col("user_id") % 3 == 0) & (F.col("event_type") == "click"))
+            ),
+            operation="DELETE",
+            schema_change=False,
+        )
+        refresh_rollup_incremental(rollup, src, gcols)
+        return rollup_as_view(rollup, gcols).orderBy("event_hour", "event_type")
+
+    q["incremental_rollup"] = q_incremental_rollup
+
     def q_dataset_split(spark, sf_dir):
         from mack_spark.operators.sampling import hash_split
 
@@ -1441,11 +1479,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact", "pii_stats", "pii_rollup_by_source",
         "unigram_quality", "dataset_split",
         "sequence_packing", "packing_efficiency", "knn_pq_adc",
-        "boilerplate_strip",
+        "boilerplate_strip", "incremental_rollup",
         # long-unchecked rotation fills (last driver row r1/r2)
         "with_md5_cols", "is_composite_key_candidate",
         "find_composite_key_candidates",
-        "token_counts", "knn_ivf_indexed",
+        "knn_ivf_indexed",
     ]
     assert len(front_r5) == 50, len(front_r5)
     fset = set(front_r5)
@@ -2723,6 +2761,20 @@ SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
        CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
 FROM documents d
 LEFT JOIN totals t USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+    # Incremental rollup: the oracle aggregates the final source state
+    # (slices 0/1 kept, slice-0 clicks deleted) directly.
+    o["incremental_rollup"] = """
+SELECT date_trunc('hour', ts) AS event_hour, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 10000.0) AS DECIMAL(38,0))) AS DOUBLE)
+           / 10000.0 AS total_value
+FROM events
+WHERE user_id % 3 IN (0, 1)
+  AND NOT (user_id % 3 = 0 AND event_type = 'click')
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY event_hour, event_type
 """
 
     # Deterministic split assignment: thresholds computed with the SAME

@@ -89,6 +89,10 @@ class KeyedMerge:
     matched_update_condition: Optional[str] = None
     matched_delete: Union[bool, str, None] = None
     not_matched_insert: Union[str, Dict[str, str], None] = None
+    # Optional insert-clause condition (Delta's whenNotMatchedInsert
+    # condition=): a source row matching no target row inserts only when
+    # this SQL evaluates true (NULL = false).
+    not_matched_condition: Optional[str] = None
     # Optional file-skipping contract: when set, the builder asserts
     # that ``condition`` IMPLIES ``t.target_key_col = s.source_key_col``
     # (``<=>`` when null_safe) — i.e. a target row can only match when
@@ -124,9 +128,17 @@ def apply_keyed_merge(dt, km: KeyedMerge) -> None:
         else:
             m = m.whenMatchedDelete()
     if km.not_matched_insert == "*":
-        m = m.whenNotMatchedInsertAll()
+        if km.not_matched_condition:
+            m = m.whenNotMatchedInsertAll(condition=km.not_matched_condition)
+        else:
+            m = m.whenNotMatchedInsertAll()
     elif isinstance(km.not_matched_insert, dict):
-        m = m.whenNotMatchedInsert(values=km.not_matched_insert)
+        if km.not_matched_condition:
+            m = m.whenNotMatchedInsert(
+                condition=km.not_matched_condition, values=km.not_matched_insert
+            )
+        else:
+            m = m.whenNotMatchedInsert(values=km.not_matched_insert)
     m.execute()
 
 
@@ -284,13 +296,23 @@ class ManagedTable:
                 pass
 
     def _finalize(self, meta: dict, operation: str, target: int,
-                  new_snapshot: Optional[str] = None) -> None:
+                  new_snapshot: Optional[str] = None,
+                  files_added: Optional[List[str]] = None) -> None:
         meta["version"] = target
+        entry = {
+            "version": target, "operation": operation, "timestamp": time.time()
+        }
         if new_snapshot is not None:
             meta["current"] = new_snapshot
-        meta["history"].append(
-            {"version": meta["version"], "operation": operation, "timestamp": time.time()}
-        )
+        else:
+            # In-place commit (append / property change): record the
+            # file manifest delta so earlier versions of the SAME
+            # snapshot era stay reconstructable (current files minus
+            # later additions) — the Delta-log idea applied to this
+            # layout. Snapshot-replacing commits omit the key, marking
+            # an era boundary.
+            entry["files_added"] = list(files_added or [])
+        meta["history"].append(entry)
         self._write_meta(meta)
 
     def _commit(self, meta: dict, operation: str, new_snapshot: Optional[str] = None) -> None:
@@ -410,27 +432,63 @@ class ManagedTable:
         """
         meta = self._read_meta()
         snap_dir = self._snapshot_dir(meta)
+        explicit_files: Optional[List[str]] = None
         if version is not None and version != meta["version"]:
-            entry = next(
-                (s for s in meta.get("retained", []) if s["version"] == version),
-                None,
-            )
-            if entry is None:
-                avail = [s["version"] for s in meta.get("retained", [])]
-                raise ValueError(
-                    f"version {version} is not retained (current="
-                    f"{meta['version']}, retained={avail}); set the "
-                    f"'mack.retain_snapshots' table property to keep "
-                    f"replaced snapshots readable"
+            explicit_files = self._in_era_files(meta, version)
+            if explicit_files is None:
+                entry = next(
+                    (s for s in meta.get("retained", []) if s["version"] == version),
+                    None,
                 )
-            snap_dir = os.path.join(self.path, entry["dir"])
+                if entry is None:
+                    avail = [s["version"] for s in meta.get("retained", [])]
+                    raise ValueError(
+                        f"version {version} is not retained (current="
+                        f"{meta['version']}, retained={avail}); set the "
+                        f"'mack.retain_snapshots' table property to keep "
+                        f"replaced snapshots readable"
+                    )
+                snap_dir = os.path.join(self.path, entry["dir"])
         reader = self.spark.read.schema(
             StructType.fromJson(json.loads(meta["schema"]))
         )
         if meta["partition_columns"]:
             # Partition discovery needs basePath so partition cols survive.
             reader = reader.option("basePath", snap_dir)
+        if explicit_files is not None:
+            if not explicit_files:
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(meta["schema"]))
+                )
+            return reader.parquet(*explicit_files)
         return reader.parquet(snap_dir)
+
+    def _in_era_files(self, meta: dict, version: int) -> Optional[List[str]]:
+        """File list for a version that lives in the CURRENT snapshot
+        era: every commit after it was an in-place append/property
+        change whose ``files_added`` manifest was recorded, so the old
+        version is exactly the current files minus the later additions
+        (data files are immutable — appends only ever add). Returns
+        None when a snapshot-replacing commit (no manifest) intervenes —
+        the caller then falls back to retained-snapshot resolution."""
+        if version >= meta["version"] or version < 0:
+            return None
+        later = [
+            h for h in meta.get("history", []) if h["version"] > version
+        ]
+        if len(later) != meta["version"] - version or any(
+            "files_added" not in h for h in later
+        ):
+            return None
+        snap = self._snapshot_dir(meta)
+        added = {
+            os.path.normpath(rel) for h in later for rel in h["files_added"]
+        }
+        return [
+            f
+            for f in self._data_files()
+            if os.path.normpath(os.path.relpath(f, snap)) not in added
+        ]
 
     def restore(self, version: int) -> None:
         """RESTORE TABLE ... TO VERSION AS OF: commit a NEW version whose
@@ -552,7 +610,7 @@ class ManagedTable:
                 os.replace(os.path.join(staging, rel), dest)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
-        self._finalize(meta, operation, target)
+        self._finalize(meta, operation, target, files_added=staged)
 
     def overwrite(
         self,
@@ -861,6 +919,10 @@ class ManagedTable:
         result = updated.unionByName(kept).unionByName(unmatched)
         if km.not_matched_insert is not None:
             new_src = src.join(tb, on, "left_anti")
+            if km.not_matched_condition:
+                new_src = new_src.where(
+                    F.coalesce(F.expr(km.not_matched_condition), F.lit(False))
+                )
             if km.not_matched_insert == "*":
                 inserts = new_src.select(
                     *[F.col(f"{s}.`{c}`").alias(c) for c in out_cols]

@@ -72,6 +72,9 @@ def interpret_keyed_merge(base: DataFrame, km) -> DataFrame:
 
     if km.not_matched_insert is not None:
         new_src = src.join(tb, on, "left_anti")
+        cond = getattr(km, "not_matched_condition", None)
+        if cond:
+            new_src = new_src.where(F.coalesce(F.expr(cond), F.lit(False)))
         if km.not_matched_insert == "*":
             inserts = new_src.select(
                 *[F.col(f"{s}.`{c}`").alias(c) for c in out_cols]
