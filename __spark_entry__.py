@@ -1148,17 +1148,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for real on them.
         from mack_spark.operators.boilerplate import strip_boilerplate
 
-        docs = _t(spark, sf_dir, "documents")
-        toks = mf.tokens(F.col("text"))
-        n_chunks = F.ceil(F.size(toks) / F.lit(12.0)).cast("int")
+        # repartition: the documents file is a single parquet split, and
+        # the chunking lambdas are interpreted — spread them over cores.
+        # Tokenize in ONE projection so the array isn't re-derived per
+        # consumer expression.
+        docs = _t(spark, sf_dir, "documents").repartition(16)
+        tokd = docs.select("doc_id", mf.tokens(F.col("text")).alias("toks"))
+        n_chunks = F.ceil(F.size(F.col("toks")) / F.lit(12.0)).cast("int")
         lines_arr = F.when(
             n_chunks > 0,
             F.transform(
                 F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i * 12 + 1, 12), " "
+                ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        pseudo = docs.select(
+        pseudo = tokd.select(
             "doc_id", F.array_join(lines_arr, "\n").alias("text")
         )
         return strip_boilerplate(pseudo, "text", "doc_id", min_docs=2)
