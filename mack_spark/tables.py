@@ -495,27 +495,44 @@ class ManagedTable:
         content is the retained snapshot's content (history moves
         forward, as in Delta — a restore is an operation, not an undo).
         The restored files are hard-linked, so the restore itself is
-        metadata-speed regardless of table size."""
+        metadata-speed regardless of table size. Works for retained
+        snapshots AND for in-era versions (append manifests make any
+        version of the current snapshot era reconstructable)."""
         meta = self._read_meta()
-        entry = next(
-            (s for s in meta.get("retained", []) if s["version"] == version), None
-        )
-        if entry is None:
-            raise ValueError(f"version {version} is not retained")
-        src = os.path.join(self.path, entry["dir"])
+        in_era = self._in_era_files(meta, version)
+        if in_era is not None:
+            snap = self._snapshot_dir(meta)
+            link_files = [(f, os.path.relpath(f, snap)) for f in in_era]
+        else:
+            entry = next(
+                (s for s in meta.get("retained", []) if s["version"] == version),
+                None,
+            )
+            if entry is None:
+                raise ValueError(f"version {version} is not retained")
+            src = os.path.join(self.path, entry["dir"])
+            link_files = []
+            for root, _dirs, names in os.walk(src):
+                rel = os.path.relpath(root, src)
+                for n in names:
+                    if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                        link_files.append(
+                            (
+                                os.path.join(root, n),
+                                n if rel == "." else os.path.join(rel, n),
+                            )
+                        )
         old_snapshot = meta["current"]
         new_snapshot = f"v={meta['version'] + 1}-{uuid.uuid4().hex[:8]}"
         new_dir = os.path.join(self.path, new_snapshot)
-        for root, _dirs, names in os.walk(src):
-            rel = os.path.relpath(root, src)
-            dest = new_dir if rel == "." else os.path.join(new_dir, rel)
-            os.makedirs(dest, exist_ok=True)
-            for n in names:
-                if n.endswith(".parquet") and not n.startswith(("_", ".")):
-                    try:
-                        os.link(os.path.join(root, n), os.path.join(dest, n))
-                    except OSError:
-                        shutil.copy2(os.path.join(root, n), os.path.join(dest, n))
+        os.makedirs(new_dir, exist_ok=True)
+        for src_path, rel in link_files:
+            dest = os.path.join(new_dir, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            try:
+                os.link(src_path, dest)
+            except OSError:
+                shutil.copy2(src_path, dest)
         to_delete = self._plan_retention(meta, old_snapshot)
         try:
             self._commit(

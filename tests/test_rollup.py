@@ -121,3 +121,16 @@ class TestIncrementalRollup:
         refresh_rollup_incremental(rollup, t, ["grp"])
         got = {r["grp"]: r["n_events"] for r in rollup.toDF().collect()}
         assert got == {None: 2, "x": 1}
+
+
+class TestInEraRestore:
+    def test_restore_to_pre_append_version(self, spark, tmp_path):
+        t = ManagedTable.create(
+            spark, str(tmp_path / "re"), _events(spark, [("a", 1.0)])
+        )
+        t.append(_events(spark, [("b", 2.0)]))
+        t.append(_events(spark, [("c", 3.0)]))
+        t.restore(1)  # back to {a, b} without any retention configured
+        assert {r["grp"] for r in t.toDF().collect()} == {"a", "b"}
+        # restore is a forward commit, not an undo
+        assert t._read_meta()["version"] == 3
