@@ -920,6 +920,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_pq_adc"] = q_knn_pq
 
+    _ivfpq_index_cache: dict = {}
+
+    def q_knn_ivfpq(spark, sf_dir):
+        # IVF + PQ over a persisted index: coarse cells prune the scan
+        # (cell IN pushdown), ADC reads only (id, codes, cell) of the
+        # probed cells, exact re-rank touches vectors for the shortlist
+        # alone. Rows-only driver check (k-means + PQ not
+        # SQL-expressible); recall >= 0.75 pinned in tests/test_pq.py.
+        import tempfile
+
+        from mack_spark.operators import build_ivf_index
+        from mack_spark.operators.pq import ivfpq_topk
+        from mack_spark.tables import ManagedTable
+
+        emb = _t(spark, sf_dir, "embeddings")
+        key = (spark.sparkContext.applicationId, sf_dir)
+        path = _ivfpq_index_cache.get(key)
+        if path is None or not ManagedTable.is_managed(path):
+            path = tempfile.mkdtemp(prefix="mack-ivfpq-") + "/index"
+            build_ivf_index(
+                emb, path, n_cells=16, centroids="kmeans", pq_m=16, pq_k=16
+            )
+            _ivfpq_index_cache[key] = path
+        return ivfpq_topk(
+            ManagedTable.for_path(spark, path),
+            emb.filter(F.col("vec_id") < 10),
+            k=5,
+            n_probe=8,
+        )
+
+    q["knn_ivfpq"] = q_knn_ivfpq
+
     def q_knn_ivf_indexed(spark, sf_dir):
         # Persisted-index twin of knn_ivf: build_ivf_index once per
         # (session, sf_dir) with the deterministic "first" quantizer,

@@ -51,6 +51,7 @@ from mack_spark.operators.sampling import deterministic_sample, stratified_sampl
 from mack_spark.operators.boilerplate import line_doc_frequency, strip_boilerplate
 from mack_spark.operators.pq import (
     encode_pq,
+    ivfpq_topk,
     pq_search,
     pq_topk,
     pq_topk_rerank,
@@ -64,6 +65,7 @@ from mack_spark.operators.redact import (
 )
 
 __all__ = [
+    "ivfpq_topk",
     "line_doc_frequency",
     "strip_boilerplate",
     "encode_pq",

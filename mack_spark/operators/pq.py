@@ -285,3 +285,147 @@ def pq_topk_rerank(
         .filter(F.col("rank") <= k)
         .withColumn("cos_sim", F.round("cos_sim", round_scores))
     )
+
+
+def ivfpq_topk(
+    index,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    shortlist: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scores: int = 4,
+) -> DataFrame:
+    """IVF + PQ — the canonical billion-scale ANN composition over a
+    ``build_ivf_index(pq_m=...)`` table: the coarse quantizer prunes to
+    ``n_probe`` cells (literal ``cell IN (...)`` reaches the parquet
+    footers of the cell-clustered files), the ADC pass reads ONLY the
+    ``(id, codes, cell)`` columns of those files (column pruning keeps
+    the vectors on disk — a 16-byte codes scan instead of a 512-byte
+    vector scan), and the exact re-rank touches the true vectors for
+    just the per-query shortlist. Returns ``(query_id, neighbor_id,
+    cos_sim, rank)``.
+    """
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    props = index.detail()["properties"]
+    if "mack.pq.codebooks" not in props:
+        raise ValueError(
+            "index has no PQ codes — build it with build_ivf_index(pq_m=...)"
+        )
+    books = np.array(_json.loads(props["mack.pq.codebooks"]), dtype=np.float64)
+    m, kc, sub = books.shape
+    idx_id_col = props.get("mack.ivf.id_col", "vec_id")
+    if shortlist <= 0:
+        shortlist = 10 * k
+    center_rows = _json.loads(props["mack.ivf.centroids"])
+    from mack_spark import functions as mf
+    from mack_spark.operators.similarity import _ivf_assign_topn
+
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in center_rows],
+            "cid bigint, cvec array<double>",
+        ).select("cid", "cvec", mf.l2_norm(F.col("cvec")).alias("cnrm"))
+    )
+    probes = _ivf_assign_topn(queries, cents, id_col, vec_col, n_probe)
+    cells = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
+    qcells = {
+        r["query_id"]: set()
+        for r in probes.select("query_id").distinct().collect()
+    }
+    for r in probes.select("query_id", "cell").collect():
+        qcells[r["query_id"]].add(r["cell"])
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    Qs = Q.reshape(len(qrows), m, sub)
+    tables = ((Qs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+    # per-query probe masks: a candidate row only scores for queries
+    # probing its cell
+    probe_sets = [qcells.get(int(q), set()) for q in qids]
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf[idx_id_col].to_numpy(dtype=np.int64)
+            ccells = pdf["cell"].to_numpy(dtype=np.int64)
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            n = len(pdf)
+            dist = np.zeros((n, len(qids)), dtype=np.float64)
+            for j in range(m):
+                dist += tables[:, j, codes[:, j]].T
+            for qj, pset in enumerate(probe_sets):
+                mask = ~np.isin(ccells, list(pset)) if pset else np.ones(n, bool)
+                dist[mask, qj] = np.inf
+            dist[cids[:, None] == qids[None, :]] = np.inf
+            top = min(shortlist, n)
+            idx = np.argpartition(dist, top - 1, axis=0)[:top, :]
+            out_q, out_n, out_d = [], [], []
+            for qj in range(len(qids)):
+                rows = idx[:, qj]
+                keep = dist[rows, qj] != np.inf
+                rows = rows[keep]
+                out_q.extend([qids[qj]] * len(rows))
+                out_n.extend(cids[rows])
+                out_d.extend(dist[rows, qj])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc_dist": out_d}
+            )
+
+    cand_scan = (
+        index.toDF()
+        .filter(F.col("cell").isin([int(c) for c in cells]))
+        .select(idx_id_col, "codes", "cell")
+    )
+    scored = cand_scan.mapInPandas(
+        score, "query_id long, neighbor_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    cvec = (
+        index.toDF()
+        .filter(F.col("cell").isin([int(c) for c in cells]))
+        .select(F.col(idx_id_col).alias("neighbor_id"), F.col("vec").alias("__cv"))
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    paired = short.join(cvec, "neighbor_id").join(F.broadcast(qvec), "query_id")
+    dot = F.aggregate(
+        F.zip_with("__qv", "__cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    rescored = paired.select(
+        "query_id",
+        "neighbor_id",
+        (dot / (norm("__qv") * norm("__cv"))).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .withColumn("cos_sim", F.round("cos_sim", round_scores))
+    )

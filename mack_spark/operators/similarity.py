@@ -587,6 +587,8 @@ def build_ivf_index(
     fit_fraction: float = 1.0,
     max_iter: int = 10,
     n_files: int | None = None,
+    pq_m: int = 0,
+    pq_k: int = 16,
 ):
     """Persist IVF state at INGEST time instead of refitting per query
     batch: fit/choose the coarse quantizer once, assign every corpus
@@ -619,18 +621,37 @@ def build_ivf_index(
         F.col("nnrm").alias("nrm"),
         "cell",
     )
+    props = {
+        "mack.ivf.id_col": id_col,
+        "mack.ivf.n_cells": str(n_cells),
+        "mack.ivf.centroids": _json.dumps(center_rows),
+    }
+    if pq_m > 0:
+        # IVF+PQ: also persist PQ codes per vector (the compressed
+        # representation the ADC scan reads INSTEAD of the vectors —
+        # column pruning turns a probe into a codes-only scan) and the
+        # codebooks in table properties beside the centroids.
+        from mack_spark.operators.pq import encode_pq, train_pq_codebooks
+
+        sample_dim = len(
+            corpus.select(vec_col).limit(1).collect()[0][0]
+        )
+        books = train_pq_codebooks(
+            corpus, sample_dim, pq_m, pq_k, id_col, vec_col,
+            sample_fraction=fit_fraction,
+        )
+        codes = encode_pq(corpus, books, id_col, vec_col).withColumnRenamed(
+            id_col, "__cid_join"
+        )
+        lists = lists.join(
+            codes, F.col(id_col) == F.col("__cid_join")
+        ).drop("__cid_join")
+        props["mack.pq.codebooks"] = _json.dumps(books.tolist())
+        props["mack.pq.m"] = str(pq_m)
+        props["mack.pq.k"] = str(pq_k)
     files = n_files or min(n_cells, 16)
     clustered = lists.repartitionByRange(files, "cell").sortWithinPartitions("cell")
-    return ManagedTable.create(
-        spark,
-        path,
-        df=clustered,
-        properties={
-            "mack.ivf.id_col": id_col,
-            "mack.ivf.n_cells": str(n_cells),
-            "mack.ivf.centroids": _json.dumps(center_rows),
-        },
-    )
+    return ManagedTable.create(spark, path, df=clustered, properties=props)
 
 
 def ivf_topk_from_index(

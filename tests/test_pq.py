@@ -126,3 +126,50 @@ class TestPQRecall:
         )
         recall = self._recall(approx, pairs)
         assert recall >= 0.9, f"reranked PQ recall {recall:.3f} < 0.9"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="sf0.01 missing")
+class TestIVFPQ:
+    def test_ivfpq_recall_and_pruning(self, spark, tmp_path):
+        """IVF+PQ over a persisted index: probes read only (id, codes,
+        cell) of the probed cells; recall@10 of the composed path must
+        be >= 0.75 of brute-force truth at n_probe=8/16 cells with
+        rerank (cell pruning costs some recall vs flat PQ; the knob is
+        n_probe)."""
+        from mack_spark.operators import brute_force_topk, build_ivf_index
+
+        corpus = spark.read.parquet(
+            os.path.join(SF_DIR, "embeddings.parquet")
+        ).cache()
+        idx = build_ivf_index(
+            corpus, str(tmp_path / "ivfpq"), n_cells=16, centroids="kmeans",
+            pq_m=16, pq_k=16,
+        )
+        assert "mack.pq.codebooks" in idx.detail()["properties"]
+        from mack_spark.operators.pq import ivfpq_topk
+
+        truth = {
+            (r[0], r[1])
+            for r in brute_force_topk(corpus, corpus, k=10)
+            .filter("cos_sim >= 0.3")
+            .select("query_id", "neighbor_id")
+            .collect()
+        }
+        out = ivfpq_topk(idx, corpus, k=10, n_probe=8, shortlist=100)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in out.select("query_id", "neighbor_id").collect()
+        }
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.75, f"IVF+PQ recall {recall:.3f} < 0.75"
+
+    def test_ivfpq_requires_pq_index(self, spark, tmp_path):
+        from mack_spark.operators import build_ivf_index
+        from mack_spark.operators.pq import ivfpq_topk
+
+        corpus = spark.read.parquet(
+            os.path.join(SF_DIR, "embeddings.parquet")
+        )
+        idx = build_ivf_index(corpus, str(tmp_path / "plain"), n_cells=4)
+        with pytest.raises(ValueError, match="pq_m"):
+            ivfpq_topk(idx, corpus.limit(2), k=3)
