@@ -176,3 +176,63 @@ def register_star_schema(spark: SparkSession, sf_dir: str) -> None:
     pre-registers, so one SQL string can run on both engines."""
     for name in STAR_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "jsonl",
+    corrupt_col: str = "_corrupt_record",
+    **reader_kwargs,
+):
+    """Validated ingest: read with an explicit schema in PERMISSIVE
+    mode and split into ``(good, quarantine)`` DataFrames — the ingest
+    twin of ``constraint_append``'s quarantine contract. ``good`` drops
+    the corrupt column; ``quarantine`` keeps only the raw offending
+    line so malformed input is auditable instead of silently nulled.
+
+    SCALE: one scan, two lazy filters on it — no extra pass. Spark
+    requires the corrupt column to be declared in the schema, so this
+    helper appends it; callers pass their DATA schema only. NOTE per
+    Spark semantics, a malformed CSV row still materializes the
+    parseable prefix of its fields in ``good``-side columns; the
+    quarantine filter is the authoritative malformed test (corrupt
+    column non-NULL).
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    if schema is None:
+        raise TypeError("read_with_quarantine requires an explicit schema")
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    declared = StructType(schema.fields).add(corrupt_col, StringType())
+    if fmt == "jsonl":
+        reader = (
+            spark.read.schema(declared)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+        )
+        raw = reader.json(path, **reader_kwargs)
+    elif fmt == "csv":
+        reader = (
+            spark.read.schema(declared)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+            .option("header", str(reader_kwargs.pop("header", True)).lower())
+            .option("delimiter", reader_kwargs.pop("delimiter", ","))
+        )
+        raw = reader.csv(path, **reader_kwargs)
+    else:
+        raise ValueError(f"unsupported fmt {fmt!r}: use 'jsonl' or 'csv'")
+    # Spark refuses queries whose referenced columns are ONLY the
+    # internal corrupt-record column (UNSUPPORTED_FEATURE.QUERY_ONLY_
+    # CORRUPT_RECORD_COLUMN); the documented pattern is to cache the
+    # raw read and filter the cached relation — one scan feeds both
+    # branches, which is what we wanted anyway.
+    raw = raw.cache()
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record")
+    )
+    return good, quarantine
