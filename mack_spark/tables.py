@@ -1581,6 +1581,8 @@ def optimize_compact(
     table: ManagedTable,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_by: Optional[List[str]] = None,
+    selective: bool = False,
+    min_file_bytes: Optional[int] = None,
 ) -> Dict[str, int]:
     """OPTIMIZE-style small-file compaction: rewrite the current
     snapshot into ``max(1, ceil(size / target_file_bytes))`` files.
@@ -1600,11 +1602,47 @@ def optimize_compact(
     merge rewrites only the files whose range the keys hit. For true
     multi-column locality use :func:`mack_spark.operators.zorder_by`.
 
+    ``selective=True`` is Delta ``OPTIMIZE``'s actual contract: only
+    files smaller than ``min_file_bytes`` (default ``target / 2``) are
+    read and re-binned; already-right-sized files are hard-linked
+    untouched. After steady append traffic the small-file tail is a
+    sliver of the table, so a selective OPTIMIZE costs O(small files),
+    not O(table) — the difference between a nightly maintenance job and
+    a nightly full rewrite at 100 TB. Selective mode skips partitioned
+    tables and ``sort_by`` requests (a global re-cluster genuinely
+    rewrites everything) and falls back to the full rewrite.
+
     Returns ``{"files_before": int, "files_after": int}``.
     """
     import math
 
     before = table.detail()
+    meta = table._read_meta()
+    if (
+        selective
+        and not meta["partition_columns"]
+        and not sort_by
+        and before["numFiles"] > 1
+    ):
+        if min_file_bytes is None:
+            min_file_bytes = target_file_bytes // 2
+        files = table._data_files()
+        small = [f for f in files if os.path.getsize(f) < min_file_bytes]
+        big = [f for f in files if os.path.getsize(f) >= min_file_bytes]
+        if len(small) > 1 and big:
+            small_bytes = sum(os.path.getsize(f) for f in small)
+            n = max(1, math.ceil(small_bytes / target_file_bytes))
+            declared = StructType.fromJson(json.loads(meta["schema"]))
+            rewrite = (
+                table.spark.read.schema(declared)
+                .parquet(*small)
+                .repartition(n)
+            )
+            table._commit_partial_rewrite(meta, "OPTIMIZE", rewrite, big)
+            return {
+                "files_before": before["numFiles"],
+                "files_after": table.detail()["numFiles"],
+            }
     n = max(1, math.ceil(before["sizeInBytes"] / target_file_bytes))
     df = table.toDF()
     if sort_by:

@@ -108,3 +108,58 @@ def test_hash_split_is_map_only(spark):
         hash_split(df, ["k"])._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_selective_compact_links_big_files(spark, tmp_path):
+    """OPTIMIZE contract: only the small-file tail is rewritten; files
+    already at target size ride through as hard links."""
+    import os
+
+    from mack_spark.tables import ManagedTable, optimize_compact
+
+    big = spark.range(0, 20000).selectExpr("id", "repeat('x', 64) as pad").coalesce(1)
+    t = ManagedTable.create(spark, str(tmp_path / "sel"), big)
+    # append a tail of tiny files
+    for i in range(4):
+        t.append(
+            spark.range(100000 + i * 10, 100000 + i * 10 + 10)
+            .selectExpr("id", "repeat('y', 8) as pad")
+            .coalesce(1)
+        )
+    snap = t._snapshot_dir()
+    inodes = {
+        n: os.stat(os.path.join(snap, n)).st_ino
+        for n in os.listdir(snap)
+        if n.endswith(".parquet")
+    }
+    sizes = {
+        n: os.path.getsize(os.path.join(snap, n)) for n in inodes
+    }
+    big_files = {n for n, s in sizes.items() if s == max(sizes.values())}
+    n_before = t.toDF().count()
+
+    stats = optimize_compact(
+        t, target_file_bytes=1 << 20, selective=True, min_file_bytes=10000
+    )
+    assert stats["files_before"] == 5
+    assert stats["files_after"] < 5
+    snap2 = t._snapshot_dir()
+    after = {
+        n: os.stat(os.path.join(snap2, n)).st_ino
+        for n in os.listdir(snap2)
+        if n.endswith(".parquet")
+    }
+    # the big file survived as a hard link; the four tiny ones merged
+    for n in big_files:
+        assert after.get(n) == inodes[n], (n, inodes, after)
+    assert t.toDF().count() == n_before
+
+
+def test_selective_compact_falls_back_when_unhelpful(spark, tmp_path):
+    from mack_spark.tables import ManagedTable, optimize_compact
+
+    df = spark.range(100).coalesce(1)
+    t = ManagedTable.create(spark, str(tmp_path / "fb"), df)
+    stats = optimize_compact(t, selective=True)  # single file: full path
+    assert stats["files_after"] >= 1
+    assert t.toDF().count() == 100
