@@ -1241,6 +1241,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_rollup"] = q_incremental_rollup
 
+    def q_skew_profile(spark, sf_dir):
+        from mack_spark.operators.skew import key_skew_profile
+
+        ev = _t(spark, sf_dir, "events")
+        return key_skew_profile(ev, ["user_id"], top=20)
+
+    q["key_skew_profile"] = q_skew_profile
+
     def q_dataset_split(spark, sf_dir):
         from mack_spark.operators.sampling import hash_split
 
@@ -2762,6 +2770,23 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_sequences,
              / (count(*) * 256), 6) AS utilization,
        round(avg(CAST(n_docs AS DOUBLE)), 6) AS avg_docs_per_seq
 FROM per_seq GROUP BY lang
+"""
+
+    o["key_skew_profile"] = """
+WITH counts AS (
+  SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+), total AS (SELECT count(*) AS t FROM events),
+head AS (
+  SELECT user_id, n_rows,
+         row_number() OVER (ORDER BY n_rows DESC, user_id ASC) AS rank
+  FROM counts ORDER BY n_rows DESC, user_id ASC LIMIT 20
+)
+SELECT rank, user_id, CAST(n_rows AS BIGINT) AS n_rows,
+       round(n_rows / (SELECT CAST(t AS DOUBLE) FROM total), 6) AS share,
+       round(sum(n_rows) OVER (ORDER BY rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / (SELECT CAST(t AS DOUBLE) FROM total), 6) AS cum_share
+FROM head
 """
 
     # Boilerplate strip: pseudo-lines are 12-token chunks (same slicing

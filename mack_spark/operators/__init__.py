@@ -6,7 +6,7 @@ search, text statistics, sessionization. All return DataFrames (no table
 mutation) so they compose with the table layer and the oracle harness.
 """
 
-from mack_spark.operators.skew import salted_join
+from mack_spark.operators.skew import key_skew_profile, salted_join
 from mack_spark.operators.profile import (
     column_profile,
     exact_percentiles,
@@ -65,6 +65,7 @@ from mack_spark.operators.redact import (
 )
 
 __all__ = [
+    "key_skew_profile",
     "ivfpq_topk",
     "line_doc_frequency",
     "strip_boilerplate",

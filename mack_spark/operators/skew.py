@@ -9,7 +9,7 @@ discovered at runtime.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -50,3 +50,35 @@ def salted_join(
         how,
     )
     return joined.drop("__salt")
+
+
+def key_skew_profile(
+    df: DataFrame, key_cols, top: int = 10, round_digits: int = 6
+) -> DataFrame:
+    """Heavy-hitter diagnosis for a join/aggregation key: the top-N
+    keys by row count with each key's share of the table and the
+    cumulative share — the numbers that decide between a plain shuffle,
+    AQE skew splitting, and explicit salting (``salted_join``).
+
+    SCALE: one map-side-combined aggregation (shuffle carries one row
+    per distinct key) + a windowed top-N over the aggregated counts.
+    Returns ``(rank, *key_cols, n_rows, share, cum_share)``.
+    """
+    key_cols = list(key_cols)
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n_rows"))
+    total = df.count()
+    # orderBy + limit compiles to TakeOrderedAndProject: per-partition
+    # top-N merged on the driver — no global sort even with billions of
+    # distinct keys. The ranking window then runs over <= top rows.
+    head = counts.orderBy(
+        F.col("n_rows").desc(), *[F.col(c).asc() for c in key_cols]
+    ).limit(top)
+    w = Window.orderBy(F.col("n_rows").desc(), *[F.col(c).asc() for c in key_cols])
+    ranked = head.withColumn("rank", F.row_number().over(w)).withColumn(
+        "share", F.round(F.col("n_rows") / F.lit(float(total)), round_digits)
+    )
+    wc = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return ranked.withColumn(
+        "cum_share",
+        F.round(F.sum(F.col("n_rows") / F.lit(float(total))).over(wc), round_digits),
+    ).select("rank", *key_cols, "n_rows", "share", "cum_share")

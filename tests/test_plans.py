@@ -171,3 +171,11 @@ def test_packing_python_stage_sees_narrow_rows(spark, queries):
 def test_dataset_split_no_shuffle_no_python(spark, queries):
     plan = _plan(queries["dataset_split"](spark, SF_DIR))
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_skew_profile_uses_take_ordered(spark, queries):
+    """Top-N over distinct-key counts must compile to
+    TakeOrderedAndProject (per-partition top-N, driver merge) — never a
+    global sort of the whole count relation."""
+    plan = _plan(queries["key_skew_profile"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
