@@ -114,12 +114,12 @@ class _FakeBuilder:
         self.log.append(("whenMatchedDelete", condition))
         return self
 
-    def whenNotMatchedInsertAll(self):
-        self.log.append(("whenNotMatchedInsertAll",))
+    def whenNotMatchedInsertAll(self, condition=None):
+        self.log.append(("whenNotMatchedInsertAll", condition))
         return self
 
-    def whenNotMatchedInsert(self, values=None):
-        self.log.append(("whenNotMatchedInsert", dict(values)))
+    def whenNotMatchedInsert(self, condition=None, values=None):
+        self.log.append(("whenNotMatchedInsert", condition, dict(values)))
         return self
 
     def execute(self):
@@ -168,7 +168,8 @@ def test_scd2_keyed_merge_compiles_reference_clauses(spark):
     upd_cond, upd_set = fake.log[2][1], fake.log[2][2]
     assert "base.`is_current` = true" in upd_cond and "staged.`attr` <> base.`attr`" in upd_cond
     assert upd_set == {"is_current": "false", "end_time": "staged.`effective_time`"}
-    ins = fake.log[3][1]
+    ins_cond, ins = fake.log[3][1], fake.log[3][2]
+    assert ins_cond is None  # reference scd2 has an unconditional insert
     assert ins["pkey"] == "staged.`pkey`" and ins["is_current"] == "true"
     assert ins["end_time"] == "null"
 
@@ -298,3 +299,46 @@ def test_keyed_merge_interpreter_rejects_ambiguous_source(spark):
     )
     with _pytest.raises(ValueError, match="ambiguous"):
         interpret_keyed_merge(base, km).collect()
+
+
+def test_insert_condition_compiles_and_interprets(spark):
+    """The rollup-refresh descriptor shape: conditional update, delete
+    for zero-count groups, CONDITIONAL insert. The native compile must
+    attach the insert condition; the interpreter must honor it (a new
+    group with n=0 appears nowhere)."""
+    from conftest import assert_df_equality
+    from merge_interpreter import interpret_keyed_merge
+
+    from mack_spark.tables import KeyedMerge, apply_keyed_merge
+
+    base = spark.createDataFrame(
+        [("a", 2, 10), ("b", 1, 5)], "grp string, n_events int, fp int"
+    )
+    src = spark.createDataFrame(
+        [("a", 3, 12), ("b", 0, 0), ("c", 0, 0), ("d", 4, 7)],
+        "grp string, n_events int, fp int",
+    )
+    km = KeyedMerge(
+        source=src,
+        condition="t.`grp` <=> s.`grp`",
+        matched_update={"n_events": "s.`n_events`", "fp": "s.`fp`"},
+        matched_update_condition="s.`n_events` > 0",
+        matched_delete=True,
+        not_matched_insert="*",
+        not_matched_condition="s.`n_events` > 0",
+        target_key_col="grp",
+        source_key_col="grp",
+        null_safe=True,
+    )
+    fake = _FakeDeltaTable()
+    apply_keyed_merge(fake, km)
+    ops = {e[0]: e for e in fake.log}
+    assert ops["whenNotMatchedInsertAll"][1] == "s.`n_events` > 0"
+    assert ops["whenMatchedUpdate"][1] == "s.`n_events` > 0"
+    assert ops["whenMatchedDelete"][1] is None
+
+    out = interpret_keyed_merge(base, km)
+    expected = spark.createDataFrame(
+        [("a", 3, 12), ("d", 4, 7)], "grp string, n_events int, fp int"
+    )
+    assert_df_equality(out, expected)
