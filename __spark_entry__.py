@@ -1274,6 +1274,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["packing_efficiency"] = q_packing_efficiency
 
+    def q_gopher_quality(spark, sf_dir):
+        from mack_spark.operators.quality import gopher_quality_flags
+
+        return gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+    q["gopher_quality"] = q_gopher_quality
+
+    def q_quality_by_source(spark, sf_dir):
+        from mack_spark.operators.quality import quality_by_source
+
+        return quality_by_source(_t(spark, sf_dir, "documents"))
+
+    q["quality_by_source"] = q_quality_by_source
+
+    def q_data_mix(spark, sf_dir):
+        from mack_spark.operators.mixing import mix_report
+
+        docs = _t(spark, sf_dir, "documents")
+        weights = {f"src{i}": (2.0 if i < 10 else 1.0) for i in range(20)}
+        return mix_report(docs, weights, ["doc_id"], budget_fraction=0.6)
+
+    q["data_mix"] = q_data_mix
+
+    def q_training_shards(spark, sf_dir):
+        from mack_spark.operators.shard import shard_manifest
+
+        return shard_manifest(_t(spark, sf_dir, "documents"), ["doc_id"])
+
+    q["training_shards"] = q_training_shards
+
+    def q_dedup_ngram_spans(spark, sf_dir):
+        from mack_spark.operators.dedup_text import duplicated_ngram_spans
+
+        return duplicated_ngram_spans(
+            _t(spark, sf_dir, "documents"), span_words=8, min_docs=2, top=100
+        )
+
+    q["dedup_ngram_spans"] = q_dedup_ngram_spans
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -2859,6 +2898,138 @@ ORDER BY event_hour, event_type
 SELECT doc_id,
        CASE {' '.join(_cases)} ELSE '{_split_weights[-1][0]}' END AS split
 FROM documents
+"""
+
+    # Gopher-style quality gates: metrics mirrored expression-for-
+    # expression (mean_word_len uses the single-space identity
+    # length(text) - (n_words-1) on BOTH engines; flags computed on the
+    # ROUNDED metrics exactly as the Spark operator does).
+    _gq_metrics = """
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_word_len,
+         round(CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ('a','the','of','to','in','and'))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio
+  FROM documents
+"""
+    o["gopher_quality"] = f"""
+WITH m AS ({_gq_metrics}),
+f AS (
+  SELECT *,
+         (n_words >= 20 AND n_words <= 100000) AS flag_word_count,
+         (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS flag_mean_word_len,
+         (stop_ratio >= 0.01) AS flag_stop_ratio
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, stop_ratio,
+       flag_word_count, flag_mean_word_len, flag_stop_ratio,
+       (flag_word_count AND flag_mean_word_len AND flag_stop_ratio) AS passes
+FROM f
+"""
+
+    o["quality_by_source"] = f"""
+WITH m AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_words,
+         round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_word_len,
+         round(CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ('a','the','of','to','in','and'))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio
+  FROM documents
+),
+f AS (
+  SELECT source,
+         ((n_words >= 20 AND n_words <= 100000)
+          AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+          AND (stop_ratio >= 0.01)) AS passes
+  FROM m
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN passes THEN 1 ELSE 0 END) AS n_pass,
+       round(CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS pass_rate
+FROM f GROUP BY source
+"""
+
+    # Data mixing: the allocation arithmetic is replayed with the same
+    # IEEE expression tree ((0.6 * total) * (w / W), floor, /, floor to
+    # 32-bit threshold) and the same md5-prefix keep rule as
+    # operators/mixing.py — see its determinism contract docstring.
+    _mix_w = "CASE WHEN CAST(substr(source, 4) AS BIGINT) < 10 THEN 2.0 ELSE 1.0 END"
+    o["data_mix"] = f"""
+WITH tok AS (
+  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+avail AS (SELECT source, sum(n_tok) AS avail_tokens FROM tok GROUP BY source),
+tot AS (SELECT sum(avail_tokens) AS total_tokens FROM avail),
+plan AS (
+  SELECT a.source, a.avail_tokens,
+         CAST(floor(0.6 * CAST(t.total_tokens AS DOUBLE)
+                    * (({_mix_w.replace('source', 'a.source')}) / 30.0)) AS BIGINT)
+           AS target_tokens
+  FROM avail a CROSS JOIN tot t
+),
+plan2 AS (
+  SELECT *,
+         CAST(target_tokens AS DOUBLE) / CAST(avail_tokens AS DOUBLE) AS rate
+  FROM plan
+),
+plan3 AS (
+  SELECT *,
+         CASE WHEN rate >= 1.0 THEN 'g'
+              ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))),
+                        8, '0')
+         END AS threshold_hex
+  FROM plan2
+),
+kept AS (
+  SELECT k.source, count(*) AS kept_docs, sum(k.n_tok) AS kept_tokens
+  FROM tok k JOIN plan3 p ON k.source = p.source
+  WHERE substr(md5('mix' || '||' || CAST(k.doc_id AS VARCHAR)), 1, 8)
+        < p.threshold_hex
+  GROUP BY k.source
+)
+SELECT p.source, p.avail_tokens, p.target_tokens,
+       COALESCE(k.kept_docs, 0) AS kept_docs,
+       COALESCE(k.kept_tokens, 0) AS kept_tokens
+FROM plan3 p LEFT JOIN kept k ON p.source = k.source
+"""
+
+    o["training_shards"] = """
+WITH h AS (
+  SELECT md5('shard' || '||' || CAST(doc_id AS VARCHAR)) AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+s AS (
+  SELECT strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS shard_id,
+         substr(h, 2, 8) AS order_key, n_tok
+  FROM h
+)
+SELECT shard_id, count(*) AS n_docs, sum(n_tok) AS token_sum,
+       min(order_key) AS first_key, max(order_key) AS last_key
+FROM s GROUP BY shard_id
+"""
+
+    # Exact-substring duplication census: word 8-gram sliding window.
+    # The (n_docs DESC, n_occurrences DESC, span ASC) order is total —
+    # span is the GROUP BY key — so LIMIT 100 is deterministic.
+    o["dedup_ngram_spans"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+s AS (
+  SELECT doc_id, array_to_string(list_slice(words, i, i + 7), ' ') AS span
+  FROM w, UNNEST(generate_series(1, len(words) - 7)) AS g(i)
+  WHERE len(words) >= 8
+)
+SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+FROM s GROUP BY span
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, span ASC
+LIMIT 100
 """
 
     # Recomputes the deterministic fake decoder in SQL: feature_i =

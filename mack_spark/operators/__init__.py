@@ -13,6 +13,7 @@ from mack_spark.operators.profile import (
     numeric_histogram,
 )
 from mack_spark.operators.dedup_text import (
+    duplicated_ngram_spans,
     exact_dedup_survivors,
     exact_duplicate_groups,
     minhash_signatures,
@@ -21,6 +22,13 @@ from mack_spark.operators.dedup_text import (
     ngram_jaccard_pairs,
     simhash_bits,
     simhash_near_pairs,
+)
+from mack_spark.operators.quality import gopher_quality_flags, quality_by_source
+from mack_spark.operators.mixing import apply_mix, mix_allocation, mix_report
+from mack_spark.operators.shard import (
+    assign_shards,
+    shard_manifest,
+    write_training_shards,
 )
 from mack_spark.operators.similarity import (
     brute_force_topk,
@@ -109,4 +117,13 @@ __all__ = [
     "stratified_sample",
     "near_dup_clusters",
     "sessionize",
+    "duplicated_ngram_spans",
+    "gopher_quality_flags",
+    "quality_by_source",
+    "apply_mix",
+    "mix_allocation",
+    "mix_report",
+    "assign_shards",
+    "shard_manifest",
+    "write_training_shards",
 ]

@@ -487,3 +487,57 @@ def contamination_check(
         )
         .orderBy(id_col)
     )
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 8,
+    min_docs: int = 2,
+    top: int = 100,
+) -> DataFrame:
+    """Exact-substring duplication census: the word ``span_words``-grams
+    that recur across at least ``min_docs`` distinct documents, ranked
+    by spread.
+
+    This is the detection half of exact-substring dedup (Lee et al.,
+    *Deduplicating Training Data Makes Language Models Better*,
+    arXiv:2107.06499 — their suffix-array pass finds verbatim spans
+    repeated across documents; the reference mack has only whole-row
+    dedup, mack/__init__.py:144-284). A sliding word window is the
+    Spark-native equivalent: every document emits its n-word spans,
+    and a single aggregation finds the spans shared across documents.
+    Output: ``span, n_docs, n_occurrences`` with a full deterministic
+    order (spread desc, occurrences desc, span asc) limited to ``top``.
+
+    SCALE: the explode produces ~one row per corpus token — the same
+    budget as any tokenizing pass — and the aggregation is map-side
+    combinable (spans repeat heavily by construction). ``top`` rides
+    TakeOrderedAndProject: per-partition top-k, no global sort. At
+    100 TB, run it AFTER near-dup removal and raise ``span_words`` to
+    sharpen selectivity; for span *removal* (not census) compose with
+    ``winnow_fingerprints``'s positional output to locate offsets.
+    """
+    if span_words < 2:
+        raise ValueError(f"span_words must be >= 2, got {span_words}")
+    words = F.split(F.col(text_col), " ")
+    # slice() is 1-based; docs shorter than the span emit nothing.
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(span_words - 1)),
+        lambda i: F.array_join(F.slice(words, i, span_words), " "),
+    )
+    exploded = (
+        df.filter(F.size(words) >= span_words)
+        .select(F.col(id_col), F.explode(spans).alias("span"))
+    )
+    return (
+        exploded.groupBy("span")
+        .agg(
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span"))
+        .limit(top)
+    )

@@ -1,0 +1,230 @@
+"""Tests for the round-5 pipeline additions: Gopher-style quality
+gates (operators/quality.py), data mixing (operators/mixing.py),
+training shards (operators/shard.py), and duplicated n-gram spans
+(operators/dedup_text.py)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from mack_spark.operators.dedup_text import duplicated_ngram_spans
+from mack_spark.operators.mixing import apply_mix, mix_allocation, mix_report
+from mack_spark.operators.quality import gopher_quality_flags, quality_by_source
+from mack_spark.operators.shard import (
+    assign_shards,
+    shard_manifest,
+    write_training_shards,
+)
+
+
+def _docs(spark):
+    rows = [
+        # 25 words, mean len ok, has stopwords -> passes
+        (0, " ".join(["the"] + ["word"] * 24), "s0"),
+        # 5 words -> fails word count
+        (1, "the quick brown fox jumps", "s0"),
+        # 25 words but no stopwords -> fails stop ratio
+        (2, " ".join(["word"] * 25), "s1"),
+        # 25 single-char words: mean_word_len 1.0 -> fails mean len
+        (3, " ".join(["a"] * 25), "s1"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+class TestGopherQuality:
+    def test_flags_per_gate(self, spark):
+        out = {
+            r["doc_id"]: r
+            for r in gopher_quality_flags(_docs(spark), min_words=20).collect()
+        }
+        assert out[0]["passes"] and out[0]["flag_word_count"]
+        assert not out[1]["flag_word_count"] and not out[1]["passes"]
+        assert not out[2]["flag_stop_ratio"] and not out[2]["passes"]
+        # doc 3 is all 'a' (a stopword): stop gate passes, mean len fails
+        assert out[3]["flag_stop_ratio"] and not out[3]["flag_mean_word_len"]
+        assert not out[3]["passes"]
+
+    def test_metric_values(self, spark):
+        r = {
+            x["doc_id"]: x
+            for x in gopher_quality_flags(_docs(spark), min_words=20).collect()
+        }
+        assert r[1]["n_words"] == 5
+        assert r[1]["mean_word_len"] == pytest.approx((3 + 5 + 5 + 3 + 5) / 5)
+        assert r[1]["stop_ratio"] == pytest.approx(0.2)
+        assert r[3]["mean_word_len"] == 1.0
+        assert r[3]["stop_ratio"] == 1.0
+
+    def test_rollup(self, spark):
+        out = {
+            r["source"]: r
+            for r in quality_by_source(_docs(spark), min_words=20).collect()
+        }
+        assert out["s0"]["n_docs"] == 2 and out["s0"]["n_pass"] == 1
+        assert out["s0"]["pass_rate"] == 0.5
+        assert out["s1"]["n_pass"] == 0 and out["s1"]["pass_rate"] == 0.0
+
+    def test_map_only_plan(self, spark):
+        plan = gopher_quality_flags(_docs(spark))._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def _mix_docs(spark):
+    rows = []
+    for i in range(100):
+        src = f"s{i % 2}"
+        rows.append((i, " ".join(["w"] * 10), src))
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+class TestMixing:
+    def test_allocation_math(self, spark):
+        docs = _mix_docs(spark)  # 1000 tokens, 500 per source
+        plan = {
+            r["source"]: r
+            for r in mix_allocation(
+                docs, {"s0": 3.0, "s1": 1.0}, budget_fraction=0.8
+            ).collect()
+        }
+        # total 1000 * 0.8 = 800; s0 target 600 > 500 avail -> rate capped
+        assert plan["s0"]["avail_tokens"] == 500
+        assert plan["s0"]["target_tokens"] == 600
+        assert plan["s0"]["rate"] >= 1.0 and plan["s0"]["threshold_hex"] == "g"
+        assert plan["s1"]["target_tokens"] == 200
+        assert 0 < plan["s1"]["rate"] < 1
+
+    def test_weight_zero_source_dropped(self, spark):
+        docs = _mix_docs(spark)
+        plan = mix_allocation(docs, {"s0": 1.0})
+        assert [r["source"] for r in plan.collect()] == ["s0"]
+        kept = apply_mix(docs, plan, ["doc_id"])
+        assert kept.filter("source = 's1'").count() == 0
+
+    def test_apply_is_deterministic_across_partitioning(self, spark):
+        docs = _mix_docs(spark)
+        plan = mix_allocation(docs, {"s0": 1.0, "s1": 1.0}, budget_fraction=0.5)
+        a = sorted(r["doc_id"] for r in apply_mix(docs, plan, ["doc_id"]).collect())
+        b = sorted(
+            r["doc_id"]
+            for r in apply_mix(docs.repartition(7), plan, ["doc_id"]).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_keep_rule_matches_reference_md5(self, spark):
+        docs = _mix_docs(spark)
+        plan = mix_allocation(docs, {"s0": 1.0, "s1": 1.0}, budget_fraction=0.5)
+        th = {r["source"]: r["threshold_hex"] for r in plan.collect()}
+        kept = {r["doc_id"] for r in apply_mix(docs, plan, ["doc_id"]).collect()}
+        for i in range(100):
+            h = hashlib.md5(f"mix||{i}".encode()).hexdigest()[:8]
+            assert (i in kept) == (h < th[f"s{i % 2}"])
+
+    def test_report_totals(self, spark):
+        docs = _mix_docs(spark)
+        rep = mix_report(
+            docs, {"s0": 1.0, "s1": 1.0}, ["doc_id"], budget_fraction=0.5
+        ).collect()
+        assert len(rep) == 2
+        for r in rep:
+            assert r["kept_tokens"] <= r["avail_tokens"]
+            assert r["kept_docs"] * 10 == r["kept_tokens"]
+
+    def test_errors(self, spark):
+        docs = _mix_docs(spark)
+        with pytest.raises(ValueError, match="non-empty"):
+            mix_allocation(docs, {})
+        with pytest.raises(ValueError, match="budget_fraction"):
+            mix_allocation(docs, {"s0": 1.0}, budget_fraction=0.0)
+
+    def test_broadcast_plan(self, spark):
+        docs = _mix_docs(spark)
+        plan = mix_allocation(docs, {"s0": 1.0, "s1": 1.0})
+        phys = apply_mix(docs, plan, ["doc_id"])._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in phys
+
+
+class TestShards:
+    def test_assignment_deterministic_and_bounded(self, spark):
+        docs = _mix_docs(spark)
+        out = assign_shards(docs, ["doc_id"]).collect()
+        for r in out:
+            h = hashlib.md5(f"shard||{r['doc_id']}".encode()).hexdigest()
+            assert r["shard_id"] == int(h[0], 16)
+            assert r["order_key"] == h[1:9]
+
+    def test_hex_digits_2(self, spark):
+        docs = _mix_docs(spark)
+        out = assign_shards(docs, ["doc_id"], hex_digits=2).collect()
+        for r in out:
+            h = hashlib.md5(f"shard||{r['doc_id']}".encode()).hexdigest()
+            assert r["shard_id"] == int(h[:2], 16)
+        with pytest.raises(ValueError, match="hex_digits"):
+            assign_shards(docs, ["doc_id"], hex_digits=3)
+
+    def test_manifest_counts(self, spark):
+        docs = _mix_docs(spark)
+        man = shard_manifest(docs, ["doc_id"]).collect()
+        assert sum(r["n_docs"] for r in man) == 100
+        assert sum(r["token_sum"] for r in man) == 1000
+        for r in man:
+            assert r["first_key"] <= r["last_key"]
+
+    def test_write_roundtrip_sorted(self, spark, tmp_path):
+        docs = _mix_docs(spark)
+        path = str(tmp_path / "shards")
+        write_training_shards(docs, path, ["doc_id"])
+        back = spark.read.parquet(path)
+        assert back.count() == 100
+        # every shard's file order equals order_key order
+        import pyarrow.parquet as pq
+        import glob
+
+        for f in glob.glob(f"{path}/shard_id=*/*.parquet"):
+            keys = pq.read_table(f, columns=["order_key"])["order_key"].to_pylist()
+            assert keys == sorted(keys)
+
+
+class TestNgramSpans:
+    def test_exact_spans(self, spark):
+        rows = [
+            (1, "a b c d e"),
+            (2, "x a b c y"),
+            (3, "a b c d z"),
+            (4, "q r"),  # shorter than the span: emits nothing
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["span"]: (r["n_docs"], r["n_occurrences"])
+            for r in duplicated_ngram_spans(df, span_words=3, min_docs=2).collect()
+        }
+        assert out["a b c"] == (3, 3)
+        assert out["b c d"] == (2, 2)
+        assert "c d e" not in out  # single doc
+        assert "q r" not in out
+
+    def test_occurrences_count_repeats_within_doc(self, spark):
+        df = spark.createDataFrame(
+            [(1, "p q p q p q"), (2, "p q z")], ["doc_id", "text"]
+        )
+        out = {
+            r["span"]: (r["n_docs"], r["n_occurrences"])
+            for r in duplicated_ngram_spans(df, span_words=2, min_docs=2).collect()
+        }
+        assert out["p q"] == (2, 4)  # 3 sliding occurrences in doc1 + 1 in doc2
+
+    def test_top_limit_order(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d"), (3, "b c d e"), (4, "b c d e"),
+             (5, "b c d x")],
+            ["doc_id", "text"],
+        )
+        rows = duplicated_ngram_spans(df, span_words=3, min_docs=2, top=1).collect()
+        assert len(rows) == 1
+        # "b c d" occurs in all 5 docs; the runner-up spans only in 2
+        assert rows[0]["span"] == "b c d" and rows[0]["n_docs"] == 5
+
+    def test_span_words_validation(self, spark):
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="span_words"):
+            duplicated_ngram_spans(df, span_words=1)
