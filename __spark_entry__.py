@@ -1313,6 +1313,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_ngram_spans"] = q_dedup_ngram_spans
 
+    def q_embedding_centroids(spark, sf_dir):
+        from mack_spark.operators.similarity import embedding_centroids
+
+        return embedding_centroids(_t(spark, sf_dir, "embeddings"))
+
+    q["embedding_centroids"] = q_embedding_centroids
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -1355,6 +1362,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["streaming_dedup_keys"] = q_stream_dedup
+
+    def q_stream_quality_gate(spark, sf_dir):
+        # streaming ingest-time quality gating: the Gopher rule gates are
+        # map-only expressions, so they lift onto an unbounded stream
+        # unchanged; the per-source pass-rate aggregation runs in
+        # complete mode (20 sources — bounded state by construction).
+        from mack_spark.operators.quality import quality_by_source
+        from mack_spark.sources import stream_table
+
+        return run_stream_to_batch(
+            spark,
+            stream_table(spark, sf_dir, "documents"),
+            quality_by_source,
+            name="stream_quality_gate",
+        )
+
+    q["streaming_quality_gate"] = q_stream_quality_gate
 
     def q_stream_sessions(spark, sf_dir):
         from mack_spark.sources import stream_table
@@ -2954,6 +2978,11 @@ SELECT source, count(*) AS n_docs,
 FROM f GROUP BY source
 """
 
+    # streaming twin runs the identical operator over the bounded
+    # stream; same oracle by construction.
+    o["streaming_quality_gate"] = o["quality_by_source"]
+
+
     # Data mixing: the allocation arithmetic is replayed with the same
     # IEEE expression tree ((0.6 * total) * (w / W), floor, /, floor to
     # 32-bit threshold) and the same md5-prefix keep rule as
@@ -3013,6 +3042,26 @@ s AS (
 SELECT shard_id, count(*) AS n_docs, sum(n_tok) AS token_sum,
        min(order_key) AS first_key, max(order_key) AS last_key
 FROM s GROUP BY shard_id
+"""
+
+    # Per-label mean embedding: each component fixed-pointed
+    # (floor(x*1e6) as exact integer) before the sum, so the mean is
+    # order-independent; the two-step division mirrors the Spark
+    # expression tree ((sum/n)/1e6).
+    o["embedding_centroids"] = """
+WITH e AS (
+  SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+),
+d AS (
+  SELECT label, pos,
+         CAST(sum(CAST(floor(val * 1000000.0) AS HUGEINT)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) / 1000000.0 AS mean,
+         count(*) AS n
+  FROM e GROUP BY label, pos
+)
+SELECT label, max(n) AS n_vectors, list(mean ORDER BY pos) AS centroid
+FROM d GROUP BY label
 """
 
     # Exact-substring duplication census: word 8-gram sliding window.

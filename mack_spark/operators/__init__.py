@@ -34,6 +34,7 @@ from mack_spark.operators.similarity import (
     brute_force_topk,
     brute_force_topk_pandas,
     build_ivf_index,
+    embedding_centroids,
     embedding_near_dup_pairs,
     ivf_topk,
     ivf_topk_from_index,
@@ -126,4 +127,5 @@ __all__ = [
     "assign_shards",
     "shard_manifest",
     "write_training_shards",
+    "embedding_centroids",
 ]

@@ -898,3 +898,56 @@ def brute_force_topk_pandas(
             "rank",
         )
     )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fix_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group mean embedding (class/cluster centroids) with an
+    order-independent exact mean.
+
+    The monitoring primitive behind semantic-dedup drift checks and
+    IVF/k-means seeding audits: ``(group, n_vectors, centroid)`` where
+    ``centroid[i] = mean(vec[i])`` over the group. Float summation is
+    order-dependent, so each component is fixed-pointed
+    (``floor(x * fix_scale)`` as decimal) before the sum — the result
+    is a pure function of the multiset of vectors, not of partitioning,
+    and any engine replays it bit-for-bit (the contract every oracle
+    query in this repo holds).
+
+    Plan shape, scale-first: ``posexplode`` → one hash aggregation on
+    ``(group, pos)`` (map-side combinable: D rows per vector combine
+    into D rows per group per map task) → one tiny aggregation on
+    ``group`` to reassemble the ordered array. For billion-vector
+    corpora the explode is the same row budget as any dimension-wise
+    pass; the alternative (array zip_with fold in a single agg) would
+    put a variable-width buffer in the aggregate and fall out of hash
+    aggregation entirely.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    exploded = df.select(
+        F.col(group_col), F.posexplode(v).alias("pos", "val")
+    ).withColumn(
+        "fix", F.floor(F.col("val") * F.lit(float(fix_scale))).cast("decimal(38,0)")
+    )
+    per_dim = exploded.groupBy(group_col, "pos").agg(
+        F.sum("fix").alias("sumfix"), F.count(F.lit(1)).alias("n")
+    )
+    mean = (
+        F.col("sumfix").cast("double") / F.col("n").cast("double")
+    ) / F.lit(float(fix_scale))
+    return (
+        per_dim.withColumn("mean", mean)
+        .groupBy(group_col)
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "mean"))),
+                lambda s: s.getField("mean"),
+            ).alias("centroid"),
+        )
+    )

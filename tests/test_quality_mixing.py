@@ -228,3 +228,35 @@ class TestNgramSpans:
         df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
         with pytest.raises(ValueError, match="span_words"):
             duplicated_ngram_spans(df, span_words=1)
+
+
+class TestEmbeddingCentroids:
+    def test_exact_means_and_order_independence(self, spark):
+        from mack_spark.operators.similarity import embedding_centroids
+
+        rows = [
+            (1, [1.0, 2.0, 3.0], 0),
+            (2, [3.0, 2.0, 1.0], 0),
+            (3, [10.0, 0.0, -2.0], 1),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        out = {r["label"]: r for r in embedding_centroids(df).collect()}
+        assert out[0]["n_vectors"] == 2
+        assert out[0]["centroid"] == [2.0, 2.0, 2.0]
+        assert out[1]["centroid"] == [10.0, 0.0, -2.0]
+        # partitioning must not change a single bit of the result
+        out2 = {
+            r["label"]: r
+            for r in embedding_centroids(df.repartition(5)).collect()
+        }
+        assert out2[0]["centroid"] == out[0]["centroid"]
+
+    def test_negative_components_fixpoint(self, spark):
+        from mack_spark.operators.similarity import embedding_centroids
+
+        df = spark.createDataFrame(
+            [(1, [-0.5], 0), (2, [0.25], 0)], ["vec_id", "embedding", "label"]
+        )
+        (r,) = embedding_centroids(df).collect()
+        # floor(-0.5e6) + floor(0.25e6) = -500000 + 250000 -> -0.125
+        assert r["centroid"] == [-0.125]
