@@ -260,3 +260,83 @@ class TestEmbeddingCentroids:
         (r,) = embedding_centroids(df).collect()
         # floor(-0.5e6) + floor(0.25e6) = -500000 + 250000 -> -0.125
         assert r["centroid"] == [-0.125]
+
+
+class TestPlanGuards:
+    """Explain-output pins: de-optimizations of the new operators fail
+    here instead of surfacing as a noisy bench regression."""
+
+    def test_ngram_spans_no_global_sort(self, spark):
+        df = spark.createDataFrame([(1, "a b c d e f g h i")], ["doc_id", "text"])
+        plan = (
+            duplicated_ngram_spans(df, span_words=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # top-N must ride TakeOrderedAndProject (per-partition top-k),
+        # never a global Sort+Limit
+        assert "TakeOrderedAndProject" in plan
+        # the aggregation must have a map-side partial phase
+        assert "partial_count" in plan
+
+    def test_shard_manifest_partial_agg(self, spark):
+        docs = _mix_docs(spark)
+        plan = shard_manifest(docs, ["doc_id"])._jdf.queryExecution().executedPlan().toString()
+        assert "partial_count" in plan  # 16 rows per map task cross the wire
+
+    def test_centroids_partial_agg(self, spark):
+        from mack_spark.operators.similarity import embedding_centroids
+
+        df = spark.createDataFrame([(1, [1.0, 2.0], 0)], ["vec_id", "embedding", "label"])
+        plan = embedding_centroids(df)._jdf.queryExecution().executedPlan().toString()
+        assert "partial_sum" in plan
+
+
+class TestMixingProperties:
+    def test_allocation_sums_to_budget(self, spark):
+        """Over a sweep of weightings, allocated targets must sum to the
+        budget up to per-source floor error, and never exceed it."""
+        docs = _mix_docs(spark)  # 1000 tokens total
+        for weights, frac in [
+            ({"s0": 1.0, "s1": 1.0}, 0.5),
+            ({"s0": 5.0, "s1": 1.0}, 0.9),
+            ({"s0": 0.3, "s1": 0.7}, 0.33),
+            ({"s0": 2.5, "s1": 7.5}, 1.0),
+        ]:
+            plan = mix_allocation(docs, weights, budget_fraction=frac).collect()
+            total_target = sum(r["target_tokens"] for r in plan)
+            budget = int(frac * 1000)
+            assert budget - len(plan) <= total_target <= budget
+
+    def test_ngram_spans_vs_bruteforce(self, spark):
+        """Random small corpora: the distributed census equals a pure
+        Python sliding-window reference."""
+        import itertools
+        import random
+
+        rng = random.Random(7)
+        vocab = ["u", "v", "w", "x", "y"]
+        for trial in range(5):
+            docs = [
+                (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+                for i in range(8)
+            ]
+            n = 3
+            expected = {}
+            for i, text in docs:
+                ws = text.split(" ")
+                for j in range(len(ws) - n + 1):
+                    span = " ".join(ws[j : j + n])
+                    d, c = expected.get(span, (set(), 0))
+                    d.add(i)
+                    expected[span] = (d | {i}, c + 1)
+            expected = {
+                s: (len(d), c) for s, (d, c) in expected.items() if len(d) >= 2
+            }
+            df = spark.createDataFrame(docs, ["doc_id", "text"])
+            got = {
+                r["span"]: (r["n_docs"], r["n_occurrences"])
+                for r in duplicated_ngram_spans(
+                    df, span_words=n, min_docs=2, top=10_000
+                ).collect()
+            }
+            assert got == expected, f"trial {trial}: {got} != {expected}"
