@@ -521,15 +521,27 @@ def duplicated_ngram_spans(
     """
     if span_words < 2:
         raise ValueError(f"span_words must be >= 2, got {span_words}")
-    words = F.split(F.col(text_col), " ")
-    # slice() is 1-based; docs shorter than the span emit nothing.
-    spans = F.transform(
-        F.sequence(F.lit(1), F.size(words) - F.lit(span_words - 1)),
-        lambda i: F.array_join(F.slice(words, i, span_words), " "),
+    # Same lead-window shingle assembly as exploded_shingles (explode
+    # tokens once, codegen'd concat_ws over lead offsets) but on the
+    # RAW space-split tokens — the census reports verbatim spans, not
+    # the normalized tokens() vocabulary. Building span arrays per row
+    # (transform+slice+array_join) evaluates interpreted and measured
+    # ~1.7x slower at sf0.1.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ex = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "t"),
     )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, span_words)]
     exploded = (
-        df.filter(F.size(words) >= span_words)
-        .select(F.col(id_col), F.explode(spans).alias("span"))
+        ex.select(
+            F.col(id_col),
+            F.concat_ws(" ", *leads).alias("span"),
+            leads[-1].isNotNull().alias("__complete"),
+        )
+        .filter(F.col("__complete"))
+        .drop("__complete")
     )
     return (
         exploded.groupBy("span")

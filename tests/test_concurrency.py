@@ -226,3 +226,47 @@ def test_vacuum_prunes_markers_and_recheck_blocks_stale_writer(spark, tmp_path):
     assert t._read_meta()["version"] == 2
     # the stale writer's claim was released, not left as new debris
     assert not os.path.exists(_marker(path, 1))
+
+
+def test_concurrent_keyed_ingest_with_retry_keeps_keys_unique(spark, tmp_path):
+    """Two writers race overlapping keyed batches through
+    append_without_duplicates with a retry-on-conflict loop (the
+    standard optimistic-concurrency client pattern). Whatever the
+    interleaving, the final table must hold each key exactly once —
+    the loser's retry re-evaluates its anti-join against the winner's
+    commit, so the race can never double-insert a key."""
+    import time as _time
+
+    from mack_spark.dedup import append_without_duplicates
+
+    base = spark.createDataFrame([(0, "seed")], ["k", "v"])
+    t = ManagedTable.create(spark, str(tmp_path / "t"), df=base)
+
+    batches = {
+        "w0": spark.createDataFrame([(i, "w0") for i in range(1, 30)], ["k", "v"]),
+        "w1": spark.createDataFrame([(i, "w1") for i in range(15, 45)], ["k", "v"]),
+    }
+    errors = []
+
+    def writer(name):
+        for attempt in range(6):
+            try:
+                append_without_duplicates(t, batches[name], ["k"])
+                return
+            except ConcurrentModificationError:
+                _time.sleep(0.05 * (attempt + 1))
+        errors.append(f"{name} exhausted retries")
+
+    threads = [threading.Thread(target=writer, args=(n,)) for n in batches]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    rows = t.toDF().collect()
+    keys = [r["k"] for r in rows]
+    assert sorted(keys) == list(range(45))  # 0..44 exactly once each
+    # overlap keys 15..29 were inserted by exactly one writer
+    owners = {r["k"]: r["v"] for r in rows}
+    assert all(owners[k] in ("w0", "w1") for k in range(15, 30))

@@ -235,3 +235,55 @@ def test_streaming_sessionize_matches_batch_under_late_data(spark, tmp_path):
         for r in got.collect()
     }
     assert s_ == b, (sorted(s_ - b)[:5], sorted(b - s_)[:5])
+
+
+def test_streaming_dedup_matches_batch_under_arrival_order(spark, tmp_path):
+    """Property: exact streaming dedup over any arrival order (shuffled
+    files, one file per microbatch, duplicates split across batches)
+    yields exactly the batch distinct key set — state carries keys
+    across epochs, so re-arrivals in later microbatches are dropped."""
+    import random
+
+    from mack_spark.streaming import streaming_dedup
+
+    rng = random.Random(29)
+    base = dt.datetime(2021, 1, 1)
+    rows = []
+    for k in range(40):
+        for rep in range(rng.randint(1, 4)):  # 1-4 arrivals per key
+            rows.append(
+                (k % 7, f"type{k % 5}", base + dt.timedelta(seconds=k * 60 + rep))
+            )
+    rng.shuffle(rows)
+
+    src = str(tmp_path / "dups")
+    chunks = 6
+    for i in range(chunks):
+        spark.createDataFrame(
+            rows[i::chunks], "user_id long, event_type string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = run_stream_to_batch(
+        spark,
+        stream,
+        lambda s: streaming_dedup(s, ["user_id", "event_type"], ts_col="ts")
+        .select("user_id", "event_type"),
+        name="prop_dedup",
+        output_mode="append",
+    )
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert {(r["user_id"], r["event_type"]) for r in got.collect()} == want
+    assert got.count() == len(want)  # no key emitted twice across epochs
