@@ -1320,6 +1320,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_centroids"] = q_embedding_centroids
 
+    def q_vocab_census(spark, sf_dir):
+        from mack_spark.operators.textstats import vocab_census
+
+        return vocab_census(_t(spark, sf_dir, "documents"), top=200)
+
+    q["vocab_census"] = q_vocab_census
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -3042,6 +3049,14 @@ s AS (
 SELECT shard_id, count(*) AS n_docs, sum(n_tok) AS token_sum,
        min(order_key) AS first_key, max(order_key) AS last_key
 FROM s GROUP BY shard_id
+"""
+
+    o["vocab_census"] = f"""
+WITH t AS (SELECT doc_id, unnest({_toks_sql('text')}) AS word FROM documents)
+SELECT word, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+FROM t GROUP BY word
+ORDER BY n_occurrences DESC, n_docs DESC, word ASC
+LIMIT 200
 """
 
     # Per-label mean embedding: each component fixed-pointed

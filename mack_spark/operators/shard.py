@@ -88,14 +88,15 @@ def write_training_shards(
     in one task, ``sortWithinPartitions`` orders it without a global
     sort, and the partitioned layout lets loaders read shard K with a
     single pruned scan."""
+    from mack_spark.sources import write_partitioned
+
     n_shards = 16**hex_digits
     sharded = assign_shards(df, key_cols, salt=salt, hex_digits=hex_digits)
     cols = list(payload_cols) if payload_cols is not None else df.columns
-    (
+    write_partitioned(
         sharded.select("shard_id", "order_key", *cols)
         .repartition(n_shards, "shard_id")
-        .sortWithinPartitions("shard_id", "order_key")
-        .write.partitionBy("shard_id")
-        .mode("overwrite")
-        .parquet(path)
+        .sortWithinPartitions("shard_id", "order_key"),
+        path,
+        ["shard_id"],
     )

@@ -309,3 +309,41 @@ def unigram_logprob_score(
         avg.alias("avg_logprob"),
         F.round(F.exp(-avg), 4).alias("pseudo_ppl"),
     )
+
+
+def vocab_census(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 200,
+) -> DataFrame:
+    """Corpus vocabulary heavy hitters: the ``top`` words by total
+    occurrences, with document spread — ``(word, n_docs,
+    n_occurrences)``.
+
+    The tokenizer-building / stopword-discovery primitive: BPE vocab
+    training, stopword lists, and domain-drift monitoring all start
+    from exactly this census. Uses the normalized ``tokens()``
+    vocabulary (lowercase alnum runs) so counts line up with every
+    other text operator in the family.
+
+    SCALE: explode to one row per token (the budget of any tokenizing
+    pass), one map-side-combinable aggregation keyed by word — Zipf
+    skew is absorbed by the partial phase, since each map task emits
+    each word once per phase — and a per-partition top-k
+    (TakeOrderedAndProject), never a global sort. The full order is a
+    total one (ties broken by spread then word), so ``top`` is
+    deterministic.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(mf.tokens(F.col(text_col))).alias("word")
+    )
+    return (
+        ex.groupBy("word")
+        .agg(
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.desc("n_docs"), F.asc("word"))
+        .limit(top)
+    )
