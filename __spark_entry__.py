@@ -1598,8 +1598,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing", "packing_efficiency", "knn_pq_adc",
         "boilerplate_strip", "incremental_rollup",
         "key_skew_profile", "knn_ivfpq",
-        # long-unchecked rotation fills (last driver row r1/r2)
-        "find_composite_key_candidates",
+        # never-driver-checked fills: the ingest-time persisted IVF
+        # index (new r5) and the exact-substring span census (new this
+        # session, perf-reworked to the lead-window form)
+        "dedup_ngram_spans",
         "knn_ivf_indexed",
     ]
     assert len(front_r5) == 50, len(front_r5)
