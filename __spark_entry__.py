@@ -1327,6 +1327,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vocab_census"] = q_vocab_census
 
+    def q_dedup_span_strip(spark, sf_dir):
+        from mack_spark.operators.dedup_text import strip_duplicate_spans
+
+        return strip_duplicate_spans(
+            _t(spark, sf_dir, "documents"), span_words=8, min_docs=2
+        )
+
+    q["dedup_span_strip"] = q_dedup_span_strip
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -3051,6 +3060,47 @@ s AS (
 SELECT shard_id, count(*) AS n_docs, sum(n_tok) AS token_sum,
        min(order_key) AS first_key, max(order_key) AS last_key
 FROM s GROUP BY shard_id
+"""
+
+    # Exact-substring REMOVAL: every word covered by a duplicated
+    # 8-gram is deleted except in the span's min-id owner document.
+    # Ownership, position-set coverage, and ordered reassembly are
+    # replayed step-for-step.
+    o["dedup_span_strip"] = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS t
+  FROM words CROSS JOIN UNNEST(generate_series(1, len(w))) g(i)
+),
+spans AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(list_slice(w, i, i + 7), ' ') AS span
+  FROM words CROSS JOIN UNNEST(generate_series(1, len(w) - 7)) g(i)
+  WHERE len(w) >= 8
+),
+dup AS (
+  SELECT span, min(doc_id) AS owner
+  FROM (SELECT DISTINCT span, doc_id FROM spans)
+  GROUP BY span HAVING count(*) >= 2
+),
+cov AS (
+  SELECT DISTINCT s.doc_id, s.pos + o.off AS pos
+  FROM spans s JOIN dup d ON s.span = d.span AND s.doc_id <> d.owner
+  CROSS JOIN UNNEST(generate_series(0, 7)) o(off)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.t
+  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS text_stripped,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       COALESCE(a.text_stripped, '') AS text_stripped,
+       CAST(len(w.w) - COALESCE(a.n_kept, 0) AS INTEGER) AS n_removed
+FROM words w LEFT JOIN agg a ON w.doc_id = a.doc_id
 """
 
     o["vocab_census"] = f"""

@@ -553,3 +553,94 @@ def duplicated_ngram_spans(
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span"))
         .limit(top)
     )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup, removal half (Lee et al., arXiv:2107.06499):
+    delete every word whose position is covered by a ``span_words``-gram
+    that also appears in ``min_docs``-1 other documents — except in the
+    span's OWNER document (lowest id containing it), which keeps its
+    copy. Returns ``(id_col, text_stripped, n_removed)`` for every
+    input document (fully-covered documents come back with empty text,
+    ready for a length filter).
+
+    Deterministic by construction: ownership is min-id, coverage is a
+    set union of positions, reassembly is position-ordered — no RNG,
+    no partitioning dependence.
+
+    Plan shape, scale-first: tokens and spans explode once off the same
+    doc-partitioned exchange (the census budget); duplicated spans
+    collapse to one row per distinct span (map-side combinable); the
+    coverage join is span-keyed and emits ``span_words`` positions per
+    NON-OWNER occurrence only; removal is a left-anti join on (doc,
+    pos); reassembly is one per-doc aggregation. Every shuffle key is
+    narrow (doc id, span hash, (doc,pos)); nothing is O(n²).
+    """
+    if span_words < 2:
+        raise ValueError(f"span_words must be >= 2, got {span_words}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "t"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, span_words)]
+    spans = (
+        toks.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.concat_ws(" ", *leads).alias("span"),
+            leads[-1].isNotNull().alias("__complete"),
+        )
+        .filter(F.col("__complete"))
+        .drop("__complete")
+    )
+    dup = (
+        spans.select("span", id_col)
+        .distinct()
+        .groupBy("span")
+        .agg(F.min(F.col(id_col)).alias("owner"), F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("span", "owner")
+    )
+    covered = (
+        spans.join(dup, "span")
+        .filter(F.col(id_col) != F.col("owner"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(span_words - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "t"))),
+                lambda s: s.getField("t"),
+            ),
+            " ",
+        ).alias("text_stripped"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    orig = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("__n_orig"),
+    )
+    return orig.join(reassembled, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("text_stripped"), F.lit("")).alias("text_stripped"),
+        (F.col("__n_orig") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+    )

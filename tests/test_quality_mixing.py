@@ -340,3 +340,48 @@ class TestMixingProperties:
                 ).collect()
             }
             assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
+class TestSpanStrip:
+    def test_owner_keeps_others_stripped(self, spark):
+        from mack_spark.operators.dedup_text import strip_duplicate_spans
+
+        rows = [
+            (1, "a b c d e f g h i"),          # owner of the 8-gram
+            (2, "z a b c d e f g h w"),        # interior copy stripped
+            (3, "a b c d e f g h"),            # fully covered -> empty
+            (4, "q r s"),                      # too short, untouched
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: (r["text_stripped"], r["n_removed"])
+            for r in strip_duplicate_spans(df, span_words=8).collect()
+        }
+        assert out[1] == ("a b c d e f g h i", 0)
+        assert out[2] == ("z w", 8)
+        assert out[3] == ("", 8)
+        assert out[4] == ("q r s", 0)
+
+    def test_overlapping_coverage_union(self, spark):
+        from mack_spark.operators.dedup_text import strip_duplicate_spans
+
+        # doc 2 contains the duplicated 3-gram twice, overlapping once
+        # ("x y x y x" covers via spans at pos0 and pos2)
+        rows = [(1, "x y x"), (2, "x y x y x"), (3, "p q r")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: (r["text_stripped"], r["n_removed"])
+            for r in strip_duplicate_spans(df, span_words=3).collect()
+        }
+        assert out[1] == ("x y x", 0)  # owner
+        assert out[2] == ("", 5)  # union of pos0-2 and pos2-4
+        assert out[3] == ("p q r", 0)
+
+    def test_validation(self, spark):
+        from mack_spark.operators.dedup_text import strip_duplicate_spans
+
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="span_words"):
+            strip_duplicate_spans(df, span_words=1)
+        with pytest.raises(ValueError, match="min_docs"):
+            strip_duplicate_spans(df, min_docs=1)
