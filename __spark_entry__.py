@@ -1336,6 +1336,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_span_strip"] = q_dedup_span_strip
 
+    def q_cluster_balance(spark, sf_dir):
+        from mack_spark.operators.similarity import cluster_balance
+
+        return cluster_balance(_t(spark, sf_dir, "embeddings"), n_cells=8)
+
+    q["cluster_balance"] = q_cluster_balance
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -3060,6 +3067,32 @@ s AS (
 SELECT shard_id, count(*) AS n_docs, sum(n_tok) AS token_sum,
        min(order_key) AS first_key, max(order_key) AS last_key
 FROM s GROUP BY shard_id
+"""
+
+    # Semantic cluster balance over the deterministic lowest-id
+    # quantizer: same assignment CTE as knn_ivf (argmax cosine, ties to
+    # lowest cid), rolled up to per-cell population and share.
+    _cb_cos = (
+        f"{_dot_sql('e.embedding', 'c.cvec')} / "
+        f"({_norm_sql('e.embedding')} * {_norm_sql('c.cvec')})"
+    )
+    o["cluster_balance"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8
+), assigned AS (
+  SELECT neighbor_id, cid AS cell FROM (
+    SELECT e.vec_id AS neighbor_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cb_cos} DESC, c.cid ASC) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+), counts AS (
+  SELECT cell, count(*) AS n_vectors FROM assigned GROUP BY cell
+)
+SELECT cell, n_vectors,
+       round(CAST(n_vectors AS DOUBLE)
+             / CAST((SELECT sum(n_vectors) FROM counts) AS DOUBLE), 6) AS share
+FROM counts
 """
 
     # Exact-substring REMOVAL: every word covered by a duplicated

@@ -951,3 +951,44 @@ def embedding_centroids(
             ).alias("centroid"),
         )
     )
+
+
+def cluster_balance(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str = "first",
+    seed: int = 42,
+    fit_fraction: float = 1.0,
+    max_iter: int = 10,
+    round_share: int = 6,
+) -> DataFrame:
+    """Semantic cluster population report: ``(cell, n_vectors, share)``
+    over the coarse quantizer's cells.
+
+    The topic-balance audit a mixture builder runs before weighting: a
+    cell holding 40% of the corpus is an over-represented mode (boiler-
+    plate, templated pages); its share feeds straight into
+    ``mixing.mix_allocation``-style downweighting. Shares both quantizer
+    modes with :func:`ivf_topk` — ``'first'`` (lowest-id seeds) is
+    exactly SQL-replayable, ``'kmeans'`` matches the ANN index.
+
+    SCALE: broadcast centroids + map-side argmax (one aggregation keyed
+    by vector id, no corpus shuffle), then an ``n_cells``-row rollup;
+    the share division joins against a broadcast single-row total.
+    """
+    cents = _ivf_centroids(
+        corpus, n_cells, centroids, id_col, vec_col, seed, fit_fraction, max_iter
+    )
+    cells = _ivf_corpus_cells(corpus, cents, id_col, vec_col)
+    counts = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    total = counts.agg(F.sum("n_vectors").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "cell",
+        "n_vectors",
+        F.round(
+            F.col("n_vectors").cast("double") / F.col("__total").cast("double"),
+            round_share,
+        ).alias("share"),
+    )

@@ -385,3 +385,17 @@ class TestSpanStrip:
             strip_duplicate_spans(df, span_words=1)
         with pytest.raises(ValueError, match="min_docs"):
             strip_duplicate_spans(df, min_docs=1)
+
+
+class TestClusterBalance:
+    def test_shares_sum_to_one_and_kmeans_mode(self, spark):
+        from mack_spark.operators.similarity import cluster_balance
+
+        rows = [(i, [float(i % 4), float((i * 3) % 5), 1.0], 0) for i in range(40)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        out = cluster_balance(df, n_cells=4).collect()
+        assert sum(r["n_vectors"] for r in out) == 40
+        assert abs(sum(r["share"] for r in out) - 1.0) < 1e-6
+        # kmeans quantizer mode runs too (rows-only determinism)
+        out2 = cluster_balance(df, n_cells=4, centroids="kmeans", seed=1).collect()
+        assert sum(r["n_vectors"] for r in out2) == 40
