@@ -1343,6 +1343,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cluster_balance"] = q_cluster_balance
 
+    def q_retention_cohorts(spark, sf_dir):
+        from mack_spark.operators.cohort import retention_cohorts
+
+        return retention_cohorts(_t(spark, sf_dir, "events"))
+
+    q["retention_cohorts"] = q_retention_cohorts
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -3067,6 +3074,35 @@ s AS (
 SELECT shard_id, count(*) AS n_docs, sum(n_tok) AS token_sum,
        min(order_key) AS first_key, max(order_key) AS last_key
 FROM s GROUP BY shard_id
+"""
+
+    # Weekly retention cohorts: ISO week truncation (identical Monday
+    # start in both engines), whole-week offsets, one rounded division.
+    o["retention_cohorts"] = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+joined AS (
+  SELECT a.user_id, f.cohort_week,
+         CAST(datediff('day', f.cohort_week, a.week) / 7 AS INTEGER) AS weeks_since
+  FROM active a JOIN firsts f ON a.user_id = f.user_id
+),
+counts AS (
+  SELECT cohort_week, weeks_since, count(*) AS n_active_users
+  FROM joined GROUP BY cohort_week, weeks_since
+),
+sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY cohort_week
+)
+SELECT c.cohort_week, c.weeks_since, c.n_active_users, s.cohort_size,
+       round(CAST(c.n_active_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 4)
+         AS retention
+FROM counts c JOIN sizes s ON c.cohort_week = s.cohort_week
 """
 
     # Semantic cluster balance over the deterministic lowest-id

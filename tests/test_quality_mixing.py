@@ -399,3 +399,44 @@ class TestClusterBalance:
         # kmeans quantizer mode runs too (rows-only determinism)
         out2 = cluster_balance(df, n_cells=4, centroids="kmeans", seed=1).collect()
         assert sum(r["n_vectors"] for r in out2) == 40
+
+
+class TestRetentionCohorts:
+    def test_matrix(self, spark):
+        import datetime as dt
+
+        from mack_spark.operators.cohort import retention_cohorts
+
+        mon = dt.datetime(2024, 1, 1)  # a Monday
+        rows = []
+        # cohort A: users 1,2 first seen week 0; user 1 returns week 1
+        rows += [(1, mon), (2, mon + dt.timedelta(days=2))]
+        rows += [(1, mon + dt.timedelta(days=8))]
+        # cohort B: user 3 first seen week 1, returns weeks 2 and 3
+        rows += [(3, mon + dt.timedelta(days=7 + i * 7)) for i in range(3)]
+        df = spark.createDataFrame(rows, ["user_id", "ts"])
+        out = {
+            (str(r["cohort_week"]), r["weeks_since"]): r
+            for r in retention_cohorts(df).collect()
+        }
+        a, b = "2024-01-01", "2024-01-08"
+        assert out[(a, 0)]["n_active_users"] == 2
+        assert out[(a, 0)]["retention"] == 1.0
+        assert out[(a, 1)]["n_active_users"] == 1
+        assert out[(a, 1)]["retention"] == 0.5
+        assert out[(b, 0)]["cohort_size"] == 1
+        assert out[(b, 2)]["retention"] == 1.0
+        assert (a, 2) not in out  # nobody from cohort A in week 2
+
+    def test_multiple_events_one_week_count_once(self, spark):
+        import datetime as dt
+
+        from mack_spark.operators.cohort import retention_cohorts
+
+        mon = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, mon), (1, mon + dt.timedelta(hours=5)), (1, mon + dt.timedelta(days=3))],
+            ["user_id", "ts"],
+        )
+        (r,) = retention_cohorts(df).collect()
+        assert r["n_active_users"] == 1 and r["weeks_since"] == 0
