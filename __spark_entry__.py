@@ -1350,6 +1350,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["retention_cohorts"] = q_retention_cohorts
 
+    def q_curation_pipeline(spark, sf_dir):
+        # Flagship composition: quality gate -> exact-substring strip
+        # (within the passing subset) -> min-length survivor filter ->
+        # deterministic mixture downsample; per-source funnel report.
+        from mack_spark.operators.dedup_text import strip_duplicate_spans
+        from mack_spark.operators.mixing import apply_mix, mix_allocation
+        from mack_spark.operators.quality import gopher_quality_flags
+
+        docs = _t(spark, sf_dir, "documents")
+        flags = gopher_quality_flags(docs)
+        passing = docs.join(
+            flags.filter("passes").select("doc_id"), "doc_id", "left_semi"
+        )
+        stripped = strip_duplicate_spans(passing, span_words=8, min_docs=2)
+        with_src = stripped.join(docs.select("doc_id", "source"), "doc_id")
+        n_tok = F.size(F.split(F.col("text_stripped"), " "))
+        surv = with_src.filter(n_tok >= 10).select(
+            "doc_id", "source", "text_stripped"
+        )
+        weights = {f"src{i}": 1.0 for i in range(20)}
+        plan = mix_allocation(
+            surv, weights, text_col="text_stripped", budget_fraction=0.8
+        )
+        kept = apply_mix(surv, plan, ["doc_id"])
+        agg_in = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs_in"))
+        agg_pass = (
+            docs.join(flags.filter("passes").select("doc_id"), "doc_id", "left_semi")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_pass"))
+        )
+        agg_surv = surv.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_survivors")
+        )
+        agg_kept = kept.groupBy("source").agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum(F.size(F.split(F.col("text_stripped"), " "))).alias(
+                "kept_tokens"
+            ),
+        )
+        out = (
+            agg_in.join(agg_pass, "source", "left")
+            .join(agg_surv, "source", "left")
+            .join(agg_kept, "source", "left")
+        )
+        return out.select(
+            "source",
+            "n_docs_in",
+            F.coalesce(F.col("n_pass"), F.lit(0)).alias("n_pass"),
+            F.coalesce(F.col("n_survivors"), F.lit(0)).alias("n_survivors"),
+            F.coalesce(F.col("kept_docs"), F.lit(0)).alias("kept_docs"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+        )
+
+    q["curation_pipeline"] = q_curation_pipeline
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -3074,6 +3129,105 @@ s AS (
 SELECT shard_id, count(*) AS n_docs, sum(n_tok) AS token_sum,
        min(order_key) AS first_key, max(order_key) AS last_key
 FROM s GROUP BY shard_id
+"""
+
+    # Flagship composed pipeline: the gate, strip, and mix fragments
+    # are the SAME verified CTE bodies as their standalone oracles,
+    # chained (strip runs within the passing subset; mixing over the
+    # stripped token counts; uniform weights 1/20, budget 0.8).
+    o["curation_pipeline"] = """
+WITH m AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_words,
+         round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_word_len,
+         round(CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ('a','the','of','to','in','and'))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio
+  FROM documents
+),
+passing AS (
+  SELECT d.doc_id, d.text, d.source
+  FROM documents d JOIN m ON d.doc_id = m.doc_id
+  WHERE (m.n_words >= 20 AND m.n_words <= 100000)
+    AND (m.mean_word_len >= 3.0 AND m.mean_word_len <= 10.0)
+    AND (m.stop_ratio >= 0.01)
+),
+words AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM passing),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS t
+  FROM words CROSS JOIN UNNEST(generate_series(1, len(w))) g(i)
+),
+spans AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(list_slice(w, i, i + 7), ' ') AS span
+  FROM words CROSS JOIN UNNEST(generate_series(1, len(w) - 7)) g(i)
+  WHERE len(w) >= 8
+),
+dup AS (
+  SELECT span, min(doc_id) AS owner
+  FROM (SELECT DISTINCT span, doc_id FROM spans)
+  GROUP BY span HAVING count(*) >= 2
+),
+cov AS (
+  SELECT DISTINCT s.doc_id, s.pos + o.off AS pos
+  FROM spans s JOIN dup d ON s.span = d.span AND s.doc_id <> d.owner
+  CROSS JOIN UNNEST(generate_series(0, 7)) o(off)
+),
+keptw AS (
+  SELECT t.doc_id, t.pos, t.t
+  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+reasm AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS text_stripped
+  FROM keptw GROUP BY doc_id
+),
+stripped AS (
+  SELECT w.doc_id, w.source, COALESCE(r.text_stripped, '') AS text_stripped
+  FROM words w LEFT JOIN reasm r ON w.doc_id = r.doc_id
+),
+surv AS (
+  SELECT doc_id, source, text_stripped,
+         CAST(len(string_split(text_stripped, ' ')) AS BIGINT) AS n_tok
+  FROM stripped
+  WHERE len(string_split(text_stripped, ' ')) >= 10
+),
+avail AS (SELECT source, sum(n_tok) AS avail_tokens FROM surv GROUP BY source),
+tot AS (SELECT sum(avail_tokens) AS total_tokens FROM avail),
+plan3 AS (
+  SELECT a.source, a.avail_tokens, target_tokens,
+         CASE WHEN CAST(target_tokens AS DOUBLE) / CAST(a.avail_tokens AS DOUBLE)
+                   >= 1.0 THEN 'g'
+              ELSE lpad(lower(to_hex(CAST(floor(
+                     CAST(target_tokens AS DOUBLE) / CAST(a.avail_tokens AS DOUBLE)
+                     * 4294967296.0) AS BIGINT))), 8, '0')
+         END AS threshold_hex
+  FROM (
+    SELECT a.source, a.avail_tokens,
+           CAST(floor(0.8 * CAST(t.total_tokens AS DOUBLE) * (1.0 / 20.0))
+                AS BIGINT) AS target_tokens
+    FROM avail a CROSS JOIN tot t
+  ) a
+),
+keptm AS (
+  SELECT s.source, count(*) AS kept_docs, sum(s.n_tok) AS kept_tokens
+  FROM surv s JOIN plan3 p ON s.source = p.source
+  WHERE substr(md5('mix' || '||' || CAST(s.doc_id AS VARCHAR)), 1, 8)
+        < p.threshold_hex
+  GROUP BY s.source
+),
+agg_in AS (SELECT source, count(*) AS n_docs_in FROM documents GROUP BY source),
+agg_pass AS (SELECT source, count(*) AS n_pass FROM passing GROUP BY source),
+agg_surv AS (SELECT source, count(*) AS n_survivors FROM surv GROUP BY source)
+SELECT i.source, i.n_docs_in,
+       COALESCE(p.n_pass, 0) AS n_pass,
+       COALESCE(sv.n_survivors, 0) AS n_survivors,
+       COALESCE(k.kept_docs, 0) AS kept_docs,
+       COALESCE(k.kept_tokens, 0) AS kept_tokens
+FROM agg_in i
+LEFT JOIN agg_pass p ON i.source = p.source
+LEFT JOIN agg_surv sv ON i.source = sv.source
+LEFT JOIN keptm k ON i.source = k.source
 """
 
     # Weekly retention cohorts: ISO week truncation (identical Monday
