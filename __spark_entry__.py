@@ -1354,53 +1354,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Flagship composition: quality gate -> exact-substring strip
         # (within the passing subset) -> min-length survivor filter ->
         # deterministic mixture downsample; per-source funnel report.
+        # Plan shape: ONE per-doc frame carries (passes, stripped token
+        # count, keep-hash) so the whole funnel folds into a single
+        # conditional aggregation. The mixing allocation is inherently
+        # a second pass over that frame, so the frame is persisted: it
+        # is DOC-level metadata (id, source, two flags, a count — not
+        # the corpus text), the one shape that is legitimately
+        # cacheable cluster-wide, and it caps the expensive strip
+        # subtree at exactly one execution.
         from mack_spark.operators.dedup_text import strip_duplicate_spans
-        from mack_spark.operators.mixing import apply_mix, mix_allocation
+        from mack_spark.operators.mixing import mix_allocation
         from mack_spark.operators.quality import gopher_quality_flags
 
         docs = _t(spark, sf_dir, "documents")
-        flags = gopher_quality_flags(docs)
+        flags = gopher_quality_flags(docs).select("doc_id", "passes")
         passing = docs.join(
             flags.filter("passes").select("doc_id"), "doc_id", "left_semi"
         )
         stripped = strip_duplicate_spans(passing, span_words=8, min_docs=2)
-        with_src = stripped.join(docs.select("doc_id", "source"), "doc_id")
         n_tok = F.size(F.split(F.col("text_stripped"), " "))
-        surv = with_src.filter(n_tok >= 10).select(
-            "doc_id", "source", "text_stripped"
-        )
+        base = (
+            docs.select("doc_id", "source")
+            .join(flags, "doc_id")
+            .join(stripped.select("doc_id", n_tok.alias("n_tok")), "doc_id", "left")
+            .select(
+                "doc_id",
+                "source",
+                "passes",
+                (F.col("passes") & (F.col("n_tok") >= 10)).alias("survivor"),
+                "n_tok",
+            )
+        ).persist()
         weights = {f"src{i}": 1.0 for i in range(20)}
         plan = mix_allocation(
-            surv, weights, text_col="text_stripped", budget_fraction=0.8
+            base.filter("survivor"),
+            weights,
+            token_col="n_tok",
+            budget_fraction=0.8,
         )
-        kept = apply_mix(surv, plan, ["doc_id"])
-        agg_in = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs_in"))
-        agg_pass = (
-            docs.join(flags.filter("passes").select("doc_id"), "doc_id", "left_semi")
+        keep_hash = F.substring(
+            F.md5(F.concat_ws("||", F.lit("mix"), F.col("doc_id"))), 1, 8
+        )
+        kept = F.col("survivor") & (keep_hash < F.col("threshold_hex"))
+        return (
+            base.join(
+                F.broadcast(plan.select("source", "threshold_hex")), "source", "left"
+            )
             .groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_pass"))
-        )
-        agg_surv = surv.groupBy("source").agg(
-            F.count(F.lit(1)).alias("n_survivors")
-        )
-        agg_kept = kept.groupBy("source").agg(
-            F.count(F.lit(1)).alias("kept_docs"),
-            F.sum(F.size(F.split(F.col("text_stripped"), " "))).alias(
-                "kept_tokens"
-            ),
-        )
-        out = (
-            agg_in.join(agg_pass, "source", "left")
-            .join(agg_surv, "source", "left")
-            .join(agg_kept, "source", "left")
-        )
-        return out.select(
-            "source",
-            "n_docs_in",
-            F.coalesce(F.col("n_pass"), F.lit(0)).alias("n_pass"),
-            F.coalesce(F.col("n_survivors"), F.lit(0)).alias("n_survivors"),
-            F.coalesce(F.col("kept_docs"), F.lit(0)).alias("kept_docs"),
-            F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+            .agg(
+                F.count(F.lit(1)).alias("n_docs_in"),
+                F.sum(F.col("passes").cast("long")).alias("n_pass"),
+                F.sum(F.col("survivor").cast("long")).alias("n_survivors"),
+                F.sum(kept.cast("long")).alias("kept_docs"),
+                F.coalesce(
+                    F.sum(F.when(kept, F.col("n_tok"))), F.lit(0)
+                ).alias("kept_tokens"),
+            )
         )
 
     q["curation_pipeline"] = q_curation_pipeline

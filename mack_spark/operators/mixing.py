@@ -43,6 +43,7 @@ def mix_allocation(
     source_col: str = "source",
     text_col: str = "text",
     budget_fraction: float = 0.6,
+    token_col: str | None = None,
 ) -> DataFrame:
     """Per-source sampling plan: ``source, avail_tokens, target_tokens,
     rate, threshold_hex``.
@@ -53,6 +54,11 @@ def mix_allocation(
     across sources by normalized weight; a source short of its target
     keeps everything (rate capped at 1 — no upsampling, matching how
     mixture builders treat scarce sources).
+
+    ``token_col`` names a precomputed per-row token count to use
+    instead of re-tokenizing ``text_col`` — pass it when the caller
+    already carries counts (e.g. a pipeline that tokenized upstream),
+    so the allocation scan stays narrow.
     """
     if not weights:
         raise ValueError("weights must be a non-empty {source: weight} map")
@@ -62,9 +68,8 @@ def mix_allocation(
     if wsum <= 0:
         raise ValueError(f"weights must sum > 0: {weights}")
 
-    avail = df.groupBy(source_col).agg(
-        F.sum(_token_count(text_col)).alias("avail_tokens")
-    )
+    tok = F.col(token_col) if token_col else _token_count(text_col)
+    avail = df.groupBy(source_col).agg(F.sum(tok).alias("avail_tokens"))
     # total over ALL sources (including weight-0 ones): the budget is a
     # fraction of the whole corpus, not of the kept sources.
     total = avail.agg(F.sum("avail_tokens").alias("total_tokens"))
