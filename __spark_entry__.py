@@ -1414,6 +1414,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_pipeline"] = q_curation_pipeline
 
+    def q_dedup_source_matrix(spark, sf_dir):
+        # where near-duplication concentrates: LSH candidate pairs
+        # rolled up by unordered source pair (mirror-crawl detector)
+        docs = _t(spark, sf_dir, "documents")
+        pairs = lsh_candidate_pairs(docs)
+        src = docs.select("doc_id", "source")
+        j = (
+            pairs.join(
+                src.select(
+                    F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+                ),
+                "id_a",
+            )
+            .join(
+                src.select(
+                    F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+                ),
+                "id_b",
+            )
+            .select(
+                F.least("src_a", "src_b").alias("source_a"),
+                F.greatest("src_a", "src_b").alias("source_b"),
+            )
+        )
+        return j.groupBy("source_a", "source_b").agg(
+            F.count(F.lit(1)).alias("n_pairs")
+        )
+
+    q["dedup_source_matrix"] = q_dedup_source_matrix
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -3138,6 +3168,19 @@ s AS (
 SELECT shard_id, count(*) AS n_docs, sum(n_tok) AS token_sum,
        min(order_key) AS first_key, max(order_key) AS last_key
 FROM s GROUP BY shard_id
+"""
+
+    # Near-dup source matrix: the verified LSH-pairs oracle wrapped as
+    # a CTE (nested WITH), joined to sources, unordered-pair rollup.
+    o["dedup_source_matrix"] = f"""
+WITH pairs AS ({o['dedup_minhash_lsh']})
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       count(*) AS n_pairs
+FROM pairs p
+JOIN documents sa ON p.id_a = sa.doc_id
+JOIN documents sb ON p.id_b = sb.doc_id
+GROUP BY least(sa.source, sb.source), greatest(sa.source, sb.source)
 """
 
     # Flagship composed pipeline: the gate, strip, and mix fragments
