@@ -1444,6 +1444,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_source_matrix"] = q_dedup_source_matrix
 
+    def q_numeric_correlations(spark, sf_dir):
+        from mack_spark.operators.profile import numeric_correlations
+
+        return numeric_correlations(
+            _t(spark, sf_dir, "lineitem"),
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        )
+
+    q["numeric_correlations"] = q_numeric_correlations
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -3181,6 +3191,57 @@ FROM pairs p
 JOIN documents sa ON p.id_a = sa.doc_id
 JOIN documents sb ON p.id_b = sb.doc_id
 GROUP BY least(sa.source, sb.source), greatest(sa.source, sb.source)
+"""
+
+    # Pearson correlations from EXACT fix-point sufficient statistics
+    # (decimal(38,0) / HUGEINT sums), final formula mirrored term for
+    # term -- order-independent on both engines.
+    o["numeric_correlations"] = """
+WITH s AS (
+  SELECT count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) AS n_l_quantity__l_extendedprice,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sx_l_quantity__l_extendedprice,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sy_l_quantity__l_extendedprice,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sxy_l_quantity__l_extendedprice,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sxx_l_quantity__l_extendedprice,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) END) AS syy_l_quantity__l_extendedprice,
+         count(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN 1 END) AS n_l_quantity__l_discount,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sx_l_quantity__l_discount,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sy_l_quantity__l_discount,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sxy_l_quantity__l_discount,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sxx_l_quantity__l_discount,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) END) AS syy_l_quantity__l_discount,
+         count(CASE WHEN l_quantity IS NOT NULL AND l_tax IS NOT NULL THEN 1 END) AS n_l_quantity__l_tax,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_tax IS NOT NULL THEN CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sx_l_quantity__l_tax,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_tax IS NOT NULL THEN CAST(floor(CAST(l_tax AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sy_l_quantity__l_tax,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_tax IS NOT NULL THEN CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_tax AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sxy_l_quantity__l_tax,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_tax IS NOT NULL THEN CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sxx_l_quantity__l_tax,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_tax IS NOT NULL THEN CAST(floor(CAST(l_tax AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_tax AS DOUBLE) * 10000.0) AS HUGEINT) END) AS syy_l_quantity__l_tax,
+         count(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN 1 END) AS n_l_extendedprice__l_discount,
+         sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sx_l_extendedprice__l_discount,
+         sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sy_l_extendedprice__l_discount,
+         sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sxy_l_extendedprice__l_discount,
+         sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sxx_l_extendedprice__l_discount,
+         sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) END) AS syy_l_extendedprice__l_discount,
+         count(CASE WHEN l_extendedprice IS NOT NULL AND l_tax IS NOT NULL THEN 1 END) AS n_l_extendedprice__l_tax,
+         sum(CASE WHEN l_extendedprice IS NOT NULL AND l_tax IS NOT NULL THEN CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sx_l_extendedprice__l_tax,
+         sum(CASE WHEN l_extendedprice IS NOT NULL AND l_tax IS NOT NULL THEN CAST(floor(CAST(l_tax AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sy_l_extendedprice__l_tax,
+         sum(CASE WHEN l_extendedprice IS NOT NULL AND l_tax IS NOT NULL THEN CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_tax AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sxy_l_extendedprice__l_tax,
+         sum(CASE WHEN l_extendedprice IS NOT NULL AND l_tax IS NOT NULL THEN CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sxx_l_extendedprice__l_tax,
+         sum(CASE WHEN l_extendedprice IS NOT NULL AND l_tax IS NOT NULL THEN CAST(floor(CAST(l_tax AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_tax AS DOUBLE) * 10000.0) AS HUGEINT) END) AS syy_l_extendedprice__l_tax,
+         count(CASE WHEN l_discount IS NOT NULL AND l_tax IS NOT NULL THEN 1 END) AS n_l_discount__l_tax,
+         sum(CASE WHEN l_discount IS NOT NULL AND l_tax IS NOT NULL THEN CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sx_l_discount__l_tax,
+         sum(CASE WHEN l_discount IS NOT NULL AND l_tax IS NOT NULL THEN CAST(floor(CAST(l_tax AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sy_l_discount__l_tax,
+         sum(CASE WHEN l_discount IS NOT NULL AND l_tax IS NOT NULL THEN CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_tax AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sxy_l_discount__l_tax,
+         sum(CASE WHEN l_discount IS NOT NULL AND l_tax IS NOT NULL THEN CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sxx_l_discount__l_tax,
+         sum(CASE WHEN l_discount IS NOT NULL AND l_tax IS NOT NULL THEN CAST(floor(CAST(l_tax AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_tax AS DOUBLE) * 10000.0) AS HUGEINT) END) AS syy_l_discount__l_tax
+  FROM lineitem
+)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n_l_quantity__l_extendedprice AS n, round((CAST(n_l_quantity__l_extendedprice AS DOUBLE) * CAST(sxy_l_quantity__l_extendedprice AS DOUBLE) - CAST(sx_l_quantity__l_extendedprice AS DOUBLE) * CAST(sy_l_quantity__l_extendedprice AS DOUBLE)) / (sqrt(CAST(n_l_quantity__l_extendedprice AS DOUBLE) * CAST(sxx_l_quantity__l_extendedprice AS DOUBLE) - CAST(sx_l_quantity__l_extendedprice AS DOUBLE) * CAST(sx_l_quantity__l_extendedprice AS DOUBLE)) * sqrt(CAST(n_l_quantity__l_extendedprice AS DOUBLE) * CAST(syy_l_quantity__l_extendedprice AS DOUBLE) - CAST(sy_l_quantity__l_extendedprice AS DOUBLE) * CAST(sy_l_quantity__l_extendedprice AS DOUBLE))), 6) AS corr FROM s
+UNION ALL SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, n_l_quantity__l_discount AS n, round((CAST(n_l_quantity__l_discount AS DOUBLE) * CAST(sxy_l_quantity__l_discount AS DOUBLE) - CAST(sx_l_quantity__l_discount AS DOUBLE) * CAST(sy_l_quantity__l_discount AS DOUBLE)) / (sqrt(CAST(n_l_quantity__l_discount AS DOUBLE) * CAST(sxx_l_quantity__l_discount AS DOUBLE) - CAST(sx_l_quantity__l_discount AS DOUBLE) * CAST(sx_l_quantity__l_discount AS DOUBLE)) * sqrt(CAST(n_l_quantity__l_discount AS DOUBLE) * CAST(syy_l_quantity__l_discount AS DOUBLE) - CAST(sy_l_quantity__l_discount AS DOUBLE) * CAST(sy_l_quantity__l_discount AS DOUBLE))), 6) AS corr FROM s
+UNION ALL SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, n_l_quantity__l_tax AS n, round((CAST(n_l_quantity__l_tax AS DOUBLE) * CAST(sxy_l_quantity__l_tax AS DOUBLE) - CAST(sx_l_quantity__l_tax AS DOUBLE) * CAST(sy_l_quantity__l_tax AS DOUBLE)) / (sqrt(CAST(n_l_quantity__l_tax AS DOUBLE) * CAST(sxx_l_quantity__l_tax AS DOUBLE) - CAST(sx_l_quantity__l_tax AS DOUBLE) * CAST(sx_l_quantity__l_tax AS DOUBLE)) * sqrt(CAST(n_l_quantity__l_tax AS DOUBLE) * CAST(syy_l_quantity__l_tax AS DOUBLE) - CAST(sy_l_quantity__l_tax AS DOUBLE) * CAST(sy_l_quantity__l_tax AS DOUBLE))), 6) AS corr FROM s
+UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, n_l_extendedprice__l_discount AS n, round((CAST(n_l_extendedprice__l_discount AS DOUBLE) * CAST(sxy_l_extendedprice__l_discount AS DOUBLE) - CAST(sx_l_extendedprice__l_discount AS DOUBLE) * CAST(sy_l_extendedprice__l_discount AS DOUBLE)) / (sqrt(CAST(n_l_extendedprice__l_discount AS DOUBLE) * CAST(sxx_l_extendedprice__l_discount AS DOUBLE) - CAST(sx_l_extendedprice__l_discount AS DOUBLE) * CAST(sx_l_extendedprice__l_discount AS DOUBLE)) * sqrt(CAST(n_l_extendedprice__l_discount AS DOUBLE) * CAST(syy_l_extendedprice__l_discount AS DOUBLE) - CAST(sy_l_extendedprice__l_discount AS DOUBLE) * CAST(sy_l_extendedprice__l_discount AS DOUBLE))), 6) AS corr FROM s
+UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, n_l_extendedprice__l_tax AS n, round((CAST(n_l_extendedprice__l_tax AS DOUBLE) * CAST(sxy_l_extendedprice__l_tax AS DOUBLE) - CAST(sx_l_extendedprice__l_tax AS DOUBLE) * CAST(sy_l_extendedprice__l_tax AS DOUBLE)) / (sqrt(CAST(n_l_extendedprice__l_tax AS DOUBLE) * CAST(sxx_l_extendedprice__l_tax AS DOUBLE) - CAST(sx_l_extendedprice__l_tax AS DOUBLE) * CAST(sx_l_extendedprice__l_tax AS DOUBLE)) * sqrt(CAST(n_l_extendedprice__l_tax AS DOUBLE) * CAST(syy_l_extendedprice__l_tax AS DOUBLE) - CAST(sy_l_extendedprice__l_tax AS DOUBLE) * CAST(sy_l_extendedprice__l_tax AS DOUBLE))), 6) AS corr FROM s
+UNION ALL SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, n_l_discount__l_tax AS n, round((CAST(n_l_discount__l_tax AS DOUBLE) * CAST(sxy_l_discount__l_tax AS DOUBLE) - CAST(sx_l_discount__l_tax AS DOUBLE) * CAST(sy_l_discount__l_tax AS DOUBLE)) / (sqrt(CAST(n_l_discount__l_tax AS DOUBLE) * CAST(sxx_l_discount__l_tax AS DOUBLE) - CAST(sx_l_discount__l_tax AS DOUBLE) * CAST(sx_l_discount__l_tax AS DOUBLE)) * sqrt(CAST(n_l_discount__l_tax AS DOUBLE) * CAST(syy_l_discount__l_tax AS DOUBLE) - CAST(sy_l_discount__l_tax AS DOUBLE) * CAST(sy_l_discount__l_tax AS DOUBLE))), 6) AS corr FROM s
 """
 
     # Flagship composed pipeline: the gate, strip, and mix fragments

@@ -205,3 +205,74 @@ def grouped_robust_stats(
         .applyInPandas(stats, out_schema)
         .orderBy(group_col)
     )
+
+
+def numeric_correlations(
+    df: DataFrame,
+    cols: List[str],
+    fix_scale: int = 10_000,
+    round_corr: int = 6,
+) -> DataFrame:
+    """Pearson correlation for every unordered column pair, computed
+    from EXACT fix-point sums so the result is order-independent.
+
+    Naive ``corr()`` aggregates float products whose sum depends on
+    partitioning; here each value is fixed to ``floor(x * fix_scale)``
+    and the five sufficient statistics (Sx, Sy, Sxy, Sxx, Syy) are
+    summed as ``decimal(38,0)`` — exact 128-bit integers — with the
+    final correlation one mirrored IEEE expression over them. Any
+    engine with exact integer sums replays it bit-for-bit.
+
+    One pass: all k(k-1)/2 pairs' statistics live in a single aggregate
+    row (map-side combinable); the output is k(k-1)/2 tiny rows.
+    Rows where either column is NULL are excluded per pair (SQL corr
+    semantics).
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    aggs = []
+    fixes = {
+        c: F.floor(F.col(c).cast("double") * F.lit(float(fix_scale))).cast(
+            "decimal(38,0)"
+        )
+        for c in cols
+    }
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            both = F.col(a).isNotNull() & F.col(b).isNotNull()
+            fa = F.when(both, fixes[a])
+            fb = F.when(both, fixes[b])
+            tag = f"{a}__{b}"
+            aggs += [
+                F.count(F.when(both, F.lit(1))).alias(f"n_{tag}"),
+                F.sum(fa).alias(f"sx_{tag}"),
+                F.sum(fb).alias(f"sy_{tag}"),
+                F.sum(fa * fb).alias(f"sxy_{tag}"),
+                F.sum(fa * fa).alias(f"sxx_{tag}"),
+                F.sum(fb * fb).alias(f"syy_{tag}"),
+            ]
+    row = df.agg(*aggs)
+    structs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            tag = f"{a}__{b}"
+            n = F.col(f"n_{tag}").cast("double")
+            sx = F.col(f"sx_{tag}").cast("double")
+            sy = F.col(f"sy_{tag}").cast("double")
+            sxy = F.col(f"sxy_{tag}").cast("double")
+            sxx = F.col(f"sxx_{tag}").cast("double")
+            syy = F.col(f"syy_{tag}").cast("double")
+            corr = (n * sxy - sx * sy) / (
+                F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+            )
+            structs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col(f"n_{tag}").alias("n"),
+                    F.round(corr, round_corr).alias("corr"),
+                )
+            )
+    # single explode over the one aggregate row — the scan runs ONCE,
+    # not once per pair
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -440,3 +440,39 @@ class TestRetentionCohorts:
         )
         (r,) = retention_cohorts(df).collect()
         assert r["n_active_users"] == 1 and r["weeks_since"] == 0
+
+
+class TestNumericCorrelations:
+    def test_known_values_and_partition_independence(self, spark):
+        from mack_spark.operators.profile import numeric_correlations
+
+        rows = [(float(i), float(2 * i), float(-i), 5.0) for i in range(50)]
+        df = spark.createDataFrame(rows, ["a", "b", "c", "d"])
+        out = {
+            (r["col_a"], r["col_b"]): r["corr"]
+            for r in numeric_correlations(df, ["a", "b", "c"]).collect()
+        }
+        assert out[("a", "b")] == 1.0
+        assert out[("a", "c")] == -1.0
+        out2 = {
+            (r["col_a"], r["col_b"]): r["corr"]
+            for r in numeric_correlations(
+                df.repartition(7), ["a", "b", "c"]
+            ).collect()
+        }
+        assert out == out2  # exact sums -> bit-identical under reshuffle
+
+    def test_nulls_excluded_pairwise(self, spark):
+        from mack_spark.operators.profile import numeric_correlations
+
+        rows = [(1.0, 2.0), (2.0, None), (3.0, 6.0), (4.0, 8.0)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        (r,) = numeric_correlations(df, ["a", "b"]).collect()
+        assert r["n"] == 3 and r["corr"] == 1.0
+
+    def test_validation(self, spark):
+        from mack_spark.operators.profile import numeric_correlations
+
+        df = spark.createDataFrame([(1.0,)], ["a"])
+        with pytest.raises(ValueError, match="two columns"):
+            numeric_correlations(df, ["a"])
