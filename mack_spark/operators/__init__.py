@@ -14,6 +14,7 @@ from mack_spark.operators.profile import (
 )
 from mack_spark.operators.dedup_text import (
     duplicated_ngram_spans,
+    strip_duplicate_spans,
     exact_dedup_survivors,
     exact_duplicate_groups,
     minhash_signatures,
@@ -34,6 +35,7 @@ from mack_spark.operators.similarity import (
     brute_force_topk,
     brute_force_topk_pandas,
     build_ivf_index,
+    cluster_balance,
     embedding_centroids,
     embedding_near_dup_pairs,
     ivf_topk,
@@ -50,8 +52,11 @@ from mack_spark.operators.textstats import (
     corpus_cube,
     corpus_rollup,
     doc_stats,
+    vocab_census,
     winnow_fingerprints,
 )
+from mack_spark.operators.cohort import retention_cohorts
+from mack_spark.operators.profile import numeric_correlations
 from mack_spark.operators.sessionize import sessionize
 from mack_spark.operators.asof import asof_join
 from mack_spark.operators.cluster import connected_components, near_dup_clusters
@@ -128,4 +133,9 @@ __all__ = [
     "shard_manifest",
     "write_training_shards",
     "embedding_centroids",
+    "strip_duplicate_spans",
+    "cluster_balance",
+    "vocab_census",
+    "retention_cohorts",
+    "numeric_correlations",
 ]
