@@ -287,3 +287,68 @@ def test_streaming_dedup_matches_batch_under_arrival_order(spark, tmp_path):
     }
     assert {(r["user_id"], r["event_type"]) for r in got.collect()} == want
     assert got.count() == len(want)  # no key emitted twice across epochs
+
+
+def test_streaming_scd2_crash_restart_exactly_once(spark, tmp_path):
+    """Kill the SCD2 stream mid-run (AFTER an epoch's merge applied but
+    before its checkpoint committed), restart from the same checkpoint,
+    and verify the final table equals the batch post-state — the epoch
+    ledger must absorb the replayed microbatch instead of double-
+    applying it."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    base = spark.createDataFrame(
+        [(k, "v0", True, T0, None) for k in range(1, 13)], SCHEMA
+    )
+    table = ManagedTable.create(spark, str(tmp_path / "scd_cr"), base)
+
+    # four single-file chunks with DISJOINT keys (order-commutative)
+    src = str(tmp_path / "src")
+    chunks = [range(1, 4), range(4, 7), range(7, 10), range(10, 13)]
+    for ch in chunks:
+        spark.createDataFrame(
+            [(k, "v1", True, T1, None) for k in ch], SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    inner = foreach_batch_scd2(table, "pkey", ["attr"])
+    calls = []
+
+    def crashing(batch_df, epoch_id):
+        inner(batch_df, epoch_id)  # merge lands...
+        calls.append(epoch_id)
+        if len(calls) == 3:
+            raise RuntimeError("injected crash after apply, before commit")
+
+    def start(fn):
+        return (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start(crashing)
+    with _pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+
+    q2 = start(inner)  # resume: epoch 2 replays, ledger must skip it
+    q2.awaitTermination()
+
+    all_updates = spark.createDataFrame(
+        [(k, "v1", True, T1, None) for k in range(1, 13)], SCHEMA
+    )
+    post = scd2_post_state(
+        base, all_updates, "pkey", ["attr"],
+        "is_current", "effective_time", "end_time",
+    )
+    assert_df_equality(
+        table.toDF().select(*[f.name for f in SCHEMA.fields]),
+        post.select(*[f.name for f in SCHEMA.fields]),
+    )
+    # every key closed exactly one old row and holds exactly one current
+    cur = table.toDF().filter("is_current").groupBy("pkey").count().collect()
+    assert all(r["count"] == 1 for r in cur) and len(cur) == 12
