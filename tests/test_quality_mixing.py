@@ -476,3 +476,44 @@ class TestNumericCorrelations:
         df = spark.createDataFrame([(1.0,)], ["a"])
         with pytest.raises(ValueError, match="two columns"):
             numeric_correlations(df, ["a"])
+
+
+class TestSpanStripProperty:
+    def test_vs_python_reference_random_corpora(self, spark):
+        """Random small corpora: the distributed strip equals a pure
+        Python implementation of owner-keeps / coverage-union removal."""
+        import random
+
+        from mack_spark.operators.dedup_text import strip_duplicate_spans
+
+        def reference(docs, k):
+            spans = {}
+            toks = {i: t.split(" ") for i, t in docs}
+            for i, ws in toks.items():
+                for j in range(len(ws) - k + 1):
+                    spans.setdefault(" ".join(ws[j : j + k]), set()).add(i)
+            dup = {s: min(d) for s, d in spans.items() if len(d) >= 2}
+            out = {}
+            for i, ws in toks.items():
+                cov = set()
+                for j in range(len(ws) - k + 1):
+                    s = " ".join(ws[j : j + k])
+                    if s in dup and dup[s] != i:
+                        cov.update(range(j, j + k))
+                kept = [w for j, w in enumerate(ws) if j not in cov]
+                out[i] = (" ".join(kept), len(ws) - len(kept))
+            return out
+
+        rng = random.Random(99)
+        vocab = ["u", "v", "w", "x"]
+        for trial in range(4):
+            docs = [
+                (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 14))))
+                for i in range(10)
+            ]
+            df = spark.createDataFrame(docs, ["doc_id", "text"])
+            got = {
+                r["doc_id"]: (r["text_stripped"], r["n_removed"])
+                for r in strip_duplicate_spans(df, span_words=3).collect()
+            }
+            assert got == reference(docs, 3), f"trial {trial}"
