@@ -1454,6 +1454,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["numeric_correlations"] = q_numeric_correlations
 
+    def q_grouped_correlations(spark, sf_dir):
+        from mack_spark.operators.profile import numeric_correlations
+
+        return numeric_correlations(
+            _t(spark, sf_dir, "lineitem"),
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            group_cols=["l_returnflag"],
+        )
+
+    q["grouped_correlations"] = q_grouped_correlations
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -3242,6 +3253,35 @@ UNION ALL SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, n_l_quantity__l_tax AS
 UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, n_l_extendedprice__l_discount AS n, round((CAST(n_l_extendedprice__l_discount AS DOUBLE) * CAST(sxy_l_extendedprice__l_discount AS DOUBLE) - CAST(sx_l_extendedprice__l_discount AS DOUBLE) * CAST(sy_l_extendedprice__l_discount AS DOUBLE)) / (sqrt(CAST(n_l_extendedprice__l_discount AS DOUBLE) * CAST(sxx_l_extendedprice__l_discount AS DOUBLE) - CAST(sx_l_extendedprice__l_discount AS DOUBLE) * CAST(sx_l_extendedprice__l_discount AS DOUBLE)) * sqrt(CAST(n_l_extendedprice__l_discount AS DOUBLE) * CAST(syy_l_extendedprice__l_discount AS DOUBLE) - CAST(sy_l_extendedprice__l_discount AS DOUBLE) * CAST(sy_l_extendedprice__l_discount AS DOUBLE))), 6) AS corr FROM s
 UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, n_l_extendedprice__l_tax AS n, round((CAST(n_l_extendedprice__l_tax AS DOUBLE) * CAST(sxy_l_extendedprice__l_tax AS DOUBLE) - CAST(sx_l_extendedprice__l_tax AS DOUBLE) * CAST(sy_l_extendedprice__l_tax AS DOUBLE)) / (sqrt(CAST(n_l_extendedprice__l_tax AS DOUBLE) * CAST(sxx_l_extendedprice__l_tax AS DOUBLE) - CAST(sx_l_extendedprice__l_tax AS DOUBLE) * CAST(sx_l_extendedprice__l_tax AS DOUBLE)) * sqrt(CAST(n_l_extendedprice__l_tax AS DOUBLE) * CAST(syy_l_extendedprice__l_tax AS DOUBLE) - CAST(sy_l_extendedprice__l_tax AS DOUBLE) * CAST(sy_l_extendedprice__l_tax AS DOUBLE))), 6) AS corr FROM s
 UNION ALL SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, n_l_discount__l_tax AS n, round((CAST(n_l_discount__l_tax AS DOUBLE) * CAST(sxy_l_discount__l_tax AS DOUBLE) - CAST(sx_l_discount__l_tax AS DOUBLE) * CAST(sy_l_discount__l_tax AS DOUBLE)) / (sqrt(CAST(n_l_discount__l_tax AS DOUBLE) * CAST(sxx_l_discount__l_tax AS DOUBLE) - CAST(sx_l_discount__l_tax AS DOUBLE) * CAST(sx_l_discount__l_tax AS DOUBLE)) * sqrt(CAST(n_l_discount__l_tax AS DOUBLE) * CAST(syy_l_discount__l_tax AS DOUBLE) - CAST(sy_l_discount__l_tax AS DOUBLE) * CAST(sy_l_discount__l_tax AS DOUBLE))), 6) AS corr FROM s
+"""
+
+    # per-group variant: identical sufficient-statistics arithmetic,
+    # one aggregate row per l_returnflag.
+    o["grouped_correlations"] = """
+WITH s AS (
+  SELECT l_returnflag, count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) AS n_l_quantity__l_extendedprice,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sx_l_quantity__l_extendedprice,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sy_l_quantity__l_extendedprice,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sxy_l_quantity__l_extendedprice,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sxx_l_quantity__l_extendedprice,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) END) AS syy_l_quantity__l_extendedprice,
+         count(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN 1 END) AS n_l_quantity__l_discount,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sx_l_quantity__l_discount,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sy_l_quantity__l_discount,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sxy_l_quantity__l_discount,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sxx_l_quantity__l_discount,
+         sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) END) AS syy_l_quantity__l_discount,
+         count(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN 1 END) AS n_l_extendedprice__l_discount,
+         sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sx_l_extendedprice__l_discount,
+         sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sy_l_extendedprice__l_discount,
+         sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sxy_l_extendedprice__l_discount,
+         sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0) AS HUGEINT) END) AS sxx_l_extendedprice__l_discount,
+         sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) * CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0) AS HUGEINT) END) AS syy_l_extendedprice__l_discount
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n_l_quantity__l_extendedprice AS n, round((CAST(n_l_quantity__l_extendedprice AS DOUBLE) * CAST(sxy_l_quantity__l_extendedprice AS DOUBLE) - CAST(sx_l_quantity__l_extendedprice AS DOUBLE) * CAST(sy_l_quantity__l_extendedprice AS DOUBLE)) / (sqrt(CAST(n_l_quantity__l_extendedprice AS DOUBLE) * CAST(sxx_l_quantity__l_extendedprice AS DOUBLE) - CAST(sx_l_quantity__l_extendedprice AS DOUBLE) * CAST(sx_l_quantity__l_extendedprice AS DOUBLE)) * sqrt(CAST(n_l_quantity__l_extendedprice AS DOUBLE) * CAST(syy_l_quantity__l_extendedprice AS DOUBLE) - CAST(sy_l_quantity__l_extendedprice AS DOUBLE) * CAST(sy_l_quantity__l_extendedprice AS DOUBLE))), 6) AS corr FROM s
+UNION ALL SELECT l_returnflag, 'l_quantity' AS col_a, 'l_discount' AS col_b, n_l_quantity__l_discount AS n, round((CAST(n_l_quantity__l_discount AS DOUBLE) * CAST(sxy_l_quantity__l_discount AS DOUBLE) - CAST(sx_l_quantity__l_discount AS DOUBLE) * CAST(sy_l_quantity__l_discount AS DOUBLE)) / (sqrt(CAST(n_l_quantity__l_discount AS DOUBLE) * CAST(sxx_l_quantity__l_discount AS DOUBLE) - CAST(sx_l_quantity__l_discount AS DOUBLE) * CAST(sx_l_quantity__l_discount AS DOUBLE)) * sqrt(CAST(n_l_quantity__l_discount AS DOUBLE) * CAST(syy_l_quantity__l_discount AS DOUBLE) - CAST(sy_l_quantity__l_discount AS DOUBLE) * CAST(sy_l_quantity__l_discount AS DOUBLE))), 6) AS corr FROM s
+UNION ALL SELECT l_returnflag, 'l_extendedprice' AS col_a, 'l_discount' AS col_b, n_l_extendedprice__l_discount AS n, round((CAST(n_l_extendedprice__l_discount AS DOUBLE) * CAST(sxy_l_extendedprice__l_discount AS DOUBLE) - CAST(sx_l_extendedprice__l_discount AS DOUBLE) * CAST(sy_l_extendedprice__l_discount AS DOUBLE)) / (sqrt(CAST(n_l_extendedprice__l_discount AS DOUBLE) * CAST(sxx_l_extendedprice__l_discount AS DOUBLE) - CAST(sx_l_extendedprice__l_discount AS DOUBLE) * CAST(sx_l_extendedprice__l_discount AS DOUBLE)) * sqrt(CAST(n_l_extendedprice__l_discount AS DOUBLE) * CAST(syy_l_extendedprice__l_discount AS DOUBLE) - CAST(sy_l_extendedprice__l_discount AS DOUBLE) * CAST(sy_l_extendedprice__l_discount AS DOUBLE))), 6) AS corr FROM s
 """
 
     # Flagship composed pipeline: the gate, strip, and mix fragments

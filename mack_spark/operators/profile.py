@@ -212,6 +212,7 @@ def numeric_correlations(
     cols: List[str],
     fix_scale: int = 10_000,
     round_corr: int = 6,
+    group_cols: List[str] | None = None,
 ) -> DataFrame:
     """Pearson correlation for every unordered column pair, computed
     from EXACT fix-point sums so the result is order-independent.
@@ -226,7 +227,8 @@ def numeric_correlations(
     One pass: all k(k-1)/2 pairs' statistics live in a single aggregate
     row (map-side combinable); the output is k(k-1)/2 tiny rows.
     Rows where either column is NULL are excluded per pair (SQL corr
-    semantics).
+    semantics). ``group_cols`` computes the same matrix per group (one
+    aggregate row per group, same single scan).
     """
     if len(cols) < 2:
         raise ValueError("need at least two columns")
@@ -252,7 +254,8 @@ def numeric_correlations(
             prods.append(
                 (F.col(f"fx_{a}") * F.col(f"fx_{b}")).alias(f"p_xy_{tag}")
             )
-    fixed = df.select(*proj).select("*", *prods)
+    gcols = list(group_cols or [])
+    fixed = df.select(*[F.col(g) for g in gcols], *proj).select("*", *prods)
     aggs = []
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
@@ -269,7 +272,7 @@ def numeric_correlations(
                 F.sum(F.when(mask_b, F.col(f"sq_{a}"))).alias(f"sxx_{tag}"),
                 F.sum(F.when(mask_a, F.col(f"sq_{b}"))).alias(f"syy_{tag}"),
             ]
-    row = fixed.agg(*aggs)
+    row = fixed.groupBy(*gcols).agg(*aggs) if gcols else fixed.agg(*aggs)
     structs = []
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
@@ -291,6 +294,8 @@ def numeric_correlations(
                     F.round(corr, round_corr).alias("corr"),
                 )
             )
-    # single explode over the one aggregate row — the scan runs ONCE,
+    # single explode over the aggregate row(s) — the scan runs ONCE,
     # not once per pair
-    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    return row.select(
+        *gcols, F.explode(F.array(*structs)).alias("p")
+    ).select(*gcols, "p.*")
