@@ -352,3 +352,62 @@ def test_streaming_scd2_crash_restart_exactly_once(spark, tmp_path):
     # every key closed exactly one old row and holds exactly one current
     cur = table.toDF().filter("is_current").groupBy("pkey").count().collect()
     assert all(r["count"] == 1 for r in cur) and len(cur) == 12
+
+
+def test_streaming_rollup_crash_restart_exactly_once(spark, tmp_path):
+    """Same crash-after-apply/restart discipline for the continuous
+    rollup: the replayed epoch's partial aggregate must not be merged
+    twice, so every group's final count/sum equals the batch answer."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from mack_spark.streaming import foreach_batch_rollup
+
+    empty = spark.createDataFrame(
+        [], "g string, n_events bigint, value_fp decimal(38,0)"
+    )
+    table = ManagedTable.create(spark, str(tmp_path / "rollup_cr"), empty)
+
+    src = str(tmp_path / "src")
+    chunks = [
+        [("a", 1.0), ("b", 2.0)],
+        [("a", 3.0), ("c", 4.0)],
+        [("b", 5.0), ("c", 6.0)],
+        [("a", 7.0)],
+    ]
+    for ch in chunks:
+        spark.createDataFrame(ch, "g string, value double").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    inner = foreach_batch_rollup(table, ["g"])
+    calls = []
+
+    def crashing(batch_df, epoch_id):
+        inner(batch_df, epoch_id)
+        calls.append(epoch_id)
+        if len(calls) == 3:
+            raise RuntimeError("injected crash after apply")
+
+    def start(fn):
+        return (
+            spark.readStream.schema("g string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start(crashing)
+    with _pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+    q2 = start(inner)
+    q2.awaitTermination()
+
+    got = {
+        r["g"]: (r["n_events"], float(r["value_fp"]) / 10000.0)
+        for r in table.toDF().collect()
+    }
+    assert got == {"a": (3, 11.0), "b": (2, 7.0), "c": (2, 10.0)}
