@@ -1465,6 +1465,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["grouped_correlations"] = q_grouped_correlations
 
+    def q_part_affinity(spark, sf_dir):
+        # market-basket affinity: part pairs co-ordered in the same
+        # order, top-100 by support. Self-join keyed on the order —
+        # fan-out is bounded by order size (~4 lines), so the pair
+        # count stays linear in lineitem at any scale; top-k rides
+        # TakeOrderedAndProject with a full tie-break.
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        a, b = li.alias("a"), li.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        ).select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        return (
+            pairs.groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+            .limit(100)
+        )
+
+    q["part_affinity"] = q_part_affinity
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -3253,6 +3278,21 @@ UNION ALL SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, n_l_quantity__l_tax AS
 UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, n_l_extendedprice__l_discount AS n, round((CAST(n_l_extendedprice__l_discount AS DOUBLE) * CAST(sxy_l_extendedprice__l_discount AS DOUBLE) - CAST(sx_l_extendedprice__l_discount AS DOUBLE) * CAST(sy_l_extendedprice__l_discount AS DOUBLE)) / (sqrt(CAST(n_l_extendedprice__l_discount AS DOUBLE) * CAST(sxx_l_extendedprice__l_discount AS DOUBLE) - CAST(sx_l_extendedprice__l_discount AS DOUBLE) * CAST(sx_l_extendedprice__l_discount AS DOUBLE)) * sqrt(CAST(n_l_extendedprice__l_discount AS DOUBLE) * CAST(syy_l_extendedprice__l_discount AS DOUBLE) - CAST(sy_l_extendedprice__l_discount AS DOUBLE) * CAST(sy_l_extendedprice__l_discount AS DOUBLE))), 6) AS corr FROM s
 UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, n_l_extendedprice__l_tax AS n, round((CAST(n_l_extendedprice__l_tax AS DOUBLE) * CAST(sxy_l_extendedprice__l_tax AS DOUBLE) - CAST(sx_l_extendedprice__l_tax AS DOUBLE) * CAST(sy_l_extendedprice__l_tax AS DOUBLE)) / (sqrt(CAST(n_l_extendedprice__l_tax AS DOUBLE) * CAST(sxx_l_extendedprice__l_tax AS DOUBLE) - CAST(sx_l_extendedprice__l_tax AS DOUBLE) * CAST(sx_l_extendedprice__l_tax AS DOUBLE)) * sqrt(CAST(n_l_extendedprice__l_tax AS DOUBLE) * CAST(syy_l_extendedprice__l_tax AS DOUBLE) - CAST(sy_l_extendedprice__l_tax AS DOUBLE) * CAST(sy_l_extendedprice__l_tax AS DOUBLE))), 6) AS corr FROM s
 UNION ALL SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, n_l_discount__l_tax AS n, round((CAST(n_l_discount__l_tax AS DOUBLE) * CAST(sxy_l_discount__l_tax AS DOUBLE) - CAST(sx_l_discount__l_tax AS DOUBLE) * CAST(sy_l_discount__l_tax AS DOUBLE)) / (sqrt(CAST(n_l_discount__l_tax AS DOUBLE) * CAST(sxx_l_discount__l_tax AS DOUBLE) - CAST(sx_l_discount__l_tax AS DOUBLE) * CAST(sx_l_discount__l_tax AS DOUBLE)) * sqrt(CAST(n_l_discount__l_tax AS DOUBLE) * CAST(syy_l_discount__l_tax AS DOUBLE) - CAST(sy_l_discount__l_tax AS DOUBLE) * CAST(sy_l_discount__l_tax AS DOUBLE))), 6) AS corr FROM s
+"""
+
+    # Market-basket part affinity; the (n_orders, part_a, part_b)
+    # order is total so LIMIT 100 is deterministic.
+    o["part_affinity"] = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, count(*) AS n_orders
+FROM p GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 100
 """
 
     # per-group variant: identical sufficient-statistics arithmetic,
