@@ -28,6 +28,7 @@ from mack_spark.tables import (
     ConcurrentModificationError,
     ManagedTable,
     copy_table,
+    delete_where,
     rename_table,
     rename_catalog_table,
     latest_version,
@@ -58,6 +59,7 @@ from mack_spark.appends import validate_append, constraint_append
 __version__ = "0.1.0"
 
 __all__ = [
+    "delete_where",
     "ConcurrentModificationError",
     "ManagedTable",
     "type_2_scd_upsert",

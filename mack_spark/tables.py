@@ -1541,6 +1541,70 @@ def vacuum(table: ManagedTable, dry_run: bool = False) -> List[str]:
     return doomed
 
 
+def _predicate_references(spark: SparkSession, condition: str) -> List[str]:
+    """Column names referenced by a SQL predicate (Catalyst parser —
+    the same resolution DELETE itself uses, so no regex guessing)."""
+    expr = spark._jsparkSession.sessionState().sqlParser().parseExpression(condition)
+    it = expr.references().iterator()
+    names = []
+    while it.hasNext():
+        names.append(it.next().name())
+    return names
+
+
+def delete_where(
+    table: ManagedTable,
+    condition: str,
+    touched_keys: Optional[tuple] = None,
+) -> None:
+    """``DELETE FROM table WHERE condition`` for the parquet
+    ManagedTable — the generic mutation behind Delta's
+    ``DeltaTable.delete(condition)`` (the reference composes it only
+    inside kill_duplicates/drop_duplicates_pkey via MERGE,
+    mack/__init__.py:190-192, :253-255; this exposes it directly).
+
+    Semantics are SQL DELETE three-valued logic: rows where the
+    condition evaluates TRUE are removed; FALSE **and NULL** rows stay.
+
+    SCALE — pruned commits, chosen automatically:
+
+    * If the predicate references ONLY partition columns, it is
+      evaluated against the distinct partition-value tuples (a
+      partition-pruned scan of just those columns), and the commit
+      rewrites ONLY partitions where it can be TRUE — every other
+      partition is hard-linked untouched.
+    * On unpartitioned tables callers who know the touched key range
+      pass ``touched_keys=(key_col, keys_df)`` and get the footer-stats
+      file-pruned rewrite.
+    * Otherwise the commit is the plain full post-state overwrite —
+      exactly Delta's behavior when a delete predicate prunes nothing.
+    """
+    spark = table.spark
+    cond = F.expr(condition)
+    post_state = table.toDF().filter(~F.coalesce(cond, F.lit(False)))
+    meta = table._read_meta()
+    parts = meta["partition_columns"]
+    refs = _predicate_references(spark, condition)
+    touched_partitions = None
+    if parts and refs and set(refs) <= set(parts):
+        # a partition-only predicate is constant per partition: TRUE
+        # partitions rewrite (their matching rows delete), FALSE and
+        # NULL partitions keep every row and stay hard-linked. filter()
+        # keeps exactly the TRUE tuples.
+        tuples = table.toDF().select(*parts).distinct()
+        touched_partitions = [
+            {p: r[p] for p in parts} for r in tuples.filter(cond).collect()
+        ]
+        if not touched_partitions:
+            return  # predicate can match no partition: no-op, no commit
+    table.merge_overwrite(
+        post_state,
+        "DELETE",
+        touched_partitions=touched_partitions,
+        touched_keys=touched_keys,
+    )
+
+
 def rename_catalog_table(spark: SparkSession, old_name: str, new_name: str) -> None:
     """Rename a METASTORE-registered table with one DDL statement — the
     reference's Databricks branch (reference mack/__init__.py:733:
