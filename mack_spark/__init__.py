@@ -29,6 +29,7 @@ from mack_spark.tables import (
     ManagedTable,
     copy_table,
     delete_where,
+    update_where,
     rename_table,
     rename_catalog_table,
     latest_version,
@@ -59,6 +60,7 @@ from mack_spark.appends import validate_append, constraint_append
 __version__ = "0.1.0"
 
 __all__ = [
+    "update_where",
     "delete_where",
     "ConcurrentModificationError",
     "ManagedTable",

@@ -1605,6 +1605,69 @@ def delete_where(
     )
 
 
+def update_where(
+    table: ManagedTable,
+    condition: str,
+    assignments: Dict[str, str],
+    touched_keys: Optional[tuple] = None,
+) -> None:
+    """``UPDATE table SET col = expr, ... WHERE condition`` — Delta's
+    ``DeltaTable.update`` on the parquet ManagedTable, with the same
+    automatic commit pruning as :func:`delete_where`.
+
+    ``assignments`` maps column name → SQL expression (evaluated
+    against the pre-update row, all assignments simultaneously, cast
+    back to the column's declared type — SQL UPDATE semantics). Rows
+    where the condition is FALSE or NULL are untouched.
+
+    Pruning guard: if any assignment targets a partition column, rows
+    can MOVE between partitions, so the partition-pruned path is
+    disabled and the commit is the full post-state overwrite (matching
+    Delta, where such updates rewrite across partitions).
+    """
+    spark = table.spark
+    unknown = set(assignments) - set(table.toDF().columns)
+    if unknown:
+        raise ValueError(f"assignments target unknown columns: {sorted(unknown)}")
+    cond = F.coalesce(F.expr(condition), F.lit(False))
+    schema = table.declared_schema
+    types = {f.name: f.dataType for f in schema.fields}
+    cols = []
+    for c in table.toDF().columns:
+        if c in assignments:
+            cols.append(
+                F.when(cond, F.expr(assignments[c]).cast(types[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    post_state = table.toDF().select(*cols)
+    meta = table._read_meta()
+    parts = meta["partition_columns"]
+    refs = _predicate_references(spark, condition)
+    touched_partitions = None
+    if (
+        parts
+        and refs
+        and set(refs) <= set(parts)
+        and not (set(assignments) & set(parts))
+    ):
+        tuples = table.toDF().select(*parts).distinct()
+        touched_partitions = [
+            {p: r[p] for p in parts}
+            for r in tuples.filter(F.expr(condition)).collect()
+        ]
+        if not touched_partitions:
+            return
+    table.merge_overwrite(
+        post_state,
+        "UPDATE",
+        touched_partitions=touched_partitions,
+        touched_keys=touched_keys,
+    )
+
+
 def rename_catalog_table(spark: SparkSession, old_name: str, new_name: str) -> None:
     """Rename a METASTORE-registered table with one DDL statement — the
     reference's Databricks branch (reference mack/__init__.py:733:

@@ -100,3 +100,55 @@ def test_unpartitioned_with_touched_keys_prunes_files(spark, tmp_path):
     }
     linked = [n for n, ino in after.items() if before.get(n) == ino]
     assert len(linked) >= 2  # most files untouched and hard-linked
+
+
+class TestUpdateWhere:
+    def test_partition_pruned_update_links_untouched(self, spark, tmp_path):
+        from mack_spark.tables import update_where
+
+        t = _make(spark, tmp_path)
+        before = {s: _part_inodes(t, s) for s in ("s0", "s2")}
+        update_where(t, "seg = 's1'", {"v": "upper(v)"})
+        got = {r["k"]: r["v"] for r in t.toDF().collect()}
+        for k in range(30):
+            assert got[k] == (f"V{k}" if k % 3 == 1 else f"v{k}")
+        assert _part_inodes(t, "s0") == before["s0"]
+        assert _part_inodes(t, "s2") == before["s2"]
+
+    def test_simultaneous_assignment_semantics(self, spark, tmp_path):
+        from mack_spark.tables import update_where
+
+        df = spark.createDataFrame([(1, 10, 20)], "k int, a int, b int")
+        t = ManagedTable.create(spark, str(tmp_path / "t"), df)
+        # SQL UPDATE: both expressions see the PRE-update row
+        update_where(t, "k = 1", {"a": "b + 1", "b": "a + 1"})
+        (r,) = t.toDF().collect()
+        assert (r["a"], r["b"]) == (21, 11)
+
+    def test_assignment_to_partition_column_moves_rows(self, spark, tmp_path):
+        from mack_spark.tables import update_where
+
+        t = _make(spark, tmp_path)
+        update_where(t, "seg = 's1'", {"seg": "'s9'"})
+        assert t.toDF().filter("seg = 's1'").count() == 0
+        assert t.toDF().filter("seg = 's9'").count() == 10
+        assert t.toDF().count() == 30
+
+    def test_type_preserved_and_null_condition_untouched(self, spark, tmp_path):
+        from mack_spark.tables import update_where
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, None, 2.5)], "k int, v string, x double"
+        )
+        t = ManagedTable.create(spark, str(tmp_path / "t"), df)
+        update_where(t, "v = 'a'", {"x": "x * 2"})  # NULL v -> untouched
+        got = {r["k"]: r["x"] for r in t.toDF().collect()}
+        assert got == {1: 3.0, 2: 2.5}
+        assert dict(t.toDF().dtypes)["x"] == "double"
+
+    def test_unknown_assignment_column_raises(self, spark, tmp_path):
+        from mack_spark.tables import update_where
+
+        t = _make(spark, tmp_path)
+        with pytest.raises(ValueError, match="unknown columns"):
+            update_where(t, "k = 1", {"nope": "1"})
