@@ -1330,6 +1330,17 @@ class DeltaBackedTable:
     def add_constraint(self, name: str, expression: str) -> None:
         self.set_properties({f"delta.constraints.{name}": expression})
 
+    def delete(self, condition: str) -> None:
+        """Native ``DeltaTable.delete`` — Delta's log-driven file
+        pruning replaces the parquet backend's partition/footer
+        machinery."""
+        self._dt.delete(condition)
+
+    def update(self, condition: str, assignments: Dict[str, str]) -> None:
+        """Native ``DeltaTable.update`` (simultaneous SET semantics are
+        Delta's own)."""
+        self._dt.update(condition=condition, set=dict(assignments))
+
 
 def open_table(spark: SparkSession, path: str):
     """Construct the right backend for ``path`` — the seam's single entry.
@@ -1579,6 +1590,9 @@ def delete_where(
     * Otherwise the commit is the plain full post-state overwrite —
       exactly Delta's behavior when a delete predicate prunes nothing.
     """
+    if isinstance(table, DeltaBackedTable):
+        table.delete(condition)
+        return
     spark = table.spark
     cond = F.expr(condition)
     post_state = table.toDF().filter(~F.coalesce(cond, F.lit(False)))
@@ -1625,6 +1639,9 @@ def update_where(
     disabled and the commit is the full post-state overwrite (matching
     Delta, where such updates rewrite across partitions).
     """
+    if isinstance(table, DeltaBackedTable):
+        table.update(condition, assignments)
+        return
     spark = table.spark
     unknown = set(assignments) - set(table.toDF().columns)
     if unknown:

@@ -342,3 +342,36 @@ def test_insert_condition_compiles_and_interprets(spark):
         [("a", 3, 12), ("d", 4, 7)], "grp string, n_events int, fp int"
     )
     assert_df_equality(out, expected)
+
+
+def test_delete_update_where_route_native_on_delta(spark):
+    """delete_where/update_where dispatch to the Delta adapter's native
+    DeltaTable.delete/update instead of the parquet post-state path."""
+    from mack_spark.tables import delete_where, update_where
+
+    class _Rec:
+        def __init__(self):
+            self.log = []
+
+        def delete(self, condition):
+            self.log.append(("delete", condition))
+
+        def update(self, condition=None, set=None):
+            self.log.append(("update", condition, dict(set)))
+
+    fake = DeltaBackedTable.__new__(DeltaBackedTable)
+    fake.spark = spark
+    fake.path = "/nowhere"
+    fake._dt = _Rec()
+
+    delete_where(fake, "k < 10")
+    update_where(fake, "k = 1", {"v": "upper(v)"})
+    assert fake._dt.log == [
+        ("delete", "k < 10"),
+        ("update", "k = 1", {"v": "upper(v)"}),
+    ]
+
+
+def test_delta_adapter_has_delete_update():
+    for name in ("delete", "update"):
+        assert hasattr(DeltaBackedTable, name)
