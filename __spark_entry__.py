@@ -1490,6 +1490,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["part_affinity"] = q_part_affinity
 
+    def q_customer_rfm(spark, sf_dir):
+        # RFM segmentation with DISTRIBUTED quartiles: per-customer
+        # recency/frequency/monetary, quartile thresholds via the
+        # prefix-sum exact_percentiles (no customer-sized global sort —
+        # ntile() would SinglePartition the entity relation), scores by
+        # broadcast-threshold comparison. Per-customer frame persisted:
+        # entity-level metadata, scanned once per metric's threshold
+        # pass plus the final scoring pass.
+        from mack_spark.operators.profile import exact_percentiles_multi
+
+        orders = _t(spark, sf_dir, "orders")
+        per_cust = (
+            orders.groupBy("o_custkey")
+            .agg(
+                F.datediff(
+                    F.max("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+                ).alias("recency_days"),
+                F.count(F.lit(1)).alias("frequency"),
+                _dec_sum_entry(F.col("o_totalprice"), "monetary"),
+            )
+            .persist()
+        )
+        metrics = ("recency_days", "frequency", "monetary")
+        thr = {
+            (r["metric"], float(r["p"])): r["value"]
+            for r in exact_percentiles_multi(
+                per_cust, list(metrics), ps=(0.25, 0.5, 0.75),
+                num_range_partitions=8,
+            ).collect()
+        }
+        score_cols = []
+        for metric in metrics:
+            c = F.col(metric).cast("double")
+            score = (
+                F.lit(1)
+                + (c > F.lit(thr[(metric, 0.25)])).cast("int")
+                + (c > F.lit(thr[(metric, 0.5)])).cast("int")
+                + (c > F.lit(thr[(metric, 0.75)])).cast("int")
+            )
+            score_cols.append(score.alias(f"{metric.split('_')[0][0]}_score"))
+        return per_cust.select(
+            F.col("o_custkey").alias("custkey"),
+            "recency_days",
+            "frequency",
+            "monetary",
+            *score_cols,
+        ).withColumn(
+            "rfm", F.concat_ws("", "r_score", "f_score", "m_score")
+        )
+
+    q["customer_rfm"] = q_customer_rfm
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -3278,6 +3330,51 @@ UNION ALL SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, n_l_quantity__l_tax AS
 UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, n_l_extendedprice__l_discount AS n, round((CAST(n_l_extendedprice__l_discount AS DOUBLE) * CAST(sxy_l_extendedprice__l_discount AS DOUBLE) - CAST(sx_l_extendedprice__l_discount AS DOUBLE) * CAST(sy_l_extendedprice__l_discount AS DOUBLE)) / (sqrt(CAST(n_l_extendedprice__l_discount AS DOUBLE) * CAST(sxx_l_extendedprice__l_discount AS DOUBLE) - CAST(sx_l_extendedprice__l_discount AS DOUBLE) * CAST(sx_l_extendedprice__l_discount AS DOUBLE)) * sqrt(CAST(n_l_extendedprice__l_discount AS DOUBLE) * CAST(syy_l_extendedprice__l_discount AS DOUBLE) - CAST(sy_l_extendedprice__l_discount AS DOUBLE) * CAST(sy_l_extendedprice__l_discount AS DOUBLE))), 6) AS corr FROM s
 UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, n_l_extendedprice__l_tax AS n, round((CAST(n_l_extendedprice__l_tax AS DOUBLE) * CAST(sxy_l_extendedprice__l_tax AS DOUBLE) - CAST(sx_l_extendedprice__l_tax AS DOUBLE) * CAST(sy_l_extendedprice__l_tax AS DOUBLE)) / (sqrt(CAST(n_l_extendedprice__l_tax AS DOUBLE) * CAST(sxx_l_extendedprice__l_tax AS DOUBLE) - CAST(sx_l_extendedprice__l_tax AS DOUBLE) * CAST(sx_l_extendedprice__l_tax AS DOUBLE)) * sqrt(CAST(n_l_extendedprice__l_tax AS DOUBLE) * CAST(syy_l_extendedprice__l_tax AS DOUBLE) - CAST(sy_l_extendedprice__l_tax AS DOUBLE) * CAST(sy_l_extendedprice__l_tax AS DOUBLE))), 6) AS corr FROM s
 UNION ALL SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, n_l_discount__l_tax AS n, round((CAST(n_l_discount__l_tax AS DOUBLE) * CAST(sxy_l_discount__l_tax AS DOUBLE) - CAST(sx_l_discount__l_tax AS DOUBLE) * CAST(sy_l_discount__l_tax AS DOUBLE)) / (sqrt(CAST(n_l_discount__l_tax AS DOUBLE) * CAST(sxx_l_discount__l_tax AS DOUBLE) - CAST(sx_l_discount__l_tax AS DOUBLE) * CAST(sx_l_discount__l_tax AS DOUBLE)) * sqrt(CAST(n_l_discount__l_tax AS DOUBLE) * CAST(syy_l_discount__l_tax AS DOUBLE) - CAST(sy_l_discount__l_tax AS DOUBLE) * CAST(sy_l_discount__l_tax AS DOUBLE))), 6) AS corr FROM s
+"""
+
+    # RFM segmentation: per-customer metrics with the fix-point sum,
+    # quartile thresholds under exact_percentiles' rank rule (smallest
+    # value with cum >= ceil(p*n)), scores by threshold comparison.
+    _rfm_thr = lambda m, p: (  # noqa: E731
+        f"(SELECT min(value) FROM cum_{m} WHERE cum >= ceil({p} * total))"
+    )
+    _rfm_cum = lambda m: f"""counts_{m} AS (
+  SELECT {m} AS value, count(*) AS cnt FROM per_cust GROUP BY {m}
+),
+cum_{m} AS (
+  SELECT value,
+         sum(cnt) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER () AS total
+  FROM counts_{m}
+)"""
+    _rfm_score = lambda m: (  # noqa: E731
+        f"1 + CAST({m} > {_rfm_thr(m, 0.25)} AS INTEGER)"
+        f" + CAST({m} > {_rfm_thr(m, 0.5)} AS INTEGER)"
+        f" + CAST({m} > {_rfm_thr(m, 0.75)} AS INTEGER)"
+    )
+    o["customer_rfm"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         datediff('day', DATE '1970-01-01', max(o_orderdate)) AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(CAST(floor(o_totalprice * 10000.0) AS HUGEINT)) AS DOUBLE)
+           / 10000.0 AS monetary
+  FROM orders GROUP BY o_custkey
+),
+{_rfm_cum('recency_days')},
+{_rfm_cum('frequency')},
+{_rfm_cum('monetary')},
+scored AS (
+  SELECT custkey, recency_days, frequency, monetary,
+         {_rfm_score('recency_days')} AS r_score,
+         {_rfm_score('frequency')} AS f_score,
+         {_rfm_score('monetary')} AS m_score
+  FROM per_cust
+)
+SELECT custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+       concat(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
+              CAST(m_score AS VARCHAR)) AS rfm
+FROM scored
 """
 
     # Market-basket part affinity; the (n_orders, part_a, part_b)

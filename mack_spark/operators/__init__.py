@@ -56,7 +56,7 @@ from mack_spark.operators.textstats import (
     winnow_fingerprints,
 )
 from mack_spark.operators.cohort import retention_cohorts
-from mack_spark.operators.profile import numeric_correlations
+from mack_spark.operators.profile import exact_percentiles_multi, numeric_correlations
 from mack_spark.operators.sessionize import sessionize
 from mack_spark.operators.asof import asof_join
 from mack_spark.operators.cluster import connected_components, near_dup_clusters
@@ -138,4 +138,5 @@ __all__ = [
     "vocab_census",
     "retention_cohorts",
     "numeric_correlations",
+    "exact_percentiles_multi",
 ]

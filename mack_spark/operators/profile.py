@@ -299,3 +299,92 @@ def numeric_correlations(
     return row.select(
         *gcols, F.explode(F.array(*structs)).alias("p")
     ).select(*gcols, "p.*")
+
+
+def exact_percentiles_multi(
+    df: DataFrame,
+    cols: List[str],
+    ps: Sequence[float] = (0.25, 0.5, 0.75),
+    num_range_partitions: int = 32,
+) -> DataFrame:
+    """Exact discrete percentiles for SEVERAL columns in one pass:
+    ``(metric, p, value)`` with the same rank rule as
+    :func:`exact_percentiles` (smallest value whose cumulative count
+    reaches ``ceil(p * n_metric)``, NULLs excluded per metric).
+
+    The multi-metric twin of the distributed prefix-sum: the columns
+    are stacked to ``(metric, value)`` rows map-side, collapse to
+    per-(metric, value) counts, and range-partition on the COMPOSITE
+    ``(metric, value)`` key — each metric's value domain stays
+    contiguous and ordered across partitions, so one offsets job and
+    one probe job serve every metric at once (k columns cost one scan
+    + 2 jobs, not k scans + 2k jobs). Values are cast to DOUBLE for the
+    uniform stack; exact for the integer/decimal ranges this profiles.
+    """
+    import math
+
+    spark = df.sparkSession
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("metric"),
+                        F.col(c).cast("double").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.metric", "s.value").filter(F.col("value").isNotNull())
+    counts = stacked.groupBy("metric", "value").agg(F.count("*").alias("cnt"))
+    parts = (
+        counts.repartitionByRange(num_range_partitions, "metric", "value")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = {
+        (r["pid"], r["metric"]): r["s"]
+        for r in parts.groupBy("pid", "metric")
+        .agg(F.sum("cnt").alias("s"))
+        .collect()
+    }
+    totals: dict = {}
+    for (_pid, m), s in sums.items():
+        totals[m] = totals.get(m, 0) + s
+    probes = []
+    for m in cols:
+        if totals.get(m, 0) == 0:
+            continue
+        bounds, acc = [], 0
+        for pid in sorted(p for p, mm in sums if mm == m):
+            acc += sums[(pid, m)]
+            bounds.append((pid, acc))
+        for p in ps:
+            rank = max(1, math.ceil(float(p) * float(totals[m])))
+            lo = 0
+            for pid, cum_through in bounds:
+                if rank <= cum_through:
+                    probes.append((m, float(p), pid, rank - lo))
+                    break
+                lo = cum_through
+    if not probes:
+        return spark.createDataFrame([], "metric string, p double, value double")
+    probe_df = spark.createDataFrame(
+        probes, "metric string, p double, pid int, local_rank long"
+    )
+    needed = sorted({pid for _, _, pid, _ in probes})
+    w = (
+        Window.partitionBy("pid", "metric")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        parts.filter(F.col("pid").isin(needed))
+        .withColumn("cum_local", F.sum("cnt").over(w))
+        .join(F.broadcast(probe_df), ["pid", "metric"])
+        .filter(F.col("cum_local") >= F.col("local_rank"))
+        .groupBy("metric", "p")
+        .agg(F.min("value").alias("value"))
+        .orderBy("metric", "p")
+    )

@@ -517,3 +517,42 @@ class TestSpanStripProperty:
                 for r in strip_duplicate_spans(df, span_words=3).collect()
             }
             assert got == reference(docs, 3), f"trial {trial}"
+
+
+class TestPercentilesMulti:
+    def test_equals_single_column_version(self, spark):
+        import random
+
+        from mack_spark.operators.profile import (
+            exact_percentiles,
+            exact_percentiles_multi,
+        )
+
+        rng = random.Random(5)
+        rows = [
+            (float(rng.randint(0, 50)), float(rng.randint(0, 9)),
+             rng.random() * 100 if rng.random() > 0.1 else None)
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "a double, b double, c double")
+        ps = (0.25, 0.5, 0.75, 0.9)
+        multi = {
+            (r["metric"], r["p"]): r["value"]
+            for r in exact_percentiles_multi(df, ["a", "b", "c"], ps=ps).collect()
+        }
+        for col in ("a", "b", "c"):
+            single = {
+                r["p"]: float(r["value"])
+                for r in exact_percentiles(df, col, ps=ps).collect()
+            }
+            for p in ps:
+                assert multi[(col, p)] == single[p], (col, p)
+
+    def test_empty_metric_omitted(self, spark):
+        from mack_spark.operators.profile import exact_percentiles_multi
+
+        df = spark.createDataFrame(
+            [(1.0, None), (2.0, None)], "a double, b double"
+        )
+        out = exact_percentiles_multi(df, ["a", "b"], ps=(0.5,)).collect()
+        assert {r["metric"] for r in out} == {"a"}
