@@ -1542,6 +1542,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["customer_rfm"] = q_customer_rfm
 
+    def q_chunk_documents(spark, sf_dir):
+        from mack_spark.operators.chunking import chunk_documents
+
+        return chunk_documents(
+            _t(spark, sf_dir, "documents"), size=256, stride=192
+        )
+
+    q["chunk_documents"] = q_chunk_documents
+
+    def q_tfidf_top_terms(spark, sf_dir):
+        from mack_spark.operators.chunking import tfidf_top_terms
+
+        return tfidf_top_terms(_t(spark, sf_dir, "documents"), top_k=10)
+
+    q["tfidf_top_terms"] = q_tfidf_top_terms
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -3375,6 +3391,54 @@ SELECT custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
        concat(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
               CAST(m_score AS VARCHAR)) AS rfm
 FROM scored
+"""
+
+    # Overlapping character chunks (size 256, stride 192). `//` is
+    # DuckDB integer division; char==byte offsets hold because the
+    # corpus is ASCII (asserted by the multimodal_resize oracle guard).
+    o["chunk_documents"] = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(text) >= 1
+)
+, c AS (
+  SELECT doc_id, text,
+         unnest(range(1, greatest(length(text), 1) + 1, 192)) AS chunk_start
+  FROM d
+)
+SELECT doc_id,
+       (chunk_start - 1) // 192 AS chunk_idx,
+       chunk_start,
+       length(substr(text, CAST(chunk_start AS BIGINT), 256)) AS chunk_len,
+       md5(substr(text, CAST(chunk_start AS BIGINT), 256)) AS chunk_md5
+FROM c
+"""
+
+    # Per-source TF-IDF top-10: score rounded to 6 places BEFORE the
+    # rank window in both engines so ordering is portable; ties broken
+    # by term.
+    o["tfidf_top_terms"] = f"""
+WITH toks AS (
+  SELECT source AS grp, doc_id AS doc, unnest({_toks_sql('text')}) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+per_doc AS (SELECT term, grp, doc, count(*) AS cnt FROM toks GROUP BY term, grp, doc),
+tf AS (SELECT term, grp, sum(cnt) AS tf FROM per_doc GROUP BY term, grp),
+docfreq AS (SELECT term, count(*) AS df FROM per_doc GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+scored AS (
+  SELECT grp, term, tf, df,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT grp, term, tf, df, tfidf,
+         row_number() OVER (PARTITION BY grp ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT grp AS source, rnk, term, tf, df, tfidf
+FROM ranked WHERE rnk <= 10
+ORDER BY source, rnk
 """
 
     # Market-basket part affinity; the (n_orders, part_a, part_b)
