@@ -1558,6 +1558,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tfidf_top_terms"] = q_tfidf_top_terms
 
+    def q_chunk_dedup_stats(spark, sf_dir):
+        from mack_spark.operators.chunking import chunk_dedup_stats
+
+        return chunk_dedup_stats(
+            _t(spark, sf_dir, "documents"), size=256, stride=192
+        )
+
+    q["chunk_dedup_stats"] = q_chunk_dedup_stats
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -3412,6 +3421,36 @@ SELECT doc_id,
        length(substr(text, CAST(chunk_start AS BIGINT), 256)) AS chunk_len,
        md5(substr(text, CAST(chunk_start AS BIGINT), 256)) AS chunk_md5
 FROM c
+"""
+
+    # Chunk-level duplication per source: a chunk is duplicated when
+    # its digest appears >1 time corpus-wide (cross-source hits count).
+    o["chunk_dedup_stats"] = """
+WITH d AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE text IS NOT NULL AND length(text) >= 1
+),
+c AS (
+  SELECT doc_id, source,
+         unnest(range(1, greatest(length(text), 1) + 1, 192)) AS chunk_start,
+         text
+  FROM d
+),
+h AS (
+  SELECT source, md5(substr(text, CAST(chunk_start AS BIGINT), 256)) AS chunk_md5
+  FROM c
+),
+m AS (
+  SELECT source, chunk_md5,
+         count(*) OVER (PARTITION BY chunk_md5) AS mult
+  FROM h
+)
+SELECT source,
+       count(*) AS n_chunks,
+       sum(CASE WHEN mult > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+       round(sum(CASE WHEN mult > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+FROM m GROUP BY source ORDER BY source
 """
 
     # Per-source TF-IDF top-10: score rounded to 6 places BEFORE the

@@ -55,7 +55,11 @@ from mack_spark.operators.textstats import (
     vocab_census,
     winnow_fingerprints,
 )
-from mack_spark.operators.chunking import chunk_documents, tfidf_top_terms
+from mack_spark.operators.chunking import (
+    chunk_dedup_stats,
+    chunk_documents,
+    tfidf_top_terms,
+)
 from mack_spark.operators.cohort import retention_cohorts
 from mack_spark.operators.profile import exact_percentiles_multi, numeric_correlations
 from mack_spark.operators.sessionize import sessionize

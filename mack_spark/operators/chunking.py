@@ -33,6 +33,7 @@ def chunk_documents(
     id_col: str = "doc_id",
     size: int = 256,
     stride: int = 192,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Fixed-size overlapping character chunks per document.
 
@@ -42,8 +43,11 @@ def chunk_documents(
     ``floor((L - 1) / stride) + 1`` chunks (every start position
     ``<= L``); empty/NULL documents yield none.
 
-    Output: ``id_col, chunk_idx (0-based), chunk_start (1-based),
-    chunk_len, chunk_md5`` — the digest rather than the text keeps the
+    Output: ``id_col, *carry_cols, chunk_idx (0-based), chunk_start
+    (1-based), chunk_len, chunk_md5`` — ``carry_cols`` are doc-level
+    attributes (source, lang, …) propagated to every chunk so callers
+    don't re-join the corpus to recover them; the digest rather than
+    the text keeps the
     result narrow for manifest-style consumption; callers that need
     the text re-slice with the offsets.
 
@@ -58,14 +62,66 @@ def chunk_documents(
     chunk = F.substring(text, F.col("chunk_start"), size)
     return (
         df.filter(text.isNotNull() & (F.length(text) >= 1))
-        .select(F.col(id_col), text, F.posexplode(starts).alias("chunk_idx", "chunk_start"))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            text,
+            F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        )
         .select(
             id_col,
+            *carry_cols,
             "chunk_idx",
             "chunk_start",
             F.length(chunk).alias("chunk_len"),
             F.md5(chunk).alias("chunk_md5"),
         )
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    size: int = 256,
+    stride: int = 192,
+) -> DataFrame:
+    """Per-group chunk-level duplication: how much of each group's
+    chunked payload is redundant at chunk granularity.
+
+    A chunk is *duplicated* if its digest appears more than once in the
+    WHOLE corpus (cross-group hits count — that's the contamination-
+    aware definition a dedup-before-packing stage needs).  Output per
+    group: ``n_chunks, n_dup_chunks, dup_ratio`` (6-dp).
+
+    SCALE: chunks are generated map-only; the digest multiplicity is a
+    window over ``chunk_md5`` (one shuffle on the digest — the same
+    key a subsequent drop-duplicates pass would shuffle on), then one
+    partial-final agg per group.  No joins, no second tokenize.
+    """
+    chunks = chunk_documents(
+        df.select(id_col, group_col, text_col),
+        text_col=text_col,
+        id_col=id_col,
+        size=size,
+        stride=stride,
+        carry_cols=(group_col,),
+    )
+    mult = F.count("*").over(Window.partitionBy("chunk_md5"))
+    return (
+        chunks.withColumn("mult", mult)
+        .groupBy(F.col(group_col))
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("mult") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6),
+        )
+        .orderBy(group_col)
     )
 
 

@@ -5,7 +5,11 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from mack_spark.operators.chunking import chunk_documents, tfidf_top_terms
+from mack_spark.operators.chunking import (
+    chunk_dedup_stats,
+    chunk_documents,
+    tfidf_top_terms,
+)
 
 
 def _chunks(spark, rows, **kw):
@@ -62,6 +66,28 @@ def test_chunk_plan_has_no_shuffle(spark):
     df = spark.createDataFrame([(1, "x" * 300)], "doc_id long, text string")
     plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only: generate + project
+
+
+def test_chunk_carry_cols_pass_through(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 300, "web")], "doc_id long, text string, source string"
+    )
+    rows = chunk_documents(df, carry_cols=("source",)).collect()
+    assert len(rows) == 2 and all(r["source"] == "web" for r in rows)
+
+
+def test_chunk_dedup_stats_cross_group_duplicates(spark):
+    # docs 1 (src a) and 2 (src b) share identical text -> every chunk
+    # duplicated corpus-wide; doc 3 is unique.
+    text = "z" * 400
+    rows = [(1, text, "a"), (2, text, "b"), (3, "unique " * 40, "b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in chunk_dedup_stats(df, size=256, stride=192).collect()}
+    assert out["a"]["n_chunks"] == 3 and out["a"]["n_dup_chunks"] == 3
+    assert out["a"]["dup_ratio"] == 1.0
+    # src b: 3 dup chunks from doc 2 + 2 unique chunks from doc 3
+    assert out["b"]["n_chunks"] == 5 and out["b"]["n_dup_chunks"] == 3
+    assert out["b"]["dup_ratio"] == 0.6
 
 
 def test_tfidf_plan_tokenizes_once(spark):
