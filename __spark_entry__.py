@@ -1567,6 +1567,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_dedup_stats"] = q_chunk_dedup_stats
 
+    _lsh_index_cache: dict = {}
+
+    def q_dedup_incremental_lsh(spark, sf_dir):
+        # Incremental-ingest text dedup: the corpus's banded-MinHash
+        # state is PERSISTED (build_lsh_index, bucket-clustered files),
+        # and the "new batch" (doc_id % 5 == 0) probes it — signatures
+        # computed for the batch only, corpus never re-shingled.
+        # Index built once per (session, sf_dir), like knn_ivf_indexed.
+        import tempfile
+
+        from mack_spark.operators.dedup_text import (
+            build_lsh_index,
+            lsh_pairs_against_index,
+        )
+        from mack_spark.tables import ManagedTable
+
+        docs = _t(spark, sf_dir, "documents")
+        key = (spark.sparkContext.applicationId, sf_dir, "lsh")
+        path = _lsh_index_cache.get(key)
+        if path is None or not ManagedTable.is_managed(path):
+            path = tempfile.mkdtemp(prefix="mack-lshi-") + "/index"
+            build_lsh_index(docs.filter(F.col("doc_id") % 5 != 0), path)
+            _lsh_index_cache[key] = path
+        index = ManagedTable(spark, path)
+        return lsh_pairs_against_index(
+            index, docs.filter(F.col("doc_id") % 5 == 0), min_est_jaccard=0.25
+        )
+
+    q["dedup_incremental_lsh"] = q_dedup_incremental_lsh
+
     # ----- streaming twins (real Structured Streaming execution:
     # parquet readStream -> watermarked op -> availableNow -> memory)
     def q_stream_hourly(spark, sf_dir):
@@ -2682,6 +2712,31 @@ WITH shingled AS (
   WHERE a.band_key IS NOT NULL
 )
 SELECT id_a, id_b, ({est}) / 12.0 AS est_jaccard FROM pairs
+"""
+
+    # Incremental-ingest variant: candidates between the %5==0 "new
+    # batch" and the rest of the corpus (the persisted-index side);
+    # the index is a materialization detail — the colliding-bucket
+    # semantics are identical, so one banded CTE split by doc_id
+    # expresses it.
+    o["dedup_incremental_lsh"] = f"""
+WITH shingled AS (
+  SELECT doc_id, {sh} AS sh FROM documents
+), sig AS (
+  SELECT doc_id, {mh_defs} FROM shingled
+), bands AS (
+  {band_selects}
+), pairs AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id,
+         {', '.join(f'n.mh{i} AS amh{i}' for i in range(num_hashes))},
+         {', '.join(f'o.mh{i} AS bmh{i}' for i in range(num_hashes))}
+  FROM bands n JOIN bands o
+    ON n.band = o.band AND n.band_key = o.band_key
+   AND n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+  WHERE n.band_key IS NOT NULL
+)
+SELECT new_id, old_id, ({est}) / {num_hashes}.0 AS est_jaccard FROM pairs
+WHERE ({est}) / {num_hashes}.0 >= 0.25
 """
 
     # transitive closure of the >=0.5-estimated-jaccard pair graph;

@@ -644,3 +644,134 @@ def strip_duplicate_spans(
         .cast("int")
         .alias("n_removed"),
     )
+
+
+def _band_rows(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, band_key, mh0..mh{k-1}) rows from a signature frame;
+    NULL-keyed bands (shingle-less docs) are dropped so they can't
+    collide with each other."""
+    r = num_hashes // bands
+    rows = sigs.select(
+        F.col(id_col),
+        *[F.col(f"mh{i}") for i in range(num_hashes)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"mh{b * r + j}") for j in range(r)]
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        id_col, "bk.band", "bk.band_key", *[f"mh{i}" for i in range(num_hashes)]
+    )
+    return rows.filter(F.col("band_key").isNotNull())
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_size: int = 3,
+    n_files: int | None = None,
+):
+    """Persist banded-MinHash dedup state at INGEST time (the text-dedup
+    twin of :func:`~mack_spark.operators.similarity.build_ivf_index`):
+    one row per (doc, band) holding the band bucket key AND the full
+    signature, written as a ManagedTable range-clustered on
+    ``(band, band_key)`` with the LSH parameters in table properties.
+
+    Why this shape scales: an incremental ingest batch only ever joins
+    on ``(band, band_key)``, and the clustering gives every index file
+    a disjoint bucket range — the probe's bucket keys prune whole files
+    via parquet footer min/max, so a 1k-doc batch against a 100 TB
+    corpus reads only the colliding buckets' files, and the corpus is
+    never re-shingled.  Denormalizing the signature into each band row
+    costs ``bands``× storage on a narrow frame but makes the probe
+    self-contained (no second corpus-wide join to re-attach signatures
+    for the Jaccard estimate).  Re-run after large appends, like
+    OPTIMIZE.
+    """
+    from mack_spark.tables import ManagedTable
+
+    r = num_hashes // bands
+    assert r * bands == num_hashes, "num_hashes must divide evenly into bands"
+    sigs = minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_size)
+    rows = _band_rows(sigs, id_col, num_hashes, bands)
+    files = n_files or 16
+    clustered = rows.repartitionByRange(files, "band", "band_key").sortWithinPartitions(
+        "band", "band_key"
+    )
+    props = {
+        "mack.lsh.id_col": id_col,
+        "mack.lsh.num_hashes": str(num_hashes),
+        "mack.lsh.bands": str(bands),
+        "mack.lsh.shingle_size": str(shingle_size),
+    }
+    return ManagedTable.create(corpus.sparkSession, path, df=clustered, properties=props)
+
+
+def lsh_pairs_against_index(
+    index,
+    batch: DataFrame,
+    text_col: str = "text",
+    min_est_jaccard: float = 0.0,
+) -> DataFrame:
+    """Near-duplicate candidates between a NEW batch and a persisted
+    :func:`build_lsh_index` corpus — the incremental-ingest dedup path.
+
+    Signatures are computed only for the batch (the corpus side reads
+    the clustered index); colliding bucket rows carry both signatures,
+    so the Jaccard estimate folds into one ``groupBy(new_id, old_id)``
+    right after the bucket join — no re-join, no corpus re-shingle.
+    Returns ``(new_id, old_id, est_jaccard)``; batch and corpus ids
+    must be disjoint (same contract as contamination_check).
+
+    SCALE: the join shuffles only the batch's band rows plus the
+    colliding index rows; at 1000 executors the index side is a
+    file-pruned parquet scan, not a recompute.
+    """
+    props = index.detail()["properties"]
+    id_col = props["mack.lsh.id_col"]
+    num_hashes = int(props["mack.lsh.num_hashes"])
+    bands = int(props["mack.lsh.bands"])
+    shingle_size = int(props["mack.lsh.shingle_size"])
+
+    sigs_new = minhash_signatures(batch, text_col, id_col, num_hashes, shingle_size)
+    new_rows = _band_rows(sigs_new, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("new_id"),
+        "band",
+        "band_key",
+        *[F.col(f"mh{i}").alias(f"amh{i}") for i in range(num_hashes)],
+    )
+    old_rows = index.toDF().select(
+        F.col(id_col).alias("old_id"),
+        "band",
+        "band_key",
+        *[F.col(f"mh{i}").alias(f"bmh{i}") for i in range(num_hashes)],
+    )
+    est = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"amh{i}") == F.col(f"bmh{i}"), 1).otherwise(0),
+        range(1, num_hashes),
+        F.when(F.col("amh0") == F.col("bmh0"), 1).otherwise(0),
+    )
+    out = (
+        new_rows.join(old_rows, ["band", "band_key"])
+        .select("new_id", "old_id", (est / F.lit(float(num_hashes))).alias("est"))
+        .groupBy("new_id", "old_id")
+        .agg(F.first("est").alias("est_jaccard"))
+    )
+    if min_est_jaccard > 0:
+        out = out.filter(F.col("est_jaccard") >= min_est_jaccard)
+    return out
