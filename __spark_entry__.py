@@ -1863,7 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_append",
         "multimodal_metadata", "multimodal_features",
         "knn_ivf", "knn_ivf_kmeans",
-        "totalprice_percentiles", "dedup_clusters",
+        "totalprice_percentiles", "dedup_incremental_lsh",
     ]
     assert len(front_r5) == 50, len(front_r5)
     fset = set(front_r5)
