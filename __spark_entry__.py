@@ -1567,6 +1567,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_dedup_stats"] = q_chunk_dedup_stats
 
+    def q_embedding_diversity(spark, sf_dir):
+        from mack_spark.operators.similarity import embedding_diversity
+
+        return embedding_diversity(_t(spark, sf_dir, "embeddings"))
+
+    q["embedding_diversity"] = q_embedding_diversity
+
     _lsh_index_cache: dict = {}
 
     def q_dedup_incremental_lsh(spark, sf_dir):
@@ -1863,7 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_append",
         "multimodal_metadata", "multimodal_features",
         "knn_ivf", "knn_ivf_kmeans",
-        "totalprice_percentiles", "dedup_incremental_lsh",
+        "embedding_diversity", "dedup_incremental_lsh",
     ]
     assert len(front_r5) == 50, len(front_r5)
     fset = set(front_r5)
@@ -3791,6 +3798,39 @@ d AS (
 )
 SELECT label, max(n) AS n_vectors, list(mean ORDER BY pos) AS centroid
 FROM d GROUP BY label
+"""
+
+    # Exact mean pairwise cosine per label via the sum-of-unit-vectors
+    # identity over fix-pointed components: Σ_{i≠j}uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖²,
+    # every sum an exact integer (HUGEINT ↔ decimal(38,0)).
+    o["embedding_diversity"] = """
+WITH e AS (
+  SELECT label, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+ex AS (
+  SELECT label, i - 1 AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) / nrm * 1000000.0) AS HUGEINT) AS fix
+  FROM e, UNNEST(generate_series(1, len(embedding))) AS g(i)
+  WHERE nrm > 0
+),
+d AS (
+  SELECT label, pos, sum(fix) AS s, sum(fix * fix) AS t, count(*) AS n
+  FROM ex GROUP BY label, pos
+),
+gr AS (
+  SELECT label, sum(s * s) AS ss, sum(t) AS tt, max(n) AS n_vectors
+  FROM d GROUP BY label
+)
+SELECT label, n_vectors,
+       CASE WHEN n_vectors > 1 THEN
+         round(CAST(ss - tt AS DOUBLE)
+               / (CAST(n_vectors AS DOUBLE) * (n_vectors - 1.0))
+               / 1000000000000.0, 6)
+       END AS mean_pairwise_cos
+FROM gr ORDER BY label
 """
 
     # Exact-substring duplication census: word 8-gram sliding window.

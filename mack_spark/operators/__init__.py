@@ -37,6 +37,7 @@ from mack_spark.operators.similarity import (
     build_ivf_index,
     cluster_balance,
     embedding_centroids,
+    embedding_diversity,
     embedding_near_dup_pairs,
     ivf_topk,
     ivf_topk_from_index,

@@ -992,3 +992,65 @@ def cluster_balance(
             round_share,
         ).alias("share"),
     )
+
+
+def embedding_diversity(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    fix_scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact mean pairwise cosine similarity within each group — the
+    semantic-diversity score a data-mixing stage reads to detect
+    collapsed/redundant slices (low diversity = high mean cosine).
+
+    The naive computation is an O(n²) self-join per group; this uses
+    the sum-of-vectors identity on unit-normalized vectors
+    ``Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖²`` so the whole thing is one
+    O(n·d) dimension-wise aggregation. Components are fix-pointed
+    (``floor(u * fix_scale)``, same contract as
+    :func:`embedding_centroids`) so every sum is an exact integer —
+    the score is a pure function of the vector multiset, replayed
+    bit-for-bit by any engine; the identity is computed over the
+    fixed-point vectors themselves, so no truncation drift between
+    the ‖Σu‖² and Σ‖u‖² terms.
+
+    SCALE: posexplode → hash agg on (group, pos) (map-side combine:
+    D rows per group per map task) → tiny agg on group. A 100 TB
+    corpus reduces to |groups|×D partial sums; no self-join exists
+    at any scale.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    exploded = (
+        df.filter(F.col(vec_col).isNotNull())
+        .filter(nrm > 0)  # zero vectors have no direction; excluding beats NaN-poisoning n
+        .select(F.col(group_col), (F.posexplode(F.transform(v, lambda x: x / nrm))).alias("pos", "val"))
+        .withColumn(
+            "fix", F.floor(F.col("val") * F.lit(float(fix_scale))).cast("decimal(38,0)")
+        )
+    )
+    per_dim = exploded.groupBy(group_col, "pos").agg(
+        F.sum("fix").alias("s"),
+        F.sum(F.col("fix") * F.col("fix")).alias("t"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    scale2 = float(fix_scale) * float(fix_scale)
+    per_group = per_dim.groupBy(group_col).agg(
+        F.sum(F.col("s") * F.col("s")).alias("S"),
+        F.sum("t").alias("T"),
+        F.max("n").alias("n_vectors"),
+    )
+    n = F.col("n_vectors").cast("double")
+    mean_cos = F.when(
+        F.col("n_vectors") > 1,
+        F.round(
+            (F.col("S") - F.col("T")).cast("double") / (n * (n - F.lit(1.0))) / F.lit(scale2),
+            6,
+        ),
+    )
+    return per_group.select(
+        group_col,
+        "n_vectors",
+        mean_cos.alias("mean_pairwise_cos"),
+    ).orderBy(group_col)
