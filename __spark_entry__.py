@@ -1567,6 +1567,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_dedup_stats"] = q_chunk_dedup_stats
 
+    def q_span_contamination(spark, sf_dir):
+        # Same corpus/benchmark split as contamination_check (%97),
+        # but exact-substring: which benchmark 8-grams appear verbatim
+        # in training docs.
+        from mack_spark.operators.dedup_text import span_contamination
+
+        docs = _t(spark, sf_dir, "documents")
+        return span_contamination(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+        )
+
+    q["span_contamination"] = q_span_contamination
+
     def q_embedding_diversity(spark, sf_dir):
         from mack_spark.operators.similarity import embedding_diversity
 
@@ -1869,7 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_append_pass", "constraint_append_quarantine",
         "validate_append",
         "multimodal_metadata", "multimodal_features",
-        "knn_ivf", "knn_ivf_kmeans",
+        "span_contamination", "knn_ivf_kmeans",
         "embedding_diversity", "dedup_incremental_lsh",
     ]
     assert len(front_r5) == 50, len(front_r5)
@@ -3798,6 +3812,36 @@ d AS (
 )
 SELECT label, max(n) AS n_vectors, list(mean ORDER BY pos) AS centroid
 FROM d GROUP BY label
+"""
+
+    # Exact-substring decontamination: distinct benchmark 8-grams found
+    # verbatim in the corpus, per benchmark doc (bench = %97 == 0).
+    o["span_contamination"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+bs AS (
+  SELECT DISTINCT doc_id AS bench_id,
+         array_to_string(list_slice(words, i, i + 7), ' ') AS span
+  FROM w, UNNEST(generate_series(1, len(words) - 7)) AS g(i)
+  WHERE len(words) >= 8 AND doc_id % 97 = 0
+),
+cs AS (
+  SELECT DISTINCT doc_id AS corpus_id,
+         array_to_string(list_slice(words, i, i + 7), ' ') AS span
+  FROM w, UNNEST(generate_series(1, len(words) - 7)) AS g(i)
+  WHERE len(words) >= 8 AND doc_id % 97 <> 0
+),
+n AS (SELECT bench_id, count(*) AS n_spans FROM bs GROUP BY bench_id),
+h AS (
+  SELECT b.bench_id, count(DISTINCT b.span) AS n_leaked,
+         count(DISTINCT c.corpus_id) AS corpus_docs_hit
+  FROM bs b JOIN cs c ON b.span = c.span GROUP BY b.bench_id
+)
+SELECT n.bench_id AS bench_id, n.n_spans,
+       coalesce(h.n_leaked, 0) AS n_leaked,
+       round(coalesce(h.n_leaked, 0) / CAST(n.n_spans AS DOUBLE), 6) AS leak_ratio,
+       coalesce(h.corpus_docs_hit, 0) AS corpus_docs_hit
+FROM n LEFT JOIN h ON n.bench_id = h.bench_id
+ORDER BY n.bench_id
 """
 
     # Exact mean pairwise cosine per label via the sum-of-unit-vectors

@@ -775,3 +775,92 @@ def lsh_pairs_against_index(
     if min_est_jaccard > 0:
         out = out.filter(F.col("est_jaccard") >= min_est_jaccard)
     return out
+
+
+def _word_spans(df: DataFrame, text_col: str, id_col: str, span_words: int) -> DataFrame:
+    """(id, span) rows: every sliding ``span_words``-word window of the
+    RAW space-split text (verbatim spans, not normalized tokens) — the
+    lead-window assembly shared by the span census and decontamination.
+    One shuffle on the doc id; concat_ws over lead offsets stays in
+    whole-stage codegen."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ex = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "t"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, span_words)]
+    return (
+        ex.select(
+            F.col(id_col),
+            F.concat_ws(" ", *leads).alias("span"),
+            leads[-1].isNotNull().alias("__complete"),
+        )
+        .filter(F.col("__complete"))
+        .drop("__complete")
+    )
+
+
+def span_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 8,
+) -> DataFrame:
+    """Verbatim benchmark leakage: for every benchmark document, how
+    many of its distinct ``span_words``-word spans appear verbatim
+    anywhere in the training corpus, and how many corpus documents are
+    implicated.
+
+    The exact-substring complement of the signature-level
+    :func:`contamination_check` (MinHash finds near-dup *documents*;
+    this finds copied *passages* — the decontamination criterion of
+    Lee et al., arXiv:2107.06499 §4, and the n-gram overlap checks in
+    GPT-3/PaLM appendices). Output per benchmark doc (docs shorter
+    than ``span_words`` have no spans and are absent):
+    ``bench_id, n_spans, n_leaked, leak_ratio, corpus_docs_hit``.
+
+    SCALE: the corpus side is one explode + one id-partitioned window
+    — the same budget as any shingling pass — then a BROADCAST join
+    against the benchmark's distinct spans (benchmarks are small by
+    contract, same as contamination_check); the corpus never shuffles
+    on span. Aggregation is per benchmark doc — bounded by the
+    benchmark size, not the corpus.
+    """
+    if span_words < 2:
+        raise ValueError(f"span_words must be >= 2, got {span_words}")
+    bench_spans = (
+        _word_spans(benchmark, text_col, id_col, span_words)
+        .select(F.col(id_col).alias("bench_id"), "span")
+        .distinct()
+    )
+    corpus_spans = (
+        _word_spans(corpus, text_col, id_col, span_words)
+        .select(F.col(id_col).alias("corpus_id"), "span")
+        .distinct()
+    )
+    n_spans = bench_spans.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    hits = (
+        corpus_spans.join(F.broadcast(bench_spans), "span")
+        .groupBy("bench_id")
+        .agg(
+            F.countDistinct("span").alias("n_leaked"),
+            F.countDistinct("corpus_id").alias("corpus_docs_hit"),
+        )
+    )
+    return (
+        n_spans.join(hits, "bench_id", "left")
+        .select(
+            "bench_id",
+            "n_spans",
+            F.coalesce(F.col("n_leaked"), F.lit(0)).alias("n_leaked"),
+            F.round(
+                F.coalesce(F.col("n_leaked"), F.lit(0))
+                / F.col("n_spans").cast("double"),
+                6,
+            ).alias("leak_ratio"),
+            F.coalesce(F.col("corpus_docs_hit"), F.lit(0)).alias("corpus_docs_hit"),
+        )
+        .orderBy("bench_id")
+    )
