@@ -527,22 +527,7 @@ def duplicated_ngram_spans(
     # the normalized tokens() vocabulary. Building span arrays per row
     # (transform+slice+array_join) evaluates interpreted and measured
     # ~1.7x slower at sf0.1.
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    ex = df.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "t"),
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, span_words)]
-    exploded = (
-        ex.select(
-            F.col(id_col),
-            F.concat_ws(" ", *leads).alias("span"),
-            leads[-1].isNotNull().alias("__complete"),
-        )
-        .filter(F.col("__complete"))
-        .drop("__complete")
-    )
+    exploded = _word_spans(df, text_col, id_col, span_words)
     return (
         exploded.groupBy("span")
         .agg(
