@@ -1567,6 +1567,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_dedup_stats"] = q_chunk_dedup_stats
 
+    def q_referential_audit(spark, sf_dir):
+        # orders.o_custkey → customer.c_custkey: dup_keys counts the
+        # expected fan-out; right_orphans = customers with no orders.
+        from mack_spark.operators.audit import referential_audit
+
+        return referential_audit(
+            _t(spark, sf_dir, "orders"),
+            _t(spark, sf_dir, "customer"),
+            "o_custkey",
+            "c_custkey",
+        )
+
+    q["referential_audit"] = q_referential_audit
+
     def q_span_contamination(spark, sf_dir):
         # Same corpus/benchmark split as contamination_check (%97),
         # but exact-substring: which benchmark 8-grams appear verbatim
@@ -1881,7 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kill_duplicates", "drop_duplicates_pkey",
         "append_without_duplicates", "type_2_scd_upsert",
         "constraint_append_pass", "constraint_append_quarantine",
-        "validate_append",
+        "referential_audit",
         "multimodal_metadata", "multimodal_features",
         "span_contamination", "knn_ivf_kmeans",
         "embedding_diversity", "dedup_incremental_lsh",
@@ -3812,6 +3826,26 @@ d AS (
 )
 SELECT label, max(n) AS n_vectors, list(mean ORDER BY pos) AS centroid
 FROM d GROUP BY label
+"""
+
+    # Referential audit: both sides reduce to per-key counts before the
+    # full-outer join; NULL keys never join, counted separately.
+    o["referential_audit"] = """
+WITH lk AS (SELECT o_custkey AS k, count(*) AS ln FROM orders GROUP BY o_custkey),
+rk AS (SELECT c_custkey AS k, count(*) AS rn FROM customer GROUP BY c_custkey),
+j AS (
+  SELECT lk.k AS lkk, rk.k AS rkk, ln, rn
+  FROM lk FULL OUTER JOIN rk ON lk.k = rk.k
+)
+SELECT sum(coalesce(ln, 0)) AS n_left,
+       sum(coalesce(rn, 0)) AS n_right,
+       sum(CASE WHEN ln IS NOT NULL AND lkk IS NULL THEN ln ELSE 0 END) AS n_left_null_keys,
+       sum(CASE WHEN rn IS NOT NULL AND rkk IS NULL THEN rn ELSE 0 END) AS n_right_null_keys,
+       sum(CASE WHEN lkk IS NOT NULL AND ln > 1 THEN ln - 1 ELSE 0 END) AS n_left_dup_keys,
+       sum(CASE WHEN rkk IS NOT NULL AND rn > 1 THEN rn - 1 ELSE 0 END) AS n_right_dup_keys,
+       sum(CASE WHEN lkk IS NOT NULL AND rn IS NULL THEN ln ELSE 0 END) AS n_left_orphans,
+       sum(CASE WHEN rkk IS NOT NULL AND ln IS NULL THEN rn ELSE 0 END) AS n_right_orphans
+FROM j
 """
 
     # Exact-substring decontamination: distinct benchmark 8-grams found

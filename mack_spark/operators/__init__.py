@@ -61,6 +61,7 @@ from mack_spark.operators.chunking import (
     chunk_documents,
     tfidf_top_terms,
 )
+from mack_spark.operators.audit import referential_audit
 from mack_spark.operators.cohort import retention_cohorts
 from mack_spark.operators.profile import exact_percentiles_multi, numeric_correlations
 from mack_spark.operators.sessionize import sessionize
