@@ -1567,6 +1567,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_dedup_stats"] = q_chunk_dedup_stats
 
+    def q_lang_confusion(spark, sf_dir):
+        # Language-ID QA: declared `lang` column vs the stopword-vote
+        # heuristic, as a confusion matrix with per-declared-lang
+        # agreement rate. One scan, one (declared, detected) agg.
+        docs = _t(spark, sf_dir, "documents")
+        cell = docs.filter(F.col("text").isNotNull()).groupBy(
+            F.col("lang").alias("declared"),
+            mf.lang_id(F.col("text")).alias("detected"),
+        ).agg(F.count(F.lit(1)).alias("n_docs"))
+        tot = F.sum("n_docs").over(Window.partitionBy("declared"))
+        return cell.select(
+            "declared",
+            "detected",
+            "n_docs",
+            F.round(F.col("n_docs") / tot, 6).alias("share_of_declared"),
+        ).orderBy("declared", "detected")
+
+    q["lang_confusion"] = q_lang_confusion
+
     def q_referential_audit(spark, sf_dir):
         # orders.o_custkey → customer.c_custkey: dup_keys counts the
         # expected fan-out; right_orphans = customers with no orders.
@@ -1892,7 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 — the merge/commit layer (marker reclaim, staged-list
         # rollback, DELETE/UPDATE WHERE machinery), real AV codecs,
         # IVF persist-at-ingest, percentile rework, cluster cap
-        "kill_duplicates", "drop_duplicates_pkey",
+        "lang_confusion", "drop_duplicates_pkey",
         "append_without_duplicates", "type_2_scd_upsert",
         "constraint_append_pass", "constraint_append_quarantine",
         "referential_audit",
@@ -3826,6 +3845,21 @@ d AS (
 )
 SELECT label, max(n) AS n_vectors, list(mean ORDER BY pos) AS centroid
 FROM d GROUP BY label
+"""
+
+    # Language-ID confusion matrix: declared lang vs the stopword-vote
+    # heuristic (same _lang_sql the robust-stats oracle uses).
+    o["lang_confusion"] = f"""
+WITH cell AS (
+  SELECT lang AS declared, {_lang_sql(_toks_sql('text'))} AS detected,
+         count(*) AS n_docs
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY declared, detected
+)
+SELECT declared, detected, n_docs,
+       round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY declared) AS DOUBLE), 6)
+         AS share_of_declared
+FROM cell ORDER BY declared, detected
 """
 
     # Referential audit: both sides reduce to per-key counts before the
