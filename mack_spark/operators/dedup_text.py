@@ -168,8 +168,20 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)])
+                        # NULL-propagating band key: concat_ws over all-NULL
+                        # inputs returns '' (not NULL), so md5(concat_ws(...))
+                        # alone would funnel every shingle-less doc into one
+                        # degenerate md5('') bucket — an O(short-docs²) join
+                        # hotspot and spurious est_jaccard=0.0 pairs. Gate on
+                        # mh{b*r}: signatures are all-NULL together (the left
+                        # join in minhash_signatures), so one probe suffices.
+                        F.when(
+                            F.col(f"mh{b * r}").isNotNull(),
+                            F.md5(
+                                F.concat_ws(
+                                    "|", *[F.col(f"mh{b * r + j}") for j in range(r)]
+                                )
+                            ),
                         ).alias("band_key"),
                     )
                     for b in range(bands)
@@ -177,8 +189,8 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.band_key")
-    # Documents with no shingles have NULL minhashes -> NULL-keyed bands
-    # must not collide with each other.
+    # Documents with no shingles have NULL minhashes -> NULL band keys,
+    # dropped here so they never collide with each other.
     band_rows = band_rows.filter(F.col("band_key").isNotNull())
     a, b = band_rows.alias("a"), band_rows.alias("b")
     pairs = (
@@ -644,10 +656,18 @@ def _band_rows(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> Dat
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", *[F.col(f"mh{b * r + j}") for j in range(r)]
-                            )
+                        # NULL-propagating: concat_ws over all-NULL mh columns
+                        # returns '' not NULL, so an unguarded md5 would pool
+                        # every shingle-less doc into one md5('') bucket (see
+                        # lsh_candidate_pairs). Signatures are all-NULL
+                        # together, so probing mh{b*r} suffices.
+                        F.when(
+                            F.col(f"mh{b * r}").isNotNull(),
+                            F.md5(
+                                F.concat_ws(
+                                    "|", *[F.col(f"mh{b * r + j}") for j in range(r)]
+                                )
+                            ),
                         ).alias("band_key"),
                     )
                     for b in range(bands)
@@ -820,10 +840,12 @@ def span_contamination(
         .select(F.col(id_col).alias("bench_id"), "span")
         .distinct()
     )
-    corpus_spans = (
-        _word_spans(corpus, text_col, id_col, span_words)
-        .select(F.col(id_col).alias("corpus_id"), "span")
-        .distinct()
+    # No .distinct() here: it would be a corpus-wide shuffle on
+    # (corpus_id, span), and it's redundant — both downstream aggregates
+    # are countDistinct, so duplicate corpus spans can't change either
+    # count; they only multiply broadcast-join probe rows, map-side.
+    corpus_spans = _word_spans(corpus, text_col, id_col, span_words).select(
+        F.col(id_col).alias("corpus_id"), "span"
     )
     n_spans = bench_spans.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_spans"))
     hits = (

@@ -41,20 +41,35 @@ def train_pq_codebooks(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
     iters: int = 8,
     salt: str = "pq",
     normalize: bool = True,
+    max_train_rows: int = 0,
 ):
     """Train ``m`` subspace codebooks of ``k`` centroids each; returns a
     ``(m, k, dim // m)`` float64 numpy array. Driver-side Lloyd on a
-    hash-gated sample (deterministic; documented small-side contract)."""
+    hash-gated sample (deterministic; documented small-side contract).
+
+    The training collect is BOUNDED by default: ``sample_fraction=None``
+    derives the fraction from one corpus count so the expected sample is
+    ``max_train_rows`` (default ``256 * k`` — the usual k-means sizing
+    rule), regardless of corpus size. Round-5 review flagged the old
+    ``sample_fraction=1.0`` default as a driver OOM at 100 TB; pass an
+    explicit ``sample_fraction=1.0`` to force full-corpus training on
+    small data. Still deterministic: the count is a pure corpus
+    property and the gate is the md5 hash gate either way.
+    """
     import numpy as np
 
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     df = corpus.select(id_col, vec_col)
+    if sample_fraction is None:
+        target = max_train_rows if max_train_rows > 0 else 256 * k
+        n = df.count()
+        sample_fraction = 1.0 if n <= target else target / float(n)
     if sample_fraction < 1.0:
         cut = format(int(sample_fraction * 2**32), "08x")
         df = df.filter(

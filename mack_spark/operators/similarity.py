@@ -330,15 +330,35 @@ def lsh_bucket_int_table(
     return out.cast("int")
 
 
+def near_dup_bits_for(n_rows: int, target_bucket_rows: int = 256) -> int:
+    """Hyperplane count that keeps LSH buckets ≈ ``target_bucket_rows``
+    rows at corpus size ``n_rows``: ``ceil(log2(n / target))``, min 1.
+
+    Candidate volume under this rule is Σ_buckets b² ≈ n · target —
+    LINEAR in n at a fixed per-bucket budget — versus O(n²/2^bits) for
+    any constant ``bits`` (round-5 review: bits=4 ⇒ 16 buckets forever,
+    a 16-key shuffle and quadratic candidates at 100 TB). Recall per
+    pair at angle θ is (1 - θ/π)^bits, so growing ``bits`` with n trades
+    a slow recall decay for the quadratic blowup; recover recall with
+    ``n_probe`` (multi-probe) rather than fewer bits.
+    """
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return 1
+    return max(1, math.ceil(math.log2(n_rows / float(target_bucket_rows))))
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
-    bits: int = 4,
+    bits: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_scores: int = 4,
     n_probe: int = 1,
+    target_bucket_rows: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: unordered ``(id_a < id_b)``
     pairs whose cosine similarity is ≥ ``threshold``, candidate-limited
@@ -349,13 +369,21 @@ def embedding_near_dup_pairs(
     The scale path for near-dup dedup over embeddings (reference has no
     equivalent; LLM-pipeline extension per SURVEY §7 phase 5): the
     self-join is bucket-local — each of the 2^bits buckets joins only
-    with itself (~n/2^bits rows per side), never the full O(n²) cross
-    product. High-similarity pairs land in the same bucket with
-    probability (1 - θ/π)^bits, so recall is tuned by ``bits`` (fewer
-    bits = higher recall, bigger buckets) and by ``n_probe``.
+    with itself, never the full O(n²) cross product.
+
+    ``bits=None`` (default) is SCALE-AWARE: one corpus count derives
+    ``bits`` via :func:`near_dup_bits_for`, holding buckets at
+    ~``target_bucket_rows`` rows so candidate volume stays ~n·target
+    (linear in n) instead of O(n²/2^bits) at any fixed ``bits``. Pass an
+    explicit ``bits`` for a reproducible bucket layout (the oracle-
+    checked driver query pins ``bits=4`` so its SQL twin can inline the
+    4 hyperplanes). Recall at angle θ is (1 - θ/π)^bits per table —
+    buy recall back with ``n_probe``, not fewer bits.
 
     Returns ``(id_a, id_b, cos_sim)``.
     """
+    if bits is None:
+        bits = near_dup_bits_for(corpus.count(), target_bucket_rows)
     if n_probe > 1:
         bucketed = corpus.select(
             F.col(id_col).alias("id"),
@@ -410,7 +438,7 @@ def ivf_topk(
     round_scores: int = 4,
     centroids: str = "first",
     seed: int = 42,
-    fit_fraction: float = 1.0,
+    fit_fraction: float | None = None,
     max_iter: int = 10,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into ``n_cells``
@@ -455,11 +483,17 @@ def _ivf_centroids(
     id_col: str,
     vec_col: str,
     seed: int,
-    fit_fraction: float,
+    fit_fraction: float | None,
     max_iter: int,
 ) -> DataFrame:
     """Broadcast-ready coarse-quantizer centroids ``(cid, cvec, cnrm)``
-    (see :func:`ivf_topk` for the two quantizer modes)."""
+    (see :func:`ivf_topk` for the two quantizer modes).
+
+    ``fit_fraction=None`` (the default everywhere) bounds the k-means
+    fit sample at ~``256 * n_cells`` rows via one corpus count —
+    centroid quality needs a sample, not the corpus, and an unbounded
+    full-corpus fit is ``max_iter`` extra full passes at 100 TB.
+    """
     if centroids == "kmeans":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -467,6 +501,10 @@ def _ivf_centroids(
         fit_df = corpus.select(
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
         )
+        if fit_fraction is None:
+            target = 256 * n_cells
+            n = fit_df.count()
+            fit_fraction = 1.0 if n <= target else target / float(n)
         if fit_fraction < 1.0:
             fit_df = fit_df.sample(fit_fraction, seed)
         model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(fit_df)
@@ -584,7 +622,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    fit_fraction: float = 1.0,
+    fit_fraction: float | None = None,
     max_iter: int = 10,
     n_files: int | None = None,
     pq_m: int = 0,
@@ -953,6 +991,51 @@ def embedding_centroids(
     )
 
 
+def embedding_centroids_long(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fix_scale: int = 1_000_000,
+    round_mean: int = 6,
+) -> DataFrame:
+    """:func:`embedding_centroids` in exploded (long) form:
+    ``(group, pos, mean, n_vectors)`` — one row per centroid component
+    instead of an ``array<double>`` column.
+
+    Same exact fix-point arithmetic as the array variant (each
+    component ``floor(x * fix_scale)`` summed as decimal(38,0), so the
+    mean is a pure function of the vector multiset). The long form is
+    the right shape for SQL interop, joins against per-dimension stats,
+    and any consumer that can't handle array columns; the array variant
+    remains the library API for in-Spark callers.
+
+    SCALE: identical to the array variant minus the final reassembly
+    aggregation — one map-combinable hash agg on ``(group, pos)``, no
+    ordered collect_list buffers at all, so this form is strictly
+    cheaper at any corpus size.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    exploded = df.select(
+        F.col(group_col), F.posexplode(v).alias("pos", "val")
+    ).withColumn(
+        "fix", F.floor(F.col("val") * F.lit(float(fix_scale))).cast("decimal(38,0)")
+    )
+    mean = (
+        F.col("sumfix").cast("double") / F.col("n").cast("double")
+    ) / F.lit(float(fix_scale))
+    return (
+        exploded.groupBy(group_col, "pos")
+        .agg(F.sum("fix").alias("sumfix"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col(group_col),
+            F.col("pos").cast("long").alias("pos"),
+            F.round(mean, round_mean).alias("mean"),
+            F.col("n").alias("n_vectors"),
+        )
+    )
+
+
 def cluster_balance(
     corpus: DataFrame,
     n_cells: int = 8,
@@ -960,7 +1043,7 @@ def cluster_balance(
     vec_col: str = "embedding",
     centroids: str = "first",
     seed: int = 42,
-    fit_fraction: float = 1.0,
+    fit_fraction: float | None = None,
     max_iter: int = 10,
     round_share: int = 6,
 ) -> DataFrame:

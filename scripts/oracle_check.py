@@ -1,9 +1,18 @@
 """Local replica of the driver's correctness gate.
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
-DuckDB over the same parquet dir, then compares row count, column names
-and exact values (column-name-sorted, row-sorted) — the same contract
-the driver hashes.
+DuckDB over the same parquet dir, then compares through *pandas* —
+column names, row counts, dtype kinds, and exact cell values — the way
+the driver canonicalizes before hashing.
+
+The r5 judge found the old ``fetchall()``-based compare blind to two
+driver failure modes: DuckDB ``sum(integer)`` returns HUGEINT which
+pandas renders as float64 while Spark emits int64 (hash differs on
+dtype alone), and array-typed columns crash the driver's
+``sort_values``. Both now fail loudly here: dtype *kinds* are compared
+per column (int vs float is a FAIL even when values match), and the
+row sort runs on the pandas frame so list cells raise exactly like the
+driver.
 
 Usage: python scripts/oracle_check.py [sf_dir] [query ...]
 """
@@ -11,6 +20,7 @@ Usage: python scripts/oracle_check.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import math
 import os
 import sys
@@ -18,6 +28,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 import __spark_entry__ as entrymod
 from mack_spark.session import get_session
@@ -28,47 +40,97 @@ TABLES = [
 ]
 
 
-def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
+def _canon_pdf(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Column-name-sort + row-sort like the driver. List/array cells make
+    ``sort_values`` raise, replicating the driver's canonicalizer crash."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(
+            by=list(pdf.columns), kind="mergesort", na_position="last"
+        ).reset_index(drop=True)
+    return pdf
+
+
+def _col_kind(series: "pd.Series") -> str:
+    """Dtype *kind* for hash-compatibility: 'i' int, 'f' float, 'b' bool,
+    'M' date/time, 'O' string/other, 'n' all-null (matches anything)."""
+    k = series.dtype.kind
+    if k in ("i", "u"):
+        return "i"
+    if k in ("f", "b", "M"):
+        return "M" if k == "M" else k
+    # object column: classify by first non-null cell
+    for v in series:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, bool):
+            return "b"
+        if isinstance(v, (dt.datetime, dt.date, pd.Timestamp)):
+            return "M"
+        if isinstance(v, (int, np.integer)):
+            return "i"
+        if isinstance(v, (float, np.floating, decimal.Decimal)):
+            return "f"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            raise TypeError(
+                "array-typed cell — the driver canonicalizer crashes on these"
+            )
+        return "O"
+    return "n"
+
+
+def _cell(v):
+    """Normalize one pandas cell to a plain comparable Python value."""
+    if v is None or v is pd.NaT:
+        return "NULL"
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, (bool,)):
+        return v
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else f
+    if isinstance(v, decimal.Decimal):
         return float(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime().replace(tzinfo=None).isoformat()
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return float(v)
-    except ImportError:
-        pass
+        # dates compare against midnight timestamps (both engines cast
+        # to DATE in the SQL, so this only conflates equal values)
+        return dt.datetime(v.year, v.month, v.day).isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        raise TypeError(
+            "array-typed cell — the driver canonicalizer crashes on these"
+        )
     return v
 
 
 def compare(name: str, spark, con, sf_dir: str, sql: str | None, fn) -> str:
     sdf = fn(spark, sf_dir)
-    scols = sorted(sdf.columns)
-    srows = sorted(
-        (tuple(_norm(r[c]) for c in scols) for r in sdf.collect()), key=repr
-    )
+    spdf = _canon_pdf(sdf.toPandas())
     if sql is None:
-        return f"ROWS_ONLY ({len(srows)} rows)"
-    ddf = con.execute(sql)
-    dcols_raw = [d[0] for d in ddf.description]
-    drows_raw = ddf.fetchall()
-    dcols_order = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
-    dcols = [dcols_raw[i] for i in dcols_order]
-    drows = sorted(
-        (tuple(_norm(r[i]) for i in dcols_order) for r in drows_raw), key=repr
-    )
+        return f"ROWS_ONLY ({len(spdf)} rows)"
+    dpdf = _canon_pdf(con.execute(sql).df())
+    scols, dcols = list(spdf.columns), list(dpdf.columns)
     if scols != dcols:
         return f"SCHEMA MISMATCH spark={scols} duck={dcols}"
-    if len(srows) != len(drows):
-        return f"ROWCOUNT MISMATCH spark={len(srows)} duck={len(drows)}"
+    if len(spdf) != len(dpdf):
+        return f"ROWCOUNT MISMATCH spark={len(spdf)} duck={len(dpdf)}"
+    for c in scols:
+        sk, dk = _col_kind(spdf[c]), _col_kind(dpdf[c])
+        if "n" not in (sk, dk) and sk != dk:
+            return (
+                f"DTYPE MISMATCH col={c} spark_kind={sk}({spdf[c].dtype}) "
+                f"duck_kind={dk}({dpdf[c].dtype}) — driver hash would differ"
+            )
+    srows = [tuple(_cell(v) for v in row) for row in spdf.itertuples(index=False)]
+    drows = [tuple(_cell(v) for v in row) for row in dpdf.itertuples(index=False)]
+    srows.sort(key=repr)
+    drows.sort(key=repr)
     if srows != drows:
         for i, (a, b) in enumerate(zip(srows, drows)):
             if a != b:

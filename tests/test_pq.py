@@ -173,3 +173,37 @@ class TestIVFPQ:
         idx = build_ivf_index(corpus, str(tmp_path / "plain"), n_cells=4)
         with pytest.raises(ValueError, match="pq_m"):
             ivfpq_topk(idx, corpus.limit(2), k=3)
+
+
+class TestBoundedTraining:
+    """Round-6 scale fixes: no full-corpus collect on default paths."""
+
+    def test_default_sample_is_bounded_by_256k(self, spark):
+        """sample_fraction=None derives the fraction so the expected
+        training sample is max_train_rows (default 256*k), not the
+        corpus; on a corpus under the bound it degrades to 1.0 and
+        matches explicit full-corpus training exactly."""
+        rng = np.random.RandomState(5)
+        df = _vec_df(spark, rng.randn(120, 16))
+        a = train_pq_codebooks(df, dim=16, m=4, k=8)  # bound 2048 > 120
+        b = train_pq_codebooks(df, dim=16, m=4, k=8, sample_fraction=1.0)
+        assert np.array_equal(a, b)
+
+    def test_max_train_rows_subsamples_deterministically(self, spark):
+        rng = np.random.RandomState(9)
+        df = _vec_df(spark, rng.randn(400, 16))
+        a = train_pq_codebooks(df, dim=16, m=4, k=8, max_train_rows=64)
+        b = train_pq_codebooks(df, dim=16, m=4, k=8, max_train_rows=64)
+        full = train_pq_codebooks(df, dim=16, m=4, k=8, sample_fraction=1.0)
+        assert np.array_equal(a, b)  # md5 gate: same corpus, same sample
+        assert a.shape == (4, 8, 4)
+        assert not np.array_equal(a, full)  # it actually subsampled
+
+    def test_near_dup_bits_scale_with_corpus(self):
+        from mack_spark.operators.similarity import near_dup_bits_for
+
+        assert near_dup_bits_for(100) == 1          # tiny corpus: 2 buckets
+        assert near_dup_bits_for(512_000) == 11     # 2^11 buckets ~ 250/bucket
+        assert near_dup_bits_for(512_000_000) == 21
+        # candidate volume ~ n * target stays linear: buckets double as n does
+        assert near_dup_bits_for(1_024_000) == near_dup_bits_for(512_000) + 1
