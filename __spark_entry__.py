@@ -1604,6 +1604,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["referential_audit"] = q_referential_audit
 
+    def q_dedup_embedding_banded(spark, sf_dir):
+        # Multi-table (OR-amplified) hyperplane LSH near-dup — the
+        # banded form VERDICT r5 item 6 asked for; parameters pinned so
+        # the SQL twin inlines the 18 hyperplanes (3 tables x 6 bits).
+        from mack_spark.operators.similarity import embedding_near_dup_pairs_banded
+
+        return embedding_near_dup_pairs_banded(
+            _t(spark, sf_dir, "embeddings"),
+            threshold=0.3,
+            n_tables=3,
+            bits_per_table=6,
+        )
+
+    q["dedup_embedding_banded"] = q_dedup_embedding_banded
+
+    def q_numeric_outliers(spark, sf_dir):
+        from mack_spark.operators.profile import numeric_outlier_fences
+
+        return numeric_outlier_fences(
+            _t(spark, sf_dir, "lineitem"),
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        )
+
+    q["numeric_outliers"] = q_numeric_outliers
+
+    def q_event_debounce(spark, sf_dir):
+        from mack_spark.operators.sessionize import event_debounce
+
+        return event_debounce(_t(spark, sf_dir, "events"), debounce_seconds=300)
+
+    q["event_debounce"] = q_event_debounce
+
+    def q_doclen_deciles(spark, sf_dir):
+        from mack_spark.operators.profile import equal_frequency_histogram
+
+        return equal_frequency_histogram(
+            _t(spark, sf_dir, "documents"), "n_chars", 10
+        )
+
+    q["doclen_deciles"] = q_doclen_deciles
+
     def q_span_contamination(spark, sf_dir):
         # Same corpus/benchmark split as contamination_check (%97),
         # but exact-substring: which benchmark 8-grams appear verbatim
@@ -1913,12 +1954,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "find_composite_key_candidates", "doc_stats", "corpus_rollup",
         "token_counts", "corpus_cube", "sample_deterministic",
         "sample_stratified",
-        # (d) fills: oldest r3-green rows riding the merge/commit layer
-        # and this round's new queries (appended as they land)
+        # (d) round-6 NEW queries (no driver row yet), then oldest
+        # r3-green fills riding the merge/commit layer
+        "dedup_embedding_banded", "numeric_outliers", "event_debounce",
+        "doclen_deciles",
         "kill_duplicates", "drop_duplicates", "validate_append",
         "dedup_exact", "sessionize", "dup_detect_groups",
-        "column_profile", "repetition_stats", "totalprice_percentiles",
-        "zorder_cluster",
     ]
     assert len(front_r6) == 50, len(front_r6)
     fset = set(front_r6)
@@ -2988,6 +3029,168 @@ SELECT id_a, id_b, CAST(round(cos, 4) AS DOUBLE) AS cos_sim
 FROM scored WHERE cos >= 0.3
 """
 
+    # Banded (3-table x 6-bit) variant: per-table bucket CTEs with the
+    # table-offset hyperplane seeds (t*1000 + b), candidates OR-ed by
+    # plain UNION (dedup), one exact-cosine scoring pass — mirrors
+    # similarity.embedding_near_dup_pairs_banded exactly.
+    def _tbl_bucket(t: int) -> str:
+        return "(" + " || ".join(
+            f"CASE WHEN {_dot_sql('embedding', _hp_sql(t * 1000 + b))} >= 0 "
+            "THEN '1' ELSE '0' END"
+            for b in range(6)
+        ) + ")"
+
+    _banded_ctes = ", ".join(
+        f"c{t} AS (SELECT vec_id, {_tbl_bucket(t)} AS bucket FROM embeddings)"
+        for t in range(3)
+    )
+    _banded_union = " UNION ".join(
+        f"SELECT x.vec_id AS id_a, y.vec_id AS id_b "
+        f"FROM c{t} x JOIN c{t} y ON x.bucket = y.bucket AND x.vec_id < y.vec_id"
+        for t in range(3)
+    )
+    o["dedup_embedding_banded"] = f"""
+WITH {_banded_ctes},
+cand AS ({_banded_union}),
+scored AS (
+  SELECT cand.id_a, cand.id_b,
+         {_dot_sql('a.embedding', 'b.embedding')} /
+         ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}) AS cos
+  FROM cand
+  JOIN embeddings a ON cand.id_a = a.vec_id
+  JOIN embeddings b ON cand.id_b = b.vec_id
+)
+SELECT id_a, id_b, CAST(round(cos, 4) AS DOUBLE) AS cos_sim
+FROM scored WHERE cos >= 0.3
+"""
+
+    # Tukey IQR fences per numeric column: nearest-rank quartiles via
+    # the stacked cum-count CTE (same rank rule as
+    # totalprice_percentiles), fences as the identical IEEE expression
+    # q1 - 1.5*(q3-q1), then one counting pass against the raw values.
+    _outlier_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    _outlier_stack = " UNION ALL ".join(
+        f"SELECT '{c}' AS metric, CAST({c} AS DOUBLE) AS value "
+        f"FROM lineitem WHERE {c} IS NOT NULL"
+        for c in _outlier_cols
+    )
+    o["numeric_outliers"] = f"""
+WITH stacked AS ({_outlier_stack}),
+counts AS (SELECT metric, value, count(*) AS cnt FROM stacked GROUP BY metric, value),
+cum AS (
+  SELECT metric, value,
+         sum(cnt) OVER (PARTITION BY metric ORDER BY value
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY metric) AS total
+  FROM counts
+),
+q AS (
+  SELECT metric,
+         min(CASE WHEN cum >= ceil(0.25 * total) THEN value END) AS q1,
+         min(CASE WHEN cum >= ceil(0.75 * total) THEN value END) AS q3
+  FROM cum GROUP BY metric
+),
+f AS (
+  SELECT metric, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo_fence,
+         q3 + 1.5 * (q3 - q1) AS hi_fence
+  FROM q
+)
+SELECT f.metric, f.q1, f.q3, f.lo_fence, f.hi_fence,
+       count(s.value) AS n_rows,
+       CAST(sum(CASE WHEN s.value < f.lo_fence THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below,
+       CAST(sum(CASE WHEN s.value > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above,
+       round((sum(CASE WHEN s.value < f.lo_fence THEN 1 ELSE 0 END)
+              + sum(CASE WHEN s.value > f.hi_fence THEN 1 ELSE 0 END))
+             / CAST(count(s.value) AS DOUBLE), 6) AS outlier_ratio
+FROM f JOIN stacked s ON s.metric = f.metric
+GROUP BY f.metric, f.q1, f.q3, f.lo_fence, f.hi_fence
+"""
+
+    # Burst-head debounce: lag + running-sum burst ids on microsecond
+    # gaps (same machinery as the sessionize oracle), head row by
+    # row_number, suppression count by burst size.
+    o["event_debounce"] = """
+WITH o AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev
+  FROM events
+),
+h AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR date_diff('microsecond', prev, ts) > 300000000
+                 THEN 1 ELSE 0 END AS head
+  FROM o
+),
+b AS (
+  SELECT *, sum(head) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS burst
+  FROM h
+)
+SELECT event_id, user_id, event_type, ts,
+       CAST(blen - 1 AS BIGINT) AS n_suppressed
+FROM (
+  SELECT event_id, user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id, event_type, burst
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type, burst) AS blen
+  FROM b
+) WHERE rn = 1
+"""
+
+    # Equal-frequency histogram over n_chars: the 9 decile cutpoints by
+    # the shared nearest-rank rule, first-match CASE bucketing (values
+    # equal to a cutpoint land low), NULL lo/hi at the open ends.
+    _dec_ps = [i / 10.0 for i in range(1, 10)]
+    _dec_case = "CASE " + " ".join(
+        f"WHEN v <= c{i + 1} THEN {i + 1}" for i in range(9)
+    ) + " ELSE 10 END"
+    _dec_lo = "CASE " + " ".join(
+        f"WHEN bucket = {i + 2} THEN c{i + 1}" for i in range(9)
+    ) + " ELSE NULL END"
+    _dec_hi = "CASE " + " ".join(
+        f"WHEN bucket = {i + 1} THEN c{i + 1}" for i in range(9)
+    ) + " ELSE NULL END"
+    _dec_pivot = ", ".join(
+        f"max(CASE WHEN p = {p!r} THEN cut END) AS c{i + 1}"
+        for i, p in enumerate(_dec_ps)
+    )
+    o["doclen_deciles"] = f"""
+WITH vals AS (
+  SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE n_chars IS NOT NULL
+),
+counts AS (SELECT v AS value, count(*) AS cnt FROM vals GROUP BY v),
+cum AS (
+  SELECT value,
+         sum(cnt) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER () AS total
+  FROM counts
+),
+cuts AS (
+  SELECT p, min(value) AS cut
+  FROM cum CROSS JOIN (SELECT unnest([{', '.join(repr(p) for p in _dec_ps)}]) AS p)
+  WHERE cum >= ceil(p * total) GROUP BY p
+),
+cutrow AS (SELECT {_dec_pivot} FROM cuts),
+bucketed AS (
+  SELECT {_dec_case} AS bucket, v FROM vals CROSS JOIN cutrow
+),
+agg AS (
+  SELECT bucket, count(*) AS n_rows, min(v) AS min_value, max(v) AS max_value
+  FROM bucketed GROUP BY bucket
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST({_dec_lo} AS DOUBLE) AS lo,
+       CAST({_dec_hi} AS DOUBLE) AS hi,
+       n_rows, min_value, max_value
+FROM agg CROSS JOIN cutrow
+ORDER BY bucket
+"""
+
     o["multimodal_metadata"] = """
 SELECT doc_id, 'image' AS media_type, 'png' AS format,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -3839,15 +4042,18 @@ LIMIT 200
     # array form crashes the driver canonicalizer): each component
     # fixed-pointed (floor(x*1e6) as exact integer) before the sum, so
     # the mean is order-independent; the two-step division mirrors the
-    # Spark expression tree ((sum/n)/1e6), rounded to 6 in both engines.
+    # Spark expression tree ((sum/n)/1e6). The mean is deliberately
+    # UNROUNDED: the exact-integer-sum-through-identical-divisions is
+    # already bit-equal, while round(...,6) lands k*n/2-form sums on a
+    # half boundary where the engines' rounding modes diverge.
     o["embedding_centroids"] = """
 WITH e AS (
   SELECT label, CAST(i - 1 AS BIGINT) AS pos, CAST(embedding[i] AS DOUBLE) AS val
   FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
 )
 SELECT label, pos,
-       round(CAST(sum(CAST(floor(val * 1000000.0) AS HUGEINT)) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean,
+       CAST(sum(CAST(floor(val * 1000000.0) AS HUGEINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) / 1000000.0 AS mean,
        count(*) AS n_vectors
 FROM e GROUP BY label, pos
 """

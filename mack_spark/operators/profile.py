@@ -388,3 +388,144 @@ def exact_percentiles_multi(
         .agg(F.min("value").alias("value"))
         .orderBy("metric", "p")
     )
+
+
+def numeric_outlier_fences(
+    df: DataFrame,
+    cols: List[str],
+    k: float = 1.5,
+    num_range_partitions: int = 32,
+) -> DataFrame:
+    """Tukey IQR outlier audit per numeric column: exact Q1/Q3 (nearest-
+    rank, via the distributed prefix-sum in
+    :func:`exact_percentiles_multi`), fences at ``Q1 - k*IQR`` /
+    ``Q3 + k*IQR``, and the count of rows beyond each fence — the
+    standard pre-ingest range sanity check next to
+    :func:`column_profile`.
+
+    Returns one row per column: ``(metric, q1, q3, lo_fence, hi_fence,
+    n_rows, n_below, n_above, outlier_ratio)``.
+
+    Determinism contract (oracle-checked): quartiles are exact data
+    values under the integer-rank rule; the fences are the IEEE double
+    expression ``q1 - k*(q3-q1)`` evaluated identically in both
+    engines; counting compares raw column doubles against those exact
+    fence doubles — no interpolation anywhere.
+
+    SCALE: the quartile pass is the prefix-sum machinery (distinct
+    values only, never a full sort); the counting pass is ONE map-only
+    full scan with 3 conditional sums per column (partial aggregation,
+    single result row), exploded driver-free into per-column rows.
+    """
+    quarts = {
+        (r["metric"], r["p"]): float(r["value"])
+        for r in exact_percentiles_multi(
+            df, cols, (0.25, 0.75), num_range_partitions
+        ).collect()
+    }
+    agg_exprs, structs = [], []
+    for c in cols:
+        if (c, 0.25) not in quarts:
+            continue  # all-NULL column: no quartiles, no row
+        q1, q3 = quarts[(c, 0.25)], quarts[(c, 0.75)]
+        lo = q1 - k * (q3 - q1)
+        hi = q3 + k * (q3 - q1)
+        v = F.col(c).cast("double")
+        agg_exprs += [
+            F.count(F.when(v.isNotNull(), 1)).alias(f"__n_{c}"),
+            F.sum(F.when(v < F.lit(lo), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__b_{c}"),
+            F.sum(F.when(v > F.lit(hi), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__a_{c}"),
+        ]
+        structs.append(
+            F.struct(
+                F.lit(c).alias("metric"),
+                F.lit(q1).alias("q1"),
+                F.lit(q3).alias("q3"),
+                F.lit(lo).alias("lo_fence"),
+                F.lit(hi).alias("hi_fence"),
+                F.col(f"__n_{c}").alias("n_rows"),
+                F.col(f"__b_{c}").alias("n_below"),
+                F.col(f"__a_{c}").alias("n_above"),
+                F.round(
+                    (F.col(f"__b_{c}") + F.col(f"__a_{c}"))
+                    / F.col(f"__n_{c}").cast("double"),
+                    6,
+                ).alias("outlier_ratio"),
+            )
+        )
+    if not structs:
+        return df.sparkSession.createDataFrame(
+            [],
+            "metric string, q1 double, q3 double, lo_fence double, "
+            "hi_fence double, n_rows long, n_below long, n_above long, "
+            "outlier_ratio double",
+        )
+    one = df.agg(*agg_exprs)
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def equal_frequency_histogram(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    num_range_partitions: int = 32,
+) -> DataFrame:
+    """Equal-frequency (quantile-bucket) histogram: exact nearest-rank
+    cutpoints at ``i/n_buckets`` split the column into ``n_buckets``
+    value ranges; each bucket reports its population and value span —
+    the frequency-balanced complement of the equal-width
+    :func:`numeric_histogram` (which starves on skewed columns).
+
+    Bucket rule (deterministic, tie-stable): bucket ``i`` holds values
+    in ``(cut[i-1], cut[i]]``; values equal to a cutpoint land in the
+    lower bucket, so buckets at a heavy tie may be fatter than n/k —
+    the honest behavior for discrete data (a row never splits).
+
+    Returns ``(bucket, lo, hi, n_rows, min_value, max_value)`` with
+    ``lo/hi`` the enclosing cutpoints (NULL at the open ends).
+
+    SCALE: cutpoints via the distributed prefix-sum (distinct values,
+    no full sort, ≤ ``n_buckets-1`` tiny probes); bucketing is ONE
+    map-only CASE over the scan + a partial-final aggregate on at most
+    ``n_buckets`` groups. A global ``ntile`` would total-sort the
+    table for the same answer.
+    """
+    ps = [i / float(n_buckets) for i in range(1, n_buckets)]
+    cuts = [
+        float(r["value"])
+        for r in exact_percentiles(df, col, ps, num_range_partitions)
+        .orderBy("p")
+        .collect()
+    ]
+    v = F.col(col).cast("double")
+    bucket = F.lit(len(cuts) + 1)
+    for i in range(len(cuts) - 1, -1, -1):
+        bucket = F.when(v <= F.lit(cuts[i]), F.lit(i + 1)).otherwise(bucket)
+    lo_expr = F.lit(None).cast("double")
+    hi_expr = F.lit(None).cast("double")
+    for i in range(len(cuts)):
+        lo_expr = F.when(F.col("bucket") == i + 2, F.lit(cuts[i])).otherwise(lo_expr)
+        hi_expr = F.when(F.col("bucket") == i + 1, F.lit(cuts[i])).otherwise(hi_expr)
+    return (
+        df.filter(v.isNotNull())
+        .select(bucket.alias("bucket"), v.alias("v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            lo_expr.alias("lo"),
+            hi_expr.alias("hi"),
+            "n_rows",
+            "min_value",
+            "max_value",
+        )
+        .orderBy("bucket")
+    )

@@ -51,6 +51,56 @@ def sessionize(
     )
 
 
+def event_debounce(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    debounce_seconds: int = 300,
+) -> DataFrame:
+    """Telemetry debounce: collapse each burst of same ``(user, type)``
+    events into its first event. A burst breaks when the gap to the
+    previous event (kept or not) exceeds ``debounce_seconds`` — the
+    gap-based variant of :func:`sessionize` applied as deduplication,
+    the standard double-fire/retry suppression for clickstreams and
+    device telemetry before counting.
+
+    Returns the kept (burst-head) events with the suppression count:
+    ``(event_id, user_id, event_type, ts, n_suppressed)``.
+
+    SCALE: one shuffle on ``(user, type)`` — the same lag + running-sum
+    window as sessionize, then the per-burst aggregation reuses that
+    partitioning (no second exchange). The head row is selected by
+    ``min(struct(ts, id))`` inside the aggregate, so no second window
+    pass over the events. Microsecond-exact gaps (unix_micros), total
+    order via the ``id_col`` tiebreak.
+    """
+    w = Window.partitionBy(user_col, type_col).orderBy(ts_col, id_col)
+    # cast: unix_micros rejects TIMESTAMP_NTZ (what a raw parquet read
+    # yields); the cast is a no-op on plain TIMESTAMP columns
+    ts = F.col(ts_col).cast("timestamp")
+    gap = F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
+    head = F.when(
+        gap.isNull() | (gap > debounce_seconds * 1_000_000), 1
+    ).otherwise(0)
+    with_burst = events.withColumn("__burst", F.sum(head).over(w))
+    return (
+        with_burst.groupBy(user_col, type_col, "__burst")
+        .agg(
+            F.min(F.struct(F.col(ts_col), F.col(id_col))).alias("__head"),
+            F.count(F.lit(1)).alias("__blen"),
+        )
+        .select(
+            F.col(f"__head.{id_col}").alias(id_col),
+            F.col(user_col),
+            F.col(type_col),
+            F.col(f"__head.{ts_col}").alias(ts_col),
+            (F.col("__blen") - F.lit(1)).cast("long").alias("n_suppressed"),
+        )
+    )
+
+
 def gap_fill_daily(
     df: DataFrame,
     ts_col: str = "ts",

@@ -427,6 +427,88 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_pairs_banded(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = 4,
+    bits_per_table: int | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scores: int = 4,
+    target_bucket_rows: int = 256,
+) -> DataFrame:
+    """Banded (multi-table) embedding-cosine near-duplicate pairs — the
+    AND-OR amplified form of :func:`embedding_near_dup_pairs`, exactly
+    like MinHash-LSH banding amplifies single minhashes.
+
+    Each of ``n_tables`` independent hyperplane tables (seeds
+    ``table*1000 + b``, the :func:`lsh_bucket_int_table` scheme) buckets
+    the corpus on ``bits_per_table`` sign bits; a pair is a candidate if
+    it collides in ANY table (OR over tables, AND within a table). At
+    per-hyperplane collision probability p = 1 - θ/π the pair survives
+    with 1 - (1 - p^bits)^n_tables: high ``bits_per_table`` keeps every
+    bucket tiny (candidate volume ~ n·bucket_rows per table, linear in
+    n), and ``n_tables`` buys the recall back — the knob trade the
+    single-table form lacks.
+
+    ``bits_per_table=None`` derives bits from one corpus count via
+    :func:`near_dup_bits_for` (buckets ≈ ``target_bucket_rows`` rows);
+    the oracle-checked driver query pins it so its SQL twin can inline
+    the hyperplane literals.
+
+    SCALE: candidate generation carries ONLY id pairs — vectors are
+    never shuffled per table; the union is deduplicated once and
+    vectors join back for a single exact-cosine scoring pass, so the
+    vector columns move at most twice regardless of ``n_tables``.
+
+    Returns ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``, distinct,
+    exact cosine ≥ ``threshold``.
+    """
+    if bits_per_table is None:
+        bits_per_table = near_dup_bits_for(corpus.count(), target_bucket_rows)
+    cand = None
+    for t in range(n_tables):
+        b_t = corpus.select(
+            F.col(id_col).alias("id"),
+            lsh_bucket_int_table(F.col(vec_col), bits_per_table, dim, t).alias(
+                "bucket"
+            ),
+        )
+        a, b = b_t.alias("a"), b_t.alias("b")
+        pairs_t = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+    cand = cand.distinct()
+    vecs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        mf.l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    va = vecs.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = vecs.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (mf.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", round_scores).alias("cos_sim"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -997,7 +1079,6 @@ def embedding_centroids_long(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fix_scale: int = 1_000_000,
-    round_mean: int = 6,
 ) -> DataFrame:
     """:func:`embedding_centroids` in exploded (long) form:
     ``(group, pos, mean, n_vectors)`` — one row per centroid component
@@ -1005,10 +1086,16 @@ def embedding_centroids_long(
 
     Same exact fix-point arithmetic as the array variant (each
     component ``floor(x * fix_scale)`` summed as decimal(38,0), so the
-    mean is a pure function of the vector multiset). The long form is
-    the right shape for SQL interop, joins against per-dimension stats,
-    and any consumer that can't handle array columns; the array variant
-    remains the library API for in-Spark callers.
+    mean is a pure function of the vector multiset). The mean is
+    emitted RAW (no round): it is an exact-integer sum pushed through
+    two IEEE divisions, already bit-identical across engines — while
+    round-to-6 would land sums of the form ``k*n/2`` exactly on a half
+    boundary, where Spark's BigDecimal HALF_UP and other engines' float
+    rounding disagree (observed at sf0.01: 0.032011 vs 0.03201).
+    The long form is the right shape for SQL interop, joins against
+    per-dimension stats, and any consumer that can't handle array
+    columns; the array variant remains the library API for in-Spark
+    callers.
 
     SCALE: identical to the array variant minus the final reassembly
     aggregation — one map-combinable hash agg on ``(group, pos)``, no
@@ -1030,7 +1117,7 @@ def embedding_centroids_long(
         .select(
             F.col(group_col),
             F.col("pos").cast("long").alias("pos"),
-            F.round(mean, round_mean).alias("mean"),
+            mean.alias("mean"),
             F.col("n").alias("n_vectors"),
         )
     )

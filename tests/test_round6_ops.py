@@ -1,0 +1,135 @@
+"""Round-6 operators: banded cosine near-dup, IQR outlier fences,
+equal-frequency histogram, event debounce."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestBandedNearDup:
+    def test_recall_superset_of_single_table_and_exact_filter(self, spark):
+        """Banded candidates OR over tables: with enough tables the
+        banded form must recover pairs a single coarse table misses,
+        and every reported pair must truly clear the threshold."""
+        from mack_spark.operators.similarity import (
+            brute_force_topk,
+            embedding_near_dup_pairs_banded,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        got = embedding_near_dup_pairs_banded(
+            emb, threshold=0.3, n_tables=3, bits_per_table=6
+        )
+        rows = got.collect()
+        assert len(rows) > 0
+        assert all(r.cos_sim >= 0.3 for r in rows)
+        assert all(r.id_a < r.id_b for r in rows)
+        # distinct pairs even when they collide in several tables
+        assert len({(r.id_a, r.id_b) for r in rows}) == len(rows)
+
+    def test_more_tables_more_recall(self, spark):
+        from mack_spark.operators.similarity import embedding_near_dup_pairs_banded
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        one = embedding_near_dup_pairs_banded(
+            emb, threshold=0.3, n_tables=1, bits_per_table=6
+        ).count()
+        three = embedding_near_dup_pairs_banded(
+            emb, threshold=0.3, n_tables=3, bits_per_table=6
+        ).count()
+        assert three >= one
+
+    def test_scale_aware_bits_default(self, spark):
+        """bits_per_table=None derives from the corpus count."""
+        from mack_spark.operators.similarity import embedding_near_dup_pairs_banded
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = embedding_near_dup_pairs_banded(emb, threshold=0.3, n_tables=2)
+        assert out.count() >= 0  # 500 rows -> bits=1, still well-formed
+
+
+class TestOutlierFences:
+    def test_fences_on_known_distribution(self, spark):
+        from mack_spark.operators.profile import numeric_outlier_fences
+
+        # 1..100 plus two wild outliers
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(1, 101)] + [(1000.0,), (-1000.0,)],
+            "x double",
+        )
+        r = numeric_outlier_fences(df, ["x"]).collect()[0]
+        # nearest-rank over the 102 sorted values [-1000, 1..100, 1000]:
+        # q1 = 26th = 25.0, q3 = ceil(76.5)=77th = 76.0
+        assert r.q1 == 25.0 and r.q3 == 76.0
+        assert r.lo_fence == 25.0 - 1.5 * 51.0
+        assert r.hi_fence == 76.0 + 1.5 * 51.0
+        assert r.n_below == 1 and r.n_above == 1 and r.n_rows == 102
+
+    def test_all_null_column_omitted(self, spark):
+        from mack_spark.operators.profile import numeric_outlier_fences
+
+        df = spark.createDataFrame(
+            [(1.0, None), (2.0, None)], "x double, y double"
+        )
+        out = numeric_outlier_fences(df, ["x", "y"])
+        assert [r.metric for r in out.collect()] == ["x"]
+
+
+class TestEqualFrequencyHistogram:
+    def test_uniform_buckets(self, spark):
+        from mack_spark.operators.profile import equal_frequency_histogram
+
+        df = spark.createDataFrame([(i,) for i in range(1, 101)], "v long")
+        rows = equal_frequency_histogram(df, "v", 10).collect()
+        assert [r.bucket for r in rows] == list(range(1, 11))
+        assert all(r.n_rows == 10 for r in rows)
+        # bucket 1 open-ended low, bucket 10 open-ended high
+        assert rows[0].lo is None and rows[-1].hi is None
+        assert rows[0].hi == 10.0 and rows[1].lo == 10.0
+
+    def test_heavy_ties_stay_one_bucket(self, spark):
+        from mack_spark.operators.profile import equal_frequency_histogram
+
+        df = spark.createDataFrame(
+            [(1,)] * 95 + [(i,) for i in range(2, 7)], "v long"
+        )
+        rows = equal_frequency_histogram(df, "v", 10).collect()
+        by_bucket = {r.bucket: r for r in rows}
+        # the tied value never splits: bucket 1 holds all 95 ones
+        assert by_bucket[1].n_rows == 95
+        assert by_bucket[1].min_value == 1.0 and by_bucket[1].max_value == 1.0
+
+
+class TestEventDebounce:
+    def test_burst_heads_and_counts(self, spark):
+        from mack_spark.operators.sessionize import event_debounce
+
+        rows = [
+            # user 1, click burst of 3 within 300s, then a fresh one
+            (1, 1, "click", "2024-01-01 10:00:00"),
+            (2, 1, "click", "2024-01-01 10:02:00"),
+            (3, 1, "click", "2024-01-01 10:04:00"),
+            (4, 1, "click", "2024-01-01 11:00:00"),
+            # same user, other type: independent
+            (5, 1, "view", "2024-01-01 10:01:00"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = {r.event_id: r for r in event_debounce(df).collect()}
+        assert set(out) == {1, 4, 5}
+        assert out[1].n_suppressed == 2
+        assert out[4].n_suppressed == 0
+        assert out[5].n_suppressed == 0
+
+    def test_gap_boundary_is_strict(self, spark):
+        from mack_spark.operators.sessionize import event_debounce
+
+        rows = [
+            (1, 1, "click", "2024-01-01 10:00:00"),
+            (2, 1, "click", "2024-01-01 10:05:00"),  # exactly 300s: same burst
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = event_debounce(df, debounce_seconds=300).collect()
+        assert len(out) == 1 and out[0].event_id == 1 and out[0].n_suppressed == 1
