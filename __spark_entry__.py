@@ -613,6 +613,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_ngram_jaccard"] = q_jacc
 
+    def q_ngram_containment(spark, sf_dir):
+        # Asymmetric complement of dedup_ngram_jaccard over the same
+        # LSH candidate set: inter / min(|A|,|B|) exposes subset-copies
+        # that Jaccard dilutes (size-mismatched pairs).
+        from mack_spark.operators.dedup_text import ngram_containment_pairs
+
+        docs = _t(spark, sf_dir, "documents")
+        cands = lsh_candidate_pairs(docs)
+        return ngram_containment_pairs(
+            docs, min_containment=0.2, candidates=cands
+        )
+
+    q["dedup_ngram_containment"] = q_ngram_containment
+
+    def q_lang_split_check(spark, sf_dir):
+        from mack_spark.operators.textstats import lang_split_consistency
+
+        return lang_split_consistency(_t(spark, sf_dir, "documents"))
+
+    q["lang_split_check"] = q_lang_split_check
+
     def q_contamination(spark, sf_dir):
         from mack_spark.operators import contamination_check
 
@@ -1957,9 +1978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (d) round-6 NEW queries (no driver row yet), then oldest
         # r3-green fills riding the merge/commit layer
         "dedup_embedding_banded", "numeric_outliers", "event_debounce",
-        "doclen_deciles",
+        "doclen_deciles", "dedup_ngram_containment", "lang_split_check",
         "kill_duplicates", "drop_duplicates", "validate_append",
-        "dedup_exact", "sessionize", "dup_detect_groups",
+        "dedup_exact",
     ]
     assert len(front_r6) == 50, len(front_r6)
     fset = set(front_r6)
@@ -2901,6 +2922,40 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE inter / (sa.n + sb.n - inter) >= 0.1
+"""
+
+    # Asymmetric containment over the SAME candidate CTEs: inter over
+    # the smaller shingle set (subset-copy detector Jaccard dilutes).
+    o["dedup_ngram_containment"] = f"""
+WITH shingled AS (
+  SELECT doc_id, {sh} AS shl FROM documents
+), sig AS (
+  SELECT doc_id, {mh_defs} FROM (SELECT doc_id, shl AS sh FROM shingled)
+), bands AS (
+  {band_selects}
+), cpairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.band_key IS NOT NULL
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(shl)) AS s FROM shingled
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cpairs c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, inter,
+       sa.n AS n_a, sb.n AS n_b,
+       inter / least(sa.n, sb.n) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter / least(sa.n, sb.n) >= 0.2
 """
 
     o["contamination_check"] = f"""
@@ -4056,6 +4111,29 @@ SELECT label, pos,
          / CAST(count(*) AS DOUBLE) / 1000000.0 AS mean,
        count(*) AS n_vectors
 FROM e GROUP BY label, pos
+"""
+
+    # Mixed-language doc detector: the stopword vote (_lang_sql) over
+    # each half of the token stream; list_slice is end-INDEXED in
+    # DuckDB (begin..end inclusive) vs Spark slice's (start, LENGTH) —
+    # (1, n//2) and (n//2+1, n) describe the same halves in both.
+    _lsc_toks = _toks_sql("text")
+    _lsc_first = f"list_slice({_lsc_toks}, 1, len({_lsc_toks}) // 2)"
+    _lsc_second = (
+        f"list_slice({_lsc_toks}, len({_lsc_toks}) // 2 + 1, len({_lsc_toks}))"
+    )
+    o["lang_split_check"] = f"""
+WITH v AS (
+  SELECT doc_id,
+         CAST(len({_lsc_toks}) AS BIGINT) AS n_tokens,
+         {_lang_sql(_lsc_first)} AS lang_first,
+         {_lang_sql(_lsc_second)} AS lang_second
+  FROM documents
+)
+SELECT doc_id, n_tokens, lang_first, lang_second,
+       (lang_first <> lang_second
+        AND lang_first <> 'und' AND lang_second <> 'und') AS is_mixed
+FROM v
 """
 
     # Language-ID confusion matrix: declared lang vs the stopword-vote

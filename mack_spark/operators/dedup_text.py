@@ -304,6 +304,77 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= min_jaccard)
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    min_containment: float = 0.5,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: ``inter / min(|A|, |B|)`` — the
+    asymmetric complement of :func:`ngram_jaccard_pairs`. Jaccard
+    dilutes when sizes differ (a benchmark doc pasted verbatim into a
+    100× larger page scores ~0.01 Jaccard but 1.0 containment), so
+    containment is the decontamination/subset-copy detector (the
+    measure Lee et al. arXiv:2107.06499 §3 pair with Jaccard).
+
+    Same candidate-bounded plan as the Jaccard form: pass
+    ``lsh_candidate_pairs`` output at scale so the intersection walk is
+    O(candidates × shingles/doc), never a shingle self-join.
+
+    Returns ``(id_a, id_b, inter, n_a, n_b, containment)``.
+    """
+    shingled = (
+        exploded_shingles(df, text_col, id_col, shingle_size)
+        .select(F.col(id_col).alias("id"), F.col("sh"))
+        .dropDuplicates(["id", "sh"])
+        .persist()
+    )
+    shingled.count()
+    sizes = shingled.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if candidates is not None:
+        cand = candidates.select("id_a", "id_b").distinct()
+        ash = shingled.select(F.col("id").alias("id_a"), "sh")
+        bsh = shingled.select(F.col("id").alias("id_b"), "sh")
+        inter = (
+            cand.join(ash, "id_a")
+            .join(bsh, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        a, b = shingled.alias("a"), shingled.alias("b")
+        inter = (
+            a.join(
+                b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id"))
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+    out = (
+        inter.join(
+            sizes.withColumnsRenamed({"id": "sa", "n_sh": "n_a"}),
+            F.col("id_a") == F.col("sa"),
+        )
+        .join(
+            sizes.withColumnsRenamed({"id": "sb", "n_sh": "n_b"}),
+            F.col("id_b") == F.col("sb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "n_a",
+            "n_b",
+            (F.col("inter") / F.least("n_a", "n_b").cast("double")).alias(
+                "containment"
+            ),
+        )
+    )
+    return out.filter(F.col("containment") >= min_containment)
+
+
 def simhash_bits(
     df: DataFrame,
     text_col: str = "text",

@@ -311,6 +311,52 @@ def unigram_logprob_score(
     )
 
 
+def lang_split_consistency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mixed-language document detector: the stopword-vote language of
+    the FIRST half of the token stream vs the SECOND half. Disagreement
+    flags code-switched or concatenated-page documents — docs a
+    whole-doc language filter mislabels and a monolingual training mix
+    should drop or split.
+
+    Vote per half is exactly :func:`mack_spark.functions.lang_id`
+    (argmax stopword hits, en>de>fr tie order, 'und' on no hits); an
+    empty half (docs under 2 tokens) votes 'und'.
+
+    Returns ``(doc_id, n_tokens, lang_first, lang_second, is_mixed)``
+    where ``is_mixed`` = the halves disagree and NEITHER is 'und'.
+
+    SCALE: map-only — one tokenize, two array slices, six
+    ``stopword_hits`` folds per row; no explode, no shuffle, and the
+    scan reads only (id, text).
+    """
+    def _vote(arr):
+        s_en, s_de, s_fr = (mf.stopword_hits(arr, lg) for lg in ("en", "de", "fr"))
+        return (
+            F.when(s_en + s_de + s_fr == 0, F.lit("und"))
+            .when((s_en >= s_de) & (s_en >= s_fr), F.lit("en"))
+            .when(s_de >= s_fr, F.lit("de"))
+            .otherwise(F.lit("fr"))
+        )
+
+    toks = mf.tokens(F.col(text_col))
+    n = F.size(toks)
+    h = F.floor(n / F.lit(2)).cast("int")
+    first = F.slice(toks, F.lit(1), h)
+    second = F.slice(toks, h + F.lit(1), n - h)
+    lf, ls = _vote(first), _vote(second)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        lf.alias("lang_first"),
+        ls.alias("lang_second"),
+        ((lf != ls) & (lf != "und") & (ls != "und")).alias("is_mixed"),
+    )
+
+
 def vocab_census(
     df: DataFrame,
     text_col: str = "text",

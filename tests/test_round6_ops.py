@@ -133,3 +133,68 @@ class TestEventDebounce:
         ).withColumn("ts", F.to_timestamp("ts"))
         out = event_debounce(df, debounce_seconds=300).collect()
         assert len(out) == 1 and out[0].event_id == 1 and out[0].n_suppressed == 1
+
+
+class TestNgramContainment:
+    def test_subset_copy_scores_full_containment(self, spark):
+        """A doc fully pasted inside a much larger doc: Jaccard dilutes,
+        containment hits 1.0."""
+        from mack_spark.operators.dedup_text import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        small = "alpha beta gamma delta epsilon zeta"
+        big = small + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+        df = spark.createDataFrame(
+            [(1, small), (2, big)], "doc_id long, text string"
+        )
+        cont = ngram_containment_pairs(df, min_containment=0.9).collect()
+        assert len(cont) == 1
+        r = cont[0]
+        assert (r.id_a, r.id_b) == (1, 2) and r.containment == 1.0
+        jac = ngram_jaccard_pairs(df, min_jaccard=0.0).collect()[0]
+        assert jac.jaccard < 0.1  # the dilution containment exists to fix
+
+    def test_candidate_bounded(self, spark):
+        from mack_spark.operators.dedup_text import ngram_containment_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")],
+            "doc_id long, text string",
+        )
+        cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        out = ngram_containment_pairs(df, candidates=cands).collect()
+        assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+
+class TestLangSplitConsistency:
+    def test_mixed_doc_flagged(self, spark):
+        from mack_spark.operators.textstats import lang_split_consistency
+
+        en = "the cat sat of the mat and the dog is in the house to stay"
+        de = "der hund ist nicht das problem und die katze ist ein tier"
+        df = spark.createDataFrame(
+            [
+                (1, en + " " + de),   # half en, half de -> mixed
+                (2, en + " " + en),   # en throughout
+                (3, "zz qq ww"),      # no stopwords -> und, never mixed
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in lang_split_consistency(df).collect()}
+        assert out[1].is_mixed and out[1].lang_first == "en" and out[1].lang_second == "de"
+        assert not out[2].is_mixed and out[2].lang_first == "en"
+        assert not out[3].is_mixed and out[3].lang_first == "und"
+
+    def test_empty_and_single_token(self, spark):
+        from mack_spark.operators.textstats import lang_split_consistency
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "the")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in lang_split_consistency(df).collect()}
+        # 1-token doc: first half empty (und), second half holds the token
+        assert out[1].lang_first == "und" and not out[1].is_mixed
+        assert out[2].lang_first == "und" and out[2].lang_second == "en"
+        assert not out[2].is_mixed
