@@ -942,3 +942,33 @@ def span_contamination(
         )
         .orderBy("bench_id")
     )
+
+
+def append_to_lsh_index(index, batch: DataFrame, text_col: str = "text"):
+    """Incrementally ADD a batch to a persisted :func:`build_lsh_index`
+    table — the accept-side of the incremental-ingest loop (probe with
+    :func:`lsh_pairs_against_index`, drop dups, then append survivors
+    here). Band rows are computed with the index's OWN stored
+    parameters (hash count, bands, shingle size from table properties),
+    so probe results after the append are identical to a full rebuild
+    over corpus ∪ batch — banding is per-document, there is no global
+    fit to go stale.
+
+    SCALE: the append writes only the batch's band rows (no corpus
+    rewrite, no re-shingle). Appended files aren't range-clustered with
+    the original ones, so footer pruning degrades gradually as appends
+    accumulate; re-run :func:`build_lsh_index` (the OPTIMIZE analogue)
+    when probe scans start reading too many files.
+    """
+    props = index.detail()["properties"]
+    id_col = props["mack.lsh.id_col"]
+    num_hashes = int(props["mack.lsh.num_hashes"])
+    bands = int(props["mack.lsh.bands"])
+    shingle_size = int(props["mack.lsh.shingle_size"])
+    sigs = minhash_signatures(batch, text_col, id_col, num_hashes, shingle_size)
+    rows = _band_rows(sigs, id_col, num_hashes, bands)
+    clustered = rows.repartitionByRange(
+        max(1, min(4, bands)), "band", "band_key"
+    ).sortWithinPartitions("band", "band_key")
+    index.append(clustered)
+    return index

@@ -467,22 +467,38 @@ def embedding_near_dup_pairs_banded(
     """
     if bits_per_table is None:
         bits_per_table = near_dup_bits_for(corpus.count(), target_bucket_rows)
-    cand = None
-    for t in range(n_tables):
-        b_t = corpus.select(
-            F.col(id_col).alias("id"),
-            lsh_bucket_int_table(F.col(vec_col), bits_per_table, dim, t).alias(
-                "bucket"
-            ),
-        )
-        a, b = b_t.alias("a"), b_t.alias("b")
-        pairs_t = a.join(
+    # ALL tables' buckets in one scan: explode (table, bucket) structs
+    # and self-join once on the composite (table, bucket) key — the
+    # _band_rows shape. One corpus scan + one shuffle regardless of
+    # n_tables, vs n_tables scans + n_tables shuffles for per-table
+    # joins (the union of per-table joins is plan-identical otherwise).
+    keyed = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket_int_table(
+                            F.col(vec_col), bits_per_table, dim, t
+                        ).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "tb.tbl", "tb.bucket")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
-        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
-    cand = cand.distinct()
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
     vecs = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -1224,3 +1240,59 @@ def embedding_diversity(
         "n_vectors",
         mean_cos.alias("mean_pairwise_cos"),
     ).orderBy(group_col)
+
+
+def append_to_ivf_index(index, new_vectors: DataFrame, vec_col: str = "embedding"):
+    """Incrementally ADD vectors to a persisted :func:`build_ivf_index`
+    table without refitting: new vectors are assigned to cells with the
+    index's OWN stored centroids (table properties), PQ-encoded with
+    the stored codebooks when the index carries them, and appended.
+    Probes via :func:`ivf_topk_from_index` after the append return
+    exactly what a rebuild with the same centroids would — the coarse
+    quantizer is frozen at fit time, so assignment is a pure function.
+
+    SCALE: assignment is broadcast-centroids + map-side argmax over the
+    batch only; the append writes batch-sized files (no corpus
+    rewrite). Two caveats, both standard IVF operations: appended files
+    are clustered within themselves but not merged with the old cell
+    ranges (re-run :func:`build_ivf_index` as OPTIMIZE when probe scans
+    stop pruning), and centroid drift under a shifting distribution
+    needs a periodic refit — this function is the fast path between
+    those maintenance points.
+    """
+    import json as _json
+
+    spark = new_vectors.sparkSession
+    props = index.detail()["properties"]
+    id_col = props.get("mack.ivf.id_col", "vec_id")
+    center_rows = _json.loads(props["mack.ivf.centroids"])
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in center_rows],
+            "cid bigint, cvec array<double>",
+        ).select("cid", "cvec", mf.l2_norm(F.col("cvec")).alias("cnrm"))
+    )
+    lists = _ivf_corpus_cells(new_vectors, cents, id_col, vec_col).select(
+        F.col("neighbor_id").alias(id_col),
+        F.col("nvec").alias("vec"),
+        F.col("nnrm").alias("nrm"),
+        "cell",
+    )
+    if "mack.pq.codebooks" in props:
+        import numpy as np
+
+        from mack_spark.operators.pq import encode_pq
+
+        books = np.array(_json.loads(props["mack.pq.codebooks"]), dtype=np.float64)
+        codes = encode_pq(new_vectors, books, id_col, vec_col).withColumnRenamed(
+            id_col, "__cid_join"
+        )
+        lists = lists.join(codes, F.col(id_col) == F.col("__cid_join")).drop(
+            "__cid_join"
+        )
+    n_cells = int(props.get("mack.ivf.n_cells", "8"))
+    clustered = lists.repartitionByRange(
+        max(1, min(n_cells, 4)), "cell"
+    ).sortWithinPartitions("cell")
+    index.append(clustered)
+    return index

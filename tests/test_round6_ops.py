@@ -198,3 +198,66 @@ class TestLangSplitConsistency:
         assert out[1].lang_first == "und" and not out[1].is_mixed
         assert out[2].lang_first == "und" and out[2].lang_second == "en"
         assert not out[2].is_mixed
+
+
+class TestIndexAppend:
+    def test_lsh_append_equals_rebuild(self, spark, tmp_path):
+        """Probing after append_to_lsh_index == probing a full rebuild
+        over corpus+batch (banding is per-doc; nothing goes stale)."""
+        from mack_spark.operators.dedup_text import (
+            append_to_lsh_index,
+            build_lsh_index,
+            lsh_pairs_against_index,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        base = docs.filter("doc_id % 5 IN (1, 2)")
+        batch = docs.filter("doc_id % 5 = 3")
+        probe = docs.filter("doc_id % 5 = 0")
+
+        idx = build_lsh_index(base, str(tmp_path / "inc"))
+        append_to_lsh_index(idx, batch)
+        got = {
+            (r.new_id, r.old_id, r.est_jaccard)
+            for r in lsh_pairs_against_index(idx, probe).collect()
+        }
+        full = build_lsh_index(
+            base.unionByName(batch), str(tmp_path / "full")
+        )
+        want = {
+            (r.new_id, r.old_id, r.est_jaccard)
+            for r in lsh_pairs_against_index(full, probe).collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_ivf_append_equals_rebuild_with_frozen_centroids(self, spark, tmp_path):
+        """'first' centroids come from the lowest ids, which live in the
+        base corpus — so a rebuild over base+batch picks the SAME
+        centroids and must agree with the appended index exactly."""
+        from mack_spark.operators.similarity import (
+            append_to_ivf_index,
+            build_ivf_index,
+            ivf_topk_from_index,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        base = emb.filter("vec_id < 400")
+        batch = emb.filter("vec_id >= 400")
+        queries = emb.filter("vec_id % 100 = 7")
+
+        idx = build_ivf_index(
+            base, str(tmp_path / "ivf_inc"), n_cells=4, centroids="first"
+        )
+        append_to_ivf_index(idx, batch)
+        got = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_topk_from_index(idx, queries, k=5).collect()
+        }
+        full = build_ivf_index(
+            emb, str(tmp_path / "ivf_full"), n_cells=4, centroids="first"
+        )
+        want = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_topk_from_index(full, queries, k=5).collect()
+        }
+        assert got == want and len(want) > 0
