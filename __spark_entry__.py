@@ -1666,6 +1666,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doclen_deciles"] = q_doclen_deciles
 
+    def q_length_drift_psi(spark, sf_dir):
+        # Ingest-drift alarm between two deterministic snapshot halves:
+        # expected = even doc_ids, actual = odd. The halves are i.i.d.
+        # here, so psi_terms should hover near 0 — the oracle pins the
+        # arithmetic, tests pin the drift-detection behavior.
+        from mack_spark.operators.profile import population_stability
+
+        docs = _t(spark, sf_dir, "documents")
+        return population_stability(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            "n_chars",
+        )
+
+    q["length_drift_psi"] = q_length_drift_psi
+
     def q_span_contamination(spark, sf_dir):
         # Same corpus/benchmark split as contamination_check (%97),
         # but exact-substring: which benchmark 8-grams appear verbatim
@@ -1979,8 +1995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3-green fills riding the merge/commit layer
         "dedup_embedding_banded", "numeric_outliers", "event_debounce",
         "doclen_deciles", "dedup_ngram_containment", "lang_split_check",
+        "length_drift_psi",
         "kill_duplicates", "drop_duplicates", "validate_append",
-        "dedup_exact",
     ]
     assert len(front_r6) == 50, len(front_r6)
     fset = set(front_r6)
@@ -4111,6 +4127,59 @@ SELECT label, pos,
          / CAST(count(*) AS DOUBLE) / 1000000.0 AS mean,
        count(*) AS n_vectors
 FROM e GROUP BY label, pos
+"""
+
+    # PSI drift between the even/odd doc_id halves: decile cutpoints
+    # from the EXPECTED half only (same rank rule + pivot as
+    # doclen_deciles), both halves bucketed by the same first-match
+    # CASE, Laplace-smoothed shares, identical IEEE expression tree.
+    _psi_case = "CASE " + " ".join(
+        f"WHEN v <= c{i + 1} THEN {i + 1}" for i in range(9)
+    ) + " ELSE 10 END"
+    _psi_p = "(n_expected + 0.5) / (ta + 5.0)"
+    _psi_q = "(n_actual + 0.5) / (tb + 5.0)"
+    o["length_drift_psi"] = f"""
+WITH exp_vals AS (
+  SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+  WHERE n_chars IS NOT NULL AND doc_id % 2 = 0
+),
+act_vals AS (
+  SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+  WHERE n_chars IS NOT NULL AND doc_id % 2 = 1
+),
+counts AS (SELECT v AS value, count(*) AS cnt FROM exp_vals GROUP BY v),
+cum AS (
+  SELECT value,
+         sum(cnt) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER () AS total
+  FROM counts
+),
+cuts AS (
+  SELECT p, min(value) AS cut
+  FROM cum CROSS JOIN (SELECT unnest([{', '.join(repr(p) for p in _dec_ps)}]) AS p)
+  WHERE cum >= ceil(p * total) GROUP BY p
+),
+cutrow AS (SELECT {_dec_pivot} FROM cuts),
+ce AS (
+  SELECT {_psi_case} AS bucket, count(*) AS n_expected
+  FROM exp_vals CROSS JOIN cutrow GROUP BY 1
+),
+ca AS (
+  SELECT {_psi_case} AS bucket, count(*) AS n_actual
+  FROM act_vals CROSS JOIN cutrow GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(ce.bucket, ca.bucket) AS bucket,
+         CAST(COALESCE(n_expected, 0) AS BIGINT) AS n_expected,
+         CAST(COALESCE(n_actual, 0) AS BIGINT) AS n_actual
+  FROM ce FULL OUTER JOIN ca ON ce.bucket = ca.bucket
+),
+t AS (SELECT sum(n_expected) AS ta, sum(n_actual) AS tb FROM j)
+SELECT CAST(bucket AS INTEGER) AS bucket, n_expected, n_actual,
+       round({_psi_p}, 6) AS p_expected,
+       round({_psi_q}, 6) AS p_actual,
+       round(({_psi_q} - {_psi_p}) * ln(({_psi_q}) / ({_psi_p})), 6) AS psi_term
+FROM j CROSS JOIN t ORDER BY bucket
 """
 
     # Mixed-language doc detector: the stopword vote (_lang_sql) over

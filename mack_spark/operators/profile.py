@@ -529,3 +529,76 @@ def equal_frequency_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def population_stability(
+    df_expected: DataFrame,
+    df_actual: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    num_range_partitions: int = 32,
+) -> DataFrame:
+    """Population Stability Index between two corpus snapshots — the
+    standard ingest-drift alarm (PSI < 0.1 stable, 0.1-0.25 drifting,
+    > 0.25 shifted): bucket BOTH sides at the EXPECTED side's exact
+    decile cutpoints, compare the share of each bucket.
+
+    Per bucket: ``psi_term = (q - p) * ln(q / p)`` with
+    ``p = (n_exp + 0.5) / (total_exp + 0.5 * n_buckets)`` (and likewise
+    q) — Laplace-smoothed so an empty bucket on either side stays
+    finite and the formula is a pure function both engines replay.
+    Total PSI = sum of the terms.
+
+    Returns ``(bucket, n_expected, n_actual, p_expected, p_actual,
+    psi_term)`` — one row per bucket, shares and terms rounded to 6.
+
+    SCALE: cutpoints via the distributed prefix-sum over the expected
+    side only; both bucketing passes are map-only CASE + an
+    ``n_buckets``-group aggregate; the bucket join is trivially
+    broadcast. Nothing rescans either corpus twice.
+    """
+    ps = [i / float(n_buckets) for i in range(1, n_buckets)]
+    cuts = [
+        float(r["value"])
+        for r in exact_percentiles(df_expected, col, ps, num_range_partitions)
+        .orderBy("p")
+        .collect()
+    ]
+
+    def _bucketed(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(col).cast("double")
+        bucket = F.lit(len(cuts) + 1)
+        for i in range(len(cuts) - 1, -1, -1):
+            bucket = F.when(v <= F.lit(cuts[i]), F.lit(i + 1)).otherwise(bucket)
+        return (
+            df.filter(v.isNotNull())
+            .select(bucket.cast("int").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    a = _bucketed(df_expected, "n_expected")
+    b = _bucketed(df_actual, "n_actual")
+    joined = a.join(b, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_expected", F.lit(0)).alias("n_expected"),
+        F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+    )
+    smooth = 0.5 * (len(cuts) + 1)
+    tot = joined.agg(
+        F.sum("n_expected").alias("ta"), F.sum("n_actual").alias("tb")
+    )
+    p = (F.col("n_expected") + F.lit(0.5)) / (F.col("ta") + F.lit(smooth))
+    q = (F.col("n_actual") + F.lit(0.5)) / (F.col("tb") + F.lit(smooth))
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_expected",
+            "n_actual",
+            F.round(p, 6).alias("p_expected"),
+            F.round(q, 6).alias("p_actual"),
+            F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )

@@ -261,3 +261,34 @@ class TestIndexAppend:
             for r in ivf_topk_from_index(full, queries, k=5).collect()
         }
         assert got == want and len(want) > 0
+
+
+class TestPopulationStability:
+    def test_identical_distributions_near_zero(self, spark):
+        from mack_spark.operators.profile import population_stability
+
+        df = spark.createDataFrame([(i % 100,) for i in range(1000)], "v long")
+        out = population_stability(df, df, "v").collect()
+        assert len(out) == 10
+        # p == q exactly -> every term is exactly 0
+        assert all(r.psi_term == 0.0 for r in out)
+
+    def test_shifted_distribution_flags(self, spark):
+        from mack_spark.operators.profile import population_stability
+
+        expected = spark.createDataFrame([(i % 100,) for i in range(1000)], "v long")
+        shifted = spark.createDataFrame(
+            [(50 + i % 100,) for i in range(1000)], "v long"
+        )
+        out = population_stability(expected, shifted, "v").collect()
+        total = sum(r.psi_term for r in out)
+        assert total > 0.25, total  # a half-range shift is a loud alarm
+
+    def test_empty_bucket_smoothing_finite(self, spark):
+        from mack_spark.operators.profile import population_stability
+
+        expected = spark.createDataFrame([(i,) for i in range(100)], "v long")
+        actual = spark.createDataFrame([(999,)], "v long")  # all in last bucket
+        out = population_stability(expected, actual, "v").collect()
+        import math
+        assert all(math.isfinite(r.psi_term) for r in out)
