@@ -1666,6 +1666,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doclen_deciles"] = q_doclen_deciles
 
+    def q_drop_near_duplicates(spark, sf_dir):
+        # The end-to-end content dedup: corpus in, near-dup-free corpus
+        # out (LSH -> components -> min-id survivor anti-join).
+        from mack_spark.operators.cluster import drop_near_duplicates
+
+        return drop_near_duplicates(_t(spark, sf_dir, "documents"))
+
+    q["drop_near_duplicates"] = q_drop_near_duplicates
+
     def q_length_drift_psi(spark, sf_dir):
         # Ingest-drift alarm between two deterministic snapshot halves:
         # expected = even doc_ids, actual = odd. The halves are i.i.d.
@@ -1995,8 +2004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3-green fills riding the merge/commit layer
         "dedup_embedding_banded", "numeric_outliers", "event_debounce",
         "doclen_deciles", "dedup_ngram_containment", "lang_split_check",
-        "length_drift_psi",
-        "kill_duplicates", "drop_duplicates", "validate_append",
+        "length_drift_psi", "drop_near_duplicates",
+        "kill_duplicates", "drop_duplicates",
     ]
     assert len(front_r6) == 50, len(front_r6)
     fset = set(front_r6)
@@ -2906,6 +2915,17 @@ WITH RECURSIVE shingled AS (
   SELECT e.v, w.comp FROM walk w JOIN edges e ON w.node = e.u
 )
 SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+"""
+
+    # End-to-end keep-one near-dup removal: the verified clusters CTE
+    # (min-reachable-id components over >=0.5-est-jaccard LSH pairs)
+    # nested, losers anti-joined out of the full corpus.
+    o["drop_near_duplicates"] = f"""
+WITH clusters AS ({o['dedup_clusters']}),
+losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
 """
 
     o["dedup_ngram_jaccard"] = f"""

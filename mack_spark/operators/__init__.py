@@ -9,10 +9,18 @@ mutation) so they compose with the table layer and the oracle harness.
 from mack_spark.operators.skew import key_skew_profile, salted_join
 from mack_spark.operators.profile import (
     column_profile,
+    equal_frequency_histogram,
     exact_percentiles,
     numeric_histogram,
+    numeric_outlier_fences,
+    population_stability,
 )
 from mack_spark.operators.dedup_text import (
+    append_to_lsh_index,
+    build_lsh_index,
+    lsh_pairs_against_index,
+    ngram_containment_pairs,
+    span_contamination,
     duplicated_ngram_spans,
     strip_duplicate_spans,
     exact_dedup_survivors,
@@ -32,6 +40,10 @@ from mack_spark.operators.shard import (
     write_training_shards,
 )
 from mack_spark.operators.similarity import (
+    append_to_ivf_index,
+    embedding_centroids_long,
+    embedding_near_dup_pairs_banded,
+    near_dup_bits_for,
     brute_force_topk,
     brute_force_topk_pandas,
     build_ivf_index,
@@ -50,6 +62,8 @@ from mack_spark.operators.similarity import (
     quantize_embeddings,
 )
 from mack_spark.operators.textstats import (
+    lang_split_consistency,
+    unigram_logprob_score,
     corpus_cube,
     corpus_rollup,
     doc_stats,
@@ -64,7 +78,7 @@ from mack_spark.operators.chunking import (
 from mack_spark.operators.audit import referential_audit
 from mack_spark.operators.cohort import retention_cohorts
 from mack_spark.operators.profile import exact_percentiles_multi, numeric_correlations
-from mack_spark.operators.sessionize import sessionize
+from mack_spark.operators.sessionize import event_debounce, gap_fill_daily, sessionize
 from mack_spark.operators.asof import asof_join
 from mack_spark.operators.cluster import connected_components, near_dup_clusters
 from mack_spark.operators.interval import interval_join
@@ -146,4 +160,20 @@ __all__ = [
     "retention_cohorts",
     "numeric_correlations",
     "exact_percentiles_multi",
+    "append_to_ivf_index",
+    "append_to_lsh_index",
+    "build_lsh_index",
+    "lsh_pairs_against_index",
+    "embedding_centroids_long",
+    "embedding_near_dup_pairs_banded",
+    "near_dup_bits_for",
+    "equal_frequency_histogram",
+    "numeric_outlier_fences",
+    "population_stability",
+    "ngram_containment_pairs",
+    "span_contamination",
+    "lang_split_consistency",
+    "unigram_logprob_score",
+    "event_debounce",
+    "gap_fill_daily",
 ]

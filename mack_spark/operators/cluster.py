@@ -122,3 +122,33 @@ def near_dup_clusters(
     return connected_components(pairs).select(
         F.col("node").alias(id_col), F.col("component").alias("cluster_id")
     )
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """THE end-to-end near-dup dedup: return the corpus with every
+    near-duplicate cluster collapsed to its min-id survivor — the
+    content-keyed twin of the reference's keep-one ``drop_duplicates``
+    (mack/__init__.py:262, column-equality there, minhash-LSH estimated
+    Jaccard >= ``min_est_jaccard`` here). Composes the whole pipeline a
+    user otherwise wires by hand: LSH banding → candidate pairs →
+    connected components → survivor anti-join.
+
+    Unclustered documents (no near-dup) pass through untouched;
+    clustered documents survive iff they ARE their cluster's id. The
+    survivor rule is deterministic (min id), so output is a pure
+    function of the corpus.
+
+    SCALE: inherits the banded-LSH candidate bound (no pair blowup),
+    the O(log diameter) pointer-doubling of connected_components, and
+    finishes with ONE left-anti join of the corpus against the small
+    non-survivor id set (clusters are rare relative to the corpus; the
+    anti-join side carries ids only, broadcastable in practice).
+    """
+    clusters = near_dup_clusters(df, text_col, id_col, min_est_jaccard)
+    losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(losers, id_col, "left_anti")

@@ -472,22 +472,31 @@ def embedding_near_dup_pairs_banded(
     # _band_rows shape. One corpus scan + one shuffle regardless of
     # n_tables, vs n_tables scans + n_tables shuffles for per-table
     # joins (the union of per-table joins is plan-identical otherwise).
-    keyed = corpus.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket_int_table(
-                            F.col(vec_col), bits_per_table, dim, t
-                        ).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("id", "tb.tbl", "tb.bucket")
+    # persist + eager fill: the self-join reads this frame on BOTH
+    # sides, and the bucket expression is n_tables × bits interpreted
+    # dot folds per row — without the persist Spark evaluates it twice
+    # (once per side). Narrow rows (id + 2 ints per table).
+    keyed = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            lsh_bucket_int_table(
+                                F.col(vec_col), bits_per_table, dim, t
+                            ).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        )
+        .select("id", "tb.tbl", "tb.bucket")
+        .persist()
+    )
+    keyed.count()
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(

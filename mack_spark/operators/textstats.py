@@ -329,12 +329,41 @@ def lang_split_consistency(
     Returns ``(doc_id, n_tokens, lang_first, lang_second, is_mixed)``
     where ``is_mixed`` = the halves disagree and NEITHER is 'und'.
 
-    SCALE: map-only — one tokenize, two array slices, six
-    ``stopword_hits`` folds per row; no explode, no shuffle, and the
-    scan reads only (id, text).
+    SCALE/shape: the doc_stats plan — tokenize ONCE, posexplode, and
+    take the 6 per-half stopword hits as conditional sums in one
+    aggregation (``pos < n/2`` picks the half; ``n`` rides along from
+    one pre-explode ``size()``). The naive form (two array slices + six
+    ``stopword_hits`` folds per row) is map-only but runs interpreted
+    array lambdas over ~8 re-splits of the text — measured 6.7s vs
+    ~1s at sf0.1. One shuffle on ``id_col``, combiner-friendly.
     """
-    def _vote(arr):
-        s_en, s_de, s_fr = (mf.stopword_hits(arr, lg) for lg in ("en", "de", "fr"))
+    toks = mf.tokens(F.col(text_col))
+    # repartition on the doc id BEFORE exploding (the exploded_shingles
+    # pattern): a few large input files would otherwise serialize the
+    # token explode on a handful of tasks, and the downstream groupBy
+    # needs hash(id) distribution anyway — measured 0.9s vs 8.3s at
+    # sf0.1 on a single-file input.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ex = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col), F.size(toks).alias("n"), F.posexplode(toks).alias("pos", "t")
+    )
+    half = F.col("pos") < F.floor(F.col("n") / F.lit(2))
+    hits = []
+    for lg in ("en", "de", "fr"):
+        in_lang = F.col("t").isin(mf.STOPWORDS[lg])
+        hits.append(
+            F.sum(F.when(half & in_lang, 1).otherwise(0)).alias(f"f_{lg}")
+        )
+        hits.append(
+            F.sum(F.when((~half) & in_lang, 1).otherwise(0)).alias(f"s_{lg}")
+        )
+    agg = ex.groupBy(id_col).agg(F.max("n").alias("n"), *hits)
+
+    def _vote(prefix):
+        s_en, s_de, s_fr = (
+            F.coalesce(F.col(f"{prefix}_{lg}"), F.lit(0))
+            for lg in ("en", "de", "fr")
+        )
         return (
             F.when(s_en + s_de + s_fr == 0, F.lit("und"))
             .when((s_en >= s_de) & (s_en >= s_fr), F.lit("en"))
@@ -342,15 +371,12 @@ def lang_split_consistency(
             .otherwise(F.lit("fr"))
         )
 
-    toks = mf.tokens(F.col(text_col))
-    n = F.size(toks)
-    h = F.floor(n / F.lit(2)).cast("int")
-    first = F.slice(toks, F.lit(1), h)
-    second = F.slice(toks, h + F.lit(1), n - h)
-    lf, ls = _vote(first), _vote(second)
-    return df.select(
+    base = df.select(F.col(id_col))
+    j = base.join(agg, id_col, "left")
+    lf, ls = _vote("f"), _vote("s")
+    return j.select(
         F.col(id_col),
-        n.cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_tokens"),
         lf.alias("lang_first"),
         ls.alias("lang_second"),
         ((lf != ls) & (lf != "und") & (ls != "und")).alias("is_mixed"),

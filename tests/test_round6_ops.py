@@ -292,3 +292,22 @@ class TestPopulationStability:
         out = population_stability(expected, actual, "v").collect()
         import math
         assert all(math.isfinite(r.psi_term) for r in out)
+
+
+class TestDropNearDuplicates:
+    def test_survivors_and_passthrough(self, spark):
+        from mack_spark.operators.cluster import drop_near_duplicates, near_dup_clusters
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = drop_near_duplicates(docs)
+        kept = {r.doc_id for r in out.select("doc_id").collect()}
+        clusters = near_dup_clusters(docs).collect()
+        losers = {r.doc_id for r in clusters if r.doc_id != r.cluster_id}
+        survivors = {r.cluster_id for r in clusters}
+        all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+        # exactly the corpus minus losers; every cluster keeps its min id
+        assert kept == all_ids - losers
+        assert survivors <= kept
+        assert len(losers) > 0  # testdata has real near-dups
+        # schema passes through untouched
+        assert out.columns == docs.columns
