@@ -324,6 +324,14 @@ def exact_percentiles_multi(
     import math
 
     spark = df.sparkSession
+    # Parallelize the map side when the input arrives under-partitioned
+    # (one or two parquet files): the stack explode and the partial
+    # aggregation otherwise serialize on those few tasks. Conditional —
+    # at real scale the input already has plenty of partitions and an
+    # unconditional exchange would be pure overhead.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < max(2, n_part // 2):
+        df = df.select(*cols).repartition(n_part)
     stacked = df.select(
         F.explode(
             F.array(

@@ -23,6 +23,7 @@ import datetime as dt
 import decimal
 import math
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -140,6 +141,11 @@ def compare(name: str, spark, con, sf_dir: str, sql: str | None, fn) -> str:
 
 def main():
     args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     only = set(args[1:]) if args and os.path.isdir(args[0]) else set(args)
     spark = get_session("oracle-check")
@@ -151,6 +157,7 @@ def main():
         )
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    record: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -161,11 +168,35 @@ def main():
         status = "PASS" if verdict.startswith(("OK", "ROWS_ONLY")) else "FAIL"
         if status == "FAIL":
             failures += 1
+        m = re.search(r"\((\d+) rows\)", verdict)
+        record[name] = {
+            "status": status,
+            "check": verdict.split(" ")[0],
+            "rows": int(m.group(1)) if m else None,
+        }
         print(f"[{status}] {name}: {verdict}", flush=True)
     extra_oracles = set(oracles) - set(qs)
     if extra_oracles:
         failures += 1
         print(f"[FAIL] oracle_sql keys without queries: {extra_oracles}")
+    if json_out:
+        import json
+
+        payload = {
+            "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+            "n_queries": len(record),
+            "n_pass": sum(1 for v in record.values() if v["status"] == "PASS"),
+            "n_hash_checked": sum(
+                1 for v in record.values() if v["check"] == "OK"
+            ),
+            "n_rows_only": sum(
+                1 for v in record.values() if v["check"] == "ROWS_ONLY"
+            ),
+            "queries": dict(sorted(record.items())),
+        }
+        with open(json_out, "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
     sys.exit(1 if failures else 0)
 
 
