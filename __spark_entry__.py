@@ -1675,6 +1675,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["drop_near_duplicates"] = q_drop_near_duplicates
 
+    def q_event_anomaly_hours(spark, sf_dir):
+        from mack_spark.operators.profile import count_anomaly_windows
+
+        return count_anomaly_windows(_t(spark, sf_dir, "events"))
+
+    q["event_anomaly_hours"] = q_event_anomaly_hours
+
+    def q_dedup_cluster_sizes(spark, sf_dir):
+        from mack_spark.operators.cluster import near_dup_cluster_sizes
+
+        return near_dup_cluster_sizes(_t(spark, sf_dir, "documents"))
+
+    q["dedup_cluster_sizes"] = q_dedup_cluster_sizes
+
     def q_length_drift_psi(spark, sf_dir):
         # Ingest-drift alarm between two deterministic snapshot halves:
         # expected = even doc_ids, actual = odd. The halves are i.i.d.
@@ -2005,7 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_banded", "numeric_outliers", "event_debounce",
         "doclen_deciles", "dedup_ngram_containment", "lang_split_check",
         "length_drift_psi", "drop_near_duplicates",
-        "kill_duplicates", "drop_duplicates",
+        "event_anomaly_hours", "dedup_cluster_sizes",
     ]
     assert len(front_r6) == 50, len(front_r6)
     fset = set(front_r6)
@@ -2926,6 +2940,15 @@ losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
 SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
 FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
 WHERE l.doc_id IS NULL
+"""
+
+    # Cluster-size histogram over the verified clusters CTE.
+    o["dedup_cluster_sizes"] = f"""
+WITH clusters AS ({o['dedup_clusters']}),
+pc AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM pc GROUP BY cluster_size ORDER BY cluster_size
 """
 
     o["dedup_ngram_jaccard"] = f"""
@@ -4147,6 +4170,41 @@ SELECT label, pos,
          / CAST(count(*) AS DOUBLE) / 1000000.0 AS mean,
        count(*) AS n_vectors
 FROM e GROUP BY label, pos
+"""
+
+    # Volume anomaly per event_type hour: integer sufficient statistics
+    # (n, Σc, Σc² — exact), mean/σ/z in the identical IEEE expression
+    # tree as operators/profile.count_anomaly_windows, rounded only at
+    # output; is_anomaly compares the UNROUNDED z.
+    _an_mean = "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+    _an_var = (
+        "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)"
+    )
+    _an_std = f"sqrt({_an_var})"
+    _an_z = (
+        f"CASE WHEN {_an_std} > 0 THEN "
+        f"(CAST(n_events AS DOUBLE) - {_an_mean}) / {_an_std} ELSE 0.0 END"
+    )
+    o["event_anomaly_hours"] = f"""
+WITH c AS (
+  SELECT event_type AS series, date_trunc('hour', ts) AS window_start,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT series, window_start, n_events,
+         count(*) OVER (PARTITION BY series) AS n,
+         sum(n_events) OVER (PARTITION BY series) AS s1,
+         sum(n_events * n_events) OVER (PARTITION BY series) AS s2
+  FROM c
+)
+SELECT series, window_start, n_events,
+       round({_an_mean}, 6) AS series_mean,
+       round({_an_std}, 6) AS series_std,
+       round({_an_z}, 6) AS zscore,
+       ({_an_z}) > 3.0 AS is_anomaly
+FROM s ORDER BY series, window_start
 """
 
     # PSI drift between the even/odd doc_id halves: decile cutpoints

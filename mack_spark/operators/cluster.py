@@ -152,3 +152,36 @@ def drop_near_duplicates(
     clusters = near_dup_clusters(df, text_col, id_col, min_est_jaccard)
     losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     return df.join(losers, id_col, "left_anti")
+
+
+def near_dup_cluster_sizes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Cluster-size histogram over :func:`near_dup_clusters`:
+    ``(cluster_size, n_clusters, n_docs)`` — the shape report a dedup
+    operator publishes before destructive removal (a fat head of
+    100-doc clusters means boilerplate or a mirror crawl, not organic
+    duplication, and usually wants different handling than pair dups).
+
+    SCALE: two tiny aggregations over the clusters frame (bounded by
+    clustered docs, not the corpus).
+    """
+    clusters = near_dup_clusters(df, text_col, id_col, min_est_jaccard)
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        per_cluster.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

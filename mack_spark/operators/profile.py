@@ -610,3 +610,62 @@ def population_stability(
         )
         .orderBy("bucket")
     )
+
+
+def count_anomaly_windows(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    window: str = "hour",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Volume-anomaly detection per series: truncate timestamps to
+    ``window``, count events per (series, window), and flag windows
+    whose count exceeds ``mean + z * stddev`` of that series' windows —
+    the standard ops alarm for traffic spikes / ingestion storms.
+
+    Exactly engine-replayable by construction: counts are integers, so
+    the per-series sufficient statistics (n, Σc, Σc²) are EXACT integer
+    sums (no float-order hazard); mean/σ derive from them in one fixed
+    IEEE expression tree (population σ, ``sqrt((Σc² - (Σc)²/n)/n)``),
+    and only the final z-score is rounded.
+
+    Returns ``(series, window_start, n_events, series_mean, series_std,
+    zscore, is_anomaly)`` — one row per observed window.
+
+    SCALE: one shuffle to the (series, window) counts (map-side
+    combinable); the per-series statistics are a window aggregation
+    over the counts frame (series-cardinality × windows rows, tiny);
+    nothing rescans the events.
+    """
+    counts = (
+        df.select(
+            F.col(series_col).alias("series"),
+            F.date_trunc(window, F.col(ts_col).cast("timestamp")).alias(
+                "window_start"
+            ),
+        )
+        .groupBy("series", "window_start")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("series")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("n_events").over(w)
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    mean = s1.cast("double") / n.cast("double")
+    var = (
+        s2.cast("double") - s1.cast("double") * s1.cast("double") / n.cast("double")
+    ) / n.cast("double")
+    std = F.sqrt(var)
+    z = F.when(std > 0, (F.col("n_events").cast("double") - mean) / std).otherwise(
+        F.lit(0.0)
+    )
+    return counts.select(
+        "series",
+        "window_start",
+        "n_events",
+        F.round(mean, 6).alias("series_mean"),
+        F.round(std, 6).alias("series_std"),
+        F.round(z, 6).alias("zscore"),
+        (z > F.lit(float(z_threshold))).alias("is_anomaly"),
+    ).orderBy("series", "window_start")

@@ -311,3 +311,50 @@ class TestDropNearDuplicates:
         assert len(losers) > 0  # testdata has real near-dups
         # schema passes through untouched
         assert out.columns == docs.columns
+
+
+class TestCountAnomalyWindows:
+    def test_spike_flagged(self, spark):
+        from mack_spark.operators.profile import count_anomaly_windows
+        from pyspark.sql import functions as F
+
+        # 30 quiet hours of 10 events + one 300-event spike
+        rows = []
+        eid = 0
+        for h in range(30):
+            for _ in range(10):
+                rows.append((eid, "click", f"2024-01-01 {h % 24:02d}:00:00"))
+                eid += 1
+        rows += [(eid + i, "click", "2024-02-01 00:00:00") for i in range(300)]
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = count_anomaly_windows(df)
+        anomalies = [r for r in out.collect() if r.is_anomaly]
+        assert len(anomalies) == 1 and anomalies[0].n_events == 300
+        assert anomalies[0].zscore > 3.0
+
+    def test_constant_series_never_anomalous(self, spark):
+        from mack_spark.operators.profile import count_anomaly_windows
+        from pyspark.sql import functions as F
+
+        rows = [(i, "view", f"2024-01-01 {i % 10:02d}:00:00") for i in range(100)]
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = count_anomaly_windows(df).collect()
+        assert all(not r.is_anomaly and r.zscore == 0.0 for r in out)
+
+
+class TestClusterSizes:
+    def test_histogram_consistent_with_clusters(self, spark):
+        from mack_spark.operators.cluster import (
+            near_dup_cluster_sizes,
+            near_dup_clusters,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        hist = near_dup_cluster_sizes(docs).collect()
+        clustered = near_dup_clusters(docs).count()
+        assert sum(r.n_docs for r in hist) == clustered
+        assert all(r.cluster_size >= 2 for r in hist)  # singletons never cluster
