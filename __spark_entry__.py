@@ -1675,6 +1675,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["drop_near_duplicates"] = q_drop_near_duplicates
 
+    def q_conversion_funnel(spark, sf_dir):
+        # Sequence-enforced view -> click -> purchase funnel (plain
+        # co-occurrence, what click_and_purchase measures, overcounts
+        # users who purchased before ever viewing).
+        from mack_spark.operators.sessionize import conversion_funnel
+
+        return conversion_funnel(_t(spark, sf_dir, "events"))
+
+    q["conversion_funnel"] = q_conversion_funnel
+
     def q_event_anomaly_hours(spark, sf_dir):
         from mack_spark.operators.profile import count_anomaly_windows
 
@@ -2012,14 +2022,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue", "discounted_revenue", "waiting_suppliers",
         "with_md5_cols", "is_composite_key_candidate",
         "find_composite_key_candidates", "doc_stats", "corpus_rollup",
-        "token_counts", "corpus_cube", "sample_deterministic",
+        "corpus_cube", "sample_deterministic",
         "sample_stratified",
         # (d) round-6 NEW queries (no driver row yet), then oldest
         # r3-green fills riding the merge/commit layer
         "dedup_embedding_banded", "numeric_outliers", "event_debounce",
         "doclen_deciles", "dedup_ngram_containment", "lang_split_check",
         "length_drift_psi", "drop_near_duplicates",
-        "event_anomaly_hours", "dedup_cluster_sizes",
+        "event_anomaly_hours", "dedup_cluster_sizes", "conversion_funnel",
     ]
     assert len(front_r6) == 50, len(front_r6)
     fset = set(front_r6)
@@ -4170,6 +4180,50 @@ SELECT label, pos,
          / CAST(count(*) AS DOUBLE) / 1000000.0 AS mean,
        count(*) AS n_vectors
 FROM e GROUP BY label, pos
+"""
+
+    # Sequence-enforced funnel: per-user chained step arrivals (step-k
+    # events at/after the step-(k-1) arrival), conversion vs previous
+    # step, mean delay from exact integer-microsecond sums. Mirrors
+    # operators/sessionize.conversion_funnel's expression tree.
+    o["conversion_funnel"] = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, s1.t1, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+  GROUP BY e.user_id, s1.t1
+),
+s3 AS (
+  SELECT e.user_id, s2.t2, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+  GROUP BY e.user_id, s2.t2
+),
+n1 AS (SELECT count(*) AS n FROM s1),
+n2 AS (SELECT count(*) AS n,
+              CAST(sum(date_diff('microsecond', t1, t2)) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) / 1000000.0 AS d FROM s2),
+n3 AS (SELECT count(*) AS n,
+              CAST(sum(date_diff('microsecond', t2, t3)) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) / 1000000.0 AS d FROM s3)
+SELECT 1 AS step, 'view' AS step_name, n AS n_users,
+       CAST(NULL AS DOUBLE) AS conversion, CAST(NULL AS DOUBLE) AS avg_delay_sec
+FROM n1
+UNION ALL
+SELECT 2, 'click', n2.n,
+       round(CAST(n2.n AS DOUBLE) / CAST(n1.n AS DOUBLE), 6),
+       round(n2.d, 6)
+FROM n2 CROSS JOIN n1
+UNION ALL
+SELECT 3, 'purchase', n3.n,
+       round(CAST(n3.n AS DOUBLE) / CAST(n2.n AS DOUBLE), 6),
+       round(n3.d, 6)
+FROM n3 CROSS JOIN n2
+ORDER BY step
 """
 
     # Volume anomaly per event_type hour: integer sufficient statistics

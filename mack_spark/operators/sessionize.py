@@ -163,3 +163,82 @@ def gap_fill_daily(
         )
         .orderBy("series", "day")
     )
+
+
+def conversion_funnel(
+    events: DataFrame,
+    steps: list | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel: a user reaches step k when an event of
+    that step's type occurs AT OR AFTER their step-(k−1) arrival — the
+    sequence-enforced funnel (plain type co-occurrence, what a semi-join
+    measures, overcounts users who purchased before ever viewing).
+
+    Returns one row per step: ``(step, step_name, n_users, conversion,
+    avg_delay_sec)`` — conversion is the share of the PREVIOUS step's
+    users (NULL for step 1), avg_delay_sec the mean seconds from the
+    previous step's arrival (exact integer-microsecond sums, so the
+    mean is order-independent).
+
+    SCALE: one filtered per-user min-aggregation per step, chained
+    through user-keyed joins — every frame after the first aggregation
+    is at most one row per surviving user, shrinking monotonically; the
+    final report is k single-row aggregates unioned. No window over the
+    raw events, no ordering pass.
+    """
+    steps = steps or ["view", "click", "purchase"]
+    ts = F.col(ts_col).cast("timestamp")
+    arrivals = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts).alias("t_prev"))
+    )
+    report = [
+        arrivals.agg(
+            F.lit(1).alias("step"),
+            F.lit(steps[0]).alias("step_name"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.lit(None).cast("double").alias("conversion"),
+            F.lit(None).cast("double").alias("avg_delay_sec"),
+        )
+    ]
+    prev = arrivals
+    for k, name in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == name)
+            .select(F.col(user_col), ts.alias("t_evt"))
+            .join(prev, user_col)
+            .filter(F.col("t_evt") >= F.col("t_prev"))
+            .groupBy(user_col, "t_prev")
+            .agg(F.min("t_evt").alias("t_cur"))
+        )
+        stats = nxt.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            (
+                F.sum(
+                    F.unix_micros(F.col("t_cur")) - F.unix_micros(F.col("t_prev"))
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("raw_delay"),
+        ).crossJoin(prev.agg(F.count(F.lit(1)).alias("n_prev")))
+        report.append(
+            stats.select(
+                F.lit(k).alias("step"),
+                F.lit(name).alias("step_name"),
+                F.col("n_users"),
+                F.round(
+                    F.col("n_users").cast("double") / F.col("n_prev").cast("double"),
+                    6,
+                ).alias("conversion"),
+                F.round(F.col("raw_delay"), 6).alias("avg_delay_sec"),
+            )
+        )
+        prev = nxt.select(user_col, F.col("t_cur").alias("t_prev"))
+    out = report[0]
+    for r in report[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step")

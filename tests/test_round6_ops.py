@@ -358,3 +358,45 @@ class TestClusterSizes:
         clustered = near_dup_clusters(docs).count()
         assert sum(r.n_docs for r in hist) == clustered
         assert all(r.cluster_size >= 2 for r in hist)  # singletons never cluster
+
+
+class TestConversionFunnel:
+    def test_sequence_enforced(self, spark):
+        from mack_spark.operators.sessionize import conversion_funnel
+        from pyspark.sql import functions as F
+
+        rows = [
+            # user 1: full ordered funnel (view 10:00, click 10:05, buy 10:20)
+            (1, 1, "view", "2024-01-01 10:00:00"),
+            (2, 1, "click", "2024-01-01 10:05:00"),
+            (3, 1, "purchase", "2024-01-01 10:20:00"),
+            # user 2: purchased BEFORE viewing -> must NOT count as converted
+            (4, 2, "purchase", "2024-01-01 09:00:00"),
+            (5, 2, "view", "2024-01-01 10:00:00"),
+            # user 3: view only
+            (6, 3, "view", "2024-01-01 10:00:00"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = {r.step_name: r for r in conversion_funnel(df).collect()}
+        assert out["view"].n_users == 3 and out["view"].conversion is None
+        assert out["click"].n_users == 1
+        assert out["click"].conversion == round(1 / 3, 6)
+        assert out["click"].avg_delay_sec == 300.0
+        assert out["purchase"].n_users == 1
+        assert out["purchase"].avg_delay_sec == 900.0
+
+    def test_same_timestamp_counts(self, spark):
+        from mack_spark.operators.sessionize import conversion_funnel
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, 1, "view", "2024-01-01 10:00:00"),
+            (2, 1, "click", "2024-01-01 10:00:00"),  # t >= t_prev: counts
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = {r.step_name: r for r in conversion_funnel(df).collect()}
+        assert out["click"].n_users == 1 and out["click"].avg_delay_sec == 0.0
