@@ -1675,6 +1675,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["drop_near_duplicates"] = q_drop_near_duplicates
 
+    def q_event_gap_quartiles(spark, sf_dir):
+        from mack_spark.operators.sessionize import event_gap_percentiles
+
+        return event_gap_percentiles(_t(spark, sf_dir, "events"))
+
+    q["event_gap_quartiles"] = q_event_gap_quartiles
+
     def q_conversion_funnel(spark, sf_dir):
         # Sequence-enforced view -> click -> purchase funnel (plain
         # co-occurrence, what click_and_purchase measures, overcounts
@@ -2022,14 +2029,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue", "discounted_revenue", "waiting_suppliers",
         "with_md5_cols", "is_composite_key_candidate",
         "find_composite_key_candidates", "doc_stats", "corpus_rollup",
-        "corpus_cube", "sample_deterministic",
-        "sample_stratified",
+        "corpus_cube", "sample_stratified",
         # (d) round-6 NEW queries (no driver row yet), then oldest
         # r3-green fills riding the merge/commit layer
         "dedup_embedding_banded", "numeric_outliers", "event_debounce",
         "doclen_deciles", "dedup_ngram_containment", "lang_split_check",
         "length_drift_psi", "drop_near_duplicates",
         "event_anomaly_hours", "dedup_cluster_sizes", "conversion_funnel",
+        "event_gap_quartiles",
     ]
     assert len(front_r6) == 50, len(front_r6)
     fset = set(front_r6)
@@ -4180,6 +4187,36 @@ SELECT label, pos,
          / CAST(count(*) AS DOUBLE) / 1000000.0 AS mean,
        count(*) AS n_vectors
 FROM e GROUP BY label, pos
+"""
+
+    # Inter-arrival quartiles per event type: exact integer-microsecond
+    # gaps (lag over the total (ts, event_id) order), grouped nearest-
+    # rank percentiles on the integer domain, seconds only at output.
+    o["event_gap_quartiles"] = """
+WITH g AS (
+  SELECT event_type,
+         date_diff('microsecond',
+           lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id),
+           ts) AS gap_us
+  FROM events
+),
+counts AS (
+  SELECT event_type AS grp, gap_us AS value, count(*) AS cnt
+  FROM g WHERE gap_us IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, value,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY value
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY grp) AS total
+  FROM counts
+),
+ps AS (SELECT unnest([0.25, 0.5, 0.75]) AS p)
+SELECT grp AS event_type, p,
+       round(CAST(min(value) AS DOUBLE) / 1000000.0, 6) AS gap_seconds
+FROM cum CROSS JOIN ps
+WHERE cum >= ceil(p * total)
+GROUP BY grp, p ORDER BY event_type, p
 """
 
     # Sequence-enforced funnel: per-user chained step arrivals (step-k

@@ -669,3 +669,50 @@ def count_anomaly_windows(
         F.round(z, 6).alias("zscore"),
         (z > F.lit(float(z_threshold))).alias("is_anomaly"),
     ).orderBy("series", "window_start")
+
+
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact nearest-rank percentiles PER GROUP: ``(group, p, value)``
+    with the shared rank rule (smallest value whose cumulative count
+    reaches ``ceil(p * n_group)``, NULLs excluded).
+
+    The windowed member of the percentile family: rows collapse to
+    per-(group, value) counts first, then ONE group-partitioned
+    cumulative window ranks each group's distinct values. Right when
+    groups are many and each group's distinct-value domain is modest
+    (event types, sources, shards) — the window sort is per-group, so
+    no global order and no single-partition stage. For ONE giant group
+    use :func:`exact_percentiles` (distributed prefix-sum); for few
+    fat groups needing medians-of-deviations use
+    :func:`grouped_robust_stats`.
+    """
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), F.col(value_col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("grp")
+    cum = counts.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "total", F.sum("cnt").over(w_all)
+    )
+    spark = df.sparkSession
+    ps_df = F.broadcast(
+        spark.createDataFrame([(float(p),) for p in ps], "p double")
+    )
+    return (
+        cum.crossJoin(ps_df)
+        .filter(F.col("cum") >= F.ceil(F.col("p") * F.col("total")))
+        .groupBy(F.col("grp").alias(group_col), "p")
+        .agg(F.min("value").alias("value"))
+        .orderBy(group_col, "p")
+    )

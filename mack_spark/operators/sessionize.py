@@ -242,3 +242,43 @@ def conversion_funnel(
     for r in report[1:]:
         out = out.unionByName(r)
     return out.orderBy("step")
+
+
+def event_gap_percentiles(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    ps: tuple = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Inter-arrival-time distribution per event type: exact nearest-
+    rank percentiles of the gap (seconds) between consecutive events of
+    the same type — the latency/cadence profile behind rate alarms and
+    debounce-threshold tuning (pair with :func:`event_debounce`).
+
+    Gaps are exact integer microseconds (lag over a total (ts, id)
+    order); the percentile runs on the integer domain and only the
+    OUTPUT converts to seconds, so there is no float-rank hazard.
+
+    Returns ``(event_type, p, gap_seconds)``.
+
+    SCALE: one shuffle on the type for the lag window, then the grouped
+    exact-percentile machinery over per-(type, gap) counts — the window
+    sort is per-type over distinct gap values, never a global order.
+    """
+    from mack_spark.operators.profile import grouped_exact_percentiles
+
+    ts = F.col(ts_col).cast("timestamp")
+    w = Window.partitionBy(type_col).orderBy(ts_col, id_col)
+    gaps = events.select(
+        F.col(type_col),
+        (F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    out = grouped_exact_percentiles(gaps, type_col, "gap_us", ps)
+    return out.select(
+        F.col(type_col),
+        "p",
+        F.round(F.col("value").cast("double") / F.lit(1000000.0), 6).alias(
+            "gap_seconds"
+        ),
+    )

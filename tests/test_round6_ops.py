@@ -400,3 +400,50 @@ class TestConversionFunnel:
         ).withColumn("ts", F.to_timestamp("ts"))
         out = {r.step_name: r for r in conversion_funnel(df).collect()}
         assert out["click"].n_users == 1 and out["click"].avg_delay_sec == 0.0
+
+
+class TestGroupedPercentiles:
+    def test_grouped_matches_rank_rule(self, spark):
+        from mack_spark.operators.profile import grouped_exact_percentiles
+
+        rows = [("a", v) for v in range(1, 101)] + [("b", v) for v in [10, 20, 30, 40]]
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = {(r.g, r.p): r.value for r in grouped_exact_percentiles(df, "g", "v").collect()}
+        # group a: ranks ceil(25)=25, ceil(50)=50, ceil(75)=75
+        assert out[("a", 0.25)] == 25 and out[("a", 0.5)] == 50 and out[("a", 0.75)] == 75
+        # group b (n=4): ranks 1, 2, 3
+        assert out[("b", 0.25)] == 10 and out[("b", 0.5)] == 20 and out[("b", 0.75)] == 30
+
+    def test_matches_single_column_machinery(self, spark):
+        """One group == the distributed prefix-sum exact_percentiles."""
+        from mack_spark.operators.profile import (
+            exact_percentiles,
+            grouped_exact_percentiles,
+        )
+
+        df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        g = df.withColumn("k", (df.o_orderkey * 0).cast("string"))
+        got = {
+            r.p: r.value
+            for r in grouped_exact_percentiles(g, "k", "o_totalprice").collect()
+        }
+        want = {
+            r.p: r.value
+            for r in exact_percentiles(df, "o_totalprice", (0.25, 0.5, 0.75)).collect()
+        }
+        assert got == want
+
+
+class TestEventGapPercentiles:
+    def test_known_gaps(self, spark):
+        from mack_spark.operators.sessionize import event_gap_percentiles
+        from pyspark.sql import functions as F
+
+        # gaps of 10, 20, 30, 40 seconds -> q1=10 (rank 1), med=20, q3=30
+        times = [0, 10, 30, 60, 100]
+        rows = [(i, "click", f"2024-01-01 00:{t // 60:02d}:{t % 60:02d}") for i, t in enumerate(times)]
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = {r.p: r.gap_seconds for r in event_gap_percentiles(df).collect()}
+        assert out == {0.25: 10.0, 0.5: 20.0, 0.75: 30.0}
