@@ -179,3 +179,43 @@ def test_skew_profile_uses_take_ordered(spark, queries):
     global sort of the whole count relation."""
     plan = _plan(queries["key_skew_profile"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_event_debounce_single_exchange(spark, queries):
+    """Window + per-burst groupBy share one (user, type) exchange: the
+    groupBy keys are a superset of the window's partition keys, so
+    EnsureRequirements must not add a second shuffle."""
+    plan = _plan(queries["event_debounce"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_lang_split_check_one_exchange_no_join(spark, queries):
+    """Pre-explode repartition is the only exchange (the per-doc groupBy
+    reuses it); the zero-token restore is a join of the id spine."""
+    plan = _plan(queries["lang_split_check"](spark, SF_DIR))
+    # repartition exchange + the spine join's broadcast — but no
+    # second hash-partition shuffle for the aggregation
+    assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", plan)) <= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_banded_near_dup_reuses_one_keyed_frame(spark, queries):
+    """The (id, table, bucket) frame is persisted and self-joined once:
+    the plan must show InMemoryTableScan on both join sides and no
+    cartesian anywhere."""
+    plan = _plan(queries["dedup_embedding_banded"](spark, SF_DIR))
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_numeric_outliers_counting_pass_is_map_only(spark, queries):
+    """After the (collected) quartiles, the counting pass is a single
+    partial+final aggregate over the scan — no joins, no windows."""
+    plan = _plan(queries["numeric_outliers"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_conversion_funnel_no_window_over_events(spark, queries):
+    plan = _plan(queries["conversion_funnel"](spark, SF_DIR))
+    assert "Window" not in plan  # chained min-aggregations, no ordering pass

@@ -257,3 +257,85 @@ def test_scd2_random_batches_match_model(seed):
             for r in _scd2_expected(base_rows, updates, eff)
         )
         assert got == want, f"seed={seed}"
+
+
+@given(
+    st.integers(min_value=1, max_value=10**12),
+    st.integers(min_value=16, max_value=4096),
+)
+@settings(max_examples=200, deadline=None)
+def test_near_dup_bits_bucket_target_band(n, target):
+    """bits = ceil(log2(n/target)) keeps the expected bucket population
+    in (target/2, target] whenever the corpus exceeds the target, and
+    is monotone non-decreasing in n."""
+    from mack_spark.operators.similarity import near_dup_bits_for
+
+    bits = near_dup_bits_for(n, target)
+    assert bits >= 1
+    if n > target and bits > 1:
+        expected = n / 2**bits
+        assert expected <= target + 1e-9
+        assert expected > target / 2 - 1e-9
+    assert near_dup_bits_for(2 * n, target) >= bits
+
+
+def test_event_debounce_conservation_random(spark):
+    """∀ random event streams: every event is either kept or counted in
+    exactly one kept head's n_suppressed."""
+    from mack_spark.operators.sessionize import event_debounce
+
+    rng = random.Random(1234)
+    rows = []
+    for eid in range(400):
+        rows.append(
+            (
+                eid,
+                rng.randrange(5),
+                rng.choice(["a", "b"]),
+                f"2024-01-01 {rng.randrange(24):02d}:{rng.randrange(60):02d}:{rng.randrange(60):02d}",
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    kept = event_debounce(df, debounce_seconds=600).collect()
+    assert len(kept) + sum(r.n_suppressed for r in kept) == 400
+    # heads are genuine minima: no kept event within its own burst window
+    # precedes another kept event of the same (user, type) by <= gap
+    by_key = {}
+    for r in kept:
+        by_key.setdefault((r.user_id, r.event_type), []).append(r.ts)
+    for ts_list in by_key.values():
+        ts_sorted = sorted(ts_list)
+        for a, b in zip(ts_sorted, ts_sorted[1:]):
+            assert (b - a).total_seconds() > 600
+
+
+def test_psi_terms_nonnegative_random(spark):
+    """Every PSI term (q-p)·ln(q/p) is ≥ 0 by construction — on random
+    disjoint splits the operator must never emit a negative term."""
+    from mack_spark.operators.profile import population_stability
+
+    rng = random.Random(99)
+    rows = [(rng.lognormvariate(5, 1),) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "v double")
+    a = df.filter(F.rand(7) < 0.5)
+    b = df.subtract(a)
+    out = population_stability(a, b, "v").collect()
+    assert all(r.psi_term >= 0 for r in out)
+    assert sum(r.n_expected for r in out) == a.count()
+    assert sum(r.n_actual for r in out) == b.count()
+
+
+def test_equal_frequency_histogram_partitions_rows_random(spark):
+    """Buckets partition the rows: counts sum to n, value ranges are
+    ordered and non-overlapping."""
+    from mack_spark.operators.profile import equal_frequency_histogram
+
+    rng = random.Random(5)
+    rows = [(rng.randrange(1000),) for _ in range(3000)]
+    df = spark.createDataFrame(rows, "v long")
+    hist = equal_frequency_histogram(df, "v", 10).collect()
+    assert sum(r.n_rows for r in hist) == 3000
+    for x, y in zip(hist, hist[1:]):
+        assert x.max_value <= y.min_value
