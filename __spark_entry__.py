@@ -1675,6 +1675,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["drop_near_duplicates"] = q_drop_near_duplicates
 
+    def q_semantic_dedup_report(spark, sf_dir):
+        # SemDeDup-style per-label removal profile over the banded
+        # cosine pair graph (threshold pinned where the synthetic
+        # embeddings actually have pair structure).
+        from mack_spark.operators.cluster import semantic_dedup_report
+
+        return semantic_dedup_report(
+            _t(spark, sf_dir, "embeddings"),
+            threshold=0.3,
+            n_tables=3,
+            bits_per_table=6,
+        )
+
+    q["semantic_dedup_report"] = q_semantic_dedup_report
+
     def q_event_gap_quartiles(spark, sf_dir):
         from mack_spark.operators.sessionize import event_gap_percentiles
 
@@ -2027,7 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_volume", "market_share", "product_profit",
         "customer_order_distribution", "promo_revenue",
         "small_quantity_revenue", "discounted_revenue", "waiting_suppliers",
-        "with_md5_cols", "is_composite_key_candidate",
+        "is_composite_key_candidate",
         "find_composite_key_candidates", "doc_stats", "corpus_rollup",
         "corpus_cube", "sample_stratified",
         # (d) round-6 NEW queries (no driver row yet), then oldest
@@ -2036,7 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclen_deciles", "dedup_ngram_containment", "lang_split_check",
         "length_drift_psi", "drop_near_duplicates",
         "event_anomaly_hours", "dedup_cluster_sizes", "conversion_funnel",
-        "event_gap_quartiles",
+        "event_gap_quartiles", "semantic_dedup_report",
     ]
     assert len(front_r6) == 50, len(front_r6)
     fset = set(front_r6)
@@ -3193,6 +3208,32 @@ scored AS (
 )
 SELECT id_a, id_b, CAST(round(cos, 4) AS DOUBLE) AS cos_sim
 FROM scored WHERE cos >= 0.3
+"""
+
+    # SemDeDup-style per-label removal profile: the verified banded-pair
+    # query nested, min-reachable-id components via the recursive walk
+    # (same pattern dedup_clusters validates), loser rollup per label.
+    o["semantic_dedup_report"] = f"""
+WITH RECURSIVE pairs AS ({o['dedup_embedding_banded']}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+walk(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON w.node = e.u
+),
+comp AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+losers AS (SELECT node FROM comp WHERE node <> comp)
+SELECT e.label, count(*) AS n_vectors,
+       CAST(sum(CASE WHEN l.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       round(1.0 - CAST(sum(CASE WHEN l.node IS NOT NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS keep_ratio
+FROM embeddings e LEFT JOIN losers l ON e.vec_id = l.node
+GROUP BY e.label ORDER BY e.label
 """
 
     # Tukey IQR fences per numeric column: nearest-rank quartiles via

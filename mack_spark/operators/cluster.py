@@ -185,3 +185,66 @@ def near_dup_cluster_sizes(
         )
         .orderBy("cluster_size")
     )
+
+
+def semantic_dedup_report(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 3,
+    bits_per_table: int | None = None,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup, reported per group BEFORE any
+    destructive removal: banded-LSH cosine pairs → connected
+    components → min-id survivors, rolled up to ``(group, n_vectors,
+    n_removed, keep_ratio)``. The per-topic removal profile is the
+    input a mixture builder inspects first — semantic dup rates differ
+    wildly by source/topic, and uniform removal quotas over-prune the
+    clean groups.
+
+    SCALE: inherits the banded candidate bound (linear in n at
+    scale-aware bits), pointer-doubling components (O(log diameter)
+    rounds over the PAIR graph, which is far smaller than the corpus),
+    and finishes with one left join of the corpus against the loser id
+    set + a group-cardinality aggregation.
+    """
+    from mack_spark.operators.similarity import embedding_near_dup_pairs_banded
+
+    pairs = embedding_near_dup_pairs_banded(
+        corpus,
+        threshold=threshold,
+        n_tables=n_tables,
+        bits_per_table=bits_per_table,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    flagged = corpus.join(
+        losers.withColumn("__loser", F.lit(1)), id_col, "left"
+    )
+    return (
+        flagged.groupBy(F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.coalesce(F.col("__loser"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .select(
+            group_col,
+            "n_vectors",
+            "n_removed",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_removed").cast("double")
+                / F.col("n_vectors").cast("double"),
+                6,
+            ).alias("keep_ratio"),
+        )
+        .orderBy(group_col)
+    )

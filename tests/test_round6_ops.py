@@ -447,3 +447,34 @@ class TestEventGapPercentiles:
         ).withColumn("ts", F.to_timestamp("ts"))
         out = {r.p: r.gap_seconds for r in event_gap_percentiles(df).collect()}
         assert out == {0.25: 10.0, 0.5: 20.0, 0.75: 30.0}
+
+
+class TestSemanticDedupReport:
+    def test_report_consistent_with_components(self, spark):
+        from mack_spark.operators.cluster import semantic_dedup_report
+        from mack_spark.operators.similarity import embedding_near_dup_pairs_banded
+        from mack_spark.operators.cluster import connected_components
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rep = semantic_dedup_report(
+            emb, threshold=0.3, n_tables=3, bits_per_table=6
+        ).collect()
+        assert sum(r.n_vectors for r in rep) == 500
+        pairs = embedding_near_dup_pairs_banded(
+            emb, threshold=0.3, n_tables=3, bits_per_table=6
+        )
+        comp = connected_components(pairs.select("id_a", "id_b"))
+        losers = comp.filter("node != component").count()
+        assert sum(r.n_removed for r in rep) == losers
+        assert all(0 <= r.keep_ratio <= 1 for r in rep)
+
+    def test_no_pairs_means_full_keep(self, spark):
+        from mack_spark.operators.cluster import semantic_dedup_report
+
+        rows = [(1, [1.0, 0.0], 0), (2, [-1.0, 0.0], 0), (3, [0.0, 1.0], 1)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        rep = semantic_dedup_report(df, threshold=0.99, n_tables=2, bits_per_table=1, )
+        out = {r.label: r for r in rep.collect()}
+        assert all(r.n_removed == 0 and r.keep_ratio == 1.0 for r in out.values())
