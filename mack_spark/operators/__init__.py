@@ -9,8 +9,10 @@ mutation) so they compose with the table layer and the oracle harness.
 from mack_spark.operators.skew import key_skew_profile, salted_join
 from mack_spark.operators.profile import (
     column_profile,
+    count_anomaly_windows,
     equal_frequency_histogram,
     exact_percentiles,
+    grouped_exact_percentiles,
     numeric_histogram,
     numeric_outlier_fences,
     population_stability,
@@ -78,9 +80,21 @@ from mack_spark.operators.chunking import (
 from mack_spark.operators.audit import referential_audit
 from mack_spark.operators.cohort import retention_cohorts
 from mack_spark.operators.profile import exact_percentiles_multi, numeric_correlations
-from mack_spark.operators.sessionize import event_debounce, gap_fill_daily, sessionize
+from mack_spark.operators.sessionize import (
+    conversion_funnel,
+    event_debounce,
+    event_gap_percentiles,
+    gap_fill_daily,
+    sessionize,
+)
 from mack_spark.operators.asof import asof_join
-from mack_spark.operators.cluster import connected_components, near_dup_clusters
+from mack_spark.operators.cluster import (
+    connected_components,
+    drop_near_duplicates,
+    near_dup_cluster_sizes,
+    near_dup_clusters,
+    semantic_dedup_report,
+)
 from mack_spark.operators.interval import interval_join
 from mack_spark.operators.sampling import deterministic_sample, stratified_sample
 from mack_spark.operators.boilerplate import line_doc_frequency, strip_boilerplate
@@ -176,4 +190,11 @@ __all__ = [
     "unigram_logprob_score",
     "event_debounce",
     "gap_fill_daily",
+    "conversion_funnel",
+    "event_gap_percentiles",
+    "drop_near_duplicates",
+    "near_dup_cluster_sizes",
+    "semantic_dedup_report",
+    "count_anomaly_windows",
+    "grouped_exact_percentiles",
 ]
