@@ -4328,7 +4328,7 @@ s AS (
   SELECT series, window_start, n_events,
          count(*) OVER (PARTITION BY series) AS n,
          sum(n_events) OVER (PARTITION BY series) AS s1,
-         sum(n_events * n_events) OVER (PARTITION BY series) AS s2
+         sum(CAST(n_events AS HUGEINT) * n_events) OVER (PARTITION BY series) AS s2
   FROM c
 )
 SELECT series, window_start, n_events,
@@ -4396,7 +4396,10 @@ FROM j CROSS JOIN t ORDER BY bucket
     # each half of the token stream; list_slice is end-INDEXED in
     # DuckDB (begin..end inclusive) vs Spark slice's (start, LENGTH) —
     # (1, n//2) and (n//2+1, n) describe the same halves in both.
-    _lsc_toks = _toks_sql("text")
+    # COALESCE to [] so a NULL text row votes 'und' with n_tokens=0,
+    # matching the Spark side's id-spine restore (DuckDB len(NULL) is
+    # NULL and the _lang_sql CASE would otherwise fall through to 'fr')
+    _lsc_toks = f"COALESCE({_toks_sql('text')}, CAST([] AS VARCHAR[]))"
     _lsc_first = f"list_slice({_lsc_toks}, 1, len({_lsc_toks}) // 2)"
     _lsc_second = (
         f"list_slice({_lsc_toks}, len({_lsc_toks}) // 2 + 1, len({_lsc_toks}))"

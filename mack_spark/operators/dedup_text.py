@@ -372,7 +372,16 @@ def ngram_containment_pairs(
             ),
         )
     )
-    return out.filter(F.col("containment") >= min_containment)
+    out = out.filter(F.col("containment") >= min_containment)
+    # materialize the (threshold-bounded) result and RELEASE the
+    # shingle cache: persist() blocks outlive the call otherwise,
+    # accumulating a full shingle copy per invocation for the session
+    # lifetime; localCheckpoint blocks are GC-cleaned with the result.
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shingled.unpersist()
+    return out
 
 
 def simhash_bits(

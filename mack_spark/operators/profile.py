@@ -587,10 +587,18 @@ def population_stability(
 
     a = _bucketed(df_expected, "n_expected")
     b = _bucketed(df_actual, "n_actual")
-    joined = a.join(b, "bucket", "full_outer").select(
-        "bucket",
-        F.coalesce("n_expected", F.lit(0)).alias("n_expected"),
-        F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+    # materialize the (≤ n_buckets)-row bucket frame once: both the
+    # totals aggregate and the final projection read it, and without
+    # the checkpoint each consumer would re-bucket (re-scan) BOTH
+    # corpora — the one place this plan could scan data twice
+    joined = (
+        a.join(b, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_expected", F.lit(0)).alias("n_expected"),
+            F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+        )
+        .localCheckpoint(eager=True)
     )
     smooth = 0.5 * (len(cuts) + 1)
     tot = joined.agg(
@@ -628,7 +636,11 @@ def count_anomaly_windows(
     the per-series sufficient statistics (n, Σc, Σc²) are EXACT integer
     sums (no float-order hazard); mean/σ derive from them in one fixed
     IEEE expression tree (population σ, ``sqrt((Σc² - (Σc)²/n)/n)``),
-    and only the final z-score is rounded.
+    and only the final z-score is rounded. Σc² accumulates in
+    ``decimal(38,0)`` (cast BEFORE the square): window counts above
+    ~3e9 would silently wrap a long product under non-ANSI Spark while
+    the DuckDB twin promotes to HUGEINT — decimal keeps both engines
+    exact and identical at any realistic count.
 
     Returns ``(series, window_start, n_events, series_mean, series_std,
     zscore, is_anomaly)`` — one row per observed window.
@@ -651,7 +663,8 @@ def count_anomaly_windows(
     w = Window.partitionBy("series")
     n = F.count(F.lit(1)).over(w)
     s1 = F.sum("n_events").over(w)
-    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    c_dec = F.col("n_events").cast("decimal(19,0)")
+    s2 = F.sum(c_dec * c_dec).over(w)
     mean = s1.cast("double") / n.cast("double")
     var = (
         s2.cast("double") - s1.cast("double") * s1.cast("double") / n.cast("double")

@@ -519,7 +519,7 @@ def embedding_near_dup_pairs_banded(
     vb = vecs.select(
         F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
     )
-    return (
+    out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
@@ -532,6 +532,17 @@ def embedding_near_dup_pairs_banded(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", round_scores).alias("cos_sim"))
     )
+    # materialize the (threshold-bounded) pair set and RELEASE the keyed
+    # frame: persist() blocks are never auto-evicted, so returning a
+    # lazy plan over them would leak n_tables × n rows of cache for the
+    # session lifetime. localCheckpoint blocks are GC-cleaned with the
+    # returned DataFrame, and downstream iterative consumers
+    # (connected_components) re-read the pairs many times for free.
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        keyed.unpersist()
+    return out
 
 
 def ivf_topk(

@@ -199,13 +199,35 @@ def test_lang_split_check_one_exchange_no_join(spark, queries):
     assert "SortMergeJoin" not in plan
 
 
-def test_banded_near_dup_reuses_one_keyed_frame(spark, queries):
-    """The (id, table, bucket) frame is persisted and self-joined once:
-    the plan must show InMemoryTableScan on both join sides and no
-    cartesian anywhere."""
-    plan = _plan(queries["dedup_embedding_banded"](spark, SF_DIR))
-    assert len(re.findall(r"InMemoryTableScan", plan)) >= 2
+def test_banded_near_dup_materializes_and_releases_cache(spark, queries):
+    """The (id, table, bucket) frame is persisted for the one self-join,
+    then RELEASED: the returned frame is a localCheckpoint scan (so the
+    keyed cache doesn't leak for the session lifetime), no cartesian
+    anywhere, and the storage level of every still-cached RDD must not
+    include the keyed frame (nothing persisted survives the call)."""
+    df = queries["dedup_embedding_banded"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "ExistingRDD" in plan  # checkpointed result, lineage cut
     assert "CartesianProduct" not in plan
+    # the self-join ran on a cached frame INSIDE the call, but the
+    # returned plan must not reference it — the .persist() was released
+    assert "InMemoryTableScan" not in plan
+
+
+def test_banded_and_containment_release_their_caches(spark):
+    """The pair generators persist an intermediate for their self-join
+    but must RELEASE it before returning (session-lifetime cache leak
+    otherwise — round-7 advice): after the call the SQL cache manager
+    holds nothing."""
+    from mack_spark.operators.dedup_text import ngram_containment_pairs
+    from mack_spark.operators.similarity import embedding_near_dup_pairs_banded
+
+    spark.catalog.clearCache()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    embedding_near_dup_pairs_banded(emb, threshold=0.5, n_tables=2).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    ngram_containment_pairs(docs, min_containment=0.9).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
 def test_numeric_outliers_counting_pass_is_map_only(spark, queries):
