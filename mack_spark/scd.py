@@ -136,7 +136,13 @@ def scd2_post_state(
     """
     out_cols = base.columns
     b = base.alias("base")
-    u = F.broadcast(updates.alias("updates"))
+    # No forced broadcast of the updates side: mack-shaped upsert batches
+    # are small and Catalyst broadcasts them from plan statistics anyway
+    # (LocalRelation and parquet scans both carry size estimates), while a
+    # bulk backfill batch above spark.sql.autoBroadcastJoinThreshold takes
+    # the sort-merge path instead of OOMing the build side — AQE can still
+    # convert to broadcast at runtime if the batch turns out small.
+    u = updates.alias("updates")
 
     # Null-unsafe change predicate: Column `!=` has SQL `<>` three-valued
     # semantics (NULL if either side is NULL); OR-reduce matches the

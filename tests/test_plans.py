@@ -241,3 +241,40 @@ def test_numeric_outliers_counting_pass_is_map_only(spark, queries):
 def test_conversion_funnel_no_window_over_events(spark, queries):
     plan = _plan(queries["conversion_funnel"](spark, SF_DIR))
     assert "Window" not in plan  # chained min-aggregations, no ordering pass
+
+
+def test_scd2_broadcast_is_size_gated_not_forced(spark):
+    """scd2_post_state must NOT force-broadcast the updates side (a bulk
+    backfill batch would OOM the build side): with broadcast disabled via
+    the threshold the static plan takes sort-merge, and with the default
+    threshold a small batch still broadcasts from plan statistics."""
+    from pyspark.sql import functions as F
+
+    from mack_spark.scd import scd2_post_state
+
+    base = spark.read.parquet(f"{SF_DIR}/customer.parquet").selectExpr(
+        "c_custkey AS pkey",
+        "c_name AS attr",
+        "true AS is_current",
+        "timestamp'2020-01-01' AS effective_time",
+        "CAST(NULL AS timestamp) AS end_time",
+    )
+    updates = spark.createDataFrame(
+        [(1, "x", None)], "pkey long, attr string, effective_time timestamp"
+    ).withColumn("effective_time", F.lit("2021-01-01").cast("timestamp"))
+
+    def plan_for(threshold):
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+            return _plan(
+                scd2_post_state(
+                    base, updates, "pkey", ["attr"],
+                    "is_current", "effective_time", "end_time",
+                )
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    assert "SortMergeJoin" in plan_for("-1")  # big batch path exists
+    assert "BroadcastHashJoin" in plan_for("10MB")  # small batch still broadcasts
