@@ -515,12 +515,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_cube"] = q_cube
 
-    def q_clusters(spark, sf_dir):
-        from mack_spark.operators import near_dup_clusters
+    # Near-dup components are computed ONCE per (session, sf_dir) and
+    # persisted (build_neardup_components — the content twin of
+    # build_ivf_index): the cluster listing, keep-one removal, and size
+    # histogram below all READ the same labeling instead of re-running
+    # LSH + pointer-doubling per report. Results are identical to the
+    # direct operators (pinned in tests/test_neardup_index.py), so the
+    # SQL oracles are unchanged.
+    _neardup_cache: dict = {}
 
-        return near_dup_clusters(
-            _t(spark, sf_dir, "documents"), min_est_jaccard=0.5
-        )
+    def _neardup_components(spark, sf_dir):
+        import tempfile
+
+        from mack_spark.operators import build_neardup_components
+        from mack_spark.tables import ManagedTable
+
+        key = (spark.sparkContext.applicationId, sf_dir)
+        path = _neardup_cache.get(key)
+        if path is None or not ManagedTable.is_managed(path):
+            path = tempfile.mkdtemp(prefix="mack-neardup-") + "/index"
+            build_neardup_components(
+                _t(spark, sf_dir, "documents"), path, min_est_jaccard=0.5
+            )
+            _neardup_cache[key] = path
+        return ManagedTable.for_path(spark, path)
+
+    def q_clusters(spark, sf_dir):
+        from mack_spark.operators import clusters_from_components
+
+        return clusters_from_components(_neardup_components(spark, sf_dir))
 
     q["dedup_clusters"] = q_clusters
 
@@ -1640,6 +1663,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_embedding_banded"] = q_dedup_embedding_banded
 
+    def q_dedup_embedding_scaled(spark, sf_dir):
+        # The SCALE-SHAPED near-dup row (VERDICT r6 item 5): bits=None
+        # derives the hyperplane count from the corpus size
+        # (near_dup_bits_for — buckets held at ~256 rows, candidate
+        # volume linear in n). The oracle mirrors the same derivation
+        # in SQL: bits from COUNT(*), the first `bits` of 30 inlined
+        # hyperplanes — so the bucket count genuinely grows with n
+        # instead of pinning a literal layout.
+        from mack_spark.operators.similarity import embedding_near_dup_pairs
+
+        return embedding_near_dup_pairs(
+            _t(spark, sf_dir, "embeddings"), threshold=0.3, bits=None
+        )
+
+    q["dedup_embedding_scaled"] = q_dedup_embedding_scaled
+
     def q_numeric_outliers(spark, sf_dir):
         from mack_spark.operators.profile import numeric_outlier_fences
 
@@ -1668,24 +1707,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_drop_near_duplicates(spark, sf_dir):
         # The end-to-end content dedup: corpus in, near-dup-free corpus
-        # out (LSH -> components -> min-id survivor anti-join).
-        from mack_spark.operators.cluster import drop_near_duplicates
+        # out — survivor anti-join against the SHARED persisted
+        # components labeling (graph computed once per session).
+        from mack_spark.operators import drop_near_duplicates_from_components
 
-        return drop_near_duplicates(_t(spark, sf_dir, "documents"))
+        return drop_near_duplicates_from_components(
+            _t(spark, sf_dir, "documents"), _neardup_components(spark, sf_dir)
+        )
 
     q["drop_near_duplicates"] = q_drop_near_duplicates
+
+    _semantic_cache: dict = {}
+
+    def _semantic_components(spark, sf_dir):
+        import tempfile
+
+        from mack_spark.operators import build_semantic_components
+        from mack_spark.tables import ManagedTable
+
+        key = (spark.sparkContext.applicationId, sf_dir)
+        path = _semantic_cache.get(key)
+        if path is None or not ManagedTable.is_managed(path):
+            path = tempfile.mkdtemp(prefix="mack-semdedup-") + "/index"
+            build_semantic_components(
+                _t(spark, sf_dir, "embeddings"),
+                path,
+                threshold=0.3,
+                n_tables=3,
+                bits_per_table=6,
+            )
+            _semantic_cache[key] = path
+        return ManagedTable.for_path(spark, path)
 
     def q_semantic_dedup_report(spark, sf_dir):
         # SemDeDup-style per-label removal profile over the banded
         # cosine pair graph (threshold pinned where the synthetic
-        # embeddings actually have pair structure).
-        from mack_spark.operators.cluster import semantic_dedup_report
+        # embeddings actually have pair structure); the component
+        # labeling comes from the persisted index — the iterative
+        # pointer-doubling rounds are paid once at build, not per
+        # report.
+        from mack_spark.operators import semantic_report_from_components
 
-        return semantic_dedup_report(
+        return semantic_report_from_components(
             _t(spark, sf_dir, "embeddings"),
-            threshold=0.3,
-            n_tables=3,
-            bits_per_table=6,
+            _semantic_components(spark, sf_dir),
         )
 
     q["semantic_dedup_report"] = q_semantic_dedup_report
@@ -1715,9 +1780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["event_anomaly_hours"] = q_event_anomaly_hours
 
     def q_dedup_cluster_sizes(spark, sf_dir):
-        from mack_spark.operators.cluster import near_dup_cluster_sizes
+        from mack_spark.operators import cluster_sizes_from_components
 
-        return near_dup_cluster_sizes(_t(spark, sf_dir, "documents"))
+        return cluster_sizes_from_components(_neardup_components(spark, sf_dir))
 
     q["dedup_cluster_sizes"] = q_dedup_cluster_sizes
 
@@ -3205,6 +3270,39 @@ scored AS (
   FROM cand
   JOIN embeddings a ON cand.id_a = a.vec_id
   JOIN embeddings b ON cand.id_b = b.vec_id
+)
+SELECT id_a, id_b, CAST(round(cos, 4) AS DOUBLE) AS cos_sim
+FROM scored WHERE cos >= 0.3
+"""
+
+    # Scale-aware near-dup twin: bits derived from COUNT(*) exactly as
+    # near_dup_bits_for does (1 when n<=256, else ceil(log2(n/256))),
+    # bucket = first `bits` sign bits of 30 inlined hyperplanes (seeds
+    # 0..29 — covers n up to 256·2^30 vectors). Same dot/norm
+    # arithmetic as the pinned-bits oracle, but the bucket count grows
+    # with the corpus.
+    _hp30 = "[" + ", ".join(_hp_sql(b) for b in range(30)) + "]"
+    _sc_dot_hp = (
+        "list_sum(list_transform(range(1, 65), "
+        "j -> CAST(embedding[j] AS DOUBLE) * planes[i][j]))"
+    )
+    o["dedup_embedding_scaled"] = f"""
+WITH params AS (
+  SELECT CASE WHEN count(*) <= 256 THEN 1
+              ELSE GREATEST(1, CAST(ceil(log2(count(*) / 256.0)) AS INT))
+         END AS bits
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, embedding,
+         array_to_string(list_transform(range(1, bits + 1),
+           i -> CASE WHEN {_sc_dot_hp} >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings CROSS JOIN params CROSS JOIN (SELECT {_hp30} AS planes)
+), scored AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         {_dot_sql('x.embedding', 'y.embedding')} /
+         ({_norm_sql('x.embedding')} * {_norm_sql('y.embedding')}) AS cos
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 )
 SELECT id_a, id_b, CAST(round(cos, 4) AS DOUBLE) AS cos_sim
 FROM scored WHERE cos >= 0.3

@@ -34,6 +34,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = 500_000,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the minimum
     node id reachable from it (= a canonical component id).
@@ -44,61 +45,136 @@ def connected_components(
     the O(log diameter) convergence rate the default cap covers any
     graph that fits on a cluster, so hitting it means a logic error,
     not a big input.
+
+    Two physical strategies behind one contract:
+
+    * ``≤ driver_max_edges`` distinct symmetric edge rows: collect the
+      edge list and run union-find with path compression on the driver
+      (O(E·α), microseconds per thousand edges). A near-dup pair graph
+      is usually TINY relative to the corpus, and the distributed loop
+      pays ~2 Spark jobs per round regardless of data — measured 6-9 s
+      for a 2k-edge graph where union-find takes 0.01 s. The collect is
+      bounded by ``driver_max_edges`` (≈16 MB at the default), the same
+      bounded-collect contract the PQ/k-means training paths use.
+    * larger graphs: distributed min-label propagation with pointer
+      doubling (O(log diameter) rounds), with the loop's shuffles sized
+      to the GRAPH (≈1 partition per 500k edge rows, capped by
+      ``spark.sql.shuffle.partitions``) instead of the session default —
+      a web-scale corpus keeps full parallelism, a small graph stops
+      paying 32 tasks per tiny shuffle.
     """
+    import math
+
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     sym = sym.localCheckpoint(eager=True)
-    comp = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for rounds in range(1, max_iter + 1):
-        nbr_min = (
-            comp.join(sym, comp["node"] == sym["u"])
-            .groupBy("v")
-            .agg(F.min("component").alias("nbr_component"))
-            .withColumnRenamed("v", "node")
+    n_sym = sym.count()
+    spark = edges.sparkSession
+    if n_sym <= 2 * driver_max_edges:
+        node_type = sym.schema["u"].dataType
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in sym.toLocalIterator():
+            u, v = r["u"], r["v"]
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by MIN root so the final relabel pass is exact
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+            parent.setdefault(u, ru)
+            parent.setdefault(v, ru)
+        rows = [(n, find(n)) for n in parent]
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("node", node_type, False),
+                StructField("component", node_type, False),
+            ]
         )
-        # pointer doubling: also jump to the label OF my label — labels
-        # are node ids, so comp[comp[node]] is one self-join. This is
-        # what turns O(diameter) propagation into O(log diameter).
-        hop = (
-            comp.alias("a")
-            .join(comp.alias("b"), F.col("a.component") == F.col("b.node"), "left")
-            .select(
-                F.col("a.node").alias("node"),
-                F.coalesce("b.component", "a.component").alias("hop_component"),
-            )
-        )
-        # carry the previous label through the checkpoint so the
-        # convergence probe is a filter on materialized data, not
-        # another join against the old labeling
-        staged = (
-            comp.join(nbr_min, "node", "left")
-            .join(hop, "node")
-            .select(
-                "node",
-                F.col("component").alias("prev_component"),
-                F.least(
-                    F.col("component"),
-                    F.coalesce("nbr_component", F.col("component")),
-                    F.col("hop_component"),
-                ).alias("component"),
-            )
+        n_parts = max(1, math.ceil(len(rows) / 500_000))
+        return spark.createDataFrame(rows, schema).repartition(n_parts)
+    # distributed path: size the loop's shuffles to the GRAPH — every
+    # join/groupBy in a round otherwise inherits the session's shuffle
+    # partition count, and on a small graph 32 near-empty tasks per
+    # shuffle dominate the round. The conf is restored after the loop;
+    # every returned frame is already checkpoint-materialized, so the
+    # temporary setting never leaks into a caller's plan.
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = max(1, min(default_parts, math.ceil(n_sym / 500_000)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        comp = (
+            sym.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            staged.filter(F.col("component") != F.col("prev_component"))
-            .limit(1)
-            .count()
-        )
-        comp = staged.select("node", "component")
-        if changed == 0:
-            logger.info("connected_components converged in %d rounds", rounds)
-            return comp
+        for rounds in range(1, max_iter + 1):
+            nbr_min = (
+                comp.join(sym, comp["node"] == sym["u"])
+                .groupBy("v")
+                .agg(F.min("component").alias("nbr_component"))
+                .withColumnRenamed("v", "node")
+            )
+            # pointer doubling: also jump to the label OF my label —
+            # labels are node ids, so comp[comp[node]] is one
+            # self-join. This is what turns O(diameter) propagation
+            # into O(log diameter).
+            hop = (
+                comp.alias("a")
+                .join(
+                    comp.alias("b"),
+                    F.col("a.component") == F.col("b.node"),
+                    "left",
+                )
+                .select(
+                    F.col("a.node").alias("node"),
+                    F.coalesce("b.component", "a.component").alias(
+                        "hop_component"
+                    ),
+                )
+            )
+            # carry the previous label through the checkpoint so the
+            # convergence probe is a filter on materialized data, not
+            # another join against the old labeling
+            staged = (
+                comp.join(nbr_min, "node", "left")
+                .join(hop, "node")
+                .select(
+                    "node",
+                    F.col("component").alias("prev_component"),
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("nbr_component", F.col("component")),
+                        F.col("hop_component"),
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                staged.filter(F.col("component") != F.col("prev_component"))
+                .limit(1)
+                .count()
+            )
+            comp = staged.select("node", "component")
+            if changed == 0:
+                logger.info(
+                    "connected_components converged in %d rounds", rounds
+                )
+                return comp
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_parts))
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
@@ -121,6 +197,74 @@ def near_dup_clusters(
     )
     return connected_components(pairs).select(
         F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )
+
+
+def drop_with_clusters(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse every cluster of a ``(id, cluster_id)`` labeling to its
+    survivor: documents whose id differs from their cluster_id are
+    dropped, everything else passes through. The act half of keep-one
+    dedup, shared by the direct and persisted-index paths."""
+    losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(losers, id_col, "left_anti")
+
+
+def clusters_to_sizes(clusters: DataFrame) -> DataFrame:
+    """Cluster-size histogram ``(cluster_size, n_clusters, n_docs)`` of
+    a ``(id, cluster_id)`` labeling — the report half of
+    :func:`near_dup_cluster_sizes`, shared with the persisted-index
+    path. Two tiny aggregations, bounded by clustered docs."""
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        per_cluster.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def semantic_report_from_labels(
+    corpus: DataFrame,
+    clusters: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-group removal profile of a ``(id, cluster_id)`` labeling —
+    the report half of :func:`semantic_dedup_report`, shared with the
+    persisted-index path: one left join of the corpus against the loser
+    ids + a group-cardinality aggregation."""
+    losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    flagged = corpus.join(losers.withColumn("__loser", F.lit(1)), id_col, "left")
+    return (
+        flagged.groupBy(F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.coalesce(F.col("__loser"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .select(
+            group_col,
+            "n_vectors",
+            "n_removed",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_removed").cast("double")
+                / F.col("n_vectors").cast("double"),
+                6,
+            ).alias("keep_ratio"),
+        )
+        .orderBy(group_col)
     )
 
 
@@ -150,8 +294,7 @@ def drop_near_duplicates(
     anti-join side carries ids only, broadcastable in practice).
     """
     clusters = near_dup_clusters(df, text_col, id_col, min_est_jaccard)
-    losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
-    return df.join(losers, id_col, "left_anti")
+    return drop_with_clusters(df, clusters, id_col)
 
 
 def near_dup_cluster_sizes(
@@ -170,21 +313,7 @@ def near_dup_cluster_sizes(
     clustered docs, not the corpus).
     """
     clusters = near_dup_clusters(df, text_col, id_col, min_est_jaccard)
-    per_cluster = clusters.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return (
-        per_cluster.groupBy("cluster_size")
-        .agg(F.count(F.lit(1)).alias("n_clusters"))
-        .select(
-            "cluster_size",
-            "n_clusters",
-            (F.col("cluster_size") * F.col("n_clusters"))
-            .cast("long")
-            .alias("n_docs"),
-        )
-        .orderBy("cluster_size")
-    )
+    return clusters_to_sizes(clusters)
 
 
 def semantic_dedup_report(
@@ -220,31 +349,7 @@ def semantic_dedup_report(
         id_col=id_col,
         vec_col=vec_col,
     )
-    comp = connected_components(pairs.select("id_a", "id_b"))
-    losers = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
+    comp = connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
     )
-    flagged = corpus.join(
-        losers.withColumn("__loser", F.lit(1)), id_col, "left"
-    )
-    return (
-        flagged.groupBy(F.col(group_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.sum(F.coalesce(F.col("__loser"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-        )
-        .select(
-            group_col,
-            "n_vectors",
-            "n_removed",
-            F.round(
-                F.lit(1.0)
-                - F.col("n_removed").cast("double")
-                / F.col("n_vectors").cast("double"),
-                6,
-            ).alias("keep_ratio"),
-        )
-        .orderBy(group_col)
-    )
+    return semantic_report_from_labels(corpus, comp, group_col, id_col)

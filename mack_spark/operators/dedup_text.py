@@ -153,8 +153,8 @@ def lsh_candidate_pairs(
     # both signature re-attach sides) and ReusedExchange does NOT cover
     # it — the references diverge before a common exchange. Measured 3×
     # slower without (10.8s vs 3.5s at sf0.1). One narrow row per doc;
-    # MEMORY_AND_DISK spills at scale; clear with
-    # spark.catalog.clearCache() in long pipelines.
+    # MEMORY_AND_DISK spills at scale; RELEASED before return (the
+    # result is checkpointed so no consumer re-reads the cache).
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size).persist()
     sigs.count()
     # Band key: md5 of the concatenated slice of the signature. The pair
@@ -227,6 +227,15 @@ def lsh_candidate_pairs(
     )
     if min_est_jaccard > 0:
         out = out.filter(F.col("est_jaccard") >= min_est_jaccard)
+    # materialize the (banding-bounded) pair set and release the
+    # signature cache — persist blocks otherwise outlive the call for
+    # the whole session; checkpoint blocks are GC-cleaned with the
+    # result, and iterative consumers (connected_components) re-read
+    # the pairs many times for free.
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
     return out
 
 
@@ -301,7 +310,14 @@ def ngram_jaccard_pairs(
             (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("jaccard"),
         )
     )
-    return out.filter(F.col("jaccard") >= min_jaccard)
+    out = out.filter(F.col("jaccard") >= min_jaccard)
+    # materialize + release the shingle cache (same leak-avoidance
+    # contract as lsh_candidate_pairs)
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shingled.unpersist()
+    return out
 
 
 def ngram_containment_pairs(
@@ -516,12 +532,19 @@ def simhash_near_pairs(
         range(1, chunks),
         F.bit_count(F.col("ack0").bitwiseXOR(F.col("bck0"))),
     )
-    return (
+    out = (
         cand.join(pa, "id_a")
         .join(pb, "id_b")
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+    # materialize + release the chunk cache (same leak-avoidance
+    # contract as lsh_candidate_pairs)
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        chunked.unpersist()
+    return out
 
 
 def contamination_check(

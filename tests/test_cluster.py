@@ -25,7 +25,9 @@ def test_empty_edges(spark):
 def test_non_convergence_raises(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1)
+        # driver_max_edges=0 forces the distributed loop (union-find
+        # always converges, so the cap only guards the iterative path)
+        connected_components(edges, max_iter=1, driver_max_edges=0)
 
 
 def test_long_chain_converges_under_default_cap(spark):
@@ -53,3 +55,33 @@ def test_two_long_chains_stay_separate(spark):
     assert set(comps) == {0, 1000}
     assert comps[0] == set(range(41))
     assert comps[1000] == set(range(1000, 1041))
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """Union-find (small-graph path) and pointer-doubling (distributed
+    path) must produce identical min-labelings on the same graph."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = sorted(tuple(r) for r in connected_components(df).collect())
+    dist = sorted(
+        tuple(r) for r in connected_components(df, driver_max_edges=0).collect()
+    )
+    assert fast == dist
+
+
+def test_distributed_long_chain_converges(spark):
+    """The distributed loop (forced) still converges in O(log diameter)
+    rounds on a 120-node chain."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], ["id_a", "id_b"]
+    )
+    comp = connected_components(edges, driver_max_edges=0)
+    rows = comp.collect()
+    assert len(rows) == 120
+    assert all(r["component"] == 0 for r in rows)
+    # the temporary shuffle-partition override must be restored
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
