@@ -238,6 +238,119 @@ def _norm_sql(a: str, dim: int = 64) -> str:
     return f"sqrt({_dot_sql(a, a, dim)})"
 
 
+_FP_EXPR = (
+    "sum(CAST(floor(CAST(embedding[1] AS DOUBLE)*100000) AS BIGINT))"
+    " + count(*)*1000000"
+)
+
+_GATE_SF_DIRS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
+
+
+def _lloyd_fitted_states():
+    """Fitted ANN state (16 IVF lloyd centroids + 16x16x4 PQ codebooks,
+    normalize=False) for each known gate corpus, computed at
+    oracle-generation time with the SAME deterministic numpy trainer
+    the Spark queries use (operators/pq.py:_lloyd — full-corpus,
+    id-ordered, fixed-init; bit-identical across environments by
+    construction, which is what makes inlining it as SQL literals
+    sound). Returns ``[(fingerprint, centroids, codebooks)]``; the
+    fingerprint is an exact-integer content probe (order-independent
+    BIGINT sum) the SQL evaluates against the ``embeddings`` view, so
+    one oracle string serves every gate corpus. An unknown corpus
+    matches no fingerprint — the oracle then returns zero rows and the
+    driver flags the mismatch loudly instead of silently passing."""
+    import duckdb
+    import numpy as np
+
+    from mack_spark.operators.pq import _lloyd
+
+    out = []
+    for d in _GATE_SF_DIRS:
+        try:
+            rows = duckdb.sql(
+                f"SELECT vec_id, embedding FROM '{d}/embeddings.parquet' "
+                "ORDER BY vec_id"
+            ).fetchall()
+            fp = duckdb.sql(
+                f"SELECT {_FP_EXPR} FROM '{d}/embeddings.parquet'"
+            ).fetchone()[0]
+        except Exception:
+            continue
+        X = np.array([list(e) for _, e in rows], dtype=np.float64)
+        cent = _lloyd(X, 16, 10)  # build_ivf_index n_cells=16, max_iter=10
+        m, kc = 16, 16  # pq m=16, k=16 (the declared-query shape)
+        sub = X.shape[1] // m
+        Xs = X.reshape(len(X), m, sub)
+        books = np.stack([_lloyd(Xs[:, j, :], kc, 8) for j in range(m)])
+        out.append((int(fp), cent, books))
+    return out
+
+
+def _fp_gated_values_sql(states, row_sql_for) -> str:
+    """UNION ALL of per-corpus VALUES blocks, each gated on the content
+    fingerprint of the ``embeddings`` view."""
+    parts = []
+    for fp, cent, books in states:
+        parts.append(
+            f"{row_sql_for(cent, books)} "
+            f"WHERE (SELECT {_FP_EXPR} FROM embeddings) = {fp}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _cents_sql(states) -> str:
+    def rows(cent, _books):
+        vals = ", ".join(
+            "({}, [{}]::DOUBLE[])".format(
+                i, ",".join(repr(float(x)) for x in cent[i])
+            )
+            for i in range(len(cent))
+        )
+        return f"SELECT cid, cvec FROM (VALUES {vals}) t(cid, cvec)"
+
+    return _fp_gated_values_sql(states, rows)
+
+
+def _books_sql(states) -> str:
+    def rows(_cent, books):
+        m, kc, _sub = books.shape
+        vals = ", ".join(
+            "({}, {}, [{}]::DOUBLE[])".format(
+                j, c, ",".join(repr(float(x)) for x in books[j][c])
+            )
+            for j in range(m)
+            for c in range(kc)
+        )
+        return f"SELECT j, c, bvec FROM (VALUES {vals}) t(j, c, bvec)"
+
+    return _fp_gated_values_sql(states, rows)
+
+
+def _subd2_sql(v: str, b: str = "b", sub: int = 4) -> str:
+    """Squared L2 distance of subspace ``b.j`` of vector ``v`` to
+    codeword ``b.bvec``, written as an explicit left-associated sum —
+    the same sequential order numpy uses for a length-4 reduction, so
+    the value is bit-identical to the Spark-side encode/ADC numpy."""
+    terms = " + ".join(
+        f"(CAST(({v})[{b}.j*{sub}+{d + 1}] AS DOUBLE) - {b}.bvec[{d + 1}])"
+        f"*(CAST(({v})[{b}.j*{sub}+{d + 1}] AS DOUBLE) - {b}.bvec[{d + 1}])"
+        for d in range(sub)
+    )
+    return f"({terms})"
+
+
+_ADC_S_COLS = ", ".join(
+    f"max(CASE WHEN t.j = {j} THEN t.tval END) AS s{j}" for j in range(16)
+)
+# numpy accumulates dist += tables[j] for j ascending — strict
+# left-to-right, which SQL's left-associated + reproduces exactly
+_ADC_DIST = " + ".join(f"s{j}" for j in range(16))
+
+
 def _hp_sql(seed: int, dim: int = 64) -> str:
     comps = hyperplane_components(seed, dim)
     return "[" + ",".join(f"{c:.1f}" for c in comps) + "]::DOUBLE[]"
@@ -399,6 +512,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["type_2_scd_upsert"] = q_scd2
+
+    def q_scd2_delta(spark, sf_dir):
+        # The reference's semantic core run the way the reference runs
+        # it: SCD2 as a NATIVE MERGE against a real Delta table
+        # (reference mack/__init__.py:125-139) — here through the
+        # open-protocol Delta implementation (sources/delta_log.py):
+        # CREATE TABLE AS SELECT commit, then one MERGE commit that
+        # stats-prunes untouched files and rewrites only matched ones.
+        # Same oracle as type_2_scd_upsert: the merge's post-state IS
+        # the post-state plan's output.
+        import tempfile
+
+        from mack_spark.scd import scd2_keyed_merge
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        base = _scd_base(spark, sf_dir)
+        updates = _scd_updates(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="mack-delta-scd2-") + "/t"
+        t = DeltaProtocolTable.create(spark, path, base)
+        km = scd2_keyed_merge(
+            base, updates, "c_custkey",
+            ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+            "is_current", "effective_time", "end_time",
+        )
+        t.merge(km)
+        return t.to_df()
+
+    q["delta_scd2_merge"] = q_scd2_delta
 
     # ----- reference core: constraint/validated appends
     def q_cpass(spark, sf_dir):
@@ -625,6 +766,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
 
     q["dedup_minhash_lsh"] = q_lsh
+
+    def q_lsh_hot(spark, sf_dir):
+        # The skew-guard inspection report: LSH band buckets larger
+        # than the cap — the exact buckets that would turn the
+        # candidate join quadratic on an adversarial corpus, and the
+        # input to choosing lsh_candidate_pairs(max_bucket_rows=...).
+        from mack_spark.operators import lsh_hot_buckets
+
+        return lsh_hot_buckets(
+            _t(spark, sf_dir, "documents"), max_bucket_rows=2
+        )
+
+    q["lsh_hot_buckets"] = q_lsh_hot
 
     def q_jacc(spark, sf_dir):
         # Composed scale pipeline: LSH candidate generation bounds the
@@ -912,18 +1066,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ivf_index_cache: dict = {}
 
     def q_knn_ivf_kmeans(spark, sf_dir):
-        # Production IVF path: Spark-ML k-means coarse quantizer under a
-        # fixed seed, with the fitted state PERSISTED at ingest
-        # (build_ivf_index: centroids in table properties, corpus
-        # cell-clustered so probes prune unprobed cells at the parquet
-        # scan). The index is built once per (session, sf_dir) and every
-        # later call only pays the probe cost — how a real deployment
-        # amortizes the fit. Results are identical to ivf_topk with the
-        # same quantizer (asserted in tests/test_ivf_index.py). No
-        # oracle entry — k-means isn't SQL-expressible — so the driver
-        # records the weaker rows-only check; recall vs brute force is
-        # pinned in tests/test_similarity_recall.py (0.945 at equal
-        # candidate budget vs LSH multi-table's 0.922).
+        # Production IVF path: adaptive k-means coarse quantizer with
+        # the fitted state PERSISTED at ingest (build_ivf_index:
+        # centroids in table properties, corpus cell-clustered so
+        # probes prune unprobed cells at the parquet scan). The index
+        # is built once per (session, sf_dir) and every later call only
+        # pays the probe cost — how a real deployment amortizes the
+        # fit. centroids="lloyd" is deterministic BY CONSTRUCTION
+        # (driver-side numpy Lloyd on an id-ordered sample, no RNG, no
+        # partition-order float sums — operators/pq.py:_lloyd), so the
+        # oracle SQL replays the probe/assign/rank pipeline with the
+        # SAME fitted centroids inlined as literals: a fully
+        # hash-checked driver row for the k-means index path. Recall vs
+        # brute force is pinned in tests/test_similarity_recall.py.
         import tempfile
 
         from mack_spark.operators import build_ivf_index, ivf_topk_from_index
@@ -934,7 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         path = _ivf_index_cache.get(key)
         if path is None or not ManagedTable.is_managed(path):
             path = tempfile.mkdtemp(prefix="mack-ivf-") + "/index"
-            build_ivf_index(emb, path, n_cells=16, centroids="kmeans")
+            build_ivf_index(emb, path, n_cells=16, centroids="lloyd")
             _ivf_index_cache[key] = path
         return ivf_topk_from_index(
             ManagedTable.for_path(spark, path),
@@ -949,17 +1104,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PQ/ADC + exact re-rank: the ANN memory-scale path (64-dim
         # float32 -> 16 code bytes at m=16,k=16; the compressed scan
         # picks a 10x-k shortlist, exact cosine touches only those).
-        # Codebooks are deterministic (hash-gated sample + fixed-init
-        # Lloyd, operators/pq.py) but nested float argmin/k-means isn't
-        # SQL-expressible, so like knn_ivf_kmeans this records the
-        # rows-only driver check; recall (raw 0.57, reranked 0.986,
-        # bars 0.5/0.9) is pinned in tests/test_pq.py.
+        # Codebooks are deterministic (id-ordered sample + fixed-init
+        # Lloyd, operators/pq.py). normalize=False: the gate corpus is
+        # unit-normalized at ingest, so re-normalizing buys nothing —
+        # and with it off, every float op in train/encode/ADC is a
+        # fixed-order expression the oracle SQL replays bit-exactly
+        # with the fitted codebooks inlined as literals (hash-checked
+        # driver row). Recall floors pinned in tests/test_pq.py.
         from mack_spark.operators.pq import pq_search
 
         emb = _t(spark, sf_dir, "embeddings")
         return pq_search(
             emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, m=16,
-            rerank_shortlist=50,
+            rerank_shortlist=50, normalize=False,
         )
 
     q["knn_pq_adc"] = q_knn_pq
@@ -970,8 +1127,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF + PQ over a persisted index: coarse cells prune the scan
         # (cell IN pushdown), ADC reads only (id, codes, cell) of the
         # probed cells, exact re-rank touches vectors for the shortlist
-        # alone. Rows-only driver check (k-means + PQ not
-        # SQL-expressible); recall >= 0.75 pinned in tests/test_pq.py.
+        # alone. Both quantizers deterministic (lloyd centroids +
+        # fixed-init PQ codebooks, pq_normalize=False on the unit-norm
+        # gate corpus), so the oracle replays the full
+        # probe→ADC→shortlist→rerank pipeline with the fitted state
+        # inlined as literals — hash-checked driver row. Recall >= 0.75
+        # pinned in tests/test_pq.py.
         import tempfile
 
         from mack_spark.operators import build_ivf_index
@@ -984,7 +1145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if path is None or not ManagedTable.is_managed(path):
             path = tempfile.mkdtemp(prefix="mack-ivfpq-") + "/index"
             build_ivf_index(
-                emb, path, n_cells=16, centroids="kmeans", pq_m=16, pq_k=16
+                emb, path, n_cells=16, centroids="lloyd", pq_m=16, pq_k=16,
+                pq_normalize=False,
             )
             _ivfpq_index_cache[key] = path
         return ivfpq_topk(
@@ -2081,46 +2243,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_continuous_rollup"] = q_stream_rollup
 
     # Verification rotation: the driver checks the FIRST 50 keys in
-    # declaration order each round. Round-6 priorities per VERDICT r5:
-    # (a) the 9 rows red in r5 (8 HUGEINT oracle casts + the
-    # embedding_centroids long-form rework) — all fixed this round;
-    # (b) the LSH family, whose band-key semantics changed this round
-    # (NULL-propagating band keys, both engines) — results changed, so
-    # every query whose oracle nests the banded CTE re-verifies;
-    # (c) every query whose latest green driver row predates the
-    # round-3+ engine rework (last green r1/r2);
-    # (d) fills: hash-checked queries only — the 3 no_oracle k-means
-    # rows are OUT of the front-50 (their recall verification lives in
-    # tests/test_pq.py and test_similarity_recall.py, per VERDICT #4).
-    front_r6 = [
-        # (a) the 9 red rows of r5, fixed this round
-        "quality_by_source", "data_mix", "training_shards",
-        "embedding_centroids", "curation_pipeline", "tfidf_top_terms",
-        "chunk_dedup_stats", "streaming_quality_gate", "referential_audit",
-        # (b) LSH band-key semantics changed this round (ADVICE fix)
-        "dedup_minhash_lsh", "dedup_incremental_lsh", "dedup_clusters",
-        "dedup_ngram_jaccard", "dedup_source_matrix", "span_contamination",
-        "dedup_embedding_cosine", "contamination_check",
-        # (c) last fully-green driver row is r1/r2 (23 queries)
-        "min_cost_supplier", "supplier_revenue_share", "large_volume_orders",
-        "parts_supplier_counts", "idle_rich_customers", "forecast_revenue",
-        "nation_trade_volume", "market_share", "product_profit",
-        "customer_order_distribution", "promo_revenue",
-        "small_quantity_revenue", "discounted_revenue", "waiting_suppliers",
-        "is_composite_key_candidate",
-        "find_composite_key_candidates", "doc_stats", "corpus_rollup",
-        "corpus_cube", "sample_stratified",
-        # (d) round-6 NEW queries (no driver row yet), then oldest
-        # r3-green fills riding the merge/commit layer
-        "dedup_embedding_banded", "numeric_outliers", "event_debounce",
-        "doclen_deciles", "dedup_ngram_containment", "lang_split_check",
-        "length_drift_psi", "drop_near_duplicates",
-        "event_anomaly_hours", "dedup_cluster_sizes", "conversion_funnel",
-        "event_gap_quartiles", "semantic_dedup_report",
+    # declaration order each round. Round-8 priorities:
+    # (a) the 6 queries with no driver hash-green row yet — the three
+    # k-means ANN queries newly given bit-exact Lloyd-state oracles
+    # (previously no_oracle rows-only), the native Delta-protocol
+    # MERGE, the hot-bucket census, and the scale-shape embedding
+    # near-dup (VERDICT r6 items 1/3/5/7);
+    # (b) the 3 queries whose last green row is round 1;
+    # (c) the 15 queries last green in round 3;
+    # (d) fills: oldest round-4-green rows in declaration order.
+    front_r8 = [
+        # (a) never driver-hash-checked (new or upgraded this round)
+        "delta_scd2_merge", "lsh_hot_buckets", "knn_ivf_kmeans",
+        "knn_pq_adc", "knn_ivfpq", "dedup_embedding_scaled",
+        # (b) last green r1
+        "with_md5_cols", "token_counts", "sample_deterministic",
+        # (c) last green r3
+        "pricing_summary", "regional_revenue", "top_customers",
+        "shipping_priority", "returned_revenue", "order_priority_semi",
+        "quiet_customers_anti", "order_gap_stats", "brand_part_rank",
+        "revenue_grouping_sets", "repetition_stats", "zorder_cluster",
+        "salted_join_revenue", "revenue_pivot_by_status",
+        "segment_spend_trend",
+        # (d) last green r4, declaration order
+        "click_without_purchase", "click_and_purchase",
+        "events_hourly_rollup", "salted_event_totals", "sessionize",
+        "dup_detect_groups", "kill_duplicates", "drop_duplicates",
+        "validate_append", "interval_join_active_sessions",
+        "fingerprint_winnow", "asof_join_purchase_view", "dedup_exact",
+        "column_profile", "props_json_stats", "totalprice_histogram",
+        "totalprice_percentiles", "lang_robust_stats",
+        "daily_funnel_full_outer", "sql_frontend_topsegments",
+        "gap_fill_daily", "dedup_simhash", "dedup_simhash_near",
+        "knn_brute_force", "knn_brute_force_numpy", "knn_lsh",
     ]
-    assert len(front_r6) == 50, len(front_r6)
-    fset = set(front_r6)
-    ordered = {k: q[k] for k in front_r6}
+    assert len(front_r8) == 50, len(front_r8)
+    fset = set(front_r8)
+    ordered = {k: q[k] for k in front_r8}
     ordered.update({k: v for k, v in q.items() if k not in fset})
     assert set(ordered) == set(q)
     return ordered
@@ -2836,6 +2995,8 @@ FROM updates WHERE c_custkey NOT IN (SELECT c_custkey FROM base)
     # The streaming foreachBatch SCD2 must land in exactly the batch
     # post-state (single availableNow microbatch).
     o["streaming_scd2_foreach_batch"] = o["type_2_scd_upsert"]
+    # ... and so must the native Delta-protocol MERGE commit.
+    o["delta_scd2_merge"] = o["type_2_scd_upsert"]
 
     o["constraint_append_pass"] = f"""
 WITH {_DIRTY_SQL.strip()}
@@ -2970,6 +3131,21 @@ WITH shingled AS (
   WHERE a.band_key IS NOT NULL
 )
 SELECT id_a, id_b, ({est}) / 12.0 AS est_jaccard FROM pairs
+"""
+
+    # hot-bucket census: band buckets with more than 2 members
+    o["lsh_hot_buckets"] = f"""
+WITH shingled AS (
+  SELECT doc_id, {sh} AS sh FROM documents
+), sig AS (
+  SELECT doc_id, {mh_defs} FROM shingled
+), bands AS (
+  {band_selects}
+)
+SELECT band, band_key, n_docs FROM (
+  SELECT band, band_key, count(*) AS n_docs
+  FROM bands WHERE band_key IS NOT NULL GROUP BY band, band_key
+) WHERE n_docs > 2
 """
 
     # Incremental-ingest variant: candidates between the %5==0 "new
@@ -4779,6 +4955,147 @@ FROM (
     # The persisted-index path is result-identical to ivf_topk under the
     # same deterministic quantizer, so it shares knn_ivf's oracle.
     o["knn_ivf_indexed"] = o["knn_ivf"]
+
+    # k-means IVF / PQ / IVF+PQ: the fitted state (lloyd centroids, PQ
+    # codebooks) is deterministic numpy computed at oracle-generation
+    # time from the same corpus (see _lloyd_fitted_states) and inlined
+    # as literals; the SQL replays assignment/probe/ADC/rerank with
+    # fixed-order float arithmetic that matches the Spark side
+    # bit-for-bit. Guarded: if no gate corpus is readable here, the
+    # entries are simply absent and the driver records the weaker
+    # rows-only check (the pre-round-8 status quo).
+    try:
+        _states = _lloyd_fitted_states()
+    except Exception:
+        _states = []
+    if _states:
+        cents_sql = _cents_sql(_states)
+        books_sql = _books_sql(_states)
+        o["knn_ivf_kmeans"] = f"""
+WITH cents AS ({cents_sql}), assigned AS (
+  SELECT neighbor_id, nvec, cid AS cell FROM (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS nvec, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {ivf_cos} DESC, c.cid ASC) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+), probes AS (
+  SELECT query_id, qvec, cid AS cell FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {ivf_cos} DESC, c.cid ASC) AS r
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10
+  ) WHERE r <= 4
+), scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         {_dot_sql('p.qvec', 'a.nvec')} /
+         ({_norm_sql('p.qvec')} * {_norm_sql('a.nvec')}) AS cos
+  FROM probes p JOIN assigned a
+    ON p.cell = a.cell AND a.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, CAST(round(cos, 4) AS DOUBLE) AS cos_sim, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+        _pq_rerank_tail = f"""
+SELECT query_id, neighbor_id, CAST(round(cos, 4) AS DOUBLE) AS cos_sim, rank
+FROM (
+  SELECT s.query_id, s.neighbor_id,
+         {_dot_sql('q.embedding', 'e.embedding')} /
+         ({_norm_sql('q.embedding')} * {_norm_sql('e.embedding')}) AS cos,
+         CAST(row_number() OVER (PARTITION BY s.query_id
+              ORDER BY {_dot_sql('q.embedding', 'e.embedding')} /
+                       ({_norm_sql('q.embedding')} * {_norm_sql('e.embedding')})
+                       DESC, s.neighbor_id ASC) AS INT) AS rank
+  FROM short s
+  JOIN embeddings e ON e.vec_id = s.neighbor_id
+  JOIN embeddings q ON q.vec_id = s.query_id
+) WHERE rank <= 5
+"""
+
+        o["knn_pq_adc"] = f"""
+WITH books AS ({books_sql}), enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT e.vec_id, b.j, b.c AS code,
+           row_number() OVER (PARTITION BY e.vec_id, b.j
+               ORDER BY {_subd2_sql('e.embedding')} ASC, b.c ASC) AS r
+    FROM embeddings e CROSS JOIN books b
+  ) WHERE r = 1
+), tabs AS (
+  SELECT q.vec_id AS query_id, b.j, b.c,
+         {_subd2_sql('q.embedding')} AS tval
+  FROM embeddings q CROSS JOIN books b WHERE q.vec_id < 10
+), adc AS (
+  SELECT query_id, neighbor_id, {_ADC_DIST} AS dist FROM (
+    SELECT t.query_id, enc.vec_id AS neighbor_id, {_ADC_S_COLS}
+    FROM enc JOIN tabs t ON t.j = enc.j AND t.c = enc.code
+    WHERE enc.vec_id <> t.query_id
+    GROUP BY t.query_id, enc.vec_id
+  )
+), short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, neighbor_id ASC) AS r
+    FROM adc
+  ) WHERE r <= 50
+)
+{_pq_rerank_tail}
+"""
+
+        o["knn_ivfpq"] = f"""
+WITH cents AS ({cents_sql}), books AS ({books_sql}), assigned AS (
+  SELECT neighbor_id, cid AS cell FROM (
+    SELECT e.vec_id AS neighbor_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {ivf_cos} DESC, c.cid ASC) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+), probes AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT e.vec_id AS query_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {ivf_cos} DESC, c.cid ASC) AS r
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10
+  ) WHERE r <= 8
+), enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT e.vec_id, b.j, b.c AS code,
+           row_number() OVER (PARTITION BY e.vec_id, b.j
+               ORDER BY {_subd2_sql('e.embedding')} ASC, b.c ASC) AS r
+    FROM embeddings e CROSS JOIN books b
+  ) WHERE r = 1
+), tabs AS (
+  SELECT q.vec_id AS query_id, b.j, b.c,
+         {_subd2_sql('q.embedding')} AS tval
+  FROM embeddings q CROSS JOIN books b WHERE q.vec_id < 10
+), cand AS (
+  SELECT p.query_id, a.neighbor_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.neighbor_id <> p.query_id
+), adc AS (
+  SELECT query_id, neighbor_id, {_ADC_DIST} AS dist FROM (
+    SELECT cd.query_id, cd.neighbor_id, {_ADC_S_COLS}
+    FROM cand cd
+    JOIN enc ON enc.vec_id = cd.neighbor_id
+    JOIN tabs t ON t.query_id = cd.query_id
+               AND t.j = enc.j AND t.c = enc.code
+    GROUP BY cd.query_id, cd.neighbor_id
+  )
+), short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, neighbor_id ASC) AS r
+    FROM adc
+  ) WHERE r <= 50
+)
+{_pq_rerank_tail}
+"""
 
     # DuckDB's native ASOF JOIN is the oracle for our union+window plan.
     o["asof_join_purchase_view"] = """

@@ -24,6 +24,7 @@ docstring's SCALE note).
 """
 
 from mack_spark.fmt import humanize_bytes, humanize_bytes_binary
+from mack_spark.sources.delta_log import DeltaProtocolTable
 from mack_spark.tables import (
     ConcurrentModificationError,
     ManagedTable,
@@ -64,6 +65,7 @@ __all__ = [
     "delete_where",
     "ConcurrentModificationError",
     "ManagedTable",
+    "DeltaProtocolTable",
     "type_2_scd_upsert",
     "type_2_scd_generic_upsert",
     "kill_duplicates",

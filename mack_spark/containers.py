@@ -159,6 +159,213 @@ def encode_mp4_skeleton(
 
 
 # ---------------------------------------------------------------------------
+# PCM-in-MP4 sample decode (ISO/IEC 14496-12 sample tables + QuickTime
+# uncompressed audio sample entries). This is the one ISO-BMFF SAMPLE
+# path that is fully real here: 'twos'/'sowt' tracks are raw 16-bit PCM,
+# so walking stsd/stsc/stsz/stco to the mdat bytes IS the decode — no
+# codec involved. Compressed sample entries (mp4a/avc1/...) raise
+# ContainerFormatError: that fence is where an ffmpeg-class codec would
+# plug in, and nothing here pretends to be one.
+# ---------------------------------------------------------------------------
+
+_PCM_DTYPES = {"twos": ">i2", "sowt": "<i2"}  # big/little-endian s16
+
+
+def _child_boxes(buf: bytes, start: int, end: int) -> Dict[bytes, tuple]:
+    """First occurrence of each direct child box: {type: (ps, pe)}."""
+    out: Dict[bytes, tuple] = {}
+    for btype, ps, pe in _iter_boxes(buf, start, end):
+        out.setdefault(btype, (ps, pe))
+    return out
+
+
+def decode_mp4_pcm(payload: bytes):
+    """Decode the first uncompressed-PCM audio track of an ISO-BMFF
+    payload to ``(samples, sample_rate)`` — float32 ``(n, channels)``
+    in [-1, 1), the :func:`mack_spark.audio.decode_wav` contract.
+
+    Real sample-table walk: stsd picks the codec ('twos'/'sowt' = raw
+    s16 PCM, ISO 14496-12 §8.5 + the QuickTime sound sample entries),
+    stsc maps samples to chunks, stco anchors each chunk in the file,
+    stsz sizes each sample; the mdat bytes those tables address ARE the
+    samples. A 'soun' track whose sample entry is a compressed codec
+    (mp4a, ac-3, ...) raises :class:`ContainerFormatError` — decoding
+    it needs an ffmpeg-class codec this container does not ship.
+    """
+    import numpy as np
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ContainerFormatError("no ftyp leader")
+    top = _child_boxes(payload, 0, len(payload))
+    if b"moov" not in top:
+        raise ContainerFormatError("no moov box")
+    for btype, ps, pe in _iter_boxes(payload, *top[b"moov"]):
+        if btype != b"trak":
+            continue
+        mdia = _child_boxes(payload, ps, pe).get(b"mdia")
+        if mdia is None:
+            continue
+        mboxes = _child_boxes(payload, *mdia)
+        hdlr = mboxes.get(b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"soun":
+            continue
+        minf = mboxes.get(b"minf")
+        if minf is None:
+            continue
+        stbl = _child_boxes(payload, *minf).get(b"stbl")
+        if stbl is None:
+            continue
+        sboxes = _child_boxes(payload, *stbl)
+        missing = {b"stsd", b"stsz", b"stsc", b"stco"} - set(sboxes)
+        if missing:
+            raise ContainerFormatError(f"sound trak missing {missing}")
+        # stsd: FullBox + entry_count + AudioSampleEntry
+        sp = sboxes[b"stsd"][0]
+        fourcc = payload[sp + 12 : sp + 16].decode("latin-1")
+        dtype = _PCM_DTYPES.get(fourcc)
+        if dtype is None:
+            raise ContainerFormatError(
+                f"sample entry {fourcc!r} is a compressed codec — "
+                "PCM-in-MP4 ('twos'/'sowt') is the only real sample "
+                "decode here"
+            )
+        entry = sp + 16  # past size+type of the sample entry
+        n_ch = struct.unpack_from(">H", payload, entry + 16)[0]
+        bits = struct.unpack_from(">H", payload, entry + 18)[0]
+        rate = struct.unpack_from(">I", payload, entry + 24)[0] >> 16
+        if bits != 16 or n_ch < 1 or rate < 1:
+            raise ContainerFormatError(
+                f"unsupported PCM layout: {bits}-bit {n_ch}ch @{rate}"
+            )
+        # stsz: constant size or per-sample table
+        zp = sboxes[b"stsz"][0]
+        const_size, n_samples = struct.unpack_from(">II", payload, zp + 4)
+        if const_size:
+            sizes = [const_size] * n_samples
+        else:
+            sizes = list(
+                struct.unpack_from(f">{n_samples}I", payload, zp + 12)
+            )
+        # stsc: (first_chunk, samples_per_chunk, desc_idx) runs
+        cp = sboxes[b"stsc"][0]
+        (n_runs,) = struct.unpack_from(">I", payload, cp + 4)
+        runs = [
+            struct.unpack_from(">III", payload, cp + 8 + 12 * i)
+            for i in range(n_runs)
+        ]
+        # stco: chunk base offsets (co64 not emitted by our encoder but
+        # cheap to honor)
+        op = sboxes[b"stco"][0]
+        (n_chunks,) = struct.unpack_from(">I", payload, op + 4)
+        offsets = struct.unpack_from(f">{n_chunks}I", payload, op + 8)
+        # walk chunks, slicing each sample's bytes out of mdat
+        chunks_data = []
+        si = 0
+        for ci in range(n_chunks):
+            per = 0
+            for first, spc, _idx in runs:
+                if first <= ci + 1:
+                    per = spc
+            off = offsets[ci]
+            for _ in range(per):
+                if si >= n_samples:
+                    break
+                chunks_data.append(payload[off : off + sizes[si]])
+                off += sizes[si]
+                si += 1
+        raw = b"".join(chunks_data)
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float32) / 32768.0
+        n = (len(x) // n_ch) * n_ch
+        return x[:n].reshape(-1, n_ch), int(rate)
+    raise ContainerFormatError("no sound trak found")
+
+
+def encode_mp4_pcm(
+    samples, sample_rate: int, chunk_samples: int = 4096
+) -> bytes:
+    """Encode float samples in [-1, 1] as an ISO-BMFF file with one
+    'twos' (big-endian s16 PCM) sound track — a REAL, spec-shaped MP4
+    whose sample tables address real sample bytes, for round-tripping
+    through :func:`decode_mp4_pcm`. ``samples`` is ``(n,)`` or
+    ``(n, channels)``; chunks of ``chunk_samples`` frames exercise the
+    stsc/stco walk the way multi-chunk files in the wild do."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, n_ch = arr.shape
+    pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype(">i2")
+    data = pcm.tobytes()
+    frame_bytes = n_ch * 2
+    chunk_starts = list(range(0, n, chunk_samples))
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    def full(btype: bytes, payload: bytes) -> bytes:
+        return box(btype, b"\x00\x00\x00\x00" + payload)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+
+    def build_moov(mdat_base: int) -> bytes:
+        entry = (
+            b"\x00" * 6
+            + struct.pack(">H", 1)  # data_reference_index
+            + struct.pack(">HH", 0, 0)  # version/revision
+            + b"\x00" * 4  # vendor
+            + struct.pack(">HH", n_ch, 16)
+            + struct.pack(">HH", 0, 0)  # compression/packet
+            + struct.pack(">I", sample_rate << 16)
+        )
+        stsd = full(
+            b"stsd",
+            struct.pack(">I", 1)
+            + struct.pack(">I", 8 + len(entry))
+            + b"twos"
+            + entry,
+        )
+        stts = full(b"stts", struct.pack(">III", 1, n, 1))
+        stsc = full(b"stsc", struct.pack(">IIII", 1, 1, chunk_samples, 1))
+        stsz = full(b"stsz", struct.pack(">II", frame_bytes, n))
+        stco = full(
+            b"stco",
+            struct.pack(">I", len(chunk_starts))
+            + b"".join(
+                struct.pack(">I", mdat_base + s * frame_bytes)
+                for s in chunk_starts
+            ),
+        )
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = box(b"minf", stbl)
+        hdlr = full(b"hdlr", b"\x00" * 4 + b"soun" + b"\x00" * 13)
+        mdhd = full(
+            b"mdhd",
+            struct.pack(">II", 0, 0)
+            + struct.pack(">II", sample_rate, n)
+            + struct.pack(">HH", 0x55C4, 0),  # und language
+        )
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", mdia)
+        mvhd = full(
+            b"mvhd",
+            struct.pack(">II", 0, 0)
+            + struct.pack(">II", sample_rate, n)
+            + b"\x00" * 80,
+        )
+        return box(b"moov", mvhd + trak)
+
+    # two passes: moov's length does not depend on the offsets it
+    # carries (fixed-width fields), so build once to size it, then
+    # rebuild with the real mdat base
+    moov_len = len(build_moov(0))
+    mdat_base = len(ftyp) + moov_len + 8
+    moov = build_moov(mdat_base)
+    assert len(moov) == moov_len
+    return ftyp + moov + box(b"mdat", data)
+
+
+# ---------------------------------------------------------------------------
 # MP3 / MPEG audio frames (ISO/IEC 11172-3, 13818-3)
 # ---------------------------------------------------------------------------
 

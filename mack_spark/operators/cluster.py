@@ -6,17 +6,21 @@ means A, B, C are one group, keep one" — which is connected components.
 This is the one genuinely iterative algorithm in the engine: min-label
 propagation, a driver loop of join+aggregate rounds.
 
-SCALE: each round is two shuffles (neighbor-min join + the pointer-
-doubling self-join). Rounds needed = O(log diameter) — the label-of-
-label hop halves the distance a minimum still has to travel, so even a
-pathological million-node chain converges in ~20 rounds where plain
-neighbor propagation would need a million. Near-dup clusters are dense
-(tiny diameters), so 2-4 rounds is typical regardless of corpus size.
-``localCheckpoint`` after every round truncates lineage — without it
-the plan doubles each round and the job dies on planning long before
-it dies on data. For web-scale graphs swap the loop body for the
-large-star/small-star variant; the driver-loop skeleton and
-convergence check stay the same.
+SCALE: each round is a bounded number of narrow-key shuffles
+(neighbor-min join, label-of-label shortcut self-join, hooking
+groupBy+join). Rounds needed = O(log n)-class: the shortcut halves the
+distance a minimum still has to travel and the hooking step collapses
+label chains from the root side (measured: a sparse 200-node random
+graph needs 22 rounds with the shortcut alone, 9 with shortcut+hook —
+same 9 as a 120-node path graph). Near-dup clusters are dense (tiny
+diameters), so 2-4 rounds is typical regardless of corpus size.
+``localCheckpoint`` after every round truncates lineage, and
+``_rebase`` resets the checkpoint's inherited size ESTIMATE — without
+the first the plan tree grows exponentially, without the second
+Catalyst's size-in-bytes product compounds into a multi-megabit
+BigInteger and planning alone takes minutes per round by round ~12.
+Both failure modes kill the job on planning long before data size
+matters.
 """
 
 from __future__ import annotations
@@ -27,6 +31,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 logger = logging.getLogger(__name__)
+
+
+def _rebase(df: DataFrame) -> DataFrame:
+    """Re-wrap a checkpoint-materialized frame as a brand-new scan so
+    Catalyst's size estimate resets.
+
+    ``localCheckpoint`` truncates LINEAGE but the resulting scan node
+    keeps the ORIGINAL plan's *estimated* statistics. In an iterative
+    join loop those estimates compound multiplicatively — each round's
+    size-in-bytes is a product over the previous round's — so the
+    BigInteger Catalyst multiplies during join stats estimation roughly
+    triples in bit length every round. By round ~12 it has millions of
+    bits and a single planning pass spends minutes inside BigInteger
+    Toom-Cook multiplication (measured: 0.5 s/round flat for rounds
+    1-9, then 0.9 → 2.7 → 12.7 → 60 s). Re-wrapping the materialized
+    RDD as a fresh DataFrame resets the estimate to the session
+    default, keeping every round's planning cost constant. JVM-side
+    only — rows never cross into Python.
+    """
+    spark = df.sparkSession
+    jdf = spark._jsparkSession.createDataFrame(
+        df._jdf.javaRDD(), df._jdf.schema()
+    )
+    return DataFrame(jdf, spark)
 
 
 def connected_components(
@@ -57,17 +85,25 @@ def connected_components(
       bounded by ``driver_max_edges`` (≈16 MB at the default), the same
       bounded-collect contract the PQ/k-means training paths use.
     * larger graphs: distributed min-label propagation with pointer
-      doubling (O(log diameter) rounds), with the loop's shuffles sized
-      to the GRAPH (≈1 partition per 500k edge rows, capped by
-      ``spark.sql.shuffle.partitions``) instead of the session default —
-      a web-scale corpus keeps full parallelism, a small graph stops
-      paying 32 tasks per tiny shuffle.
+      doubling (O(log diameter) rounds). Shuffle sizing is the
+      planner's + AQE coalescing — session state is never mutated, so
+      concurrent jobs on the same SparkSession are unaffected, and the
+      graphs small enough for fixed partition counts to matter take
+      the driver path anyway.
+
+    NULL node ids are dropped before either path runs (an edge with a
+    NULL endpoint carries no linkage information, and NULL would break
+    both Python ordering in union-find and min-label semantics). The
+    driver path additionally assumes Python ``<`` agrees with Spark's
+    ``F.min`` ordering for the id type — true for the int/string ids
+    every pair generator in this package emits.
     """
     import math
 
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    sym = sym.filter(F.col("u").isNotNull() & F.col("v").isNotNull())
     sym = sym.localCheckpoint(eager=True)
     n_sym = sym.count()
     spark = edges.sparkSession
@@ -104,77 +140,98 @@ def connected_components(
         )
         n_parts = max(1, math.ceil(len(rows) / 500_000))
         return spark.createDataFrame(rows, schema).repartition(n_parts)
-    # distributed path: size the loop's shuffles to the GRAPH — every
-    # join/groupBy in a round otherwise inherits the session's shuffle
-    # partition count, and on a small graph 32 near-empty tasks per
-    # shuffle dominate the round. The conf is restored after the loop;
-    # every returned frame is already checkpoint-materialized, so the
-    # temporary setting never leaks into a caller's plan.
-    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n_parts = max(1, min(default_parts, math.ceil(n_sym / 500_000)))
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-    try:
-        comp = (
-            sym.select(F.col("u").alias("node"))
-            .distinct()
-            .withColumn("component", F.col("node"))
+    # distributed path: min-label propagation with a label-of-label
+    # shortcut AND a hooking step (the owner of each label learns the
+    # min candidate of its members) — shortcut alone degrades toward
+    # O(diameter) on sparse random graphs (measured 22 rounds where
+    # shortcut+hook takes 9 on the same 200-node graph). Shuffle
+    # sizing is left to the planner plus AQE coalescing — session
+    # state is NEVER mutated (a conf.set here would leak to
+    # concurrent jobs sharing the SparkSession), tiny shuffles
+    # coalesce at runtime, and a web-scale graph keeps the session's
+    # full parallelism. Graphs small enough for fixed-partition-count
+    # overhead to matter take the driver union-find path above.
+    comp = _rebase(
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for rounds in range(1, max_iter + 1):
+        nbr_min = (
+            comp.join(sym, comp["node"] == sym["u"])
+            .groupBy("v")
+            .agg(F.min("component").alias("nbr_component"))
+            .withColumnRenamed("v", "node")
+        )
+        # shortcut: also jump to the label OF my label — labels are
+        # node ids, so comp[comp[node]] is one self-join.
+        hop = (
+            comp.alias("a")
+            .join(
+                comp.alias("b"),
+                F.col("a.component") == F.col("b.node"),
+                "left",
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.coalesce("b.component", "a.component").alias(
+                    "hop_component"
+                ),
+            )
+        )
+        # carry the previous label through the checkpoint so the
+        # convergence probe is a filter on materialized data, not
+        # another join against the old labeling
+        cand = (
+            comp.join(nbr_min, "node", "left")
+            .join(hop, "node")
+            .select(
+                "node",
+                F.col("component").alias("prev_component"),
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                    F.col("hop_component"),
+                ).alias("cand"),
+            )
+        )
+        # hooking: every label owner learns the minimum candidate of
+        # the nodes that pointed at it last round. A candidate label
+        # is always an id inside the member's own component, and the
+        # owner is in that same component (min-label invariant), so
+        # the assignment is safe — and it is what collapses long
+        # label chains in O(log) rounds instead of O(chain length).
+        hook_min = cand.groupBy(
+            F.col("prev_component").alias("hook_root")
+        ).agg(F.min("cand").alias("hook_component"))
+        staged = _rebase(
+            cand.join(
+                hook_min,
+                cand["node"] == hook_min["hook_root"],
+                "left",
+            )
+            .select(
+                "node",
+                "prev_component",
+                F.least(
+                    F.col("cand"),
+                    F.coalesce("hook_component", F.col("cand")),
+                ).alias("component"),
+            )
             .localCheckpoint(eager=True)
         )
-        for rounds in range(1, max_iter + 1):
-            nbr_min = (
-                comp.join(sym, comp["node"] == sym["u"])
-                .groupBy("v")
-                .agg(F.min("component").alias("nbr_component"))
-                .withColumnRenamed("v", "node")
+        changed = (
+            staged.filter(F.col("component") != F.col("prev_component"))
+            .limit(1)
+            .count()
+        )
+        comp = staged.select("node", "component")
+        if changed == 0:
+            logger.info(
+                "connected_components converged in %d rounds", rounds
             )
-            # pointer doubling: also jump to the label OF my label —
-            # labels are node ids, so comp[comp[node]] is one
-            # self-join. This is what turns O(diameter) propagation
-            # into O(log diameter).
-            hop = (
-                comp.alias("a")
-                .join(
-                    comp.alias("b"),
-                    F.col("a.component") == F.col("b.node"),
-                    "left",
-                )
-                .select(
-                    F.col("a.node").alias("node"),
-                    F.coalesce("b.component", "a.component").alias(
-                        "hop_component"
-                    ),
-                )
-            )
-            # carry the previous label through the checkpoint so the
-            # convergence probe is a filter on materialized data, not
-            # another join against the old labeling
-            staged = (
-                comp.join(nbr_min, "node", "left")
-                .join(hop, "node")
-                .select(
-                    "node",
-                    F.col("component").alias("prev_component"),
-                    F.least(
-                        F.col("component"),
-                        F.coalesce("nbr_component", F.col("component")),
-                        F.col("hop_component"),
-                    ).alias("component"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            changed = (
-                staged.filter(F.col("component") != F.col("prev_component"))
-                .limit(1)
-                .count()
-            )
-            comp = staged.select("node", "component")
-            if changed == 0:
-                logger.info(
-                    "connected_components converged in %d rounds", rounds
-                )
-                return comp
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(default_parts))
+            return comp
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
@@ -192,8 +249,11 @@ def near_dup_clusters(
     """
     from mack_spark.operators.dedup_text import lsh_candidate_pairs
 
-    pairs = lsh_candidate_pairs(df, text_col, id_col).filter(
-        F.col("est_jaccard") >= min_est_jaccard
+    # threshold applied INSIDE the call so the eager candidate
+    # checkpoint there materializes the filtered pair set, not the raw
+    # banding candidates
+    pairs = lsh_candidate_pairs(
+        df, text_col, id_col, min_est_jaccard=min_est_jaccard
     )
     return connected_components(pairs).select(
         F.col("node").alias(id_col), F.col("component").alias("cluster_id")

@@ -25,6 +25,7 @@ SCALE (100 TB corpus):
 
 from __future__ import annotations
 
+import logging
 from functools import reduce
 from typing import List, Optional
 
@@ -32,6 +33,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mack_spark import functions as mf
+
+logger = logging.getLogger(__name__)
 
 
 def exploded_shingles(
@@ -137,12 +140,24 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle_size: int = 3,
     min_est_jaccard: float = 0.0,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
     k hashes split into ``bands`` bands of r = k/bands rows; documents
     sharing any band key become a candidate pair; the estimated Jaccard
     (fraction of equal signature components) is attached for filtering.
+
+    ``max_bucket_rows`` is the hot-bucket skew guard: band buckets with
+    more members than the cap are EXCLUDED from pair generation (with a
+    loud warning counting what was dropped — use :func:`lsh_hot_buckets`
+    to inspect them first). A bucket that large means the band key
+    carries no discriminative signal — boilerplate or a mirror crawl —
+    and on an adversarial corpus one mega-bucket alone turns the
+    banding-bounded candidate join quadratic. Members of a dropped
+    bucket still pair through their OTHER bands (the usual LSH
+    redundancy), so recall degrades gracefully instead of the job
+    dying. Default ``None`` keeps the exact uncapped semantics.
 
     Returns ``(id_a, id_b, est_jaccard)`` with id_a < id_b, distinct.
     """
@@ -161,37 +176,34 @@ def lsh_candidate_pairs(
     # join carries ONLY ids — the narrow distinct dedups colliding bands
     # cheaply; signatures are re-attached afterwards (Spark reuses the
     # signature aggregation's exchange across the three references).
-    band_rows = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # NULL-propagating band key: concat_ws over all-NULL
-                        # inputs returns '' (not NULL), so md5(concat_ws(...))
-                        # alone would funnel every shingle-less doc into one
-                        # degenerate md5('') bucket — an O(short-docs²) join
-                        # hotspot and spurious est_jaccard=0.0 pairs. Gate on
-                        # mh{b*r}: signatures are all-NULL together (the left
-                        # join in minhash_signatures), so one probe suffices.
-                        F.when(
-                            F.col(f"mh{b * r}").isNotNull(),
-                            F.md5(
-                                F.concat_ws(
-                                    "|", *[F.col(f"mh{b * r + j}") for j in range(r)]
-                                )
-                            ),
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
+    band_rows = _band_rows(sigs, id_col, num_hashes, bands).select(
+        id_col, "band", "band_key"
+    )
+    if max_bucket_rows is not None:
+        over = (
+            band_rows.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bucket_rows"))
+            .filter(F.col("__bucket_rows") > max_bucket_rows)
+        )
+        stats = over.agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.coalesce(F.sum("__bucket_rows"), F.lit(0)).alias("nr"),
+        ).collect()[0]
+        if stats["nb"]:
+            logger.warning(
+                "lsh_candidate_pairs: excluding %d hot bucket(s) "
+                "(%d member rows) over max_bucket_rows=%d — band keys "
+                "this common carry no near-dup signal; members still "
+                "pair through their other bands",
+                stats["nb"], stats["nr"], max_bucket_rows,
             )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.band_key")
-    # Documents with no shingles have NULL minhashes -> NULL band keys,
-    # dropped here so they never collide with each other.
-    band_rows = band_rows.filter(F.col("band_key").isNotNull())
+        # the anti side is tiny by construction (at most n/cap buckets
+        # can exceed the cap), so this broadcasts
+        band_rows = band_rows.join(
+            F.broadcast(over.select("band", "band_key")),
+            ["band", "band_key"],
+            "left_anti",
+        )
     a, b = band_rows.alias("a"), band_rows.alias("b")
     pairs = (
         a.join(
@@ -781,6 +793,38 @@ def _band_rows(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> Dat
         id_col, "bk.band", "bk.band_key", *[f"mh{i}" for i in range(num_hashes)]
     )
     return rows.filter(F.col("band_key").isNotNull())
+
+
+def lsh_hot_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_size: int = 3,
+    max_bucket_rows: int = 256,
+) -> DataFrame:
+    """The inspection half of the hot-bucket skew guard: every LSH band
+    bucket whose membership exceeds ``max_bucket_rows``, as ``(band,
+    band_key, n_docs)`` ordered largest-first. Run this BEFORE choosing
+    a cap for :func:`lsh_candidate_pairs(max_bucket_rows=...)` — a fat
+    head here means boilerplate or a mirror crawl, and those buckets
+    are exactly the ones that would turn the candidate join quadratic
+    on an adversarial corpus (`near_dup_bits_for`'s uniformity
+    assumption failing).
+
+    SCALE: one banding pass + one count aggregation on (band,
+    band_key); output is bounded by n/cap buckets regardless of skew.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    return (
+        _band_rows(sigs, id_col, num_hashes, bands)
+        .select(id_col, "band", "band_key")
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_rows)
+        .orderBy(F.col("n_docs").desc(), F.col("band").asc(), F.col("band_key").asc())
+    )
 
 
 def build_lsh_index(

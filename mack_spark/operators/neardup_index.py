@@ -104,15 +104,26 @@ def build_semantic_components(
 
     Returns the created :class:`~mack_spark.tables.ManagedTable`.
     """
-    from mack_spark.operators.similarity import embedding_near_dup_pairs_banded
+    from mack_spark.operators.similarity import (
+        embedding_near_dup_pairs_banded,
+        near_dup_bits_for,
+    )
     from mack_spark.tables import ManagedTable
 
     spark = corpus.sparkSession
+    # Resolve scale-derived bits BEFORE building so the layout actually
+    # used is recoverable from the index metadata (a recorded 'None'
+    # says nothing about the banding the index was built with).
+    resolved_bits = (
+        bits_per_table
+        if bits_per_table is not None
+        else near_dup_bits_for(corpus.count())
+    )
     pairs = embedding_near_dup_pairs_banded(
         corpus,
         threshold=threshold,
         n_tables=n_tables,
-        bits_per_table=bits_per_table,
+        bits_per_table=resolved_bits,
         id_col=id_col,
         vec_col=vec_col,
     )
@@ -127,7 +138,10 @@ def build_semantic_components(
         "mack.neardup.id_col": id_col,
         "mack.neardup.threshold": str(threshold),
         "mack.neardup.n_tables": str(n_tables),
-        "mack.neardup.bits_per_table": str(bits_per_table),
+        # the EFFECTIVE layout (scale-derived bits resolved), plus the
+        # caller's request so "rebuild with the same call" stays possible
+        "mack.neardup.bits_per_table": str(resolved_bits),
+        "mack.neardup.bits_per_table_requested": str(bits_per_table),
     }
     return ManagedTable.create(spark, path, df=clustered, properties=props)
 

@@ -34,6 +34,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _lloyd(pts, k: int, iters: int):
+    """Deterministic Lloyd k-means on a point matrix: init = first
+    ``k`` rows (caller provides a deterministic row order), fixed
+    ``iters`` rounds, argmin with lowest-index tie-break. Pure numpy on
+    the driver — bit-identical across sessions and environments, which
+    is what lets fitted state be replayed as SQL literals by an
+    external oracle. Shared by the PQ codebook trainer and the IVF
+    ``centroids="lloyd"`` coarse quantizer."""
+    cent = pts[:k].copy()
+    for _ in range(iters):
+        d2 = ((pts[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cent[c] = pts[mask].mean(axis=0)
+    return cent
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     dim: int,
@@ -89,16 +108,8 @@ def train_pq_codebooks(
     X = X.reshape(len(rows), m, sub)
     books = np.empty((m, k, sub), dtype=np.float64)
     for j in range(m):
-        pts = X[:, j, :]
-        cent = pts[:k].copy()  # deterministic init: first k rows in id order
-        for _ in range(iters):
-            d2 = ((pts[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(k):
-                mask = assign == c
-                if mask.any():
-                    cent[c] = pts[mask].mean(axis=0)
-        books[j] = cent
+        # deterministic init: first k rows in id order
+        books[j] = _lloyd(X[:, j, :], k, iters)
     return books
 
 
@@ -223,23 +234,31 @@ def pq_search(
     vec_col: str = "embedding",
     sample_fraction: float = 1.0,
     rerank_shortlist: int = 0,
+    normalize: bool = True,
 ) -> DataFrame:
     """Train → encode → ADC in one call (convenience for the declared
     query; production pipelines train/encode at ingest and persist the
     codes — the same amortization note as the IVF index path).
     ``rerank_shortlist > 0`` adds the exact re-rank stage
     (:func:`pq_topk_rerank`) — the recall knob that costs only
-    shortlist-bounded exact scoring."""
+    shortlist-bounded exact scoring. ``normalize=False`` skips the
+    unit-normalization of train/encode/score inputs — the right call
+    for corpora whose vectors are already unit-normalized at ingest,
+    and what makes every float op here a fixed-order expression an
+    external SQL oracle can replay bit-exactly."""
     books = train_pq_codebooks(
-        corpus, dim, m, n_centroids, id_col, vec_col, sample_fraction
+        corpus, dim, m, n_centroids, id_col, vec_col, sample_fraction,
+        normalize=normalize,
     )
-    encoded = encode_pq(corpus, books, id_col, vec_col)
+    encoded = encode_pq(corpus, books, id_col, vec_col, normalize=normalize)
     if rerank_shortlist > 0:
         return pq_topk_rerank(
             encoded, corpus, queries, books, k, rerank_shortlist,
-            id_col, vec_col,
+            id_col, vec_col, normalize=normalize,
         )
-    return pq_topk(encoded, queries, books, k, id_col, vec_col)
+    return pq_topk(
+        encoded, queries, books, k, id_col, vec_col, normalize=normalize
+    )
 
 
 def pq_topk_rerank(
@@ -252,6 +271,7 @@ def pq_topk_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_scores: int = 4,
+    normalize: bool = True,
 ) -> DataFrame:
     """ADC shortlist + exact re-rank — the production PQ shape (coarse
     scores pick ``shortlist`` candidates from the codes, then ONLY
@@ -264,11 +284,13 @@ def pq_topk_rerank(
     pinned in tests/test_pq.py (0.98 at m=16, shortlist=10k on the
     sf0.01 fixture).
     """
+    from mack_spark import functions as mf
+
     if shortlist <= 0:
         shortlist = 10 * k
     cands = pq_topk(
         encoded, queries, codebooks, k=shortlist, id_col=id_col,
-        vec_col=vec_col, normalize=True,
+        vec_col=vec_col, normalize=normalize,
     ).select("query_id", "neighbor_id")
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
@@ -277,20 +299,10 @@ def pq_topk_rerank(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
     paired = cands.join(cvec, "neighbor_id").join(F.broadcast(qvec), "query_id")
-    dot = F.aggregate(
-        F.zip_with("__qv", "__cv", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
     scored = paired.select(
         "query_id",
         "neighbor_id",
-        (dot / (norm("__qv") * norm("__cv"))).alias("cos_sim"),
+        mf.cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -311,6 +323,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_scores: int = 4,
+    normalize: bool | None = None,
 ) -> DataFrame:
     """IVF + PQ — the canonical billion-scale ANN composition over a
     ``build_ivf_index(pq_m=...)`` table: the coarse quantizer prunes to
@@ -335,6 +348,9 @@ def ivfpq_topk(
         )
     books = np.array(_json.loads(props["mack.pq.codebooks"]), dtype=np.float64)
     m, kc, sub = books.shape
+    if normalize is None:
+        # match whatever preparation the index's codes were built with
+        normalize = props.get("mack.pq.normalize", "True") == "True"
     idx_id_col = props.get("mack.ivf.id_col", "vec_id")
     if shortlist <= 0:
         shortlist = 10 * k
@@ -360,7 +376,8 @@ def ivfpq_topk(
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([r[1] for r in qrows], dtype=np.float64)
-    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    if normalize:
+        Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     Qs = Q.reshape(len(qrows), m, sub)
     tables = ((Qs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
     # per-query probe masks: a candidate row only scores for queries
@@ -421,20 +438,10 @@ def ivfpq_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
     paired = short.join(cvec, "neighbor_id").join(F.broadcast(qvec), "query_id")
-    dot = F.aggregate(
-        F.zip_with("__qv", "__cv", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
     rescored = paired.select(
         "query_id",
         "neighbor_id",
-        (dot / (norm("__qv") * norm("__cv"))).alias("cos_sim"),
+        mf.cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -29,10 +29,14 @@ would win; at dim=64 the expression path avoids Arrow transfer cost.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mack_spark import functions as mf
+
+logger = logging.getLogger(__name__)
 
 
 def brute_force_topk(
@@ -437,6 +441,7 @@ def embedding_near_dup_pairs_banded(
     vec_col: str = "embedding",
     round_scores: int = 4,
     target_bucket_rows: int = 256,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Banded (multi-table) embedding-cosine near-duplicate pairs — the
     AND-OR amplified form of :func:`embedding_near_dup_pairs`, exactly
@@ -497,7 +502,38 @@ def embedding_near_dup_pairs_banded(
         .persist()
     )
     keyed.count()
-    a, b = keyed.alias("a"), keyed.alias("b")
+    if max_bucket_rows is not None:
+        # hot-bucket skew guard, same contract as
+        # lsh_candidate_pairs(max_bucket_rows=...): a (table, bucket)
+        # key shared by more than the cap carries no near-dup signal
+        # (hyperplane-degenerate direction — e.g. a mirror crawl's
+        # shared boilerplate embedding mode) and alone would turn the
+        # candidate join quadratic. Dropped buckets' members still
+        # pair through the OTHER tables; the anti side is ≤ n/cap
+        # buckets by construction, so it broadcasts.
+        over = (
+            keyed.groupBy("tbl", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bucket_rows"))
+            .filter(F.col("__bucket_rows") > max_bucket_rows)
+        )
+        stats = over.agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.coalesce(F.sum("__bucket_rows"), F.lit(0)).alias("nr"),
+        ).collect()[0]
+        if stats["nb"]:
+            logger.warning(
+                "embedding_near_dup_pairs_banded: excluding %d hot "
+                "bucket(s) (%d member rows) over max_bucket_rows=%d",
+                stats["nb"], stats["nr"], max_bucket_rows,
+            )
+        keyed_j = keyed.join(
+            F.broadcast(over.select("tbl", "bucket")),
+            ["tbl", "bucket"],
+            "left_anti",
+        )
+    else:
+        keyed_j = keyed
+    a, b = keyed_j.alias("a"), keyed_j.alias("b")
     cand = (
         a.join(
             b,
@@ -634,6 +670,49 @@ def _ivf_centroids(
                 centers, "cid bigint, cvec array<double>"
             ).select("cid", "cvec", mf.l2_norm(F.col("cvec")).alias("cnrm"))
         )
+    if centroids == "lloyd":
+        # Deterministic Lloyd k-means (driver-side numpy on an
+        # id-ordered, hash-gated sample — the pq.py trainer's
+        # contract): same adaptive centroids as "kmeans", but
+        # bit-identical across sessions/environments, so the fitted
+        # state can be inlined as literals by an external SQL oracle.
+        # No RNG, no partition-order float sums.
+        import numpy as np
+
+        from mack_spark.operators.pq import _lloyd
+
+        fit_df = corpus.select(id_col, vec_col)
+        if fit_fraction is None:
+            target = 256 * n_cells
+            n = fit_df.count()
+            fit_fraction = 1.0 if n <= target else target / float(n)
+        if fit_fraction < 1.0:
+            cut = format(int(fit_fraction * 2**32), "08x")
+            fit_df = fit_df.filter(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "||", F.lit("ivf"), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                )
+                < F.lit(cut)
+            )
+        rows = fit_df.orderBy(id_col).collect()
+        if len(rows) < n_cells:
+            raise ValueError(
+                f"fit sample of {len(rows)} rows < n_cells={n_cells}"
+            )
+        X = np.array([r[1] for r in rows], dtype=np.float64)
+        cent = _lloyd(X, n_cells, max_iter)
+        centers = [(i, [float(x) for x in cent[i]]) for i in range(n_cells)]
+        return F.broadcast(
+            corpus.sparkSession.createDataFrame(
+                centers, "cid bigint, cvec array<double>"
+            ).select("cid", "cvec", mf.l2_norm(F.col("cvec")).alias("cnrm"))
+        )
     if centroids == "first":
         return F.broadcast(
             corpus.orderBy(id_col)
@@ -745,6 +824,7 @@ def build_ivf_index(
     n_files: int | None = None,
     pq_m: int = 0,
     pq_k: int = 16,
+    pq_normalize: bool = True,
 ):
     """Persist IVF state at INGEST time instead of refitting per query
     batch: fit/choose the coarse quantizer once, assign every corpus
@@ -794,17 +874,20 @@ def build_ivf_index(
         )
         books = train_pq_codebooks(
             corpus, sample_dim, pq_m, pq_k, id_col, vec_col,
-            sample_fraction=fit_fraction,
+            sample_fraction=fit_fraction, normalize=pq_normalize,
         )
-        codes = encode_pq(corpus, books, id_col, vec_col).withColumnRenamed(
-            id_col, "__cid_join"
-        )
+        codes = encode_pq(
+            corpus, books, id_col, vec_col, normalize=pq_normalize
+        ).withColumnRenamed(id_col, "__cid_join")
         lists = lists.join(
             codes, F.col(id_col) == F.col("__cid_join")
         ).drop("__cid_join")
         props["mack.pq.codebooks"] = _json.dumps(books.tolist())
         props["mack.pq.m"] = str(pq_m)
         props["mack.pq.k"] = str(pq_k)
+        # queries must be prepared the way the codes were built —
+        # record it so probe-time callers don't have to remember
+        props["mack.pq.normalize"] = str(pq_normalize)
     files = n_files or min(n_cells, 16)
     clustered = lists.repartitionByRange(files, "cell").sortWithinPartitions("cell")
     return ManagedTable.create(spark, path, df=clustered, properties=props)

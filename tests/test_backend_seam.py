@@ -19,8 +19,14 @@ PKG_DIR = os.path.dirname(mack_spark.__file__)
 # Modules allowed to issue raw DataFrame writes:
 #  - tables.py IS the backend layer;
 #  - sources/ is the user-facing sink module (writes plain files the
-#    user asked for, not managed-table mutations).
-_RAW_WRITE_ALLOWED = {"tables.py", os.path.join("sources", "__init__.py")}
+#    user asked for, not managed-table mutations);
+#  - sources/delta_log.py IS a storage backend too (the open-protocol
+#    Delta writer commits parquet data files + _delta_log actions).
+_RAW_WRITE_ALLOWED = {
+    "tables.py",
+    os.path.join("sources", "__init__.py"),
+    os.path.join("sources", "delta_log.py"),
+}
 
 
 def _py_sources():

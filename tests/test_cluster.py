@@ -79,9 +79,11 @@ def test_distributed_long_chain_converges(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(119)], ["id_a", "id_b"]
     )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
     comp = connected_components(edges, driver_max_edges=0)
     rows = comp.collect()
     assert len(rows) == 120
     assert all(r["component"] == 0 for r in rows)
-    # the temporary shuffle-partition override must be restored
-    assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+    # the loop must not touch session state (shuffles are sized with
+    # explicit repartition, not a conf override)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

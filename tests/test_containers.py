@@ -134,3 +134,58 @@ class TestProbe:
         assert out[2]["format"] == "mp3" and out[2]["n_frames"] == 7
         assert out[3]["format"] == "unknown"
         assert out[4]["format"] == "unknown"
+
+
+class TestMp4PcmSamples:
+    """PCM-in-MP4: the real ISO-BMFF SAMPLE decode path (VERDICT r6 #8).
+    stsd/stsc/stsz/stco walk to raw 'twos' s16 samples; compressed
+    codecs stay behind the explicit ContainerFormatError fence."""
+
+    def test_mono_roundtrip_multichunk(self):
+        import numpy as np
+
+        from mack_spark.containers import decode_mp4_pcm, encode_mp4_pcm, parse_mp4
+
+        t = np.sin(np.linspace(0, 40 * np.pi, 9000)) * 0.5
+        payload = encode_mp4_pcm(t, 8000, chunk_samples=1000)  # 9 chunks
+        meta = parse_mp4(payload)
+        assert meta["handlers"] == ["soun"] and meta["duration_ms"] == 1125
+        samples, rate = decode_mp4_pcm(payload)
+        assert rate == 8000 and samples.shape == (9000, 1)
+        assert float(np.abs(samples[:, 0] - t).max()) <= 1.0 / 32767
+
+    def test_stereo_roundtrip(self):
+        import numpy as np
+
+        from mack_spark.containers import decode_mp4_pcm, encode_mp4_pcm
+
+        t = np.linspace(-0.9, 0.9, 500)
+        st = np.stack([t, -t], axis=1)
+        samples, rate = decode_mp4_pcm(encode_mp4_pcm(st, 44100))
+        assert rate == 44100 and samples.shape == (500, 2)
+        # encode scales by 32767, decode by 32768 (the WAV-path
+        # convention) -> bound is 2 LSBs, not 1
+        assert float(np.abs(samples - st).max()) <= 2.0 / 32767
+
+    def test_compressed_codec_is_fenced(self):
+        import struct
+
+        import pytest
+
+        from mack_spark.containers import (
+            ContainerFormatError,
+            decode_mp4_pcm,
+            encode_mp4_pcm,
+            encode_mp4_skeleton,
+        )
+
+        # metadata-only skeleton: no sample tables at all
+        with pytest.raises(ContainerFormatError):
+            decode_mp4_pcm(encode_mp4_skeleton())
+        # a real sample-table file whose codec is mp4a (AAC): the decode
+        # must refuse loudly, not fake samples
+        payload = bytearray(encode_mp4_pcm([0.0] * 16, 8000))
+        i = payload.find(b"twos")
+        payload[i : i + 4] = b"mp4a"
+        with pytest.raises(ContainerFormatError, match="compressed codec"):
+            decode_mp4_pcm(bytes(payload))
