@@ -68,6 +68,12 @@ def get_session(app_name: str = "mack_spark", shuffle_partitions: int | None = N
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT64 micros, not the deprecated INT96: INT96 carries no
+        # parquet min/max statistics, which silently defeats footer-
+        # stats file pruning on timestamp keys (merge/delete/update
+        # skipping in sources/delta_log.py and tables.py). Delta and
+        # Iceberg write INT64 for the same reason.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     builder = _delta_configs(builder)
     return builder.getOrCreate()

@@ -39,12 +39,22 @@ and every commit this module writes is a REAL Delta transaction:
   those files through the clause interpreter and commits
   ``remove`` + ``add`` atomically in one version.
 
+Also implemented: **schema enforcement** on append/overwrite (a frame
+whose schema drifts from the committed ``schemaString`` is rejected;
+``merge_schema=True`` evolves the table with a new ``metaData`` action
+— the reference's ``option("mergeSchema","true")`` contract, reference
+mack/__init__.py:375-380), **DELETE WHERE / UPDATE** as stats+scan
+file-pruned remove+add commits, and **VACUUM** (filesystem listing vs
+the live snapshot, retention on modification time — the same contract
+as Delta VACUUM).
+
 SCALE: the log is driver-side metadata (KBs per commit); all sample
 data moves through Spark jobs. File skipping turns a keyed merge of a
 small batch into O(touched files), not O(table). What is intentionally
-NOT here: vacuum (removed files stay on disk until a retention pass),
-deletion vectors / column mapping (reader/writer features above
-protocol 1/2 raise loudly instead of misreading data).
+NOT here: deletion vectors / column mapping / writer invariants —
+reader and writer requirements above protocol 1(+no column mapping)/2
+raise loudly instead of misreading data or violating a foreign table's
+contract.
 """
 
 from __future__ import annotations
@@ -88,13 +98,22 @@ def _now_ms() -> int:
 
 
 def _json_stat_value(v):
-    """A parquet footer min/max as the JSON value Delta stats carry."""
+    """A parquet footer min/max as the JSON value Delta stats carry.
+    Timestamps are normalized to UTC-naive ISO strings: Spark writes
+    TIMESTAMP as adjusted-to-UTC micros, so pyarrow's stats come back
+    tz-aware UTC — serializing the raw ``isoformat()`` would embed
+    ``+00:00`` and break lexicographic/parsed comparison against
+    session-local keys (see :meth:`DeltaProtocolTable.merge`)."""
     if isinstance(v, bytes):
         try:
             return v.decode("utf-8")
         except UnicodeDecodeError:
             return None
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, (int, float, str, bool)) or v is None:
         return v
@@ -147,23 +166,12 @@ def _collect_file_stats(abs_path: str, stat_cols: List[str]) -> str:
     )
 
 
-def _decode_partition_value(raw: Optional[str], dtype):
-    """A ``partitionValues`` string as the typed value Spark should see
-    (spec: values are stored as strings; NULL is a missing/null
-    entry)."""
+def _partition_lit(raw: Optional[str]):
+    """A ``partitionValues`` entry as the literal Spark should cast to
+    the declared type (spec: values are stored as strings; NULL is a
+    missing/null entry or the Hive default sentinel)."""
     if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
         return None
-    t = dtype.simpleString()
-    if t in ("int", "bigint", "smallint", "tinyint"):
-        return int(raw)
-    if t in ("double", "float"):
-        return float(raw)
-    if t == "boolean":
-        return raw == "true"
-    if t == "date":
-        return datetime.date.fromisoformat(raw)
-    if t == "timestamp":
-        return datetime.datetime.fromisoformat(raw)
     return raw
 
 
@@ -288,10 +296,23 @@ class DeltaProtocolTable:
             raise DeltaProtocolError(
                 f"log at {self.path} has no metaData/protocol action"
             )
-        if protocol.get("minReaderVersion", 1) > 2:
+        mrv = protocol.get("minReaderVersion", 1)
+        if mrv > 2:
             raise DeltaProtocolError(
-                f"table requires reader version {protocol['minReaderVersion']}"
-                " (deletion vectors / column mapping are not implemented)"
+                f"table requires reader version {mrv}"
+                " (table features / deletion vectors are not implemented)"
+            )
+        # reader version 2 IS column mapping; accept it only when the
+        # table's metadata proves the feature is actually off —
+        # otherwise the parquet physical names ('col-<uuid>') would not
+        # match schemaString's logical names and we'd misread data
+        cmap = (metadata.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if cmap.lower() != "none":
+            raise DeltaProtocolError(
+                f"table uses column mapping mode '{cmap}', which this"
+                " reader does not implement"
             )
         return DeltaSnapshot(last, metadata, protocol, files, history)
 
@@ -318,19 +339,67 @@ class DeltaProtocolTable:
         if not paths:
             return self.spark.createDataFrame([], schema)
         abs_paths = [os.path.join(self.path, p) for p in paths]
-        if snap.partition_columns:
-            # partition values live in the directory names, not the
-            # files; basePath makes Spark re-derive them, and the cast
-            # pins the declared types (directory strings infer loosely)
+        pcols = snap.partition_columns
+        out_names = [f.name for f in schema.fields]
+        if not pcols:
+            # explicit schema: no footer-merge inference job, and files
+            # committed before a mergeSchema evolution read their
+            # missing columns as NULL (parquet reader fills them)
+            return (
+                self.spark.read.schema(schema).parquet(*abs_paths)
+                .select(*out_names)
+            )
+        # partition values: the add actions' ``partitionValues`` are the
+        # spec's authoritative source. When every file's directory
+        # layout round-trips those values (always true for tables this
+        # writer produced), Spark's basePath discovery reconstructs them
+        # scalably — one relation, no per-partition plan nodes. A
+        # foreign writer is NOT required to use col=value directories,
+        # so any mismatch falls back to attaching the log's values as
+        # literals per partition group.
+        if all(
+            self._dir_matches_partition_values(p, snap.files[p], pcols)
+            for p in paths
+        ):
             df = (
-                self.spark.read.option("basePath", self.path)
+                self.spark.read.schema(schema)
+                .option("basePath", self.path)
                 .parquet(*abs_paths)
             )
-            return df.select(
-                *[F.col(f.name).cast(f.dataType) for f in schema.fields]
-            )
-        df = self.spark.read.parquet(*abs_paths)
-        return df.select(*[f.name for f in schema.fields])
+            return df.select(*out_names)
+        from functools import reduce
+
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in pcols]
+        )
+        types = {f.name: f.dataType for f in schema.fields}
+        groups: Dict[tuple, List[str]] = {}
+        for p in paths:
+            pv = snap.files[p].get("partitionValues") or {}
+            key = tuple(_partition_lit(pv.get(c)) for c in pcols)
+            groups.setdefault(key, []).append(os.path.join(self.path, p))
+        parts = []
+        for key, grp in groups.items():
+            df = self.spark.read.schema(data_schema).parquet(*grp)
+            for c, raw in zip(pcols, key):
+                df = df.withColumn(c, F.lit(raw).cast(types[c]))
+            parts.append(df.select(*out_names))
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    @staticmethod
+    def _dir_matches_partition_values(
+        rel_path: str, add: dict, pcols: List[str]
+    ) -> bool:
+        """True when the file's directory segments are exactly the
+        Hive-style encoding of the add action's ``partitionValues`` —
+        the precondition for letting Spark's basePath discovery stand
+        in for the log's authoritative values."""
+        pv = add.get("partitionValues") or {}
+        expect = "/".join(
+            f"{c}={'__HIVE_DEFAULT_PARTITION__' if pv.get(c) is None else pv.get(c)}"
+            for c in pcols
+        )
+        return os.path.dirname(rel_path).replace(os.sep, "/") == expect
 
     def history(self) -> List[dict]:
         """commitInfo rows, newest first (DESCRIBE HISTORY shape)."""
@@ -538,20 +607,111 @@ class DeltaProtocolTable:
         with open(os.path.join(_log_dir(self.path), "_last_checkpoint"), "w") as fh:
             json.dump({"version": version, "size": len(rows)}, fh)
 
-    def append(self, df: DataFrame, max_retries: int = 3) -> None:
-        """Transactional append. Appends commute, so a lost commit race
-        is retried against the new head (Delta's blind-append rule)."""
-        adds = self._write_data_files(df, self.snapshot().partition_columns)
+    def _assert_writable(self, snap: DeltaSnapshot) -> None:
+        """The spec's writer rule: a writer MUST refuse tables whose
+        ``minWriterVersion`` demands features it does not implement
+        (invariants, CHECK constraints, CDF, deletion vectors, column
+        mapping writes) — committing anyway would silently violate the
+        table's contract."""
+        mwv = snap.protocol.get("minWriterVersion", 1)
+        if mwv > 2:
+            raise DeltaProtocolError(
+                f"table requires writer version {mwv}; this writer"
+                " implements version 2 — refusing to commit rather than"
+                " violate the table's declared writer features"
+            )
+
+    def _resolve_write_schema(
+        self, snap: DeltaSnapshot, df: DataFrame, merge_schema: bool
+    ):
+        """Schema enforcement for append/overwrite (the reference's
+        ``validate_append`` contract, reference mack/__init__.py:358-380,
+        applied at the protocol layer). Returns ``(frame, new_meta)``:
+        the frame aligned to the table's column order, and — only when
+        ``merge_schema`` grew the schema — the updated ``metaData``
+        action to commit alongside the data.
+
+        * without ``merge_schema``: the frame's column set and types
+          must equal the committed ``schemaString`` (order-insensitive,
+          nullability ignored); anything else raises loudly;
+        * with ``merge_schema``: NEW columns are appended to the schema
+          (Delta's ``mergeSchema`` evolution); columns the frame lacks
+          are filled with NULL; a changed type on an existing column
+          still raises (type evolution needs a rewrite, not an append).
+        """
+        committed = snap.schema
+        cfields = {f.name: f for f in committed.fields}
+        dfields = {f.name: f for f in df.schema.fields}
+        extra = [f.name for f in df.schema.fields if f.name not in cfields]
+        missing = [f.name for f in committed.fields if f.name not in dfields]
+        mismatched = sorted(
+            n
+            for n in dfields
+            if n in cfields and dfields[n].dataType != cfields[n].dataType
+        )
+        if mismatched:
+            detail = ", ".join(
+                f"{n}: table {cfields[n].dataType.simpleString()} vs"
+                f" frame {dfields[n].dataType.simpleString()}"
+                for n in mismatched
+            )
+            raise DeltaProtocolError(
+                f"schema mismatch vs committed table schema ({detail});"
+                " changing a column's type requires overwriting the table"
+            )
+        if not merge_schema:
+            if extra or missing:
+                raise DeltaProtocolError(
+                    "schema mismatch vs committed table schema"
+                    f" (extra columns {extra}, missing columns {missing});"
+                    " pass merge_schema=True to evolve the table"
+                )
+            return df.select(*[f.name for f in committed.fields]), None
+        out = df
+        for name in missing:
+            out = out.withColumn(
+                name, F.lit(None).cast(cfields[name].dataType)
+            )
+        merged = StructType(
+            list(committed.fields)
+            + [dfields[n] for n in df.schema.fieldNames() if n in extra]
+        )
+        out = out.select(*[f.name for f in merged.fields])
+        new_meta = None
+        if extra:
+            new_meta = dict(snap.metadata, schemaString=merged.json())
+        return out, new_meta
+
+    def append(
+        self, df: DataFrame, max_retries: int = 3,
+        merge_schema: bool = False,
+    ) -> None:
+        """Transactional append with schema enforcement. Appends
+        commute, so a lost commit race is retried against the new head
+        (Delta's blind-append rule) — unless the head's schema moved
+        under us, which is a real conflict and surfaces as such."""
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        aligned, new_meta = self._resolve_write_schema(snap, df, merge_schema)
+        adds = self._write_data_files(aligned, snap.partition_columns)
         from mack_spark.tables import ConcurrentModificationError
 
         actions = [
             {"commitInfo": {"timestamp": _now_ms(), "operation": "WRITE",
                             "operationParameters": {"mode": "Append"}}}
-        ] + [{"add": a} for a in adds]
+        ]
+        if new_meta is not None:
+            actions.append({"metaData": new_meta})
+        actions += [{"add": a} for a in adds]
         for _ in range(max_retries + 1):
-            v = self.snapshot().version
+            head = self.snapshot()
+            if head.metadata["schemaString"] != snap.metadata["schemaString"]:
+                raise ConcurrentModificationError(
+                    f"schema of {self.path} changed concurrently with"
+                    " this append — re-validate and retry"
+                )
             try:
-                self._commit(v + 1, actions)
+                self._commit(head.version + 1, actions)
                 return
             except ConcurrentModificationError:
                 continue
@@ -559,17 +719,21 @@ class DeltaProtocolTable:
             f"append to {self.path} lost {max_retries + 1} commit races"
         )
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, merge_schema: bool = False) -> None:
         """Transactional overwrite: remove every live file, add the new
-        ones, one commit."""
+        ones, one commit. Schema-enforced like :meth:`append`."""
         snap = self.snapshot()
-        adds = self._write_data_files(df, snap.partition_columns)
-        actions = (
+        self._assert_writable(snap)
+        aligned, new_meta = self._resolve_write_schema(snap, df, merge_schema)
+        adds = self._write_data_files(aligned, snap.partition_columns)
+        actions = [
+            {"commitInfo": {"timestamp": _now_ms(), "operation": "WRITE",
+                            "operationParameters": {"mode": "Overwrite"}}}
+        ]
+        if new_meta is not None:
+            actions.append({"metaData": new_meta})
+        actions += (
             [
-                {"commitInfo": {"timestamp": _now_ms(), "operation": "WRITE",
-                                "operationParameters": {"mode": "Overwrite"}}}
-            ]
-            + [
                 {"remove": {"path": p, "deletionTimestamp": _now_ms(),
                             "dataChange": True}}
                 for p in snap.files
@@ -592,6 +756,38 @@ class DeltaProtocolTable:
             return None
         return lo, hi
 
+    @staticmethod
+    def _normalize_bounds(rng, sample_key):
+        """Footer-stat ``(min, max)`` as values typed like the keys:
+        JSON stats store temporal bounds as ISO strings (this writer
+        emits UTC-naive; foreign writers may suffix Z/+00:00), so when
+        the keys are date/datetime the bounds are parsed and shifted to
+        the same UTC-naive domain before comparison. Unparseable bounds
+        surface as-is and the caller's TypeError fallback keeps the
+        file (never wrong pruning)."""
+        if not isinstance(sample_key, (datetime.date, datetime.datetime)):
+            return rng
+
+        def conv(v):
+            if isinstance(sample_key, datetime.datetime):
+                if isinstance(v, str):
+                    v = datetime.datetime.fromisoformat(
+                        v.replace("Z", "+00:00")
+                    )
+                if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+                    v = v.astimezone(datetime.timezone.utc).replace(
+                        tzinfo=None
+                    )
+                return v
+            if isinstance(v, str):
+                return datetime.date.fromisoformat(v[:10])
+            return v
+
+        try:
+            return conv(rng[0]), conv(rng[1])
+        except ValueError:
+            return rng
+
     def merge(self, km) -> dict:
         """Execute a :class:`~mack_spark.tables.KeyedMerge` as one Delta
         commit. Requires the descriptor's file-skipping contract
@@ -611,33 +807,69 @@ class DeltaProtocolTable:
                 "skipping contract (target_key_col/source_key_col)"
             )
         snap = self.snapshot()
-        # the exact source key set (bounded collect: merge batches are
-        # small relative to the table by contract; past the cap the
-        # skip degrades to the min/max envelope, never to wrong rows)
+        self._assert_writable(snap)
+        # ONE job collects the exact source key set AND per-key
+        # multiplicities (bounded collect: merge batches are small
+        # relative to the table by contract; past the cap the skip
+        # degrades to the min/max envelope, never to wrong rows).
+        # Multiplicity matters because the contract says ``condition``
+        # implies key equality: two source rows can only match the same
+        # target row if they share a key, so all-unique source keys
+        # prove the merge unambiguous and the interpreter's ambiguity
+        # probe join is skipped outright.
         key_cap = 1_000_000
-        keys = [
-            r[0]
-            for r in km.source.select(km.source_key_col)
-            .where(F.col(km.source_key_col).isNotNull())
-            .distinct()
-            .limit(key_cap + 1)
-            .collect()
-        ]
-        exact = len(keys) <= key_cap
-        if keys and isinstance(keys[0], (datetime.date, datetime.datetime)):
-            # footer stats were JSON-ized to ISO strings; ISO order ==
-            # chronological order, so bisect still works
-            keys = [k.isoformat() for k in keys]
+        key_dtype = km.source.schema[
+            km.source_key_col
+        ].dataType.simpleString()
+        grouped = km.source.groupBy(
+            F.col(km.source_key_col).alias("__k")
+        ).agg(F.count(F.lit(1)).alias("__n"))
+        if key_dtype == "timestamp":
+            # collect the INTERNAL UTC micros, not the datetime: Python
+            # collect() round-trips timestamps through the driver
+            # machine's time zone, which need not match the UTC
+            # instants in parquet footers — comparing those silently
+            # mis-prunes files and drops matched updates. Micros are
+            # tz-free; both sides become naive-UTC datetimes.
+            grouped = grouped.select(F.unix_micros("__k").alias("__k"), "__n")
+        key_rows = grouped.limit(key_cap + 1).collect()
+        exact = len(key_rows) <= key_cap
+        keys = [r[0] for r in key_rows if r[0] is not None]
+        null_count = sum(r[1] for r in key_rows if r[0] is None)
+        max_mult = max((r[1] for r in key_rows), default=0)
+        if not km.null_safe:
+            # NULL source keys never match under ``=``; they cannot
+            # create ambiguity
+            max_mult = max(
+                (r[1] for r in key_rows if r[0] is not None), default=0
+            )
+        unambiguous = exact and max_mult <= 1
+        if key_dtype == "timestamp":
+            epoch = datetime.datetime(1970, 1, 1)
+            keys = [epoch + datetime.timedelta(microseconds=k) for k in keys]
         keys.sort()
         import bisect
 
+        # whether NULL target keys can match (null-safe condition with
+        # NULL source keys): min/max stats never cover NULLs, so such
+        # files are touched via nullCount instead
+        null_matches = km.null_safe and null_count > 0
         touched: List[str] = []
         for p in snap.files:
+            st = snap.file_stats(p)
             rng = self._prunable_range(snap, p, km.target_key_col)
-            if rng is None or not keys:
-                touched.append(p)  # no stats / all-NULL source keys
+            if rng is None or (not keys and not null_matches):
+                # no stats (can't prune) or all-NULL non-matching source
+                touched.append(p)
                 continue
-            flo, fhi = rng
+            if null_matches:
+                nc = (st.get("nullCount") or {}).get(km.target_key_col)
+                if nc is None or nc > 0:
+                    touched.append(p)
+                    continue
+            if not keys:
+                continue
+            flo, fhi = self._normalize_bounds(rng, keys[0])
             try:
                 if exact:
                     i = bisect.bisect_left(keys, flo)
@@ -649,7 +881,9 @@ class DeltaProtocolTable:
             if hit:
                 touched.append(p)
         base = self._read_files(snap, touched)
-        merged = interpret_keyed_merge(base, km)
+        merged = interpret_keyed_merge(
+            base, km, assume_unambiguous=unambiguous
+        )
         adds = self._write_data_files(merged, snap.partition_columns)
         actions = (
             [
@@ -675,3 +909,190 @@ class DeltaProtocolTable:
             "total_files": len(snap.files),
             "version": snap.version + 1,
         }
+
+    # ------------------------------------------------------------------
+    # DELETE / UPDATE / VACUUM
+    # ------------------------------------------------------------------
+
+    def _files_matching(self, snap: DeltaSnapshot, condition: str) -> List[str]:
+        """Relative paths of live files holding at least one row where
+        ``condition`` is TRUE — Delta DELETE/UPDATE's phase 1, as ONE
+        Spark scan: the predicate pushes down to the parquet reader
+        (row-group stats skip non-matching files at scan level) and
+        ``input_file_name`` surfaces which files actually matched."""
+        from urllib.parse import unquote, urlparse
+
+        paths = list(snap.files)
+        if not paths:
+            return []
+        hits = (
+            self._read_files(snap, paths)
+            .where(F.coalesce(F.expr(condition), F.lit(False)))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        rel = set()
+        for (f,) in hits:
+            local = unquote(urlparse(f).path) if "://" in f or f.startswith("file:") else f
+            rel.add(os.path.relpath(local, self.path).replace(os.sep, "/"))
+        return [p for p in paths if p in rel]
+
+    def delete_where(self, condition: str) -> dict:
+        """``DELETE FROM table WHERE condition`` as one Delta commit —
+        the protocol twin of :func:`mack_spark.tables.delete_where`
+        (Delta's ``DeltaTable.delete``; the reference composes it inside
+        kill_duplicates via MERGE, mack/__init__.py:190-192).
+
+        SQL three-valued logic: rows where the condition is TRUE are
+        removed; FALSE and NULL rows stay. Only files that actually
+        contain a matching row are rewritten; every other file is left
+        untouched in the log (not read twice, not rewritten)."""
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        touched = self._files_matching(snap, condition)
+        if not touched:
+            return {
+                "touched_files": 0,
+                "total_files": len(snap.files),
+                "version": snap.version,
+            }
+        kept = self._read_files(snap, touched).filter(
+            ~F.coalesce(F.expr(condition), F.lit(False))
+        )
+        adds = self._write_data_files(kept, snap.partition_columns)
+        actions = (
+            [
+                {"commitInfo": {
+                    "timestamp": _now_ms(), "operation": "DELETE",
+                    "operationParameters": {"predicate": condition},
+                    "operationMetrics": {
+                        "numRemovedFiles": len(touched),
+                        "numAddedFiles": len(adds),
+                    },
+                }}
+            ]
+            + [
+                {"remove": {"path": p, "deletionTimestamp": _now_ms(),
+                            "dataChange": True}}
+                for p in touched
+            ]
+            + [{"add": a} for a in adds]
+        )
+        self._commit(snap.version + 1, actions)
+        return {
+            "touched_files": len(touched),
+            "total_files": len(snap.files),
+            "version": snap.version + 1,
+        }
+
+    def update_where(self, condition: str, assignments: Dict[str, str]) -> dict:
+        """``UPDATE table SET col = expr, ... WHERE condition`` as one
+        Delta commit — the protocol twin of
+        :func:`mack_spark.tables.update_where` (Delta's
+        ``DeltaTable.update``). Assignments evaluate against the
+        pre-update row, all simultaneously, cast back to the column's
+        declared type; FALSE/NULL-condition rows are untouched. Same
+        file pruning as :meth:`delete_where`."""
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        schema = snap.schema
+        unknown = set(assignments) - {f.name for f in schema.fields}
+        if unknown:
+            raise ValueError(
+                f"assignments target unknown columns: {sorted(unknown)}"
+            )
+        touched = self._files_matching(snap, condition)
+        if not touched:
+            return {
+                "touched_files": 0,
+                "total_files": len(snap.files),
+                "version": snap.version,
+            }
+        cond = F.coalesce(F.expr(condition), F.lit(False))
+        types = {f.name: f.dataType for f in schema.fields}
+        cols = [
+            F.when(cond, F.expr(assignments[c]).cast(types[c]))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in (f.name for f in schema.fields)
+        ]
+        rewritten = self._read_files(snap, touched).select(*cols)
+        adds = self._write_data_files(rewritten, snap.partition_columns)
+        actions = (
+            [
+                {"commitInfo": {
+                    "timestamp": _now_ms(), "operation": "UPDATE",
+                    "operationParameters": {"predicate": condition},
+                    "operationMetrics": {
+                        "numRemovedFiles": len(touched),
+                        "numAddedFiles": len(adds),
+                    },
+                }}
+            ]
+            + [
+                {"remove": {"path": p, "deletionTimestamp": _now_ms(),
+                            "dataChange": True}}
+                for p in touched
+            ]
+            + [{"add": a} for a in adds]
+        )
+        self._commit(snap.version + 1, actions)
+        return {
+            "touched_files": len(touched),
+            "total_files": len(snap.files),
+            "version": snap.version + 1,
+        }
+
+    def vacuum(
+        self, retention_hours: float = 168.0, dry_run: bool = False
+    ) -> List[str]:
+        """Delta ``VACUUM``: list the table directory, delete every
+        data file that is NOT referenced by the CURRENT snapshot and is
+        older than the retention horizon (modification time — the same
+        signal Delta uses for tombstoned and never-committed files
+        alike, so crashed writers' staging debris is reclaimed too).
+
+        After a vacuum, time travel to versions whose files were
+        reclaimed fails loudly at read time (missing file), exactly
+        Delta's documented contract. Like Delta, running with a short
+        retention concurrently with active writers can reclaim files a
+        not-yet-committed transaction is staging — operate it with the
+        same retention discipline. Returns the reclaimed (or, with
+        ``dry_run``, reclaimable) paths relative to the table root."""
+        snap = self.snapshot()
+        live = {os.path.normpath(p) for p in snap.files}
+        horizon = time.time() - retention_hours * 3600.0
+        doomed: List[str] = []
+        for root, dirs, fnames in os.walk(self.path):
+            dirs[:] = [d for d in dirs if d != "_delta_log"]
+            for fn in fnames:
+                full = os.path.join(root, fn)
+                rel = os.path.normpath(os.path.relpath(full, self.path))
+                if rel in live:
+                    continue
+                try:
+                    if os.path.getmtime(full) > horizon:
+                        continue
+                except OSError:
+                    continue
+                doomed.append(rel.replace(os.sep, "/"))
+        if not dry_run:
+            for rel in doomed:
+                try:
+                    os.unlink(os.path.join(self.path, rel))
+                except OSError:
+                    pass
+            # prune directories the reclaim emptied (partition dirs);
+            # rmdir refuses non-empty dirs, so blind bottom-up attempts
+            # are safe
+            for root, _dirs, _fnames in os.walk(self.path, topdown=False):
+                if root == self.path or "_delta_log" in root:
+                    continue
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+        return sorted(doomed)

@@ -18,6 +18,9 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT64 micros (not stats-less INT96) so timestamp footer
+        # stats exist — same setting as mack_spark.session.get_session
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", "4g")
         .getOrCreate()
     )

@@ -228,3 +228,335 @@ class TestMerge:
         )
         assert got == want
         assert [h["operation"] for h in t.history()][0] == "MERGE"
+
+
+class TestSchemaEnforcement:
+    def test_drifted_append_raises(self, spark, tmp_path):
+        from mack_spark.sources.delta_log import DeltaProtocolError
+
+        t = _mk(spark, tmp_path, [(1, "a")])
+        with pytest.raises(DeltaProtocolError, match="extra columns"):
+            t.append(
+                spark.createDataFrame(
+                    [(2, "b", 1.0)], "pkey int, attr string, extra double"
+                )
+            )
+        with pytest.raises(DeltaProtocolError, match="missing columns"):
+            t.append(spark.createDataFrame([(2,)], "pkey int"))
+        with pytest.raises(DeltaProtocolError, match="type"):
+            t.append(
+                spark.createDataFrame([(2, "b")], "pkey bigint, attr string")
+            )
+        # nothing committed, nothing written
+        assert t.snapshot().version == 0
+        assert t.to_df().count() == 1
+
+    def test_append_reorders_columns_by_name(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, [(1, "a")])
+        t.append(
+            spark.createDataFrame([("b", 2)], "attr string, pkey int")
+        )
+        assert sorted(map(tuple, t.to_df().collect())) == [(1, "a"), (2, "b")]
+
+    def test_merge_schema_evolves_and_time_travels(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, [(1, "a")])
+        t.append(
+            spark.createDataFrame(
+                [(2, "b", 9.5)], "pkey int, attr string, score double"
+            ),
+            merge_schema=True,
+        )
+        snap = t.snapshot()
+        assert [f.name for f in snap.schema.fields] == ["pkey", "attr", "score"]
+        got = sorted(map(tuple, t.to_df().collect()))
+        # pre-evolution file reads the new column as NULL
+        assert got == [(1, "a", None), (2, "b", 9.5)]
+        # time travel to version 0 still shows the ORIGINAL schema
+        old = t.to_df(version_as_of=0)
+        assert [f.name for f in old.schema.fields] == ["pkey", "attr"]
+        assert sorted(map(tuple, old.collect())) == [(1, "a")]
+        # a frame missing a committed column under merge_schema: filled NULL
+        t.append(
+            spark.createDataFrame([(3, "c")], "pkey int, attr string"),
+            merge_schema=True,
+        )
+        assert t.snapshot().version == 2
+        assert sorted(map(tuple, t.to_df().collect()))[2] == (3, "c", None)
+
+    def test_merge_schema_overwrite(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, [(1, "a")])
+        t.overwrite(
+            spark.createDataFrame(
+                [(9, "z", True)], "pkey int, attr string, flag boolean"
+            ),
+            merge_schema=True,
+        )
+        assert sorted(map(tuple, t.to_df().collect())) == [(9, "z", True)]
+        assert [f.name for f in t.snapshot().schema.fields] == [
+            "pkey", "attr", "flag",
+        ]
+
+
+class TestProtocolGates:
+    def _bump(self, t, **proto):
+        v = t.snapshot().version + 1
+        with open(os.path.join(t.path, "_delta_log", "%020d.json" % v), "w") as fh:
+            fh.write(json.dumps({"protocol": proto}) + "\n")
+
+    def test_writer_version_above_2_refuses_commits(self, spark, tmp_path):
+        from mack_spark.sources.delta_log import DeltaProtocolError
+
+        t = _mk(spark, tmp_path, [(1, "a")])
+        self._bump(t, minReaderVersion=1, minWriterVersion=4)
+        df = spark.createDataFrame([(2, "b")], "pkey int, attr string")
+        for op in (
+            lambda: t.append(df),
+            lambda: t.overwrite(df),
+            lambda: t.delete_where("pkey = 1"),
+            lambda: t.update_where("pkey = 1", {"attr": "'x'"}),
+        ):
+            with pytest.raises(DeltaProtocolError, match="writer version"):
+                op()
+        # reads still work — writer features don't gate readers
+        assert t.to_df().count() == 1
+
+    def test_reader_version_3_rejected(self, spark, tmp_path):
+        from mack_spark.sources.delta_log import DeltaProtocolError
+
+        t = _mk(spark, tmp_path, [(1, "a")])
+        self._bump(t, minReaderVersion=3, minWriterVersion=7)
+        with pytest.raises(DeltaProtocolError, match="reader version"):
+            t.to_df()
+
+    def test_column_mapping_rejected_up_front(self, spark, tmp_path):
+        from mack_spark.sources.delta_log import DeltaProtocolError
+
+        t = _mk(spark, tmp_path, [(1, "a")])
+        snap = t.snapshot()
+        meta = dict(
+            snap.metadata,
+            configuration={"delta.columnMapping.mode": "name"},
+        )
+        v = snap.version + 1
+        with open(os.path.join(t.path, "_delta_log", "%020d.json" % v), "w") as fh:
+            fh.write(json.dumps({"protocol": {"minReaderVersion": 2,
+                                              "minWriterVersion": 5}}) + "\n")
+            fh.write(json.dumps({"metaData": meta}) + "\n")
+        with pytest.raises(DeltaProtocolError, match="column mapping"):
+            t.to_df()
+
+
+class TestDeleteUpdate:
+    def _table(self, spark, tmp_path, n=100, files=4):
+        df = (
+            spark.range(n)
+            .select(
+                F.col("id").cast("int").alias("pkey"),
+                F.concat(F.lit("v"), F.col("id")).alias("attr"),
+            )
+            .repartitionByRange(files, "pkey")
+            .sortWithinPartitions("pkey")
+        )
+        return DeltaProtocolTable.create(spark, str(tmp_path / "d"), df)
+
+    def test_delete_where_prunes_untouched_files(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        snap0 = t.snapshot()
+        inodes0 = {
+            p: os.stat(os.path.join(t.path, p)).st_ino for p in snap0.files
+        }
+        res = t.delete_where("pkey between 10 and 14")
+        assert res["touched_files"] == 1 and res["total_files"] == 4
+        assert t.to_df().count() == 95
+        assert t.to_df().filter("pkey between 10 and 14").count() == 0
+        # the three untouched files: same log entries, same inodes
+        snap1 = t.snapshot()
+        surviving = set(snap0.files) & set(snap1.files)
+        assert len(surviving) == 3
+        for p in surviving:
+            assert os.stat(os.path.join(t.path, p)).st_ino == inodes0[p]
+        assert [h["operation"] for h in t.history()][0] == "DELETE"
+
+    def test_delete_null_condition_keeps_rows(self, spark, tmp_path):
+        t = _mk(
+            spark, tmp_path,
+            [Row(pkey=1, attr="a"), Row(pkey=2, attr=None),
+             Row(pkey=3, attr="c")],
+        )
+        t.delete_where("attr = 'a'")
+        # NULL-condition row (attr IS NULL) must STAY — three-valued DELETE
+        assert sorted(r["pkey"] for r in t.to_df().collect()) == [2, 3]
+
+    def test_delete_no_match_commits_nothing(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        v0 = t.snapshot().version
+        res = t.delete_where("pkey > 1000000")
+        assert res["touched_files"] == 0
+        assert t.snapshot().version == v0
+
+    def test_update_where_semantics_and_pruning(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        res = t.update_where(
+            "pkey between 20 and 24", {"attr": "concat(attr, '!')"}
+        )
+        assert res["touched_files"] == 1
+        out = {r["pkey"]: r["attr"] for r in t.to_df().collect()}
+        assert out[20] == "v20!" and out[24] == "v24!"
+        assert out[19] == "v19" and out[50] == "v50"
+        assert len(out) == 100
+        assert [h["operation"] for h in t.history()][0] == "UPDATE"
+
+    def test_update_unknown_column_raises(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="unknown columns"):
+            t.update_where("pkey = 1", {"nope": "'x'"})
+
+    def test_update_cast_back_to_declared_type(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, [(1, "a")])
+        t.update_where("pkey = 1", {"pkey": "pkey + 1.5"})  # double expr
+        f = {x.name: x.dataType.simpleString() for x in t.snapshot().schema.fields}
+        assert f["pkey"] == "int"
+        assert t.to_df().collect()[0]["pkey"] == 2  # cast truncates like SQL
+
+    def test_delete_on_partitioned_table(self, spark, tmp_path):
+        rows = [(i, "x" if i % 2 else "y") for i in range(20)]
+        df = spark.createDataFrame(rows, "pkey int, part string")
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "pp"), df, partition_by=["part"]
+        )
+        res = t.delete_where("part = 'x'")
+        assert res["touched_files"] >= 1
+        got = t.to_df()
+        assert got.filter("part = 'x'").count() == 0
+        assert got.count() == 10
+
+
+class TestVacuum:
+    def test_vacuum_reclaims_and_old_reads_fail(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+        t.overwrite(spark.createDataFrame([(9, "z")], "pkey int, attr string"))
+        t.overwrite(spark.createDataFrame([(8, "y")], "pkey int, attr string"))
+        # versions 0 and 1's files are unreferenced by the live snapshot
+        dry = t.vacuum(retention_hours=0.0, dry_run=True)
+        assert dry  # something to reclaim
+        before = sum(
+            len(fs) for _, _, fs in os.walk(t.path) if True
+        )
+        got = t.vacuum(retention_hours=0.0)
+        assert got == dry
+        after = sum(len(fs) for _, _, fs in os.walk(t.path))
+        assert after < before
+        # current version intact
+        assert sorted(map(tuple, t.to_df().collect())) == [(8, "y")]
+        # time travel to a reclaimed version fails loudly
+        with pytest.raises(Exception):
+            t.to_df(version_as_of=0).collect()
+
+    def test_vacuum_respects_retention(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, [(1, "a")])
+        t.overwrite(spark.createDataFrame([(9, "z")], "pkey int, attr string"))
+        # young files survive a 7-day retention
+        assert t.vacuum(retention_hours=168.0) == []
+        assert sorted(map(tuple, t.to_df(version_as_of=0).collect())) == [
+            (1, "a")
+        ]
+
+    def test_vacuum_never_touches_log_or_live(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, [(1, "a")])
+        t.append(spark.createDataFrame([(2, "b")], "pkey int, attr string"))
+        assert t.vacuum(retention_hours=0.0) == []  # appends leave no garbage
+        assert t.to_df().count() == 2
+        assert os.path.isdir(os.path.join(t.path, "_delta_log"))
+
+
+class TestTimestampMergeKeys:
+    def test_merge_on_timestamp_key_nonutc_session(self, spark, tmp_path):
+        """Session tz != UTC: collected keys are session-local naive,
+        footer stats are UTC — without normalization files containing
+        matched keys get wrongly pruned and updates silently vanish."""
+        import datetime
+
+        from mack_spark.tables import KeyedMerge
+
+        old_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        try:
+            rows = [
+                (datetime.datetime(2020, 1, 1, 12, 0, 0), "a"),
+                (datetime.datetime(2020, 6, 1, 12, 0, 0), "b"),
+                (datetime.datetime(2021, 1, 1, 12, 0, 0), "c"),
+            ]
+            df = (
+                spark.createDataFrame(rows, "ts timestamp, attr string")
+                .repartitionByRange(3, "ts")
+                .sortWithinPartitions("ts")
+            )
+            t = DeltaProtocolTable.create(spark, str(tmp_path / "ts"), df)
+            src = spark.createDataFrame(
+                [(datetime.datetime(2020, 6, 1, 12, 0, 0), "B2")],
+                "ts timestamp, attr string",
+            )
+            km = KeyedMerge(
+                source=src, condition="t.ts = s.ts",
+                matched_update={"attr": "s.attr"}, not_matched_insert="*",
+                target_key_col="ts", source_key_col="ts",
+            )
+            res = t.merge(km)
+            out = {str(r["ts"]): r["attr"] for r in t.to_df().collect()}
+            assert out["2020-06-01 12:00:00"] == "B2"  # update NOT dropped
+            assert out["2020-01-01 12:00:00"] == "a"
+            assert t.to_df().count() == 3
+            # and pruning still prunes: only the file holding the key
+            assert res["touched_files"] == 1 and res["total_files"] == 3
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+class TestForeignPartitionLayout:
+    def test_partition_values_come_from_log_not_dirs(self, spark, tmp_path):
+        """A spec-compliant foreign writer is NOT required to use
+        col=value directories; partitionValues in the add action is
+        authoritative."""
+        import uuid as _uuid
+
+        path = str(tmp_path / "foreign")
+        os.makedirs(os.path.join(path, "_delta_log"))
+        # two data files in the TABLE ROOT (no Hive dirs), partition
+        # column 'part' recorded only in the log
+        adds = []
+        for pval, rows in (("x", [(1,)]), ("y", [(2,), (3,)])):
+            rel = f"part-{_uuid.uuid4().hex}.parquet"
+            spark.createDataFrame(rows, "pkey int").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(tmp_path / "stage"))
+            import glob
+            import shutil
+
+            src = glob.glob(str(tmp_path / "stage" / "*.parquet"))[0]
+            shutil.move(src, os.path.join(path, rel))
+            adds.append(
+                {"path": rel, "partitionValues": {"part": pval},
+                 "size": os.path.getsize(os.path.join(path, rel)),
+                 "modificationTime": 0, "dataChange": True}
+            )
+        schema_json = json.dumps(
+            {"type": "struct", "fields": [
+                {"name": "pkey", "type": "integer", "nullable": True,
+                 "metadata": {}},
+                {"name": "part", "type": "string", "nullable": True,
+                 "metadata": {}},
+            ]}
+        )
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                                "options": {}},
+                          "schemaString": schema_json,
+                          "partitionColumns": ["part"],
+                          "configuration": {}, "createdTime": 0}},
+        ] + [{"add": a} for a in adds]
+        with open(os.path.join(path, "_delta_log", "%020d.json" % 0), "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        t = DeltaProtocolTable(spark, path)
+        got = sorted(map(tuple, t.to_df().collect()))
+        assert got == [(1, "x"), (2, "y"), (3, "y")]
