@@ -281,6 +281,18 @@ def _lloyd_fitted_states():
         except Exception:
             continue
         X = np.array([list(e) for _, e in rows], dtype=np.float64)
+        # The Spark side (build_ivf_index / train_pq_codebooks) hash-
+        # gates its fit sample once the corpus exceeds 256·k rows
+        # (similarity.py:633, pq.py:56). This oracle fits on the FULL
+        # corpus, so it is only bit-exact below that cap — fail loudly
+        # at oracle-generation time rather than emit red rows if a gate
+        # corpus ever outgrows it (then replicate the md5 sample gate
+        # here).
+        assert len(X) <= 256 * 16, (
+            f"{d}: {len(X)} embeddings exceed the 256*k fit-sample cap; "
+            "_lloyd_fitted_states must replicate the engine's hash-gate "
+            "sampling to stay bit-exact"
+        )
         cent = _lloyd(X, 16, 10)  # build_ivf_index n_cells=16, max_iter=10
         m, kc = 16, 16  # pq m=16, k=16 (the declared-query shape)
         sub = X.shape[1] // m
@@ -540,6 +552,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return t.to_df()
 
     q["delta_scd2_merge"] = q_scd2_delta
+
+    def q_kill_delta(spark, sf_dir):
+        # kill_duplicates the way the reference executes it — a native
+        # Delta MERGE with whenMatchedDelete (reference
+        # mack/__init__.py:183-192) — through the open-protocol table:
+        # CTAS commit, then ONE delete-merge commit whose phase-1 stats
+        # skip leaves files without duplicate keys untouched. Same
+        # oracle as the post-state plan.
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+        from mack_spark.tables import KeyedMerge
+
+        li = _t(spark, sf_dir, "lineitem")
+        path = tempfile.mkdtemp(prefix="mack-delta-kill-") + "/t"
+        t = DeltaProtocolTable.create(spark, path, li)
+        dup_cols = ["l_partkey", "l_suppkey"]
+        dup_keys = (
+            li.groupBy(*dup_cols).count().filter(F.col("count") > 1)
+            .drop("count")
+        )
+        km = KeyedMerge(
+            source=dup_keys,
+            condition=" AND ".join(f"t.`{c}` = s.`{c}`" for c in dup_cols),
+            matched_delete=True,
+            target_key_col=dup_cols[0],
+            source_key_col=dup_cols[0],
+        )
+        t.merge(km)
+        return t.to_df()
+
+    q["delta_kill_duplicates"] = q_kill_delta
+
+    def q_awd_delta(spark, sf_dir):
+        # append_without_duplicates as the reference's native Delta
+        # MERGE (whenNotMatchedInsertAll, reference
+        # mack/__init__.py:402-412): insert-only merge = add-only
+        # commit, zero target files rewritten. Same oracle as the
+        # anti-join + append plan.
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+        from mack_spark.tables import KeyedMerge
+
+        orders = _t(spark, sf_dir, "orders")
+        path = tempfile.mkdtemp(prefix="mack-delta-awd-") + "/t"
+        t = DeltaProtocolTable.create(spark, path, orders)
+        km = KeyedMerge(
+            source=_append_batch(spark, sf_dir).drop_duplicates(
+                ["o_orderkey"]
+            ),
+            condition="t.`o_orderkey` = s.`o_orderkey`",
+            not_matched_insert="*",
+            target_key_col="o_orderkey",
+            source_key_col="o_orderkey",
+        )
+        t.merge(km)
+        return t.to_df()
+
+    q["delta_append_without_duplicates"] = q_awd_delta
 
     # ----- reference core: constraint/validated appends
     def q_cpass(spark, sf_dir):
@@ -2243,43 +2315,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_continuous_rollup"] = q_stream_rollup
 
     # Verification rotation: the driver checks the FIRST 50 keys in
-    # declaration order each round. Round-8 priorities:
-    # (a) the 6 queries with no driver hash-green row yet — the three
-    # k-means ANN queries newly given bit-exact Lloyd-state oracles
-    # (previously no_oracle rows-only), the native Delta-protocol
-    # MERGE, the hot-bucket census, and the scale-shape embedding
-    # near-dup (VERDICT r6 items 1/3/5/7);
-    # (b) the 3 queries whose last green row is round 1;
-    # (c) the 15 queries last green in round 3;
-    # (d) fills: oldest round-4-green rows in declaration order.
-    front_r8 = [
-        # (a) never driver-hash-checked (new or upgraded this round)
-        "delta_scd2_merge", "lsh_hot_buckets", "knn_ivf_kmeans",
-        "knn_pq_adc", "knn_ivfpq", "dedup_embedding_scaled",
-        # (b) last green r1
-        "with_md5_cols", "token_counts", "sample_deterministic",
-        # (c) last green r3
-        "pricing_summary", "regional_revenue", "top_customers",
-        "shipping_priority", "returned_revenue", "order_priority_semi",
-        "quiet_customers_anti", "order_gap_stats", "brand_part_rank",
-        "revenue_grouping_sets", "repetition_stats", "zorder_cluster",
-        "salted_join_revenue", "revenue_pivot_by_status",
-        "segment_spend_trend",
-        # (d) last green r4, declaration order
-        "click_without_purchase", "click_and_purchase",
-        "events_hourly_rollup", "salted_event_totals", "sessionize",
-        "dup_detect_groups", "kill_duplicates", "drop_duplicates",
-        "validate_append", "interval_join_active_sessions",
-        "fingerprint_winnow", "asof_join_purchase_view", "dedup_exact",
-        "column_profile", "props_json_stats", "totalprice_histogram",
-        "totalprice_percentiles", "lang_robust_stats",
-        "daily_funnel_full_outer", "sql_frontend_topsegments",
-        "gap_fill_daily", "dedup_simhash", "dedup_simhash_near",
-        "knn_brute_force", "knn_brute_force_numpy", "knn_lsh",
+    # declaration order each round. Round-9 priorities:
+    # (a) the 2 queries with no driver row yet — the new protocol-
+    # backed dedup merges (VERDICT r8 item 5);
+    # (b) the 11 queries whose last green row is round 4 (the oldest
+    # tail: the streaming family + knn_ivf/embedding helpers);
+    # (c) all 35 queries last green in round 5;
+    # (d) fills: the first round-7-green rows in declaration order.
+    front_r9 = [
+        # (a) never driver-checked (new this round)
+        "delta_kill_duplicates", "delta_append_without_duplicates",
+        # (b) last green r4
+        "knn_ivf", "embedding_norms", "embedding_quantize",
+        "streaming_hourly", "streaming_dedup_keys",
+        "streaming_sessionize", "streaming_scd2_foreach_batch",
+        "streaming_sliding", "streaming_user_stats",
+        "streaming_stream_stream_join", "streaming_continuous_rollup",
+        # (c) last green r5
+        "late_shipment_priority", "drop_duplicates_pkey",
+        "append_without_duplicates", "type_2_scd_upsert",
+        "constraint_append_pass", "constraint_append_quarantine",
+        "corpus_curation", "knn_ivf_indexed", "multimodal_metadata",
+        "multimodal_features", "multimodal_frame_sample",
+        "multimodal_resize", "pii_redact", "pii_stats",
+        "pii_rollup_by_source", "unigram_quality", "boilerplate_strip",
+        "incremental_rollup", "key_skew_profile", "dataset_split",
+        "sequence_packing", "packing_efficiency", "gopher_quality",
+        "dedup_ngram_spans", "vocab_census", "dedup_span_strip",
+        "cluster_balance", "retention_cohorts", "numeric_correlations",
+        "grouped_correlations", "part_affinity", "customer_rfm",
+        "chunk_documents", "lang_confusion", "embedding_diversity",
+        # (d) last green r7, declaration order
+        "min_cost_supplier", "supplier_revenue_share",
     ]
-    assert len(front_r8) == 50, len(front_r8)
-    fset = set(front_r8)
-    ordered = {k: q[k] for k in front_r8}
+    assert len(front_r9) == 50, len(front_r9)
+    fset = set(front_r9)
+    ordered = {k: q[k] for k in front_r9}
     ordered.update({k: v for k, v in q.items() if k not in fset})
     assert set(ordered) == set(q)
     return ordered
@@ -2997,6 +3068,10 @@ FROM updates WHERE c_custkey NOT IN (SELECT c_custkey FROM base)
     o["streaming_scd2_foreach_batch"] = o["type_2_scd_upsert"]
     # ... and so must the native Delta-protocol MERGE commit.
     o["delta_scd2_merge"] = o["type_2_scd_upsert"]
+    # The protocol-backed dedup merges land in the same post-states as
+    # their plan forms (whenMatchedDelete / whenNotMatchedInsertAll).
+    o["delta_kill_duplicates"] = o["kill_duplicates"]
+    o["delta_append_without_duplicates"] = o["append_without_duplicates"]
 
     o["constraint_append_pass"] = f"""
 WITH {_DIRTY_SQL.strip()}

@@ -881,6 +881,64 @@ class DeltaProtocolTable:
             if hit:
                 touched.append(p)
         base = self._read_files(snap, touched)
+        if (
+            km.matched_update is None
+            and km.matched_delete is None
+            and km.not_matched_insert is not None
+        ):
+            # insert-only MERGE: matched target rows are kept verbatim,
+            # so NO file needs rewriting — the commit is add-only (the
+            # same optimization Delta's own MERGE applies). The touched
+            # set still bounds the anti-join's target side: files whose
+            # key range misses every source key cannot absorb an insert
+            # candidate's match, so they are not even read.
+            schema = snap.schema
+            new_src = km.source.alias(km.source_alias).join(
+                base.alias(km.target_alias), F.expr(km.condition), "left_anti"
+            )
+            cond = getattr(km, "not_matched_condition", None)
+            if cond:
+                new_src = new_src.where(
+                    F.coalesce(F.expr(cond), F.lit(False))
+                )
+            if km.not_matched_insert == "*":
+                inserts = new_src.select(
+                    *[
+                        F.col(f"{km.source_alias}.`{f.name}`")
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
+            else:
+                inserts = new_src.select(
+                    *[
+                        F.expr(km.not_matched_insert[f.name])
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
+            adds = self._write_data_files(inserts, snap.partition_columns)
+            actions = (
+                [
+                    {"commitInfo": {
+                        "timestamp": _now_ms(), "operation": "MERGE",
+                        "operationParameters": {"predicate": km.condition},
+                        "operationMetrics": {
+                            "numTargetFilesRemoved": 0,
+                            "numTargetFilesAdded": len(adds),
+                        },
+                    }}
+                ]
+                + [{"add": a} for a in adds]
+            )
+            self._commit(snap.version + 1, actions)
+            return {
+                "touched_files": 0,
+                "total_files": len(snap.files),
+                "version": snap.version + 1,
+            }
         merged = interpret_keyed_merge(
             base, km, assume_unambiguous=unambiguous
         )

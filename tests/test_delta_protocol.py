@@ -560,3 +560,63 @@ class TestForeignPartitionLayout:
         t = DeltaProtocolTable(spark, path)
         got = sorted(map(tuple, t.to_df().collect()))
         assert got == [(1, "x"), (2, "y"), (3, "y")]
+
+
+class TestInsertOnlyMerge:
+    def test_insert_only_merge_is_add_only(self, spark, tmp_path):
+        """whenNotMatchedInsertAll with no matched clause (the
+        reference's append_without_duplicates, mack/__init__.py:402-412)
+        must not rewrite ANY target file — Delta's insert-only MERGE
+        optimization."""
+        from mack_spark.tables import KeyedMerge
+
+        df = (
+            spark.range(100)
+            .select(
+                F.col("id").cast("int").alias("pkey"),
+                F.concat(F.lit("v"), F.col("id")).alias("attr"),
+            )
+            .repartitionByRange(4, "pkey")
+            .sortWithinPartitions("pkey")
+        )
+        t = DeltaProtocolTable.create(spark, str(tmp_path / "io"), df)
+        snap0 = t.snapshot()
+        inodes0 = {
+            p: os.stat(os.path.join(t.path, p)).st_ino for p in snap0.files
+        }
+        src = spark.createDataFrame(
+            [(5, "DUP5"), (200, "NEW200"), (201, "NEW201")],
+            "pkey int, attr string",
+        )
+        km = KeyedMerge(
+            source=src, condition="t.pkey = s.pkey",
+            not_matched_insert="*",
+            target_key_col="pkey", source_key_col="pkey",
+        )
+        res = t.merge(km)
+        assert res["touched_files"] == 0  # add-only commit
+        # every original file survives in the log, byte-identical
+        snap1 = t.snapshot()
+        for p in snap0.files:
+            assert p in snap1.files
+            assert os.stat(os.path.join(t.path, p)).st_ino == inodes0[p]
+        out = {r["pkey"]: r["attr"] for r in t.to_df().collect()}
+        assert len(out) == 102
+        assert out[5] == "v5"  # matched row untouched, NOT duplicated
+        assert out[200] == "NEW200" and out[201] == "NEW201"
+
+    def test_insert_only_with_condition(self, spark, tmp_path):
+        from mack_spark.tables import KeyedMerge
+
+        t = _mk(spark, tmp_path, [(1, "a")])
+        src = spark.createDataFrame(
+            [(2, "yes"), (3, "no"), (4, None)], "pkey int, attr string"
+        )
+        km = KeyedMerge(
+            source=src, condition="t.pkey = s.pkey",
+            not_matched_insert="*",
+            not_matched_condition="s.attr = 'yes'",  # NULL = false
+            target_key_col="pkey", source_key_col="pkey",
+        )
+        t.merge(km)
+        assert sorted(r["pkey"] for r in t.to_df().collect()) == [1, 2]
