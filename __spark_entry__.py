@@ -585,6 +585,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_kill_duplicates"] = q_kill_delta
 
+    def q_ddp_delta(spark, sf_dir):
+        # drop_duplicates_pkey as the reference's native Delta MERGE:
+        # the non-survivors (row_number > 1 under the pkey order) are
+        # deleted by primary key (reference mack/__init__.py:240-255 —
+        # whenMatchedDelete on the loser set). lineitem has no single
+        # unique pkey, so the survivor order is the full-column
+        # lexicographic one the drop_duplicates_pkey oracle pins.
+        import tempfile
+
+        from pyspark.sql import Window
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+        from mack_spark.tables import KeyedMerge
+
+        li = _t(spark, sf_dir, "lineitem").withColumn(
+            "__pk", F.monotonically_increasing_id()
+        )
+        path = tempfile.mkdtemp(prefix="mack-delta-ddp-") + "/t"
+        # CTAS first: __pk is only stable once MATERIALIZED (mono-id is
+        # plan-execution-dependent); the loser set is then derived from
+        # the table itself, like the reference derives it from the
+        # Delta table it is about to mutate
+        t = DeltaProtocolTable.create(spark, path, li)
+        stored = t.to_df()
+        dup_cols = ["l_partkey", "l_suppkey"]
+        w = Window.partitionBy(*dup_cols).orderBy(
+            *[F.col(c) for c in LINEITEM_COLS]
+        )
+        losers = (
+            stored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select("__pk")
+        )
+        km = KeyedMerge(
+            source=losers,
+            condition="t.`__pk` = s.`__pk`",
+            matched_delete=True,
+            target_key_col="__pk",
+            source_key_col="__pk",
+        )
+        t.merge(km)
+        return t.to_df().select(*LINEITEM_COLS)
+
+    q["delta_drop_duplicates_pkey"] = q_ddp_delta
+
     def q_awd_delta(spark, sf_dir):
         # append_without_duplicates as the reference's native Delta
         # MERGE (whenNotMatchedInsertAll, reference
@@ -2325,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front_r9 = [
         # (a) never driver-checked (new this round)
         "delta_kill_duplicates", "delta_append_without_duplicates",
+        "delta_drop_duplicates_pkey",
         # (b) last green r4
         "knn_ivf", "embedding_norms", "embedding_quantize",
         "streaming_hourly", "streaming_dedup_keys",
@@ -2346,7 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_correlations", "part_affinity", "customer_rfm",
         "chunk_documents", "lang_confusion", "embedding_diversity",
         # (d) last green r7, declaration order
-        "min_cost_supplier", "supplier_revenue_share",
+        "min_cost_supplier",
     ]
     assert len(front_r9) == 50, len(front_r9)
     fset = set(front_r9)
@@ -3072,6 +3118,7 @@ FROM updates WHERE c_custkey NOT IN (SELECT c_custkey FROM base)
     # their plan forms (whenMatchedDelete / whenNotMatchedInsertAll).
     o["delta_kill_duplicates"] = o["kill_duplicates"]
     o["delta_append_without_duplicates"] = o["append_without_duplicates"]
+    o["delta_drop_duplicates_pkey"] = o["drop_duplicates_pkey"]
 
     o["constraint_append_pass"] = f"""
 WITH {_DIRTY_SQL.strip()}
