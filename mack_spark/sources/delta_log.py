@@ -1104,6 +1104,144 @@ class DeltaProtocolTable:
             "version": snap.version + 1,
         }
 
+    def restore(self, version: int) -> dict:
+        """``RESTORE TABLE ... TO VERSION AS OF`` — rewind the LIVE
+        state to a past version as a NEW commit (history is preserved;
+        Delta's restore is itself an entry in the log). Metadata-only:
+        the commit removes files added since and re-adds files removed
+        since — no data file is read, moved, or rewritten, which is
+        what makes restore O(metadata) on a 100 TB table. Fails loudly
+        if the target version's files were already vacuumed away."""
+        snap_now = self.snapshot()
+        self._assert_writable(snap_now)
+        snap_then = self.snapshot(version_as_of=version)
+        missing = [
+            p
+            for p in snap_then.files
+            if not os.path.exists(os.path.join(self.path, p))
+        ]
+        if missing:
+            raise DeltaProtocolError(
+                f"cannot restore {self.path} to version {version}: "
+                f"{len(missing)} data files were vacuumed (e.g. "
+                f"{missing[0]})"
+            )
+        to_remove = [p for p in snap_now.files if p not in snap_then.files]
+        to_add = [
+            a for p, a in snap_then.files.items() if p not in snap_now.files
+        ]
+        actions = (
+            [
+                {"commitInfo": {
+                    "timestamp": _now_ms(), "operation": "RESTORE",
+                    "operationParameters": {"version": version},
+                    "operationMetrics": {
+                        "numRemovedFiles": len(to_remove),
+                        "numRestoredFiles": len(to_add),
+                    },
+                }},
+                {"metaData": snap_then.metadata},
+            ]
+            + [
+                {"remove": {"path": p, "deletionTimestamp": _now_ms(),
+                            "dataChange": True}}
+                for p in to_remove
+            ]
+            + [{"add": a} for a in to_add]
+        )
+        self._commit(snap_now.version + 1, actions)
+        return {
+            "restored_files": len(to_add),
+            "removed_files": len(to_remove),
+            "version": snap_now.version + 1,
+        }
+
+    @classmethod
+    def convert_from_parquet(
+        cls,
+        spark: SparkSession,
+        path: str,
+        partition_by: Optional[List[str]] = None,
+        properties: Optional[Dict[str, str]] = None,
+    ) -> "DeltaProtocolTable":
+        """``CONVERT TO DELTA parquet.`path``` — adopt an existing
+        directory of parquet files as a Delta table WITHOUT rewriting
+        them: the version-0 commit lists every file as an ``add`` with
+        footer stats. On a 100 TB parquet lake this is the difference
+        between an O(metadata) migration and re-copying the lake.
+        Hive-style ``col=value`` directories become partition columns
+        (pass ``partition_by`` to declare their order)."""
+        t = cls(spark, path)
+        if cls.is_delta(path):
+            raise FileExistsError(f"Delta log already exists at {path}")
+        partition_by = list(partition_by or [])
+        files: List[str] = []
+        for root, dirs, fnames in os.walk(t.path):
+            dirs[:] = [d for d in dirs if not d.startswith("_")]
+            for fn in fnames:
+                if fn.endswith(".parquet"):
+                    files.append(
+                        os.path.relpath(os.path.join(root, fn), t.path)
+                    )
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        # schema from the files themselves (Spark merges footers);
+        # partition columns from the directory layout
+        schema_df = spark.read.option("basePath", t.path).parquet(
+            *[os.path.join(t.path, f) for f in files]
+        )
+        schema = schema_df.schema
+        inferred_parts = [
+            c
+            for c in schema.fieldNames()
+            if any(f"{c}=" in seg for f in files[:1]
+                   for seg in os.path.dirname(f).split(os.sep))
+        ]
+        if not partition_by and inferred_parts:
+            partition_by = inferred_parts
+        data_cols = [c for c in schema.fieldNames() if c not in partition_by]
+        adds = []
+        for f in files:
+            part_values: Dict[str, Optional[str]] = {}
+            for seg in os.path.dirname(f).split(os.sep):
+                k, eq, v = seg.partition("=")
+                if eq:
+                    part_values[k] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                    )
+            full = os.path.join(t.path, f)
+            adds.append(
+                {
+                    "path": f.replace(os.sep, "/"),
+                    "partitionValues": part_values,
+                    "size": os.path.getsize(full),
+                    "modificationTime": int(os.path.getmtime(full) * 1000),
+                    "dataChange": True,
+                    "stats": _collect_file_stats(full, data_cols[:STATS_COLS]),
+                }
+            )
+        os.makedirs(_log_dir(t.path), exist_ok=True)
+        meta = {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema.json(),
+            "partitionColumns": partition_by,
+            "configuration": dict(properties or {}),
+            "createdTime": _now_ms(),
+        }
+        actions = (
+            [
+                {"commitInfo": {"timestamp": _now_ms(),
+                                "operation": "CONVERT",
+                                "operationParameters": {}}},
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {"metaData": meta},
+            ]
+            + [{"add": a} for a in adds]
+        )
+        t._commit(0, actions)
+        return t
+
     def vacuum(
         self, retention_hours: float = 168.0, dry_run: bool = False
     ) -> List[str]:

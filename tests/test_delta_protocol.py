@@ -620,3 +620,73 @@ class TestInsertOnlyMerge:
         )
         t.merge(km)
         assert sorted(r["pkey"] for r in t.to_df().collect()) == [1, 2]
+
+
+class TestRestoreConvert:
+    def test_restore_is_metadata_only(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+        inodes0 = {
+            p: os.stat(os.path.join(t.path, p)).st_ino
+            for p in t.snapshot().files
+        }
+        t.overwrite(spark.createDataFrame([(9, "z")], "pkey int, attr string"))
+        res = t.restore(0)
+        assert res["version"] == 2  # restore is a NEW commit
+        assert sorted(map(tuple, t.to_df().collect())) == [(1, "a"), (2, "b")]
+        # original files re-added by reference, not copied
+        for p, ino in inodes0.items():
+            assert os.stat(os.path.join(t.path, p)).st_ino == ino
+        # history preserved: v1's state still time-travels
+        assert sorted(map(tuple, t.to_df(version_as_of=1).collect())) == [
+            (9, "z")
+        ]
+        assert [h["operation"] for h in t.history()][0] == "RESTORE"
+
+    def test_restore_after_vacuum_fails_loudly(self, spark, tmp_path):
+        from mack_spark.sources.delta_log import DeltaProtocolError
+
+        t = _mk(spark, tmp_path, [(1, "a")])
+        t.overwrite(spark.createDataFrame([(9, "z")], "pkey int, attr string"))
+        t.vacuum(retention_hours=0.0)
+        with pytest.raises(DeltaProtocolError, match="vacuumed"):
+            t.restore(0)
+
+    def test_convert_from_parquet_adopts_without_rewrite(self, spark, tmp_path):
+        src = str(tmp_path / "plain")
+        df = spark.createDataFrame(
+            [(i, "x" if i % 2 else "y", float(i)) for i in range(20)],
+            "pkey int, part string, val double",
+        )
+        df.write.partitionBy("part").parquet(src)
+        inodes0 = {}
+        for root, _d, fs in os.walk(src):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    inodes0[os.path.join(root, f)] = os.stat(
+                        os.path.join(root, f)
+                    ).st_ino
+        t = DeltaProtocolTable.convert_from_parquet(spark, src)
+        snap = t.snapshot()
+        assert snap.partition_columns == ["part"]
+        assert len(snap.files) == len(inodes0)
+        # adopted in place: same inodes, stats present
+        for p in snap.files:
+            assert os.stat(os.path.join(t.path, p)).st_ino == inodes0[
+                os.path.join(t.path, p)
+            ]
+            assert snap.file_stats(p)["numRecords"] >= 1
+        got = sorted(map(tuple, t.to_df().select("pkey", "part", "val").collect()))
+        assert got == sorted(map(tuple, df.collect()))
+        # and it is now a fully writable Delta table
+        t.append(
+            spark.createDataFrame([(100, "x", 1.0)],
+                                  "pkey int, part string, val double")
+        )
+        assert t.to_df().count() == 21
+
+    def test_convert_unpartitioned(self, spark, tmp_path):
+        src = str(tmp_path / "flat")
+        spark.range(10).selectExpr("cast(id as int) pkey").write.parquet(src)
+        t = DeltaProtocolTable.convert_from_parquet(spark, src)
+        assert t.to_df().count() == 10
+        assert t.snapshot().partition_columns == []
