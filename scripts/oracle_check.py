@@ -153,7 +153,10 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            # tables may be single files (driver testdata) or Spark
+            # directories of part files (scaled synth dirs)
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet"
+            + ("/*.parquet')" if os.path.isdir(f"{sf_dir}/{t}.parquet") else "')")
         )
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
@@ -183,7 +186,11 @@ def main():
         import json
 
         payload = {
-            "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+            "sf": (
+                float(m.group(1))
+                if (m := re.search(r"sf([0-9.]+)", sf_dir))
+                else -1.0
+            ),
             "n_queries": len(record),
             "n_pass": sum(1 for v in record.values() if v["status"] == "PASS"),
             "n_hash_checked": sum(
