@@ -850,17 +850,29 @@ class DeltaProtocolTable:
         keys.sort()
         import bisect
 
+        if not key_rows:
+            # empty source: no matches, no inserts — a true no-op, no
+            # commit (Delta's merge with an empty source changes nothing)
+            return {
+                "touched_files": 0,
+                "total_files": len(snap.files),
+                "version": snap.version,
+            }
         # whether NULL target keys can match (null-safe condition with
         # NULL source keys): min/max stats never cover NULLs, so such
         # files are touched via nullCount instead
         null_matches = km.null_safe and null_count > 0
         touched: List[str] = []
-        for p in snap.files:
+        # all-NULL source keys under a plain-equality condition match
+        # nothing (the condition implies key equality), so no file is
+        # touched and the merge reduces to its not-matched-insert
+        # branch over an empty base
+        prune_all = not keys and not null_matches
+        for p in [] if prune_all else snap.files:
             st = snap.file_stats(p)
             rng = self._prunable_range(snap, p, km.target_key_col)
-            if rng is None or (not keys and not null_matches):
-                # no stats (can't prune) or all-NULL non-matching source
-                touched.append(p)
+            if rng is None:
+                touched.append(p)  # no stats: can't prune
                 continue
             if null_matches:
                 nc = (st.get("nullCount") or {}).get(km.target_key_col)

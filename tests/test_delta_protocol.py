@@ -690,3 +690,83 @@ class TestRestoreConvert:
         t = DeltaProtocolTable.convert_from_parquet(spark, src)
         assert t.to_df().count() == 10
         assert t.snapshot().partition_columns == []
+
+
+class TestMergeEdges:
+    def test_null_safe_merge_touches_null_key_files(self, spark, tmp_path):
+        """Under a null-safe condition (t.k <=> s.k) a NULL source key
+        matches NULL target keys. Min/max footer stats never describe
+        NULLs, so pruning must fall back to nullCount for such files —
+        otherwise the NULL-key update silently vanishes."""
+        from mack_spark.tables import KeyedMerge
+
+        rows = [(1, "a"), (2, "b"), (None, "n1"), (None, "n2")]
+        df = (
+            spark.createDataFrame(rows, "pkey int, attr string")
+            .repartitionByRange(2, "pkey")
+        )
+        t = DeltaProtocolTable.create(spark, str(tmp_path / "ns"), df)
+        src = spark.createDataFrame([(None, "NULLED")], "pkey int, attr string")
+        km = KeyedMerge(
+            source=src, condition="t.pkey <=> s.pkey",
+            matched_update={"attr": "s.attr"},
+            target_key_col="pkey", source_key_col="pkey",
+            null_safe=True,
+        )
+        t.merge(km)
+        out = sorted(
+            [(r["pkey"], r["attr"]) for r in t.to_df().collect()],
+            key=lambda x: (x[0] is None, x),
+        )
+        assert out == [(1, "a"), (2, "b"), (None, "NULLED"), (None, "NULLED")]
+
+    def test_plain_equality_never_matches_null_keys(self, spark, tmp_path):
+        from mack_spark.tables import KeyedMerge
+
+        t = _mk(spark, tmp_path, [Row(pkey=None, attr="keep"),
+                                  Row(pkey=1, attr="a")])
+        src = spark.createDataFrame(
+            [(None, "CLOB")], "pkey int, attr string"
+        )
+        km = KeyedMerge(
+            source=src, condition="t.pkey = s.pkey",
+            matched_update={"attr": "s.attr"}, not_matched_insert="*",
+            target_key_col="pkey", source_key_col="pkey",
+        )
+        t.merge(km)
+        # NULL = NULL is not TRUE: target row kept, source row INSERTED
+        attrs = sorted(r["attr"] for r in t.to_df().collect())
+        assert attrs == ["CLOB", "a", "keep"]
+
+    def test_empty_source_merge_is_noop_commit(self, spark, tmp_path):
+        from mack_spark.tables import KeyedMerge
+
+        t = _mk(spark, tmp_path, [(1, "a")])
+        src = spark.createDataFrame([], "pkey int, attr string")
+        km = KeyedMerge(
+            source=src, condition="t.pkey = s.pkey",
+            matched_update={"attr": "s.attr"}, not_matched_insert="*",
+            target_key_col="pkey", source_key_col="pkey",
+        )
+        res = t.merge(km)
+        assert res["touched_files"] == 0
+        assert sorted(map(tuple, t.to_df().collect())) == [(1, "a")]
+
+    def test_ambiguous_source_still_raises_on_protocol(self, spark, tmp_path):
+        """Duplicate source keys defeat the skip-probe proof; the probe
+        must run and reject the ambiguous merge before any commit."""
+        from mack_spark.tables import KeyedMerge
+
+        t = _mk(spark, tmp_path, [(1, "a")])
+        src = spark.createDataFrame(
+            [(1, "x"), (1, "y")], "pkey int, attr string"
+        )
+        km = KeyedMerge(
+            source=src, condition="t.pkey = s.pkey",
+            matched_update={"attr": "s.attr"},
+            target_key_col="pkey", source_key_col="pkey",
+        )
+        v0 = t.snapshot().version
+        with pytest.raises(ValueError, match="ambiguous"):
+            t.merge(km)
+        assert t.snapshot().version == v0  # nothing committed
