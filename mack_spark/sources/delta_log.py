@@ -460,7 +460,8 @@ class DeltaProtocolTable:
         return t
 
     def _write_data_files(
-        self, df: DataFrame, partition_by: List[str]
+        self, df: DataFrame, partition_by: List[str],
+        data_change: bool = True,
     ) -> List[dict]:
         """Write ``df`` as parquet through a staging dir, move the part
         files into the table root (same filesystem — atomic renames),
@@ -504,7 +505,7 @@ class DeltaProtocolTable:
                         "partitionValues": part_values,
                         "size": os.path.getsize(dest),
                         "modificationTime": _now_ms(),
-                        "dataChange": True,
+                        "dataChange": data_change,
                         "stats": stats,
                     }
                 )
@@ -1166,6 +1167,92 @@ class DeltaProtocolTable:
             "restored_files": len(to_add),
             "removed_files": len(to_remove),
             "version": snap_now.version + 1,
+        }
+
+    def optimize(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_file_bytes: Optional[int] = None,
+        sort_by: Optional[List[str]] = None,
+    ) -> dict:
+        """Delta ``OPTIMIZE``: bin-pack the small-file tail into
+        right-sized files in one commit, with ``dataChange: false`` on
+        every action (the spec's signal that the commit rearranges
+        bytes without changing rows — streaming readers skip it).
+
+        Selective like Delta's: only live files smaller than
+        ``min_file_bytes`` (default ``target/2``) are read and
+        re-binned, and only within their own partition; right-sized
+        files are untouched (not read, not rewritten). After steady
+        append traffic the small tail is a sliver of the table, so
+        nightly OPTIMIZE costs O(small files), not O(100 TB).
+
+        ``sort_by`` range-clusters the rewritten rows so compacted
+        files carry disjoint key ranges — footer-stats merge pruning
+        then hits single files. Returns ``{files_before, files_after,
+        rewritten, version}`` (version unchanged when nothing to do)."""
+        import math
+
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        if min_file_bytes is None:
+            min_file_bytes = target_file_bytes // 2
+        # group candidates by partition tuple: compaction is partition-
+        # local (rows must stay in their partition's directory/values)
+        groups: Dict[tuple, List[str]] = {}
+        pcols = snap.partition_columns
+        for p, a in snap.files.items():
+            if a.get("size", target_file_bytes) < min_file_bytes:
+                pv = a.get("partitionValues") or {}
+                groups.setdefault(
+                    tuple(pv.get(c) for c in pcols), []
+                ).append(p)
+        doomed = [p for grp in groups.values() if len(grp) > 1 for p in grp]
+        if not doomed:
+            return {
+                "files_before": len(snap.files),
+                "files_after": len(snap.files),
+                "rewritten": 0,
+                "version": snap.version,
+            }
+        small_bytes = sum(snap.files[p].get("size", 0) for p in doomed)
+        n = max(1, math.ceil(small_bytes / target_file_bytes))
+        df = self._read_files(snap, doomed)
+        if sort_by:
+            df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        elif pcols:
+            df = df.repartition(*pcols)
+        else:
+            df = df.repartition(n)
+        adds = self._write_data_files(df, pcols, data_change=False)
+        actions = (
+            [
+                {"commitInfo": {
+                    "timestamp": _now_ms(), "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "targetFileBytes": target_file_bytes
+                    },
+                    "operationMetrics": {
+                        "numRemovedFiles": len(doomed),
+                        "numAddedFiles": len(adds),
+                    },
+                }}
+            ]
+            + [
+                {"remove": {"path": p, "deletionTimestamp": _now_ms(),
+                            "dataChange": False}}
+                for p in doomed
+            ]
+            + [{"add": a} for a in adds]
+        )
+        self._commit(snap.version + 1, actions)
+        return {
+            "files_before": len(snap.files),
+            "files_after": len(snap.files) - len(doomed) + len(adds),
+            "rewritten": len(doomed),
+            "version": snap.version + 1,
         }
 
     @classmethod

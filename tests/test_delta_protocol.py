@@ -770,3 +770,65 @@ class TestMergeEdges:
         with pytest.raises(ValueError, match="ambiguous"):
             t.merge(km)
         assert t.snapshot().version == v0  # nothing committed
+
+
+class TestOptimize:
+    def test_optimize_compacts_small_tail_datachange_false(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, [(0, "r0")])
+        for i in range(1, 8):
+            t.append(
+                spark.createDataFrame([(i, f"r{i}")], "pkey int, attr string")
+            )
+        before = t.snapshot()
+        assert len(before.files) == 8
+        res = t.optimize()
+        assert res["rewritten"] == 8 and res["files_after"] < 8
+        after = t.snapshot()
+        assert len(after.files) == res["files_after"]
+        # data unchanged, history records OPTIMIZE
+        got = sorted(map(tuple, t.to_df().collect()))
+        assert got == [(i, f"r{i}") for i in range(8)]
+        assert [h["operation"] for h in t.history()][0] == "OPTIMIZE"
+        # every action in the OPTIMIZE commit carries dataChange: false
+        log = os.path.join(t.path, "_delta_log", "%020d.json" % res["version"])
+        for line in open(log):
+            a = json.loads(line)
+            for kind in ("add", "remove"):
+                if kind in a:
+                    assert a[kind]["dataChange"] is False
+        # pre-optimize version still time-travels (files not vacuumed)
+        assert t.to_df(version_as_of=before.version).count() == 8
+
+    def test_optimize_leaves_right_sized_files_alone(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, [(0, "big")])
+        t.append(spark.createDataFrame([(1, "a")], "pkey int, attr string"))
+        t.append(spark.createDataFrame([(2, "b")], "pkey int, attr string"))
+        snap = t.snapshot()
+        # declare everything "right-sized": nothing to do, no commit
+        res = t.optimize(min_file_bytes=1)
+        assert res["rewritten"] == 0
+        assert t.snapshot().version == snap.version
+
+    def test_optimize_is_partition_local(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, "x" if i % 2 else "y") for i in range(4)],
+            "pkey int, part string",
+        )
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "po"), df, partition_by=["part"]
+        )
+        for i in range(4, 10):
+            t.append(
+                spark.createDataFrame(
+                    [(i, "x" if i % 2 else "y")], "pkey int, part string"
+                )
+            )
+        res = t.optimize()
+        assert res["rewritten"] >= 4
+        snap = t.snapshot()
+        # every compacted file still lives in its partition
+        for p, a in snap.files.items():
+            assert a["partitionValues"]["part"] in ("x", "y")
+            assert f"part={a['partitionValues']['part']}" in p
+        got = sorted(r["pkey"] for r in t.to_df().collect())
+        assert got == list(range(10))
