@@ -800,6 +800,8 @@ class DeltaProtocolTable:
         Returns ``{touched_files, total_files, version}`` so callers
         can observe the pruning.
         """
+        import dataclasses
+
         from mack_spark.merge_exec import interpret_keyed_merge
 
         if not km.target_key_col or not km.source_key_col:
@@ -809,6 +811,20 @@ class DeltaProtocolTable:
             )
         snap = self.snapshot()
         self._assert_writable(snap)
+        # the source plan executes twice (key+multiplicity collect, then
+        # the rewrite join); derived sources (dedup key sets, loser
+        # windows) are full shuffle aggregations, so compute them once.
+        # merge() is eager end-to-end (it finishes with the commit), so
+        # the persist lifetime is exactly this call.
+        source = km.source.persist()
+        km = dataclasses.replace(km, source=source)
+        try:
+            return self._merge_impl(snap, km)
+        finally:
+            source.unpersist(blocking=False)
+
+    def _merge_impl(self, snap: DeltaSnapshot, km) -> dict:
+        from mack_spark.merge_exec import interpret_keyed_merge
         # ONE job collects the exact source key set AND per-key
         # multiplicities (bounded collect: merge batches are small
         # relative to the table by contract; past the cap the skip

@@ -278,3 +278,21 @@ def test_scd2_broadcast_is_size_gated_not_forced(spark):
 
     assert "SortMergeJoin" in plan_for("-1")  # big batch path exists
     assert "BroadcastHashJoin" in plan_for("10MB")  # small batch still broadcasts
+
+
+def test_protocol_read_pushdown_and_pruning(spark, tmp_path):
+    """Filters and projections must reach the parquet scan THROUGH the
+    protocol reader's explicit-schema path — a reader that breaks
+    pushdown turns every 100 TB point lookup into a full scan."""
+    from mack_spark.sources.delta_log import DeltaProtocolTable
+
+    df = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    t = DeltaProtocolTable.create(spark, str(tmp_path / "pd"), df)
+    plan = _plan(t.to_df().filter("c_custkey = 42").select("c_name"))
+    assert "EqualTo(c_custkey,42)" in plan  # predicate pushed to scan
+    import re
+
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs and set(
+        c.split(":")[0] for c in rs.group(1).split(",")
+    ) == {"c_custkey", "c_name"}  # column-pruned scan
