@@ -658,6 +658,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_append_without_duplicates"] = q_awd_delta
 
+    def q_delta_stream(spark, sf_dir):
+        # Structured-Streaming read of an open-protocol Delta table
+        # (mack_spark/streaming/delta_source.py): CTAS half of orders,
+        # append the other half, stream the log availableNow — the
+        # sink must hold exactly the full table (version offsets,
+        # dataChange-true adds only).
+        import tempfile
+        import uuid
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+        from mack_spark.streaming.delta_source import register
+
+        register(spark)
+        orders = _t(spark, sf_dir, "orders")
+        path = tempfile.mkdtemp(prefix="mack-delta-stream-") + "/t"
+        t = DeltaProtocolTable.create(
+            spark, path, orders.filter(F.col("o_orderkey") % 10 < 5)
+        )
+        t.append(orders.filter(F.col("o_orderkey") % 10 >= 5))
+        name = "mstream" + uuid.uuid4().hex[:6]
+        sq = (
+            spark.readStream.format("delta_protocol")
+            .option("path", path)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        return spark.table(name).select(*ORDERS_COLS)
+
+    q["streaming_delta_source"] = q_delta_stream
+
     # ----- reference core: constraint/validated appends
     def q_cpass(spark, sf_dir):
         return _dirty_lineitem(spark, sf_dir).filter(_CONSTRAINTS)
@@ -2370,7 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front_r9 = [
         # (a) never driver-checked (new this round)
         "delta_kill_duplicates", "delta_append_without_duplicates",
-        "delta_drop_duplicates_pkey",
+        "delta_drop_duplicates_pkey", "streaming_delta_source",
         # (b) last green r4
         "knn_ivf", "embedding_norms", "embedding_quantize",
         "streaming_hourly", "streaming_dedup_keys",
@@ -2391,8 +2426,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balance", "retention_cohorts", "numeric_correlations",
         "grouped_correlations", "part_affinity", "customer_rfm",
         "chunk_documents", "lang_confusion", "embedding_diversity",
-        # (d) last green r7, declaration order
-        "min_cost_supplier",
     ]
     assert len(front_r9) == 50, len(front_r9)
     fset = set(front_r9)
@@ -3119,6 +3152,10 @@ FROM updates WHERE c_custkey NOT IN (SELECT c_custkey FROM base)
     o["delta_kill_duplicates"] = o["kill_duplicates"]
     o["delta_append_without_duplicates"] = o["append_without_duplicates"]
     o["delta_drop_duplicates_pkey"] = o["drop_duplicates_pkey"]
+    # streaming the protocol log end-to-end reassembles the table
+    o["streaming_delta_source"] = (
+        "SELECT " + ", ".join(ORDERS_COLS) + " FROM orders"
+    )
 
     o["constraint_append_pass"] = f"""
 WITH {_DIRTY_SQL.strip()}

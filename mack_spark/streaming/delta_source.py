@@ -1,0 +1,236 @@
+"""Structured-Streaming source for open-protocol Delta tables.
+
+``spark.readStream.format("delta_protocol").option("path", ...)`` over
+a :class:`~mack_spark.sources.delta_log.DeltaProtocolTable`, built on
+PySpark 4's Python DataSource API. Semantics follow Delta's streaming
+source (the reference's substrate exposes the same contract through
+delta-spark):
+
+* an OFFSET is a log version; each microbatch is exactly the ``add``
+  actions with ``dataChange: true`` committed in ``(start, end]`` —
+  so OPTIMIZE/compaction commits (``dataChange: false``,
+  delta_log.py ``optimize``) are invisible to the stream by
+  construction, no duplicates;
+* ``startingVersion`` option: ``0`` (default) streams the existing
+  table as the first batch then increments; ``"latest"`` streams only
+  commits after stream start; any integer starts at that version;
+* a commit that REMOVES data (DELETE/UPDATE/MERGE rewrite) is not
+  streamable — the source raises Delta's "data update detected" error
+  unless ``skipChangeCommits=true`` (ignore the whole commit) or
+  ``ignoreChanges=true`` (emit its adds anyway — documented to produce
+  re-processed rows, same as Delta);
+* exactly-once across restarts comes from the engine checkpointing the
+  version offsets; ``partitions()`` re-derives the same files for the
+  same (start, end] replay.
+
+SCALE: offsets and planning are driver-side log metadata (KBs);
+``read()`` executes per FILE on the executors (one InputPartition per
+add action), so a microbatch of N files fans out N-wide — the same
+shape as Delta's own file-based streaming source.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+from typing import Iterator, List, Sequence, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "delta_protocol"
+
+
+class DeltaStreamChangeError(RuntimeError):
+    """A commit in the offset range rewrites or removes existing data;
+    append-only streaming cannot represent it (Delta raises the same
+    way — pass skipChangeCommits/ignoreChanges to opt out)."""
+
+
+def _decode_partition_value(raw, dtype_simple: str):
+    """A ``partitionValues`` string as the Python value Spark should
+    ingest for the declared type (spec: stored as strings)."""
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if dtype_simple in ("int", "bigint", "smallint", "tinyint"):
+        return int(raw)
+    if dtype_simple in ("double", "float"):
+        return float(raw)
+    if dtype_simple.startswith("decimal"):
+        import decimal
+
+        return decimal.Decimal(raw)
+    if dtype_simple == "boolean":
+        return raw == "true"
+    if dtype_simple == "date":
+        return datetime.date.fromisoformat(raw)
+    if dtype_simple in ("timestamp", "timestamp_ntz"):
+        return datetime.datetime.fromisoformat(raw)
+    return raw
+
+
+class _AddFilePartition(InputPartition):
+    """One committed data file: everything an executor needs to turn it
+    into rows, picklable."""
+
+    def __init__(self, abs_path: str, field_names: List[str],
+                 part_values: dict, part_types: dict):
+        self.abs_path = abs_path
+        self.field_names = field_names  # full output order
+        self.part_values = part_values  # col -> raw string (or None)
+        self.part_types = part_types    # col -> simpleString type
+
+
+class DeltaProtocolStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("delta_protocol requires .option('path', ...)")
+        self._path = os.path.abspath(self._path)
+        self._skip_change = (
+            str(options.get("skipchangecommits", "false")).lower() == "true"
+        )
+        self._ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        self._starting = str(options.get("startingversion", "0"))
+        self._table = _table(self._path)
+
+    # -- offsets --------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        if self._starting == "latest":
+            return {"version": self._table.snapshot().version}
+        # first batch covers versions >= startingVersion, i.e.
+        # (startingVersion - 1, head]
+        return {"version": int(self._starting) - 1}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._table.snapshot().version}
+
+    def commit(self, end: dict) -> None:
+        pass  # the engine's checkpoint is the source of truth
+
+    # -- planning (driver) ---------------------------------------------
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = int(start["version"]), int(end["version"])
+        snap = self._table.snapshot(version_as_of=hi)
+        pcols = snap.partition_columns
+        types = {
+            f.name: f.dataType.simpleString() for f in snap.schema.fields
+        }
+        names = [f.name for f in snap.schema.fields]
+        out: List[InputPartition] = []
+        for v in range(lo + 1, hi + 1):
+            vf = os.path.join(self._path, "_delta_log", "%020d.json" % v)
+            if not os.path.exists(vf):
+                raise DeltaStreamChangeError(
+                    f"log version {v} of {self._path} is gone (checkpoint-"
+                    "compacted or vacuumed); restart the stream with "
+                    ".option('startingVersion', 'latest')"
+                )
+            adds, has_change = [], False
+            with open(vf) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "remove" in action and action["remove"].get(
+                        "dataChange", True
+                    ):
+                        has_change = True
+                    if "add" in action and action["add"].get(
+                        "dataChange", True
+                    ):
+                        adds.append(action["add"])
+            if has_change:
+                if self._skip_change:
+                    continue  # drop the whole commit, like Delta
+                if not self._ignore_changes:
+                    raise DeltaStreamChangeError(
+                        f"commit {v} of {self._path} updates or deletes "
+                        "existing rows; streaming is append-only. Use "
+                        ".option('skipChangeCommits', 'true') to drop such "
+                        "commits or .option('ignoreChanges', 'true') to "
+                        "emit their rewritten files (may re-process rows)."
+                    )
+            for a in adds:
+                out.append(
+                    _AddFilePartition(
+                        os.path.join(self._path, a["path"]),
+                        names,
+                        dict(a.get("partitionValues") or {}),
+                        {c: types[c] for c in pcols},
+                    )
+                )
+        return out
+
+    # -- execution (executors) -----------------------------------------
+
+    def read(self, partition: InputPartition) -> Iterator[Tuple]:
+        import pyarrow.parquet as pq
+
+        p: _AddFilePartition = partition
+        table = pq.read_table(p.abs_path)
+        data = {name: col.to_pylist() for name, col in
+                zip(table.column_names, table.columns)}
+        n = table.num_rows
+        consts = {
+            c: _decode_partition_value(v, p.part_types[c])
+            for c, v in p.part_values.items()
+            if c in p.part_types
+        }
+        for i in range(n):
+            yield tuple(
+                consts[name]
+                if name in consts
+                else _coerce(data[name][i])
+                for name in p.field_names
+            )
+
+
+def _coerce(v):
+    """pyarrow python values as Spark ingestion expects: tz-aware
+    datetimes pass through (Spark converts the instant); everything
+    else is already the right Python type."""
+    return v
+
+
+def _table(path: str):
+    """A driver-side log walker. DeltaProtocolTable's replay is pure
+    Python + pyarrow; the SparkSession member is only used by its
+    read/write methods, which this source never calls."""
+    from mack_spark.sources.delta_log import DeltaProtocolTable
+
+    return DeltaProtocolTable(None, path)
+
+
+class DeltaProtocolDataSource(DataSource):
+    """``spark.dataSource.register(DeltaProtocolDataSource)`` then
+    ``spark.readStream.format('delta_protocol').option('path', p)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_protocol requires .option('path', ...)")
+        return _table(os.path.abspath(path)).snapshot().schema
+
+    def streamReader(self, schema) -> DeltaProtocolStreamReader:
+        return DeltaProtocolStreamReader(schema, dict(self.options))
+
+
+def register(spark) -> None:
+    """Idempotent registration of the delta_protocol streaming format."""
+    spark.dataSource.register(DeltaProtocolDataSource)
