@@ -79,11 +79,12 @@ class _AddFilePartition(InputPartition):
     into rows, picklable."""
 
     def __init__(self, abs_path: str, field_names: List[str],
-                 part_values: dict, part_types: dict):
+                 part_values: dict, part_types: dict, schema_json: str):
         self.abs_path = abs_path
         self.field_names = field_names  # full output order
         self.part_values = part_values  # col -> raw string (or None)
         self.part_types = part_types    # col -> simpleString type
+        self.schema_json = schema_json  # full StructType json
 
 
 class DeltaProtocolStreamReader(DataSourceStreamReader):
@@ -169,39 +170,55 @@ class DeltaProtocolStreamReader(DataSourceStreamReader):
                         names,
                         dict(a.get("partitionValues") or {}),
                         {c: types[c] for c in pcols},
+                        snap.schema.json(),
                     )
                 )
         return out
 
     # -- execution (executors) -----------------------------------------
 
-    def read(self, partition: InputPartition) -> Iterator[Tuple]:
+    def read(self, partition: InputPartition) -> Iterator:
+        """Executor-side: the file becomes Arrow RecordBatches cast to
+        the schema Spark expects — zero per-row Python. The tuple path
+        survives as a fallback for exotic types Arrow can't cast."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         p: _AddFilePartition = partition
         table = pq.read_table(p.abs_path)
-        data = {name: col.to_pylist() for name, col in
-                zip(table.column_names, table.columns)}
-        n = table.num_rows
         consts = {
             c: _decode_partition_value(v, p.part_types[c])
             for c, v in p.part_values.items()
             if c in p.part_types
         }
-        for i in range(n):
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            target = to_arrow_schema(StructType.fromJson(
+                json.loads(p.schema_json)
+            ))
+            cols = []
+            for name in p.field_names:
+                t = target.field(name).type
+                if name in consts:
+                    cols.append(
+                        pa.array([consts[name]] * table.num_rows, type=t)
+                    )
+                else:
+                    cols.append(table.column(name).cast(t).combine_chunks())
+            yield from pa.Table.from_arrays(
+                cols, schema=target
+            ).to_batches()
+            return
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, KeyError):
+            pass  # fall back to row tuples below
+        data = {name: col.to_pylist() for name, col in
+                zip(table.column_names, table.columns)}
+        for i in range(table.num_rows):
             yield tuple(
-                consts[name]
-                if name in consts
-                else _coerce(data[name][i])
+                consts[name] if name in consts else data[name][i]
                 for name in p.field_names
             )
-
-
-def _coerce(v):
-    """pyarrow python values as Spark ingestion expects: tz-aware
-    datetimes pass through (Spark converts the instant); everything
-    else is already the right Python type."""
-    return v
 
 
 def _table(path: str):

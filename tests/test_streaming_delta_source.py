@@ -113,3 +113,22 @@ class TestDeltaProtocolStream:
         )
         got = _drain(spark, t.path, str(tmp_path / "w6"))
         assert got == [(1, "x"), (2, "y")]
+
+    def test_typed_columns_roundtrip_arrow_path(self, spark, tmp_path):
+        """timestamp/date/double/decimal-free typed columns survive the
+        Arrow batch path bit-exactly."""
+        import datetime
+
+        register(spark)
+        rows = [
+            (1, 2.5, datetime.date(2024, 1, 2),
+             datetime.datetime(2024, 1, 2, 3, 4, 5)),
+            (2, -0.125, datetime.date(2020, 6, 1),
+             datetime.datetime(2020, 6, 1, 12, 0, 0)),
+        ]
+        df = spark.createDataFrame(
+            rows, "pkey int, val double, d date, ts timestamp"
+        )
+        t = DeltaProtocolTable.create(spark, str(tmp_path / "ty"), df)
+        got = _drain(spark, t.path, str(tmp_path / "w7"))
+        assert got == sorted(map(tuple, df.collect()))
