@@ -1190,6 +1190,7 @@ class DeltaProtocolTable:
         target_file_bytes: int = 128 * 1024 * 1024,
         min_file_bytes: Optional[int] = None,
         sort_by: Optional[List[str]] = None,
+        zorder_by: Optional[List[str]] = None,
     ) -> dict:
         """Delta ``OPTIMIZE``: bin-pack the small-file tail into
         right-sized files in one commit, with ``dataChange: false`` on
@@ -1205,12 +1206,58 @@ class DeltaProtocolTable:
 
         ``sort_by`` range-clusters the rewritten rows so compacted
         files carry disjoint key ranges — footer-stats merge pruning
-        then hits single files. Returns ``{files_before, files_after,
-        rewritten, version}`` (version unchanged when nothing to do)."""
+        then hits single files. ``zorder_by`` is ``OPTIMIZE ... ZORDER
+        BY``: a FULL re-cluster of the table on the interleaved-bit
+        Morton key (:func:`mack_spark.layout.cluster_by_zorder`), so
+        every clustered column gets narrow per-file min/max stats and
+        predicates on ANY of them prune files — this one deliberately
+        rewrites everything, exactly like Delta's. Returns
+        ``{files_before, files_after, rewritten, version}`` (version
+        unchanged when nothing to do)."""
         import math
 
         snap = self.snapshot()
         self._assert_writable(snap)
+        if zorder_by:
+            from mack_spark.layout import cluster_by_zorder
+
+            total = sum(a.get("size", 0) for a in snap.files.values())
+            n = max(1, math.ceil(total / target_file_bytes))
+            doomed = list(snap.files)
+            df = cluster_by_zorder(
+                self._read_files(snap, doomed), list(zorder_by), n
+            )
+            adds = self._write_data_files(
+                df, snap.partition_columns, data_change=False
+            )
+            actions = (
+                [
+                    {"commitInfo": {
+                        "timestamp": _now_ms(), "operation": "OPTIMIZE",
+                        "operationParameters": {
+                            "zOrderBy": list(zorder_by),
+                            "targetFileBytes": target_file_bytes,
+                        },
+                        "operationMetrics": {
+                            "numRemovedFiles": len(doomed),
+                            "numAddedFiles": len(adds),
+                        },
+                    }}
+                ]
+                + [
+                    {"remove": {"path": p, "deletionTimestamp": _now_ms(),
+                                "dataChange": False}}
+                    for p in doomed
+                ]
+                + [{"add": a} for a in adds]
+            )
+            self._commit(snap.version + 1, actions)
+            return {
+                "files_before": len(snap.files),
+                "files_after": len(adds),
+                "rewritten": len(doomed),
+                "version": snap.version + 1,
+            }
         if min_file_bytes is None:
             min_file_bytes = target_file_bytes // 2
         # group candidates by partition tuple: compaction is partition-

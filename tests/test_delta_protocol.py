@@ -832,3 +832,42 @@ class TestOptimize:
             assert f"part={a['partitionValues']['part']}" in p
         got = sorted(r["pkey"] for r in t.to_df().collect())
         assert got == list(range(10))
+
+    def test_optimize_zorder_narrows_stats_and_prunes(self, spark, tmp_path):
+        """OPTIMIZE ZORDER BY: after re-clustering on (a, b), a merge
+        keyed on `a` must prune to a strict subset of files — the
+        whole point of multi-dimensional clustering."""
+        from mack_spark.tables import KeyedMerge
+
+        df = spark.range(4000).selectExpr(
+            "cast(id % 64 as int) a",
+            "cast(id / 64 as int) b",
+            "cast(id as string) payload",
+        ).repartition(8)  # deliberately scrambled layout
+        t = DeltaProtocolTable.create(spark, str(tmp_path / "z"), df)
+        res = t.optimize(zorder_by=["a", "b"], target_file_bytes=8192)
+        assert res["rewritten"] == len(
+            t.snapshot(version_as_of=0).files
+        )
+        snap = t.snapshot()
+        assert res["files_after"] == len(snap.files) > 1
+        # every action carried dataChange: false
+        log = os.path.join(t.path, "_delta_log", "%020d.json" % res["version"])
+        for line in open(log):
+            act = json.loads(line)
+            for kind in ("add", "remove"):
+                if kind in act:
+                    assert act[kind]["dataChange"] is False
+        # data intact
+        assert t.to_df().count() == 4000
+        # a single-key merge on `a` touches fewer files than exist:
+        # z-clustering gave `a` narrow per-file ranges
+        src = spark.createDataFrame([(63, 999, "X")],
+                                    "a int, b int, payload string")
+        km = KeyedMerge(
+            source=src, condition="t.a = s.a AND t.b = s.b",
+            matched_update={"payload": "s.payload"}, not_matched_insert="*",
+            target_key_col="a", source_key_col="a",
+        )
+        mres = t.merge(km)
+        assert mres["touched_files"] < mres["total_files"]
