@@ -38,6 +38,7 @@ from typing import Iterator, List, Sequence, Tuple
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -178,47 +179,49 @@ class DeltaProtocolStreamReader(DataSourceStreamReader):
     # -- execution (executors) -----------------------------------------
 
     def read(self, partition: InputPartition) -> Iterator:
-        """Executor-side: the file becomes Arrow RecordBatches cast to
-        the schema Spark expects — zero per-row Python. The tuple path
-        survives as a fallback for exotic types Arrow can't cast."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        return _read_add_file(partition)
 
-        p: _AddFilePartition = partition
-        table = pq.read_table(p.abs_path)
-        consts = {
-            c: _decode_partition_value(v, p.part_types[c])
-            for c, v in p.part_values.items()
-            if c in p.part_types
-        }
-        try:
-            from pyspark.sql.pandas.types import to_arrow_schema
 
-            target = to_arrow_schema(StructType.fromJson(
-                json.loads(p.schema_json)
-            ))
-            cols = []
-            for name in p.field_names:
-                t = target.field(name).type
-                if name in consts:
-                    cols.append(
-                        pa.array([consts[name]] * table.num_rows, type=t)
-                    )
-                else:
-                    cols.append(table.column(name).cast(t).combine_chunks())
-            yield from pa.Table.from_arrays(
-                cols, schema=target
-            ).to_batches()
-            return
-        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, KeyError):
-            pass  # fall back to row tuples below
-        data = {name: col.to_pylist() for name, col in
-                zip(table.column_names, table.columns)}
-        for i in range(table.num_rows):
-            yield tuple(
-                consts[name] if name in consts else data[name][i]
-                for name in p.field_names
-            )
+def _read_add_file(p: _AddFilePartition) -> Iterator:
+    """Executor-side: the file becomes Arrow RecordBatches cast to the
+    schema Spark expects — zero per-row Python. The tuple path survives
+    as a fallback for exotic types Arrow can't cast. Shared by the
+    streaming and batch readers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(p.abs_path)
+    consts = {
+        c: _decode_partition_value(v, p.part_types[c])
+        for c, v in p.part_values.items()
+        if c in p.part_types
+    }
+    try:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(StructType.fromJson(
+            json.loads(p.schema_json)
+        ))
+        cols = []
+        for name in p.field_names:
+            t = target.field(name).type
+            if name in consts:
+                cols.append(
+                    pa.array([consts[name]] * table.num_rows, type=t)
+                )
+            else:
+                cols.append(table.column(name).cast(t).combine_chunks())
+        yield from pa.Table.from_arrays(cols, schema=target).to_batches()
+        return
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, KeyError):
+        pass  # fall back to row tuples below
+    data = {name: col.to_pylist() for name, col in
+            zip(table.column_names, table.columns)}
+    for i in range(table.num_rows):
+        yield tuple(
+            consts[name] if name in consts else data[name][i]
+            for name in p.field_names
+        )
 
 
 def _table(path: str):
@@ -230,8 +233,53 @@ def _table(path: str):
     return DeltaProtocolTable(None, path)
 
 
+class DeltaProtocolBatchReader(DataSourceReader):
+    """``spark.read.format('delta_protocol')``: one InputPartition per
+    live file of the snapshot (``versionAsOf`` time travel supported),
+    planned from driver-side log metadata, read executor-side through
+    the same Arrow path as the stream.
+
+    Note: :meth:`DeltaProtocolTable.to_df` remains the primary batch
+    path — it hands Spark's native parquet reader the live files, so
+    predicate pushdown and column pruning reach the scan. This reader
+    exists for format-string interop (catalogs, tooling, languages
+    that only speak ``spark.read.format``)."""
+
+    def __init__(self, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("delta_protocol requires .option('path', ...)")
+        self._path = os.path.abspath(self._path)
+        v = options.get("versionasof")
+        self._version = int(v) if v is not None else None
+
+    def partitions(self) -> Sequence[InputPartition]:
+        snap = _table(self._path).snapshot(version_as_of=self._version)
+        pcols = snap.partition_columns
+        types = {
+            f.name: f.dataType.simpleString() for f in snap.schema.fields
+        }
+        names = [f.name for f in snap.schema.fields]
+        schema_json = snap.schema.json()
+        return [
+            _AddFilePartition(
+                os.path.join(self._path, p),
+                names,
+                dict(a.get("partitionValues") or {}),
+                {c: types[c] for c in pcols},
+                schema_json,
+            )
+            for p, a in snap.files.items()
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator:
+        return _read_add_file(partition)
+
+
 class DeltaProtocolDataSource(DataSource):
     """``spark.dataSource.register(DeltaProtocolDataSource)`` then
+    ``spark.read.format('delta_protocol').option('path', p)`` (batch,
+    ``versionAsOf`` time travel) or
     ``spark.readStream.format('delta_protocol').option('path', p)``."""
 
     @classmethod
@@ -242,7 +290,13 @@ class DeltaProtocolDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("delta_protocol requires .option('path', ...)")
-        return _table(os.path.abspath(path)).snapshot().schema
+        v = self.options.get("versionasof")
+        return _table(os.path.abspath(path)).snapshot(
+            version_as_of=int(v) if v is not None else None
+        ).schema
+
+    def reader(self, schema) -> DeltaProtocolBatchReader:
+        return DeltaProtocolBatchReader(dict(self.options))
 
     def streamReader(self, schema) -> DeltaProtocolStreamReader:
         return DeltaProtocolStreamReader(schema, dict(self.options))

@@ -132,3 +132,37 @@ class TestDeltaProtocolStream:
         t = DeltaProtocolTable.create(spark, str(tmp_path / "ty"), df)
         got = _drain(spark, t.path, str(tmp_path / "w7"))
         assert got == sorted(map(tuple, df.collect()))
+
+    def test_batch_read_format(self, spark, tmp_path):
+        """spark.read.format('delta_protocol') — batch interop surface
+        with versionAsOf time travel."""
+        register(spark)
+        t = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+        t.append(spark.createDataFrame([(3, "c")], "pkey int, attr string"))
+        got = sorted(map(tuple, (
+            spark.read.format("delta_protocol")
+            .option("path", t.path).load().collect()
+        )))
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
+        old = sorted(map(tuple, (
+            spark.read.format("delta_protocol")
+            .option("path", t.path).option("versionAsOf", "0")
+            .load().collect()
+        )))
+        assert old == [(1, "a"), (2, "b")]
+
+    def test_batch_read_partitioned(self, spark, tmp_path):
+        register(spark)
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "x")], "pkey int, part string"
+        )
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "bp"), df, partition_by=["part"]
+        )
+        got = sorted(map(tuple, (
+            spark.read.format("delta_protocol")
+            .option("path", t.path).load().collect()
+        )))
+        assert got == [(1, "x"), (2, "y"), (3, "x")] or got == sorted(
+            map(tuple, df.collect())
+        )
