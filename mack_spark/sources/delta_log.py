@@ -74,6 +74,10 @@ CHECKPOINT_INTERVAL = 10
 # stats are collected for the first N schema columns, the spec's
 # dataSkippingNumIndexedCols shape
 STATS_COLS = 32
+# distinct source keys above this cap degrade merge file-skipping from
+# the exact key-set to the true min/max envelope (module-level so tests
+# can exercise the overflow path at small scale)
+MERGE_KEY_CAP = 1_000_000
 
 
 class DeltaProtocolError(RuntimeError):
@@ -393,13 +397,29 @@ class DeltaProtocolTable:
         """True when the file's directory segments are exactly the
         Hive-style encoding of the add action's ``partitionValues`` —
         the precondition for letting Spark's basePath discovery stand
-        in for the log's authoritative values."""
+        in for the log's authoritative values. Directory values are
+        URL-unescaped before comparing (Spark escapes ':'/'%'/... when
+        writing; partitionValues store the real value)."""
+        from urllib.parse import unquote
+
         pv = add.get("partitionValues") or {}
-        expect = "/".join(
-            f"{c}={'__HIVE_DEFAULT_PARTITION__' if pv.get(c) is None else pv.get(c)}"
-            for c in pcols
-        )
-        return os.path.dirname(rel_path).replace(os.sep, "/") == expect
+        segs = [
+            s
+            for s in os.path.dirname(rel_path).replace(os.sep, "/").split("/")
+            if s
+        ]
+        if len(segs) != len(pcols):
+            return False
+        for seg, c in zip(segs, pcols):
+            k, eq, v = seg.partition("=")
+            if not eq or k != c:
+                return False
+            decoded = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            )
+            if decoded != pv.get(c):
+                return False
+        return True
 
     def history(self) -> List[dict]:
         """commitInfo rows, newest first (DESCRIBE HISTORY shape)."""
@@ -469,6 +489,8 @@ class DeltaProtocolTable:
         writes keep their ``col=value`` directory layout and record the
         values in ``partitionValues`` (the files themselves do not
         contain partition columns, per the spec)."""
+        from urllib.parse import unquote
+
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         w = df.write.mode("overwrite")
         if partition_by:
@@ -486,8 +508,13 @@ class DeltaProtocolTable:
                 if rel_dir != ".":
                     for seg in rel_dir.split(os.sep):
                         k, _, v = seg.partition("=")
+                        # Spark URL-escapes special chars in directory
+                        # names (timestamps' ':', '%', ...); the spec's
+                        # partitionValues carry the REAL string value,
+                        # so unescape before recording
                         part_values[k] = (
-                            None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                            None if v == "__HIVE_DEFAULT_PARTITION__"
+                            else unquote(v)
                         )
                     dest_dir = os.path.join(self.path, rel_dir)
                     os.makedirs(dest_dir, exist_ok=True)
@@ -673,9 +700,21 @@ class DeltaProtocolTable:
             out = out.withColumn(
                 name, F.lit(None).cast(cfields[name].dataType)
             )
+        from pyspark.sql.types import StructField
+
+        # evolved-in columns are ALWAYS nullable in the table schema
+        # (Delta's mergeSchema rule): every file committed before this
+        # evolution reads them as NULL, so a non-nullable frame column
+        # (e.g. lit(1)) must not poison the contract — a non-nullable
+        # schemaString would make Arrow/vectorized readers crash on the
+        # NULL-filled history
         merged = StructType(
             list(committed.fields)
-            + [dfields[n] for n in df.schema.fieldNames() if n in extra]
+            + [
+                StructField(dfields[n].name, dfields[n].dataType, True)
+                for n in df.schema.fieldNames()
+                if n in extra
+            ]
         )
         out = out.select(*[f.name for f in merged.fields])
         new_meta = None
@@ -834,7 +873,7 @@ class DeltaProtocolTable:
         # target row if they share a key, so all-unique source keys
         # prove the merge unambiguous and the interpreter's ambiguity
         # probe join is skipped outright.
-        key_cap = 1_000_000
+        key_cap = MERGE_KEY_CAP
         key_dtype = km.source.schema[
             km.source_key_col
         ].dataType.simpleString()
@@ -853,6 +892,22 @@ class DeltaProtocolTable:
         exact = len(key_rows) <= key_cap
         keys = [r[0] for r in key_rows if r[0] is not None]
         null_count = sum(r[1] for r in key_rows if r[0] is None)
+        if not exact:
+            # the LIMIT-truncated sample's min/max is NOT the true key
+            # envelope — pruning against it would silently drop matched
+            # rows in files outside the sample's range. One aggregate
+            # over ALL source keys gives the exact envelope (and the
+            # true NULL presence, which the sample may also miss).
+            kc = F.col(km.source_key_col)
+            if key_dtype == "timestamp":
+                kc = F.unix_micros(kc)
+            row = km.source.agg(
+                F.min(kc).alias("lo"),
+                F.max(kc).alias("hi"),
+                F.sum(kc.isNull().cast("long")).alias("nnull"),
+            ).collect()[0]
+            null_count = int(row["nnull"] or 0)
+            keys = [v for v in (row["lo"], row["hi"]) if v is not None]
         max_mult = max((r[1] for r in key_rows), default=0)
         if not km.null_safe:
             # NULL source keys never match under ``=``; they cannot
@@ -1352,13 +1407,21 @@ class DeltaProtocolTable:
         schema_df = spark.read.option("basePath", t.path).parquet(
             *[os.path.join(t.path, f) for f in files]
         )
+        from urllib.parse import unquote
+
         schema = schema_df.schema
-        inferred_parts = [
-            c
-            for c in schema.fieldNames()
-            if any(f"{c}=" in seg for f in files[:1]
-                   for seg in os.path.dirname(f).split(os.sep))
-        ]
+        # a column is a partition column iff SOME directory segment's
+        # key (the text before '=') is exactly that name — substring
+        # tests would misclassify a data column whose name suffixes a
+        # partition column (data col `id` under `uid=42`); check every
+        # file, not just the first (mixed layouts must not slip by)
+        dir_keys = {
+            seg.partition("=")[0]
+            for f in files
+            for seg in os.path.dirname(f).split(os.sep)
+            if "=" in seg
+        }
+        inferred_parts = [c for c in schema.fieldNames() if c in dir_keys]
         if not partition_by and inferred_parts:
             partition_by = inferred_parts
         data_cols = [c for c in schema.fieldNames() if c not in partition_by]
@@ -1367,9 +1430,10 @@ class DeltaProtocolTable:
             part_values: Dict[str, Optional[str]] = {}
             for seg in os.path.dirname(f).split(os.sep):
                 k, eq, v = seg.partition("=")
-                if eq:
+                if eq and k in partition_by:
                     part_values[k] = (
-                        None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                        None if v == "__HIVE_DEFAULT_PARTITION__"
+                        else unquote(v)
                     )
             full = os.path.join(t.path, f)
             adds.append(

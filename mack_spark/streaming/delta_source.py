@@ -202,6 +202,7 @@ def _read_add_file(p: _AddFilePartition) -> Iterator:
         target = to_arrow_schema(StructType.fromJson(
             json.loads(p.schema_json)
         ))
+        file_cols = set(table.column_names)
         cols = []
         for name in p.field_names:
             t = target.field(name).type
@@ -209,6 +210,11 @@ def _read_add_file(p: _AddFilePartition) -> Iterator:
                 cols.append(
                     pa.array([consts[name]] * table.num_rows, type=t)
                 )
+            elif name not in file_cols:
+                # file committed before a mergeSchema evolution: the
+                # column does not exist physically — NULL-fill, same as
+                # to_df()'s explicit-schema parquet read
+                cols.append(pa.nulls(table.num_rows, type=t))
             else:
                 cols.append(table.column(name).cast(t).combine_chunks())
         yield from pa.Table.from_arrays(cols, schema=target).to_batches()
@@ -219,7 +225,8 @@ def _read_add_file(p: _AddFilePartition) -> Iterator:
             zip(table.column_names, table.columns)}
     for i in range(table.num_rows):
         yield tuple(
-            consts[name] if name in consts else data[name][i]
+            consts[name] if name in consts
+            else (data[name][i] if name in data else None)
             for name in p.field_names
         )
 
