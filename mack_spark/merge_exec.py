@@ -132,3 +132,89 @@ def interpret_keyed_merge(
 
     keep = is_update | kept_matched | target_only | insert_ok
     return joined.where(keep).select(*cols)
+
+
+def merge_changes(base: DataFrame, km, change_type_col: str = "_change_type") -> DataFrame:
+    """Row-level change feed of a :class:`KeyedMerge` over ``base`` —
+    Delta Change Data Feed's MERGE semantics: inserted rows appear as
+    ``insert``, updated rows as an ``update_preimage``/
+    ``update_postimage`` pair, matched-delete rows as ``delete``;
+    copied-through rows (kept matched, unmatched target) emit nothing.
+
+    ONE full-outer join (same shape as :func:`interpret_keyed_merge`'s
+    phase 2): each joined row projects an ARRAY of change structs —
+    empty for copies, two entries for updates — then explodes. Callers
+    writing both the merged table AND the change feed should persist
+    ``base`` (and the source) so the two joins share their inputs.
+    """
+    t, s = km.target_alias, km.source_alias
+    out_cols = base.columns
+    tb = base.withColumn(_TID, F.monotonically_increasing_id()).alias(t)
+    src = km.source.withColumn(_SRC, F.lit(True)).alias(s)
+    joined = tb.join(src, F.expr(km.condition), "full_outer")
+    t_present = F.col(f"{t}.`{_TID}`").isNotNull()
+    s_present = F.col(f"{s}.`{_SRC}`").isNotNull()
+
+    if km.matched_update is None:
+        upd_applies = F.lit(False)
+    elif km.matched_update_condition is None:
+        upd_applies = F.lit(True)
+    else:
+        upd_applies = F.coalesce(
+            F.expr(km.matched_update_condition), F.lit(False)
+        )
+    if km.matched_delete is None:
+        del_applies = F.lit(False)
+    elif km.matched_delete is True:
+        del_applies = F.lit(True)
+    else:
+        del_applies = F.coalesce(F.expr(km.matched_delete), F.lit(False))
+
+    is_update = t_present & s_present & upd_applies
+    is_delete = t_present & s_present & ~upd_applies & del_applies
+    if km.not_matched_insert is None:
+        insert_ok = F.lit(False)
+    else:
+        insert_ok = ~t_present & s_present
+        cond = getattr(km, "not_matched_condition", None)
+        if cond:
+            insert_ok = insert_ok & F.coalesce(F.expr(cond), F.lit(False))
+
+    fields = {f.name: f for f in base.schema.fields}
+
+    def _entry(kind: str, value_for):
+        vals = [
+            value_for(c).cast(fields[c].dataType).alias(c) for c in out_cols
+        ]
+        return F.struct(
+            F.lit(kind).alias(change_type_col), *vals
+        )
+
+    def _pre(c):
+        return F.col(f"{t}.`{c}`")
+
+    def _post(c):
+        if c in (km.matched_update or {}):
+            return F.expr(km.matched_update[c])
+        return F.col(f"{t}.`{c}`")
+
+    def _ins(c):
+        if km.not_matched_insert == "*":
+            return F.col(f"{s}.`{c}`")
+        return F.expr(km.not_matched_insert[c])
+
+    # the otherwise branch must be an EMPTY array of the same struct
+    # type; a zero-length slice of a typed one-entry array names the
+    # type without spelling it out
+    changes = (
+        F.when(is_update, F.array(_entry("update_preimage", _pre),
+                                  _entry("update_postimage", _post)))
+        .when(is_delete, F.array(_entry("delete", _pre)))
+        .when(insert_ok, F.array(_entry("insert", _ins)))
+        .otherwise(F.slice(F.array(_entry("insert", _pre)), 1, 0))
+    )
+    ex = joined.select(F.explode(changes).alias("__c"))
+    return ex.select(
+        *[F.col(f"__c.`{c}`").alias(c) for c in out_cols],
+        F.col(f"__c.`{change_type_col}`").alias(change_type_col),
+    )

@@ -170,6 +170,17 @@ def _collect_file_stats(abs_path: str, stat_cols: List[str]) -> str:
     )
 
 
+def _required_writer_version(config: Dict[str, str]) -> int:
+    """The minWriterVersion a table with this configuration demands
+    (spec's legacy feature→version mapping): CDF is writer 4, CHECK
+    constraints writer 3, else the base invariants-capable writer 2."""
+    if str(config.get("delta.enableChangeDataFeed", "false")).lower() == "true":
+        return 4
+    if any(k.startswith("delta.constraints.") for k in config):
+        return 3
+    return 2
+
+
 def _partition_lit(raw: Optional[str]):
     """A ``partitionValues`` entry as the literal Spark should cast to
     the declared type (spec: values are stored as strings; NULL is a
@@ -425,6 +436,160 @@ class DeltaProtocolTable:
         """commitInfo rows, newest first (DESCRIBE HISTORY shape)."""
         return list(reversed(self.snapshot().history))
 
+    def _commit_actions(self, version: int) -> List[dict]:
+        vf = _version_file(self.path, version)
+        if not os.path.exists(vf):
+            raise DeltaProtocolError(
+                f"commit file for version {version} of {self.path} is gone"
+            )
+        out: List[dict] = []
+        with open(vf) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    out.append(json.loads(line))
+        return out
+
+    def table_changes(
+        self,
+        starting_version: int,
+        ending_version: Optional[int] = None,
+    ) -> DataFrame:
+        """Change Data Feed read — Delta's ``table_changes(...)`` /
+        ``readChangeFeed``: every row-level change committed in
+        ``[starting_version, ending_version]`` (default: current head),
+        as the table columns plus ``_change_type`` (``insert`` /
+        ``delete`` / ``update_preimage`` / ``update_postimage``),
+        ``_commit_version`` and ``_commit_timestamp``.
+
+        Per the spec, a commit's changes come from its ``cdc`` actions
+        when present (MERGE/DELETE/UPDATE write them under
+        ``_change_data/``); otherwise they are DERIVED: ``add`` actions
+        with ``dataChange: true`` are wholly inserted rows,
+        ``remove``s wholly deleted rows — exact for append, overwrite,
+        restore, and insert-only merges. A rewriting commit
+        (MERGE/UPDATE/DELETE) with no cdc actions predates CDF
+        enablement and raises rather than fabricating wrong changes.
+        OPTIMIZE commits (``dataChange: false``) emit nothing.
+
+        SCALE: planning is driver-side log metadata; each change file /
+        derived file becomes a normal distributed parquet scan. Cost is
+        O(changed data in range), never O(table) — this is what makes
+        incremental downstream refresh O(changes) at 100 TB."""
+        from functools import reduce
+
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            TimestampType,
+        )
+
+        end_snap = self.snapshot(version_as_of=ending_version)
+        if not self._cdf_enabled(end_snap):
+            raise DeltaProtocolError(
+                f"change data feed is not enabled on {self.path}; set"
+                " table property delta.enableChangeDataFeed=true"
+            )
+        end_schema = end_snap.schema
+        out_names = [f.name for f in end_schema.fields]
+        cdc_schema = StructType(
+            list(end_schema.fields)
+            + [StructField("_change_type", StringType(), True)]
+        )
+        full_schema = StructType(
+            list(cdc_schema.fields)
+            + [
+                StructField("_commit_version", LongType(), True),
+                StructField("_commit_timestamp", TimestampType(), True),
+            ]
+        )
+        frames: List[DataFrame] = []
+        for v in self._log_versions():
+            if v < starting_version or v > end_snap.version:
+                continue
+            actions = self._commit_actions(v)
+            ci = next(
+                (a["commitInfo"] for a in actions if "commitInfo" in a), {}
+            )
+            op = ci.get("operation", "")
+            cdc = [a["cdc"] for a in actions if "cdc" in a]
+            adds = [
+                a["add"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a["remove"]
+                for a in actions
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            vframes: List[DataFrame] = []
+            if cdc:
+                vframes.append(
+                    self.spark.read.schema(cdc_schema).parquet(
+                        *[os.path.join(self.path, c["path"]) for c in cdc]
+                    )
+                )
+            else:
+                if removes and adds and op in ("MERGE", "UPDATE", "DELETE"):
+                    raise DeltaProtocolError(
+                        f"commit {v} ({op}) rewrote files without"
+                        " recording change data — it predates CDF"
+                        " enablement; query changes from a later version"
+                    )
+                if adds:
+                    pseudo = DeltaSnapshot(
+                        v, end_snap.metadata, end_snap.protocol,
+                        {a["path"]: a for a in adds}, [],
+                    )
+                    vframes.append(
+                        self._read_files(
+                            pseudo, [a["path"] for a in adds]
+                        ).withColumn("_change_type", F.lit("insert"))
+                    )
+                if removes:
+                    prev = self.snapshot(version_as_of=v - 1)
+                    rfiles: Dict[str, dict] = {}
+                    for r in removes:
+                        a = prev.files.get(r["path"])
+                        if a is None:
+                            raise DeltaProtocolError(
+                                f"commit {v} removes {r['path']}, which"
+                                f" version {v - 1} does not contain —"
+                                " cannot derive its deleted rows"
+                            )
+                        rfiles[r["path"]] = a
+                    pseudo = DeltaSnapshot(
+                        v, end_snap.metadata, end_snap.protocol, rfiles, []
+                    )
+                    vframes.append(
+                        self._read_files(pseudo, list(rfiles)).withColumn(
+                            "_change_type", F.lit("delete")
+                        )
+                    )
+            if not vframes:
+                continue
+            df = reduce(lambda a, b: a.unionByName(b), vframes)
+            ts = int(ci.get("timestamp", _now_ms()))
+            frames.append(
+                df.withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                )
+                .withColumn(
+                    "_commit_timestamp", F.timestamp_millis(F.lit(ts))
+                )
+                .select(
+                    *out_names,
+                    "_change_type",
+                    "_commit_version",
+                    "_commit_timestamp",
+                )
+            )
+        if not frames:
+            return self.spark.createDataFrame([], full_schema)
+        return reduce(lambda a, b: a.unionByName(b), frames)
+
     def detail(self) -> dict:
         snap = self.snapshot()
         return {
@@ -471,7 +636,12 @@ class DeltaProtocolTable:
                 {"commitInfo": {"timestamp": _now_ms(),
                                 "operation": "CREATE TABLE AS SELECT",
                                 "operationParameters": {}}},
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {"protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": _required_writer_version(
+                        meta["configuration"]
+                    ),
+                }},
                 {"metaData": meta},
             ]
             + [{"add": a} for a in adds]
@@ -637,17 +807,199 @@ class DeltaProtocolTable:
 
     def _assert_writable(self, snap: DeltaSnapshot) -> None:
         """The spec's writer rule: a writer MUST refuse tables whose
-        ``minWriterVersion`` demands features it does not implement
-        (invariants, CHECK constraints, CDF, deletion vectors, column
-        mapping writes) — committing anyway would silently violate the
-        table's contract."""
+        ``minWriterVersion`` demands features it does not implement —
+        committing anyway would silently violate the table's contract.
+        Implemented here: writer 2 (invariants via schema enforcement),
+        writer 3 (CHECK constraints, enforced on every write), writer 4
+        (Change Data Feed; generated columns are NOT implemented, so a
+        table that actually declares a generation expression is still
+        refused). Writer 5+ (column mapping writes, identity columns,
+        deletion vectors) is refused outright."""
         mwv = snap.protocol.get("minWriterVersion", 1)
-        if mwv > 2:
+        if mwv > 4:
             raise DeltaProtocolError(
                 f"table requires writer version {mwv}; this writer"
-                " implements version 2 — refusing to commit rather than"
-                " violate the table's declared writer features"
+                " implements up to version 4 — refusing to commit rather"
+                " than violate the table's declared writer features"
             )
+        if mwv >= 4:
+            generated = [
+                f.name
+                for f in snap.schema.fields
+                if "delta.generationExpression" in (f.metadata or {})
+            ]
+            if generated:
+                raise DeltaProtocolError(
+                    f"table declares generated columns {generated}, which"
+                    " this writer does not implement — refusing to commit"
+                )
+
+    # ------------------------------------------------------------------
+    # CHECK constraints (writer version 3)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _check_constraints(snap: DeltaSnapshot) -> Dict[str, str]:
+        """``delta.constraints.<name> -> expr`` from the table config —
+        the spec's CHECK constraint storage."""
+        return {
+            k[len("delta.constraints."):]: v
+            for k, v in (snap.metadata.get("configuration") or {}).items()
+            if k.startswith("delta.constraints.")
+        }
+
+    def _enforce_constraints(self, snap: DeltaSnapshot, df: DataFrame) -> None:
+        """Reject the write if any row violates a CHECK constraint
+        (expression FALSE; NULL passes, the SQL-standard CHECK rule).
+        ONE aggregate job counts violations for every constraint."""
+        constraints = self._check_constraints(snap)
+        if not constraints:
+            return
+        names = list(constraints)
+        counts = df.agg(
+            *[
+                F.sum(
+                    (~F.coalesce(F.expr(constraints[n]), F.lit(True)))
+                    .cast("long")
+                ).alias(n)
+                for n in names
+            ]
+        ).collect()[0]
+        violated = {n: int(counts[n] or 0) for n in names if counts[n]}
+        if violated:
+            detail = ", ".join(
+                f"{n} ({constraints[n]!r}): {c} rows"
+                for n, c in violated.items()
+            )
+            raise DeltaProtocolError(
+                f"CHECK constraint violation — {detail}; no data committed"
+            )
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """``ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)``: verify
+        the EXISTING data satisfies it (one scan), then commit the
+        config entry and — if this is the table's first constraint —
+        the writer-version-3 protocol upgrade that warns other writers
+        to enforce it."""
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        key = f"delta.constraints.{name}"
+        if key in (snap.metadata.get("configuration") or {}):
+            raise ValueError(f"constraint {name!r} already exists")
+        bad = (
+            self.to_df()
+            .where(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise DeltaProtocolError(
+                f"cannot add constraint {name!r}: existing rows violate"
+                f" {expr!r}"
+            )
+        self._update_config(snap, {key: expr}, "ADD CONSTRAINT")
+
+    def drop_constraint(self, name: str) -> None:
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        key = f"delta.constraints.{name}"
+        config = dict(snap.metadata.get("configuration") or {})
+        if key not in config:
+            raise ValueError(f"no constraint named {name!r}")
+        del config[key]
+        meta = dict(snap.metadata, configuration=config)
+        self._commit(
+            snap.version + 1,
+            [
+                {"commitInfo": {"timestamp": _now_ms(),
+                                "operation": "DROP CONSTRAINT",
+                                "operationParameters": {"name": name}}},
+                {"metaData": meta},
+            ],
+        )
+
+    def set_properties(self, props: Dict[str, str]) -> None:
+        """``ALTER TABLE ... SET TBLPROPERTIES``: merge ``props`` into
+        the configuration as one metaData commit; enabling a feature
+        (CDF, constraints) also commits the protocol upgrade its writer
+        version demands — Delta's automatic protocol bump."""
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        self._update_config(snap, props, "SET TBLPROPERTIES")
+
+    def _update_config(
+        self, snap: DeltaSnapshot, props: Dict[str, str], operation: str
+    ) -> None:
+        config = dict(snap.metadata.get("configuration") or {})
+        config.update(props)
+        meta = dict(snap.metadata, configuration=config)
+        actions = [
+            {"commitInfo": {"timestamp": _now_ms(), "operation": operation,
+                            "operationParameters": {
+                                "properties": sorted(props)}}},
+            {"metaData": meta},
+        ]
+        need = _required_writer_version(config)
+        if need > snap.protocol.get("minWriterVersion", 1):
+            actions.insert(
+                1,
+                {"protocol": {
+                    "minReaderVersion": snap.protocol.get(
+                        "minReaderVersion", 1
+                    ),
+                    "minWriterVersion": need,
+                }},
+            )
+        self._commit(snap.version + 1, actions)
+
+    # ------------------------------------------------------------------
+    # Change Data Feed (writer version 4)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _cdf_enabled(snap: DeltaSnapshot) -> bool:
+        return (
+            str(
+                (snap.metadata.get("configuration") or {}).get(
+                    "delta.enableChangeDataFeed", "false"
+                )
+            ).lower()
+            == "true"
+        )
+
+    def _write_cdc_files(self, changes: DataFrame) -> List[dict]:
+        """Persist a change frame (table columns + ``_change_type``)
+        under ``_change_data/`` and return its ``cdc`` actions (spec
+        AddCDCFile: path, partitionValues, size). Change files are
+        written unpartitioned with every column physical — readers take
+        values from the file, not the directory."""
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        changes.write.mode("overwrite").parquet(staging)
+        cdir = os.path.join(self.path, "_change_data")
+        os.makedirs(cdir, exist_ok=True)
+        actions: List[dict] = []
+        import pyarrow.parquet as pq
+
+        for fn in os.listdir(staging):
+            if not fn.endswith(".parquet"):
+                continue
+            src = os.path.join(staging, fn)
+            if pq.ParquetFile(src).metadata.num_rows == 0:
+                continue
+            dest = os.path.join(cdir, fn)
+            os.rename(src, dest)
+            actions.append(
+                {
+                    "path": f"_change_data/{fn}",
+                    "partitionValues": {},
+                    "size": os.path.getsize(dest),
+                    "dataChange": False,
+                }
+            )
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        return actions
 
     def _resolve_write_schema(
         self, snap: DeltaSnapshot, df: DataFrame, merge_schema: bool
@@ -733,6 +1085,7 @@ class DeltaProtocolTable:
         snap = self.snapshot()
         self._assert_writable(snap)
         aligned, new_meta = self._resolve_write_schema(snap, df, merge_schema)
+        self._enforce_constraints(snap, aligned)
         adds = self._write_data_files(aligned, snap.partition_columns)
         from mack_spark.tables import ConcurrentModificationError
 
@@ -765,6 +1118,7 @@ class DeltaProtocolTable:
         snap = self.snapshot()
         self._assert_writable(snap)
         aligned, new_meta = self._resolve_write_schema(snap, df, merge_schema)
+        self._enforce_constraints(snap, aligned)
         adds = self._write_data_files(aligned, snap.partition_columns)
         actions = [
             {"commitInfo": {"timestamp": _now_ms(), "operation": "WRITE",
@@ -1003,7 +1357,11 @@ class DeltaProtocolTable:
                         for f in schema.fields
                     ]
                 )
+            self._enforce_constraints(snap, inserts)
             adds = self._write_data_files(inserts, snap.partition_columns)
+            # no cdc actions needed even under CDF: an add-only commit
+            # derives exactly (every added row is an insert) — the same
+            # optimization Delta applies to insert-only merges
             actions = (
                 [
                     {"commitInfo": {
@@ -1023,10 +1381,22 @@ class DeltaProtocolTable:
                 "total_files": len(snap.files),
                 "version": snap.version + 1,
             }
+        cdf = self._cdf_enabled(snap)
+        if cdf:
+            # base feeds the rewrite join AND the change-feed join —
+            # read the touched files once
+            base = base.persist()
         merged = interpret_keyed_merge(
             base, km, assume_unambiguous=unambiguous
         )
+        self._enforce_constraints(snap, merged)
         adds = self._write_data_files(merged, snap.partition_columns)
+        cdc: List[dict] = []
+        if cdf:
+            from mack_spark.merge_exec import merge_changes
+
+            cdc = self._write_cdc_files(merge_changes(base, km))
+            base.unpersist(blocking=False)
         actions = (
             [
                 {"commitInfo": {
@@ -1038,6 +1408,7 @@ class DeltaProtocolTable:
                     },
                 }}
             ]
+            + [{"cdc": c} for c in cdc]
             + [
                 {"remove": {"path": p, "deletionTimestamp": _now_ms(),
                             "dataChange": True}}
@@ -1099,10 +1470,23 @@ class DeltaProtocolTable:
                 "total_files": len(snap.files),
                 "version": snap.version,
             }
-        kept = self._read_files(snap, touched).filter(
-            ~F.coalesce(F.expr(condition), F.lit(False))
-        )
+        cdf = self._cdf_enabled(snap)
+        touched_df = self._read_files(snap, touched)
+        if cdf:
+            # the touched read feeds BOTH the kept-rows rewrite and the
+            # deleted-rows change feed — compute it once
+            touched_df = touched_df.persist()
+        cond = F.coalesce(F.expr(condition), F.lit(False))
+        kept = touched_df.filter(~cond)
         adds = self._write_data_files(kept, snap.partition_columns)
+        cdc: List[dict] = []
+        if cdf:
+            cdc = self._write_cdc_files(
+                touched_df.filter(cond).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+            touched_df.unpersist(blocking=False)
         actions = (
             [
                 {"commitInfo": {
@@ -1114,6 +1498,7 @@ class DeltaProtocolTable:
                     },
                 }}
             ]
+            + [{"cdc": c} for c in cdc]
             + [
                 {"remove": {"path": p, "deletionTimestamp": _now_ms(),
                             "dataChange": True}}
@@ -1161,8 +1546,33 @@ class DeltaProtocolTable:
             else F.col(c)
             for c in (f.name for f in schema.fields)
         ]
-        rewritten = self._read_files(snap, touched).select(*cols)
+        cdf = self._cdf_enabled(snap)
+        touched_df = self._read_files(snap, touched)
+        if cdf:
+            touched_df = touched_df.persist()
+        rewritten = touched_df.select(*cols)
+        self._enforce_constraints(snap, rewritten)
         adds = self._write_data_files(rewritten, snap.partition_columns)
+        cdc: List[dict] = []
+        if cdf:
+            pre = touched_df.filter(cond)
+            post = pre.select(
+                *[
+                    F.expr(assignments[c]).cast(types[c]).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in (f.name for f in schema.fields)
+                ]
+            )
+            cdc = self._write_cdc_files(
+                pre.withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    post.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+            )
+            touched_df.unpersist(blocking=False)
         actions = (
             [
                 {"commitInfo": {
@@ -1174,6 +1584,7 @@ class DeltaProtocolTable:
                     },
                 }}
             ]
+            + [{"cdc": c} for c in cdc]
             + [
                 {"remove": {"path": p, "deletionTimestamp": _now_ms(),
                             "dataChange": True}}
