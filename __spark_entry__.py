@@ -2394,42 +2394,125 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_continuous_rollup"] = q_stream_rollup
 
+    def q_cdf_changes(spark, sf_dir):
+        # Change Data Feed on the open-protocol table (delta_log.py
+        # table_changes — Delta's readChangeFeed surface): one MERGE
+        # commit (updates as pre/post image pairs + inserts) and one
+        # DELETE commit, then the feed for versions 1..2 is returned
+        # row-for-row. The oracle reconstructs the exact change rows
+        # from the same deterministic transforms.
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+        from mack_spark.tables import KeyedMerge
+
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        path = tempfile.mkdtemp(prefix="mack-delta-cdf-") + "/t"
+        t = DeltaProtocolTable.create(
+            spark, path,
+            cust.repartitionByRange(4, "c_custkey")
+            .sortWithinPartitions("c_custkey"),
+            properties={"delta.enableChangeDataFeed": "true"},
+        )
+        upd = cust.where(F.col("c_custkey") % 7 == 0).select(
+            "c_custkey", "c_mktsegment",
+            (F.col("c_acctbal") + F.lit(500.0)).alias("c_acctbal"),
+        )
+        ins = cust.where(F.col("c_custkey") % 13 == 0).select(
+            (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
+            "c_mktsegment",
+            F.lit(1.0).alias("c_acctbal"),
+        )
+        t.merge(KeyedMerge(
+            source=upd.unionByName(ins),
+            condition="t.c_custkey = s.c_custkey",
+            matched_update={"c_acctbal": "s.c_acctbal"},
+            not_matched_insert="*",
+            target_key_col="c_custkey",
+            source_key_col="c_custkey",
+        ))
+        t.delete_where("c_custkey % 11 = 0")
+        return t.table_changes(1).select(
+            F.col("_change_type").alias("change_type"),
+            "c_custkey", "c_mktsegment", "c_acctbal",
+            F.col("_commit_version").alias("commit_version"),
+        )
+
+    q["delta_cdf_changes"] = q_cdf_changes
+
+    def q_delta_inc_rollup(spark, sf_dir):
+        # Incremental materialized-view maintenance driven by the REAL
+        # protocol Change Data Feed (rollup.py protocol path): the
+        # rollup follows the source through append, UPDATE (pre/post
+        # pair nets the exact value delta — impossible with a snapshot
+        # diff), and DELETE, reading only table_changes() — O(changes),
+        # never a source rescan. Oracle aggregates the final state.
+        import tempfile
+
+        from mack_spark.rollup import (
+            create_rollup_protocol,
+            refresh_rollup_incremental_protocol,
+            rollup_as_view,
+        )
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        tmp = tempfile.mkdtemp(prefix="mack-delta-rollup-")
+        gcols = ["event_hour", "event_type"]
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "event_hour", F.date_trunc("hour", F.col("ts"))
+        ).select("user_id", "event_type", "value", "event_hour")
+        src = DeltaProtocolTable.create(
+            spark, f"{tmp}/src", ev.filter(F.col("user_id") % 3 == 0),
+            properties={"delta.enableChangeDataFeed": "true"},
+        )
+        rollup = create_rollup_protocol(src, f"{tmp}/rollup", gcols, "value")
+        src.append(ev.filter(F.col("user_id") % 3 == 1))
+        src.update_where("event_type = 'view'", {"value": "value * 2"})
+        src.delete_where("event_type = 'click' AND user_id % 2 = 0")
+        refresh_rollup_incremental_protocol(rollup, src, gcols, "value")
+        return rollup_as_view(rollup, gcols).orderBy(
+            "event_hour", "event_type"
+        )
+
+    q["delta_incremental_rollup"] = q_delta_inc_rollup
+
     # Verification rotation: the driver checks the FIRST 50 keys in
-    # declaration order each round. Round-9 priorities:
-    # (a) the 2 queries with no driver row yet — the new protocol-
-    # backed dedup merges (VERDICT r8 item 5);
-    # (b) the 11 queries whose last green row is round 4 (the oldest
-    # tail: the streaming family + knn_ivf/embedding helpers);
-    # (c) all 35 queries last green in round 5;
-    # (d) fills: the first round-7-green rows in declaration order.
-    front_r9 = [
+    # declaration order each round. Round-10 priorities:
+    # (a) the 2 queries with no driver row yet — the new protocol CDF
+    # family (change feed read + CDF-driven incremental rollup);
+    # (b) 48 of the 50 queries whose last green driver row is round 7
+    # (the oldest cohort — includes the two LSH rows VERDICT r9
+    # flagged for a same-boot re-measure). The 2 cohort stragglers
+    # (dedup_incremental_lsh, streaming_quality_gate) rotate next
+    # round.
+    front_r10 = [
         # (a) never driver-checked (new this round)
-        "delta_kill_duplicates", "delta_append_without_duplicates",
-        "delta_drop_duplicates_pkey", "streaming_delta_source",
-        # (b) last green r4
-        "knn_ivf", "embedding_norms", "embedding_quantize",
-        "streaming_hourly", "streaming_dedup_keys",
-        "streaming_sessionize", "streaming_scd2_foreach_batch",
-        "streaming_sliding", "streaming_user_stats",
-        "streaming_stream_stream_join", "streaming_continuous_rollup",
-        # (c) last green r5
-        "late_shipment_priority", "drop_duplicates_pkey",
-        "append_without_duplicates", "type_2_scd_upsert",
-        "constraint_append_pass", "constraint_append_quarantine",
-        "corpus_curation", "knn_ivf_indexed", "multimodal_metadata",
-        "multimodal_features", "multimodal_frame_sample",
-        "multimodal_resize", "pii_redact", "pii_stats",
-        "pii_rollup_by_source", "unigram_quality", "boilerplate_strip",
-        "incremental_rollup", "key_skew_profile", "dataset_split",
-        "sequence_packing", "packing_efficiency", "gopher_quality",
-        "dedup_ngram_spans", "vocab_census", "dedup_span_strip",
-        "cluster_balance", "retention_cohorts", "numeric_correlations",
-        "grouped_correlations", "part_affinity", "customer_rfm",
-        "chunk_documents", "lang_confusion", "embedding_diversity",
+        "delta_cdf_changes", "delta_incremental_rollup",
+        # (b) last green r7
+        "min_cost_supplier", "supplier_revenue_share",
+        "large_volume_orders", "parts_supplier_counts",
+        "idle_rich_customers", "forecast_revenue", "nation_trade_volume",
+        "market_share", "product_profit", "customer_order_distribution",
+        "promo_revenue", "small_quantity_revenue", "discounted_revenue",
+        "waiting_suppliers", "is_composite_key_candidate",
+        "find_composite_key_candidates", "doc_stats", "corpus_rollup",
+        "corpus_cube", "dedup_clusters", "sample_stratified",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_ngram_containment", "lang_split_check",
+        "contamination_check", "dedup_embedding_cosine",
+        "quality_by_source", "data_mix", "training_shards",
+        "embedding_centroids", "curation_pipeline", "dedup_source_matrix",
+        "tfidf_top_terms", "chunk_dedup_stats", "referential_audit",
+        "dedup_embedding_banded", "numeric_outliers", "event_debounce",
+        "doclen_deciles", "drop_near_duplicates", "semantic_dedup_report",
+        "event_gap_quartiles", "conversion_funnel", "event_anomaly_hours",
+        "dedup_cluster_sizes", "length_drift_psi", "span_contamination",
     ]
-    assert len(front_r9) == 50, len(front_r9)
-    fset = set(front_r9)
-    ordered = {k: q[k] for k in front_r9}
+    assert len(front_r10) == 50, len(front_r10)
+    fset = set(front_r10)
+    ordered = {k: q[k] for k in front_r10}
     ordered.update({k: v for k, v in q.items() if k not in fset})
     assert set(ordered) == set(q)
     return ordered
@@ -3156,6 +3239,58 @@ FROM updates WHERE c_custkey NOT IN (SELECT c_custkey FROM base)
     o["streaming_delta_source"] = (
         "SELECT " + ", ".join(ORDERS_COLS) + " FROM orders"
     )
+
+    # Change Data Feed: the oracle reconstructs the exact change rows
+    # of the two commits — the merge's update pre/post pairs + inserts
+    # at version 1, and the deletes (whose preimages reflect the v1
+    # update) at version 2.
+    o["delta_cdf_changes"] = """
+WITH upd AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 7 = 0
+), ins AS (
+  SELECT c_custkey + 1000000 AS c_custkey, c_mktsegment,
+         CAST(1.0 AS DOUBLE) AS c_acctbal
+  FROM customer WHERE c_custkey % 13 = 0
+), state1 AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 500.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM ins
+)
+SELECT 'update_preimage' AS change_type, c_custkey, c_mktsegment,
+       c_acctbal, CAST(1 AS BIGINT) AS commit_version FROM upd
+UNION ALL
+SELECT 'update_postimage' AS change_type, c_custkey, c_mktsegment,
+       c_acctbal + 500.0 AS c_acctbal,
+       CAST(1 AS BIGINT) AS commit_version FROM upd
+UNION ALL
+SELECT 'insert' AS change_type, c_custkey, c_mktsegment, c_acctbal,
+       CAST(1 AS BIGINT) AS commit_version FROM ins
+UNION ALL
+SELECT 'delete' AS change_type, c_custkey, c_mktsegment, c_acctbal,
+       CAST(2 AS BIGINT) AS commit_version
+FROM state1 WHERE c_custkey % 11 = 0
+"""
+
+    # CDF-driven incremental rollup: the oracle aggregates the final
+    # source state (slices 0/1, 'view' values doubled by the UPDATE,
+    # even-user clicks removed by the DELETE) directly.
+    o["delta_incremental_rollup"] = """
+SELECT date_trunc('hour', ts) AS event_hour, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(
+           (CASE WHEN event_type = 'view' THEN value * 2
+                 ELSE value END) * 10000.0) AS DECIMAL(38,0)))
+        AS DOUBLE) / 10000.0 AS total_value
+FROM events
+WHERE user_id % 3 IN (0, 1)
+  AND NOT (event_type = 'click' AND user_id % 2 = 0)
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY event_hour, event_type
+"""
 
     o["constraint_append_pass"] = f"""
 WITH {_DIRTY_SQL.strip()}

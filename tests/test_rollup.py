@@ -134,3 +134,64 @@ class TestInEraRestore:
         assert {r["grp"] for r in t.toDF().collect()} == {"a", "b"}
         # restore is a forward commit, not an undo
         assert t._read_meta()["version"] == 3
+
+
+class TestProtocolRollup:
+    """Rollup maintained from the protocol table's REAL Change Data
+    Feed — updates arrive as pre/post pairs and net to exact deltas."""
+
+    def _mk(self, spark, tmp_path, rows):
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        return DeltaProtocolTable.create(
+            spark, str(tmp_path / "src"), _events(spark, rows),
+            properties={"delta.enableChangeDataFeed": "true"},
+        )
+
+    def test_follows_merge_update_delete(self, spark, tmp_path):
+        from mack_spark.rollup import (
+            create_rollup_protocol,
+            refresh_rollup_incremental_protocol,
+        )
+        from mack_spark.tables import KeyedMerge
+
+        rows = [("a", 1.5), ("a", 2.5), ("b", 10.0), ("c", 3.0)]
+        src = self._mk(spark, tmp_path, rows)
+        rollup = create_rollup_protocol(
+            src, str(tmp_path / "r"), ["grp"], "value"
+        )
+        # v: append
+        src.append(_events(spark, [("b", 5.0), ("d", 7.0)]))
+        # v: update_where (CDF pre/post pair)
+        src.update_where("grp = 'a'", {"value": "value + 100"})
+        # v: delete a whole group
+        src.delete_where("grp = 'c'")
+        refresh_rollup_incremental_protocol(rollup, src, ["grp"], "value")
+        got = rollup_as_view(rollup, ["grp"]).orderBy("grp")
+        final = [("a", 101.5), ("a", 102.5), ("b", 10.0), ("b", 5.0),
+                 ("d", 7.0)]
+        from conftest import assert_df_equality
+
+        assert_df_equality(
+            got,
+            _expected(spark, final).orderBy("grp"),
+        )
+        # group c reached zero -> row deleted from the rollup
+        assert rollup.to_df().where(F.col("grp") == "c").count() == 0
+
+    def test_second_refresh_is_noop(self, spark, tmp_path):
+        from mack_spark.rollup import (
+            create_rollup_protocol,
+            refresh_rollup_incremental_protocol,
+        )
+
+        src = self._mk(spark, tmp_path, [("a", 1.0)])
+        rollup = create_rollup_protocol(
+            src, str(tmp_path / "r"), ["grp"], "value"
+        )
+        src.append(_events(spark, [("b", 2.0)]))
+        v1 = refresh_rollup_incremental_protocol(rollup, src, ["grp"], "value")
+        ver_before = rollup.snapshot().version
+        v2 = refresh_rollup_incremental_protocol(rollup, src, ["grp"], "value")
+        assert v1 == v2
+        assert rollup.snapshot().version == ver_before  # no commit
