@@ -14,6 +14,23 @@ delta-spark):
 * ``startingVersion`` option: ``0`` (default) streams the existing
   table as the first batch then increments; ``"latest"`` streams only
   commits after stream start; any integer starts at that version;
+* ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` (Delta's admission
+  control): each microbatch admits at most N data files / ~N bytes
+  (always at least one file, so progress is guaranteed). The offset
+  gains a file index within the version (``{"version": v, "index":
+  i}``), so a 100 TB initial snapshot drains as a sequence of bounded
+  microbatches instead of one giant batch. Without these options the
+  offsets stay version-only — byte-compatible with checkpoints written
+  before rate limiting existed. One caveat imposed by the Python
+  DataSource API (no admission-control hook, so the reader tracks its
+  own driver-side cursor): ``Trigger.AvailableNow`` captures ONE
+  latest offset up front, so a rate-limited availableNow RUN processes
+  a single bounded chunk and terminates (repeated runs make progress;
+  use a ``processingTime`` trigger — the continuous-ingestion case —
+  to drain a backlog in bounded batches, or drop the limit for a
+  one-shot full drain). Restarts are exact: the engine re-plans the
+  checkpointed batch before asking for a new offset, which re-seeds
+  the cursor;
 * a commit that REMOVES data (DELETE/UPDATE/MERGE rewrite) is not
   streamable — the source raises Delta's "data update detected" error
   unless ``skipChangeCommits=true`` (ignore the whole commit) or
@@ -34,7 +51,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
-from typing import Iterator, List, Sequence, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -51,6 +68,18 @@ class DeltaStreamChangeError(RuntimeError):
     """A commit in the offset range rewrites or removes existing data;
     append-only streaming cannot represent it (Delta raises the same
     way — pass skipChangeCommits/ignoreChanges to opt out)."""
+
+
+def _parse_bytes(v) -> int:
+    """'10g' / '512m' / '64k' / plain int → bytes (Delta's
+    maxBytesPerTrigger accepts byte-size strings)."""
+    s = str(v).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
 
 
 def _decode_partition_value(raw, dtype_simple: str):
@@ -102,69 +131,170 @@ class DeltaProtocolStreamReader(DataSourceStreamReader):
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
         self._starting = str(options.get("startingversion", "0"))
+        mf = options.get("maxfilespertrigger")
+        self._max_files = int(mf) if mf is not None else None
+        mb = options.get("maxbytespertrigger")
+        self._max_bytes = _parse_bytes(mb) if mb is not None else None
+        self._limited = (
+            self._max_files is not None or self._max_bytes is not None
+        )
+        # driver-side admission cursor: the last offset this reader
+        # returned/planned. Lives for the stream's run; after a process
+        # restart it re-seeds from initialOffset or the first
+        # partitions()/commit() call (whichever the engine issues).
+        self._cursor: Optional[dict] = None
         self._table = _table(self._path)
 
     # -- offsets --------------------------------------------------------
 
+    @staticmethod
+    def _off_key(off: dict):
+        """Total order over offsets; a missing index means the whole
+        version is consumed (version-only offsets sort after any
+        indexed offset of the same version)."""
+        i = off.get("index")
+        return (int(off["version"]), float("inf") if i is None else int(i))
+
+    def _advance_cursor(self, off: dict) -> None:
+        if self._cursor is None or self._off_key(off) > self._off_key(
+            self._cursor
+        ):
+            self._cursor = dict(off)
+
     def initialOffset(self) -> dict:
         if self._starting == "latest":
-            return {"version": self._table.snapshot().version}
-        # first batch covers versions >= startingVersion, i.e.
-        # (startingVersion - 1, head]
-        return {"version": int(self._starting) - 1}
+            off = {"version": self._table.snapshot().version}
+        else:
+            # first batch covers versions >= startingVersion, i.e.
+            # (startingVersion - 1, head]
+            off = {"version": int(self._starting) - 1}
+        self._advance_cursor(off)
+        return off
 
     def latestOffset(self) -> dict:
-        return {"version": self._table.snapshot().version}
+        head = self._table.snapshot().version
+        if not self._limited:
+            return {"version": head}
+        base = self._cursor
+        if base is None:
+            # A fresh stream: the engine calls latestOffset BEFORE
+            # initialOffset on first start, while a RESTART always
+            # re-plans the checkpointed batch first (partitions() seeds
+            # the cursor) — both observed engine behaviors are pinned in
+            # tests. So an unseeded cursor means no history: walk from
+            # startingVersion, which bounds the very first microbatch
+            # over an existing table (the 100 TB initial-snapshot case).
+            # Defensive invariant if an engine ever calls latestOffset
+            # first after a restart: a stale-low offset only yields
+            # empty batches (partitions plans strictly (start, end] and
+            # returns nothing when end <= start) until the cursor
+            # catches up — rows are never replayed.
+            if self._starting == "latest":
+                base = {"version": head}
+            else:
+                base = {"version": int(self._starting) - 1}
+        v = int(base["version"])
+        i = base.get("index")
+        if i is None:
+            v, i = v + 1, 0
+        files = bytes_ = 0
+        end_v, end_i = v - 1, None  # nothing admitted yet
+        while v <= head:
+            adds = self._version_adds(v)
+            while i < len(adds):
+                a = adds[i]
+                nf, nb = files + 1, bytes_ + int(a.get("size", 0))
+                if files > 0 and (
+                    (self._max_files is not None and nf > self._max_files)
+                    or (self._max_bytes is not None and nb > self._max_bytes)
+                ):
+                    off = {"version": v, "index": i}
+                    self._advance_cursor(off)
+                    return off
+                files, bytes_ = nf, nb
+                i += 1
+            end_v, end_i = v, len(adds)
+            if (
+                self._max_files is not None and files >= self._max_files
+            ) or (
+                self._max_bytes is not None and bytes_ >= self._max_bytes
+            ):
+                break
+            v, i = v + 1, 0
+        if end_i is None:
+            off = dict(base)
+        else:
+            off = {"version": end_v, "index": end_i}
+        self._advance_cursor(off)
+        return off
 
     def commit(self, end: dict) -> None:
-        pass  # the engine's checkpoint is the source of truth
+        # the engine's checkpoint is the source of truth; track it so
+        # the admission cursor survives whatever call order the engine
+        # uses around restarts
+        self._advance_cursor(end)
 
     # -- planning (driver) ---------------------------------------------
 
+    def _version_adds(self, v: int) -> List[dict]:
+        """The dataChange add actions a streaming batch emits for
+        commit ``v``, after change-commit handling: a commit that
+        removes data yields [] under skipChangeCommits, its adds under
+        ignoreChanges, and raises otherwise. Used by BOTH the admission
+        walk and partition planning, so file indexes always agree."""
+        vf = os.path.join(self._path, "_delta_log", "%020d.json" % v)
+        if not os.path.exists(vf):
+            raise DeltaStreamChangeError(
+                f"log version {v} of {self._path} is gone (checkpoint-"
+                "compacted or vacuumed); restart the stream with "
+                ".option('startingVersion', 'latest')"
+            )
+        adds, has_change = [], False
+        with open(vf) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    has_change = True
+                if "add" in action and action["add"].get(
+                    "dataChange", True
+                ):
+                    adds.append(action["add"])
+        if has_change:
+            if self._skip_change:
+                return []  # drop the whole commit, like Delta
+            if not self._ignore_changes:
+                raise DeltaStreamChangeError(
+                    f"commit {v} of {self._path} updates or deletes "
+                    "existing rows; streaming is append-only. Use "
+                    ".option('skipChangeCommits', 'true') to drop such "
+                    "commits or .option('ignoreChanges', 'true') to "
+                    "emit their rewritten files (may re-process rows)."
+                )
+        return adds
+
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = int(start["version"]), int(end["version"])
+        lo_i = start.get("index")  # None: version lo fully consumed
+        hi_i = end.get("index")    # None: version hi fully included
+        self._advance_cursor(end)
         snap = self._table.snapshot(version_as_of=hi)
         pcols = snap.partition_columns
         types = {
             f.name: f.dataType.simpleString() for f in snap.schema.fields
         }
         names = [f.name for f in snap.schema.fields]
+        first_v = lo if lo_i is not None else lo + 1
         out: List[InputPartition] = []
-        for v in range(lo + 1, hi + 1):
-            vf = os.path.join(self._path, "_delta_log", "%020d.json" % v)
-            if not os.path.exists(vf):
-                raise DeltaStreamChangeError(
-                    f"log version {v} of {self._path} is gone (checkpoint-"
-                    "compacted or vacuumed); restart the stream with "
-                    ".option('startingVersion', 'latest')"
-                )
-            adds, has_change = [], False
-            with open(vf) as fh:
-                for line in fh:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    action = json.loads(line)
-                    if "remove" in action and action["remove"].get(
-                        "dataChange", True
-                    ):
-                        has_change = True
-                    if "add" in action and action["add"].get(
-                        "dataChange", True
-                    ):
-                        adds.append(action["add"])
-            if has_change:
-                if self._skip_change:
-                    continue  # drop the whole commit, like Delta
-                if not self._ignore_changes:
-                    raise DeltaStreamChangeError(
-                        f"commit {v} of {self._path} updates or deletes "
-                        "existing rows; streaming is append-only. Use "
-                        ".option('skipChangeCommits', 'true') to drop such "
-                        "commits or .option('ignoreChanges', 'true') to "
-                        "emit their rewritten files (may re-process rows)."
-                    )
-            for a in adds:
+        for v in range(first_v, hi + 1):
+            adds = self._version_adds(v)
+            a_lo = lo_i if (v == lo and lo_i is not None) else 0
+            a_hi = hi_i if (v == hi and hi_i is not None) else len(adds)
+            for a in adds[a_lo:a_hi]:
                 out.append(
                     _AddFilePartition(
                         os.path.join(self._path, a["path"]),

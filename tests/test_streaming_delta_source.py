@@ -166,3 +166,184 @@ class TestDeltaProtocolStream:
         assert got == [(1, "x"), (2, "y"), (3, "x")] or got == sorted(
             map(tuple, df.collect())
         )
+
+
+class TestRateLimiting:
+    """maxFilesPerTrigger / maxBytesPerTrigger admission control. The
+    Python DataSource API has no admission-control hook, so the reader
+    tracks its own cursor: the limit applies per processingTime
+    trigger; Trigger.AvailableNow captures one target offset up front
+    (whole backlog, one batch) — both paths must stay exactly-once."""
+
+    def _mk_files(self, spark, tmp_path, versions=3, files_per=4, rows=5):
+        n = rows * files_per
+        base = spark.range(n).selectExpr("cast(id as int) pkey").repartition(
+            files_per
+        )
+        t = DeltaProtocolTable.create(spark, str(tmp_path / "rl"), base)
+        for v in range(1, versions):
+            t.append(
+                spark.range(v * n, (v + 1) * n)
+                .selectExpr("cast(id as int) pkey")
+                .repartition(files_per)
+            )
+        return t, versions * n
+
+    def test_offset_walk_bounds_files(self, spark, tmp_path):
+        from mack_spark.streaming.delta_source import (
+            DeltaProtocolStreamReader,
+        )
+
+        t, total = self._mk_files(spark, tmp_path, versions=2)
+        r = DeltaProtocolStreamReader(
+            None, {"path": t.path, "maxfilespertrigger": "3"}
+        )
+        off = r.initialOffset()
+        assert off == {"version": -1}
+        seen = 0
+        for _ in range(10):
+            nxt = r.latestOffset()
+            parts = r.partitions(off, nxt)
+            assert len(parts) <= 3
+            seen += len(parts)
+            if nxt == off or len(parts) == 0:
+                break
+            off = nxt
+        assert seen == 8  # every committed file admitted exactly once
+        assert r.latestOffset() == off  # converged: no phantom batches
+
+    def test_offset_walk_byte_limit_progress(self, spark, tmp_path):
+        from mack_spark.streaming.delta_source import (
+            DeltaProtocolStreamReader,
+        )
+
+        t, _ = self._mk_files(spark, tmp_path, versions=1)
+        # 1 byte: smaller than any file — progress guarantee admits
+        # exactly one file per trigger
+        r = DeltaProtocolStreamReader(
+            None, {"path": t.path, "maxbytespertrigger": "1"}
+        )
+        off = r.initialOffset()
+        steps = 0
+        while True:
+            nxt = r.latestOffset()
+            parts = r.partitions(off, nxt)
+            if not parts:
+                break
+            assert len(parts) == 1
+            steps += 1
+            off = nxt
+        assert steps == 4
+
+    def test_parse_bytes_suffixes(self):
+        from mack_spark.streaming.delta_source import _parse_bytes
+
+        assert _parse_bytes("1024") == 1024
+        assert _parse_bytes("64k") == 64 * 1024
+        assert _parse_bytes("10m") == 10 << 20
+        assert _parse_bytes("2g") == 2 << 30
+        assert _parse_bytes("2gb") == 2 << 30
+
+    def test_processing_time_trigger_batches_are_bounded(
+        self, spark, tmp_path
+    ):
+        import time
+
+        register(spark)
+        t, total = self._mk_files(spark, tmp_path, versions=3, files_per=4)
+        out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+        q = (
+            spark.readStream.format("delta_protocol")
+            .option("path", t.path)
+            .option("maxFilesPerTrigger", "3")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out).count() >= total:
+                        break
+                except Exception:
+                    pass  # sink not initialized yet
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        got = sorted(r[0] for r in spark.read.parquet(out).collect())
+        assert got == list(range(total))  # exactly once, nothing dropped
+        # 12 files / 3 per trigger -> at least 4 completed batches
+        offdir = os.path.join(ckpt, "offsets")
+        batches = [int(f) for f in os.listdir(offdir) if f.isdigit()]
+        assert len(batches) >= 4, sorted(batches)
+
+    def test_available_now_with_limit_stays_exactly_once(
+        self, spark, tmp_path
+    ):
+        """A rate-limited availableNow RUN processes one bounded chunk
+        (the Python DataSource API captures a single target offset);
+        repeated runs drain the backlog with no row lost or repeated."""
+        register(spark)
+        t, total = self._mk_files(spark, tmp_path, versions=2)  # 8 files
+        out, ckpt = str(tmp_path / "oa"), str(tmp_path / "ca")
+
+        def drain():
+            q = (
+                spark.readStream.format("delta_protocol")
+                .option("path", t.path)
+                .option("maxFilesPerTrigger", "2")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            try:
+                return sorted(r[0] for r in spark.read.parquet(out).collect())
+            except Exception:
+                return []
+
+        counts = []
+        got = []
+        for _ in range(6):
+            got = drain()
+            counts.append(len(got))
+            if len(got) >= total:
+                break
+        # bounded per run (2 files x 5 rows), monotone, exactly once
+        assert counts[0] <= 10
+        assert got == list(range(total)), counts
+        t.append(
+            spark.range(total, total + 7).selectExpr("cast(id as int) pkey")
+        )
+        for _ in range(3):
+            got = drain()
+            if len(got) >= total + 7:
+                break
+        assert got == list(range(total + 7))
+
+    def test_unlimited_offsets_stay_version_only(self, spark, tmp_path):
+        register(spark)
+        t, _ = self._mk_files(spark, tmp_path, versions=1)
+        out, ckpt = str(tmp_path / "ou"), str(tmp_path / "cu")
+        q = (
+            spark.readStream.format("delta_protocol")
+            .option("path", t.path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        offdir = os.path.join(ckpt, "offsets")
+        last = max(int(f) for f in os.listdir(offdir) if f.isdigit())
+        body = open(os.path.join(offdir, str(last))).read().splitlines()[-1]
+        assert "index" not in body, body  # old checkpoint shape preserved
