@@ -2394,6 +2394,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_continuous_rollup"] = q_stream_rollup
 
+    def q_delta_constraint_append(spark, sf_dir):
+        # constraint_append on the open-protocol substrate: the target
+        # carries REAL delta.constraints.* table properties (writer
+        # version 3, enforced by the protocol writer itself), the batch
+        # splits into target/quarantine commits, NULL rows fall out of
+        # both. Target post-state = every dirty row passing the
+        # constraints (base seed ∪ appended pass-rows).
+        import tempfile
+
+        from mack_spark.appends import constraint_append_protocol
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        dirty = _dirty_lineitem(spark, sf_dir)
+        base = dirty.filter(_CONSTRAINTS).filter(F.col("l_orderkey") % 2 == 0)
+        batch = dirty.filter(F.col("l_orderkey") % 2 == 1)
+        tmp = tempfile.mkdtemp(prefix="mack-delta-ca-")
+        target = DeltaProtocolTable.create(
+            spark, f"{tmp}/t", base,
+            properties={
+                "delta.constraints.qty_pos": "l_quantity > 0",
+                "delta.constraints.disc_nonneg": "l_discount >= 0",
+            },
+        )
+        quarantine = DeltaProtocolTable.create(
+            spark, f"{tmp}/q", dirty.limit(0)
+        )
+        constraint_append_protocol(target, batch, quarantine)
+        return target.to_df()
+
+    q["delta_constraint_append"] = q_delta_constraint_append
+
     def q_cdf_changes(spark, sf_dir):
         # Change Data Feed on the open-protocol table (delta_log.py
         # table_changes — Delta's readChangeFeed surface): one MERGE
@@ -3301,6 +3332,11 @@ SELECT * FROM dirty WHERE {_CONSTRAINTS}
 WITH {_DIRTY_SQL.strip()}
 SELECT * FROM dirty WHERE NOT ({_CONSTRAINTS})
 """
+
+    # The protocol-backed constraint_append target lands in exactly the
+    # pass-set (seed rows are themselves passing, quarantine absorbs
+    # violators, NULL rows drop from both).
+    o["delta_constraint_append"] = o["constraint_append_pass"]
 
     o["validate_append"] = """
 SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,

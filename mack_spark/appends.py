@@ -99,3 +99,53 @@ def constraint_append(
         quarantine_table.append(quarantine_df, merge_schema=True)
     filtered_df = append_df.filter(" and ".join(constraints))
     table.append(filtered_df, merge_schema=True)
+
+
+def constraint_append_protocol(
+    table, append_df: DataFrame, quarantine_table=None
+) -> None:
+    """``constraint_append`` against open-protocol Delta tables
+    (reference mack/__init__.py:630-693, on the substrate the
+    reference actually runs on): constraints are harvested from the
+    table's REAL ``delta.constraints.*`` configuration (the writer-
+    version-3 storage this module's tables enforce on every write,
+    sources/delta_log.py ``add_constraint``) plus NOT-NULL fields of
+    the committed schema. Same split semantics as the ManagedTable
+    form: passing rows → target, violating rows → quarantine (dropped
+    when ``quarantine_table`` is None), three-valued NULL rows fall
+    out of BOTH appends, two independent commits (quarantine first)."""
+    from mack_spark.sources.delta_log import DeltaProtocolTable
+
+    if not isinstance(table, DeltaProtocolTable):
+        raise TypeError(
+            "An existing delta table must be specified for delta_table."
+        )
+    if not isinstance(append_df, DataFrame):
+        raise TypeError("You must provide a DataFrame that is to be appended.")
+    if quarantine_table is not None and not isinstance(
+        quarantine_table, DeltaProtocolTable
+    ):
+        raise TypeError(
+            "An existing delta table must be specified for quarantine_table."
+        )
+    snap = table.snapshot()
+    props = snap.metadata.get("configuration") or {}
+    constraints = [
+        v for k, v in props.items() if k.startswith("delta.constraints")
+    ] + [
+        f"{f.name} is not null"
+        for f in snap.schema.fields
+        if not f.nullable
+    ]
+    if not constraints:
+        raise TypeError(
+            "There are no constraints present in the target delta table"
+        )
+    if quarantine_table is not None:
+        quarantine_table.append(
+            append_df.filter("not (" + " and ".join(constraints) + ")"),
+            merge_schema=True,
+        )
+    table.append(
+        append_df.filter(" and ".join(constraints)), merge_schema=True
+    )

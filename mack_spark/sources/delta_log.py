@@ -78,6 +78,11 @@ STATS_COLS = 32
 # the exact key-set to the true min/max envelope (module-level so tests
 # can exercise the overflow path at small scale)
 MERGE_KEY_CAP = 1_000_000
+# snapshots with more actions than this are checkpointed as MULTI-PART
+# checkpoints (spec §Checkpoints: %020d.checkpoint.%010d.%010d.parquet
+# + a `parts` field in _last_checkpoint) — at 100 TB a million-file
+# snapshot compacts into right-sized parts instead of one giant parquet
+CHECKPOINT_PART_ACTIONS = 100_000
 
 
 class DeltaProtocolError(RuntimeError):
@@ -95,6 +100,14 @@ def _version_file(path: str, version: int) -> str:
 
 def _checkpoint_file(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), "%020d.checkpoint.parquet" % version)
+
+
+def _checkpoint_part_file(path: str, version: int, part: int, total: int) -> str:
+    # spec naming: part numbers are 1-based, zero-padded to 10 digits
+    return os.path.join(
+        _log_dir(path),
+        "%020d.checkpoint.%010d.%010d.parquet" % (version, part, total),
+    )
 
 
 def _now_ms() -> int:
@@ -231,7 +244,8 @@ class DeltaProtocolTable:
         if not os.path.isdir(d):
             return False
         return any(
-            f.endswith(".json") or f.endswith(".checkpoint.parquet")
+            f.endswith(".json")
+            or (".checkpoint." in f and f.endswith(".parquet"))
             for f in os.listdir(d)
         )
 
@@ -245,22 +259,47 @@ class DeltaProtocolTable:
                 out.append(int(f[:-5]))
         return sorted(out)
 
-    def _read_last_checkpoint(self) -> Optional[int]:
+    def _read_last_checkpoint(self) -> Optional[dict]:
+        """``{"version": v, "parts": n|None}`` from ``_last_checkpoint``
+        (the spec allows a checkpoint split across ``parts`` files)."""
         p = os.path.join(_log_dir(self.path), "_last_checkpoint")
         if not os.path.exists(p):
             return None
         try:
             with open(p) as fh:
-                return int(json.load(fh)["version"])
+                d = json.load(fh)
+            parts = d.get("parts")
+            return {
+                "version": int(d["version"]),
+                "parts": int(parts) if parts is not None else None,
+            }
         except (ValueError, KeyError, OSError):
             return None
 
-    def _checkpoint_actions(self, version: int) -> List[dict]:
-        """Actions from a checkpoint parquet, tolerant of extra fields
-        (a foreign writer's checkpoint schema is wider than ours)."""
+    def _checkpoint_actions(
+        self, version: int, parts: Optional[int] = None
+    ) -> List[dict]:
+        """Actions from a checkpoint — single-file or multi-part (all
+        parts concatenated) — tolerant of extra fields (a foreign
+        writer's checkpoint schema is wider than ours)."""
         import pyarrow.parquet as pq
 
-        rows = pq.read_table(_checkpoint_file(self.path, version)).to_pylist()
+        if parts:
+            files = [
+                _checkpoint_part_file(self.path, version, i, parts)
+                for i in range(1, parts + 1)
+            ]
+            missing = [f for f in files if not os.path.exists(f)]
+            if missing:
+                raise DeltaProtocolError(
+                    f"multi-part checkpoint {version} of {self.path} is"
+                    f" incomplete: missing {os.path.basename(missing[0])}"
+                )
+        else:
+            files = [_checkpoint_file(self.path, version)]
+        rows = []
+        for f in files:
+            rows.extend(pq.read_table(f).to_pylist())
         actions = []
         for row in rows:
             for kind in ("protocol", "metaData", "add", "remove"):
@@ -286,12 +325,16 @@ class DeltaProtocolTable:
 
         start, last = 0, -1
         cp = self._read_last_checkpoint()
-        if cp is not None and (version_as_of is None or cp <= version_as_of):
-            for action in self._checkpoint_actions(cp):
+        if cp is not None and (
+            version_as_of is None or cp["version"] <= version_as_of
+        ):
+            for action in self._checkpoint_actions(
+                cp["version"], cp["parts"]
+            ):
                 self._apply(action, files, history)
                 metadata = action.get("metaData") or metadata
                 protocol = action.get("protocol") or protocol
-            start, last = cp + 1, cp
+            start, last = cp["version"] + 1, cp["version"]
         for v in versions:
             if v < start:
                 continue
@@ -792,18 +835,43 @@ class DeltaProtocolTable:
                 "stats": a.get("stats"),
             }
 
-        table = pa.table(
-            {
-                "protocol": pa.array([r["protocol"] for r in rows], type=proto_t),
-                "metaData": pa.array(
-                    [shape_meta(r["metaData"]) for r in rows], type=meta_t
-                ),
-                "add": pa.array([shape_add(r["add"]) for r in rows], type=add_t),
-            }
-        )
-        pq.write_table(table, _checkpoint_file(self.path, version))
+        def _to_table(chunk):
+            return pa.table(
+                {
+                    "protocol": pa.array(
+                        [r["protocol"] for r in chunk], type=proto_t
+                    ),
+                    "metaData": pa.array(
+                        [shape_meta(r["metaData"]) for r in chunk],
+                        type=meta_t,
+                    ),
+                    "add": pa.array(
+                        [shape_add(r["add"]) for r in chunk], type=add_t
+                    ),
+                }
+            )
+
+        lc = {"version": version, "size": len(rows)}
+        if len(rows) > CHECKPOINT_PART_ACTIONS:
+            # multi-part checkpoint (spec §Checkpoints): split the
+            # actions across right-sized parquet parts so a huge
+            # snapshot never funnels through one giant file
+            import math
+
+            n = math.ceil(len(rows) / CHECKPOINT_PART_ACTIONS)
+            per = math.ceil(len(rows) / n)
+            for i in range(n):
+                pq.write_table(
+                    _to_table(rows[i * per:(i + 1) * per]),
+                    _checkpoint_part_file(self.path, version, i + 1, n),
+                )
+            lc["parts"] = n
+        else:
+            pq.write_table(
+                _to_table(rows), _checkpoint_file(self.path, version)
+            )
         with open(os.path.join(_log_dir(self.path), "_last_checkpoint"), "w") as fh:
-            json.dump({"version": version, "size": len(rows)}, fh)
+            json.dump(lc, fh)
 
     def _assert_writable(self, snap: DeltaSnapshot) -> None:
         """The spec's writer rule: a writer MUST refuse tables whose

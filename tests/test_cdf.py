@@ -335,3 +335,57 @@ class TestCdfPartitioned:
             (2, "update_postimage", 2, "y", 21),
             (2, "update_preimage", 2, "y", 20),
         ]
+
+
+class TestConstraintAppendProtocol:
+    def test_split_semantics(self, spark, tmp_path):
+        from mack_spark.appends import constraint_append_protocol
+
+        base = spark.createDataFrame([(1, "a", 10)], SCHEMA)
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "t"), base,
+            properties={"delta.constraints.val_pos": "val > 0"},
+        )
+        quar = DeltaProtocolTable.create(
+            spark, str(tmp_path / "q"), base.limit(0)
+        )
+        batch = spark.createDataFrame(
+            [(2, "pass", 5), (3, "violate", -5), (4, "null", None)], SCHEMA
+        )
+        constraint_append_protocol(t, batch, quar)
+        assert sorted(map(tuple, t.to_df().collect())) == [
+            (1, "a", 10), (2, "pass", 5),
+        ]
+        # NULL falls out of both (three-valued logic)
+        assert sorted(map(tuple, quar.to_df().collect())) == [
+            (3, "violate", -5)
+        ]
+
+    def test_no_constraints_raises_typeerror(self, spark, tmp_path):
+        from mack_spark.appends import constraint_append_protocol
+
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "n"),
+            spark.createDataFrame([(1, "a", 1)], SCHEMA),
+        )
+        with pytest.raises(TypeError, match="no constraints"):
+            constraint_append_protocol(
+                t, spark.createDataFrame([(2, "b", 2)], SCHEMA), None
+            )
+
+    def test_none_quarantine_drops_violators(self, spark, tmp_path):
+        from mack_spark.appends import constraint_append_protocol
+
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "d"),
+            spark.createDataFrame([(1, "a", 1)], SCHEMA),
+            properties={"delta.constraints.val_pos": "val > 0"},
+        )
+        constraint_append_protocol(
+            t,
+            spark.createDataFrame([(2, "b", 2), (3, "bad", -3)], SCHEMA),
+            None,
+        )
+        assert sorted(map(tuple, t.to_df().collect())) == [
+            (1, "a", 1), (2, "b", 2),
+        ]

@@ -303,11 +303,14 @@ class TestProtocolGates:
         with open(os.path.join(t.path, "_delta_log", "%020d.json" % v), "w") as fh:
             fh.write(json.dumps({"protocol": proto}) + "\n")
 
-    def test_writer_version_above_2_refuses_commits(self, spark, tmp_path):
+    def test_writer_version_above_4_refuses_commits(self, spark, tmp_path):
+        # writer 3 (CHECK constraints) and 4 (CDF) are implemented
+        # since round 10 — see tests/test_cdf.py — so the refusal line
+        # moved to writer 5+ (column mapping writes, identity columns)
         from mack_spark.sources.delta_log import DeltaProtocolError
 
         t = _mk(spark, tmp_path, [(1, "a")])
-        self._bump(t, minReaderVersion=1, minWriterVersion=4)
+        self._bump(t, minReaderVersion=1, minWriterVersion=5)
         df = spark.createDataFrame([(2, "b")], "pkey int, attr string")
         for op in (
             lambda: t.append(df),
@@ -319,6 +322,12 @@ class TestProtocolGates:
                 op()
         # reads still work — writer features don't gate readers
         assert t.to_df().count() == 1
+
+    def test_writer_version_4_now_writable(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, [(1, "a")])
+        self._bump(t, minReaderVersion=1, minWriterVersion=4)
+        t.append(spark.createDataFrame([(2, "b")], "pkey int, attr string"))
+        assert t.to_df().count() == 2
 
     def test_reader_version_3_rejected(self, spark, tmp_path):
         from mack_spark.sources.delta_log import DeltaProtocolError
@@ -871,3 +880,73 @@ class TestOptimize:
         )
         mres = t.merge(km)
         assert mres["touched_files"] < mres["total_files"]
+
+
+class TestMultiPartCheckpoint:
+    def test_multipart_write_and_replay(self, spark, tmp_path, monkeypatch):
+        from mack_spark.sources import delta_log as dl
+
+        # force every checkpoint to split: 3 actions per part
+        monkeypatch.setattr(dl, "CHECKPOINT_PART_ACTIONS", 3)
+        t = _mk(spark, tmp_path, [(0, "r0")])
+        for i in range(1, dl.CHECKPOINT_INTERVAL + 1):
+            t.append(
+                spark.createDataFrame([(i, f"r{i}")], "pkey int, attr string")
+            )
+        logdir = os.path.join(t.path, "_delta_log")
+        parts = sorted(
+            f for f in os.listdir(logdir)
+            if ".checkpoint." in f and f.endswith(".parquet")
+        )
+        # 11 files + protocol/meta row = 12 actions -> 4 parts of <=3
+        assert len(parts) >= 2, parts
+        assert all(
+            f.count(".") == 4 for f in parts
+        ), parts  # %020d.checkpoint.%010d.%010d.parquet
+        import json as _json
+
+        lc = _json.load(open(os.path.join(logdir, "_last_checkpoint")))
+        assert lc["parts"] == len(parts)
+        # a FRESH handle replays from the parts + JSON tail
+        t2 = DeltaProtocolTable(spark, t.path)
+        snap = t2.snapshot()
+        assert len(snap.files) == dl.CHECKPOINT_INTERVAL + 1
+        got = sorted(map(tuple, t2.to_df().collect()))
+        assert got == [(i, f"r{i}") for i in range(dl.CHECKPOINT_INTERVAL + 1)]
+
+    def test_incomplete_multipart_raises(self, spark, tmp_path, monkeypatch):
+        from mack_spark.sources import delta_log as dl
+        from mack_spark.sources.delta_log import DeltaProtocolError
+
+        monkeypatch.setattr(dl, "CHECKPOINT_PART_ACTIONS", 3)
+        t = _mk(spark, tmp_path, [(0, "r0")])
+        for i in range(1, dl.CHECKPOINT_INTERVAL + 1):
+            t.append(
+                spark.createDataFrame([(i, f"r{i}")], "pkey int, attr string")
+            )
+        logdir = os.path.join(t.path, "_delta_log")
+        victim = sorted(
+            f for f in os.listdir(logdir) if ".checkpoint." in f
+        )[0]
+        os.unlink(os.path.join(logdir, victim))
+        with pytest.raises(DeltaProtocolError, match="incomplete"):
+            DeltaProtocolTable(spark, t.path).snapshot()
+
+    def test_single_part_checkpoint_unchanged(self, spark, tmp_path):
+        from mack_spark.sources import delta_log as dl
+
+        t = _mk(spark, tmp_path, [(0, "r0")])
+        for i in range(1, dl.CHECKPOINT_INTERVAL + 1):
+            t.append(
+                spark.createDataFrame([(i, f"r{i}")], "pkey int, attr string")
+            )
+        logdir = os.path.join(t.path, "_delta_log")
+        import json as _json
+
+        lc = _json.load(open(os.path.join(logdir, "_last_checkpoint")))
+        assert "parts" not in lc
+        assert os.path.exists(
+            os.path.join(
+                logdir, "%020d.checkpoint.parquet" % dl.CHECKPOINT_INTERVAL
+            )
+        )
