@@ -2473,6 +2473,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_cdf_changes"] = q_cdf_changes
 
+    def q_streaming_cdf(spark, sf_dir):
+        # Structured-Streaming read of the CHANGE FEED itself
+        # (readChangeFeed=true on the delta_protocol format — Delta's
+        # streaming CDF): the same merge+delete table as
+        # delta_cdf_changes, streamed from version 0, so the sink holds
+        # the initial snapshot as inserts plus every later change row.
+        # Rewrite commits are ordinary feed batches here — downstream
+        # jobs follow updates/deletes instead of skipping them.
+        import tempfile
+        import uuid
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+        from mack_spark.streaming.delta_source import register
+        from mack_spark.tables import KeyedMerge
+
+        register(spark)
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        path = tempfile.mkdtemp(prefix="mack-cdf-stream-") + "/t"
+        t = DeltaProtocolTable.create(
+            spark, path,
+            cust.repartitionByRange(4, "c_custkey")
+            .sortWithinPartitions("c_custkey"),
+            properties={"delta.enableChangeDataFeed": "true"},
+        )
+        upd = cust.where(F.col("c_custkey") % 7 == 0).select(
+            "c_custkey", "c_mktsegment",
+            (F.col("c_acctbal") + F.lit(500.0)).alias("c_acctbal"),
+        )
+        ins = cust.where(F.col("c_custkey") % 13 == 0).select(
+            (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
+            "c_mktsegment",
+            F.lit(1.0).alias("c_acctbal"),
+        )
+        t.merge(KeyedMerge(
+            source=upd.unionByName(ins),
+            condition="t.c_custkey = s.c_custkey",
+            matched_update={"c_acctbal": "s.c_acctbal"},
+            not_matched_insert="*",
+            target_key_col="c_custkey",
+            source_key_col="c_custkey",
+        ))
+        t.delete_where("c_custkey % 11 = 0")
+        name = "mcdf" + uuid.uuid4().hex[:6]
+        sq = (
+            spark.readStream.format("delta_protocol")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        return spark.table(name).select(
+            F.col("_change_type").alias("change_type"),
+            "c_custkey", "c_mktsegment", "c_acctbal",
+            F.col("_commit_version").alias("commit_version"),
+        )
+
+    q["streaming_cdf_source"] = q_streaming_cdf
+
     def q_delta_inc_rollup(spark, sf_dir):
         # Incremental materialized-view maintenance driven by the REAL
         # protocol Change Data Feed (rollup.py protocol path): the
@@ -3305,6 +3370,18 @@ SELECT 'delete' AS change_type, c_custkey, c_mktsegment, c_acctbal,
        CAST(2 AS BIGINT) AS commit_version
 FROM state1 WHERE c_custkey % 11 = 0
 """
+
+    # Streaming CDF read = the batch feed plus the version-0 snapshot
+    # as inserts (startingVersion defaults to 0).
+    o["streaming_cdf_source"] = (
+        o["delta_cdf_changes"].rstrip()
+        + """
+UNION ALL
+SELECT 'insert' AS change_type, c_custkey, c_mktsegment, c_acctbal,
+       CAST(0 AS BIGINT) AS commit_version
+FROM customer
+"""
+    )
 
     # CDF-driven incremental rollup: the oracle aggregates the final
     # source state (slices 0/1, 'view' values doubled by the UPDATE,

@@ -36,6 +36,16 @@ delta-spark):
   unless ``skipChangeCommits=true`` (ignore the whole commit) or
   ``ignoreChanges=true`` (emit its adds anyway — documented to produce
   re-processed rows, same as Delta);
+* ``readChangeFeed=true`` (Delta's streaming/batch CDF read) streams
+  the CHANGE FEED instead of the table: each microbatch emits the
+  commits' change rows (table columns + ``_change_type`` /
+  ``_commit_version`` / ``_commit_timestamp``) — cdc files where the
+  commit wrote them, derived inserts/deletes where exact, and a loud
+  error for rewriting commits that predate CDF enablement. Rewrite
+  commits become ordinary feed batches here, so downstream jobs can
+  FOLLOW updates and deletes incrementally instead of opting to skip
+  them. Rate limiting composes (the admitted unit is a change file).
+  The batch reader takes ``startingVersion``/``endingVersion``;
 * exactly-once across restarts comes from the engine checkpointing the
   version offsets; ``partitions()`` re-derives the same files for the
   same (start, end] replay.
@@ -117,6 +127,34 @@ class _AddFilePartition(InputPartition):
         self.schema_json = schema_json  # full StructType json
 
 
+# CDF metadata columns appended to the table schema when
+# readChangeFeed=true (Delta's names); _change_type is physical in cdc
+# files and a per-partition constant for derived insert/delete files
+CDF_META_FIELDS = [
+    ("_change_type", "string"),
+    ("_commit_version", "bigint"),
+    ("_commit_timestamp", "timestamp"),
+]
+
+
+def _cdf_schema(table_schema: StructType) -> StructType:
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        TimestampType,
+    )
+
+    return StructType(
+        list(table_schema.fields)
+        + [
+            StructField("_change_type", StringType(), True),
+            StructField("_commit_version", LongType(), True),
+            StructField("_commit_timestamp", TimestampType(), True),
+        ]
+    )
+
+
 class DeltaProtocolStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
@@ -124,6 +162,9 @@ class DeltaProtocolStreamReader(DataSourceStreamReader):
         if not self._path:
             raise ValueError("delta_protocol requires .option('path', ...)")
         self._path = os.path.abspath(self._path)
+        self._read_cdf = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
+        )
         self._skip_change = (
             str(options.get("skipchangecommits", "false")).lower() == "true"
         )
@@ -144,6 +185,13 @@ class DeltaProtocolStreamReader(DataSourceStreamReader):
         # partitions()/commit() call (whichever the engine issues).
         self._cursor: Optional[dict] = None
         self._table = _table(self._path)
+        if self._read_cdf:
+            snap = self._table.snapshot()
+            if not self._table._cdf_enabled(snap):
+                raise ValueError(
+                    f"readChangeFeed requires delta.enableChangeDataFeed"
+                    f"=true on {self._path}"
+                )
 
     # -- offsets --------------------------------------------------------
 
@@ -200,7 +248,7 @@ class DeltaProtocolStreamReader(DataSourceStreamReader):
         files = bytes_ = 0
         end_v, end_i = v - 1, None  # nothing admitted yet
         while v <= head:
-            adds = self._version_adds(v)
+            adds = self._stream_units(v)
             while i < len(adds):
                 a = adds[i]
                 nf, nb = files + 1, bytes_ + int(a.get("size", 0))
@@ -273,9 +321,23 @@ class DeltaProtocolStreamReader(DataSourceStreamReader):
                     "existing rows; streaming is append-only. Use "
                     ".option('skipChangeCommits', 'true') to drop such "
                     "commits or .option('ignoreChanges', 'true') to "
-                    "emit their rewritten files (may re-process rows)."
+                    "emit their rewritten files (may re-process rows), "
+                    "or stream the change feed itself with "
+                    ".option('readChangeFeed', 'true')."
                 )
         return adds
+
+    def _stream_units(self, v: int) -> List[dict]:
+        """The per-file units commit ``v`` contributes to the stream —
+        plain adds in table mode, change-feed files in CDF mode. Offset
+        indexes and admission counting are positions in THIS list, so
+        both modes rate-limit and replay identically."""
+        if not self._read_cdf:
+            return [
+                {"add": a, "size": int(a.get("size", 0)), "overlay": {}}
+                for a in self._version_adds(v)
+            ]
+        return _cdf_units(self._table, self._path, v)
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = int(start["version"]), int(end["version"])
@@ -283,27 +345,17 @@ class DeltaProtocolStreamReader(DataSourceStreamReader):
         hi_i = end.get("index")    # None: version hi fully included
         self._advance_cursor(end)
         snap = self._table.snapshot(version_as_of=hi)
-        pcols = snap.partition_columns
-        types = {
-            f.name: f.dataType.simpleString() for f in snap.schema.fields
-        }
-        names = [f.name for f in snap.schema.fields]
         first_v = lo if lo_i is not None else lo + 1
         out: List[InputPartition] = []
         for v in range(first_v, hi + 1):
-            adds = self._version_adds(v)
+            units = self._stream_units(v)
             a_lo = lo_i if (v == lo and lo_i is not None) else 0
-            a_hi = hi_i if (v == hi and hi_i is not None) else len(adds)
-            for a in adds[a_lo:a_hi]:
-                out.append(
-                    _AddFilePartition(
-                        os.path.join(self._path, a["path"]),
-                        names,
-                        dict(a.get("partitionValues") or {}),
-                        {c: types[c] for c in pcols},
-                        snap.schema.json(),
-                    )
+            a_hi = hi_i if (v == hi and hi_i is not None) else len(units)
+            out.extend(
+                _units_to_partitions(
+                    self._path, snap, units[a_lo:a_hi], self._read_cdf
                 )
+            )
         return out
 
     # -- execution (executors) -----------------------------------------
@@ -370,6 +422,98 @@ def _table(path: str):
     return DeltaProtocolTable(None, path)
 
 
+def _cdf_units(table, path: str, v: int) -> List[dict]:
+    """Per-file change-feed units of commit ``v`` (Delta
+    readChangeFeed semantics, mirroring
+    DeltaProtocolTable.table_changes): cdc files when present,
+    otherwise adds derive as inserts and removes as deletes — exact
+    for append/overwrite/restore/insert-only merge; a rewriting commit
+    without cdc predates CDF enablement and raises. Each unit carries
+    an ``overlay`` of constant CDF meta columns (plus ``_change_type``
+    for derived files; cdc files hold it physically)."""
+    actions = table._commit_actions(v)
+    ci = next((a["commitInfo"] for a in actions if "commitInfo" in a), {})
+    ts_ms = int(ci.get("timestamp", 0))
+    ts_iso = datetime.datetime.utcfromtimestamp(ts_ms / 1000.0).isoformat()
+    meta = {"_commit_version": str(v), "_commit_timestamp": ts_iso}
+    cdc = [a["cdc"] for a in actions if "cdc" in a]
+    if cdc:
+        return [
+            {"add": c, "size": int(c.get("size", 0)), "overlay": dict(meta)}
+            for c in cdc
+        ]
+    adds = [
+        a["add"]
+        for a in actions
+        if "add" in a and a["add"].get("dataChange", True)
+    ]
+    removes = [
+        a["remove"]
+        for a in actions
+        if "remove" in a and a["remove"].get("dataChange", True)
+    ]
+    op = ci.get("operation", "")
+    if removes and adds and op in ("MERGE", "UPDATE", "DELETE"):
+        raise DeltaStreamChangeError(
+            f"commit {v} of {path} rewrote files without recording change"
+            " data — it predates CDF enablement; start the stream at a"
+            " later version"
+        )
+    units = [
+        {"add": a, "size": int(a.get("size", 0)),
+         "overlay": dict(meta, _change_type="insert")}
+        for a in adds
+    ]
+    if removes:
+        prev = table.snapshot(version_as_of=v - 1)
+        for r in removes:
+            a = prev.files.get(r["path"])
+            if a is None:
+                raise DeltaStreamChangeError(
+                    f"commit {v} removes {r['path']}, absent from version"
+                    f" {v - 1} — cannot derive its deleted rows"
+                )
+            units.append(
+                {"add": a, "size": int(a.get("size", 0)),
+                 "overlay": dict(meta, _change_type="delete")}
+            )
+    return units
+
+
+def _units_to_partitions(
+    path: str, snap, units: List[dict], cdf: bool
+) -> List[_AddFilePartition]:
+    """Units → executor partitions. In CDF mode the output schema is
+    the table schema + CDF meta columns; overlay constants ride the
+    same partition-value mechanism as directory-derived values (cdc
+    files carry ``_change_type`` physically, so it is absent from
+    their overlay and reads from the file)."""
+    pcols = snap.partition_columns
+    schema = _cdf_schema(snap.schema) if cdf else snap.schema
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    names = [f.name for f in schema.fields]
+    schema_json = schema.json()
+    out = []
+    for u in units:
+        a = u["add"]
+        consts = dict(a.get("partitionValues") or {})
+        consts.update(u["overlay"])
+        const_types = {c: types[c] for c in pcols}
+        const_types.update(
+            {c: types[c] for c in u["overlay"] if c in types}
+        )
+        out.append(
+            _AddFilePartition(
+                os.path.join(path, a["path"]),
+                names,
+                consts,
+                const_types,
+                schema_json,
+            )
+        )
+    return out
+
+
 class DeltaProtocolBatchReader(DataSourceReader):
     """``spark.read.format('delta_protocol')``: one InputPartition per
     live file of the snapshot (``versionAsOf`` time travel supported),
@@ -389,25 +533,42 @@ class DeltaProtocolBatchReader(DataSourceReader):
         self._path = os.path.abspath(self._path)
         v = options.get("versionasof")
         self._version = int(v) if v is not None else None
+        self._read_cdf = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
+        )
+        self._starting = int(options.get("startingversion", 0))
+        ev = options.get("endingversion")
+        self._ending = int(ev) if ev is not None else None
 
     def partitions(self) -> Sequence[InputPartition]:
-        snap = _table(self._path).snapshot(version_as_of=self._version)
-        pcols = snap.partition_columns
-        types = {
-            f.name: f.dataType.simpleString() for f in snap.schema.fields
-        }
-        names = [f.name for f in snap.schema.fields]
-        schema_json = snap.schema.json()
-        return [
-            _AddFilePartition(
-                os.path.join(self._path, p),
-                names,
-                dict(a.get("partitionValues") or {}),
-                {c: types[c] for c in pcols},
-                schema_json,
-            )
-            for p, a in snap.files.items()
+        table = _table(self._path)
+        if self._read_cdf:
+            # batch CDF read (Delta's readChangeFeed + startingVersion/
+            # endingVersion): every change-feed file of the commits in
+            # range, planned from driver-side log metadata
+            end_snap = table.snapshot(version_as_of=self._ending)
+            if not table._cdf_enabled(end_snap):
+                raise ValueError(
+                    f"readChangeFeed requires delta.enableChangeDataFeed"
+                    f"=true on {self._path}"
+                )
+            out: List[InputPartition] = []
+            for v in table._log_versions():
+                if v < self._starting or v > end_snap.version:
+                    continue
+                out.extend(
+                    _units_to_partitions(
+                        self._path, end_snap,
+                        _cdf_units(table, self._path, v), True,
+                    )
+                )
+            return out
+        snap = table.snapshot(version_as_of=self._version)
+        units = [
+            {"add": a, "size": int(a.get("size", 0)), "overlay": {}}
+            for a in snap.files.values()
         ]
+        return _units_to_partitions(self._path, snap, units, False)
 
     def read(self, partition: InputPartition) -> Iterator:
         return _read_add_file(partition)
@@ -428,9 +589,12 @@ class DeltaProtocolDataSource(DataSource):
         if not path:
             raise ValueError("delta_protocol requires .option('path', ...)")
         v = self.options.get("versionasof")
-        return _table(os.path.abspath(path)).snapshot(
+        s = _table(os.path.abspath(path)).snapshot(
             version_as_of=int(v) if v is not None else None
         ).schema
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            return _cdf_schema(s)
+        return s
 
     def reader(self, schema) -> DeltaProtocolBatchReader:
         return DeltaProtocolBatchReader(dict(self.options))

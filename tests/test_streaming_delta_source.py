@@ -347,3 +347,133 @@ class TestRateLimiting:
         last = max(int(f) for f in os.listdir(offdir) if f.isdigit())
         body = open(os.path.join(offdir, str(last))).read().splitlines()[-1]
         assert "index" not in body, body  # old checkpoint shape preserved
+
+
+class TestChangeFeedSource:
+    """readChangeFeed=true — Delta's CDF read through the
+    delta_protocol format, batch and streaming."""
+
+    SCHEMA = "pkey int, attr string, val int"
+
+    def _mk_cdf(self, spark, tmp_path):
+        from mack_spark.tables import KeyedMerge
+
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "cdf"),
+            spark.createDataFrame([(1, "a", 10), (2, "b", 20)], self.SCHEMA),
+            properties={"delta.enableChangeDataFeed": "true"},
+        )
+        t.merge(KeyedMerge(
+            source=spark.createDataFrame([(2, "B", 22), (5, "e", 50)],
+                                         self.SCHEMA),
+            condition="t.pkey = s.pkey",
+            matched_update={"attr": "s.attr", "val": "s.val"},
+            not_matched_insert="*",
+            target_key_col="pkey", source_key_col="pkey",
+        ))
+        t.delete_where("pkey = 1")
+        return t
+
+    EXPECT_V1_ON = [
+        (1, "insert", 5, 50),
+        (1, "update_postimage", 2, 22),
+        (1, "update_preimage", 2, 20),
+        (2, "delete", 1, 10),
+    ]
+
+    def test_batch_cdf_read(self, spark, tmp_path):
+        register(spark)
+        t = self._mk_cdf(spark, tmp_path)
+        df = (
+            spark.read.format("delta_protocol").option("path", t.path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "1").load()
+        )
+        rows = sorted(
+            (r["_commit_version"], r["_change_type"], r["pkey"], r["val"])
+            for r in df.collect()
+        )
+        assert rows == self.EXPECT_V1_ON
+        assert all(r["_commit_timestamp"] is not None for r in df.collect())
+        # endingVersion bounds the range
+        only_v1 = (
+            spark.read.format("delta_protocol").option("path", t.path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "1")
+            .option("endingVersion", "1").load()
+        )
+        assert only_v1.count() == 3
+
+    def test_streaming_cdf_follows_rewrites(self, spark, tmp_path):
+        register(spark)
+        t = self._mk_cdf(spark, tmp_path)
+        out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+
+        def drain():
+            q = (
+                spark.readStream.format("delta_protocol")
+                .option("path", t.path)
+                .option("readChangeFeed", "true").load()
+                .writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+            return sorted(
+                (r["_commit_version"], r["_change_type"], r["pkey"],
+                 r["val"])
+                for r in spark.read.parquet(out).collect()
+            )
+
+        got = drain()
+        # startingVersion defaults to 0: the initial CTAS streams as
+        # inserts, then the merge pre/post pairs and the delete
+        assert got == [
+            (0, "insert", 1, 10), (0, "insert", 2, 20),
+        ] + self.EXPECT_V1_ON
+        # a further UPDATE is a feed batch, not a stream-killing
+        # change commit — exactly-once across the restart
+        t.update_where("pkey = 5", {"val": "51"})
+        got = drain()
+        assert got[-2:] == [
+            (3, "update_postimage", 5, 51),
+            (3, "update_preimage", 5, 50),
+        ]
+        assert len(got) == 8
+
+    def test_cdf_requires_enablement(self, spark, tmp_path):
+        register(spark)
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "plain"),
+            spark.createDataFrame([(1, "a", 1)], self.SCHEMA),
+        )
+        with pytest.raises(Exception, match="enableChangeDataFeed"):
+            (
+                spark.read.format("delta_protocol").option("path", t.path)
+                .option("readChangeFeed", "true").load().collect()
+            )
+
+    def test_cdf_stream_rate_limited(self, spark, tmp_path):
+        from mack_spark.streaming.delta_source import (
+            DeltaProtocolStreamReader,
+        )
+
+        t = self._mk_cdf(spark, tmp_path)
+        r = DeltaProtocolStreamReader(
+            None,
+            {"path": t.path, "readchangefeed": "true",
+             "maxfilespertrigger": "1"},
+        )
+        off = r.initialOffset()
+        total = 0
+        for _ in range(20):
+            nxt = r.latestOffset()
+            parts = r.partitions(off, nxt)
+            assert len(parts) <= 1
+            if nxt == off:
+                break
+            total += len(parts)
+            off = nxt
+        # v0: >=1 data file; v1: cdc file(s); v2: cdc file(s) — every
+        # change file admitted exactly once, one per trigger
+        assert total >= 3
