@@ -226,6 +226,25 @@ class DeltaSnapshot:
         raw = self.files[path].get("stats")
         return json.loads(raw) if raw else None
 
+    @property
+    def column_mapping_mode(self) -> str:
+        return str(
+            (self.metadata.get("configuration") or {}).get(
+                "delta.columnMapping.mode", "none"
+            )
+        ).lower()
+
+    def physical_names(self) -> Dict[str, str]:
+        """logical → physical column name (spec column mapping: parquet
+        stores ``delta.columnMapping.physicalName``; identity when the
+        table has no mapping)."""
+        return {
+            f.name: (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            for f in self.schema.fields
+        }
+
 
 class DeltaProtocolTable:
     """Handle to a Delta-protocol table on a local/shared filesystem."""
@@ -360,17 +379,20 @@ class DeltaProtocolTable:
                 f"table requires reader version {mrv}"
                 " (table features / deletion vectors are not implemented)"
             )
-        # reader version 2 IS column mapping; accept it only when the
-        # table's metadata proves the feature is actually off —
-        # otherwise the parquet physical names ('col-<uuid>') would not
-        # match schemaString's logical names and we'd misread data
+        # reader version 2 IS column mapping. Mode 'name' is READ-
+        # supported: parquet columns are stored under each field's
+        # delta.columnMapping.physicalName and _read_files translates
+        # physical→logical. Mode 'id' (field-id matching, converted-
+        # Iceberg tables) is still refused — matching by parquet field
+        # id is a different resolution rule and misapplying 'name'
+        # logic would misread data.
         cmap = (metadata.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
-        if cmap.lower() != "none":
+        if cmap.lower() not in ("none", "name"):
             raise DeltaProtocolError(
                 f"table uses column mapping mode '{cmap}', which this"
-                " reader does not implement"
+                " reader does not implement (only 'name' and 'none')"
             )
         return DeltaSnapshot(last, metadata, protocol, files, history)
 
@@ -396,6 +418,8 @@ class DeltaProtocolTable:
         schema = snap.schema
         if not paths:
             return self.spark.createDataFrame([], schema)
+        if snap.column_mapping_mode == "name":
+            return self._read_files_column_mapped(snap, paths)
         abs_paths = [os.path.join(self.path, p) for p in paths]
         pcols = snap.partition_columns
         out_names = [f.name for f in schema.fields]
@@ -439,6 +463,61 @@ class DeltaProtocolTable:
         parts = []
         for key, grp in groups.items():
             df = self.spark.read.schema(data_schema).parquet(*grp)
+            for c, raw in zip(pcols, key):
+                df = df.withColumn(c, F.lit(raw).cast(types[c]))
+            parts.append(df.select(*out_names))
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _read_files_column_mapped(
+        self, snap: DeltaSnapshot, paths: List[str]
+    ) -> DataFrame:
+        """Read a ``delta.columnMapping.mode=name`` table: parquet
+        columns live under each field's physical name
+        (``col-<uuid>``), ``partitionValues`` are keyed by physical
+        name too — read with the physical schema, alias back to the
+        logical names, attach partition values as typed literals from
+        the log (directory layout also uses physical names, so
+        basePath discovery would surface the wrong column names).
+        Explicit physical schemas keep the scan one-footer-free and
+        NULL-fill pre-evolution files, same as the unmapped path."""
+        from functools import reduce
+
+        from pyspark.sql.types import StructField
+
+        schema = snap.schema
+        pcols = snap.partition_columns
+        phys = snap.physical_names()
+        out_names = [f.name for f in schema.fields]
+        types = {f.name: f.dataType for f in schema.fields}
+        data_schema = StructType(
+            [
+                StructField(phys[f.name], f.dataType, True)
+                for f in schema.fields
+                if f.name not in pcols
+            ]
+        )
+        groups: Dict[tuple, List[str]] = {}
+        for p in paths:
+            pv = snap.files[p].get("partitionValues") or {}
+            # partitionValues SHOULD be physical-keyed; tolerate
+            # logical keys from nonconforming writers
+            key = tuple(
+                _partition_lit(
+                    pv.get(phys[c]) if phys[c] in pv else pv.get(c)
+                )
+                for c in pcols
+            )
+            groups.setdefault(key, []).append(os.path.join(self.path, p))
+        parts = []
+        for key, grp in groups.items():
+            df = self.spark.read.schema(data_schema).parquet(*grp)
+            df = df.select(
+                *[
+                    F.col(f"`{phys[f.name]}`").alias(f.name)
+                    for f in schema.fields
+                    if f.name not in pcols
+                ]
+            )
             for c, raw in zip(pcols, key):
                 df = df.withColumn(c, F.lit(raw).cast(types[c]))
             parts.append(df.select(*out_names))
@@ -889,6 +968,14 @@ class DeltaProtocolTable:
                 f"table requires writer version {mwv}; this writer"
                 " implements up to version 4 — refusing to commit rather"
                 " than violate the table's declared writer features"
+            )
+        if snap.column_mapping_mode != "none":
+            # normally implied by minWriterVersion >= 5, but a
+            # nonconforming log could declare mapping at a lower writer
+            # version — committing logical-named files to a physical-
+            # named table would corrupt it
+            raise DeltaProtocolError(
+                "column-mapped tables are read-only for this writer"
             )
         if mwv >= 4:
             generated = [

@@ -345,6 +345,7 @@ class DeltaProtocolStreamReader(DataSourceStreamReader):
         hi_i = end.get("index")    # None: version hi fully included
         self._advance_cursor(end)
         snap = self._table.snapshot(version_as_of=hi)
+        _refuse_column_mapping(snap)
         first_v = lo if lo_i is not None else lo + 1
         out: List[InputPartition] = []
         for v in range(first_v, hi + 1):
@@ -420,6 +421,19 @@ def _table(path: str):
     from mack_spark.sources.delta_log import DeltaProtocolTable
 
     return DeltaProtocolTable(None, path)
+
+
+def _refuse_column_mapping(snap) -> None:
+    """The format readers pull parquet columns by LOGICAL name; on a
+    column-mapped table those names don't exist physically and the
+    NULL-fill fallback would silently blank every column. Read such
+    tables through DeltaProtocolTable.to_df(), which translates
+    physical names."""
+    if snap.column_mapping_mode != "none":
+        raise ValueError(
+            "the delta_protocol format reader does not support column-"
+            "mapped tables; use DeltaProtocolTable.to_df()"
+        )
 
 
 def _cdf_units(table, path: str, v: int) -> List[dict]:
@@ -542,6 +556,12 @@ class DeltaProtocolBatchReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         table = _table(self._path)
+        _refuse_column_mapping(
+            table.snapshot(
+                version_as_of=self._ending if self._read_cdf
+                else self._version
+            )
+        )
         if self._read_cdf:
             # batch CDF read (Delta's readChangeFeed + startingVersion/
             # endingVersion): every change-feed file of the commits in

@@ -337,14 +337,18 @@ class TestProtocolGates:
         with pytest.raises(DeltaProtocolError, match="reader version"):
             t.to_df()
 
-    def test_column_mapping_rejected_up_front(self, spark, tmp_path):
+    def test_id_column_mapping_rejected_up_front(self, spark, tmp_path):
+        # 'name' mode became READ-supported in round 10 (physical-name
+        # translation, TestColumnMappingRead); field-id matching ('id'
+        # mode, converted-Iceberg tables) is still a different
+        # resolution rule and stays refused at snapshot time
         from mack_spark.sources.delta_log import DeltaProtocolError
 
         t = _mk(spark, tmp_path, [(1, "a")])
         snap = t.snapshot()
         meta = dict(
             snap.metadata,
-            configuration={"delta.columnMapping.mode": "name"},
+            configuration={"delta.columnMapping.mode": "id"},
         )
         v = snap.version + 1
         with open(os.path.join(t.path, "_delta_log", "%020d.json" % v), "w") as fh:
@@ -950,3 +954,134 @@ class TestMultiPartCheckpoint:
                 logdir, "%020d.checkpoint.parquet" % dl.CHECKPOINT_INTERVAL
             )
         )
+
+
+class TestColumnMappingRead:
+    """delta.columnMapping.mode=name tables (foreign, e.g. delta-spark
+    with column mapping enabled) are READ-supported: parquet columns
+    live under physical names (col-<uuid>), partitionValues are
+    physical-keyed; reads translate back to logical names. Writes and
+    the format readers refuse loudly; mode 'id' stays refused."""
+
+    def _mk_mapped(self, spark, tmp_path, partitioned=False):
+        import json as _json
+
+        path = str(tmp_path / "mapped")
+        os.makedirs(os.path.join(path, "_delta_log"))
+        phys_k, phys_v, phys_p = "col-aaa111", "col-bbb222", "col-ccc333"
+        df = spark.createDataFrame(
+            [(1, "x", "p1"), (2, "y", "p1"), (3, "z", "p2")],
+            f"`{phys_k}` int, `{phys_v}` string, `{phys_p}` string",
+        )
+        adds = []
+        if partitioned:
+            df.write.partitionBy(phys_p).parquet(path, mode="append")
+            for root, _d, fs in os.walk(path):
+                for f in fs:
+                    if not f.endswith(".parquet"):
+                        continue
+                    rel = os.path.relpath(os.path.join(root, f), path)
+                    seg = os.path.dirname(rel)
+                    pv = {phys_p: seg.split("=", 1)[1]} if "=" in seg else {}
+                    adds.append({
+                        "path": rel.replace(os.sep, "/"),
+                        "partitionValues": pv,
+                        "size": os.path.getsize(os.path.join(root, f)),
+                        "modificationTime": 0, "dataChange": True,
+                    })
+        else:
+            df.coalesce(1).write.parquet(path, mode="append")
+            for f in os.listdir(path):
+                if f.endswith(".parquet"):
+                    adds.append({
+                        "path": f, "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(path, f)),
+                        "modificationTime": 0, "dataChange": True,
+                    })
+        fields = [
+            {"name": "k", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": phys_k}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": phys_v}},
+            {"name": "p", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": phys_p}},
+        ]
+        if not partitioned:
+            pass  # p stays a data column physically in the files
+        meta = {
+            "id": "11111111-2222-3333-4444-555555555555",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}
+            ),
+            "partitionColumns": ["p"] if partitioned else [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 0,
+        }
+        actions = [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": meta},
+            {"commitInfo": {"timestamp": 0, "operation": "CREATE"}},
+        ] + [{"add": a} for a in adds]
+        with open(os.path.join(path, "_delta_log",
+                               "%020d.json" % 0), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+        return DeltaProtocolTable(spark, path)
+
+    def test_name_mode_reads_logical_columns(self, spark, tmp_path):
+        t = self._mk_mapped(spark, tmp_path)
+        df = t.to_df()
+        assert df.columns == ["k", "v", "p"]
+        assert sorted(map(tuple, df.collect())) == [
+            (1, "x", "p1"), (2, "y", "p1"), (3, "z", "p2"),
+        ]
+
+    def test_name_mode_partitioned(self, spark, tmp_path):
+        t = self._mk_mapped(spark, tmp_path, partitioned=True)
+        df = t.to_df()
+        assert df.columns == ["k", "v", "p"]
+        assert sorted(map(tuple, df.collect())) == [
+            (1, "x", "p1"), (2, "y", "p1"), (3, "z", "p2"),
+        ]
+        # logical predicates work against the translated frame
+        assert df.where("p = 'p2'").count() == 1
+
+    def test_mapped_table_is_read_only(self, spark, tmp_path):
+        from mack_spark.sources.delta_log import DeltaProtocolError
+
+        t = self._mk_mapped(spark, tmp_path)
+        with pytest.raises(DeltaProtocolError, match="writer version|read-only"):
+            t.append(
+                spark.createDataFrame([(9, "q", "p9")],
+                                      "k int, v string, p string")
+            )
+
+    def test_format_reader_refuses_mapped(self, spark, tmp_path):
+        register_mod = __import__(
+            "mack_spark.streaming.delta_source", fromlist=["register"]
+        )
+        register_mod.register(spark)
+        t = self._mk_mapped(spark, tmp_path)
+        with pytest.raises(Exception, match="column-"):
+            (
+                spark.read.format("delta_protocol")
+                .option("path", t.path).load().collect()
+            )
+
+    def test_id_mode_still_refused(self, spark, tmp_path):
+        import json as _json
+
+        from mack_spark.sources.delta_log import DeltaProtocolError
+
+        t = self._mk_mapped(spark, tmp_path)
+        vf = os.path.join(t.path, "_delta_log", "%020d.json" % 0)
+        body = open(vf).read().replace(
+            '"delta.columnMapping.mode": "name"',
+            '"delta.columnMapping.mode": "id"',
+        )
+        open(vf, "w").write(body)
+        with pytest.raises(DeltaProtocolError, match="column mapping"):
+            t.to_df()
