@@ -183,15 +183,30 @@ def _collect_file_stats(abs_path: str, stat_cols: List[str]) -> str:
     )
 
 
-def _required_writer_version(config: Dict[str, str]) -> int:
-    """The minWriterVersion a table with this configuration demands
-    (spec's legacy feature→version mapping): CDF is writer 4, CHECK
-    constraints writer 3, else the base invariants-capable writer 2."""
+def _required_writer_version(
+    config: Dict[str, str], schema: Optional[StructType] = None
+) -> int:
+    """The minWriterVersion a table with this configuration/schema
+    demands (spec's legacy feature→version mapping): CDF and generated
+    columns are writer 4, CHECK constraints writer 3, else the base
+    invariants-capable writer 2."""
     if str(config.get("delta.enableChangeDataFeed", "false")).lower() == "true":
+        return 4
+    if schema is not None and _generated_columns(schema):
         return 4
     if any(k.startswith("delta.constraints.") for k in config):
         return 3
     return 2
+
+
+def _generated_columns(schema: StructType) -> Dict[str, str]:
+    """column → generation expression, from the spec's field-metadata
+    key ``delta.generationExpression``."""
+    return {
+        f.name: (f.metadata or {})["delta.generationExpression"]
+        for f in schema.fields
+        if "delta.generationExpression" in (f.metadata or {})
+    }
 
 
 def _partition_lit(raw: Optional[str]):
@@ -761,7 +776,7 @@ class DeltaProtocolTable:
                 {"protocol": {
                     "minReaderVersion": 1,
                     "minWriterVersion": _required_writer_version(
-                        meta["configuration"]
+                        meta["configuration"], df.schema
                     ),
                 }},
                 {"metaData": meta},
@@ -958,10 +973,9 @@ class DeltaProtocolTable:
         committing anyway would silently violate the table's contract.
         Implemented here: writer 2 (invariants via schema enforcement),
         writer 3 (CHECK constraints, enforced on every write), writer 4
-        (Change Data Feed; generated columns are NOT implemented, so a
-        table that actually declares a generation expression is still
-        refused). Writer 5+ (column mapping writes, identity columns,
-        deletion vectors) is refused outright."""
+        (Change Data Feed + generated columns — computed when omitted,
+        validated when provided). Writer 5+ (column mapping writes,
+        identity columns, deletion vectors) is refused outright."""
         mwv = snap.protocol.get("minWriterVersion", 1)
         if mwv > 4:
             raise DeltaProtocolError(
@@ -977,17 +991,6 @@ class DeltaProtocolTable:
             raise DeltaProtocolError(
                 "column-mapped tables are read-only for this writer"
             )
-        if mwv >= 4:
-            generated = [
-                f.name
-                for f in snap.schema.fields
-                if "delta.generationExpression" in (f.metadata or {})
-            ]
-            if generated:
-                raise DeltaProtocolError(
-                    f"table declares generated columns {generated}, which"
-                    " this writer does not implement — refusing to commit"
-                )
 
     # ------------------------------------------------------------------
     # CHECK constraints (writer version 3)
@@ -1003,11 +1006,19 @@ class DeltaProtocolTable:
             if k.startswith("delta.constraints.")
         }
 
-    def _enforce_constraints(self, snap: DeltaSnapshot, df: DataFrame) -> None:
+    def _enforce_constraints(
+        self,
+        snap: DeltaSnapshot,
+        df: DataFrame,
+        extra: Optional[Dict[str, str]] = None,
+    ) -> None:
         """Reject the write if any row violates a CHECK constraint
         (expression FALSE; NULL passes, the SQL-standard CHECK rule).
-        ONE aggregate job counts violations for every constraint."""
-        constraints = self._check_constraints(snap)
+        ONE aggregate job counts violations for every constraint.
+        ``extra`` adds write-scoped checks — generated-column equality
+        (``g <=> (expr)``) for caller-provided generated values."""
+        constraints = dict(self._check_constraints(snap))
+        constraints.update(extra or {})
         if not constraints:
             return
         names = list(constraints)
@@ -1029,6 +1040,17 @@ class DeltaProtocolTable:
             raise DeltaProtocolError(
                 f"CHECK constraint violation — {detail}; no data committed"
             )
+
+    @staticmethod
+    def _gen_checks(snap: DeltaSnapshot, df: DataFrame) -> Dict[str, str]:
+        """Equality checks for generated columns the caller PROVIDED
+        (omitted ones were computed by _resolve_write_schema and are
+        correct by construction)."""
+        return {
+            f"generated column '{n}'": f"`{n}` <=> ({e})"
+            for n, e in _generated_columns(snap.schema).items()
+            if n in df.columns
+        }
 
     def add_constraint(self, name: str, expr: str) -> None:
         """``ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)``: verify
@@ -1176,6 +1198,18 @@ class DeltaProtocolTable:
         """
         committed = snap.schema
         cfields = {f.name: f for f in committed.fields}
+        # generated columns (spec delta.generationExpression, writer 4):
+        # omitted → computed from the frame's other columns; provided →
+        # validated against the expression by the caller's constraint
+        # pass (Delta's contract: a writer must never commit a value
+        # that disagrees with the generation expression)
+        gen = _generated_columns(committed)
+        provided = set(df.columns)
+        for name, expr in gen.items():
+            if name not in provided:
+                df = df.withColumn(
+                    name, F.expr(expr).cast(cfields[name].dataType)
+                )
         dfields = {f.name: f for f in df.schema.fields}
         extra = [f.name for f in df.schema.fields if f.name not in cfields]
         missing = [f.name for f in committed.fields if f.name not in dfields]
@@ -1240,7 +1274,7 @@ class DeltaProtocolTable:
         snap = self.snapshot()
         self._assert_writable(snap)
         aligned, new_meta = self._resolve_write_schema(snap, df, merge_schema)
-        self._enforce_constraints(snap, aligned)
+        self._enforce_constraints(snap, aligned, self._gen_checks(snap, df))
         adds = self._write_data_files(aligned, snap.partition_columns)
         from mack_spark.tables import ConcurrentModificationError
 
@@ -1273,7 +1307,7 @@ class DeltaProtocolTable:
         snap = self.snapshot()
         self._assert_writable(snap)
         aligned, new_meta = self._resolve_write_schema(snap, df, merge_schema)
-        self._enforce_constraints(snap, aligned)
+        self._enforce_constraints(snap, aligned, self._gen_checks(snap, df))
         adds = self._write_data_files(aligned, snap.partition_columns)
         actions = [
             {"commitInfo": {"timestamp": _now_ms(), "operation": "WRITE",
@@ -1512,7 +1546,9 @@ class DeltaProtocolTable:
                         for f in schema.fields
                     ]
                 )
-            self._enforce_constraints(snap, inserts)
+            self._enforce_constraints(
+                snap, inserts, self._gen_checks(snap, inserts)
+            )
             adds = self._write_data_files(inserts, snap.partition_columns)
             # no cdc actions needed even under CDF: an add-only commit
             # derives exactly (every added row is an insert) — the same
@@ -1544,7 +1580,11 @@ class DeltaProtocolTable:
         merged = interpret_keyed_merge(
             base, km, assume_unambiguous=unambiguous
         )
-        self._enforce_constraints(snap, merged)
+        # MERGE validates generated columns rather than recomputing:
+        # clause expressions produce the full row, so a value that
+        # disagrees with the generation expression raises here instead
+        # of committing silently-wrong data
+        self._enforce_constraints(snap, merged, self._gen_checks(snap, merged))
         adds = self._write_data_files(merged, snap.partition_columns)
         cdc: List[dict] = []
         if cdf:
@@ -1684,6 +1724,13 @@ class DeltaProtocolTable:
             raise ValueError(
                 f"assignments target unknown columns: {sorted(unknown)}"
             )
+        gen = _generated_columns(schema)
+        gen_assigned = sorted(set(assignments) & set(gen))
+        if gen_assigned:
+            raise ValueError(
+                f"cannot assign generated columns {gen_assigned}; they"
+                " are recomputed from their generation expressions"
+            )
         touched = self._files_matching(snap, condition)
         if not touched:
             return {
@@ -1706,6 +1753,18 @@ class DeltaProtocolTable:
         if cdf:
             touched_df = touched_df.persist()
         rewritten = touched_df.select(*cols)
+        if gen:
+            # recompute generated columns AFTER the assignments (their
+            # dependencies may have changed); deterministic generation
+            # expressions make this an identity on untouched rows
+            rewritten = rewritten.select(
+                *[
+                    F.expr(gen[c]).cast(types[c]).alias(c)
+                    if c in gen
+                    else F.col(c)
+                    for c in (f.name for f in schema.fields)
+                ]
+            )
         self._enforce_constraints(snap, rewritten)
         adds = self._write_data_files(rewritten, snap.partition_columns)
         cdc: List[dict] = []
@@ -1719,6 +1778,15 @@ class DeltaProtocolTable:
                     for c in (f.name for f in schema.fields)
                 ]
             )
+            if gen:
+                post = post.select(
+                    *[
+                        F.expr(gen[c]).cast(types[c]).alias(c)
+                        if c in gen
+                        else F.col(c)
+                        for c in (f.name for f in schema.fields)
+                    ]
+                )
             cdc = self._write_cdc_files(
                 pre.withColumn("_change_type", F.lit("update_preimage"))
                 .unionByName(

@@ -295,10 +295,13 @@ class TestCheckConstraints:
         with pytest.raises(DeltaProtocolError, match="writer version 5"):
             t.append(spark.createDataFrame([(2, "b", 2)], SCHEMA))
 
-    def test_generated_columns_refused(self, spark, tmp_path):
+    def test_generated_columns_computed_and_validated(self, spark, tmp_path):
+        # writer version 4's other feature: omitted generated columns
+        # are COMPUTED on write, provided ones VALIDATED against the
+        # generation expression (g <=> expr)
         import json
 
-        t = _mk(spark, tmp_path, [(1, "a", 1)], name="gen")
+        t = _mk(spark, tmp_path, [(1, "a", 2)], name="gen")
         snap = t.snapshot()
         schema_json = json.loads(snap.metadata["schemaString"])
         schema_json["fields"][2]["metadata"] = {
@@ -309,8 +312,25 @@ class TestCheckConstraints:
             {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
             {"metaData": meta},
         ])
-        with pytest.raises(DeltaProtocolError, match="generated columns"):
-            t.append(spark.createDataFrame([(2, "b", 2)], SCHEMA))
+        # omitted -> computed
+        t.append(spark.createDataFrame([(2, "b")], "pkey int, attr string"))
+        assert sorted(map(tuple, t.to_df().collect())) == [
+            (1, "a", 2), (2, "b", 4),
+        ]
+        # provided and correct -> accepted
+        t.append(spark.createDataFrame([(3, "c", 6)], SCHEMA))
+        # provided and WRONG -> refused, nothing committed
+        with pytest.raises(DeltaProtocolError, match="generated column"):
+            t.append(spark.createDataFrame([(4, "d", 99)], SCHEMA))
+        assert t.to_df().count() == 3
+        # UPDATE recomputes the generated column from the new pkey
+        t.update_where("pkey = 3", {"pkey": "30"})
+        assert sorted(map(tuple, t.to_df().collect())) == [
+            (1, "a", 2), (2, "b", 4), (30, "c", 60),
+        ]
+        # direct assignment to a generated column is refused
+        with pytest.raises(ValueError, match="generated"):
+            t.update_where("pkey = 1", {"val": "5"})
 
 
 class TestCdfPartitioned:
