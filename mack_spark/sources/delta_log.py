@@ -209,6 +209,179 @@ def _generated_columns(schema: StructType) -> Dict[str, str]:
     }
 
 
+# ----------------------------------------------------------------------
+# Deletion vectors (protocol reader version 3, feature
+# "deletionVectors"): an `add` may carry a deletionVector descriptor
+# whose bitmap marks ROW POSITIONS of the file that are logically
+# deleted. The bitmap is a 64-bit RoaringBitmapArray in the "portable"
+# little-endian format (delta PROTOCOL.md §Deletion Vector Format;
+# container layout per the public RoaringFormatSpec). This module only
+# DECODES — DV tables are read-only here (their writer features are
+# beyond writer 4).
+# ----------------------------------------------------------------------
+
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+_ROARING_MAGIC = 1681511377
+_SERIAL_COOKIE = 12347
+_SERIAL_COOKIE_NO_RUN = 12346
+
+
+def _z85_decode(s: str) -> bytes:
+    """Z85 (ZeroMQ base85): 5 chars → 4 bytes, big-endian groups."""
+    if len(s) % 5:
+        raise DeltaProtocolError(f"z85 payload length {len(s)} not ×5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for ch in s[i:i + 5]:
+            try:
+                v = v * 85 + _Z85_INDEX[ch]
+            except KeyError:
+                raise DeltaProtocolError(f"invalid z85 character {ch!r}")
+        out.extend(v.to_bytes(4, "big"))
+    return bytes(out)
+
+
+def _decode_roaring32(buf: bytes, pos: int):
+    """One 32-bit roaring bitmap (RoaringFormatSpec) → (values, pos)."""
+    import struct
+
+    cookie = struct.unpack_from("<I", buf, pos)[0]
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE:
+        n = (cookie >> 16) + 1
+        pos += 4
+        nrb = (n + 7) // 8
+        run_flags = buf[pos:pos + nrb]
+        pos += nrb
+        has_run = True
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        pos += 4
+        n = struct.unpack_from("<I", buf, pos)[0]
+        pos += 4
+        run_flags = b"\x00" * ((n + 7) // 8)
+        has_run = False
+    else:
+        raise DeltaProtocolError(f"bad roaring cookie {cookie}")
+    headers = []
+    for _ in range(n):
+        k = struct.unpack_from("<H", buf, pos)[0]
+        c = struct.unpack_from("<H", buf, pos + 2)[0] + 1
+        headers.append((k, c))
+        pos += 4
+    if (not has_run) or n >= 4:
+        pos += 4 * n  # offset header — sequential decode doesn't need it
+    vals: List[int] = []
+    for i, (k, c) in enumerate(headers):
+        base = k << 16
+        if run_flags[i // 8] & (1 << (i % 8)):
+            n_runs = struct.unpack_from("<H", buf, pos)[0]
+            pos += 2
+            for _ in range(n_runs):
+                start = struct.unpack_from("<H", buf, pos)[0]
+                length = struct.unpack_from("<H", buf, pos + 2)[0]
+                pos += 4
+                vals.extend(range(base + start, base + start + length + 1))
+        elif c > 4096:
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                wb = base + wi * 64
+                while w:
+                    b = (w & -w).bit_length() - 1
+                    vals.append(wb + b)
+                    w &= w - 1
+        else:
+            arr = struct.unpack_from("<%dH" % c, buf, pos)
+            pos += 2 * c
+            vals.extend(base + v for v in arr)
+    return vals, pos
+
+
+def _decode_dv_bitmap(data: bytes) -> List[int]:
+    """Serialized 64-bit RoaringBitmapArray → sorted row positions."""
+    import struct
+
+    if len(data) < 12:
+        raise DeltaProtocolError("deletion vector bitmap too short")
+    magic = struct.unpack_from("<i", data, 0)[0]
+    if magic != _ROARING_MAGIC:
+        raise DeltaProtocolError(
+            f"bad deletion vector magic {magic} (expected {_ROARING_MAGIC})"
+        )
+    n_maps = struct.unpack_from("<q", data, 4)[0]
+    pos = 12
+    out: List[int] = []
+    for _ in range(n_maps):
+        key = struct.unpack_from("<I", data, pos)[0]
+        pos += 4
+        vals, pos = _decode_roaring32(data, pos)
+        hi = key << 32
+        out.extend(hi | v for v in vals)
+    return sorted(out)
+
+
+def _dv_file_path(table_path: str, dv: dict) -> str:
+    """On-disk path of a 'u'/'p' deletion vector (spec naming: the
+    'u' payload is [optional random prefix +] z85(16-byte UUID), and
+    the file is deletion_vector_<uuid>.bin under the prefix dir)."""
+    import uuid as _uuid
+
+    st = dv.get("storageType")
+    payload = dv.get("pathOrInlineDv", "")
+    if st == "p":
+        return payload
+    if st != "u":
+        raise DeltaProtocolError(f"unknown DV storage type {st!r}")
+    prefix, enc = payload[:-20], payload[-20:]
+    u = _uuid.UUID(bytes=_z85_decode(enc))
+    name = f"deletion_vector_{u}.bin"
+    return os.path.join(table_path, prefix, name) if prefix else os.path.join(
+        table_path, name
+    )
+
+
+def _dv_positions(table_path: str, dv: dict) -> List[int]:
+    """Deleted row positions of one deletionVector descriptor, with
+    size/CRC/cardinality verification (never silently mis-read)."""
+    import struct
+    import zlib
+
+    st = dv.get("storageType")
+    if st == "i":
+        data = _z85_decode(dv["pathOrInlineDv"])
+    else:
+        path = _dv_file_path(table_path, dv)
+        with open(path, "rb") as fh:
+            blob = fh.read()
+        if not blob or blob[0] != 1:
+            raise DeltaProtocolError(
+                f"unsupported deletion vector file version in {path}"
+            )
+        off = int(dv["offset"])
+        size = struct.unpack_from(">i", blob, off)[0]
+        if size != int(dv.get("sizeInBytes", size)):
+            raise DeltaProtocolError(
+                f"DV size mismatch in {path}: file says {size},"
+                f" log says {dv.get('sizeInBytes')}"
+            )
+        data = blob[off + 4:off + 4 + size]
+        crc = struct.unpack_from(">I", blob, off + 4 + size)[0]
+        if crc != (zlib.crc32(data) & 0xFFFFFFFF):
+            raise DeltaProtocolError(f"DV checksum mismatch in {path}")
+    positions = _decode_dv_bitmap(data)
+    card = dv.get("cardinality")
+    if card is not None and int(card) != len(positions):
+        raise DeltaProtocolError(
+            f"DV cardinality mismatch: log says {card}, bitmap has"
+            f" {len(positions)}"
+        )
+    return positions
+
+
 def _partition_lit(raw: Optional[str]):
     """A ``partitionValues`` entry as the literal Spark should cast to
     the declared type (spec: values are stored as strings; NULL is a
@@ -389,10 +562,22 @@ class DeltaProtocolTable:
                 f"log at {self.path} has no metaData/protocol action"
             )
         mrv = protocol.get("minReaderVersion", 1)
-        if mrv > 2:
+        if mrv == 3:
+            # table-features protocol: readable iff every declared
+            # reader feature is one this reader implements
+            feats = set(protocol.get("readerFeatures") or [])
+            unsupported = sorted(
+                feats - {"deletionVectors", "columnMapping", "timestampNtz"}
+            )
+            if unsupported:
+                raise DeltaProtocolError(
+                    f"table requires reader features {unsupported},"
+                    " which this reader does not implement"
+                )
+        elif mrv > 3:
             raise DeltaProtocolError(
-                f"table requires reader version {mrv}"
-                " (table features / deletion vectors are not implemented)"
+                f"table requires reader version {mrv}, above the"
+                " table-features version this reader implements"
             )
         # reader version 2 IS column mapping. Mode 'name' is READ-
         # supported: parquet columns are stored under each field's
@@ -433,6 +618,20 @@ class DeltaProtocolTable:
         schema = snap.schema
         if not paths:
             return self.spark.createDataFrame([], schema)
+        dv_paths = [
+            p for p in paths if snap.files[p].get("deletionVector")
+        ]
+        if dv_paths:
+            from functools import reduce
+
+            plain = [p for p in paths if p not in set(dv_paths)]
+            parts = (
+                [self._read_files(snap, plain)] if plain else []
+            )
+            parts.extend(
+                self._read_dv_file(snap, p) for p in dv_paths
+            )
+            return reduce(lambda a, b: a.unionByName(b), parts)
         if snap.column_mapping_mode == "name":
             return self._read_files_column_mapped(snap, paths)
         abs_paths = [os.path.join(self.path, p) for p in paths]
@@ -482,6 +681,57 @@ class DeltaProtocolTable:
                 df = df.withColumn(c, F.lit(raw).cast(types[c]))
             parts.append(df.select(*out_names))
         return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _read_dv_file(self, snap: DeltaSnapshot, p: str) -> DataFrame:
+        """One data file minus its deletion vector: the scan attaches
+        Spark's parquet ``_metadata.row_index`` and an anti-join
+        against the (broadcast) deleted-position set drops exactly the
+        DV'd rows. Cost is O(file) + O(cardinality) — the same work
+        Delta's own DV read does. Physical column names are translated
+        first when the table is column-mapped."""
+        schema = snap.schema
+        pcols = snap.partition_columns
+        phys = (
+            snap.physical_names()
+            if snap.column_mapping_mode == "name"
+            else {f.name: f.name for f in schema.fields}
+        )
+        types = {f.name: f.dataType for f in schema.fields}
+        from pyspark.sql.types import StructField
+
+        data_schema = StructType(
+            [
+                StructField(phys[f.name], f.dataType, True)
+                for f in schema.fields
+                if f.name not in pcols
+            ]
+        )
+        add = snap.files[p]
+        df = (
+            self.spark.read.schema(data_schema)
+            .parquet(os.path.join(self.path, p))
+            .select(
+                *[
+                    F.col(f"`{phys[f.name]}`").alias(f.name)
+                    for f in schema.fields
+                    if f.name not in pcols
+                ],
+                F.col("_metadata.row_index").alias("__mack_dv_pos"),
+            )
+        )
+        pv = add.get("partitionValues") or {}
+        for c in pcols:
+            raw = _partition_lit(pv.get(phys[c], pv.get(c)))
+            df = df.withColumn(c, F.lit(raw).cast(types[c]))
+        positions = _dv_positions(self.path, add["deletionVector"])
+        pos_df = self.spark.createDataFrame(
+            [(int(x),) for x in positions], "__mack_dv_pos bigint"
+        )
+        out_names = [f.name for f in schema.fields]
+        return (
+            df.join(F.broadcast(pos_df), "__mack_dv_pos", "left_anti")
+            .select(*out_names)
+        )
 
     def _read_files_column_mapped(
         self, snap: DeltaSnapshot, paths: List[str]
@@ -990,6 +1240,14 @@ class DeltaProtocolTable:
             # named table would corrupt it
             raise DeltaProtocolError(
                 "column-mapped tables are read-only for this writer"
+            )
+        if any(a.get("deletionVector") for a in snap.files.values()):
+            # same defensive rule: DV maintenance (rewrite-or-extend on
+            # delete, vacuum interplay) is a writer feature this writer
+            # does not implement — never mutate such a table
+            raise DeltaProtocolError(
+                "tables with live deletion vectors are read-only for"
+                " this writer"
             )
 
     # ------------------------------------------------------------------
@@ -2120,6 +2378,18 @@ class DeltaProtocolTable:
         ``dry_run``, reclaimable) paths relative to the table root."""
         snap = self.snapshot()
         live = {os.path.normpath(p) for p in snap.files}
+        for a in snap.files.values():
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                # a live file's deletion vector is part of its data —
+                # reclaiming it would resurrect deleted rows
+                live.add(
+                    os.path.normpath(
+                        os.path.relpath(
+                            _dv_file_path(self.path, dv), self.path
+                        )
+                    )
+                )
         horizon = time.time() - retention_hours * 3600.0
         doomed: List[str] = []
         for root, dirs, fnames in os.walk(self.path):

@@ -510,6 +510,12 @@ def _units_to_partitions(
     out = []
     for u in units:
         a = u["add"]
+        if a.get("deletionVector"):
+            raise ValueError(
+                "the delta_protocol format reader does not support"
+                " files with deletion vectors; use"
+                " DeltaProtocolTable.to_df()"
+            )
         consts = dict(a.get("partitionValues") or {})
         consts.update(u["overlay"])
         const_types = {c: types[c] for c in pcols}

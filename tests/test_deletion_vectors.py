@@ -1,0 +1,282 @@
+"""Deletion vector READS (protocol reader version 3, feature
+``deletionVectors``): an ``add`` whose ``deletionVector`` descriptor
+marks deleted row positions must have exactly those rows filtered out
+of every read. The encoder below is test-only and follows the same
+public specs the product decoder does (delta PROTOCOL.md §Deletion
+Vector Format; RoaringFormatSpec container layout; Z85) — the product
+code ships only the decoder, and DV'd tables are read-only.
+"""
+
+import json
+import os
+import struct
+import uuid
+import zlib
+
+import pytest
+
+from mack_spark.sources.delta_log import (
+    DeltaProtocolError,
+    DeltaProtocolTable,
+    _decode_dv_bitmap,
+    _z85_decode,
+)
+
+_Z85 = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+
+
+def z85_encode(data: bytes) -> str:
+    assert len(data) % 4 == 0
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85[v % 85])
+            v //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def encode_roaring32(values, force_run=False):
+    """Test encoder for one 32-bit roaring bitmap: array containers by
+    default (bitset above 4096), run containers when force_run."""
+    containers = {}
+    for v in sorted(values):
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    n = len(containers)
+    body = b""
+    if force_run:
+        cookie = struct.pack("<I", (12347 & 0xFFFF) | ((n - 1) << 16))
+        run_flags = bytearray((n + 7) // 8)
+        for i in range(n):
+            run_flags[i // 8] |= 1 << (i % 8)
+        body += cookie + bytes(run_flags)
+    else:
+        body += struct.pack("<II", 12346, n)
+    for k, vals in sorted(containers.items()):
+        body += struct.pack("<HH", k, len(vals) - 1)
+    # offset header: always present for no-run; for run cookie only
+    # when n >= 4 (mirror of the decoder's skip rule)
+    payloads = []
+    for k, vals in sorted(containers.items()):
+        if force_run:
+            runs = []
+            start = prev = vals[0]
+            for v in vals[1:]:
+                if v == prev + 1:
+                    prev = v
+                    continue
+                runs.append((start, prev - start))
+                start = prev = v
+            runs.append((start, prev - start))
+            pl = struct.pack("<H", len(runs))
+            for s, ln in runs:
+                pl += struct.pack("<HH", s, ln)
+        elif len(vals) > 4096:
+            words = [0] * 1024
+            for v in vals:
+                words[v // 64] |= 1 << (v % 64)
+            pl = struct.pack("<1024Q", *words)
+        else:
+            pl = struct.pack("<%dH" % len(vals), *vals)
+        payloads.append(pl)
+    if (not force_run) or n >= 4:
+        off = len(body) + 4 * n
+        for pl in payloads:
+            body += struct.pack("<I", off)
+            off += len(pl)
+    return body + b"".join(payloads)
+
+
+def encode_dv_bitmap(positions, force_run=False) -> bytes:
+    by_hi = {}
+    for p in sorted(positions):
+        by_hi.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    data = struct.pack("<iq", 1681511377, len(by_hi))
+    for hi, vals in sorted(by_hi.items()):
+        data += struct.pack("<I", hi) + encode_roaring32(vals, force_run)
+    return data
+
+
+def write_dv_file(table_path, positions, force_run=False):
+    """DV file per spec: version byte 1, then [size BE][data][crc BE];
+    returns the descriptor dict for the add action."""
+    data = encode_dv_bitmap(positions, force_run)
+    u = uuid.uuid4()
+    blob = (
+        b"\x01"
+        + struct.pack(">i", len(data))
+        + data
+        + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    )
+    with open(os.path.join(table_path, f"deletion_vector_{u}.bin"), "wb") as fh:
+        fh.write(blob)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": len(positions),
+    }
+
+
+def attach_dv(t, rel_path, dv):
+    """Commit remove+add of the same file with a deletionVector, plus
+    the reader-3/writer-7 protocol upgrade a DV table declares."""
+    snap = t.snapshot()
+    add = dict(snap.files[rel_path], deletionVector=dv)
+    t._commit(snap.version + 1, [
+        {"commitInfo": {"timestamp": 0, "operation": "DELETE"}},
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }},
+        {"remove": {"path": rel_path, "deletionTimestamp": 0,
+                    "dataChange": True}},
+        {"add": add},
+    ])
+
+
+def _mk(spark, tmp_path, n=20):
+    df = spark.range(n).selectExpr(
+        "cast(id as int) pkey", "concat('v', id) attr"
+    ).coalesce(1)
+    t = DeltaProtocolTable.create(spark, str(tmp_path / "t"), df)
+    [rel] = list(t.snapshot().files)
+    return t, rel
+
+
+class TestBitmapDecode:
+    def test_array_container_roundtrip(self):
+        pos = [0, 1, 5, 100, 65535, 65536, 70000]
+        assert _decode_dv_bitmap(encode_dv_bitmap(pos)) == sorted(pos)
+
+    def test_bitset_container_roundtrip(self):
+        pos = list(range(0, 10000, 2))  # 5000 values -> bitset
+        assert _decode_dv_bitmap(encode_dv_bitmap(pos)) == pos
+
+    def test_run_container_roundtrip(self):
+        pos = list(range(10, 50)) + list(range(100, 200))
+        assert _decode_dv_bitmap(
+            encode_dv_bitmap(pos, force_run=True)
+        ) == pos
+
+    def test_high_32bit_buckets(self):
+        pos = [3, (1 << 32) + 7, (1 << 32) + 8, (5 << 32) + 123456]
+        assert _decode_dv_bitmap(encode_dv_bitmap(pos)) == sorted(pos)
+
+    def test_z85_roundtrip(self):
+        raw = uuid.uuid4().bytes
+        assert _z85_decode(z85_encode(raw)) == raw
+
+
+class TestDeletionVectorRead:
+    def test_rows_filtered_exactly(self, spark, tmp_path):
+        t, rel = _mk(spark, tmp_path)
+        attach_dv(t, rel, write_dv_file(t.path, [2, 3, 7, 19]))
+        got = sorted(r["pkey"] for r in t.to_df().collect())
+        assert got == [i for i in range(20) if i not in (2, 3, 7, 19)]
+
+    def test_inline_dv(self, spark, tmp_path):
+        t, rel = _mk(spark, tmp_path)
+        data = encode_dv_bitmap([0, 1])
+        pad = (-len(data)) % 4
+        dv = {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(data + b"\x00" * pad)
+            if pad == 0 else None,
+            "cardinality": 2,
+        }
+        if pad:
+            pytest.skip("bitmap length not z85-alignable for this case")
+        attach_dv(t, rel, dv)
+        assert sorted(r["pkey"] for r in t.to_df().collect()) == list(
+            range(2, 20)
+        )
+
+    def test_time_travel_sees_pre_dv_rows(self, spark, tmp_path):
+        t, rel = _mk(spark, tmp_path)
+        attach_dv(t, rel, write_dv_file(t.path, [0]))
+        assert t.to_df().count() == 19
+        assert t.to_df(version_as_of=0).count() == 20
+
+    def test_dv_table_is_read_only(self, spark, tmp_path):
+        t, rel = _mk(spark, tmp_path)
+        attach_dv(t, rel, write_dv_file(t.path, [1]))
+        with pytest.raises(DeltaProtocolError, match="writer version|read-only"):
+            t.append(
+                spark.createDataFrame([(99, "x")], "pkey int, attr string")
+            )
+
+    def test_corrupt_crc_raises(self, spark, tmp_path):
+        t, rel = _mk(spark, tmp_path)
+        dv = write_dv_file(t.path, [1, 2])
+        # flip a byte inside the bitmap payload
+        u = uuid.UUID(bytes=_z85_decode(dv["pathOrInlineDv"]))
+        p = os.path.join(t.path, f"deletion_vector_{u}.bin")
+        blob = bytearray(open(p, "rb").read())
+        blob[6] ^= 0xFF
+        open(p, "wb").write(bytes(blob))
+        attach_dv(t, rel, dv)
+        with pytest.raises(DeltaProtocolError, match="checksum"):
+            t.to_df().collect()
+
+    def test_unknown_reader_feature_refused(self, spark, tmp_path):
+        t, rel = _mk(spark, tmp_path)
+        snap = t.snapshot()
+        t._commit(snap.version + 1, [
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                "writerFeatures": [],
+            }},
+        ])
+        with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+            t.to_df()
+
+    def test_vacuum_keeps_live_dv_files(self, spark, tmp_path):
+        t, rel = _mk(spark, tmp_path)
+        dv = write_dv_file(t.path, [1])
+        attach_dv(t, rel, dv)
+        reclaimed = t.vacuum(retention_hours=0.0)
+        u = uuid.UUID(bytes=_z85_decode(dv["pathOrInlineDv"]))
+        assert f"deletion_vector_{u}.bin" not in reclaimed
+        assert t.to_df().count() == 19  # still readable after vacuum
+
+    def test_format_reader_refuses_dv(self, spark, tmp_path):
+        from mack_spark.streaming.delta_source import register
+
+        register(spark)
+        t, rel = _mk(spark, tmp_path)
+        attach_dv(t, rel, write_dv_file(t.path, [1]))
+        with pytest.raises(Exception, match="deletion vector"):
+            (
+                spark.read.format("delta_protocol")
+                .option("path", t.path).load().collect()
+            )
+
+    def test_partitioned_dv(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, "A" if i < 10 else "B") for i in range(20)],
+            "pkey int, part string",
+        ).repartition(1)
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "p"), df, partition_by=["part"]
+        )
+        rel_a = next(
+            p for p, a in t.snapshot().files.items()
+            if a["partitionValues"]["part"] == "A"
+        )
+        attach_dv(t, rel_a, write_dv_file(t.path, [0, 1]))
+        got = sorted(
+            (r["pkey"], r["part"]) for r in t.to_df().collect()
+        )
+        # positions 0,1 of partition-A's file are gone; B untouched
+        assert len(got) == 18
+        assert sum(1 for _, p in got if p == "A") == 8

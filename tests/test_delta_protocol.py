@@ -329,11 +329,38 @@ class TestProtocolGates:
         t.append(spark.createDataFrame([(2, "b")], "pkey int, attr string"))
         assert t.to_df().count() == 2
 
-    def test_reader_version_3_rejected(self, spark, tmp_path):
+    def test_reader_feature_gates(self, spark, tmp_path):
+        # reader 3 (table features) became conditionally readable in
+        # round 10: accepted iff every declared readerFeature is
+        # implemented (deletionVectors / columnMapping / timestampNtz
+        # — tests/test_deletion_vectors.py); unknown features and
+        # reader 4+ stay refused
+        import json as _json
+
         from mack_spark.sources.delta_log import DeltaProtocolError
 
         t = _mk(spark, tmp_path, [(1, "a")])
-        self._bump(t, minReaderVersion=3, minWriterVersion=7)
+        snap = t.snapshot()
+        t._commit(snap.version + 1, [
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}},
+        ])
+        assert t.to_df().count() == 1  # supported feature set: readable
+        t._commit(snap.version + 2, [
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors",
+                                             "v2Checkpoint"],
+                          "writerFeatures": []}},
+        ])
+        with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+            t.to_df()
+        t._commit(snap.version + 3, [
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+            {"protocol": {"minReaderVersion": 4, "minWriterVersion": 7}},
+        ])
         with pytest.raises(DeltaProtocolError, match="reader version"):
             t.to_df()
 
