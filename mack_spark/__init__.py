@@ -56,7 +56,18 @@ from mack_spark.dedup import (
     drop_duplicates,
     append_without_duplicates,
 )
-from mack_spark.appends import validate_append, constraint_append
+from mack_spark.appends import (
+    validate_append,
+    constraint_append,
+    constraint_append_protocol,
+)
+from mack_spark.rollup import (
+    create_rollup,
+    refresh_rollup_incremental,
+    create_rollup_protocol,
+    refresh_rollup_incremental_protocol,
+    rollup_as_view,
+)
 
 __version__ = "0.1.0"
 
@@ -74,6 +85,12 @@ __all__ = [
     "append_without_duplicates",
     "validate_append",
     "constraint_append",
+    "constraint_append_protocol",
+    "create_rollup",
+    "refresh_rollup_incremental",
+    "create_rollup_protocol",
+    "refresh_rollup_incremental_protocol",
+    "rollup_as_view",
     "copy_table",
     "rename_table",
     "rename_catalog_table",
