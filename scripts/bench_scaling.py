@@ -40,6 +40,10 @@ HEADLINE = [
     "knn_pq_adc", "knn_ivfpq",
     # text analysis
     "tfidf_top_terms", "lang_confusion",
+    # round-10 CDF family (change feed, CDF-driven rollup, protocol
+    # constraint append, streaming change-feed read)
+    "delta_cdf_changes", "delta_incremental_rollup",
+    "delta_constraint_append", "streaming_cdf_source",
 ]
 
 
