@@ -2538,6 +2538,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_cdf_source"] = q_streaming_cdf
 
+    def q_column_mapped_read(spark, sf_dir):
+        # Foreign-table interop: a delta.columnMapping.mode=name table
+        # (parquet columns under physical col-<uuid> names,
+        # physical-keyed partitionValues, reader 2 / writer 5 — the
+        # shape delta-spark writes with column mapping on) is
+        # synthesized from customer and read back through
+        # DeltaProtocolTable.to_df()'s physical→logical translation.
+        # Oracle: the read must equal the plain customer projection.
+        import json as _json
+        import os as _os
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        path = tempfile.mkdtemp(prefix="mack-cmap-") + "/t"
+        _os.makedirs(path + "/_delta_log")
+        phys = {"c_custkey": "col-k1", "c_name": None,
+                "c_mktsegment": "col-m2", "c_acctbal": "col-a3"}
+        phys = {k: v for k, v in phys.items() if v}
+        cust.select(
+            *[F.col(c).alias(p) for c, p in phys.items()]
+        ).coalesce(2).write.parquet(path, mode="append")
+        adds = [
+            {"path": f, "partitionValues": {},
+             "size": _os.path.getsize(_os.path.join(path, f)),
+             "modificationTime": 0, "dataChange": True}
+            for f in _os.listdir(path) if f.endswith(".parquet")
+        ]
+        fields = [
+            {"name": c, "type": t, "nullable": True,
+             "metadata": {"delta.columnMapping.id": i + 1,
+                          "delta.columnMapping.physicalName": p}}
+            for i, (c, p, t) in enumerate([
+                ("c_custkey", "col-k1", "long"),
+                ("c_mktsegment", "col-m2", "string"),
+                ("c_acctbal", "col-a3", "double"),
+            ])
+        ]
+        meta = {
+            "id": "deadbeef-0000-0000-0000-000000000000",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}
+            ),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 0,
+        }
+        actions = [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": meta},
+            {"commitInfo": {"timestamp": 0, "operation": "CONVERT"}},
+        ] + [{"add": a} for a in adds]
+        with open(path + "/_delta_log/%020d.json" % 0, "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+        return DeltaProtocolTable(spark, path).to_df()
+
+    q["delta_column_mapped_read"] = q_column_mapped_read
+
+    # inline ('i'-storage) deletion vector marking row positions 0-4,
+    # generated once with the spec encoder (tests/test_deletion_vectors
+    # .py) and pinned: Z85 of the portable 64-bit RoaringBitmap bytes
+    _DV_POS_0_TO_4_Z85 = "^Bg9^0rr910000000000iXQKl0rr91000c45c8Xg000310SSr51onA4"
+
+    def q_deletion_vector_read(spark, sf_dir):
+        # Deletion-vector interop: customer lands as ONE key-sorted
+        # file, then a commit attaches an inline DV deleting row
+        # positions 0-4 (= the 5 smallest c_custkey) and upgrades the
+        # protocol to reader 3 / deletionVectors. to_df() must drop
+        # exactly those rows. Oracle: rank > 5 over customer.
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        cust = (
+            _t(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment", "c_acctbal")
+            .repartition(1)
+            .sortWithinPartitions("c_custkey")
+        )
+        path = tempfile.mkdtemp(prefix="mack-dv-") + "/t"
+        t = DeltaProtocolTable.create(spark, path, cust)
+        snap = t.snapshot()
+        [rel] = list(snap.files)
+        add = dict(
+            snap.files[rel],
+            deletionVector={
+                "storageType": "i",
+                "pathOrInlineDv": _DV_POS_0_TO_4_Z85,
+                "cardinality": 5,
+            },
+        )
+        t._commit(snap.version + 1, [
+            {"commitInfo": {"timestamp": 0, "operation": "DELETE"}},
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }},
+            {"remove": {"path": rel, "deletionTimestamp": 0,
+                        "dataChange": True}},
+            {"add": add},
+        ])
+        return t.to_df()
+
+    q["delta_deletion_vector_read"] = q_deletion_vector_read
+
     def q_delta_inc_rollup(spark, sf_dir):
         # Incremental materialized-view maintenance driven by the REAL
         # protocol Change Data Feed (rollup.py protocol path): the
@@ -2586,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front_r10 = [
         # (a) never driver-checked (new this round)
         "delta_cdf_changes", "delta_incremental_rollup",
+        "delta_column_mapped_read", "delta_deletion_vector_read",
         # (b) last green r7
         "min_cost_supplier", "supplier_revenue_share",
         "large_volume_orders", "parts_supplier_counts",
@@ -2604,7 +2715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_banded", "numeric_outliers", "event_debounce",
         "doclen_deciles", "drop_near_duplicates", "semantic_dedup_report",
         "event_gap_quartiles", "conversion_funnel", "event_anomaly_hours",
-        "dedup_cluster_sizes", "length_drift_psi", "span_contamination",
+        "dedup_cluster_sizes",
+        # (length_drift_psi, span_contamination join the r11 rotation
+        # with the other two r7 stragglers)
     ]
     assert len(front_r10) == 50, len(front_r10)
     fset = set(front_r10)
@@ -3369,6 +3482,24 @@ UNION ALL
 SELECT 'delete' AS change_type, c_custkey, c_mktsegment, c_acctbal,
        CAST(2 AS BIGINT) AS commit_version
 FROM state1 WHERE c_custkey % 11 = 0
+"""
+
+    # Column-mapped read: physical→logical translation must reproduce
+    # the plain projection exactly.
+    o["delta_column_mapped_read"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+"""
+
+    # Deletion-vector read: positions 0-4 of the key-sorted single
+    # file = the 5 smallest custkeys.
+    o["delta_deletion_vector_read"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal
+FROM (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         row_number() OVER (ORDER BY c_custkey) AS rn
+  FROM customer
+)
+WHERE rn > 5
 """
 
     # Streaming CDF read = the batch feed plus the version-0 snapshot
