@@ -187,9 +187,16 @@ def create_rollup_protocol(
     reads its change feed)."""
     from mack_spark.sources.delta_log import DeltaProtocolTable
 
+    # pin the snapshot version BEFORE materializing: to_df() without a
+    # version would take a second, possibly newer snapshot (a
+    # concurrent source commit between the two would make the recorded
+    # watermark stale and the next refresh double-apply that commit's
+    # changes); the watermark lands in the SAME commit as the data
+    # (create-time properties), so there is no window where the rollup
+    # exists without its watermark
     ver = source.snapshot().version
     init = (
-        source.to_df()
+        source.to_df(version_as_of=ver)
         .groupBy(*group_cols)
         .agg(
             F.count("*").cast("long").alias("n_events"),
@@ -198,9 +205,10 @@ def create_rollup_protocol(
             ).alias("value_fp"),
         )
     )
-    rollup = DeltaProtocolTable.create(source.spark, rollup_path, init)
-    rollup.set_properties({SOURCE_VERSION_PROP: str(ver)})
-    return rollup
+    return DeltaProtocolTable.create(
+        source.spark, rollup_path, init,
+        properties={SOURCE_VERSION_PROP: str(ver)},
+    )
 
 
 def refresh_rollup_incremental_protocol(
@@ -234,6 +242,13 @@ def refresh_rollup_incremental_protocol(
     delta = rollup_delta_cdf(changes, group_cols, value_col).localCheckpoint(
         eager=True
     )
+    if not delta.head(1):
+        # the range held no row-level changes (e.g. OPTIMIZE commits):
+        # advance the watermark alone so the next refresh doesn't
+        # rescan the same empty range — re-applying "nothing" is safe
+        # even if this commit races a crash
+        rollup.set_properties({SOURCE_VERSION_PROP: str(cur_version)})
+        return cur_version
 
     cur = rollup.to_df()
     totals = (
@@ -273,7 +288,11 @@ def refresh_rollup_incremental_protocol(
             target_key_col=group_cols[0],
             source_key_col=group_cols[0],
             null_safe=True,
-        )
+        ),
+        # the watermark rides the merge COMMIT itself: either the
+        # applied changes and the new watermark both land or neither
+        # does, so a crash can never leave a state that re-applies
+        # (double-counts) the same change range on the next refresh
+        extra_config={SOURCE_VERSION_PROP: str(cur_version)},
     )
-    rollup.set_properties({SOURCE_VERSION_PROP: str(cur_version)})
     return cur_version

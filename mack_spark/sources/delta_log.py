@@ -225,6 +225,18 @@ _Z85_CHARS = (
     "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
 )
 _Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+# Operations whose add/remove pairs replace WHOLE files, so deriving
+# adds as inserts and removes as deletes is exact when a commit wrote
+# no cdc actions (spec §Add CDC File: "when available, readers should
+# use cdc actions; otherwise derive"). Everything else — MERGE/UPDATE/
+# DELETE predating CDF enablement, or an unknown foreign operation —
+# may rewrite files PARTIALLY, and deriving would misrepresent
+# surviving rows as delete+insert churn, so CDF readers raise instead.
+_CDF_EXACT_REWRITE_OPS = frozenset(
+    {"WRITE", "RESTORE", "TRUNCATE", "CREATE OR REPLACE TABLE AS SELECT",
+     "REPLACE TABLE AS SELECT"}
+)
+
 _ROARING_MAGIC = 1681511377
 _SERIAL_COOKIE = 12347
 _SERIAL_COOKIE_NO_RUN = 12346
@@ -344,42 +356,138 @@ def _dv_file_path(table_path: str, dv: dict) -> str:
     )
 
 
-def _dv_positions(table_path: str, dv: dict) -> List[int]:
-    """Deleted row positions of one deletionVector descriptor, with
-    size/CRC/cardinality verification (never silently mis-read)."""
+def _dv_payload(table_path: str, dv: dict) -> bytes:
+    """The verified serialized-bitmap bytes of one deletionVector
+    descriptor, with size/CRC checks (never silently mis-read). Pure
+    Python + local file I/O — runs on the DRIVER for planning-time
+    needs and on EXECUTORS inside the scan (executors read DV files
+    from the same storage as the data files, Delta's own model)."""
     import struct
     import zlib
 
     st = dv.get("storageType")
     if st == "i":
-        data = _z85_decode(dv["pathOrInlineDv"])
+        return _z85_decode(dv["pathOrInlineDv"])
+    path = _dv_file_path(table_path, dv)
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    if not blob or blob[0] != 1:
+        raise DeltaProtocolError(
+            f"unsupported deletion vector file version in {path}"
+        )
+    off = int(dv["offset"])
+    size = struct.unpack_from(">i", blob, off)[0]
+    if size != int(dv.get("sizeInBytes", size)):
+        raise DeltaProtocolError(
+            f"DV size mismatch in {path}: file says {size},"
+            f" log says {dv.get('sizeInBytes')}"
+        )
+    data = blob[off + 4:off + 4 + size]
+    crc = struct.unpack_from(">I", blob, off + 4 + size)[0]
+    if crc != (zlib.crc32(data) & 0xFFFFFFFF):
+        raise DeltaProtocolError(f"DV checksum mismatch in {path}")
+    return data
+
+
+def _decode_roaring32_np(buf: bytes, pos: int):
+    """One 32-bit roaring bitmap → (np.int64 values, new pos), fully
+    vectorized — the executor-side decode path. Byte layout mirrors
+    :func:`_decode_roaring32` (the pure-Python reference the tests
+    cross-check against); numpy keeps a 10⁷-position container family
+    at array speed instead of a Python loop."""
+    import struct
+
+    import numpy as np
+
+    cookie = struct.unpack_from("<I", buf, pos)[0]
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE:
+        n = (cookie >> 16) + 1
+        pos += 4
+        nrb = (n + 7) // 8
+        run_flags = buf[pos:pos + nrb]
+        pos += nrb
+        has_run = True
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        pos += 4
+        n = struct.unpack_from("<I", buf, pos)[0]
+        pos += 4
+        run_flags = b"\x00" * ((n + 7) // 8)
+        has_run = False
     else:
-        path = _dv_file_path(table_path, dv)
-        with open(path, "rb") as fh:
-            blob = fh.read()
-        if not blob or blob[0] != 1:
-            raise DeltaProtocolError(
-                f"unsupported deletion vector file version in {path}"
+        raise DeltaProtocolError(f"bad roaring cookie {cookie}")
+    headers = []
+    for _ in range(n):
+        k = struct.unpack_from("<H", buf, pos)[0]
+        c = struct.unpack_from("<H", buf, pos + 2)[0] + 1
+        headers.append((k, c))
+        pos += 4
+    if (not has_run) or n >= 4:
+        pos += 4 * n  # offset header — sequential decode doesn't need it
+    chunks: List = []
+    for i, (k, c) in enumerate(headers):
+        base = np.int64(k) << 16
+        if run_flags[i // 8] & (1 << (i % 8)):
+            n_runs = struct.unpack_from("<H", buf, pos)[0]
+            pos += 2
+            pairs = np.frombuffer(buf, "<u2", 2 * n_runs, pos)
+            pos += 4 * n_runs
+            starts = pairs[0::2].astype(np.int64)
+            counts = pairs[1::2].astype(np.int64) + 1
+            ends = np.cumsum(counts)
+            idx = np.arange(int(ends[-1]), dtype=np.int64)
+            offs = idx - np.repeat(ends - counts, counts)
+            chunks.append(base + np.repeat(starts, counts) + offs)
+        elif c > 4096:
+            words = np.frombuffer(buf, "<u8", 1024, pos)
+            pos += 8192
+            bits = np.unpackbits(
+                words.view(np.uint8), bitorder="little"
             )
-        off = int(dv["offset"])
-        size = struct.unpack_from(">i", blob, off)[0]
-        if size != int(dv.get("sizeInBytes", size)):
-            raise DeltaProtocolError(
-                f"DV size mismatch in {path}: file says {size},"
-                f" log says {dv.get('sizeInBytes')}"
-            )
-        data = blob[off + 4:off + 4 + size]
-        crc = struct.unpack_from(">I", blob, off + 4 + size)[0]
-        if crc != (zlib.crc32(data) & 0xFFFFFFFF):
-            raise DeltaProtocolError(f"DV checksum mismatch in {path}")
-    positions = _decode_dv_bitmap(data)
+            chunks.append(base + np.nonzero(bits)[0].astype(np.int64))
+        else:
+            arr = np.frombuffer(buf, "<u2", c, pos)
+            pos += 2 * c
+            chunks.append(base + arr.astype(np.int64))
+    vals = (
+        np.concatenate(chunks) if chunks else np.empty(0, np.int64)
+    )
+    return vals, pos
+
+
+def _dv_positions_np(table_path: str, dv: dict):
+    """Sorted np.int64 deleted-row positions of one deletionVector,
+    with cardinality verification. Vectorized end-to-end; intended to
+    run EXECUTOR-SIDE (inside the DV scan's mapInPandas), so position
+    sets are never materialized on the driver."""
+    import struct
+
+    import numpy as np
+
+    data = _dv_payload(table_path, dv)
+    if len(data) < 12:
+        raise DeltaProtocolError("deletion vector bitmap too short")
+    magic = struct.unpack_from("<i", data, 0)[0]
+    if magic != _ROARING_MAGIC:
+        raise DeltaProtocolError(
+            f"bad deletion vector magic {magic} (expected {_ROARING_MAGIC})"
+        )
+    n_maps = struct.unpack_from("<q", data, 4)[0]
+    pos = 12
+    chunks: List = []
+    for _ in range(n_maps):
+        key = struct.unpack_from("<I", data, pos)[0]
+        pos += 4
+        vals, pos = _decode_roaring32_np(data, pos)
+        chunks.append((np.int64(key) << 32) | vals)
+    out = np.concatenate(chunks) if chunks else np.empty(0, np.int64)
+    out.sort()
     card = dv.get("cardinality")
-    if card is not None and int(card) != len(positions):
+    if card is not None and int(card) != out.size:
         raise DeltaProtocolError(
             f"DV cardinality mismatch: log says {card}, bitmap has"
-            f" {len(positions)}"
+            f" {out.size}"
         )
-    return positions
+    return out
 
 
 def _partition_lit(raw: Optional[str]):
@@ -919,11 +1027,22 @@ class DeltaProtocolTable:
                     )
                 )
             else:
-                if removes and adds and op in ("MERGE", "UPDATE", "DELETE"):
+                if removes and adds and op not in _CDF_EXACT_REWRITE_OPS:
+                    # deriving add/remove pairs as whole-file
+                    # insert/delete is only exact for operations that
+                    # replace entire files (overwrite, restore). A
+                    # MERGE/UPDATE/DELETE without cdc predates CDF
+                    # enablement, and an UNKNOWN foreign operation that
+                    # both adds and removes data files may be a
+                    # partial-file rewrite — deriving it would
+                    # misrepresent surviving rows as churn. Raise for
+                    # both rather than fabricate wrong changes.
                     raise DeltaProtocolError(
-                        f"commit {v} ({op}) rewrote files without"
-                        " recording change data — it predates CDF"
-                        " enablement; query changes from a later version"
+                        f"commit {v} ({op or 'unknown operation'}) adds"
+                        " and removes data files without recording"
+                        " change data — its row-level changes cannot be"
+                        " derived exactly; query changes from a later"
+                        " version"
                     )
                 if adds:
                     pseudo = DeltaSnapshot(
@@ -1629,13 +1748,20 @@ class DeltaProtocolTable:
         except ValueError:
             return rng
 
-    def merge(self, km) -> dict:
+    def merge(self, km, extra_config: Optional[Dict[str, str]] = None) -> dict:
         """Execute a :class:`~mack_spark.tables.KeyedMerge` as one Delta
         commit. Requires the descriptor's file-skipping contract
         (``target_key_col``/``source_key_col``): the condition implies
         key equality, so a file whose ``[min, max]`` key range contains
         no source key cannot hold a matched row and is left untouched
         (not read, not rewritten) — Delta MERGE's phase-1 skip.
+
+        ``extra_config`` folds table-property updates into the SAME
+        commit as the merge (a metaData action alongside the data
+        actions) — the transactional-watermark pattern: an incremental
+        consumer records "this merge reflects source version V" such
+        that either both land or neither does, so a crash between two
+        separate commits can never double-apply a change range.
 
         Returns ``{touched_files, total_files, version}`` so callers
         can observe the pruning.
@@ -1659,12 +1785,25 @@ class DeltaProtocolTable:
         source = km.source.persist()
         km = dataclasses.replace(km, source=source)
         try:
-            return self._merge_impl(snap, km)
+            return self._merge_impl(snap, km, extra_config=extra_config)
         finally:
             source.unpersist(blocking=False)
 
-    def _merge_impl(self, snap: DeltaSnapshot, km) -> dict:
+    def _merge_impl(
+        self,
+        snap: DeltaSnapshot,
+        km,
+        extra_config: Optional[Dict[str, str]] = None,
+    ) -> dict:
         from mack_spark.merge_exec import interpret_keyed_merge
+
+        def _config_actions() -> List[dict]:
+            # extra_config rides the merge commit as a metaData update
+            if not extra_config:
+                return []
+            config = dict(snap.metadata.get("configuration") or {})
+            config.update(extra_config)
+            return [{"metaData": dict(snap.metadata, configuration=config)}]
         # ONE job collects the exact source key set AND per-key
         # multiplicities (bounded collect: merge batches are small
         # relative to the table by contract; past the cap the skip
@@ -1725,7 +1864,16 @@ class DeltaProtocolTable:
 
         if not key_rows:
             # empty source: no matches, no inserts — a true no-op, no
-            # commit (Delta's merge with an empty source changes nothing)
+            # data commit (Delta's merge with an empty source changes
+            # nothing). A requested config update still lands (the
+            # caller's watermark must advance even over an empty range).
+            if extra_config:
+                self._update_config(snap, extra_config, "MERGE")
+                return {
+                    "touched_files": 0,
+                    "total_files": len(snap.files),
+                    "version": snap.version + 1,
+                }
             return {
                 "touched_files": 0,
                 "total_files": len(snap.files),
@@ -1822,6 +1970,7 @@ class DeltaProtocolTable:
                         },
                     }}
                 ]
+                + _config_actions()
                 + [{"add": a} for a in adds]
             )
             self._commit(snap.version + 1, actions)
@@ -1861,6 +2010,7 @@ class DeltaProtocolTable:
                     },
                 }}
             ]
+            + _config_actions()
             + [{"cdc": c} for c in cdc]
             + [
                 {"remove": {"path": p, "deletionTimestamp": _now_ms(),

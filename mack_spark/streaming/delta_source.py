@@ -109,6 +109,14 @@ def _decode_partition_value(raw, dtype_simple: str):
         return raw == "true"
     if dtype_simple == "date":
         return datetime.date.fromisoformat(raw)
+    if dtype_simple == "timestamp_epoch_ms":
+        # internal overlay encoding (streaming CDF _commit_timestamp):
+        # epoch millis → tz-aware UTC instant, so the value is the same
+        # exact instant in any session time zone — mirroring batch
+        # table_changes' F.timestamp_millis
+        return datetime.datetime.fromtimestamp(
+            int(raw) / 1000.0, tz=datetime.timezone.utc
+        )
     if dtype_simple in ("timestamp", "timestamp_ntz"):
         return datetime.datetime.fromisoformat(raw)
     return raw
@@ -226,17 +234,20 @@ class DeltaProtocolStreamReader(DataSourceStreamReader):
         base = self._cursor
         if base is None:
             # A fresh stream: the engine calls latestOffset BEFORE
-            # initialOffset on first start, while a RESTART always
-            # re-plans the checkpointed batch first (partitions() seeds
-            # the cursor) — both observed engine behaviors are pinned in
-            # tests. So an unseeded cursor means no history: walk from
-            # startingVersion, which bounds the very first microbatch
-            # over an existing table (the 100 TB initial-snapshot case).
-            # Defensive invariant if an engine ever calls latestOffset
-            # first after a restart: a stale-low offset only yields
-            # empty batches (partitions plans strictly (start, end] and
-            # returns nothing when end <= start) until the cursor
-            # catches up — rows are never replayed.
+            # initialOffset on first start, while on ANY restart the
+            # engine seeds the cursor before asking for a new offset —
+            # PythonMicroBatchStream implements AcceptsLatestSeenOffset
+            # and forwards the latest offset-log entry as a
+            # partitions(X, X) call during initialization, even when
+            # the last batch was fully committed (observed and pinned
+            # in tests/test_advice_fixes_r11.py). So an unseeded cursor
+            # here means a genuinely fresh stream — no offset has ever
+            # been logged — and walking from startingVersion cannot
+            # regress below any engine checkpoint, while bounding the
+            # very first microbatch over an existing table (the 100 TB
+            # initial-snapshot case). If a future engine ever dropped
+            # the latest-seen handshake, the pinned call-order test
+            # fails loudly rather than this path silently replaying.
             if self._starting == "latest":
                 base = {"version": head}
             else:
@@ -343,6 +354,14 @@ class DeltaProtocolStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         lo_i = start.get("index")  # None: version lo fully consumed
         hi_i = end.get("index")    # None: version hi fully included
+        # seed from BOTH offsets: the engine's restart handshake
+        # (PythonMicroBatchStream implements AcceptsLatestSeenOffset;
+        # setLatestSeenOffset arrives here as partitions(X, X) before
+        # any latestOffset call — pinned in
+        # tests/test_advice_fixes_r11.py) delivers the checkpointed
+        # offset as START, so the admission cursor can never sit below
+        # an offset the engine has already logged
+        self._advance_cursor(start)
         self._advance_cursor(end)
         snap = self._table.snapshot(version_as_of=hi)
         _refuse_column_mapping(snap)
@@ -445,11 +464,17 @@ def _cdf_units(table, path: str, v: int) -> List[dict]:
     without cdc predates CDF enablement and raises. Each unit carries
     an ``overlay`` of constant CDF meta columns (plus ``_change_type``
     for derived files; cdc files hold it physically)."""
+    from mack_spark.sources.delta_log import _CDF_EXACT_REWRITE_OPS
+
     actions = table._commit_actions(v)
     ci = next((a["commitInfo"] for a in actions if "commitInfo" in a), {})
     ts_ms = int(ci.get("timestamp", 0))
-    ts_iso = datetime.datetime.utcfromtimestamp(ts_ms / 1000.0).isoformat()
-    meta = {"_commit_version": str(v), "_commit_timestamp": ts_iso}
+    # carry the commit timestamp as epoch millis, decoded to a tz-aware
+    # UTC instant executor-side — an isoformat NAIVE datetime would be
+    # re-interpreted in the session time zone on the tuple fallback
+    # path, shifting stream CDF timestamps relative to batch
+    # table_changes (which uses F.timestamp_millis, an exact instant)
+    meta = {"_commit_version": str(v), "_commit_timestamp": str(ts_ms)}
     cdc = [a["cdc"] for a in actions if "cdc" in a]
     if cdc:
         return [
@@ -467,11 +492,17 @@ def _cdf_units(table, path: str, v: int) -> List[dict]:
         if "remove" in a and a["remove"].get("dataChange", True)
     ]
     op = ci.get("operation", "")
-    if removes and adds and op in ("MERGE", "UPDATE", "DELETE"):
+    if removes and adds and op not in _CDF_EXACT_REWRITE_OPS:
+        # same inverted allowlist as batch table_changes: whole-file
+        # replacement ops (overwrite/restore) derive exactly; anything
+        # else — rewrites predating CDF enablement or unknown foreign
+        # operations — may be a partial-file rewrite, so raise rather
+        # than fabricate wrong change rows
         raise DeltaStreamChangeError(
-            f"commit {v} of {path} rewrote files without recording change"
-            " data — it predates CDF enablement; start the stream at a"
-            " later version"
+            f"commit {v} of {path} ({op or 'unknown operation'}) adds"
+            " and removes data files without recording change data —"
+            " its row-level changes cannot be derived exactly; start"
+            " the stream at a later version"
         )
     units = [
         {"add": a, "size": int(a.get("size", 0)),
@@ -522,6 +553,10 @@ def _units_to_partitions(
         const_types.update(
             {c: types[c] for c in u["overlay"] if c in types}
         )
+        if "_commit_timestamp" in u["overlay"]:
+            # overlay timestamps are epoch millis (exact instants),
+            # not the spec's isoformat partition-value encoding
+            const_types["_commit_timestamp"] = "timestamp_epoch_ms"
         out.append(
             _AddFilePartition(
                 os.path.join(path, a["path"]),

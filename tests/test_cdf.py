@@ -167,7 +167,9 @@ class TestCdfCore:
         t.delete_where("pkey = 1")  # v1: rewrite WITHOUT cdc
         t.set_properties(dict(CDF))  # v2
         assert t.snapshot().protocol["minWriterVersion"] == 4
-        with pytest.raises(DeltaProtocolError, match="predates"):
+        with pytest.raises(
+            DeltaProtocolError, match="cannot be derived exactly"
+        ):
             t.table_changes(1).collect()
         # from enablement onward it works
         t.update_where("pkey = 2", {"val": "0"})
