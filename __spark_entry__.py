@@ -12,6 +12,8 @@ API) with a DuckDB oracle (``oracle_sql``). Determinism conventions:
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 from itertools import combinations
 
@@ -2684,44 +2686,374 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_incremental_rollup"] = q_delta_inc_rollup
 
+    def q_delta_dv_delete(spark, sf_dir):
+        # Deletion-vector WRITES (round 11): with
+        # delta.enableDeletionVectors=true, DELETE marks row positions
+        # in a roaring bitmap (serialized executor-side) and UPDATE
+        # DVs the pre-image rows + writes only post-image rows — no
+        # data file is rewritten (asserted here: rewritten_files == 0
+        # for the delete), Delta's actual 100-TB delete path
+        # (delta-spark 3.x behavior, reference pyproject.toml:13-14).
+        # Oracle: survivors of the delete with the update applied.
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        ).repartition(2)
+        path = tempfile.mkdtemp(prefix="mack-dvw-") + "/t"
+        t = DeltaProtocolTable.create(
+            spark, path, cust,
+            properties={"delta.enableDeletionVectors": "true"},
+        )
+        res = t.delete_where("c_custkey % 10 = 0")
+        assert res["rewritten_files"] == 0, res  # bitmap, not rewrite
+        t.update_where(
+            "c_custkey % 7 = 0", {"c_acctbal": "c_acctbal + 50.0"}
+        )
+        return t.to_df()
+
+    q["delta_dv_delete"] = q_delta_dv_delete
+
+    def q_streaming_scd2_cdf(spark, sf_dir):
+        # CDF-driven streaming SCD2 (round 11): the dimension table
+        # FOLLOWS an upstream protocol table's change feed
+        # (readChangeFeed=true on the delta_protocol source) through
+        # foreach_batch_scd2_cdf — the reference's type_2_scd_upsert
+        # pattern (mack/__init__.py:125-139) composed with CDF. The
+        # updates are the SAME batch as type_2_scd_upsert, so the
+        # batch SCD2 oracle gates this end-to-end composition.
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+        from mack_spark.streaming import foreach_batch_scd2_cdf
+        from mack_spark.streaming.delta_source import register
+        from mack_spark.tables import ManagedTable
+
+        register(spark)
+        tmp = tempfile.mkdtemp(prefix="scd2_cdf_")
+        dim = ManagedTable.create(
+            spark, f"{tmp}/dim", _scd_base(spark, sf_dir)
+        )
+        updates = _scd_updates(spark, sf_dir)
+        src = DeltaProtocolTable.create(
+            spark, f"{tmp}/src", updates,
+            properties={"delta.enableChangeDataFeed": "true"},
+        )
+        query = (
+            spark.readStream.format("delta_protocol")
+            .option("path", src.path)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.foreachBatch(
+                foreach_batch_scd2_cdf(
+                    dim, "c_custkey",
+                    ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+                )
+            )
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return dim.toDF().select(
+            *CUSTOMER_COLS, "is_current", "effective_time", "end_time"
+        )
+
+    q["streaming_scd2_cdf"] = q_streaming_scd2_cdf
+
+    def q_delta_id_mode_read(spark, sf_dir):
+        # Column mapping mode 'id' (round 11): a converted-Iceberg-
+        # style foreign log whose parquet columns carry ICEBERG names
+        # ('ib_*', matching neither logical nor physicalName) plus
+        # parquet field ids; resolution is by field id, JVM-side
+        # (Spark's native fieldId reader). Oracle: plain projection.
+        import json as _json
+        import tempfile
+
+        from pyspark.sql.types import (
+            DoubleType, LongType, StringType, StructField, StructType,
+        )
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        path = tempfile.mkdtemp(prefix="mack-idmode-") + "/t"
+        os.makedirs(os.path.join(path, "_delta_log"))
+        cust = _t(spark, sf_dir, "customer")
+        key_t = cust.schema["c_custkey"].dataType
+        write_schema = StructType([
+            StructField("ib_1", key_t, True, {"parquet.field.id": 1}),
+            StructField("ib_2", StringType(), True,
+                        {"parquet.field.id": 2}),
+            StructField("ib_3", DoubleType(), True,
+                        {"parquet.field.id": 3}),
+        ])
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        spark.createDataFrame(
+            cust.select("c_custkey", "c_mktsegment", "c_acctbal").rdd,
+            write_schema,
+        ).coalesce(1).write.mode("append").parquet(path)
+        adds = [
+            {"path": f, "partitionValues": {}, "size": 1,
+             "modificationTime": 0, "dataChange": True}
+            for f in os.listdir(path) if f.endswith(".parquet")
+        ]
+        fields = [
+            {"name": "c_custkey", "type": key_t.jsonValue(),
+             "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "ib_1"}},
+            {"name": "c_mktsegment", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "ib_2"}},
+            {"name": "c_acctbal", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "ib_3"}},
+        ]
+        meta = {
+            "id": "cccccccc-1111-2222-3333-444444444444",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}
+            ),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 0,
+        }
+        actions = [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": meta},
+            {"commitInfo": {"timestamp": 0, "operation": "CONVERT"}},
+        ] + [{"add": a} for a in adds]
+        with open(os.path.join(path, "_delta_log",
+                               "%020d.json" % 0), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+        return DeltaProtocolTable(spark, path).to_df()
+
+    q["delta_id_mode_read"] = q_delta_id_mode_read
+
+    def q_delta_mapped_append(spark, sf_dir):
+        # Column-mapping 'name' WRITES (round 11): a foreign name-mode
+        # log (physical col-<uuid> parquet names) APPENDED through this
+        # writer — new files must land under physical names so every
+        # mapped reader resolves them; the read-back is the union.
+        # Oracle: even-key slice UNION odd-key slice = full projection.
+        import json as _json
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        path = tempfile.mkdtemp(prefix="mack-mapw-") + "/t"
+        os.makedirs(os.path.join(path, "_delta_log"))
+        cust = _t(spark, sf_dir, "customer")
+        key_t = cust.schema["c_custkey"].dataType.jsonValue()
+        phys = {"c_custkey": "col-k1", "c_mktsegment": "col-m2",
+                "c_acctbal": "col-a3"}
+        seed = cust.filter(F.col("c_custkey") % 2 == 0).select(
+            F.col("c_custkey").alias(phys["c_custkey"]),
+            F.col("c_mktsegment").alias(phys["c_mktsegment"]),
+            F.col("c_acctbal").alias(phys["c_acctbal"]),
+        ).coalesce(1)
+        seed.write.mode("append").parquet(path)
+        adds = [
+            {"path": f, "partitionValues": {}, "size": 1,
+             "modificationTime": 0, "dataChange": True}
+            for f in os.listdir(path) if f.endswith(".parquet")
+        ]
+        fields = [
+            {"name": n, "type": ty, "nullable": True,
+             "metadata": {"delta.columnMapping.id": i + 1,
+                          "delta.columnMapping.physicalName": phys[n]}}
+            for i, (n, ty) in enumerate([
+                ("c_custkey", key_t), ("c_mktsegment", "string"),
+                ("c_acctbal", "double"),
+            ])
+        ]
+        meta = {
+            "id": "dddddddd-1111-2222-3333-444444444444",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}
+            ),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+            "createdTime": 0,
+        }
+        actions = [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": meta},
+            {"commitInfo": {"timestamp": 0, "operation": "CREATE"}},
+        ] + [{"add": a} for a in adds]
+        with open(os.path.join(path, "_delta_log",
+                               "%020d.json" % 0), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+        t = DeltaProtocolTable(spark, path)
+        t.append(
+            cust.filter(F.col("c_custkey") % 2 == 1).select(
+                "c_custkey", "c_mktsegment", "c_acctbal"
+            )
+        )
+        return t.to_df()
+
+    q["delta_mapped_append"] = q_delta_mapped_append
+
+    def q_delta_v2_checkpoint(spark, sf_dir):
+        # V2 (uuid-named) checkpoint read (round 11): the table's state
+        # is carried by a <v>.checkpoint.<uuid>.parquet with a
+        # checkpointMetadata action and the add actions in a SIDECAR
+        # file under _delta_log/_sidecars/ — the 2025-era foreign
+        # layout; the JSON tail is deleted so replay MUST go through
+        # it. Oracle: plain projection.
+        import json as _json
+        import tempfile
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        path = tempfile.mkdtemp(prefix="mack-v2cp-") + "/t"
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        ).repartition(2)
+        t = DeltaProtocolTable.create(spark, path, cust)
+        snap = t.snapshot()
+        logdir = os.path.join(path, "_delta_log")
+        proto_t = pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ])
+        meta_t = pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ])
+        add_t = pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ])
+        cpm_t = pa.struct([("version", pa.int64())])
+        side_t = pa.struct([
+            ("path", pa.string()), ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()),
+        ])
+
+        def rows_to_table(rows):
+            return pa.table({
+                "protocol": pa.array(
+                    [r.get("protocol") for r in rows], proto_t),
+                "metaData": pa.array(
+                    [r.get("metaData") for r in rows], meta_t),
+                "add": pa.array([r.get("add") for r in rows], add_t),
+                "checkpointMetadata": pa.array(
+                    [r.get("checkpointMetadata") for r in rows], cpm_t),
+                "sidecar": pa.array(
+                    [r.get("sidecar") for r in rows], side_t),
+            })
+
+        m = snap.metadata
+        shaped_meta = {
+            "id": m.get("id"),
+            "format": {"provider": "parquet"},
+            "schemaString": m.get("schemaString"),
+            "partitionColumns": list(m.get("partitionColumns") or []),
+            "configuration": list(
+                (m.get("configuration") or {}).items()
+            ),
+            "createdTime": m.get("createdTime"),
+        }
+        side_rows = [
+            {"add": {
+                "path": a["path"], "partitionValues": [],
+                "size": a.get("size"), "modificationTime": 0,
+                "dataChange": True, "stats": a.get("stats"),
+            }}
+            for a in snap.files.values()
+        ]
+        sc_name = f"{_uuid.uuid4()}.parquet"
+        os.makedirs(os.path.join(logdir, "_sidecars"), exist_ok=True)
+        pq.write_table(
+            rows_to_table(side_rows),
+            os.path.join(logdir, "_sidecars", sc_name),
+        )
+        top = [
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
+            }},
+            {"metaData": shaped_meta},
+            {"checkpointMetadata": {"version": snap.version}},
+            {"sidecar": {"path": sc_name, "sizeInBytes": 1,
+                         "modificationTime": 0}},
+        ]
+        cp_name = "%020d.checkpoint.%s.parquet" % (
+            snap.version, _uuid.uuid4()
+        )
+        pq.write_table(
+            rows_to_table(top), os.path.join(logdir, cp_name)
+        )
+        with open(os.path.join(logdir, "_last_checkpoint"), "w") as fh:
+            _json.dump({"version": snap.version, "size": len(top)}, fh)
+        for v in range(snap.version + 1):
+            f = os.path.join(logdir, "%020d.json" % v)
+            if os.path.exists(f):
+                os.unlink(f)
+        return DeltaProtocolTable(spark, path).to_df()
+
+    q["delta_v2_checkpoint_read"] = q_delta_v2_checkpoint
+
     # Verification rotation: the driver checks the FIRST 50 keys in
-    # declaration order each round. Round-10 priorities:
-    # (a) the 2 queries with no driver row yet — the new protocol CDF
-    # family (change feed read + CDF-driven incremental rollup);
-    # (b) 48 of the 50 queries whose last green driver row is round 7
-    # (the oldest cohort — includes the two LSH rows VERDICT r9
-    # flagged for a same-boot re-measure). The 2 cohort stragglers
-    # (dedup_incremental_lsh, streaming_quality_gate) rotate next
-    # round.
-    front_r10 = [
-        # (a) never driver-checked (new this round)
-        "delta_cdf_changes", "delta_incremental_rollup",
-        "delta_column_mapped_read", "delta_deletion_vector_read",
+    # declaration order each round. Round-11 priorities:
+    # (a) the 7 queries with no driver row yet — the two post-r10
+    # additions (delta_constraint_append, streaming_cdf_source) plus
+    # the five NEW r11 rows (DV writes, CDF-driven streaming SCD2,
+    # id-mode reads, mapped appends, v2 checkpoints);
+    # (b) the 4 rows whose last green driver check is round 7 (the
+    # oldest cohort, flagged by VERDICT r10);
+    # (c) 39 of the 50 round-8 rows (alphabetical; the 11 stragglers
+    # segment_spend_trend..zorder_cluster rotate in r12).
+    front_r11 = [
+        # (a) never driver-checked
+        "delta_constraint_append", "streaming_cdf_source",
+        "delta_dv_delete", "streaming_scd2_cdf", "delta_id_mode_read",
+        "delta_mapped_append", "delta_v2_checkpoint_read",
         # (b) last green r7
-        "min_cost_supplier", "supplier_revenue_share",
-        "large_volume_orders", "parts_supplier_counts",
-        "idle_rich_customers", "forecast_revenue", "nation_trade_volume",
-        "market_share", "product_profit", "customer_order_distribution",
-        "promo_revenue", "small_quantity_revenue", "discounted_revenue",
-        "waiting_suppliers", "is_composite_key_candidate",
-        "find_composite_key_candidates", "doc_stats", "corpus_rollup",
-        "corpus_cube", "dedup_clusters", "sample_stratified",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_ngram_containment", "lang_split_check",
-        "contamination_check", "dedup_embedding_cosine",
-        "quality_by_source", "data_mix", "training_shards",
-        "embedding_centroids", "curation_pipeline", "dedup_source_matrix",
-        "tfidf_top_terms", "chunk_dedup_stats", "referential_audit",
-        "dedup_embedding_banded", "numeric_outliers", "event_debounce",
-        "doclen_deciles", "drop_near_duplicates", "semantic_dedup_report",
-        "event_gap_quartiles", "conversion_funnel", "event_anomaly_hours",
-        "dedup_cluster_sizes",
-        # (length_drift_psi, span_contamination join the r11 rotation
-        # with the other two r7 stragglers)
+        "length_drift_psi", "span_contamination",
+        "dedup_incremental_lsh", "streaming_quality_gate",
+        # (c) last green r8, alphabetical prefix
+        "asof_join_purchase_view", "brand_part_rank",
+        "click_and_purchase", "click_without_purchase",
+        "column_profile", "daily_funnel_full_outer",
+        "dedup_embedding_scaled", "dedup_exact", "dedup_simhash",
+        "dedup_simhash_near", "delta_scd2_merge", "drop_duplicates",
+        "dup_detect_groups", "events_hourly_rollup",
+        "fingerprint_winnow", "gap_fill_daily",
+        "interval_join_active_sessions", "kill_duplicates",
+        "knn_brute_force", "knn_brute_force_numpy", "knn_ivf_kmeans",
+        "knn_ivfpq", "knn_lsh", "knn_pq_adc", "lang_robust_stats",
+        "lsh_hot_buckets", "order_gap_stats", "order_priority_semi",
+        "pricing_summary", "props_json_stats", "quiet_customers_anti",
+        "regional_revenue", "repetition_stats", "returned_revenue",
+        "revenue_grouping_sets", "revenue_pivot_by_status",
+        "salted_event_totals", "salted_join_revenue",
+        "sample_deterministic",
     ]
-    assert len(front_r10) == 50, len(front_r10)
-    fset = set(front_r10)
-    ordered = {k: q[k] for k in front_r10}
+    assert len(front_r11) == 50, len(front_r11)
+    fset = set(front_r11)
+    ordered = {k: q[k] for k in front_r11}
     ordered.update({k: v for k, v in q.items() if k not in fset})
     assert set(ordered) == set(q)
     return ordered
@@ -3530,6 +3862,34 @@ WHERE user_id % 3 IN (0, 1)
 GROUP BY date_trunc('hour', ts), event_type
 ORDER BY event_hour, event_type
 """
+
+    # DV-write post-state: survivors of the % 10 delete, with the % 7
+    # update applied on top (the update runs AFTER the delete, so it
+    # only touches survivors — matching CASE over the filtered set).
+    o["delta_dv_delete"] = """
+SELECT c_custkey, c_mktsegment,
+       CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 50.0
+            ELSE c_acctbal END AS c_acctbal
+FROM customer
+WHERE c_custkey % 10 != 0
+"""
+
+    # CDF-driven streaming SCD2 applies the SAME updates batch as the
+    # batch upsert — its post-state oracle gates the composition.
+    o["streaming_scd2_cdf"] = o["type_2_scd_upsert"]
+
+    # id-mode read resolves parquet field ids back to logical names —
+    # the result is the plain projection.
+    o["delta_id_mode_read"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+"""
+
+    # mapped append: foreign even-key seed + writer-appended odd keys
+    # = the full projection.
+    o["delta_mapped_append"] = o["delta_id_mode_read"]
+
+    # v2-checkpoint read reconstructs the same snapshot.
+    o["delta_v2_checkpoint_read"] = o["delta_id_mode_read"]
 
     o["constraint_append_pass"] = f"""
 WITH {_DIRTY_SQL.strip()}

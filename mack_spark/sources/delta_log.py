@@ -50,11 +50,13 @@ as Delta VACUUM).
 
 SCALE: the log is driver-side metadata (KBs per commit); all sample
 data moves through Spark jobs. File skipping turns a keyed merge of a
-small batch into O(touched files), not O(table). What is intentionally
-NOT here: deletion vectors / column mapping / writer invariants —
-reader and writer requirements above protocol 1(+no column mapping)/2
-raise loudly instead of misreading data or violating a foreign table's
-contract.
+small batch into O(touched files), not O(table). Interop surface:
+deletion vectors are READ (executor-side bitmap decode in the scan)
+and WRITTEN (``delta.enableDeletionVectors=true`` turns DELETE/UPDATE
+into bitmap commits instead of file rewrites — Delta's 100-TB delete
+path); column mapping mode ``name`` is read-supported. Reader/writer
+requirements beyond the implemented feature sets raise loudly instead
+of misreading data or violating a foreign table's contract.
 """
 
 from __future__ import annotations
@@ -199,6 +201,38 @@ def _required_writer_version(
     return 2
 
 
+def _legacy_writer_features(v: int) -> set:
+    """The feature names a legacy ``minWriterVersion`` implies (spec
+    §Table Features: upgrading to writer 7 must list them all)."""
+    feats: set = set()
+    if v >= 2:
+        feats |= {"appendOnly", "invariants"}
+    if v >= 3:
+        feats |= {"checkConstraints"}
+    if v >= 4:
+        feats |= {"changeDataFeed", "generatedColumns"}
+    if v >= 5:
+        feats |= {"columnMapping"}
+    if v >= 6:
+        feats |= {"identityColumns"}
+    return feats
+
+
+# Writer features this writer actually implements (enforces or
+# maintains). A writer-7 table declaring anything outside this set is
+# refused by _assert_writable.
+_SUPPORTED_WRITER_FEATURES = frozenset(
+    {"appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+     "generatedColumns", "deletionVectors", "timestampNtz",
+     "columnMapping",
+     # reads handle uuid-named v2 checkpoints + sidecars; this writer
+     # continues the log with JSON commits and classic checkpoints,
+     # which v2-capable readers must also support (spec §V2 Spec
+     # Checkpoints: classic remains valid)
+     "v2Checkpoint"}
+)
+
+
 def _generated_columns(schema: StructType) -> Dict[str, str]:
     """column → generation expression, from the spec's field-metadata
     key ``delta.generationExpression``."""
@@ -215,9 +249,10 @@ def _generated_columns(schema: StructType) -> Dict[str, str]:
 # whose bitmap marks ROW POSITIONS of the file that are logically
 # deleted. The bitmap is a 64-bit RoaringBitmapArray in the "portable"
 # little-endian format (delta PROTOCOL.md §Deletion Vector Format;
-# container layout per the public RoaringFormatSpec). This module only
-# DECODES — DV tables are read-only here (their writer features are
-# beyond writer 4).
+# container layout per the public RoaringFormatSpec). Decoding runs
+# EXECUTOR-side inside the scan; with delta.enableDeletionVectors=true
+# this writer also MAINTAINS DVs — delete_where/update_where mark row
+# positions instead of rewriting files (delta-spark 3.x parity).
 # ----------------------------------------------------------------------
 
 _Z85_CHARS = (
@@ -490,6 +525,108 @@ def _dv_positions_np(table_path: str, dv: dict):
     return out
 
 
+def _z85_encode(data: bytes) -> str:
+    """Z85 (ZeroMQ base85): 4 bytes → 5 chars, big-endian groups —
+    the encoding Delta uses for DV UUIDs in ``pathOrInlineDv``."""
+    if len(data) % 4:
+        raise DeltaProtocolError(f"z85 payload length {len(data)} not ×4")
+    out: List[str] = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85_CHARS[v % 85])
+            v //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _encode_roaring32_np(vals) -> bytes:
+    """One 32-bit roaring bitmap (portable RoaringFormatSpec, no-run
+    cookie) from a SORTED np.int64/uint32 array of 32-bit values.
+    Array containers up to 4096 values, bitset containers above —
+    the same layout both this module's decoders accept and external
+    roaring readers (delta-spark's RoaringBitmapArray) parse.
+    Vectorized; runs EXECUTOR-side inside the DV write tasks."""
+    import struct
+
+    import numpy as np
+
+    keys, starts = np.unique(vals >> 16, return_index=True)
+    bounds = list(starts) + [vals.size]
+    n = keys.size
+    body = struct.pack("<II", _SERIAL_COOKIE_NO_RUN, n)
+    payloads: List[bytes] = []
+    for i in range(n):
+        lo16 = (vals[bounds[i]:bounds[i + 1]] & 0xFFFF).astype(np.uint16)
+        c = lo16.size
+        body += struct.pack("<HH", int(keys[i]), c - 1)
+        if c > 4096:
+            bits = np.zeros(65536, dtype=np.uint8)
+            bits[lo16] = 1
+            payloads.append(
+                np.packbits(bits, bitorder="little").tobytes()
+            )
+        else:
+            payloads.append(lo16.astype("<u2").tobytes())
+    off = len(body) + 4 * n
+    for pl in payloads:
+        body += struct.pack("<I", off)
+        off += len(pl)
+    return body + b"".join(payloads)
+
+
+def _encode_dv_bitmap_np(positions) -> bytes:
+    """Sorted np.int64 row positions → serialized 64-bit
+    RoaringBitmapArray (magic + per-high-32 roaring32 maps), the
+    inverse of :func:`_dv_positions_np` — round-trip pinned in
+    tests/test_deletion_vectors.py."""
+    import struct
+
+    import numpy as np
+
+    his, starts = np.unique(positions >> 32, return_index=True)
+    bounds = list(starts) + [positions.size]
+    data = struct.pack("<iq", _ROARING_MAGIC, int(his.size))
+    for i in range(his.size):
+        seg = positions[bounds[i]:bounds[i + 1]] & 0xFFFFFFFF
+        data += struct.pack("<I", int(his[i])) + _encode_roaring32_np(seg)
+    return data
+
+
+def _write_dv_file(table_path: str, positions) -> dict:
+    """Serialize ``positions`` (sorted np.int64) into a NEW
+    ``deletion_vector_<uuid>.bin`` under ``table_path`` (spec framing:
+    version byte 1, then [size BE][data][crc32 BE]) and return the
+    add-action descriptor. Runs EXECUTOR-side — each write task
+    serializes the bitmap for ONE data file, so a delete touching N
+    files fans out N-wide and the driver only ever sees the ~200-byte
+    descriptors."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    data = _encode_dv_bitmap_np(positions)
+    u = _uuid.uuid4()
+    blob = (
+        b"\x01"
+        + struct.pack(">i", len(data))
+        + data
+        + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    )
+    tmp = os.path.join(table_path, f".deletion_vector_{u}.bin.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(blob)
+    os.replace(tmp, os.path.join(table_path, f"deletion_vector_{u}.bin"))
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": _z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": int(positions.size),
+    }
+
+
 def _partition_lit(raw: Optional[str]):
     """A ``partitionValues`` entry as the literal Spark should cast to
     the declared type (spec: values are stored as strings; NULL is a
@@ -594,9 +731,16 @@ class DeltaProtocolTable:
     def _checkpoint_actions(
         self, version: int, parts: Optional[int] = None
     ) -> List[dict]:
-        """Actions from a checkpoint — single-file or multi-part (all
-        parts concatenated) — tolerant of extra fields (a foreign
-        writer's checkpoint schema is wider than ours)."""
+        """Actions from a checkpoint — classic single-file, multi-part
+        (all parts concatenated), or a V2 UUID-named checkpoint
+        (``<v>.checkpoint.<uuid>.parquet`` with a checkpointMetadata
+        action and file actions either inline or in ``sidecar``
+        references under ``_delta_log/_sidecars/`` — the 2025-era
+        foreign-table layout, spec §V2 Spec Checkpoints). Tolerant of
+        extra fields (a foreign writer's checkpoint schema is wider
+        than ours)."""
+        import glob as _glob
+
         import pyarrow.parquet as pq
 
         if parts:
@@ -611,18 +755,53 @@ class DeltaProtocolTable:
                     f" incomplete: missing {os.path.basename(missing[0])}"
                 )
         else:
-            files = [_checkpoint_file(self.path, version)]
+            classic = _checkpoint_file(self.path, version)
+            if os.path.exists(classic):
+                files = [classic]
+            else:
+                # V2 UUID-named checkpoint: <v>.checkpoint.<uuid>.parquet
+                cands = sorted(_glob.glob(os.path.join(
+                    _log_dir(self.path),
+                    "%020d.checkpoint.*.parquet" % version,
+                )))
+                if not cands:
+                    raise DeltaProtocolError(
+                        f"checkpoint {version} of {self.path} not found"
+                        " (no classic or uuid-named parquet)"
+                    )
+                files = [cands[-1]]  # any complete checkpoint is valid
         rows = []
         for f in files:
             rows.extend(pq.read_table(f).to_pylist())
+        # V2: file actions may live in sidecar files; read and inline
+        # them (each sidecar holds add/remove rows only, per spec)
+        for row in list(rows):
+            sc = row.get("sidecar")
+            if sc is not None and sc.get("path"):
+                sp = os.path.join(_log_dir(self.path), "_sidecars",
+                                  sc["path"])
+                if not os.path.exists(sp):
+                    raise DeltaProtocolError(
+                        f"v2 checkpoint {version} of {self.path}"
+                        f" references missing sidecar {sc['path']}"
+                    )
+                rows.extend(pq.read_table(sp).to_pylist())
         actions = []
         for row in rows:
             for kind in ("protocol", "metaData", "add", "remove"):
                 val = row.get(kind)
                 if val is not None and any(v is not None for v in val.values()):
+                    # pyarrow map types round-trip as [(k, v), ...]
                     if kind == "add" and isinstance(val.get("partitionValues"), list):
-                        # pyarrow map type round-trips as [(k, v), ...]
                         val = dict(val, partitionValues=dict(val["partitionValues"]))
+                    if kind == "metaData" and isinstance(
+                        val.get("configuration"), list
+                    ):
+                        val = dict(val, configuration=dict(val["configuration"]))
+                    if kind == "add" and isinstance(val.get("deletionVector"), dict):
+                        dv = val["deletionVector"]
+                        if all(v is None for v in dv.values()):
+                            val = dict(val, deletionVector=None)
                     actions.append({kind: val})
         return actions
 
@@ -675,7 +854,8 @@ class DeltaProtocolTable:
             # reader feature is one this reader implements
             feats = set(protocol.get("readerFeatures") or [])
             unsupported = sorted(
-                feats - {"deletionVectors", "columnMapping", "timestampNtz"}
+                feats - {"deletionVectors", "columnMapping",
+                         "timestampNtz", "v2Checkpoint"}
             )
             if unsupported:
                 raise DeltaProtocolError(
@@ -687,20 +867,19 @@ class DeltaProtocolTable:
                 f"table requires reader version {mrv}, above the"
                 " table-features version this reader implements"
             )
-        # reader version 2 IS column mapping. Mode 'name' is READ-
-        # supported: parquet columns are stored under each field's
-        # delta.columnMapping.physicalName and _read_files translates
-        # physical→logical. Mode 'id' (field-id matching, converted-
-        # Iceberg tables) is still refused — matching by parquet field
-        # id is a different resolution rule and misapplying 'name'
-        # logic would misread data.
+        # reader version 2 IS column mapping. Mode 'name' reads resolve
+        # parquet columns by each field's delta.columnMapping.physicalName;
+        # mode 'id' (converted-Iceberg tables, Databricks rename/drop
+        # defaults) resolves by PARQUET FIELD ID — Spark's native
+        # fieldId reader does the matching JVM-side
+        # (_read_files_field_id). Anything else is refused.
         cmap = (metadata.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
-        if cmap.lower() not in ("none", "name"):
+        if cmap.lower() not in ("none", "name", "id"):
             raise DeltaProtocolError(
                 f"table uses column mapping mode '{cmap}', which this"
-                " reader does not implement (only 'name' and 'none')"
+                " reader does not implement (only 'none', 'name', 'id')"
             )
         return DeltaSnapshot(last, metadata, protocol, files, history)
 
@@ -730,18 +909,15 @@ class DeltaProtocolTable:
             p for p in paths if snap.files[p].get("deletionVector")
         ]
         if dv_paths:
-            from functools import reduce
-
             plain = [p for p in paths if p not in set(dv_paths)]
-            parts = (
-                [self._read_files(snap, plain)] if plain else []
-            )
-            parts.extend(
-                self._read_dv_file(snap, p) for p in dv_paths
-            )
-            return reduce(lambda a, b: a.unionByName(b), parts)
+            dv_df = self._read_dv_files(snap, dv_paths)
+            if not plain:
+                return dv_df
+            return self._read_files(snap, plain).unionByName(dv_df)
         if snap.column_mapping_mode == "name":
             return self._read_files_column_mapped(snap, paths)
+        if snap.column_mapping_mode == "id":
+            return self._read_files_field_id(snap, paths)
         abs_paths = [os.path.join(self.path, p) for p in paths]
         pcols = snap.partition_columns
         out_names = [f.name for f in schema.fields]
@@ -790,13 +966,45 @@ class DeltaProtocolTable:
             parts.append(df.select(*out_names))
         return reduce(lambda a, b: a.unionByName(b), parts)
 
-    def _read_dv_file(self, snap: DeltaSnapshot, p: str) -> DataFrame:
-        """One data file minus its deletion vector: the scan attaches
-        Spark's parquet ``_metadata.row_index`` and an anti-join
-        against the (broadcast) deleted-position set drops exactly the
-        DV'd rows. Cost is O(file) + O(cardinality) — the same work
-        Delta's own DV read does. Physical column names are translated
-        first when the table is column-mapped."""
+    def _read_dv_files(
+        self,
+        snap: DeltaSnapshot,
+        paths: List[str],
+        keep_meta: bool = False,
+    ) -> DataFrame:
+        """Data files minus their deletion vectors, decoded EXECUTOR-
+        side: one grouped scan attaches parquet ``_metadata.row_index``
+        + ``_metadata.file_path``, and an Arrow-batched ``mapInPandas``
+        filters each batch against the owning file's roaring bitmap —
+        decoded vectorized (numpy) inside the task from the DV bytes on
+        shared storage (executors read DV files from the same store as
+        data files, Delta's own model). Deleted POSITIONS are never
+        materialized on the driver and never broadcast, so a DV with
+        10⁷–10⁸ deleted rows costs its bitmap bytes per task, not a
+        driver list — the r10 scale flag this replaces. Only the tiny
+        per-file DESCRIPTOR map (path → ~200-byte dict) ships with the
+        closure, the same metadata the plan already carries.
+
+        Physical column names are translated when the table is
+        column-mapped; partition values attach as typed literals per
+        partition group (directory layout is not trusted for DV'd
+        foreign files).
+
+        ``keep_meta`` keeps ``__mack_dv_file`` (file basename) and
+        ``__mack_dv_pos`` (row position) in the output — the write
+        paths (delete/update with DVs, file matching) need to know
+        which LIVE rows sit where; ``input_file_name()`` does not
+        survive the mapInPandas boundary, so the scan's own metadata
+        columns carry that identity through."""
+        from functools import reduce
+
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        if snap.column_mapping_mode == "id":
+            raise DeltaProtocolError(
+                "deletion vectors on column-mapping-id tables are not"
+                " supported by this reader"
+            )
         schema = snap.schema
         pcols = snap.partition_columns
         phys = (
@@ -805,40 +1013,118 @@ class DeltaProtocolTable:
             else {f.name: f.name for f in schema.fields}
         )
         types = {f.name: f.dataType for f in schema.fields}
-        from pyspark.sql.types import StructField
-
+        data_fields = [f for f in schema.fields if f.name not in pcols]
         data_schema = StructType(
-            [
-                StructField(phys[f.name], f.dataType, True)
-                for f in schema.fields
-                if f.name not in pcols
-            ]
-        )
-        add = snap.files[p]
-        df = (
-            self.spark.read.schema(data_schema)
-            .parquet(os.path.join(self.path, p))
-            .select(
-                *[
-                    F.col(f"`{phys[f.name]}`").alias(f.name)
-                    for f in schema.fields
-                    if f.name not in pcols
-                ],
-                F.col("_metadata.row_index").alias("__mack_dv_pos"),
-            )
-        )
-        pv = add.get("partitionValues") or {}
-        for c in pcols:
-            raw = _partition_lit(pv.get(phys[c], pv.get(c)))
-            df = df.withColumn(c, F.lit(raw).cast(types[c]))
-        positions = _dv_positions(self.path, add["deletionVector"])
-        pos_df = self.spark.createDataFrame(
-            [(int(x),) for x in positions], "__mack_dv_pos bigint"
+            [StructField(phys[f.name], f.dataType, True) for f in data_fields]
         )
         out_names = [f.name for f in schema.fields]
-        return (
-            df.join(F.broadcast(pos_df), "__mack_dv_pos", "left_anti")
-            .select(*out_names)
+
+        # file basename → DV descriptor (None for files WITHOUT a DV —
+        # the write paths scan mixed sets): basenames are unique in any
+        # Delta table this writer or delta-spark produces (UUID-named
+        # parts); a pathological foreign log with colliding basenames
+        # fails loudly rather than mis-assigning bitmaps
+        dv_by_base: Dict[str, Optional[dict]] = {}
+        for p in paths:
+            base = os.path.basename(p)
+            if base in dv_by_base:
+                raise DeltaProtocolError(
+                    f"duplicate data-file basename {base!r} among DV'd"
+                    " files — cannot key deletion vectors by file"
+                )
+            dv_by_base[base] = snap.files[p].get("deletionVector")
+        table_path = self.path
+
+        def drop_deleted(batches):
+            import numpy as np
+
+            cache: Dict[str, object] = {}
+
+            def positions_for(fname: str):
+                if fname not in cache:
+                    if len(cache) >= 2:  # scans pack few files per task;
+                        cache.clear()    # bound resident bitmap memory
+                    dv = dv_by_base[fname]
+                    cache[fname] = (
+                        np.empty(0, np.int64)
+                        if dv is None
+                        else _dv_positions_np(table_path, dv)
+                    )
+                return cache[fname]
+
+            for pdf in batches:
+                fnames = pdf["__mack_dv_file"]
+                ri = pdf["__mack_dv_pos"].to_numpy()
+                keep = np.ones(len(pdf), dtype=bool)
+                # a batch rarely spans files; group positionally
+                starts = np.flatnonzero(
+                    fnames.ne(fnames.shift()).to_numpy()
+                )
+                bounds = list(starts) + [len(pdf)]
+                for i in range(len(bounds) - 1):
+                    lo, hi = bounds[i], bounds[i + 1]
+                    pos = positions_for(fnames.iat[lo])
+                    if pos.size == 0:
+                        continue
+                    seg = ri[lo:hi]
+                    idx = np.searchsorted(pos, seg)
+                    hit = idx < pos.size
+                    hit[hit] = pos[idx[hit]] == seg[hit]
+                    keep[lo:hi] = ~hit
+                yield pdf.loc[keep, mapped_names]
+
+        def scan(group_paths: List[str], pv: dict) -> DataFrame:
+            df = (
+                self.spark.read.schema(data_schema)
+                .parquet(*[os.path.join(self.path, p) for p in group_paths])
+                .select(
+                    *[
+                        F.col(f"`{phys[f.name]}`").alias(f.name)
+                        for f in data_fields
+                    ],
+                    F.col("_metadata.row_index").alias("__mack_dv_pos"),
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("__mack_dv_file"),
+                )
+            )
+            for c in pcols:
+                raw = _partition_lit(pv.get(phys[c], pv.get(c)))
+                df = df.withColumn(c, F.lit(raw).cast(types[c]))
+            return df
+
+        # one scan per partition-value tuple (DV'd files in the same
+        # partition share a relation; unpartitioned tables get ONE scan
+        # for all DV'd files)
+        groups: Dict[tuple, List[str]] = {}
+        for p in paths:
+            pv = snap.files[p].get("partitionValues") or {}
+            key = tuple(
+                _partition_lit(pv.get(phys[c], pv.get(c))) for c in pcols
+            )
+            groups.setdefault(key, []).append(p)
+        parts = []
+        for key, grp in groups.items():
+            pv = dict(snap.files[grp[0]].get("partitionValues") or {})
+            parts.append(scan(grp, pv))
+        union = reduce(lambda a, b: a.unionByName(b), parts)
+        ordered = union.select(
+            *out_names, "__mack_dv_pos", "__mack_dv_file"
+        )
+        if keep_meta:
+            mapped_names = out_names + ["__mack_dv_pos", "__mack_dv_file"]
+            out_schema = StructType(
+                list(schema.fields)
+                + [
+                    StructField("__mack_dv_pos", LongType(), True),
+                    StructField("__mack_dv_file", StringType(), True),
+                ]
+            )
+        else:
+            mapped_names = out_names
+            out_schema = schema
+        return ordered.mapInPandas(drop_deleted, schema=out_schema).select(
+            *mapped_names
         )
 
     def _read_files_column_mapped(
@@ -891,6 +1177,81 @@ class DeltaProtocolTable:
                     if f.name not in pcols
                 ]
             )
+            for c, raw in zip(pcols, key):
+                df = df.withColumn(c, F.lit(raw).cast(types[c]))
+            parts.append(df.select(*out_names))
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _read_files_field_id(
+        self, snap: DeltaSnapshot, paths: List[str]
+    ) -> DataFrame:
+        """Read a ``delta.columnMapping.mode=id`` table: parquet columns
+        are resolved by FIELD ID (each table field's
+        ``delta.columnMapping.id`` matches the parquet schema's
+        field_id — the rule for converted-Iceberg tables, whose
+        physical column names are arbitrary). Spark's native fieldId
+        reader does the matching JVM-side: the read schema carries
+        ``parquet.field.id`` metadata per field, so resolution stays
+        inside the scan (no per-file footer walking on the driver, no
+        Python in the row path). A file whose parquet schema carries NO
+        matching field ids fails LOUDLY (``ignoreMissing`` stays false)
+        — silently NULL-filling every column would misread a mislabeled
+        foreign table.
+
+        ``partitionValues`` are physical-keyed per the spec (id-mode
+        tables still assign physicalName); logical keys from
+        nonconforming writers are tolerated."""
+        from functools import reduce
+
+        from pyspark.sql.types import StructField
+
+        schema = snap.schema
+        pcols = snap.partition_columns
+        phys = snap.physical_names()
+        out_names = [f.name for f in schema.fields]
+        types = {f.name: f.dataType for f in schema.fields}
+        ids: Dict[str, int] = {}
+        for f in schema.fields:
+            fid = (f.metadata or {}).get("delta.columnMapping.id")
+            if fid is None:
+                raise DeltaProtocolError(
+                    f"column mapping mode 'id' but field {f.name!r} has"
+                    " no delta.columnMapping.id — cannot resolve it"
+                )
+            ids[f.name] = int(fid)
+        if any(snap.files[p].get("deletionVector") for p in paths):
+            raise DeltaProtocolError(
+                "deletion vectors on column-mapping-id tables are not"
+                " supported by this reader"
+            )
+        # session flag for Spark's field-id resolution: match by id.
+        # Global to the session but inert for schemas without
+        # parquet.field.id metadata. ignoreMissing stays at its false
+        # default — missing ids error instead of blanking columns.
+        self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        data_schema = StructType(
+            [
+                StructField(
+                    f.name, f.dataType, True,
+                    {"parquet.field.id": ids[f.name]},
+                )
+                for f in schema.fields
+                if f.name not in pcols
+            ]
+        )
+        groups: Dict[tuple, List[str]] = {}
+        for p in paths:
+            pv = snap.files[p].get("partitionValues") or {}
+            key = tuple(
+                _partition_lit(
+                    pv.get(phys[c]) if phys[c] in pv else pv.get(c)
+                )
+                for c in pcols
+            )
+            groups.setdefault(key, []).append(os.path.join(self.path, p))
+        parts = []
+        for key, grp in groups.items():
+            df = self.spark.read.schema(data_schema).parquet(*grp)
             for c, raw in zip(pcols, key):
                 df = df.withColumn(c, F.lit(raw).cast(types[c]))
             parts.append(df.select(*out_names))
@@ -1158,14 +1519,42 @@ class DeltaProtocolTable:
     def _write_data_files(
         self, df: DataFrame, partition_by: List[str],
         data_change: bool = True,
+        snap: Optional[DeltaSnapshot] = None,
     ) -> List[dict]:
         """Write ``df`` as parquet through a staging dir, move the part
         files into the table root (same filesystem — atomic renames),
         and return their ``add`` actions with footer stats. Partitioned
         writes keep their ``col=value`` directory layout and record the
         values in ``partitionValues`` (the files themselves do not
-        contain partition columns, per the spec)."""
+        contain partition columns, per the spec).
+
+        When ``snap`` is a COLUMN-MAPPED snapshot, columns are renamed
+        logical→``delta.columnMapping.physicalName`` and tagged with
+        their ``delta.columnMapping.id`` as ``parquet.field.id``
+        metadata before writing, so the files carry BOTH resolution
+        keys (name- and id-mode readers both work) and
+        ``partitionValues``/stats come out physical-keyed, as the spec
+        requires of mapped tables."""
         from urllib.parse import unquote
+
+        if snap is not None and snap.column_mapping_mode != "none":
+            phys = snap.physical_names()
+            fids = {
+                f.name: (f.metadata or {}).get("delta.columnMapping.id")
+                for f in snap.schema.fields
+            }
+            cols = []
+            for c in df.columns:
+                fid = fids.get(c)
+                if fid is not None:
+                    cols.append(F.col(f"`{c}`").alias(
+                        phys.get(c, c),
+                        metadata={"parquet.field.id": int(fid)},
+                    ))
+                else:
+                    cols.append(F.col(f"`{c}`").alias(phys.get(c, c)))
+            df = df.select(*cols)
+            partition_by = [phys.get(c, c) for c in partition_by]
 
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         w = df.write.mode("overwrite")
@@ -1263,6 +1652,15 @@ class DeltaProtocolTable:
                 ("createdTime", pa.int64()),
             ]
         )
+        dv_t = pa.struct(
+            [
+                ("storageType", pa.string()),
+                ("pathOrInlineDv", pa.string()),
+                ("offset", pa.int32()),
+                ("sizeInBytes", pa.int32()),
+                ("cardinality", pa.int64()),
+            ]
+        )
         add_t = pa.struct(
             [
                 ("path", pa.string()),
@@ -1271,6 +1669,10 @@ class DeltaProtocolTable:
                 ("modificationTime", pa.int64()),
                 ("dataChange", pa.bool_()),
                 ("stats", pa.string()),
+                # spec §Checkpoint Schema: a DV'd add keeps its
+                # descriptor — dropping it here would resurrect the
+                # deleted rows after the next checkpoint-based replay
+                ("deletionVector", dv_t),
             ]
         )
 
@@ -1289,6 +1691,7 @@ class DeltaProtocolTable:
         def shape_add(a):
             if a is None:
                 return None
+            dv = a.get("deletionVector")
             return {
                 "path": a["path"],
                 "partitionValues": list((a.get("partitionValues") or {}).items()),
@@ -1296,6 +1699,13 @@ class DeltaProtocolTable:
                 "modificationTime": a.get("modificationTime"),
                 "dataChange": bool(a.get("dataChange", True)),
                 "stats": a.get("stats"),
+                "deletionVector": None if dv is None else {
+                    "storageType": dv.get("storageType"),
+                    "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                    "offset": dv.get("offset"),
+                    "sizeInBytes": dv.get("sizeInBytes"),
+                    "cardinality": dv.get("cardinality"),
+                },
             }
 
         def _to_table(chunk):
@@ -1340,34 +1750,95 @@ class DeltaProtocolTable:
         """The spec's writer rule: a writer MUST refuse tables whose
         ``minWriterVersion`` demands features it does not implement —
         committing anyway would silently violate the table's contract.
-        Implemented here: writer 2 (invariants via schema enforcement),
-        writer 3 (CHECK constraints, enforced on every write), writer 4
-        (Change Data Feed + generated columns — computed when omitted,
-        validated when provided). Writer 5+ (column mapping writes,
-        identity columns, deletion vectors) is refused outright."""
+        Implemented here: writer 2 (invariants via schema enforcement +
+        appendOnly), writer 3 (CHECK constraints, enforced on every
+        write), writer 4 (Change Data Feed + generated columns —
+        computed when omitted, validated when provided), and writer 7
+        table-features logs whose declared writerFeatures are all in
+        :data:`_SUPPORTED_WRITER_FEATURES` — including
+        ``deletionVectors``, which this writer both reads and MAINTAINS
+        (delete/update emit DVs; rewrites drop them). Writer 5/6
+        (column mapping writes, identity columns) stay refused."""
         mwv = snap.protocol.get("minWriterVersion", 1)
-        if mwv > 4:
+        if mwv == 7:
+            feats = set(snap.protocol.get("writerFeatures") or [])
+            unsupported = sorted(feats - _SUPPORTED_WRITER_FEATURES)
+            if unsupported:
+                raise DeltaProtocolError(
+                    f"table requires writer features {unsupported},"
+                    " which this writer does not implement — refusing"
+                    " to commit rather than violate the table's"
+                    " declared contract"
+                )
+        elif mwv == 6 or mwv > 7:
             raise DeltaProtocolError(
-                f"table requires writer version {mwv}; this writer"
-                " implements up to version 4 — refusing to commit rather"
-                " than violate the table's declared writer features"
+                f"table requires writer version {mwv} (identity columns"
+                " / beyond table features); this writer implements"
+                " versions up to 5 plus table-features logs — refusing"
+                " to commit rather than violate the table's declared"
+                " writer features"
             )
-        if snap.column_mapping_mode != "none":
-            # normally implied by minWriterVersion >= 5, but a
-            # nonconforming log could declare mapping at a lower writer
-            # version — committing logical-named files to a physical-
-            # named table would corrupt it
+        if snap.column_mapping_mode == "id":
+            # id-mode writes would need to re-derive the file's field-id
+            # layout for every operation; reads are supported, writes
+            # refused (name mode is read-write)
             raise DeltaProtocolError(
-                "column-mapped tables are read-only for this writer"
+                "column-mapping-id tables are read-only for this writer"
             )
-        if any(a.get("deletionVector") for a in snap.files.values()):
-            # same defensive rule: DV maintenance (rewrite-or-extend on
-            # delete, vacuum interplay) is a writer feature this writer
-            # does not implement — never mutate such a table
+        if (
+            snap.column_mapping_mode == "name"
+            and _generated_columns(snap.schema)
+        ):
+            # generated-column recompute on physical-named frames is
+            # untested territory — refuse loudly instead of guessing
             raise DeltaProtocolError(
-                "tables with live deletion vectors are read-only for"
-                " this writer"
+                "column-mapped tables with generated columns are"
+                " read-only for this writer"
             )
+
+    @staticmethod
+    def _assert_not_append_only(snap: DeltaSnapshot, op: str) -> None:
+        """``delta.appendOnly=true`` (writer feature appendOnly):
+        commits that delete or rewrite existing rows are forbidden."""
+        cfg = snap.metadata.get("configuration") or {}
+        if str(cfg.get("delta.appendOnly", "false")).lower() == "true":
+            raise DeltaProtocolError(
+                f"table at is append-only (delta.appendOnly=true); {op}"
+                " would delete or rewrite existing rows"
+            )
+
+    @staticmethod
+    def _dv_write_enabled(snap: DeltaSnapshot) -> bool:
+        """Delta's opt-in for WRITING deletion vectors
+        (``delta.enableDeletionVectors=true``, the delta-spark 3.x
+        default path for DELETE/UPDATE): deletes mark row positions in
+        a bitmap instead of rewriting files."""
+        cfg = snap.metadata.get("configuration") or {}
+        return (
+            str(cfg.get("delta.enableDeletionVectors", "false")).lower()
+            == "true"
+        )
+
+    def _dv_protocol_actions(self, snap: DeltaSnapshot) -> List[dict]:
+        """The protocol upgrade a first DV write must carry if the
+        table is not yet a table-features log declaring
+        ``deletionVectors`` (spec: upgrading to writer 7 lists every
+        legacy feature the previous protocol implied)."""
+        proto = snap.protocol
+        if "deletionVectors" in (proto.get("writerFeatures") or []):
+            return []
+        legacy = _legacy_writer_features(proto.get("minWriterVersion", 1))
+        readers = set(proto.get("readerFeatures") or [])
+        return [{"protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(readers | {"deletionVectors"}),
+            "writerFeatures": sorted(
+                set(proto.get("writerFeatures") or [])
+                | legacy
+                | {"deletionVectors"}
+            ),
+        }}]
 
     # ------------------------------------------------------------------
     # CHECK constraints (writer version 3)
@@ -1493,17 +1964,66 @@ class DeltaProtocolTable:
                                 "properties": sorted(props)}}},
             {"metaData": meta},
         ]
-        need = _required_writer_version(config)
-        if need > snap.protocol.get("minWriterVersion", 1):
-            actions.insert(
-                1,
-                {"protocol": {
-                    "minReaderVersion": snap.protocol.get(
-                        "minReaderVersion", 1
-                    ),
-                    "minWriterVersion": need,
-                }},
+        dv_on = (
+            str(config.get("delta.enableDeletionVectors", "false")).lower()
+            == "true"
+        )
+        if dv_on and "deletionVectors" not in (
+            snap.protocol.get("writerFeatures") or []
+        ):
+            # enabling DVs is a table-features upgrade (reader 3 /
+            # writer 7 with deletionVectors + the implied legacy
+            # features) — Delta's automatic protocol bump on enablement
+            proto = snap.protocol
+            legacy = _legacy_writer_features(
+                max(proto.get("minWriterVersion", 1),
+                    _required_writer_version(config))
             )
+            actions.insert(1, {"protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(
+                    set(proto.get("readerFeatures") or [])
+                    | {"deletionVectors"}
+                ),
+                "writerFeatures": sorted(
+                    set(proto.get("writerFeatures") or [])
+                    | legacy
+                    | {"deletionVectors"}
+                ),
+            }})
+        elif snap.protocol.get("minWriterVersion", 1) == 7:
+            # already a table-features log: enabling a legacy-mapped
+            # property (CDF, constraints, appendOnly) must DECLARE its
+            # feature name, not bump a version
+            have = set(snap.protocol.get("writerFeatures") or [])
+            wanted = set()
+            if (
+                str(config.get("delta.enableChangeDataFeed", "false")).lower()
+                == "true"
+            ):
+                wanted.add("changeDataFeed")
+            if any(k.startswith("delta.constraints.") for k in config):
+                wanted.add("checkConstraints")
+            if str(config.get("delta.appendOnly", "false")).lower() == "true":
+                wanted.add("appendOnly")
+            if wanted - have:
+                actions.insert(1, {"protocol": dict(
+                    snap.protocol,
+                    writerFeatures=sorted(have | wanted),
+                )})
+        else:
+            need = _required_writer_version(config)
+            if need > snap.protocol.get("minWriterVersion", 1):
+                actions.insert(
+                    1,
+                    {"protocol": {
+                        "minReaderVersion": snap.protocol.get(
+                            "minReaderVersion", 1
+                        ),
+                        "minWriterVersion": need,
+                    }},
+                )
         self._commit(snap.version + 1, actions)
 
     # ------------------------------------------------------------------
@@ -1652,7 +2172,7 @@ class DeltaProtocolTable:
         self._assert_writable(snap)
         aligned, new_meta = self._resolve_write_schema(snap, df, merge_schema)
         self._enforce_constraints(snap, aligned, self._gen_checks(snap, df))
-        adds = self._write_data_files(aligned, snap.partition_columns)
+        adds = self._write_data_files(aligned, snap.partition_columns, snap=snap)
         from mack_spark.tables import ConcurrentModificationError
 
         actions = [
@@ -1683,9 +2203,10 @@ class DeltaProtocolTable:
         ones, one commit. Schema-enforced like :meth:`append`."""
         snap = self.snapshot()
         self._assert_writable(snap)
+        self._assert_not_append_only(snap, "OVERWRITE")
         aligned, new_meta = self._resolve_write_schema(snap, df, merge_schema)
         self._enforce_constraints(snap, aligned, self._gen_checks(snap, df))
-        adds = self._write_data_files(aligned, snap.partition_columns)
+        adds = self._write_data_files(aligned, snap.partition_columns, snap=snap)
         actions = [
             {"commitInfo": {"timestamp": _now_ms(), "operation": "WRITE",
                             "operationParameters": {"mode": "Overwrite"}}}
@@ -1710,6 +2231,9 @@ class DeltaProtocolTable:
         st = snap.file_stats(path)
         if not st:
             return None
+        if snap.column_mapping_mode != "none":
+            # stats in mapped tables are keyed by PHYSICAL name
+            col = snap.physical_names().get(col, col)
         lo = (st.get("minValues") or {}).get(col)
         hi = (st.get("maxValues") or {}).get(col)
         if lo is None or hi is None:
@@ -1777,6 +2301,8 @@ class DeltaProtocolTable:
             )
         snap = self.snapshot()
         self._assert_writable(snap)
+        if km.matched_update is not None or km.matched_delete is not None:
+            self._assert_not_append_only(snap, "MERGE with matched clauses")
         # the source plan executes twice (key+multiplicity collect, then
         # the rewrite join); derived sources (dedup key sets, loser
         # windows) are full shuffle aggregations, so compute them once.
@@ -1955,7 +2481,7 @@ class DeltaProtocolTable:
             self._enforce_constraints(
                 snap, inserts, self._gen_checks(snap, inserts)
             )
-            adds = self._write_data_files(inserts, snap.partition_columns)
+            adds = self._write_data_files(inserts, snap.partition_columns, snap=snap)
             # no cdc actions needed even under CDF: an add-only commit
             # derives exactly (every added row is an insert) — the same
             # optimization Delta applies to insert-only merges
@@ -1992,7 +2518,7 @@ class DeltaProtocolTable:
         # disagrees with the generation expression raises here instead
         # of committing silently-wrong data
         self._enforce_constraints(snap, merged, self._gen_checks(snap, merged))
-        adds = self._write_data_files(merged, snap.partition_columns)
+        adds = self._write_data_files(merged, snap.partition_columns, snap=snap)
         cdc: List[dict] = []
         if cdf:
             from mack_spark.merge_exec import merge_changes
@@ -2041,18 +2567,166 @@ class DeltaProtocolTable:
         paths = list(snap.files)
         if not paths:
             return []
-        hits = (
-            self._read_files(snap, paths)
-            .where(F.coalesce(F.expr(condition), F.lit(False)))
-            .select(F.input_file_name().alias("f"))
-            .distinct()
-            .collect()
-        )
+        dv_paths = [p for p in paths if snap.files[p].get("deletionVector")]
+        plain = [p for p in paths if p not in set(dv_paths)]
         rel = set()
-        for (f,) in hits:
-            local = unquote(urlparse(f).path) if "://" in f or f.startswith("file:") else f
-            rel.add(os.path.relpath(local, self.path).replace(os.sep, "/"))
+        if plain:
+            hits = (
+                self._read_files(snap, plain)
+                .where(F.coalesce(F.expr(condition), F.lit(False)))
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .collect()
+            )
+            for (f,) in hits:
+                local = (
+                    unquote(urlparse(f).path)
+                    if "://" in f or f.startswith("file:")
+                    else f
+                )
+                rel.add(
+                    os.path.relpath(local, self.path).replace(os.sep, "/")
+                )
+        if dv_paths:
+            # input_file_name() does not survive the DV scan's
+            # mapInPandas — the scan's own __mack_dv_file column
+            # carries file identity for LIVE rows instead
+            base_to_rel = {os.path.basename(p): p for p in dv_paths}
+            hits = (
+                self._read_dv_files(snap, dv_paths, keep_meta=True)
+                .where(F.coalesce(F.expr(condition), F.lit(False)))
+                .select("__mack_dv_file")
+                .distinct()
+                .collect()
+            )
+            rel.update(base_to_rel[b] for (b,) in hits)
         return [p for p in paths if p in rel]
+
+    def _build_dvs_for(self, snap: DeltaSnapshot, matched: DataFrame,
+                       touched: List[str]) -> Dict[str, dict]:
+        """Write one deletion-vector file PER touched data file from
+        the matched rows' ``(__mack_dv_file, __mack_dv_pos)`` pairs —
+        EXECUTOR-side: each applyInPandas group task unions the file's
+        new positions with its existing DV (if any), serializes the
+        roaring bitmap, writes ``deletion_vector_<uuid>.bin``, and
+        returns only the ~200-byte descriptor. The driver collects one
+        descriptor per file — O(touched files), never O(deleted rows).
+
+        Parity: delta-spark's DELETE-with-DV writes the same artifacts
+        (reference's substrate, delta-spark 3.2, reference
+        pyproject.toml:13-14)."""
+        old_dvs = {
+            os.path.basename(p): snap.files[p].get("deletionVector")
+            for p in touched
+        }
+        table_path = self.path
+
+        def build_dv(key, pdf):
+            import numpy as np
+            import pandas as pd
+
+            fname = key[0]
+            pos = np.unique(
+                pdf["__mack_dv_pos"].to_numpy().astype(np.int64)
+            )
+            old = old_dvs.get(fname)
+            if old is not None:
+                pos = np.union1d(pos, _dv_positions_np(table_path, old))
+            desc = _write_dv_file(table_path, pos)
+            return pd.DataFrame(
+                [{"file": fname, "dv_json": json.dumps(desc)}]
+            )
+
+        rows = (
+            matched.select("__mack_dv_file", "__mack_dv_pos")
+            .groupBy("__mack_dv_file")
+            .applyInPandas(build_dv, "file string, dv_json string")
+            .collect()  # bounded: ONE descriptor row per touched file
+        )
+        return {r["file"]: json.loads(r["dv_json"]) for r in rows}
+
+    def _dv_remove_add_actions(
+        self, snap: DeltaSnapshot, touched: List[str],
+        new_dvs: Dict[str, dict],
+    ):
+        """remove+add action pairs re-adding each touched file under
+        its new DV descriptor; files whose DV covers every physical
+        row are removed outright (full-file delete)."""
+        removes, adds, fully_removed = [], [], 0
+        now = _now_ms()
+        for p in touched:
+            desc = new_dvs.get(os.path.basename(p))
+            if desc is None:
+                continue  # defensive: no live row of p matched
+            add = snap.files[p]
+            rm = {"path": p, "deletionTimestamp": now, "dataChange": True}
+            if add.get("deletionVector"):
+                rm["deletionVector"] = add["deletionVector"]
+            removes.append(rm)
+            stats = snap.file_stats(p)
+            num = (stats or {}).get("numRecords")
+            if num is not None and int(desc["cardinality"]) >= int(num):
+                fully_removed += 1
+                continue  # every physical row deleted: plain remove
+            adds.append(dict(
+                add, deletionVector=desc, dataChange=True,
+                modificationTime=now,
+            ))
+        return removes, adds, fully_removed
+
+    def _delete_with_dvs(
+        self, snap: DeltaSnapshot, condition: str, touched: List[str]
+    ) -> dict:
+        """DELETE via deletion vectors: no data file is rewritten —
+        touched files are re-added with a bitmap marking the deleted
+        positions. The inode-level no-rewrite guarantee is pinned in
+        tests/test_dv_writes.py."""
+        cond = F.coalesce(F.expr(condition), F.lit(False))
+        matched = self._read_dv_files(snap, touched, keep_meta=True).where(
+            cond
+        )
+        cdf = self._cdf_enabled(snap)
+        if cdf:
+            # one computation feeds the DV build AND the change feed
+            matched = matched.persist()
+        new_dvs = self._build_dvs_for(snap, matched, touched)
+        cdc: List[dict] = []
+        if cdf:
+            out_names = [f.name for f in snap.schema.fields]
+            cdc = self._write_cdc_files(
+                matched.select(*out_names).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+            matched.unpersist(blocking=False)
+        removes, adds, fully_removed = self._dv_remove_add_actions(
+            snap, touched, new_dvs
+        )
+        actions = (
+            [
+                {"commitInfo": {
+                    "timestamp": _now_ms(), "operation": "DELETE",
+                    "operationParameters": {"predicate": condition},
+                    "operationMetrics": {
+                        "numRemovedFiles": fully_removed,
+                        "numDeletionVectorsAdded": len(adds),
+                        "numAddedFiles": 0,
+                    },
+                }}
+            ]
+            + self._dv_protocol_actions(snap)
+            + [{"cdc": c} for c in cdc]
+            + [{"remove": r} for r in removes]
+            + [{"add": a} for a in adds]
+        )
+        self._commit(snap.version + 1, actions)
+        return {
+            "touched_files": len(touched),
+            "total_files": len(snap.files),
+            "version": snap.version + 1,
+            "deletion_vectors": len(adds),
+            "rewritten_files": 0,
+        }
 
     def delete_where(self, condition: str) -> dict:
         """``DELETE FROM table WHERE condition`` as one Delta commit —
@@ -2062,10 +2736,19 @@ class DeltaProtocolTable:
 
         SQL three-valued logic: rows where the condition is TRUE are
         removed; FALSE and NULL rows stay. Only files that actually
-        contain a matching row are rewritten; every other file is left
-        untouched in the log (not read twice, not rewritten)."""
+        contain a matching row are touched; every other file is left
+        untouched in the log (not read twice, not rewritten).
+
+        With ``delta.enableDeletionVectors=true`` the delete writes
+        DELETION VECTORS instead of rewriting files (delta-spark 3.x's
+        DELETE path): each touched file is re-added with a bitmap of
+        its newly-deleted row positions — a 10-row delete in a 1 GB
+        file costs kilobytes of bitmap, not a gigabyte rewrite, which
+        is Delta's actual 100-TB delete path. Files whose every live
+        row matched are plainly removed."""
         snap = self.snapshot()
         self._assert_writable(snap)
+        self._assert_not_append_only(snap, "DELETE")
         touched = self._files_matching(snap, condition)
         if not touched:
             return {
@@ -2073,6 +2756,8 @@ class DeltaProtocolTable:
                 "total_files": len(snap.files),
                 "version": snap.version,
             }
+        if self._dv_write_enabled(snap):
+            return self._delete_with_dvs(snap, condition, touched)
         cdf = self._cdf_enabled(snap)
         touched_df = self._read_files(snap, touched)
         if cdf:
@@ -2081,7 +2766,7 @@ class DeltaProtocolTable:
             touched_df = touched_df.persist()
         cond = F.coalesce(F.expr(condition), F.lit(False))
         kept = touched_df.filter(~cond)
-        adds = self._write_data_files(kept, snap.partition_columns)
+        adds = self._write_data_files(kept, snap.partition_columns, snap=snap)
         cdc: List[dict] = []
         if cdf:
             cdc = self._write_cdc_files(
@@ -2116,6 +2801,89 @@ class DeltaProtocolTable:
             "version": snap.version + 1,
         }
 
+    def _update_with_dvs(
+        self,
+        snap: DeltaSnapshot,
+        condition: str,
+        assignments: Dict[str, str],
+        touched: List[str],
+        gen: Dict[str, str],
+    ) -> dict:
+        """UPDATE via deletion vectors: pre-update rows are DV'd out of
+        their files (no rewrite), post-update rows land as NEW files —
+        the write cost is O(matched rows), not O(touched files)."""
+        schema = snap.schema
+        types = {f.name: f.dataType for f in schema.fields}
+        out_names = [f.name for f in schema.fields]
+        cond = F.coalesce(F.expr(condition), F.lit(False))
+        matched = self._read_dv_files(snap, touched, keep_meta=True).where(
+            cond
+        ).persist()  # feeds DV build + post-rows + change feed
+        try:
+            new_dvs = self._build_dvs_for(snap, matched, touched)
+            pre = matched.select(*out_names)
+            post = pre.select(
+                *[
+                    F.expr(assignments[c]).cast(types[c]).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in out_names
+                ]
+            )
+            if gen:
+                post = post.select(
+                    *[
+                        F.expr(gen[c]).cast(types[c]).alias(c)
+                        if c in gen
+                        else F.col(c)
+                        for c in out_names
+                    ]
+                )
+            self._enforce_constraints(snap, post)
+            adds_new = self._write_data_files(post, snap.partition_columns, snap=snap)
+            cdc: List[dict] = []
+            if self._cdf_enabled(snap):
+                cdc = self._write_cdc_files(
+                    pre.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    ).unionByName(
+                        post.withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                )
+        finally:
+            matched.unpersist(blocking=False)
+        removes, adds_dv, fully_removed = self._dv_remove_add_actions(
+            snap, touched, new_dvs
+        )
+        actions = (
+            [
+                {"commitInfo": {
+                    "timestamp": _now_ms(), "operation": "UPDATE",
+                    "operationParameters": {"predicate": condition},
+                    "operationMetrics": {
+                        "numRemovedFiles": fully_removed,
+                        "numDeletionVectorsAdded": len(adds_dv),
+                        "numAddedFiles": len(adds_new),
+                    },
+                }}
+            ]
+            + self._dv_protocol_actions(snap)
+            + [{"cdc": c} for c in cdc]
+            + [{"remove": r} for r in removes]
+            + [{"add": a} for a in adds_dv]
+            + [{"add": a} for a in adds_new]
+        )
+        self._commit(snap.version + 1, actions)
+        return {
+            "touched_files": len(touched),
+            "total_files": len(snap.files),
+            "version": snap.version + 1,
+            "deletion_vectors": len(adds_dv),
+            "rewritten_files": len(adds_new),
+        }
+
     def update_where(self, condition: str, assignments: Dict[str, str]) -> dict:
         """``UPDATE table SET col = expr, ... WHERE condition`` as one
         Delta commit — the protocol twin of
@@ -2123,9 +2891,15 @@ class DeltaProtocolTable:
         ``DeltaTable.update``). Assignments evaluate against the
         pre-update row, all simultaneously, cast back to the column's
         declared type; FALSE/NULL-condition rows are untouched. Same
-        file pruning as :meth:`delete_where`."""
+        file pruning as :meth:`delete_where`.
+
+        With ``delta.enableDeletionVectors=true`` the update marks the
+        PRE-update rows deleted via deletion vectors and writes only
+        the POST-update rows as new files — O(matched rows) written,
+        not O(touched files), delta-spark 3.x's UPDATE path."""
         snap = self.snapshot()
         self._assert_writable(snap)
+        self._assert_not_append_only(snap, "UPDATE")
         schema = snap.schema
         unknown = set(assignments) - {f.name for f in schema.fields}
         if unknown:
@@ -2146,6 +2920,10 @@ class DeltaProtocolTable:
                 "total_files": len(snap.files),
                 "version": snap.version,
             }
+        if self._dv_write_enabled(snap):
+            return self._update_with_dvs(
+                snap, condition, assignments, touched, gen
+            )
         cond = F.coalesce(F.expr(condition), F.lit(False))
         types = {f.name: f.dataType for f in schema.fields}
         cols = [
@@ -2174,7 +2952,7 @@ class DeltaProtocolTable:
                 ]
             )
         self._enforce_constraints(snap, rewritten)
-        adds = self._write_data_files(rewritten, snap.partition_columns)
+        adds = self._write_data_files(rewritten, snap.partition_columns, snap=snap)
         cdc: List[dict] = []
         if cdf:
             pre = touched_df.filter(cond)
@@ -2240,12 +3018,19 @@ class DeltaProtocolTable:
         if the target version's files were already vacuumed away."""
         snap_now = self.snapshot()
         self._assert_writable(snap_now)
+        self._assert_not_append_only(snap_now, "RESTORE")
         snap_then = self.snapshot(version_as_of=version)
         missing = [
             p
             for p in snap_then.files
             if not os.path.exists(os.path.join(self.path, p))
         ]
+        for a in snap_then.files.values():
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u" and not os.path.exists(
+                _dv_file_path(self.path, dv)
+            ):
+                missing.append(_dv_file_path(self.path, dv))
         if missing:
             raise DeltaProtocolError(
                 f"cannot restore {self.path} to version {version}: "
@@ -2253,8 +3038,17 @@ class DeltaProtocolTable:
                 f"{missing[0]})"
             )
         to_remove = [p for p in snap_now.files if p not in snap_then.files]
+        # a path present in BOTH versions but under a different add
+        # action (e.g. its deletion vector changed between the two) is
+        # re-added with the target version's action — the log's
+        # latest-add-per-path reconstruction rule makes that a replace
         to_add = [
-            a for p, a in snap_then.files.items() if p not in snap_now.files
+            a
+            for p, a in snap_then.files.items()
+            if p not in snap_now.files
+            or a.get("deletionVector") != snap_now.files[p].get(
+                "deletionVector"
+            )
         ]
         actions = (
             [
@@ -2325,7 +3119,7 @@ class DeltaProtocolTable:
                 self._read_files(snap, doomed), list(zorder_by), n
             )
             adds = self._write_data_files(
-                df, snap.partition_columns, data_change=False
+                df, snap.partition_columns, data_change=False, snap=snap
             )
             actions = (
                 [
@@ -2386,7 +3180,7 @@ class DeltaProtocolTable:
             df = df.repartition(*pcols)
         else:
             df = df.repartition(n)
-        adds = self._write_data_files(df, pcols, data_change=False)
+        adds = self._write_data_files(df, pcols, data_change=False, snap=snap)
         actions = (
             [
                 {"commitInfo": {

@@ -37,6 +37,41 @@ from mack_spark.scd import scd2_keyed_merge, scd2_post_state
 from mack_spark.tables import KeyedMerge, ManagedTable
 
 
+def drain_available_now(start_query, max_runs: int = 1000) -> int:
+    """Fully drain a RATE-LIMITED backlog under ``Trigger.AvailableNow``
+    by looping bounded runs until the source reports no new data.
+
+    Why this exists: pyspark's engine falls back to SINGLE-batch
+    execution for Python DataSources under availableNow (the Python
+    DataSource API exposes no ``SupportsTriggerAvailableNow`` hook;
+    the engine logs "does not support Trigger.AvailableNow. Falling
+    back to single batch execution"), so one ``start()`` of a
+    rate-limited ``delta_protocol`` stream processes exactly ONE
+    bounded chunk. Looping runs against the SAME checkpoint delivers
+    Spark's availableNow contract — drain everything available, in
+    bounded batches — with exactly-once preserved per run by the
+    engine's offset/commit logs.
+
+    ``start_query`` must start and return a fresh ``StreamingQuery``
+    wired to the same ``checkpointLocation`` on each call. Returns the
+    number of runs executed (the last run is the empty one that proves
+    the backlog is drained).
+
+    SCALE: each run's batch is bounded by maxFilesPerTrigger /
+    maxBytesPerTrigger, so a 100 TB initial snapshot drains as
+    ⌈files/maxFiles⌉ checkpointed batches instead of one giant one.
+    """
+    runs = 0
+    while runs < max_runs:
+        q = start_query()
+        q.awaitTermination()
+        runs += 1
+        progress = q.lastProgress
+        if not progress or not progress.get("numInputRows"):
+            break
+    return runs
+
+
 def run_stream_to_batch(
     spark: SparkSession,
     stream: DataFrame,
@@ -324,6 +359,133 @@ def foreach_batch_scd2(
                 end_time_col_name,
             ),
         )
+        meta = table._read_meta()
+        meta["history"][-1]["streaming_epoch"] = epoch_id
+        table._write_meta(meta)
+
+    return apply_batch
+
+
+def foreach_batch_scd2_cdf(
+    table: ManagedTable,
+    primary_key: str,
+    attr_col_names: List[str],
+    is_current_col_name: str = "is_current",
+    effective_time_col_name: str = "effective_time",
+    end_time_col_name: str = "end_time",
+):
+    """``foreachBatch`` applying a streamed CHANGE DATA FEED as SCD2
+    history — the reference's ``type_2_scd_upsert`` pattern (reference
+    mack/__init__.py:125-139) composed with Delta's CDF: the dimension
+    table FOLLOWS an upstream table's row-level changes instead of a
+    raw append stream, so upstream UPDATEs and DELETEs maintain the
+    history correctly (a raw stream cannot express them).
+
+    Batch rows are CDF rows (table columns + ``_change_type`` /
+    ``_commit_version`` / ``_commit_timestamp``, e.g. from
+    ``spark.readStream.format("delta_protocol")
+    .option("readChangeFeed", "true")``):
+
+    * ``insert`` / ``update_postimage`` → SCD2 upsert (close the
+      current row, open a new one at the row's effective time);
+    * ``update_preimage`` → ignored (the postimage carries the change);
+    * ``delete`` → close-out: the key's current row ends at the commit
+      timestamp and NO new row opens — upstream hard deletes become
+      history closure, not history loss.
+
+    When a key changes several times inside one microbatch, the change
+    from the HIGHEST ``_commit_version`` wins (latest state), matching
+    what a per-commit replay would converge to.
+
+    Idempotent on retries via the same epoch-id txn pattern as
+    :func:`foreach_batch_scd2`.
+
+    SCALE: each microbatch is O(changed rows); the merge commit prunes
+    to the touched keys' files (``merge_overwrite(touched_keys=...)``),
+    so following a 100 TB upstream costs the change volume, never a
+    table rescan.
+    """
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        applied = {
+            h.get("streaming_epoch")
+            for h in table.history()
+            if h.get("streaming_epoch") is not None
+        }
+        if epoch_id in applied:
+            return
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql import Window
+
+        changes = batch_df.filter(
+            F.col("_change_type").isin(
+                "insert", "update_postimage", "delete"
+            )
+        )
+        # latest change per key across the batch's commits; ties within
+        # one commit resolve by effective time (late duplicates)
+        w = Window.partitionBy(primary_key).orderBy(
+            F.col("_commit_version").desc(),
+            F.col(effective_time_col_name).desc_nulls_last(),
+        )
+        latest = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        ).persist()
+        try:
+            table_cols = [
+                c for c in table.toDF().columns
+            ]
+            ups = latest.filter(
+                F.col("_change_type") != "delete"
+            ).select(
+                *[c for c in table_cols if c in latest.columns]
+            )
+            dels = latest.filter(F.col("_change_type") == "delete").select(
+                primary_key,
+                F.col("_commit_timestamp").alias("__close_ts"),
+            )
+            base = table.toDF()
+            post = scd2_post_state(
+                base,
+                ups,
+                primary_key,
+                attr_col_names,
+                is_current_col_name,
+                effective_time_col_name,
+                end_time_col_name,
+            )
+            # deletes: close the key's CURRENT row at the commit time;
+            # latest-wins above guarantees ups/dels keys are disjoint
+            closed = (
+                post.join(F.broadcast(dels), primary_key, "left")
+                .withColumn(
+                    end_time_col_name,
+                    F.when(
+                        F.col("__close_ts").isNotNull()
+                        & F.col(is_current_col_name),
+                        F.col("__close_ts"),
+                    ).otherwise(F.col(end_time_col_name)),
+                )
+                .withColumn(
+                    is_current_col_name,
+                    F.when(
+                        F.col("__close_ts").isNotNull(), F.lit(False)
+                    ).otherwise(F.col(is_current_col_name)),
+                )
+                .drop("__close_ts")
+            )
+            table.merge_overwrite(
+                closed,
+                operation="STREAMING-CDF-SCD2",
+                touched_keys=(
+                    primary_key, latest.select(primary_key).distinct()
+                ),
+            )
+        finally:
+            latest.unpersist(blocking=False)
         meta = table._read_meta()
         meta["history"][-1]["streaming_epoch"] = epoch_id
         table._write_meta(meta)

@@ -21,16 +21,20 @@ delta-spark):
   i}``), so a 100 TB initial snapshot drains as a sequence of bounded
   microbatches instead of one giant batch. Without these options the
   offsets stay version-only — byte-compatible with checkpoints written
-  before rate limiting existed. One caveat imposed by the Python
-  DataSource API (no admission-control hook, so the reader tracks its
-  own driver-side cursor): ``Trigger.AvailableNow`` captures ONE
-  latest offset up front, so a rate-limited availableNow RUN processes
-  a single bounded chunk and terminates (repeated runs make progress;
-  use a ``processingTime`` trigger — the continuous-ingestion case —
-  to drain a backlog in bounded batches, or drop the limit for a
-  one-shot full drain). Restarts are exact: the engine re-plans the
-  checkpointed batch before asking for a new offset, which re-seeds
-  the cursor;
+  before rate limiting existed. One caveat imposed by the engine: for
+  Python DataSources (no ``SupportsTriggerAvailableNow`` hook in the
+  API) pyspark FALLS BACK to single-batch execution under
+  ``Trigger.AvailableNow`` — it logs "does not support
+  Trigger.AvailableNow. Falling back to single batch execution" — so
+  a rate-limited availableNow RUN processes one bounded chunk and
+  terminates. :func:`mack_spark.streaming.drain_available_now` loops
+  such runs against one checkpoint to deliver the availableNow
+  contract (drain everything available, in bounded batches); a
+  ``processingTime`` trigger drains continuously; dropping the limit
+  gives a one-shot full drain. Restarts are exact: the engine forwards
+  its latest logged offset (AcceptsLatestSeenOffset → a
+  ``partitions(X, X)`` call) before asking for a new offset, which
+  re-seeds the cursor — pinned in tests/test_advice_fixes_r11.py;
 * a commit that REMOVES data (DELETE/UPDATE/MERGE rewrite) is not
   streamable — the source raises Delta's "data update detected" error
   unless ``skipChangeCommits=true`` (ignore the whole commit) or

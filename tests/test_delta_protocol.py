@@ -303,14 +303,15 @@ class TestProtocolGates:
         with open(os.path.join(t.path, "_delta_log", "%020d.json" % v), "w") as fh:
             fh.write(json.dumps({"protocol": proto}) + "\n")
 
-    def test_writer_version_above_4_refuses_commits(self, spark, tmp_path):
-        # writer 3 (CHECK constraints) and 4 (CDF) are implemented
-        # since round 10 — see tests/test_cdf.py — so the refusal line
-        # moved to writer 5+ (column mapping writes, identity columns)
+    def test_writer_version_6_refuses_commits(self, spark, tmp_path):
+        # writer 3 (constraints), 4 (CDF), 5 (column mapping writes,
+        # round 11), and 7 with supported features are implemented —
+        # the refusal line is now writer 6 (identity columns) and
+        # writer >7
         from mack_spark.sources.delta_log import DeltaProtocolError
 
         t = _mk(spark, tmp_path, [(1, "a")])
-        self._bump(t, minReaderVersion=1, minWriterVersion=5)
+        self._bump(t, minReaderVersion=1, minWriterVersion=6)
         df = spark.createDataFrame([(2, "b")], "pkey int, attr string")
         for op in (
             lambda: t.append(df),
@@ -322,6 +323,15 @@ class TestProtocolGates:
                 op()
         # reads still work — writer features don't gate readers
         assert t.to_df().count() == 1
+
+    def test_writer_version_5_unmapped_now_writable(self, spark, tmp_path):
+        # a (nonconforming) writer-5 log WITHOUT column mapping is
+        # writable — mapping itself is what gates behavior, not the
+        # version number alone
+        t = _mk(spark, tmp_path, [(1, "a")])
+        self._bump(t, minReaderVersion=1, minWriterVersion=5)
+        t.append(spark.createDataFrame([(2, "b")], "pkey int, attr string"))
+        assert t.to_df().count() == 2
 
     def test_writer_version_4_now_writable(self, spark, tmp_path):
         t = _mk(spark, tmp_path, [(1, "a")])
@@ -352,10 +362,10 @@ class TestProtocolGates:
             {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
             {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                           "readerFeatures": ["deletionVectors",
-                                             "v2Checkpoint"],
+                                             "someFutureFeature"],
                           "writerFeatures": []}},
         ])
-        with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+        with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
             t.to_df()
         t._commit(snap.version + 3, [
             {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
@@ -364,11 +374,12 @@ class TestProtocolGates:
         with pytest.raises(DeltaProtocolError, match="reader version"):
             t.to_df()
 
-    def test_id_column_mapping_rejected_up_front(self, spark, tmp_path):
-        # 'name' mode became READ-supported in round 10 (physical-name
-        # translation, TestColumnMappingRead); field-id matching ('id'
-        # mode, converted-Iceberg tables) is still a different
-        # resolution rule and stays refused at snapshot time
+    def test_id_mapping_without_field_ids_rejected(self, spark, tmp_path):
+        # 'id' mode became READ-supported in round 11 (Spark-native
+        # parquet field-id resolution, TestColumnMappingIdRead in
+        # test_column_mapping_rw.py) — but a log that declares mode
+        # 'id' while its schema fields carry NO delta.columnMapping.id
+        # cannot be resolved and must refuse instead of misreading
         from mack_spark.sources.delta_log import DeltaProtocolError
 
         t = _mk(spark, tmp_path, [(1, "a")])
@@ -1076,15 +1087,27 @@ class TestColumnMappingRead:
         # logical predicates work against the translated frame
         assert df.where("p = 'p2'").count() == 1
 
-    def test_mapped_table_is_read_only(self, spark, tmp_path):
-        from mack_spark.sources.delta_log import DeltaProtocolError
+    def test_mapped_table_append_writes_physical_names(self, spark, tmp_path):
+        """Round-11: name-mode tables are READ-WRITE — appends rename
+        logical→physicalName before writing, so the new parquet files
+        carry the table's physical layout and every reader (ours or
+        delta-spark) resolves them."""
+        import pyarrow.parquet as pq
 
         t = self._mk_mapped(spark, tmp_path)
-        with pytest.raises(DeltaProtocolError, match="writer version|read-only"):
-            t.append(
-                spark.createDataFrame([(9, "q", "p9")],
-                                      "k int, v string, p string")
-            )
+        before = set(t.snapshot().files)
+        t.append(
+            spark.createDataFrame([(9, "q", "p9")],
+                                  "k int, v string, p string")
+        )
+        snap = t.snapshot()
+        [new_rel] = [p for p in snap.files if p not in before]
+        names = pq.read_schema(os.path.join(t.path, new_rel)).names
+        assert set(names) == {"col-aaa111", "col-bbb222", "col-ccc333"}
+        got = sorted(map(tuple, t.to_df().collect()))
+        assert got == [
+            (1, "x", "p1"), (2, "y", "p1"), (3, "z", "p2"), (9, "q", "p9"),
+        ]
 
     def test_format_reader_refuses_mapped(self, spark, tmp_path):
         register_mod = __import__(
@@ -1098,11 +1121,11 @@ class TestColumnMappingRead:
                 .option("path", t.path).load().collect()
             )
 
-    def test_id_mode_still_refused(self, spark, tmp_path):
-        import json as _json
-
-        from mack_spark.sources.delta_log import DeltaProtocolError
-
+    def test_id_mode_without_parquet_ids_fails_loudly(self, spark, tmp_path):
+        """id-mode reads resolve by parquet FIELD ID (round 11); this
+        fixture's files carry physical NAMES but no field ids, so an
+        id-mode read must fail loudly at scan instead of silently
+        blanking columns (fieldId.read.ignoreMissing stays false)."""
         t = self._mk_mapped(spark, tmp_path)
         vf = os.path.join(t.path, "_delta_log", "%020d.json" % 0)
         body = open(vf).read().replace(
@@ -1110,5 +1133,5 @@ class TestColumnMappingRead:
             '"delta.columnMapping.mode": "id"',
         )
         open(vf, "w").write(body)
-        with pytest.raises(DeltaProtocolError, match="column mapping"):
-            t.to_df()
+        with pytest.raises(Exception, match="[Ff]ield"):
+            t.to_df().collect()

@@ -1,0 +1,49 @@
+"""drain_available_now (round 11, VERDICT-r10 #6): the engine executes
+ONE bounded batch per availableNow run for Python DataSources (no
+SupportsTriggerAvailableNow hook — pyspark logs "Falling back to
+single batch execution"); the helper loops runs against one checkpoint
+until drained, delivering the availableNow contract — everything
+available, in bounded batches, exactly once."""
+
+import os
+
+from mack_spark.sources.delta_log import DeltaProtocolTable
+from mack_spark.streaming import drain_available_now
+from mack_spark.streaming.delta_source import register
+
+
+def test_drain_backlog_bounded_batches_exactly_once(spark, tmp_path):
+    register(spark)
+    n, files = 40, 8
+    df = spark.range(n).selectExpr("cast(id as int) pkey").repartition(files)
+    t = DeltaProtocolTable.create(spark, str(tmp_path / "t"), df)
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+
+    def start():
+        return (
+            spark.readStream.format("delta_protocol")
+            .option("path", t.path)
+            .option("maxFilesPerTrigger", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    runs = drain_available_now(start)
+    # 8 files at 2 per run -> 4 data runs + 1 empty terminator
+    assert runs >= files // 2
+    got = sorted(r[0] for r in spark.read.parquet(out).collect())
+    assert got == list(range(n))  # everything, exactly once
+    # the checkpoint shows one bounded batch per data run
+    offdir = os.path.join(ckpt, "offsets")
+    batches = [f for f in os.listdir(offdir) if f.isdigit()]
+    assert len(batches) >= files // 2
+
+    # new backlog after the drain: another call picks it up
+    t.append(spark.range(n, n + 5).selectExpr("cast(id as int) pkey"))
+    drain_available_now(start)
+    got = sorted(r[0] for r in spark.read.parquet(out).collect())
+    assert got == list(range(n + 5))
