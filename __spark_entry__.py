@@ -3015,6 +3015,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_v2_checkpoint_read"] = q_delta_v2_checkpoint
 
+    def q_delta_ict_commits(spark, sf_dir):
+        # In-commit timestamps (round 11): delta.enableInCommitTimestamps
+        # stamps a monotonic commitInfo.inCommitTimestamp on every
+        # commit (spec §In-Commit Timestamps) — asserted in-row over a
+        # create + append + DELETE chain; the returned DATA is the
+        # oracle-checked part (timestamps are wall-clock).
+        import json as _json
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        path = tempfile.mkdtemp(prefix="mack-ict-") + "/t"
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        t = DeltaProtocolTable.create(
+            spark, path,
+            cust.filter(F.col("c_custkey") % 2 == 0),
+            properties={"delta.enableInCommitTimestamps": "true"},
+        )
+        t.append(cust.filter(F.col("c_custkey") % 2 == 1))
+        t.delete_where("c_custkey % 9 = 0")
+        icts = []
+        logdir = os.path.join(path, "_delta_log")
+        for f in sorted(os.listdir(logdir)):
+            if not f.endswith(".json"):
+                continue
+            line = open(os.path.join(logdir, f)).readline().strip()
+            ci = _json.loads(line).get("commitInfo", {})
+            icts.append(ci.get("inCommitTimestamp"))
+        assert len(icts) == 3 and all(x is not None for x in icts), icts
+        assert icts == sorted(icts) and len(set(icts)) == 3, icts
+        return t.to_df()
+
+    q["delta_ict_commits"] = q_delta_ict_commits
+
     # Verification rotation: the driver checks the FIRST 50 keys in
     # declaration order each round. Round-11 priorities:
     # (a) the 7 queries with no driver row yet — the two post-r10
@@ -3023,13 +3059,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # id-mode reads, mapped appends, v2 checkpoints);
     # (b) the 4 rows whose last green driver check is round 7 (the
     # oldest cohort, flagged by VERDICT r10);
-    # (c) 39 of the 50 round-8 rows (alphabetical; the 11 stragglers
-    # segment_spend_trend..zorder_cluster rotate in r12).
+    # (c) 38 of the 50 round-8 rows (alphabetical; the 12 stragglers
+    # sample_deterministic..zorder_cluster rotate in r12).
     front_r11 = [
         # (a) never driver-checked
         "delta_constraint_append", "streaming_cdf_source",
         "delta_dv_delete", "streaming_scd2_cdf", "delta_id_mode_read",
         "delta_mapped_append", "delta_v2_checkpoint_read",
+        "delta_ict_commits",
         # (b) last green r7
         "length_drift_psi", "span_contamination",
         "dedup_incremental_lsh", "streaming_quality_gate",
@@ -3049,7 +3086,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue", "repetition_stats", "returned_revenue",
         "revenue_grouping_sets", "revenue_pivot_by_status",
         "salted_event_totals", "salted_join_revenue",
-        "sample_deterministic",
     ]
     assert len(front_r11) == 50, len(front_r11)
     fset = set(front_r11)
@@ -3890,6 +3926,13 @@ SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
 
     # v2-checkpoint read reconstructs the same snapshot.
     o["delta_v2_checkpoint_read"] = o["delta_id_mode_read"]
+
+    # ICT row: the data survives the % 9 delete (timestamps are
+    # asserted in-row, not hashed).
+    o["delta_ict_commits"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+WHERE c_custkey % 9 != 0
+"""
 
     o["constraint_append_pass"] = f"""
 WITH {_DIRTY_SQL.strip()}

@@ -229,7 +229,10 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
      # continues the log with JSON commits and classic checkpoints,
      # which v2-capable readers must also support (spec §V2 Spec
      # Checkpoints: classic remains valid)
-     "v2Checkpoint"}
+     "v2Checkpoint",
+     # commits stamp a monotonic commitInfo.inCommitTimestamp when the
+     # table property is on (_commit); CDF/history prefer it
+     "inCommitTimestamp"}
 )
 
 
@@ -1438,7 +1441,13 @@ class DeltaProtocolTable:
             if not vframes:
                 continue
             df = reduce(lambda a, b: a.unionByName(b), vframes)
-            ts = int(ci.get("timestamp", _now_ms()))
+            # in-commit timestamps take precedence over the file-
+            # mtime-style commitInfo.timestamp when present (spec
+            # §In-Commit Timestamps: the ICT is THE commit time)
+            ts = int(
+                ci.get("inCommitTimestamp")
+                or ci.get("timestamp", _now_ms())
+            )
             frames.append(
                 df.withColumn(
                     "_commit_version", F.lit(v).cast("long")
@@ -1609,9 +1618,50 @@ class DeltaProtocolTable:
     def _commit(self, version: int, actions: List[dict]) -> None:
         """Put-if-absent commit of one log version — the spec's
         filesystem concurrency rule. Losing the race raises
-        ConcurrentModificationError (the caller's snapshot is stale)."""
+        ConcurrentModificationError (the caller's snapshot is stale).
+
+        When the table enables IN-COMMIT TIMESTAMPS
+        (``delta.enableInCommitTimestamps=true``, table feature
+        ``inCommitTimestamp``), the commitInfo action — required first
+        — gains a monotonically increasing ``inCommitTimestamp``
+        (``max(now, previous + 1)``, read from the previous commit's
+        JSON), the spec's clock that survives file-mtime rewrites."""
         from mack_spark.tables import ConcurrentModificationError
 
+        meta = next(
+            (a["metaData"] for a in actions if "metaData" in a), None
+        )
+        prev_ict = None
+        pf = _version_file(self.path, version - 1)
+        if version > 0 and os.path.exists(pf):
+            try:
+                with open(pf) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        a = json.loads(line)
+                        if "commitInfo" in a:
+                            v = a["commitInfo"].get("inCommitTimestamp")
+                            prev_ict = int(v) if v is not None else None
+                        break
+            except (OSError, ValueError):
+                prev_ict = None
+        if meta is not None:
+            # metaData decides (enable/disable commits included)
+            cfg = meta.get("configuration") or {}
+            ict_on = (
+                str(cfg.get("delta.enableInCommitTimestamps", "false"))
+                .lower() == "true"
+            )
+        else:
+            # once enabled, EVERY commit carries it — the previous
+            # commit's commitInfo is an O(1) read of the current state
+            ict_on = prev_ict is not None
+        if ict_on and actions and "commitInfo" in actions[0]:
+            actions[0]["commitInfo"]["inCommitTimestamp"] = max(
+                _now_ms(), (prev_ict or 0) + 1
+            )
         payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
         try:
             with open(_version_file(self.path, version), "x") as fh:
@@ -1955,8 +2005,32 @@ class DeltaProtocolTable:
     def _update_config(
         self, snap: DeltaSnapshot, props: Dict[str, str], operation: str
     ) -> None:
-        config = dict(snap.metadata.get("configuration") or {})
+        """Commit a configuration change plus whatever protocol upgrade
+        the NEW configuration demands (Delta's automatic bump on
+        enablement): legacy version bumps for constraints/CDF, a
+        table-features upgrade for deletion vectors (reader 3 + writer
+        7) and in-commit timestamps (writer-only feature, reader
+        unchanged), and feature-name declarations on logs that are
+        already writer 7. Enabling in-commit timestamps after creation
+        also records the spec's enablement version/timestamp."""
+        old_cfg = snap.metadata.get("configuration") or {}
+        config = dict(old_cfg)
         config.update(props)
+
+        def on(cfg, key):
+            return str(cfg.get(key, "false")).lower() == "true"
+
+        if on(config, "delta.enableInCommitTimestamps") and not on(
+            old_cfg, "delta.enableInCommitTimestamps"
+        ):
+            # spec §In-Commit Timestamps: record where the ICT clock
+            # starts when enabled after table creation
+            config["delta.inCommitTimestampEnablementVersion"] = str(
+                snap.version + 1
+            )
+            config["delta.inCommitTimestampEnablementTimestamp"] = str(
+                _now_ms()
+            )
         meta = dict(snap.metadata, configuration=config)
         actions = [
             {"commitInfo": {"timestamp": _now_ms(), "operation": operation,
@@ -1964,66 +2038,56 @@ class DeltaProtocolTable:
                                 "properties": sorted(props)}}},
             {"metaData": meta},
         ]
-        dv_on = (
-            str(config.get("delta.enableDeletionVectors", "false")).lower()
-            == "true"
+        proto = snap.protocol
+        cur_r = proto.get("minReaderVersion", 1)
+        cur_w = proto.get("minWriterVersion", 1)
+        have_w = (
+            set(proto.get("writerFeatures") or [])
+            if cur_w == 7
+            else _legacy_writer_features(cur_w)
         )
-        if dv_on and "deletionVectors" not in (
-            snap.protocol.get("writerFeatures") or []
-        ):
-            # enabling DVs is a table-features upgrade (reader 3 /
-            # writer 7 with deletionVectors + the implied legacy
-            # features) — Delta's automatic protocol bump on enablement
-            proto = snap.protocol
-            legacy = _legacy_writer_features(
-                max(proto.get("minWriterVersion", 1),
-                    _required_writer_version(config))
-            )
-            actions.insert(1, {"protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": sorted(
-                    set(proto.get("readerFeatures") or [])
-                    | {"deletionVectors"}
-                ),
-                "writerFeatures": sorted(
-                    set(proto.get("writerFeatures") or [])
-                    | legacy
-                    | {"deletionVectors"}
-                ),
-            }})
-        elif snap.protocol.get("minWriterVersion", 1) == 7:
-            # already a table-features log: enabling a legacy-mapped
-            # property (CDF, constraints, appendOnly) must DECLARE its
-            # feature name, not bump a version
-            have = set(snap.protocol.get("writerFeatures") or [])
-            wanted = set()
-            if (
-                str(config.get("delta.enableChangeDataFeed", "false")).lower()
-                == "true"
-            ):
-                wanted.add("changeDataFeed")
-            if any(k.startswith("delta.constraints.") for k in config):
-                wanted.add("checkConstraints")
-            if str(config.get("delta.appendOnly", "false")).lower() == "true":
-                wanted.add("appendOnly")
-            if wanted - have:
-                actions.insert(1, {"protocol": dict(
-                    snap.protocol,
-                    writerFeatures=sorted(have | wanted),
-                )})
-        else:
-            need = _required_writer_version(config)
-            if need > snap.protocol.get("minWriterVersion", 1):
-                actions.insert(
-                    1,
-                    {"protocol": {
-                        "minReaderVersion": snap.protocol.get(
-                            "minReaderVersion", 1
-                        ),
+        have_r = set(proto.get("readerFeatures") or [])
+        want_w: set = set()
+        if on(config, "delta.enableChangeDataFeed"):
+            want_w.add("changeDataFeed")
+        if any(k.startswith("delta.constraints.") for k in config):
+            want_w.add("checkConstraints")
+        if on(config, "delta.appendOnly"):
+            want_w.add("appendOnly")
+        if on(config, "delta.enableDeletionVectors"):
+            want_w.add("deletionVectors")
+        if on(config, "delta.enableInCommitTimestamps"):
+            want_w.add("inCommitTimestamp")
+        want_r = {"deletionVectors"} if "deletionVectors" in want_w else set()
+        needs_features_log = cur_w == 7 or bool(
+            want_w & {"deletionVectors", "inCommitTimestamp"}
+        )
+        if (want_w - have_w) or (want_r - have_r):
+            if needs_features_log:
+                new_r = 3 if (want_r or cur_r == 3) else cur_r
+                proto_action = {
+                    "minReaderVersion": new_r,
+                    "minWriterVersion": 7,
+                    "writerFeatures": sorted(
+                        have_w
+                        | _legacy_writer_features(
+                            max(cur_w, _required_writer_version(config))
+                        )
+                        | want_w
+                    ),
+                }
+                if new_r == 3:
+                    proto_action["readerFeatures"] = sorted(
+                        have_r | want_r
+                    )
+                actions.insert(1, {"protocol": proto_action})
+            else:
+                need = _required_writer_version(config)
+                if need > cur_w:
+                    actions.insert(1, {"protocol": {
+                        "minReaderVersion": cur_r,
                         "minWriterVersion": need,
-                    }},
-                )
+                    }})
         self._commit(snap.version + 1, actions)
 
     # ------------------------------------------------------------------

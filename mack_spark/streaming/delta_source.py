@@ -472,7 +472,7 @@ def _cdf_units(table, path: str, v: int) -> List[dict]:
 
     actions = table._commit_actions(v)
     ci = next((a["commitInfo"] for a in actions if "commitInfo" in a), {})
-    ts_ms = int(ci.get("timestamp", 0))
+    ts_ms = int(ci.get("inCommitTimestamp") or ci.get("timestamp", 0))
     # carry the commit timestamp as epoch millis, decoded to a tz-aware
     # UTC instant executor-side — an isoformat NAIVE datetime would be
     # re-interpreted in the session time zone on the tuple fallback

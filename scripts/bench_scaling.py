@@ -44,6 +44,11 @@ HEADLINE = [
     # constraint append, streaming change-feed read)
     "delta_cdf_changes", "delta_incremental_rollup",
     "delta_constraint_append", "streaming_cdf_source",
+    # round-11 interop family (DV writes, CDF-driven streaming SCD2,
+    # column-mapping id reads / name writes, v2 checkpoints, ICT)
+    "delta_dv_delete", "streaming_scd2_cdf", "delta_id_mode_read",
+    "delta_mapped_append", "delta_v2_checkpoint_read",
+    "delta_ict_commits",
 ]
 
 

@@ -285,16 +285,20 @@ class TestCheckConstraints:
         t.append(spark.createDataFrame([(2, "b", 2)], SCHEMA))
         assert t.to_df().count() == 2
 
-    def test_writer5_still_refused(self, spark, tmp_path):
+    def test_writer6_still_refused(self, spark, tmp_path):
+        # round 11 moved the refusal line to writer 6 (identity
+        # columns): writer 5 without actual column mapping is writable
+        # (tests/test_delta_protocol.py), mapped writes go through the
+        # physical-rename path (tests/test_column_mapping_rw.py)
         t = DeltaProtocolTable.create(
-            spark, str(tmp_path / "w5"),
+            spark, str(tmp_path / "w6"),
             spark.createDataFrame([(1, "a", 1)], SCHEMA),
         )
         t._commit(1, [
             {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 5}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
         ])
-        with pytest.raises(DeltaProtocolError, match="writer version 5"):
+        with pytest.raises(DeltaProtocolError, match="writer version 6"):
             t.append(spark.createDataFrame([(2, "b", 2)], SCHEMA))
 
     def test_generated_columns_computed_and_validated(self, spark, tmp_path):
