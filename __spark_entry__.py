@@ -2772,28 +2772,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import json as _json
         import tempfile
 
-        from pyspark.sql.types import (
-            DoubleType, LongType, StringType, StructField, StructType,
-        )
-
         from mack_spark.sources.delta_log import DeltaProtocolTable
 
         path = tempfile.mkdtemp(prefix="mack-idmode-") + "/t"
         os.makedirs(os.path.join(path, "_delta_log"))
         cust = _t(spark, sf_dir, "customer")
         key_t = cust.schema["c_custkey"].dataType
-        write_schema = StructType([
-            StructField("ib_1", key_t, True, {"parquet.field.id": 1}),
-            StructField("ib_2", StringType(), True,
-                        {"parquet.field.id": 2}),
-            StructField("ib_3", DoubleType(), True,
-                        {"parquet.field.id": 3}),
-        ])
         spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-        spark.createDataFrame(
-            cust.select("c_custkey", "c_mktsegment", "c_acctbal").rdd,
-            write_schema,
-        ).coalesce(1).write.mode("append").parquet(path)
+        (
+            cust.select(
+                F.col("c_custkey").alias("ib_1"),
+                F.col("c_mktsegment").alias("ib_2"),
+                F.col("c_acctbal").alias("ib_3"),
+            )
+            .withMetadata("ib_1", {"parquet.field.id": 1})
+            .withMetadata("ib_2", {"parquet.field.id": 2})
+            .withMetadata("ib_3", {"parquet.field.id": 3})
+            .coalesce(1).write.mode("append").parquet(path)
+        )
         adds = [
             {"path": f, "partitionValues": {}, "size": 1,
              "modificationTime": 0, "dataChange": True}

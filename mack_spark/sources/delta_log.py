@@ -993,6 +993,16 @@ class DeltaProtocolTable:
         partition group (directory layout is not trusted for DV'd
         foreign files).
 
+        TRADEOFF (documented, measured in BENCH_LOCAL): mapInPandas is
+        a predicate-pushdown barrier, so filters above a DV'd read do
+        not reach the parquet row groups of DV'd files — the price of
+        never materializing positions on the driver. DV'd files are a
+        small, transient fraction of a healthy table (OPTIMIZE/REORG
+        compacts them away, delete-heavy files collapse to removes),
+        and the alternative (distributed positions anti-join) would
+        shuffle O(deleted rows) instead of streaming them through one
+        map stage.
+
         ``keep_meta`` keeps ``__mack_dv_file`` (file basename) and
         ``__mack_dv_pos`` (row position) in the output — the write
         paths (delete/update with DVs, file matching) need to know

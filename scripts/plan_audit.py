@@ -71,7 +71,7 @@ def main() -> None:
         )
         rows.append((name, n_ex, n_bc, single, cart, py, ""))
 
-    out = ["# Plan audit (round 9)", "",
+    out = ["# Plan audit (round 11)", "",
            f"Per-query physical-plan facts at `{sf_dir}` "
            "(lazy plans only; see skip list).", "",
            "| query | shuffles | broadcasts | single-partition | nested-loop/cartesian | python stage | note |",
