@@ -3047,6 +3047,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_ict_commits"] = q_delta_ict_commits
 
+    def q_delta_timestamp_read(spark, sf_dir):
+        # TIMESTAMP AS OF time travel (round 11): two commits, read
+        # back AS OF the first commit's own timestamp — must see only
+        # the even-key slice. Deterministic relative to the table's own
+        # log (the timestamp is read FROM the commit being targeted).
+        import json as _json
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        path = tempfile.mkdtemp(prefix="mack-tt-") + "/t"
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        t = DeltaProtocolTable.create(
+            spark, path, cust.filter(F.col("c_custkey") % 2 == 0)
+        )
+        t.append(cust.filter(F.col("c_custkey") % 2 == 1))
+        line = open(os.path.join(
+            path, "_delta_log", "%020d.json" % 0
+        )).readline()
+        ts0 = int(_json.loads(line)["commitInfo"]["timestamp"])
+        # guard: if both commits landed in the same millisecond, the
+        # resolution targets the LATER one — force distinct clocks by
+        # reading v1's timestamp and asserting strict order (the two
+        # Spark writes are far slower than 1 ms in practice)
+        line1 = open(os.path.join(
+            path, "_delta_log", "%020d.json" % 1
+        )).readline()
+        ts1 = int(_json.loads(line1)["commitInfo"]["timestamp"])
+        assert ts1 > ts0, (ts0, ts1)
+        return t.to_df(timestamp_as_of=ts0)
+
+    q["delta_timestamp_read"] = q_delta_timestamp_read
+
+    def q_delta_reorg_purge(spark, sf_dir):
+        # REORG TABLE APPLY (PURGE) (round 11): after a DV delete, the
+        # purge rewrites only the DV'd files, physically dropping the
+        # soft-deleted rows — no deletion vectors remain (asserted
+        # in-row), the data is the survivors, and the commit is
+        # dataChange=false (streaming-invisible, like OPTIMIZE).
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        path = tempfile.mkdtemp(prefix="mack-reorg-") + "/t"
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        ).repartition(2)
+        t = DeltaProtocolTable.create(
+            spark, path, cust,
+            properties={"delta.enableDeletionVectors": "true"},
+        )
+        res = t.delete_where("c_custkey % 4 = 0")
+        assert res["rewritten_files"] == 0, res
+        pres = t.reorg_purge()
+        assert pres["purged_files"] >= 1, pres
+        snap = t.snapshot()
+        assert not any(
+            a.get("deletionVector") for a in snap.files.values()
+        ), "purge left deletion vectors behind"
+        return t.to_df()
+
+    q["delta_reorg_purge"] = q_delta_reorg_purge
+
+    def q_delta_txn_idempotent(spark, sf_dir):
+        # SetTransaction idempotent appends (round 11): the same batch
+        # re-sent under one txnAppId/txnVersion lands EXACTLY once
+        # (spec §Transaction Identifiers, delta-spark's
+        # txnAppId/txnVersion write options) — the final state is seed
+        # + one copy of the batch despite three sends.
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        path = tempfile.mkdtemp(prefix="mack-txn-") + "/t"
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        t = DeltaProtocolTable.create(
+            spark, path, cust.filter(F.col("c_custkey") % 3 == 0)
+        )
+        batch = cust.filter(F.col("c_custkey") % 3 == 1)
+        t.append(batch, txn_app_id="ingest", txn_version=1)
+        t.append(batch, txn_app_id="ingest", txn_version=1)  # retry
+        t.append(batch, txn_app_id="ingest", txn_version=1)  # replay
+        assert t.latest_txn_version("ingest") == 1
+        return t.to_df()
+
+    q["delta_txn_idempotent"] = q_delta_txn_idempotent
+
     # Verification rotation: the driver checks the FIRST 50 keys in
     # declaration order each round. Round-11 priorities:
     # (a) the 7 queries with no driver row yet — the two post-r10
@@ -3055,14 +3146,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # id-mode reads, mapped appends, v2 checkpoints);
     # (b) the 4 rows whose last green driver check is round 7 (the
     # oldest cohort, flagged by VERDICT r10);
-    # (c) 38 of the 50 round-8 rows (alphabetical; the 12 stragglers
-    # sample_deterministic..zorder_cluster rotate in r12).
+    # (c) 35 of the 50 round-8 rows (alphabetical; the 15 stragglers
+    # revenue_pivot_by_status..zorder_cluster rotate in r12).
     front_r11 = [
         # (a) never driver-checked
         "delta_constraint_append", "streaming_cdf_source",
         "delta_dv_delete", "streaming_scd2_cdf", "delta_id_mode_read",
         "delta_mapped_append", "delta_v2_checkpoint_read",
-        "delta_ict_commits",
+        "delta_ict_commits", "delta_timestamp_read",
+        "delta_reorg_purge", "delta_txn_idempotent",
         # (b) last green r7
         "length_drift_psi", "span_contamination",
         "dedup_incremental_lsh", "streaming_quality_gate",
@@ -3080,8 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_hot_buckets", "order_gap_stats", "order_priority_semi",
         "pricing_summary", "props_json_stats", "quiet_customers_anti",
         "regional_revenue", "repetition_stats", "returned_revenue",
-        "revenue_grouping_sets", "revenue_pivot_by_status",
-        "salted_event_totals", "salted_join_revenue",
+        "revenue_grouping_sets",
     ]
     assert len(front_r11) == 50, len(front_r11)
     fset = set(front_r11)
@@ -3928,6 +4019,25 @@ SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
     o["delta_ict_commits"] = """
 SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
 WHERE c_custkey % 9 != 0
+"""
+
+    # TIMESTAMP AS OF v0 = the even-key slice only.
+    o["delta_timestamp_read"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+WHERE c_custkey % 2 = 0
+"""
+
+    # REORG PURGE post-state = survivors of the % 4 DV delete.
+    o["delta_reorg_purge"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+WHERE c_custkey % 4 != 0
+"""
+
+    # Idempotent txn appends: seed (%3=0) + exactly ONE copy of the
+    # batch (%3=1) despite three sends.
+    o["delta_txn_idempotent"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+WHERE c_custkey % 3 IN (0, 1)
 """
 
     o["constraint_append_pass"] = f"""

@@ -643,12 +643,16 @@ class DeltaSnapshot:
     """An immutable view of the table at one log version."""
 
     def __init__(self, version: int, metadata: dict, protocol: dict,
-                 files: Dict[str, dict], history: List[dict]):
+                 files: Dict[str, dict], history: List[dict],
+                 txns: Optional[Dict[str, int]] = None):
         self.version = version
         self.metadata = metadata
         self.protocol = protocol
         self.files = files  # path -> add action
         self.history = history
+        # appId -> highest committed SetTransaction version (spec §
+        # Transaction Identifiers — the idempotent-writer watermark)
+        self.txns: Dict[str, int] = txns or {}
 
     @property
     def schema(self) -> StructType:
@@ -791,7 +795,7 @@ class DeltaProtocolTable:
                 rows.extend(pq.read_table(sp).to_pylist())
         actions = []
         for row in rows:
-            for kind in ("protocol", "metaData", "add", "remove"):
+            for kind in ("protocol", "metaData", "add", "remove", "txn"):
                 val = row.get(kind)
                 if val is not None and any(v is not None for v in val.values()):
                     # pyarrow map types round-trip as [(k, v), ...]
@@ -819,6 +823,7 @@ class DeltaProtocolTable:
         metadata: Optional[dict] = None
         protocol: Optional[dict] = None
         history: List[dict] = []
+        txns: Dict[str, int] = {}
 
         start, last = 0, -1
         cp = self._read_last_checkpoint()
@@ -828,7 +833,7 @@ class DeltaProtocolTable:
             for action in self._checkpoint_actions(
                 cp["version"], cp["parts"]
             ):
-                self._apply(action, files, history)
+                self._apply(action, files, history, txns=txns)
                 metadata = action.get("metaData") or metadata
                 protocol = action.get("protocol") or protocol
             start, last = cp["version"] + 1, cp["version"]
@@ -843,7 +848,8 @@ class DeltaProtocolTable:
                     if not line:
                         continue
                     action = json.loads(line)
-                    self._apply(action, files, history, version=v)
+                    self._apply(action, files, history, version=v,
+                                txns=txns)
                     metadata = action.get("metaData") or metadata
                     protocol = action.get("protocol") or protocol
             last = v
@@ -884,15 +890,23 @@ class DeltaProtocolTable:
                 f"table uses column mapping mode '{cmap}', which this"
                 " reader does not implement (only 'none', 'name', 'id')"
             )
-        return DeltaSnapshot(last, metadata, protocol, files, history)
+        return DeltaSnapshot(last, metadata, protocol, files, history,
+                             txns=txns)
 
     @staticmethod
     def _apply(action: dict, files: Dict[str, dict], history: List[dict],
-               version: Optional[int] = None) -> None:
+               version: Optional[int] = None,
+               txns: Optional[Dict[str, int]] = None) -> None:
         if "add" in action:
             files[action["add"]["path"]] = action["add"]
         elif "remove" in action:
             files.pop(action["remove"]["path"], None)
+        elif "txn" in action and txns is not None:
+            t = action["txn"]
+            if t.get("appId") is not None and t.get("version") is not None:
+                txns[t["appId"]] = max(
+                    int(t["version"]), txns.get(t["appId"], -1)
+                )
         elif "commitInfo" in action and version is not None:
             history.append(dict(action["commitInfo"], version=version))
 
@@ -900,7 +914,87 @@ class DeltaProtocolTable:
     # reads
     # ------------------------------------------------------------------
 
-    def to_df(self, version_as_of: Optional[int] = None) -> DataFrame:
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """The version a ``TIMESTAMP AS OF`` read resolves to — the
+        LATEST commit whose timestamp is ≤ ``ts_ms`` (Delta's rule).
+        Commit times come from ``commitInfo.inCommitTimestamp`` when
+        the table records in-commit timestamps, else the advisory
+        ``commitInfo.timestamp``; a timestamp before the first commit
+        raises (Delta's "TimestampEarlierThanCommitRetention")."""
+        best: Optional[int] = None
+        first_ts: Optional[int] = None
+        for v in self._log_versions():
+            actions = self._commit_actions(v)
+            ci = next(
+                (a["commitInfo"] for a in actions if "commitInfo" in a),
+                {},
+            )
+            cts = int(ci.get("inCommitTimestamp") or ci.get("timestamp") or 0)
+            if first_ts is None:
+                first_ts = cts
+            if cts <= ts_ms:
+                best = v
+        if best is None:
+            raise DeltaProtocolError(
+                f"timestamp {ts_ms} is before the earliest available"
+                f" commit of {self.path}"
+                + (f" (first commit at {first_ts})" if first_ts else "")
+            )
+        return best
+
+    @staticmethod
+    def _ts_ms(timestamp_as_of) -> int:
+        """Accept epoch millis, a datetime, or an ISO string."""
+        import datetime as _dt
+
+        if isinstance(timestamp_as_of, (int, float)):
+            return int(timestamp_as_of)
+        if isinstance(timestamp_as_of, str):
+            timestamp_as_of = _dt.datetime.fromisoformat(timestamp_as_of)
+        if isinstance(timestamp_as_of, _dt.datetime):
+            if timestamp_as_of.tzinfo is None:
+                timestamp_as_of = timestamp_as_of.replace(
+                    tzinfo=_dt.timezone.utc
+                )
+            return int(timestamp_as_of.timestamp() * 1000)
+        raise TypeError(
+            f"timestamp_as_of must be epoch millis, datetime, or ISO"
+            f" string, not {type(timestamp_as_of).__name__}"
+        )
+
+    def first_version_at_or_after(self, ts_ms: int) -> int:
+        """The first commit at or after ``ts_ms`` — the streaming
+        ``startingTimestamp`` rule (changes FROM that point on; a
+        future timestamp yields head+1, i.e. only new commits)."""
+        last = -1
+        for v in self._log_versions():
+            actions = self._commit_actions(v)
+            ci = next(
+                (a["commitInfo"] for a in actions if "commitInfo" in a),
+                {},
+            )
+            cts = int(ci.get("inCommitTimestamp") or ci.get("timestamp") or 0)
+            if cts >= ts_ms:
+                return v
+            last = v
+        return last + 1
+
+    def to_df(
+        self,
+        version_as_of: Optional[int] = None,
+        timestamp_as_of=None,
+    ) -> DataFrame:
+        """Read the table — latest, ``VERSION AS OF``, or ``TIMESTAMP
+        AS OF`` (resolved via :meth:`version_at_timestamp`; exactly one
+        of the two may be given)."""
+        if timestamp_as_of is not None:
+            if version_as_of is not None:
+                raise ValueError(
+                    "give version_as_of OR timestamp_as_of, not both"
+                )
+            version_as_of = self.version_at_timestamp(
+                self._ts_ms(timestamp_as_of)
+            )
         snap = self.snapshot(version_as_of)
         return self._read_files(snap, list(snap.files))
 
@@ -1695,9 +1789,15 @@ class DeltaProtocolTable:
         snap = self.snapshot(version_as_of=version)
         rows = (
             [{"protocol": snap.protocol, "metaData": snap.metadata,
-              "add": None}]
-            + [{"protocol": None, "metaData": None, "add": a}
+              "add": None, "txn": None}]
+            + [{"protocol": None, "metaData": None, "add": a, "txn": None}
                for a in snap.files.values()]
+            # spec §Checkpoints: the latest SetTransaction per appId is
+            # part of the reconstructed state — dropping it would reset
+            # every idempotent writer's watermark
+            + [{"protocol": None, "metaData": None, "add": None,
+                "txn": {"appId": app, "version": ver}}
+               for app, ver in sorted(snap.txns.items())]
         )
         proto_t = pa.struct(
             [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
@@ -1711,6 +1811,9 @@ class DeltaProtocolTable:
                 ("configuration", pa.map_(pa.string(), pa.string())),
                 ("createdTime", pa.int64()),
             ]
+        )
+        txn_t = pa.struct(
+            [("appId", pa.string()), ("version", pa.int64())]
         )
         dv_t = pa.struct(
             [
@@ -1780,6 +1883,9 @@ class DeltaProtocolTable:
                     ),
                     "add": pa.array(
                         [shape_add(r["add"]) for r in chunk], type=add_t
+                    ),
+                    "txn": pa.array(
+                        [r.get("txn") for r in chunk], type=txn_t
                     ),
                 }
             )
@@ -2234,16 +2340,39 @@ class DeltaProtocolTable:
             new_meta = dict(snap.metadata, schemaString=merged.json())
         return out, new_meta
 
+    def latest_txn_version(self, app_id: str) -> Optional[int]:
+        """The highest SetTransaction version committed for ``app_id``
+        (Delta's ``txnVersion`` read — what a restarted idempotent
+        writer consults before re-sending a batch), or None."""
+        return self.snapshot().txns.get(app_id)
+
     def append(
         self, df: DataFrame, max_retries: int = 3,
         merge_schema: bool = False,
+        txn_app_id: Optional[str] = None,
+        txn_version: Optional[int] = None,
     ) -> None:
         """Transactional append with schema enforcement. Appends
         commute, so a lost commit race is retried against the new head
         (Delta's blind-append rule) — unless the head's schema moved
-        under us, which is a real conflict and surfaces as such."""
+        under us, which is a real conflict and surfaces as such.
+
+        ``txn_app_id``/``txn_version`` make the append IDEMPOTENT
+        (Delta's ``txnAppId``/``txnVersion`` write options, spec
+        §Transaction Identifiers): the commit carries a SetTransaction
+        action, and a batch whose version is ≤ the app's recorded
+        watermark is silently skipped — a foreign engine's retry or a
+        replayed micro-batch lands exactly once."""
+        if (txn_app_id is None) != (txn_version is None):
+            raise ValueError(
+                "txn_app_id and txn_version must be given together"
+            )
         snap = self.snapshot()
         self._assert_writable(snap)
+        if txn_app_id is not None and snap.txns.get(
+            txn_app_id, -1
+        ) >= int(txn_version):
+            return  # already applied — idempotent skip
         aligned, new_meta = self._resolve_write_schema(snap, df, merge_schema)
         self._enforce_constraints(snap, aligned, self._gen_checks(snap, df))
         adds = self._write_data_files(aligned, snap.partition_columns, snap=snap)
@@ -2253,6 +2382,11 @@ class DeltaProtocolTable:
             {"commitInfo": {"timestamp": _now_ms(), "operation": "WRITE",
                             "operationParameters": {"mode": "Append"}}}
         ]
+        if txn_app_id is not None:
+            actions.append({"txn": {
+                "appId": txn_app_id, "version": int(txn_version),
+                "lastUpdated": _now_ms(),
+            }})
         if new_meta is not None:
             actions.append({"metaData": new_meta})
         actions += [{"add": a} for a in adds]
@@ -2263,6 +2397,10 @@ class DeltaProtocolTable:
                     f"schema of {self.path} changed concurrently with"
                     " this append — re-validate and retry"
                 )
+            if txn_app_id is not None and head.txns.get(
+                txn_app_id, -1
+            ) >= int(txn_version):
+                return  # a concurrent retry of the SAME batch won
             try:
                 self._commit(head.version + 1, actions)
                 return
@@ -3148,6 +3286,82 @@ class DeltaProtocolTable:
             "restored_files": len(to_add),
             "removed_files": len(to_remove),
             "version": snap_now.version + 1,
+        }
+
+    def restore_to_timestamp(self, timestamp) -> dict:
+        """``RESTORE TABLE ... TO TIMESTAMP AS OF`` — rewind to the
+        latest version committed at or before the timestamp (same
+        resolution as :meth:`to_df`'s ``timestamp_as_of``)."""
+        return self.restore(
+            self.version_at_timestamp(self._ts_ms(timestamp))
+        )
+
+    def reorg_purge(self, min_deleted_fraction: float = 0.0) -> dict:
+        """``REORG TABLE ... APPLY (PURGE)`` — rewrite the files that
+        carry deletion vectors (optionally only those whose deleted
+        fraction ≥ ``min_deleted_fraction``), physically dropping the
+        soft-deleted rows so their DV files become vacuum-able. The
+        commit is ``dataChange: false`` on every action (logical rows
+        unchanged — streaming readers skip it, same as OPTIMIZE),
+        which is exactly delta-spark's REORG PURGE contract.
+
+        SCALE: cost is O(live rows of DV'd files); files without DVs
+        are untouched (not read, not rewritten). Run it after large
+        deletes to reclaim space and restore full predicate pushdown
+        on the affected files (the DV scan's mapInPandas is a pushdown
+        barrier — purging removes it)."""
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        targets: List[str] = []
+        for p, a in snap.files.items():
+            dv = a.get("deletionVector")
+            if not dv:
+                continue
+            stats = snap.file_stats(p)
+            num = (stats or {}).get("numRecords")
+            frac = (
+                int(dv.get("cardinality", 0)) / int(num)
+                if num
+                else 1.0  # no stats: treat as eligible
+            )
+            if frac >= min_deleted_fraction:
+                targets.append(p)
+        if not targets:
+            return {
+                "purged_files": 0,
+                "total_files": len(snap.files),
+                "version": snap.version,
+            }
+        df = self._read_files(snap, targets)  # live rows only
+        adds = self._write_data_files(
+            df, snap.partition_columns, data_change=False, snap=snap
+        )
+        now = _now_ms()
+        removes = []
+        for p in targets:
+            rm = {"path": p, "deletionTimestamp": now, "dataChange": False}
+            if snap.files[p].get("deletionVector"):
+                rm["deletionVector"] = snap.files[p]["deletionVector"]
+            removes.append(rm)
+        actions = (
+            [
+                {"commitInfo": {
+                    "timestamp": now, "operation": "REORG",
+                    "operationParameters": {"applyPurge": True},
+                    "operationMetrics": {
+                        "numRemovedFiles": len(targets),
+                        "numAddedFiles": len(adds),
+                    },
+                }}
+            ]
+            + [{"remove": r} for r in removes]
+            + [{"add": a} for a in adds]
+        )
+        self._commit(snap.version + 1, actions)
+        return {
+            "purged_files": len(targets),
+            "total_files": len(snap.files),
+            "version": snap.version + 1,
         }
 
     def optimize(

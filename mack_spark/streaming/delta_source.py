@@ -184,6 +184,26 @@ class DeltaProtocolStreamReader(DataSourceStreamReader):
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
         self._starting = str(options.get("startingversion", "0"))
+        st = options.get("startingtimestamp")
+        if st is not None:
+            if "startingversion" in options:
+                raise ValueError(
+                    "give startingVersion OR startingTimestamp, not both"
+                )
+            # Delta's startingTimestamp: stream from the FIRST commit
+            # at or after the timestamp (a future timestamp streams
+            # only new commits); resolved once at stream start from
+            # driver-side log metadata
+            from mack_spark.sources.delta_log import DeltaProtocolTable
+
+            t = _table(self._path)
+            self._starting = str(
+                t.first_version_at_or_after(
+                    DeltaProtocolTable._ts_ms(
+                        int(st) if str(st).lstrip("-").isdigit() else st
+                    )
+                )
+            )
         mf = options.get("maxfilespertrigger")
         self._max_files = int(mf) if mf is not None else None
         mb = options.get("maxbytespertrigger")
