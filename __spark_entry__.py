@@ -3138,6 +3138,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_txn_idempotent"] = q_delta_txn_idempotent
 
+    def q_delta_rename_column(spark, sf_dir):
+        # ALTER TABLE RENAME COLUMN (round 11): metadata-only via
+        # auto-enabled column mapping — no file rewrite (asserted
+        # in-row by inode identity); appends under the NEW logical
+        # name land in the old physical layout and the read surfaces
+        # the new name. Oracle: aliased projection.
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        path = tempfile.mkdtemp(prefix="mack-rename-") + "/t"
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        t = DeltaProtocolTable.create(
+            spark, path, cust.filter(F.col("c_custkey") % 2 == 0)
+        )
+        sig = {
+            p: os.stat(os.path.join(path, p)).st_ino
+            for p in t.snapshot().files
+        }
+        t.rename_column("c_mktsegment", "segment")
+        assert {
+            p: os.stat(os.path.join(path, p)).st_ino
+            for p in t.snapshot().files
+        } == sig, "rename rewrote data files"
+        t.append(
+            cust.filter(F.col("c_custkey") % 2 == 1).select(
+                "c_custkey",
+                F.col("c_mktsegment").alias("segment"),
+                "c_acctbal",
+            )
+        )
+        return t.to_df()
+
+    q["delta_rename_column"] = q_delta_rename_column
+
     # Verification rotation: the driver checks the FIRST 50 keys in
     # declaration order each round. Round-11 priorities:
     # (a) the 7 queries with no driver row yet — the two post-r10
@@ -3146,8 +3183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # id-mode reads, mapped appends, v2 checkpoints);
     # (b) the 4 rows whose last green driver check is round 7 (the
     # oldest cohort, flagged by VERDICT r10);
-    # (c) 35 of the 50 round-8 rows (alphabetical; the 15 stragglers
-    # revenue_pivot_by_status..zorder_cluster rotate in r12).
+    # (c) 34 of the 50 round-8 rows (alphabetical; the 16 stragglers
+    # revenue_grouping_sets..zorder_cluster rotate in r12).
     front_r11 = [
         # (a) never driver-checked
         "delta_constraint_append", "streaming_cdf_source",
@@ -3155,6 +3192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_mapped_append", "delta_v2_checkpoint_read",
         "delta_ict_commits", "delta_timestamp_read",
         "delta_reorg_purge", "delta_txn_idempotent",
+        "delta_rename_column",
         # (b) last green r7
         "length_drift_psi", "span_contamination",
         "dedup_incremental_lsh", "streaming_quality_gate",
@@ -3172,7 +3210,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_hot_buckets", "order_gap_stats", "order_priority_semi",
         "pricing_summary", "props_json_stats", "quiet_customers_anti",
         "regional_revenue", "repetition_stats", "returned_revenue",
-        "revenue_grouping_sets",
     ]
     assert len(front_r11) == 50, len(front_r11)
     fset = set(front_r11)
@@ -4038,6 +4075,11 @@ WHERE c_custkey % 4 != 0
     o["delta_txn_idempotent"] = """
 SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
 WHERE c_custkey % 3 IN (0, 1)
+"""
+
+    # Rename: full projection under the NEW logical name.
+    o["delta_rename_column"] = """
+SELECT c_custkey, c_mktsegment AS segment, c_acctbal FROM customer
 """
 
     o["constraint_append_pass"] = f"""

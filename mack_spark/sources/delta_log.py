@@ -201,6 +201,12 @@ def _required_writer_version(
     return 2
 
 
+def _legacy_reader_features(r: int) -> set:
+    """Feature names a legacy ``minReaderVersion`` implies (reader 2
+    IS column mapping) — listed when upgrading to reader 3."""
+    return {"columnMapping"} if r >= 2 else set()
+
+
 def _legacy_writer_features(v: int) -> set:
     """The feature names a legacy ``minWriterVersion`` implies (spec
     §Table Features: upgrading to writer 7 must list them all)."""
@@ -234,6 +240,36 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
      # table property is on (_commit); CDF/history prefer it
      "inCommitTimestamp"}
 )
+
+
+def _initial_protocol(
+    config: Dict[str, str], schema: Optional[StructType] = None
+) -> dict:
+    """The protocol action a CREATE with this configuration demands:
+    legacy versions for constraints/CDF/generated columns; a
+    table-features log when the config enables deletion vectors
+    (reader 3) or in-commit timestamps (writer-only feature)."""
+    def on(key):
+        return str(config.get(key, "false")).lower() == "true"
+
+    dv = on("delta.enableDeletionVectors")
+    ict = on("delta.enableInCommitTimestamps")
+    base_w = _required_writer_version(config, schema)
+    if not (dv or ict):
+        return {"minReaderVersion": 1, "minWriterVersion": base_w}
+    feats = _legacy_writer_features(base_w)
+    if dv:
+        feats.add("deletionVectors")
+    if ict:
+        feats.add("inCommitTimestamp")
+    proto = {
+        "minReaderVersion": 3 if dv else 1,
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(feats),
+    }
+    if dv:
+        proto["readerFeatures"] = ["deletionVectors"]
+    return proto
 
 
 def _generated_columns(schema: StructType) -> Dict[str, str]:
@@ -1616,12 +1652,9 @@ class DeltaProtocolTable:
                 {"commitInfo": {"timestamp": _now_ms(),
                                 "operation": "CREATE TABLE AS SELECT",
                                 "operationParameters": {}}},
-                {"protocol": {
-                    "minReaderVersion": 1,
-                    "minWriterVersion": _required_writer_version(
-                        meta["configuration"], df.schema
-                    ),
-                }},
+                {"protocol": _initial_protocol(
+                    meta["configuration"], df.schema
+                )},
                 {"metaData": meta},
             ]
             + [{"add": a} for a in adds]
@@ -1994,7 +2027,10 @@ class DeltaProtocolTable:
         if "deletionVectors" in (proto.get("writerFeatures") or []):
             return []
         legacy = _legacy_writer_features(proto.get("minWriterVersion", 1))
-        readers = set(proto.get("readerFeatures") or [])
+        readers = (
+            set(proto.get("readerFeatures") or [])
+            | _legacy_reader_features(proto.get("minReaderVersion", 1))
+        )
         return [{"protocol": {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
@@ -2118,6 +2154,205 @@ class DeltaProtocolTable:
         self._assert_writable(snap)
         self._update_config(snap, props, "SET TBLPROPERTIES")
 
+    # ------------------------------------------------------------------
+    # ALTER TABLE — schema evolution without file rewrites
+    # ------------------------------------------------------------------
+
+    def _commit_schema_change(
+        self, snap: DeltaSnapshot, fields: List[dict],
+        operation: str, params: dict,
+        config: Optional[Dict[str, str]] = None,
+        protocol: Optional[dict] = None,
+        partition_columns: Optional[List[str]] = None,
+    ) -> None:
+        meta = dict(
+            snap.metadata,
+            schemaString=json.dumps({"type": "struct", "fields": fields}),
+        )
+        if config is not None:
+            meta["configuration"] = config
+        if partition_columns is not None:
+            meta["partitionColumns"] = partition_columns
+        actions = [
+            {"commitInfo": {"timestamp": _now_ms(), "operation": operation,
+                            "operationParameters": params}},
+        ]
+        if protocol is not None:
+            actions.append({"protocol": protocol})
+        actions.append({"metaData": meta})
+        self._commit(snap.version + 1, actions)
+
+    def enable_column_mapping(self) -> None:
+        """Turn on ``delta.columnMapping.mode=name``: every field gains
+        a ``delta.columnMapping.id`` and a ``physicalName`` equal to
+        its CURRENT name, so every existing parquet file keeps
+        resolving without a rewrite — the O(metadata) migration that
+        makes RENAME/DROP COLUMN possible (Databricks runtimes do this
+        automatically on the first rename). Protocol: legacy logs
+        upgrade to reader 2 / writer 5; table-features logs declare the
+        ``columnMapping`` feature on both lists."""
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        if snap.column_mapping_mode != "none":
+            return  # already mapped — idempotent
+        fields = json.loads(snap.metadata["schemaString"])["fields"]
+        for i, f in enumerate(fields):
+            md = dict(f.get("metadata") or {})
+            md.setdefault("delta.columnMapping.id", i + 1)
+            md.setdefault("delta.columnMapping.physicalName", f["name"])
+            f["metadata"] = md
+        config = dict(snap.metadata.get("configuration") or {})
+        config["delta.columnMapping.mode"] = "name"
+        config["delta.columnMapping.maxColumnId"] = str(len(fields))
+        proto = snap.protocol
+        if proto.get("minWriterVersion", 1) == 7:
+            protocol = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(
+                    set(proto.get("readerFeatures") or [])
+                    | _legacy_reader_features(
+                        proto.get("minReaderVersion", 1)
+                    )
+                    | {"columnMapping"}
+                ),
+                "writerFeatures": sorted(
+                    set(proto.get("writerFeatures") or [])
+                    | {"columnMapping"}
+                ),
+            }
+        else:
+            protocol = {
+                "minReaderVersion": max(
+                    2, proto.get("minReaderVersion", 1)
+                ),
+                "minWriterVersion": max(
+                    5, proto.get("minWriterVersion", 1)
+                ),
+            }
+        self._commit_schema_change(
+            snap, fields, "ALTER TABLE",
+            {"action": "ENABLE COLUMN MAPPING"},
+            config=config, protocol=protocol,
+        )
+
+    def _refuse_referenced(self, snap: DeltaSnapshot, col: str,
+                           what: str) -> None:
+        """A column referenced by CHECK constraints or generation
+        expressions cannot be renamed/dropped — the stored SQL strings
+        would silently break."""
+        import re as _re
+
+        pat = _re.compile(rf"(?<![A-Za-z0-9_`]){_re.escape(col)}(?![A-Za-z0-9_])")
+        for name, expr in self._check_constraints(snap).items():
+            if pat.search(expr):
+                raise DeltaProtocolError(
+                    f"cannot {what} column {col!r}: CHECK constraint"
+                    f" {name!r} references it"
+                )
+        for gcol, expr in _generated_columns(snap.schema).items():
+            if pat.search(expr) or gcol == col:
+                raise DeltaProtocolError(
+                    f"cannot {what} column {col!r}: generated column"
+                    f" {gcol!r} depends on it"
+                )
+
+    def rename_column(self, old: str, new: str) -> None:
+        """``ALTER TABLE ... RENAME COLUMN`` — a metadata-only commit:
+        the LOGICAL name changes, the physical parquet name stays (via
+        column mapping, auto-enabled on first use), so no data file is
+        rewritten. Columns referenced by constraints or generation
+        expressions refuse loudly."""
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        if snap.column_mapping_mode == "none":
+            self.enable_column_mapping()
+            snap = self.snapshot()
+        names = [f.name for f in snap.schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        self._refuse_referenced(snap, old, "rename")
+        fields = json.loads(snap.metadata["schemaString"])["fields"]
+        for f in fields:
+            if f["name"] == old:
+                f["name"] = new
+        pcols = [
+            new if c == old else c for c in snap.partition_columns
+        ]
+        self._commit_schema_change(
+            snap, fields, "RENAME COLUMN",
+            {"oldName": old, "newName": new},
+            partition_columns=pcols,
+        )
+
+    def drop_column(self, col: str) -> None:
+        """``ALTER TABLE ... DROP COLUMN`` — metadata-only via column
+        mapping (auto-enabled): the field leaves the schema, the bytes
+        stay in the files and simply stop being read. Partition
+        columns and constraint/generation-referenced columns refuse."""
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        if snap.column_mapping_mode == "none":
+            self.enable_column_mapping()
+            snap = self.snapshot()
+        names = [f.name for f in snap.schema.fields]
+        if col not in names:
+            raise ValueError(f"no such column: {col!r}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        if col in snap.partition_columns:
+            raise DeltaProtocolError(
+                f"cannot drop partition column {col!r}"
+            )
+        self._refuse_referenced(snap, col, "drop")
+        fields = [
+            f for f in json.loads(snap.metadata["schemaString"])["fields"]
+            if f["name"] != col
+        ]
+        self._commit_schema_change(
+            snap, fields, "DROP COLUMNS", {"columns": [col]},
+        )
+
+    def add_column(self, name: str, data_type: str) -> None:
+        """``ALTER TABLE ... ADD COLUMN`` (nullable) — metadata-only on
+        ANY table: existing files NULL-fill the new column at read
+        time (the explicit-schema parquet read), new writes carry it.
+        On mapped tables the field gets a fresh id and a ``col-<uuid>``
+        physical name (never colliding with dropped columns' bytes)."""
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        names = [f.name for f in snap.schema.fields]
+        if name in names:
+            raise ValueError(f"column {name!r} already exists")
+        from pyspark.sql.types import _parse_datatype_string
+
+        dt = _parse_datatype_string(data_type)
+        field = {"name": name, "type": dt.jsonValue(), "nullable": True,
+                 "metadata": {}}
+        config = None
+        if snap.column_mapping_mode != "none":
+            max_id = int(
+                (snap.metadata.get("configuration") or {}).get(
+                    "delta.columnMapping.maxColumnId", len(names)
+                )
+            )
+            field["metadata"] = {
+                "delta.columnMapping.id": max_id + 1,
+                "delta.columnMapping.physicalName":
+                    f"col-{uuid.uuid4()}",
+            }
+            config = dict(snap.metadata.get("configuration") or {})
+            config["delta.columnMapping.maxColumnId"] = str(max_id + 1)
+        fields = json.loads(snap.metadata["schemaString"])["fields"]
+        fields.append(field)
+        self._commit_schema_change(
+            snap, fields, "ADD COLUMNS",
+            {"columns": [{"name": name, "type": data_type}]},
+            config=config,
+        )
+
     def _update_config(
         self, snap: DeltaSnapshot, props: Dict[str, str], operation: str
     ) -> None:
@@ -2194,7 +2429,7 @@ class DeltaProtocolTable:
                 }
                 if new_r == 3:
                     proto_action["readerFeatures"] = sorted(
-                        have_r | want_r
+                        have_r | want_r | _legacy_reader_features(cur_r)
                     )
                 actions.insert(1, {"protocol": proto_action})
             else:
