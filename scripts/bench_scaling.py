@@ -48,7 +48,8 @@ HEADLINE = [
     # column-mapping id reads / name writes, v2 checkpoints, ICT)
     "delta_dv_delete", "streaming_scd2_cdf", "delta_id_mode_read",
     "delta_mapped_append", "delta_v2_checkpoint_read",
-    "delta_ict_commits",
+    "delta_ict_commits", "delta_timestamp_read", "delta_reorg_purge",
+    "delta_txn_idempotent", "delta_rename_column",
 ]
 
 
