@@ -116,6 +116,34 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+# one conf-isolated reader clone per real SparkSession (weak keys: a
+# stopped/replaced session must not pin its clone alive)
+_FIELD_ID_SESSIONS: "weakref.WeakKeyDictionary" = None  # type: ignore
+
+
+def _field_id_session(spark: SparkSession) -> SparkSession:
+    """A cached ``newSession()`` clone of ``spark`` (same SparkContext,
+    private SQLConf) with ``spark.sql.parquet.fieldId.read.enabled``
+    set. Spark's parquet source resolves columns using the conf of the
+    session that CREATED the relation, so scans built here match by
+    field id wherever the frame is later composed or collected —
+    without mutating the caller's session (which would change
+    resolution for any other parquet read whose files carry field-id
+    metadata). Verified behavior: cross-session join/collect works
+    (shared context), and the caller session's flag stays false."""
+    global _FIELD_ID_SESSIONS
+    if _FIELD_ID_SESSIONS is None:
+        import weakref
+
+        _FIELD_ID_SESSIONS = weakref.WeakKeyDictionary()
+    s = _FIELD_ID_SESSIONS.get(spark)
+    if s is None:
+        s = spark.newSession()
+        s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        _FIELD_ID_SESSIONS[spark] = s
+    return s
+
+
 def _json_stat_value(v):
     """A parquet footer min/max as the JSON value Delta stats carry.
     Timestamps are normalized to UTC-naive ISO strings: Spark writes
@@ -238,7 +266,11 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
      "v2Checkpoint",
      # commits stamp a monotonic commitInfo.inCommitTimestamp when the
      # table property is on (_commit); CDF/history prefer it
-     "inCommitTimestamp"}
+     "inCommitTimestamp",
+     # domainMetadata actions are replayed (latest-per-domain, removed
+     # tombstones), carried through checkpoints, and writable via
+     # set_domain_metadata/remove_domain_metadata
+     "domainMetadata"}
 )
 
 
@@ -680,7 +712,8 @@ class DeltaSnapshot:
 
     def __init__(self, version: int, metadata: dict, protocol: dict,
                  files: Dict[str, dict], history: List[dict],
-                 txns: Optional[Dict[str, int]] = None):
+                 txns: Optional[Dict[str, int]] = None,
+                 domains: Optional[Dict[str, dict]] = None):
         self.version = version
         self.metadata = metadata
         self.protocol = protocol
@@ -689,6 +722,9 @@ class DeltaSnapshot:
         # appId -> highest committed SetTransaction version (spec §
         # Transaction Identifiers — the idempotent-writer watermark)
         self.txns: Dict[str, int] = txns or {}
+        # domain -> live domainMetadata action (spec §Domain Metadata:
+        # latest per domain wins; removed=true tombstones drop out)
+        self.domains: Dict[str, dict] = domains or {}
 
     @property
     def schema(self) -> StructType:
@@ -831,7 +867,8 @@ class DeltaProtocolTable:
                 rows.extend(pq.read_table(sp).to_pylist())
         actions = []
         for row in rows:
-            for kind in ("protocol", "metaData", "add", "remove", "txn"):
+            for kind in ("protocol", "metaData", "add", "remove", "txn",
+                         "domainMetadata"):
                 val = row.get(kind)
                 if val is not None and any(v is not None for v in val.values()):
                     # pyarrow map types round-trip as [(k, v), ...]
@@ -860,6 +897,7 @@ class DeltaProtocolTable:
         protocol: Optional[dict] = None
         history: List[dict] = []
         txns: Dict[str, int] = {}
+        domains: Dict[str, dict] = {}
 
         start, last = 0, -1
         cp = self._read_last_checkpoint()
@@ -869,7 +907,8 @@ class DeltaProtocolTable:
             for action in self._checkpoint_actions(
                 cp["version"], cp["parts"]
             ):
-                self._apply(action, files, history, txns=txns)
+                self._apply(action, files, history, txns=txns,
+                            domains=domains)
                 metadata = action.get("metaData") or metadata
                 protocol = action.get("protocol") or protocol
             start, last = cp["version"] + 1, cp["version"]
@@ -885,7 +924,7 @@ class DeltaProtocolTable:
                         continue
                     action = json.loads(line)
                     self._apply(action, files, history, version=v,
-                                txns=txns)
+                                txns=txns, domains=domains)
                     metadata = action.get("metaData") or metadata
                     protocol = action.get("protocol") or protocol
             last = v
@@ -927,12 +966,13 @@ class DeltaProtocolTable:
                 " reader does not implement (only 'none', 'name', 'id')"
             )
         return DeltaSnapshot(last, metadata, protocol, files, history,
-                             txns=txns)
+                             txns=txns, domains=domains)
 
     @staticmethod
     def _apply(action: dict, files: Dict[str, dict], history: List[dict],
                version: Optional[int] = None,
-               txns: Optional[Dict[str, int]] = None) -> None:
+               txns: Optional[Dict[str, int]] = None,
+               domains: Optional[Dict[str, dict]] = None) -> None:
         if "add" in action:
             files[action["add"]["path"]] = action["add"]
         elif "remove" in action:
@@ -943,6 +983,19 @@ class DeltaProtocolTable:
                 txns[t["appId"]] = max(
                     int(t["version"]), txns.get(t["appId"], -1)
                 )
+        elif "domainMetadata" in action and domains is not None:
+            dm = action["domainMetadata"]
+            if dm.get("domain") is not None:
+                # spec §Domain Metadata: latest action per domain wins;
+                # a removed=true action tombstones the domain
+                if dm.get("removed"):
+                    domains.pop(dm["domain"], None)
+                else:
+                    domains[dm["domain"]] = {
+                        "domain": dm["domain"],
+                        "configuration": dm.get("configuration"),
+                        "removed": False,
+                    }
         elif "commitInfo" in action and version is not None:
             history.append(dict(action["commitInfo"], version=version))
 
@@ -956,9 +1009,16 @@ class DeltaProtocolTable:
         Commit times come from ``commitInfo.inCommitTimestamp`` when
         the table records in-commit timestamps, else the advisory
         ``commitInfo.timestamp``; a timestamp before the first commit
-        raises (Delta's "TimestampEarlierThanCommitRetention")."""
+        raises (Delta's "TimestampEarlierThanCommitRetention").
+
+        Advisory file-mtime timestamps on a foreign log may go
+        BACKWARDS (clock skew, log copies); Delta's history manager
+        monotonizes them while scanning (each commit's effective time
+        is ``max(its raw time, previous effective time)``) so that
+        TIMESTAMP AS OF resolves identically — do the same here."""
         best: Optional[int] = None
         first_ts: Optional[int] = None
+        mono = 0
         for v in self._log_versions():
             actions = self._commit_actions(v)
             ci = next(
@@ -966,6 +1026,8 @@ class DeltaProtocolTable:
                 {},
             )
             cts = int(ci.get("inCommitTimestamp") or ci.get("timestamp") or 0)
+            cts = max(cts, mono)
+            mono = cts
             if first_ts is None:
                 first_ts = cts
             if cts <= ts_ms:
@@ -1343,7 +1405,17 @@ class DeltaProtocolTable:
 
         ``partitionValues`` are physical-keyed per the spec (id-mode
         tables still assign physicalName); logical keys from
-        nonconforming writers are tolerated."""
+        nonconforming writers are tolerated.
+
+        The ``spark.sql.parquet.fieldId.read.enabled`` flag is SCOPED:
+        it is set on a cached ``newSession()`` CLONE (same
+        SparkContext, private SQLConf) and the scan is built there —
+        Spark's parquet reader consults the conf of the session that
+        CREATED the relation, so the returned frame resolves by id
+        wherever it is later composed or executed, while the caller's
+        session conf is never mutated (a session-global flag would
+        change resolution for every other parquet read whose files
+        carry field-id metadata)."""
         from functools import reduce
 
         from pyspark.sql.types import StructField
@@ -1367,11 +1439,10 @@ class DeltaProtocolTable:
                 "deletion vectors on column-mapping-id tables are not"
                 " supported by this reader"
             )
-        # session flag for Spark's field-id resolution: match by id.
-        # Global to the session but inert for schemas without
-        # parquet.field.id metadata. ignoreMissing stays at its false
-        # default — missing ids error instead of blanking columns.
-        self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        # field-id resolution happens in a conf-isolated session clone
+        # (see docstring). ignoreMissing stays at its false default —
+        # missing ids error instead of blanking columns.
+        reader_session = _field_id_session(self.spark)
         data_schema = StructType(
             [
                 StructField(
@@ -1394,7 +1465,7 @@ class DeltaProtocolTable:
             groups.setdefault(key, []).append(os.path.join(self.path, p))
         parts = []
         for key, grp in groups.items():
-            df = self.spark.read.schema(data_schema).parquet(*grp)
+            df = reader_session.read.schema(data_schema).parquet(*grp)
             for c, raw in zip(pcols, key):
                 df = df.withColumn(c, F.lit(raw).cast(types[c]))
             parts.append(df.select(*out_names))
@@ -1492,17 +1563,65 @@ class DeltaProtocolTable:
             )
         end_schema = end_snap.schema
         out_names = [f.name for f in end_schema.fields]
-        cdc_schema = StructType(
-            list(end_schema.fields)
-            + [StructField("_change_type", StringType(), True)]
-        )
         full_schema = StructType(
-            list(cdc_schema.fields)
+            list(end_schema.fields)
             + [
+                StructField("_change_type", StringType(), True),
                 StructField("_commit_version", LongType(), True),
                 StructField("_commit_timestamp", TimestampType(), True),
             ]
         )
+        # change files are keyed like data files: logical names on an
+        # unmapped table; PHYSICAL names (+ field ids) under column
+        # mapping — reading a mapped table's cdc with an explicit
+        # logical schema would silently NULL-fill every data column.
+        # ``_change_type`` always keeps its literal name (CDF metadata,
+        # not a mapped table column).
+        cmode = end_snap.column_mapping_mode
+        if cmode == "none":
+            cdc_schema = StructType(
+                list(end_schema.fields)
+                + [StructField("_change_type", StringType(), True)]
+            )
+            cdc_session = self.spark
+            cdc_select = out_names + ["_change_type"]
+        elif cmode == "name":
+            phys = end_snap.physical_names()
+            cdc_schema = StructType(
+                [
+                    StructField(phys[f.name], f.dataType, True)
+                    for f in end_schema.fields
+                ]
+                + [StructField("_change_type", StringType(), True)]
+            )
+            cdc_session = self.spark
+            cdc_select = [
+                F.col(f"`{phys[n]}`").alias(n) for n in out_names
+            ] + [F.col("`_change_type`")]
+        else:  # id mode: resolve data columns by parquet field id
+            fids = {
+                f.name: (f.metadata or {}).get("delta.columnMapping.id")
+                for f in end_schema.fields
+            }
+            missing = [n for n, v in fids.items() if v is None]
+            if missing:
+                raise DeltaProtocolError(
+                    "column mapping mode 'id' but fields"
+                    f" {missing} have no delta.columnMapping.id —"
+                    " cannot resolve change data"
+                )
+            cdc_schema = StructType(
+                [
+                    StructField(
+                        f.name, f.dataType, True,
+                        {"parquet.field.id": int(fids[f.name])},
+                    )
+                    for f in end_schema.fields
+                ]
+                + [StructField("_change_type", StringType(), True)]
+            )
+            cdc_session = _field_id_session(self.spark)
+            cdc_select = out_names + ["_change_type"]
         frames: List[DataFrame] = []
         for v in self._log_versions():
             if v < starting_version or v > end_snap.version:
@@ -1526,9 +1645,9 @@ class DeltaProtocolTable:
             vframes: List[DataFrame] = []
             if cdc:
                 vframes.append(
-                    self.spark.read.schema(cdc_schema).parquet(
+                    cdc_session.read.schema(cdc_schema).parquet(
                         *[os.path.join(self.path, c["path"]) for c in cdc]
-                    )
+                    ).select(*cdc_select)
                 )
             else:
                 if removes and adds and op not in _CDF_EXACT_REWRITE_OPS:
@@ -1752,7 +1871,10 @@ class DeltaProtocolTable:
         shutil.rmtree(staging, ignore_errors=True)
         return adds
 
-    def _commit(self, version: int, actions: List[dict]) -> None:
+    def _commit(
+        self, version: int, actions: List[dict],
+        snap: Optional[DeltaSnapshot] = None,
+    ) -> None:
         """Put-if-absent commit of one log version — the spec's
         filesystem concurrency rule. Losing the race raises
         ConcurrentModificationError (the caller's snapshot is stale).
@@ -1761,16 +1883,34 @@ class DeltaProtocolTable:
         (``delta.enableInCommitTimestamps=true``, table feature
         ``inCommitTimestamp``), the commitInfo action — required first
         — gains a monotonically increasing ``inCommitTimestamp``
-        (``max(now, previous + 1)``, read from the previous commit's
-        JSON), the spec's clock that survives file-mtime rewrites."""
+        (``max(now, previous + 1)``). Whether ICT is on comes from the
+        commit's own ``metaData`` when present (enable/disable commits
+        included), else from the caller's SNAPSHOT configuration — not
+        from sniffing the previous commit's JSON, whose commitInfo may
+        legitimately be absent; a probe failure there must not
+        silently disable the spec's "once enabled, every commit
+        carries it" rule. The previous commit is still scanned (ALL
+        its lines, commitInfo can sit anywhere) for the monotonic
+        floor."""
         from mack_spark.tables import ConcurrentModificationError
 
         meta = next(
             (a["metaData"] for a in actions if "metaData" in a), None
         )
+        if meta is not None:
+            # metaData decides (enable/disable commits included)
+            cfg = meta.get("configuration") or {}
+        elif snap is not None:
+            cfg = snap.metadata.get("configuration") or {}
+        else:
+            cfg = {}
+        ict_on = (
+            str(cfg.get("delta.enableInCommitTimestamps", "false"))
+            .lower() == "true"
+        )
         prev_ict = None
         pf = _version_file(self.path, version - 1)
-        if version > 0 and os.path.exists(pf):
+        if ict_on and version > 0 and os.path.exists(pf):
             try:
                 with open(pf) as fh:
                     for line in fh:
@@ -1781,19 +1921,12 @@ class DeltaProtocolTable:
                         if "commitInfo" in a:
                             v = a["commitInfo"].get("inCommitTimestamp")
                             prev_ict = int(v) if v is not None else None
-                        break
+                            break
             except (OSError, ValueError):
                 prev_ict = None
-        if meta is not None:
-            # metaData decides (enable/disable commits included)
-            cfg = meta.get("configuration") or {}
-            ict_on = (
-                str(cfg.get("delta.enableInCommitTimestamps", "false"))
-                .lower() == "true"
-            )
-        else:
-            # once enabled, EVERY commit carries it — the previous
-            # commit's commitInfo is an O(1) read of the current state
+        if meta is None and snap is None:
+            # legacy caller without a snapshot: the previous commit's
+            # commitInfo is the only signal available
             ict_on = prev_ict is not None
         if ict_on and actions and "commitInfo" in actions[0]:
             actions[0]["commitInfo"]["inCommitTimestamp"] = max(
@@ -1820,20 +1953,28 @@ class DeltaProtocolTable:
         import pyarrow.parquet as pq
 
         snap = self.snapshot(version_as_of=version)
+        blank = {"protocol": None, "metaData": None, "add": None,
+                 "txn": None, "domainMetadata": None}
         rows = (
-            [{"protocol": snap.protocol, "metaData": snap.metadata,
-              "add": None, "txn": None}]
-            + [{"protocol": None, "metaData": None, "add": a, "txn": None}
-               for a in snap.files.values()]
+            [dict(blank, protocol=snap.protocol, metaData=snap.metadata)]
+            + [dict(blank, add=a) for a in snap.files.values()]
             # spec §Checkpoints: the latest SetTransaction per appId is
             # part of the reconstructed state — dropping it would reset
             # every idempotent writer's watermark
-            + [{"protocol": None, "metaData": None, "add": None,
-                "txn": {"appId": app, "version": ver}}
+            + [dict(blank, txn={"appId": app, "version": ver})
                for app, ver in sorted(snap.txns.items())]
+            # spec §Domain Metadata: live domains are state too —
+            # losing them across a checkpoint would silently reset
+            # every domain owner's coordination record
+            + [dict(blank, domainMetadata=dm)
+               for _d, dm in sorted(snap.domains.items())]
         )
         proto_t = pa.struct(
             [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        )
+        domain_t = pa.struct(
+            [("domain", pa.string()), ("configuration", pa.string()),
+             ("removed", pa.bool_())]
         )
         meta_t = pa.struct(
             [
@@ -1919,6 +2060,10 @@ class DeltaProtocolTable:
                     ),
                     "txn": pa.array(
                         [r.get("txn") for r in chunk], type=txn_t
+                    ),
+                    "domainMetadata": pa.array(
+                        [r.get("domainMetadata") for r in chunk],
+                        type=domain_t,
                     ),
                 }
             )
@@ -2155,6 +2300,81 @@ class DeltaProtocolTable:
         self._update_config(snap, props, "SET TBLPROPERTIES")
 
     # ------------------------------------------------------------------
+    # Domain metadata (writer feature "domainMetadata")
+    # ------------------------------------------------------------------
+
+    def domain_metadata(self) -> Dict[str, str]:
+        """domain → configuration string for every LIVE domain (spec
+        §Domain Metadata — system/tooling coordination state carried by
+        the log and reconstructed through checkpoints)."""
+        return {
+            d: dm.get("configuration")
+            for d, dm in sorted(self.snapshot().domains.items())
+        }
+
+    def set_domain_metadata(self, domain: str, configuration) -> None:
+        """Commit a ``domainMetadata`` action for ``domain`` (latest
+        per domain wins). ``configuration`` is the spec's opaque string
+        (a dict is JSON-serialized). First use upgrades the protocol to
+        a writer-7 table-features log declaring ``domainMetadata`` —
+        the spec's rule that writers unaware of domain semantics must
+        not blindly commit to such tables."""
+        if isinstance(configuration, (dict, list)):
+            configuration = json.dumps(
+                configuration, separators=(",", ":"), sort_keys=True
+            )
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        self._commit_domain(snap, {
+            "domain": domain,
+            "configuration": str(configuration),
+            "removed": False,
+        })
+
+    def remove_domain_metadata(self, domain: str) -> None:
+        """Tombstone ``domain`` (spec: a removed=true action; replay
+        drops the domain from reconstructed state)."""
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        if domain not in snap.domains:
+            raise ValueError(f"no domain metadata for {domain!r}")
+        self._commit_domain(snap, {
+            "domain": domain, "configuration": None, "removed": True,
+        })
+
+    def _commit_domain(self, snap: DeltaSnapshot, dm: dict) -> None:
+        actions = [
+            {"commitInfo": {
+                "timestamp": _now_ms(),
+                "operation": "SET DOMAIN METADATA" if not dm["removed"]
+                else "REMOVE DOMAIN METADATA",
+                "operationParameters": {"domain": dm["domain"]},
+            }},
+        ]
+        proto = snap.protocol
+        cur_w = proto.get("minWriterVersion", 1)
+        have_w = (
+            set(proto.get("writerFeatures") or [])
+            if cur_w == 7
+            else _legacy_writer_features(cur_w)
+        )
+        if "domainMetadata" not in have_w:
+            new_proto = {
+                "minReaderVersion": proto.get("minReaderVersion", 1),
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(have_w | {"domainMetadata"}),
+            }
+            if proto.get("readerFeatures") is not None or (
+                proto.get("minReaderVersion", 1) == 3
+            ):
+                new_proto["readerFeatures"] = sorted(
+                    set(proto.get("readerFeatures") or [])
+                )
+            actions.append({"protocol": new_proto})
+        actions.append({"domainMetadata": dm})
+        self._commit(snap.version + 1, actions, snap=snap)
+
+    # ------------------------------------------------------------------
     # ALTER TABLE — schema evolution without file rewrites
     # ------------------------------------------------------------------
 
@@ -2180,7 +2400,7 @@ class DeltaProtocolTable:
         if protocol is not None:
             actions.append({"protocol": protocol})
         actions.append({"metaData": meta})
-        self._commit(snap.version + 1, actions)
+        self._commit(snap.version + 1, actions, snap=snap)
 
     def enable_column_mapping(self) -> None:
         """Turn on ``delta.columnMapping.mode=name``: every field gains
@@ -2439,7 +2659,7 @@ class DeltaProtocolTable:
                         "minReaderVersion": cur_r,
                         "minWriterVersion": need,
                     }})
-        self._commit(snap.version + 1, actions)
+        self._commit(snap.version + 1, actions, snap=snap)
 
     # ------------------------------------------------------------------
     # Change Data Feed (writer version 4)
@@ -2456,12 +2676,40 @@ class DeltaProtocolTable:
             == "true"
         )
 
-    def _write_cdc_files(self, changes: DataFrame) -> List[dict]:
+    def _write_cdc_files(
+        self, changes: DataFrame, snap: Optional[DeltaSnapshot] = None,
+    ) -> List[dict]:
         """Persist a change frame (table columns + ``_change_type``)
         under ``_change_data/`` and return its ``cdc`` actions (spec
         AddCDCFile: path, partitionValues, size). Change files are
-        written unpartitioned with every column physical — readers take
-        values from the file, not the directory."""
+        written unpartitioned with every column in the file — readers
+        take values from the file, not the directory.
+
+        On a COLUMN-MAPPED snapshot the spec keys change-data files by
+        ``physicalName`` exactly like data files (delta-spark reads
+        CDF through the same mapped-parquet path), so table columns
+        are renamed logical→physical and tagged with their
+        ``delta.columnMapping.id`` before writing; the ``_change_type``
+        column keeps its literal spec name (it is CDF metadata, not a
+        mapped table column)."""
+        if snap is not None and snap.column_mapping_mode != "none":
+            phys = snap.physical_names()
+            fids = {
+                f.name: (f.metadata or {}).get("delta.columnMapping.id")
+                for f in snap.schema.fields
+            }
+            cols = []
+            for c in changes.columns:
+                if c == "_change_type":
+                    cols.append(F.col("`_change_type`"))
+                elif fids.get(c) is not None:
+                    cols.append(F.col(f"`{c}`").alias(
+                        phys.get(c, c),
+                        metadata={"parquet.field.id": int(fids[c])},
+                    ))
+                else:
+                    cols.append(F.col(f"`{c}`").alias(phys.get(c, c)))
+            changes = changes.select(*cols)
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         changes.write.mode("overwrite").parquet(staging)
         cdir = os.path.join(self.path, "_change_data")
@@ -2637,7 +2885,7 @@ class DeltaProtocolTable:
             ) >= int(txn_version):
                 return  # a concurrent retry of the SAME batch won
             try:
-                self._commit(head.version + 1, actions)
+                self._commit(head.version + 1, actions, snap=head)
                 return
             except ConcurrentModificationError:
                 continue
@@ -2668,7 +2916,7 @@ class DeltaProtocolTable:
             ]
             + [{"add": a} for a in adds]
         )
-        self._commit(snap.version + 1, actions)
+        self._commit(snap.version + 1, actions, snap=snap)
 
     # ------------------------------------------------------------------
     # keyed MERGE — the two-phase, file-pruned execution
@@ -2946,7 +3194,7 @@ class DeltaProtocolTable:
                 + _config_actions()
                 + [{"add": a} for a in adds]
             )
-            self._commit(snap.version + 1, actions)
+            self._commit(snap.version + 1, actions, snap=snap)
             return {
                 "touched_files": 0,
                 "total_files": len(snap.files),
@@ -2970,7 +3218,7 @@ class DeltaProtocolTable:
         if cdf:
             from mack_spark.merge_exec import merge_changes
 
-            cdc = self._write_cdc_files(merge_changes(base, km))
+            cdc = self._write_cdc_files(merge_changes(base, km), snap=snap)
             base.unpersist(blocking=False)
         actions = (
             [
@@ -2992,7 +3240,7 @@ class DeltaProtocolTable:
             ]
             + [{"add": a} for a in adds]
         )
-        self._commit(snap.version + 1, actions)
+        self._commit(snap.version + 1, actions, snap=snap)
         return {
             "touched_files": len(touched),
             "total_files": len(snap.files),
@@ -3098,7 +3346,13 @@ class DeltaProtocolTable:
     ):
         """remove+add action pairs re-adding each touched file under
         its new DV descriptor; files whose DV covers every physical
-        row are removed outright (full-file delete)."""
+        row are removed outright (full-file delete).
+
+        Per the spec, an add with a deletion vector must mark its
+        stats ``"tightBounds": false`` — min/max/nullCount still
+        describe all PHYSICAL rows (some now deleted), so readers must
+        treat them as wide bounds when data-skipping; ``numRecords``
+        stays the physical row count. delta-spark writes the same."""
         removes, adds, fully_removed = [], [], 0
         now = _now_ms()
         for p in touched:
@@ -3115,10 +3369,16 @@ class DeltaProtocolTable:
             if num is not None and int(desc["cardinality"]) >= int(num):
                 fully_removed += 1
                 continue  # every physical row deleted: plain remove
-            adds.append(dict(
+            new_add = dict(
                 add, deletionVector=desc, dataChange=True,
                 modificationTime=now,
-            ))
+            )
+            if stats is not None:
+                new_add["stats"] = json.dumps(
+                    dict(stats, tightBounds=False),
+                    separators=(",", ":"),
+                )
+            adds.append(new_add)
         return removes, adds, fully_removed
 
     def _delete_with_dvs(
@@ -3143,7 +3403,8 @@ class DeltaProtocolTable:
             cdc = self._write_cdc_files(
                 matched.select(*out_names).withColumn(
                     "_change_type", F.lit("delete")
-                )
+                ),
+                snap=snap,
             )
             matched.unpersist(blocking=False)
         removes, adds, fully_removed = self._dv_remove_add_actions(
@@ -3166,7 +3427,7 @@ class DeltaProtocolTable:
             + [{"remove": r} for r in removes]
             + [{"add": a} for a in adds]
         )
-        self._commit(snap.version + 1, actions)
+        self._commit(snap.version + 1, actions, snap=snap)
         return {
             "touched_files": len(touched),
             "total_files": len(snap.files),
@@ -3219,7 +3480,8 @@ class DeltaProtocolTable:
             cdc = self._write_cdc_files(
                 touched_df.filter(cond).withColumn(
                     "_change_type", F.lit("delete")
-                )
+                ),
+                snap=snap,
             )
             touched_df.unpersist(blocking=False)
         actions = (
@@ -3241,7 +3503,7 @@ class DeltaProtocolTable:
             ]
             + [{"add": a} for a in adds]
         )
-        self._commit(snap.version + 1, actions)
+        self._commit(snap.version + 1, actions, snap=snap)
         return {
             "touched_files": len(touched),
             "total_files": len(snap.files),
@@ -3297,7 +3559,8 @@ class DeltaProtocolTable:
                         post.withColumn(
                             "_change_type", F.lit("update_postimage")
                         )
-                    )
+                    ),
+                    snap=snap,
                 )
         finally:
             matched.unpersist(blocking=False)
@@ -3322,7 +3585,7 @@ class DeltaProtocolTable:
             + [{"add": a} for a in adds_dv]
             + [{"add": a} for a in adds_new]
         )
-        self._commit(snap.version + 1, actions)
+        self._commit(snap.version + 1, actions, snap=snap)
         return {
             "touched_files": len(touched),
             "total_files": len(snap.files),
@@ -3426,7 +3689,8 @@ class DeltaProtocolTable:
                     post.withColumn(
                         "_change_type", F.lit("update_postimage")
                     )
-                )
+                ),
+                snap=snap,
             )
             touched_df.unpersist(blocking=False)
         actions = (
@@ -3448,7 +3712,7 @@ class DeltaProtocolTable:
             ]
             + [{"add": a} for a in adds]
         )
-        self._commit(snap.version + 1, actions)
+        self._commit(snap.version + 1, actions, snap=snap)
         return {
             "touched_files": len(touched),
             "total_files": len(snap.files),
@@ -3516,7 +3780,7 @@ class DeltaProtocolTable:
             ]
             + [{"add": a} for a in to_add]
         )
-        self._commit(snap_now.version + 1, actions)
+        self._commit(snap_now.version + 1, actions, snap=snap_now)
         return {
             "restored_files": len(to_add),
             "removed_files": len(to_remove),
@@ -3592,7 +3856,7 @@ class DeltaProtocolTable:
             + [{"remove": r} for r in removes]
             + [{"add": a} for a in adds]
         )
-        self._commit(snap.version + 1, actions)
+        self._commit(snap.version + 1, actions, snap=snap)
         return {
             "purged_files": len(targets),
             "total_files": len(snap.files),
@@ -3665,7 +3929,7 @@ class DeltaProtocolTable:
                 ]
                 + [{"add": a} for a in adds]
             )
-            self._commit(snap.version + 1, actions)
+            self._commit(snap.version + 1, actions, snap=snap)
             return {
                 "files_before": len(snap.files),
                 "files_after": len(adds),
@@ -3724,7 +3988,7 @@ class DeltaProtocolTable:
             ]
             + [{"add": a} for a in adds]
         )
-        self._commit(snap.version + 1, actions)
+        self._commit(snap.version + 1, actions, snap=snap)
         return {
             "files_before": len(snap.files),
             "files_after": len(snap.files) - len(doomed) + len(adds),
