@@ -1205,23 +1205,49 @@ class DeltaProtocolTable:
 
         from pyspark.sql.types import LongType, StringType, StructField
 
-        if snap.column_mapping_mode == "id":
-            raise DeltaProtocolError(
-                "deletion vectors on column-mapping-id tables are not"
-                " supported by this reader"
-            )
         schema = snap.schema
         pcols = snap.partition_columns
         phys = (
             snap.physical_names()
-            if snap.column_mapping_mode == "name"
+            if snap.column_mapping_mode != "none"
             else {f.name: f.name for f in schema.fields}
         )
         types = {f.name: f.dataType for f in schema.fields}
         data_fields = [f for f in schema.fields if f.name not in pcols]
-        data_schema = StructType(
-            [StructField(phys[f.name], f.dataType, True) for f in data_fields]
-        )
+        if snap.column_mapping_mode == "id":
+            # id-mode files may carry ARBITRARY parquet column names
+            # (converted Iceberg) — resolve by field id in the scoped
+            # field-id session; the read schema already surfaces
+            # logical names, so no alias-back is needed
+            ids = {}
+            for f in data_fields:
+                fid = (f.metadata or {}).get("delta.columnMapping.id")
+                if fid is None:
+                    raise DeltaProtocolError(
+                        f"column mapping mode 'id' but field {f.name!r}"
+                        " has no delta.columnMapping.id — cannot"
+                        " resolve DV'd data"
+                    )
+                ids[f.name] = int(fid)
+            data_schema = StructType(
+                [
+                    StructField(f.name, f.dataType, True,
+                                {"parquet.field.id": ids[f.name]})
+                    for f in data_fields
+                ]
+            )
+            scan_session = _field_id_session(self.spark)
+            scan_cols = [F.col(f"`{f.name}`") for f in data_fields]
+        else:
+            data_schema = StructType(
+                [StructField(phys[f.name], f.dataType, True)
+                 for f in data_fields]
+            )
+            scan_session = self.spark
+            scan_cols = [
+                F.col(f"`{phys[f.name]}`").alias(f.name)
+                for f in data_fields
+            ]
         out_names = [f.name for f in schema.fields]
 
         # file basename → DV descriptor (None for files WITHOUT a DV —
@@ -1280,13 +1306,10 @@ class DeltaProtocolTable:
 
         def scan(group_paths: List[str], pv: dict) -> DataFrame:
             df = (
-                self.spark.read.schema(data_schema)
+                scan_session.read.schema(data_schema)
                 .parquet(*[os.path.join(self.path, p) for p in group_paths])
                 .select(
-                    *[
-                        F.col(f"`{phys[f.name]}`").alias(f.name)
-                        for f in data_fields
-                    ],
+                    *scan_cols,
                     F.col("_metadata.row_index").alias("__mack_dv_pos"),
                     F.element_at(
                         F.split(F.col("_metadata.file_path"), "/"), -1
@@ -1434,11 +1457,6 @@ class DeltaProtocolTable:
                     " no delta.columnMapping.id — cannot resolve it"
                 )
             ids[f.name] = int(fid)
-        if any(snap.files[p].get("deletionVector") for p in paths):
-            raise DeltaProtocolError(
-                "deletion vectors on column-mapping-id tables are not"
-                " supported by this reader"
-            )
         # field-id resolution happens in a conf-isolated session clone
         # (see docstring). ignoreMissing stays at its false default —
         # missing ids error instead of blanking columns.
@@ -2101,8 +2119,11 @@ class DeltaProtocolTable:
         table-features logs whose declared writerFeatures are all in
         :data:`_SUPPORTED_WRITER_FEATURES` — including
         ``deletionVectors``, which this writer both reads and MAINTAINS
-        (delete/update emit DVs; rewrites drop them). Writer 5/6
-        (column mapping writes, identity columns) stay refused."""
+        (delete/update emit DVs; rewrites drop them) — and writer 5
+        column-mapping writes in BOTH modes (files go out
+        physicalName-keyed and field-id tagged, so name- and id-mode
+        readers resolve them). Writer 6 (identity columns) stays
+        refused."""
         mwv = snap.protocol.get("minWriterVersion", 1)
         if mwv == 7:
             feats = set(snap.protocol.get("writerFeatures") or [])
@@ -2123,22 +2144,22 @@ class DeltaProtocolTable:
                 " writer features"
             )
         if snap.column_mapping_mode == "id":
-            # id-mode writes would need to re-derive the file's field-id
-            # layout for every operation; reads are supported, writes
-            # refused (name mode is read-write)
-            raise DeltaProtocolError(
-                "column-mapping-id tables are read-only for this writer"
-            )
-        if (
-            snap.column_mapping_mode == "name"
-            and _generated_columns(snap.schema)
-        ):
-            # generated-column recompute on physical-named frames is
-            # untested territory — refuse loudly instead of guessing
-            raise DeltaProtocolError(
-                "column-mapped tables with generated columns are"
-                " read-only for this writer"
-            )
+            # id-mode WRITES are supported the same way name-mode
+            # writes are: every field must carry BOTH mapping keys so
+            # new files can be written physicalName-keyed + field-id
+            # tagged (spec: id-mode tables still assign physicalName);
+            # a foreign id-mode schema missing either key is refused
+            for f in snap.schema.fields:
+                md = f.metadata or {}
+                if (
+                    md.get("delta.columnMapping.id") is None
+                    or md.get("delta.columnMapping.physicalName") is None
+                ):
+                    raise DeltaProtocolError(
+                        f"column-mapping-id field {f.name!r} lacks"
+                        " delta.columnMapping.id/physicalName — cannot"
+                        " write files other writers could resolve"
+                    )
 
     @staticmethod
     def _assert_not_append_only(snap: DeltaSnapshot, op: str) -> None:

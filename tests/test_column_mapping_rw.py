@@ -86,9 +86,24 @@ class TestColumnMappingIdRead:
         t = _mk_id_mode(spark, tmp_path)
         assert t.to_df().where("k = 2").collect()[0]["v"] == "y"
 
-    def test_id_mode_is_read_only(self, spark, tmp_path):
+    def test_id_mode_missing_physical_name_refused(self, spark, tmp_path):
+        """id-mode WRITES require BOTH mapping keys per field — a
+        foreign schema carrying only the id cannot receive files other
+        writers could resolve by name, so the write refuses loudly."""
         t = _mk_id_mode(spark, tmp_path)
-        with pytest.raises(DeltaProtocolError, match="read-only"):
+        f = os.path.join(t.path, "_delta_log", "%020d.json" % 0)
+        acts = [json.loads(x) for x in open(f) if x.strip()]
+        for a in acts:
+            if "metaData" in a:
+                fields = json.loads(a["metaData"]["schemaString"])["fields"]
+                for fd in fields:
+                    fd["metadata"].pop("delta.columnMapping.physicalName")
+                a["metaData"]["schemaString"] = json.dumps(
+                    {"type": "struct", "fields": fields}
+                )
+        with open(f, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in acts) + "\n")
+        with pytest.raises(DeltaProtocolError, match="physicalName"):
             t.append(spark.createDataFrame([(9, "q")], "k int, v string"))
 
 
@@ -244,3 +259,97 @@ class TestColumnMappingNameWrites:
         } == sig
         got = sorted(map(tuple, t.to_df().collect()))
         assert got == [(2, "y", "p1"), (3, "z", "p2")]
+
+
+class TestColumnMappingIdWrites:
+    """Round 12: id-mode tables are READ-WRITE. New files are written
+    physicalName-keyed AND field-id tagged, so both resolution modes
+    work; the pre-existing foreign files (arbitrary Iceberg-style
+    parquet names) keep resolving by id."""
+
+    def test_append_roundtrip_and_file_layout(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        t = _mk_id_mode(spark, tmp_path)
+        t.append(spark.createDataFrame([(3, "z")], "k int, v string"))
+        assert sorted(map(tuple, t.to_df().collect())) == [
+            (1, "x"), (2, "y"), (3, "z"),
+        ]
+        new = [p for p in t.snapshot().files
+               if p not in {a["path"] for a in
+                            DeltaProtocolTable(spark, t.path)
+                            .snapshot(version_as_of=0).files.values()}]
+        assert len(new) >= 1
+        sch = pq.ParquetFile(os.path.join(t.path, new[0])).schema_arrow
+        assert set(sch.names) == {"col-phys-k", "col-phys-v"}
+        assert sch.field("col-phys-k").metadata.get(
+            b"PARQUET:field_id"
+        ) == b"1"
+
+    def test_delete_update_on_id_mode(self, spark, tmp_path):
+        t = _mk_id_mode(spark, tmp_path)
+        t.append(spark.createDataFrame([(3, "z"), (4, "w")],
+                                       "k int, v string"))
+        t.delete_where("k = 1")
+        t.update_where("k = 4", {"v": "'updated'"})
+        assert sorted(map(tuple, t.to_df().collect())) == [
+            (2, "y"), (3, "z"), (4, "updated"),
+        ]
+
+    def test_dv_delete_on_id_mode_foreign_file(self, spark, tmp_path):
+        """DV marks positions in the ORIGINAL foreign file (iceberg
+        parquet names) — the DV'd scan must resolve by field id."""
+        t = _mk_id_mode(spark, tmp_path)
+        t.set_properties({"delta.enableDeletionVectors": "true"})
+        res = t.delete_where("k = 1")
+        assert sorted(map(tuple, t.to_df().collect())) == [(2, "y")]
+        snap = t.snapshot()
+        dv_adds = [a for a in snap.files.values()
+                   if a.get("deletionVector")]
+        assert dv_adds, "delete must have used a deletion vector"
+        # second delete unions into the same file's DV
+        t.append(spark.createDataFrame([(5, "q")], "k int, v string"))
+        t.delete_where("k = 2")
+        assert sorted(map(tuple, t.to_df().collect())) == [(5, "q")]
+
+
+class TestGeneratedColumnsOnMappedTables:
+    def _mk_gen_mapped(self, spark, tmp_path):
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "genmap"),
+            spark.createDataFrame([(1, "a", 2)],
+                                  "pkey int, attr string, val int"),
+        )
+        snap = t.snapshot()
+        sj = json.loads(snap.metadata["schemaString"])
+        sj["fields"][2]["metadata"] = {
+            "delta.generationExpression": "pkey * 2"
+        }
+        t._commit(1, [
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+            {"metaData": dict(snap.metadata,
+                              schemaString=json.dumps(sj))},
+        ], snap=snap)
+        t.enable_column_mapping()
+        t.rename_column("attr", "label")
+        return t
+
+    def test_omitted_generated_computed_on_mapped(self, spark, tmp_path):
+        t = self._mk_gen_mapped(spark, tmp_path)
+        t.append(spark.createDataFrame([(2, "b")], "pkey int, label string"))
+        assert sorted(map(tuple, t.to_df().collect())) == [
+            (1, "a", 2), (2, "b", 4),
+        ]
+
+    def test_provided_wrong_refused_on_mapped(self, spark, tmp_path):
+        t = self._mk_gen_mapped(spark, tmp_path)
+        with pytest.raises(DeltaProtocolError, match="generated column"):
+            t.append(spark.createDataFrame(
+                [(3, "c", 99)], "pkey int, label string, val int"
+            ))
+        assert t.to_df().count() == 1
+
+    def test_update_recomputes_generated_on_mapped(self, spark, tmp_path):
+        t = self._mk_gen_mapped(spark, tmp_path)
+        t.update_where("pkey = 1", {"pkey": "10"})
+        assert sorted(map(tuple, t.to_df().collect())) == [(10, "a", 20)]
