@@ -3175,6 +3175,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_rename_column"] = q_delta_rename_column
 
+    def q_delta_v2_checkpoint_write(spark, sf_dir):
+        # V2 checkpoint WRITES (round 12): delta.checkpointPolicy=v2
+        # makes this writer's OWN checkpoints come out uuid-named with
+        # sidecar file actions (spec §V2 Spec Checkpoints) — composed
+        # with DV deletes so the sidecar carries deletionVector
+        # descriptors too. The JSON tail is deleted in-row, so the
+        # returned frame is reconstructed ENTIRELY from the v2
+        # checkpoint this engine wrote. Oracle: survivors of the
+        # % 10 = 3 delete.
+        import glob as _glob
+        import json as _json
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        path = tempfile.mkdtemp(prefix="mack-v2cpw-") + "/t"
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        t = DeltaProtocolTable.create(
+            spark, path,
+            cust.filter(F.col("c_custkey") % 2 == 0),
+            properties={"delta.checkpointPolicy": "v2",
+                        "delta.enableDeletionVectors": "true"},
+        )
+        t.append(cust.filter(F.col("c_custkey") % 2 == 1))
+        t.delete_where("c_custkey % 10 = 3")  # DV'd adds
+        v = t.checkpoint()
+        logdir = os.path.join(path, "_delta_log")
+        assert not os.path.exists(os.path.join(
+            logdir, "%020d.checkpoint.parquet" % v
+        )), "v2 policy wrote a classic checkpoint"
+        assert _glob.glob(os.path.join(
+            logdir, "%020d.checkpoint.*.parquet" % v
+        )), "no uuid-named checkpoint written"
+        assert os.listdir(os.path.join(logdir, "_sidecars")), "no sidecar"
+        for i in range(v + 1):
+            f = os.path.join(logdir, "%020d.json" % i)
+            if os.path.exists(f):
+                os.unlink(f)
+        return DeltaProtocolTable(spark, path).to_df()
+
+    q["delta_v2_checkpoint_write"] = q_delta_v2_checkpoint_write
+
     # Verification rotation: the driver checks the FIRST 50 keys in
     # declaration order each round. Round-11 priorities:
     # (a) the 7 queries with no driver row yet — the two post-r10
@@ -4050,6 +4094,13 @@ SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
 
     # v2-checkpoint read reconstructs the same snapshot.
     o["delta_v2_checkpoint_read"] = o["delta_id_mode_read"]
+
+    # v2-checkpoint WRITE: replay through our own uuid+sidecar
+    # checkpoint = survivors of the % 10 = 3 DV delete.
+    o["delta_v2_checkpoint_write"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+WHERE c_custkey % 10 != 3
+"""
 
     # ICT row: the data survives the % 9 delete (timestamps are
     # asserted in-row, not hashed).

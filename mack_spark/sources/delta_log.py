@@ -286,21 +286,33 @@ def _initial_protocol(
 
     dv = on("delta.enableDeletionVectors")
     ict = on("delta.enableInCommitTimestamps")
+    policy = str(config.get("delta.checkpointPolicy", "classic")).lower()
+    if policy not in ("classic", "v2"):
+        raise DeltaProtocolError(
+            f"delta.checkpointPolicy={policy!r} is not a valid policy"
+            " (classic, v2)"
+        )
+    v2 = policy == "v2"
     base_w = _required_writer_version(config, schema)
-    if not (dv or ict):
+    if not (dv or ict or v2):
         return {"minReaderVersion": 1, "minWriterVersion": base_w}
     feats = _legacy_writer_features(base_w)
+    rfeats = set()
     if dv:
         feats.add("deletionVectors")
+        rfeats.add("deletionVectors")
     if ict:
         feats.add("inCommitTimestamp")
+    if v2:
+        feats.add("v2Checkpoint")
+        rfeats.add("v2Checkpoint")
     proto = {
-        "minReaderVersion": 3 if dv else 1,
+        "minReaderVersion": 3 if rfeats else 1,
         "minWriterVersion": 7,
         "writerFeatures": sorted(feats),
     }
-    if dv:
-        proto["readerFeatures"] = ["deletionVectors"]
+    if rfeats:
+        proto["readerFeatures"] = sorted(rfeats)
     return proto
 
 
@@ -1963,10 +1975,31 @@ class DeltaProtocolTable:
         if version > 0 and version % CHECKPOINT_INTERVAL == 0:
             self._write_checkpoint(version)
 
+    def checkpoint(self) -> int:
+        """Write a checkpoint of the CURRENT version on demand (the
+        same compaction `_commit` performs every
+        ``CHECKPOINT_INTERVAL`` commits) and return the checkpointed
+        version. Shape follows ``delta.checkpointPolicy``: ``classic``
+        (default) or ``v2`` (uuid-named + sidecars)."""
+        v = self.snapshot().version
+        self._write_checkpoint(v)
+        return v
+
     def _write_checkpoint(self, version: int) -> None:
         """Compact the snapshot at ``version`` into a checkpoint parquet
         + ``_last_checkpoint`` pointer (spec §Checkpoints). Replay after
-        this reads one parquet + the JSON tail."""
+        this reads one parquet + the JSON tail.
+
+        With ``delta.checkpointPolicy=v2`` (table feature
+        ``v2Checkpoint``, delta-spark 3.x's opt-in layout) the
+        checkpoint is written in the V2 shape instead: a uuid-named
+        top-level file (``<v>.checkpoint.<uuid>.parquet``) holding
+        protocol/metaData/txn/domainMetadata plus a
+        ``checkpointMetadata`` action, with every file action in
+        SIDECAR parquets under ``_delta_log/_sidecars/`` referenced by
+        ``sidecar`` actions — the layout that lets a huge table's
+        checkpoint update incrementally by rewriting only changed
+        sidecars (spec §V2 Spec Checkpoints)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -2087,6 +2120,85 @@ class DeltaProtocolTable:
             )
 
         lc = {"version": version, "size": len(rows)}
+        policy = str(
+            (snap.metadata.get("configuration") or {}).get(
+                "delta.checkpointPolicy", "classic"
+            )
+        ).lower()
+        if policy == "v2":
+            # V2 layout: add actions go to sidecar parquets; the
+            # uuid-named top file carries the table-wide actions,
+            # checkpointMetadata, and one sidecar reference per part.
+            import math
+
+            sidecar_dir = os.path.join(_log_dir(self.path), "_sidecars")
+            os.makedirs(sidecar_dir, exist_ok=True)
+            add_rows = [r for r in rows if r.get("add") is not None]
+            top_rows = [r for r in rows if r.get("add") is None]
+            n = max(1, math.ceil(len(add_rows) / CHECKPOINT_PART_ACTIONS))
+            per = math.ceil(len(add_rows) / n) if add_rows else 0
+            sidecars = []
+            for i in range(n):
+                chunk = add_rows[i * per:(i + 1) * per] if per else []
+                name = f"{uuid.uuid4()}.parquet"
+                sp = os.path.join(sidecar_dir, name)
+                pq.write_table(
+                    pa.table({"add": pa.array(
+                        [shape_add(r["add"]) for r in chunk], type=add_t
+                    )}),
+                    sp,
+                )
+                sidecars.append({
+                    "path": name,
+                    "sizeInBytes": os.path.getsize(sp),
+                    "modificationTime": _now_ms(),
+                })
+            ckm_t = pa.struct([
+                ("version", pa.int64()),
+                ("tags", pa.map_(pa.string(), pa.string())),
+            ])
+            sidecar_t = pa.struct([
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64()),
+            ])
+            all_top = (
+                top_rows
+                + [{"checkpointMetadata": {"version": version, "tags": []}}]
+                + [{"sidecar": sc} for sc in sidecars]
+            )
+            top = pa.table({
+                "protocol": pa.array(
+                    [r.get("protocol") for r in all_top], type=proto_t
+                ),
+                "metaData": pa.array(
+                    [shape_meta(r.get("metaData")) for r in all_top],
+                    type=meta_t,
+                ),
+                "txn": pa.array(
+                    [r.get("txn") for r in all_top], type=txn_t
+                ),
+                "domainMetadata": pa.array(
+                    [r.get("domainMetadata") for r in all_top],
+                    type=domain_t,
+                ),
+                "checkpointMetadata": pa.array(
+                    [r.get("checkpointMetadata") for r in all_top],
+                    type=ckm_t,
+                ),
+                "sidecar": pa.array(
+                    [r.get("sidecar") for r in all_top], type=sidecar_t
+                ),
+            })
+            pq.write_table(top, os.path.join(
+                _log_dir(self.path),
+                "%020d.checkpoint.%s.parquet" % (version, uuid.uuid4()),
+            ))
+            with open(
+                os.path.join(_log_dir(self.path), "_last_checkpoint"), "w"
+            ) as fh:
+                json.dump(lc, fh)
+            return
         if len(rows) > CHECKPOINT_PART_ACTIONS:
             # multi-part checkpoint (spec §Checkpoints): split the
             # actions across right-sized parquet parts so a huge
@@ -2650,9 +2762,20 @@ class DeltaProtocolTable:
             want_w.add("deletionVectors")
         if on(config, "delta.enableInCommitTimestamps"):
             want_w.add("inCommitTimestamp")
-        want_r = {"deletionVectors"} if "deletionVectors" in want_w else set()
+        policy = str(config.get("delta.checkpointPolicy", "classic")).lower()
+        if policy not in ("classic", "v2"):
+            raise DeltaProtocolError(
+                f"delta.checkpointPolicy={policy!r} is not a valid"
+                " policy (classic, v2)"
+            )
+        if policy == "v2":
+            # v2Checkpoint is a reader+writer table feature: readers
+            # that cannot parse uuid-named checkpoints + sidecars must
+            # refuse the table rather than miss its file actions
+            want_w.add("v2Checkpoint")
+        want_r = want_w & {"deletionVectors", "v2Checkpoint"}
         needs_features_log = cur_w == 7 or bool(
-            want_w & {"deletionVectors", "inCommitTimestamp"}
+            want_w & {"deletionVectors", "inCommitTimestamp", "v2Checkpoint"}
         )
         if (want_w - have_w) or (want_r - have_r):
             if needs_features_log:
@@ -2660,10 +2783,14 @@ class DeltaProtocolTable:
                 proto_action = {
                     "minReaderVersion": new_r,
                     "minWriterVersion": 7,
+                    # have_w already carries cur_w's implied legacy
+                    # features; passing cur_w=7 into
+                    # _legacy_writer_features would wrongly declare
+                    # every legacy feature (identityColumns included)
                     "writerFeatures": sorted(
                         have_w
                         | _legacy_writer_features(
-                            max(cur_w, _required_writer_version(config))
+                            _required_writer_version(config)
                         )
                         | want_w
                     ),
