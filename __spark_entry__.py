@@ -3219,6 +3219,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_v2_checkpoint_write"] = q_delta_v2_checkpoint_write
 
+    def q_delta_identity_append(spark, sf_dir):
+        # Identity columns (round 12, Delta writer 6 / feature
+        # identityColumns): row_id is GENERATED gap-free (two-pass
+        # partition-offset assignment, no global sort), the high-water
+        # mark commits atomically with the rows, and appends continue
+        # where CREATE left off. Ids land as the exact set 1..N
+        # regardless of partitioning, so the aggregates below are
+        # deterministic and the oracle derives them from count(*)
+        # alone. GENERATED ALWAYS enforcement is asserted in-row.
+        import tempfile
+
+        from mack_spark.sources.delta_log import (
+            DeltaProtocolError,
+            DeltaProtocolTable,
+            _identity_columns,
+        )
+
+        path = tempfile.mkdtemp(prefix="mack-identity-") + "/t"
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        t = DeltaProtocolTable.create(
+            spark, path, cust.filter(F.col("c_custkey") % 2 == 0),
+            identity={"row_id": {"start": 1, "step": 1}},
+        )
+        t.append(cust.filter(F.col("c_custkey") % 2 == 1))
+        n = cust.count()
+        snap = t.snapshot()
+        assert snap.protocol["minWriterVersion"] == 6
+        assert _identity_columns(snap.schema)["row_id"]["hwm"] == n
+        try:
+            t.append(cust.limit(1).withColumn("row_id", F.lit(99).cast("long")))
+            raise AssertionError("GENERATED ALWAYS accepted explicit ids")
+        except DeltaProtocolError:
+            pass
+        return t.to_df().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("row_id").alias("n_ids"),
+            F.min("row_id").alias("min_id"),
+            F.max("row_id").alias("max_id"),
+            F.sum("row_id").alias("sum_id"),
+        )
+
+    q["delta_identity_append"] = q_delta_identity_append
+
     # Verification rotation: the driver checks the FIRST 50 keys in
     # declaration order each round. Round-11 priorities:
     # (a) the 7 queries with no driver row yet — the two post-r10
@@ -4100,6 +4145,18 @@ SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
     o["delta_v2_checkpoint_write"] = """
 SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
 WHERE c_custkey % 10 != 3
+"""
+
+    # Identity generation is gap-free, so the id set over N appended
+    # customers is exactly {1..N} — every aggregate derives from
+    # count(*).
+    o["delta_identity_append"] = """
+SELECT count(*) AS n_rows,
+       count(*) AS n_ids,
+       CAST(1 AS BIGINT) AS min_id,
+       count(*) AS max_id,
+       CAST(count(*) * (count(*) + 1) / 2 AS BIGINT) AS sum_id
+FROM customer
 """
 
     # ICT row: the data survives the % 9 delete (timestamps are

@@ -217,9 +217,11 @@ def _required_writer_version(
     config: Dict[str, str], schema: Optional[StructType] = None
 ) -> int:
     """The minWriterVersion a table with this configuration/schema
-    demands (spec's legacy feature→version mapping): CDF and generated
-    columns are writer 4, CHECK constraints writer 3, else the base
-    invariants-capable writer 2."""
+    demands (spec's legacy feature→version mapping): identity columns
+    are writer 6, CDF and generated columns writer 4, CHECK
+    constraints writer 3, else the base invariants-capable writer 2."""
+    if schema is not None and _identity_columns(schema):
+        return 6
     if str(config.get("delta.enableChangeDataFeed", "false")).lower() == "true":
         return 4
     if schema is not None and _generated_columns(schema):
@@ -259,6 +261,12 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
     {"appendOnly", "invariants", "checkConstraints", "changeDataFeed",
      "generatedColumns", "deletionVectors", "timestampNtz",
      "columnMapping",
+     # identity columns (legacy writer 6): omitted values are
+     # GENERATED (gap-free two-pass assignment) and the
+     # delta.identity.highWaterMark field metadata is kept in sync on
+     # every append/overwrite; explicit values obey
+     # delta.identity.allowExplicitInsert
+     "identityColumns",
      # reads handle uuid-named v2 checkpoints + sidecars; this writer
      # continues the log with JSON commits and classic checkpoints,
      # which v2-capable readers must also support (spec §V2 Spec
@@ -324,6 +332,69 @@ def _generated_columns(schema: StructType) -> Dict[str, str]:
         for f in schema.fields
         if "delta.generationExpression" in (f.metadata or {})
     }
+
+
+def _identity_columns(schema: StructType) -> Dict[str, dict]:
+    """column → identity spec from the spec's field-metadata keys
+    (``delta.identity.start`` / ``step`` / ``highWaterMark`` /
+    ``allowExplicitInsert`` — writer version 6 / table feature
+    ``identityColumns``). ``hwm`` is None until the first generation
+    commits one."""
+    out: Dict[str, dict] = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if any(k.startswith("delta.identity.") for k in md):
+            hwm = md.get("delta.identity.highWaterMark")
+            out[f.name] = {
+                "start": int(md.get("delta.identity.start", 1)),
+                "step": int(md.get("delta.identity.step", 1)),
+                "hwm": int(hwm) if hwm is not None else None,
+                "allow_explicit": bool(
+                    md.get("delta.identity.allowExplicitInsert", False)
+                ),
+            }
+            if out[f.name]["step"] == 0:
+                raise DeltaProtocolError(
+                    f"identity column {f.name!r} has step 0"
+                )
+    return out
+
+
+def _identity_gen_fn(bc_offsets, name: str, next_val: int, step: int):
+    """Arrow-batched stamper for one identity column: each partition
+    writes the contiguous id range its broadcast offset reserves —
+    values never touch the driver. A factory so per-column bindings
+    survive loops over multiple identity columns."""
+
+    def gen(batches):
+        import numpy as np
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = bc_offsets.value.get(pid, 0)
+        seen = 0
+        for pdf in batches:
+            k = len(pdf)
+            pdf[name] = next_val + step * (
+                base + seen + np.arange(k, dtype="int64")
+            )
+            seen += k
+            yield pdf
+
+    return gen
+
+
+def _patch_identity_hwm(meta: dict, hwms: Dict[str, int]) -> dict:
+    """A new ``metaData`` action whose schemaString carries updated
+    ``delta.identity.highWaterMark`` values — identity generation
+    commits its watermark atomically with the data it stamped."""
+    schema_d = json.loads(meta["schemaString"])
+    for f in schema_d["fields"]:
+        if f["name"] in hwms:
+            f.setdefault("metadata", {})[
+                "delta.identity.highWaterMark"
+            ] = hwms[f["name"]]
+    return dict(meta, schemaString=json.dumps(schema_d))
 
 
 # ----------------------------------------------------------------------
@@ -1779,30 +1850,87 @@ class DeltaProtocolTable:
         df: DataFrame,
         partition_by: Optional[List[str]] = None,
         properties: Optional[Dict[str, str]] = None,
+        identity: Optional[Dict[str, dict]] = None,
     ) -> "DeltaProtocolTable":
         """CREATE TABLE AS SELECT: data files + version-0 commit with
-        protocol/metaData/add actions."""
+        protocol/metaData/add actions.
+
+        ``identity`` declares IDENTITY columns (spec §Identity
+        Columns, writer 6): ``{"col": {"start": 1, "step": 1,
+        "allow_explicit_insert": False}}``. A declared column absent
+        from ``df`` is appended as ``bigint`` and generated for the
+        initial rows; one present in ``df`` must be ``bigint`` and
+        needs ``allow_explicit_insert``."""
         t = cls(spark, path)
         if cls.is_delta(path):
             raise FileExistsError(f"Delta table already exists at {path}")
         os.makedirs(_log_dir(t.path), exist_ok=True)
         partition_by = list(partition_by or [])
-        adds = t._write_data_files(df, partition_by)
+        table_schema = df.schema
+        if identity:
+            from pyspark.sql.types import LongType, StructField
+
+            def id_md(spec: dict) -> dict:
+                return {
+                    "delta.identity.start": int(spec.get("start", 1)),
+                    "delta.identity.step": int(spec.get("step", 1)),
+                    "delta.identity.allowExplicitInsert": bool(
+                        spec.get("allow_explicit_insert", False)
+                    ),
+                }
+
+            overlap = sorted(set(identity) & set(partition_by))
+            if overlap:
+                raise DeltaProtocolError(
+                    f"identity columns {overlap} cannot be partition"
+                    " columns"
+                )
+            fields = []
+            for f in df.schema.fields:
+                if f.name in identity:
+                    if not isinstance(f.dataType, LongType):
+                        raise DeltaProtocolError(
+                            f"identity column {f.name!r} must be bigint,"
+                            f" got {f.dataType.simpleString()}"
+                        )
+                    md = dict(f.metadata or {})
+                    md.update(id_md(identity[f.name]))
+                    fields.append(
+                        StructField(f.name, f.dataType, False, md)
+                    )
+                else:
+                    fields.append(f)
+            fields += [
+                StructField(name, LongType(), False, id_md(spec))
+                for name, spec in identity.items()
+                if name not in df.columns
+            ]
+            table_schema = StructType(fields)
+        df, id_hwms, id_persisted = t._generate_identity(table_schema, df)
+        try:
+            df = df.select(*[f.name for f in table_schema.fields])
+            adds = t._write_data_files(df, partition_by)
+        finally:
+            if id_persisted is not None:
+                id_persisted.unpersist()
+        schema_json = table_schema.json()
         meta = {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": df.schema.json(),
+            "schemaString": schema_json,
             "partitionColumns": partition_by,
             "configuration": dict(properties or {}),
             "createdTime": _now_ms(),
         }
+        if id_hwms:
+            meta = _patch_identity_hwm(meta, id_hwms)
         actions = (
             [
                 {"commitInfo": {"timestamp": _now_ms(),
                                 "operation": "CREATE TABLE AS SELECT",
                                 "operationParameters": {}}},
                 {"protocol": _initial_protocol(
-                    meta["configuration"], df.schema
+                    meta["configuration"], table_schema
                 )},
                 {"metaData": meta},
             ]
@@ -2234,8 +2362,8 @@ class DeltaProtocolTable:
         (delete/update emit DVs; rewrites drop them) — and writer 5
         column-mapping writes in BOTH modes (files go out
         physicalName-keyed and field-id tagged, so name- and id-mode
-        readers resolve them). Writer 6 (identity columns) stays
-        refused."""
+        readers resolve them), and writer 6 (identity columns —
+        generated when omitted, high-water mark maintained)."""
         mwv = snap.protocol.get("minWriterVersion", 1)
         if mwv == 7:
             feats = set(snap.protocol.get("writerFeatures") or [])
@@ -2247,13 +2375,12 @@ class DeltaProtocolTable:
                     " to commit rather than violate the table's"
                     " declared contract"
                 )
-        elif mwv == 6 or mwv > 7:
+        elif mwv > 7:
             raise DeltaProtocolError(
-                f"table requires writer version {mwv} (identity columns"
-                " / beyond table features); this writer implements"
-                " versions up to 5 plus table-features logs — refusing"
-                " to commit rather than violate the table's declared"
-                " writer features"
+                f"table requires writer version {mwv}, beyond the"
+                " table-features version this writer implements —"
+                " refusing to commit rather than violate the table's"
+                " declared writer features"
             )
         if snap.column_mapping_mode == "id":
             # id-mode WRITES are supported the same way name-mode
@@ -2886,6 +3013,83 @@ class DeltaProtocolTable:
         shutil.rmtree(staging, ignore_errors=True)
         return actions
 
+    def _generate_identity(self, schema: StructType, df: DataFrame):
+        """Identity-column handling for a write against ``schema``
+        (spec §Identity Columns, writer version 6 / feature
+        ``identityColumns``). Omitted identity columns are GENERATED:
+        a gap-free two-pass assignment — per-partition counts (one
+        driver row per partition, never the values), then each
+        partition stamps its reserved contiguous range via a
+        vectorized Arrow batch. No global sort, no shuffle: the ids
+        1..N land as a set regardless of partitioning, which also
+        keeps them deterministic for oracles. Provided identity
+        columns require ``allowExplicitInsert`` and sync the
+        high-water mark past the explicit values (one bounded
+        aggregate job).
+
+        Returns ``(frame, hwms, persisted)``: the frame with identity
+        values, the new high-water mark per touched column (commit a
+        patched metaData with them), and the persisted handle to
+        unpersist after the data files are written (both passes must
+        see one partitioning)."""
+        ids = _identity_columns(schema)
+        if not ids:
+            return df, {}, None
+        from pyspark.sql.types import LongType, StructField
+
+        provided = set(df.columns)
+        hwms: Dict[str, int] = {}
+        persisted = None
+        for name, spec in ids.items():
+            start, step, hwm = spec["start"], spec["step"], spec["hwm"]
+            if name in provided:
+                if not spec["allow_explicit"]:
+                    raise DeltaProtocolError(
+                        f"identity column {name!r} is GENERATED ALWAYS"
+                        " (delta.identity.allowExplicitInsert=false) —"
+                        " drop it from the frame and let the writer"
+                        " assign values"
+                    )
+                agg = F.max(name) if step > 0 else F.min(name)
+                m = df.agg(agg.alias("m")).collect()[0]["m"]
+                if m is not None:
+                    base = hwm if hwm is not None else start - step
+                    hwms[name] = (
+                        max(base, int(m)) if step > 0 else min(base, int(m))
+                    )
+                continue
+            if persisted is None:
+                from pyspark import StorageLevel
+
+                persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+                df = persisted
+            counts = {
+                r["__pid"]: r["n"]
+                for r in df.groupBy(
+                    F.spark_partition_id().alias("__pid")
+                ).agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            total = sum(counts.values())
+            if total == 0:
+                df = df.withColumn(name, F.lit(None).cast(LongType()))
+                continue
+            offsets: Dict[int, int] = {}
+            acc = 0
+            for pid in sorted(counts):
+                offsets[pid] = acc
+                acc += counts[pid]
+            next_val = start if hwm is None else hwm + step
+            out_schema = StructType(
+                list(df.schema.fields)
+                + [StructField(name, LongType(), False)]
+            )
+            bc = self.spark.sparkContext.broadcast(offsets)
+            df = df.mapInPandas(
+                _identity_gen_fn(bc, name, next_val, step), out_schema
+            )
+            hwms[name] = next_val + step * (total - 1)
+        return df, hwms, persisted
+
     def _resolve_write_schema(
         self, snap: DeltaSnapshot, df: DataFrame, merge_schema: bool
     ):
@@ -3004,9 +3208,29 @@ class DeltaProtocolTable:
             txn_app_id, -1
         ) >= int(txn_version):
             return  # already applied — idempotent skip
-        aligned, new_meta = self._resolve_write_schema(snap, df, merge_schema)
-        self._enforce_constraints(snap, aligned, self._gen_checks(snap, df))
-        adds = self._write_data_files(aligned, snap.partition_columns, snap=snap)
+        df, id_hwms, id_persisted = self._generate_identity(
+            snap.schema, df
+        )
+        try:
+            aligned, new_meta = self._resolve_write_schema(
+                snap, df, merge_schema
+            )
+            self._enforce_constraints(
+                snap, aligned, self._gen_checks(snap, df)
+            )
+            adds = self._write_data_files(
+                aligned, snap.partition_columns, snap=snap
+            )
+        finally:
+            if id_persisted is not None:
+                id_persisted.unpersist()
+        if id_hwms:
+            # the high-water mark moves atomically with the rows that
+            # consumed it — a concurrent identity append conflicts on
+            # schemaString below, never double-allocates
+            new_meta = _patch_identity_hwm(
+                new_meta or snap.metadata, id_hwms
+            )
         from mack_spark.tables import ConcurrentModificationError
 
         actions = [
@@ -3047,9 +3271,28 @@ class DeltaProtocolTable:
         snap = self.snapshot()
         self._assert_writable(snap)
         self._assert_not_append_only(snap, "OVERWRITE")
-        aligned, new_meta = self._resolve_write_schema(snap, df, merge_schema)
-        self._enforce_constraints(snap, aligned, self._gen_checks(snap, df))
-        adds = self._write_data_files(aligned, snap.partition_columns, snap=snap)
+        df, id_hwms, id_persisted = self._generate_identity(
+            snap.schema, df
+        )
+        try:
+            aligned, new_meta = self._resolve_write_schema(
+                snap, df, merge_schema
+            )
+            self._enforce_constraints(
+                snap, aligned, self._gen_checks(snap, df)
+            )
+            adds = self._write_data_files(
+                aligned, snap.partition_columns, snap=snap
+            )
+        finally:
+            if id_persisted is not None:
+                id_persisted.unpersist()
+        if id_hwms:
+            # identity continues across OVERWRITE — the watermark never
+            # resets (spec: monotonic for the table's lifetime)
+            new_meta = _patch_identity_hwm(
+                new_meta or snap.metadata, id_hwms
+            )
         actions = [
             {"commitInfo": {"timestamp": _now_ms(), "operation": "WRITE",
                             "operationParameters": {"mode": "Overwrite"}}}
@@ -3144,6 +3387,17 @@ class DeltaProtocolTable:
             )
         snap = self.snapshot()
         self._assert_writable(snap)
+        ids = _identity_columns(snap.schema)
+        if ids:
+            # MERGE rewrites full rows and inserts new ones — neither
+            # clause can generate identity values or prove the
+            # high-water mark stays ahead, so refuse loudly rather
+            # than silently duplicate ids (delta-spark's own
+            # historical restriction on identity + MERGE)
+            raise DeltaProtocolError(
+                f"MERGE is not supported on tables with identity"
+                f" columns {sorted(ids)}; use append/delete/update"
+            )
         if km.matched_update is not None or km.matched_delete is not None:
             self._assert_not_append_only(snap, "MERGE with matched clauses")
         # the source plan executes twice (key+multiplicity collect, then
@@ -3770,6 +4024,12 @@ class DeltaProtocolTable:
             raise ValueError(
                 f"cannot assign generated columns {gen_assigned}; they"
                 " are recomputed from their generation expressions"
+            )
+        id_assigned = sorted(set(assignments) & set(_identity_columns(schema)))
+        if id_assigned:
+            raise ValueError(
+                f"cannot assign identity columns {id_assigned}; their"
+                " values are writer-assigned and immutable"
             )
         touched = self._files_matching(snap, condition)
         if not touched:
