@@ -3264,6 +3264,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_identity_append"] = q_delta_identity_append
 
+    def q_delta_row_tracking(spark, sf_dir):
+        # Row tracking (round 12, spec §Row Tracking): adds carry
+        # baseRowId/defaultRowCommitVersion, the delta.rowTracking
+        # domain advances atomically, and _row_id = baseRowId + row
+        # position is STABLE across appends and DV deletes — asserted
+        # in-row by comparing the pk→_row_id map before/after a DV
+        # delete. The oracle checks the surviving DATA (id→row pairing
+        # is partition-layout-dependent, so ids stay in-row).
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        path = tempfile.mkdtemp(prefix="mack-rowtrack-") + "/t"
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        t = DeltaProtocolTable.create(
+            spark, path, cust.filter(F.col("c_custkey") % 2 == 0),
+            properties={"delta.enableRowTracking": "true",
+                        "delta.enableDeletionVectors": "true"},
+        )
+        t.append(cust.filter(F.col("c_custkey") % 2 == 1))
+        n = cust.count()
+        before = {
+            r["c_custkey"]: r["_row_id"]
+            for r in t.to_df(with_row_ids=True)
+            .select("c_custkey", "_row_id").collect()
+        }
+        assert sorted(before.values()) == list(range(n)), \
+            "row ids not contiguous 0..N-1"
+        t.delete_where("c_custkey % 10 = 4")
+        after = {
+            r["c_custkey"]: r["_row_id"]
+            for r in t.to_df(with_row_ids=True)
+            .select("c_custkey", "_row_id").collect()
+        }
+        assert set(after) == {k for k in before if k % 10 != 4}
+        moved = [k for k in after if after[k] != before[k]]
+        assert not moved, f"DV delete moved row ids for {moved[:5]}"
+        return t.to_df().select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+
+    q["delta_row_tracking"] = q_delta_row_tracking
+
     # Verification rotation: the driver checks the FIRST 50 keys in
     # declaration order each round. Round-11 priorities:
     # (a) the 7 queries with no driver row yet — the two post-r10
@@ -4145,6 +4190,13 @@ SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
     o["delta_v2_checkpoint_write"] = """
 SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
 WHERE c_custkey % 10 != 3
+"""
+
+    # Row tracking: ids are asserted in-row (stable across the DV
+    # delete); the oracle checks the surviving data.
+    o["delta_row_tracking"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+WHERE c_custkey % 10 != 4
 """
 
     # Identity generation is gap-free, so the id set over N appended

@@ -278,7 +278,13 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
      # domainMetadata actions are replayed (latest-per-domain, removed
      # tombstones), carried through checkpoints, and writable via
      # set_domain_metadata/remove_domain_metadata
-     "domainMetadata"}
+     "domainMetadata",
+     # row tracking (spec §Row Tracking): _commit assigns
+     # baseRowId/defaultRowCommitVersion to every fresh add and
+     # advances the delta.rowTracking domain's rowIdHighWaterMark in
+     # the same commit; to_df(with_row_ids=True) materializes
+     # _row_id/_row_commit_version
+     "rowTracking"}
 )
 
 
@@ -294,6 +300,7 @@ def _initial_protocol(
 
     dv = on("delta.enableDeletionVectors")
     ict = on("delta.enableInCommitTimestamps")
+    rt = on("delta.enableRowTracking")
     policy = str(config.get("delta.checkpointPolicy", "classic")).lower()
     if policy not in ("classic", "v2"):
         raise DeltaProtocolError(
@@ -302,7 +309,7 @@ def _initial_protocol(
         )
     v2 = policy == "v2"
     base_w = _required_writer_version(config, schema)
-    if not (dv or ict or v2):
+    if not (dv or ict or v2 or rt):
         return {"minReaderVersion": 1, "minWriterVersion": base_w}
     feats = _legacy_writer_features(base_w)
     rfeats = set()
@@ -311,6 +318,10 @@ def _initial_protocol(
         rfeats.add("deletionVectors")
     if ict:
         feats.add("inCommitTimestamp")
+    if rt:
+        # row tracking's watermark lives in domain metadata, so the
+        # feature implies domainMetadata (spec §Row Tracking)
+        feats |= {"rowTracking", "domainMetadata"}
     if v2:
         feats.add("v2Checkpoint")
         rfeats.add("v2Checkpoint")
@@ -1164,10 +1175,15 @@ class DeltaProtocolTable:
         self,
         version_as_of: Optional[int] = None,
         timestamp_as_of=None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Read the table — latest, ``VERSION AS OF``, or ``TIMESTAMP
         AS OF`` (resolved via :meth:`version_at_timestamp`; exactly one
-        of the two may be given)."""
+        of the two may be given).
+
+        ``with_row_ids=True`` (row-tracking tables only) appends
+        ``_row_id`` / ``_row_commit_version`` — the spec's stable row
+        ids, materialized as ``baseRowId + row position`` per file."""
         if timestamp_as_of is not None:
             if version_as_of is not None:
                 raise ValueError(
@@ -1177,7 +1193,119 @@ class DeltaProtocolTable:
                 self._ts_ms(timestamp_as_of)
             )
         snap = self.snapshot(version_as_of)
+        if with_row_ids:
+            return self._read_files_with_row_ids(snap, list(snap.files))
         return self._read_files(snap, list(snap.files))
+
+    def _read_files_with_row_ids(
+        self, snap: DeltaSnapshot, paths: List[str]
+    ) -> DataFrame:
+        """Row-tracking read (spec §Row Tracking: Row IDs): every row
+        gets ``_row_id = add.baseRowId + its position in the file`` and
+        ``_row_commit_version = add.defaultRowCommitVersion`` — stable
+        across appends and DV deletes (surviving rows keep their
+        position). Executor-side throughout: the scan carries parquet
+        ``_metadata.row_index``, and the per-FILE bases join in via a
+        broadcast (one row per file — the same cardinality the driver
+        already holds as the snapshot's file list). Ids are fresh after
+        rewrites (OPTIMIZE/MERGE): this writer does not materialize row
+        ids into data files and refuses to pretend otherwise."""
+        cfg = snap.metadata.get("configuration") or {}
+        if str(cfg.get("delta.enableRowTracking", "false")).lower() != "true":
+            raise DeltaProtocolError(
+                "with_row_ids=True requires delta.enableRowTracking=true"
+            )
+        if snap.column_mapping_mode != "none":
+            raise DeltaProtocolError(
+                "with_row_ids reads on column-mapped tables are not"
+                " implemented — read without row ids or unmap"
+            )
+        schema = snap.schema
+        out_names = [f.name for f in schema.fields] + [
+            "_row_id", "_row_commit_version",
+        ]
+        from pyspark.sql.types import LongType, StructField
+
+        out_schema = StructType(
+            list(schema.fields)
+            + [StructField("_row_id", LongType(), False),
+               StructField("_row_commit_version", LongType(), True)]
+        )
+        if not paths:
+            return self.spark.createDataFrame([], out_schema)
+
+        def base_row(key: str, p: str):
+            a = snap.files[p]
+            if a.get("baseRowId") is None:
+                raise DeltaProtocolError(
+                    f"file {p!r} has no baseRowId — the table enables"
+                    " row tracking but this file predates the backfill"
+                )
+            return (key, int(a["baseRowId"]),
+                    a.get("defaultRowCommitVersion"))
+
+        def attach(scan: DataFrame, base_rows) -> DataFrame:
+            base_df = self.spark.createDataFrame(
+                base_rows,
+                "__fk string, __base long, _row_commit_version long",
+            )
+            return (
+                scan.join(F.broadcast(base_df), "__fk")
+                .withColumn("_row_id", F.col("__base") + F.col("__ri"))
+                .select(*out_names)
+            )
+
+        pcols = snap.partition_columns
+        dv_paths = [p for p in paths if snap.files[p].get("deletionVector")]
+        plain = [
+            p for p in paths if snap.files[p].get("deletionVector") is None
+        ]
+        parts = []
+        if plain:
+            if pcols and not all(
+                self._dir_matches_partition_values(p, snap.files[p], pcols)
+                for p in plain
+            ):
+                raise DeltaProtocolError(
+                    "with_row_ids reads need col=value partition"
+                    " directories (foreign layouts: read without row ids)"
+                )
+            abs_paths = [os.path.join(self.path, p) for p in plain]
+            reader = self.spark.read.schema(schema)
+            if pcols:
+                reader = reader.option("basePath", self.path)
+            # plain files key by full file URI — partitioned writes
+            # REUSE part filenames across partition dirs, so basenames
+            # are not unique here
+            scan = reader.parquet(*abs_paths).select(
+                *[f.name for f in schema.fields],
+                F.col("_metadata.file_path").alias("__fk"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+            # Spark renders local metadata paths as "file:/abs/path"
+            parts.append(attach(scan, [
+                base_row(
+                    "file:" + os.path.abspath(os.path.join(self.path, p)),
+                    p,
+                )
+                for p in plain
+            ]))
+        if dv_paths:
+            # DV'd files key by basename (what the DV scan carries);
+            # _read_dv_files already fails loudly on colliding basenames
+            dv_df = self._read_dv_files(snap, dv_paths, keep_meta=True)
+            scan = dv_df.select(
+                *[f.name for f in schema.fields],
+                F.col("__mack_dv_file").alias("__fk"),
+                F.col("__mack_dv_pos").alias("__ri"),
+            )
+            parts.append(attach(
+                scan,
+                [base_row(os.path.basename(p), p) for p in dv_paths],
+            ))
+        from functools import reduce
+
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     def _read_files(self, snap: DeltaSnapshot, paths: List[str]) -> DataFrame:
         schema = snap.schema
@@ -2090,6 +2218,18 @@ class DeltaProtocolTable:
             actions[0]["commitInfo"]["inCommitTimestamp"] = max(
                 _now_ms(), (prev_ict or 0) + 1
             )
+        if (
+            str(cfg.get("delta.enableRowTracking", "false")).lower()
+            == "true"
+        ):
+            # assign on a LOCAL copy: a retried commit (lost append
+            # race) must re-enter with pristine actions and re-allocate
+            # against the fresh head's watermark, never reuse ids
+            # handed out against a stale snapshot
+            import copy as _copy
+
+            actions = _copy.deepcopy(actions)
+            self._assign_base_row_ids(version, actions, snap)
         payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
         try:
             with open(_version_file(self.path, version), "x") as fh:
@@ -2102,6 +2242,76 @@ class DeltaProtocolTable:
             )
         if version > 0 and version % CHECKPOINT_INTERVAL == 0:
             self._write_checkpoint(version)
+
+    def _assign_base_row_ids(
+        self, version: int, actions: List[dict],
+        snap: Optional[DeltaSnapshot],
+    ) -> None:
+        """Row tracking's writer half (spec §Row Tracking): every
+        fresh ``add`` in this commit gets a ``baseRowId`` — the first
+        of ``numRecords`` contiguous fresh row ids — plus
+        ``defaultRowCommitVersion``; the ``delta.rowTracking`` domain's
+        ``rowIdHighWaterMark`` advances in the SAME commit, so two
+        racing writers conflict on the version file instead of
+        double-allocating ids. Re-added files (DV deletes, RESTORE)
+        keep their existing baseRowId — that is what makes row ids
+        STABLE across deletes; rewrites (OPTIMIZE/MERGE) produce fresh
+        files and fresh ids (this writer does not materialize row ids
+        into data files, and says so here rather than silently
+        claiming preservation)."""
+        hwm = -1
+        dm_in = next(
+            (a["domainMetadata"] for a in actions
+             if "domainMetadata" in a
+             and a["domainMetadata"].get("domain") == "delta.rowTracking"),
+            None,
+        )
+        src = dm_in or (
+            snap.domains.get("delta.rowTracking") if snap is not None
+            else None
+        )
+        if src is not None and not src.get("removed"):
+            try:
+                hwm = int(json.loads(
+                    src.get("configuration") or "{}"
+                ).get("rowIdHighWaterMark", -1))
+            except (ValueError, TypeError):
+                hwm = -1
+        next_id = hwm + 1
+        assigned = False
+        for a in actions:
+            add = a.get("add")
+            if add is None or add.get("baseRowId") is not None:
+                continue
+            n = None
+            stats = add.get("stats")
+            if stats:
+                try:
+                    n = json.loads(stats).get("numRecords")
+                except (ValueError, TypeError):
+                    n = None
+            if n is None:
+                raise DeltaProtocolError(
+                    "row tracking requires numRecords stats on every"
+                    f" add; file {add.get('path')!r} has none"
+                )
+            add["baseRowId"] = next_id
+            add["defaultRowCommitVersion"] = version
+            next_id += int(n)
+            assigned = True
+        if assigned:
+            new_cfg = json.dumps(
+                {"rowIdHighWaterMark": next_id - 1},
+                separators=(",", ":"),
+            )
+            if dm_in is not None:
+                dm_in["configuration"] = new_cfg
+            else:
+                actions.append({"domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": new_cfg,
+                    "removed": False,
+                }})
 
     def checkpoint(self) -> int:
         """Write a checkpoint of the CURRENT version on demand (the
@@ -2189,6 +2399,10 @@ class DeltaProtocolTable:
                 # descriptor — dropping it here would resurrect the
                 # deleted rows after the next checkpoint-based replay
                 ("deletionVector", dv_t),
+                # row tracking: dropping these would orphan every
+                # stable row id at the next checkpoint-based replay
+                ("baseRowId", pa.int64()),
+                ("defaultRowCommitVersion", pa.int64()),
             ]
         )
 
@@ -2222,6 +2436,10 @@ class DeltaProtocolTable:
                     "sizeInBytes": dv.get("sizeInBytes"),
                     "cardinality": dv.get("cardinality"),
                 },
+                "baseRowId": a.get("baseRowId"),
+                "defaultRowCommitVersion": a.get(
+                    "defaultRowCommitVersion"
+                ),
             }
 
         def _to_table(chunk):
@@ -2889,6 +3107,8 @@ class DeltaProtocolTable:
             want_w.add("deletionVectors")
         if on(config, "delta.enableInCommitTimestamps"):
             want_w.add("inCommitTimestamp")
+        if on(config, "delta.enableRowTracking"):
+            want_w |= {"rowTracking", "domainMetadata"}
         policy = str(config.get("delta.checkpointPolicy", "classic")).lower()
         if policy not in ("classic", "v2"):
             raise DeltaProtocolError(
@@ -2902,7 +3122,8 @@ class DeltaProtocolTable:
             want_w.add("v2Checkpoint")
         want_r = want_w & {"deletionVectors", "v2Checkpoint"}
         needs_features_log = cur_w == 7 or bool(
-            want_w & {"deletionVectors", "inCommitTimestamp", "v2Checkpoint"}
+            want_w & {"deletionVectors", "inCommitTimestamp",
+                      "v2Checkpoint", "rowTracking"}
         )
         if (want_w - have_w) or (want_r - have_r):
             if needs_features_log:
@@ -2934,6 +3155,19 @@ class DeltaProtocolTable:
                         "minReaderVersion": cur_r,
                         "minWriterVersion": need,
                     }})
+        if on(config, "delta.enableRowTracking") and not on(
+            old_cfg, "delta.enableRowTracking"
+        ):
+            # BACKFILL (spec's ALTER TABLE enablement): re-add every
+            # live file (dataChange=false, metadata-only — no data
+            # rewrite) so _commit assigns each a baseRowId; without
+            # this, pre-enablement files would have no row ids and
+            # with_row_ids reads would refuse the table
+            actions += [
+                {"add": dict(a, dataChange=False)}
+                for a in snap.files.values()
+                if a.get("baseRowId") is None
+            ]
         self._commit(snap.version + 1, actions, snap=snap)
 
     # ------------------------------------------------------------------

@@ -23,7 +23,10 @@ delta-spark):
   offsets stay version-only — byte-compatible with checkpoints written
   before rate limiting existed. One caveat imposed by the engine: for
   Python DataSources (no ``SupportsTriggerAvailableNow`` hook in the
-  API) pyspark FALLS BACK to single-batch execution under
+  API — verified against Spark 4.1.2: ``javap
+  PythonMicroBatchStream`` implements only ``MicroBatchStream`` +
+  ``AcceptsLatestSeenOffset``) pyspark FALLS BACK to single-batch
+  execution under
   ``Trigger.AvailableNow`` — it logs "does not support
   Trigger.AvailableNow. Falling back to single batch execution" — so
   a rate-limited availableNow RUN processes one bounded chunk and

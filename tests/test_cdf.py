@@ -285,11 +285,11 @@ class TestCheckConstraints:
         t.append(spark.createDataFrame([(2, "b", 2)], SCHEMA))
         assert t.to_df().count() == 2
 
-    def test_writer6_still_refused(self, spark, tmp_path):
-        # round 11 moved the refusal line to writer 6 (identity
-        # columns): writer 5 without actual column mapping is writable
-        # (tests/test_delta_protocol.py), mapped writes go through the
-        # physical-rename path (tests/test_column_mapping_rw.py)
+    def test_writer6_accepted_writer8_refused(self, spark, tmp_path):
+        # round 12 moved the refusal line past writer 6 (identity
+        # columns are implemented, tests/test_identity_columns.py);
+        # a legacy writer-6 log is writable, anything beyond table
+        # features (8+) still refuses loudly
         t = DeltaProtocolTable.create(
             spark, str(tmp_path / "w6"),
             spark.createDataFrame([(1, "a", 1)], SCHEMA),
@@ -298,8 +298,14 @@ class TestCheckConstraints:
             {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
         ])
-        with pytest.raises(DeltaProtocolError, match="writer version 6"):
-            t.append(spark.createDataFrame([(2, "b", 2)], SCHEMA))
+        t.append(spark.createDataFrame([(2, "b", 2)], SCHEMA))
+        assert t.to_df().count() == 2
+        t._commit(3, [
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 8}},
+        ])
+        with pytest.raises(DeltaProtocolError, match="writer version 8"):
+            t.append(spark.createDataFrame([(3, "c", 3)], SCHEMA))
 
     def test_generated_columns_computed_and_validated(self, spark, tmp_path):
         # writer version 4's other feature: omitted generated columns

@@ -226,10 +226,10 @@ class TestDeletionVectorRead:
             {"protocol": {
                 "minReaderVersion": 3, "minWriterVersion": 7,
                 "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors", "rowTracking"],
+                "writerFeatures": ["deletionVectors", "icebergCompatV2"],
             }},
         ])
-        with pytest.raises(DeltaProtocolError, match="rowTracking"):
+        with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
             t.append(
                 spark.createDataFrame([(99, "x")], "pkey int, attr string")
             )

@@ -88,8 +88,8 @@ class TestDomainMetadata:
         acts = [json.loads(x) for x in open(f) if x.strip()]
         for a in acts:
             if "protocol" in a:
-                a["protocol"]["writerFeatures"].append("rowTracking")
+                a["protocol"]["writerFeatures"].append("icebergCompatV2")
         with open(f, "w") as fh:
             fh.write("\n".join(json.dumps(a) for a in acts) + "\n")
-        with pytest.raises(DeltaProtocolError, match="rowTracking"):
+        with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
             t.append(spark.createDataFrame([(2,)], "k int"))
