@@ -3309,45 +3309,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_row_tracking"] = q_delta_row_tracking
 
+    def q_delta_liquid_cluster(spark, sf_dir):
+        # Liquid clustering (round 12, spec §Clustered Table): CREATE
+        # ... CLUSTER BY stores clustering columns in the
+        # delta.clustering domain; a plain optimize() re-clusters on
+        # them, leaving pairwise-disjoint per-file key ranges (asserted
+        # in-row — that is the property that makes key predicates prune
+        # to single files at 100 TB). Oracle: the data is unchanged.
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        path = tempfile.mkdtemp(prefix="mack-liquid-") + "/t"
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        t = DeltaProtocolTable.create(
+            spark, path, orders.filter(F.col("o_orderkey") % 2 == 0),
+            cluster_by=["o_custkey"],
+        )
+        t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+        assert t.clustering_columns() == ["o_custkey"]
+        res = t.optimize(target_file_bytes=64 * 1024)
+        assert res["rewritten"] > 0, "optimize did not re-cluster"
+        snap = t.snapshot()
+        ranges = sorted(
+            (snap.file_stats(p)["minValues"]["o_custkey"],
+             snap.file_stats(p)["maxValues"]["o_custkey"])
+            for p in snap.files
+        )
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, "clustered files overlap on o_custkey"
+        return t.to_df()
+
+    q["delta_liquid_cluster"] = q_delta_liquid_cluster
+
     # Verification rotation: the driver checks the FIRST 50 keys in
-    # declaration order each round. Round-11 priorities:
-    # (a) the 7 queries with no driver row yet — the two post-r10
-    # additions (delta_constraint_append, streaming_cdf_source) plus
-    # the five NEW r11 rows (DV writes, CDF-driven streaming SCD2,
-    # id-mode reads, mapped appends, v2 checkpoints);
-    # (b) the 4 rows whose last green driver check is round 7 (the
-    # oldest cohort, flagged by VERDICT r10);
-    # (c) 34 of the 50 round-8 rows (alphabetical; the 16 stragglers
-    # revenue_grouping_sets..zorder_cluster rotate in r12).
-    front_r11 = [
+    # declaration order each round. Round-12 priorities:
+    # (a) the 4 NEW r12 rows (v2 checkpoint writes, identity columns,
+    # row tracking, liquid clustering) — never driver-checked;
+    # (b) the 16 rows whose last green driver check is round 8 (the
+    # revenue_grouping_sets..zorder_cluster stragglers VERDICT r10
+    # scheduled for r12);
+    # (c) 30 of the round-9 cohort (alphabetical prefix; the rest
+    # rotate in r13).
+    front_r12 = [
         # (a) never driver-checked
-        "delta_constraint_append", "streaming_cdf_source",
-        "delta_dv_delete", "streaming_scd2_cdf", "delta_id_mode_read",
-        "delta_mapped_append", "delta_v2_checkpoint_read",
-        "delta_ict_commits", "delta_timestamp_read",
-        "delta_reorg_purge", "delta_txn_idempotent",
-        "delta_rename_column",
-        # (b) last green r7
-        "length_drift_psi", "span_contamination",
-        "dedup_incremental_lsh", "streaming_quality_gate",
-        # (c) last green r8, alphabetical prefix
-        "asof_join_purchase_view", "brand_part_rank",
-        "click_and_purchase", "click_without_purchase",
-        "column_profile", "daily_funnel_full_outer",
-        "dedup_embedding_scaled", "dedup_exact", "dedup_simhash",
-        "dedup_simhash_near", "delta_scd2_merge", "drop_duplicates",
-        "dup_detect_groups", "events_hourly_rollup",
-        "fingerprint_winnow", "gap_fill_daily",
-        "interval_join_active_sessions", "kill_duplicates",
-        "knn_brute_force", "knn_brute_force_numpy", "knn_ivf_kmeans",
-        "knn_ivfpq", "knn_lsh", "knn_pq_adc", "lang_robust_stats",
-        "lsh_hot_buckets", "order_gap_stats", "order_priority_semi",
-        "pricing_summary", "props_json_stats", "quiet_customers_anti",
-        "regional_revenue", "repetition_stats", "returned_revenue",
+        "delta_v2_checkpoint_write",
+        "delta_identity_append",
+        "delta_row_tracking",
+        "delta_liquid_cluster",
+        # (b) last green r8
+        "revenue_grouping_sets",
+        "revenue_pivot_by_status",
+        "salted_event_totals",
+        "salted_join_revenue",
+        "sample_deterministic",
+        "segment_spend_trend",
+        "sessionize",
+        "shipping_priority",
+        "sql_frontend_topsegments",
+        "token_counts",
+        "top_customers",
+        "totalprice_histogram",
+        "totalprice_percentiles",
+        "validate_append",
+        "with_md5_cols",
+        "zorder_cluster",
+        # (c) last green r9, alphabetical prefix
+        "append_without_duplicates",
+        "boilerplate_strip",
+        "chunk_documents",
+        "cluster_balance",
+        "constraint_append_pass",
+        "constraint_append_quarantine",
+        "corpus_curation",
+        "customer_rfm",
+        "dataset_split",
+        "dedup_ngram_spans",
+        "dedup_span_strip",
+        "delta_append_without_duplicates",
+        "delta_drop_duplicates_pkey",
+        "delta_kill_duplicates",
+        "drop_duplicates_pkey",
+        "embedding_diversity",
+        "embedding_norms",
+        "embedding_quantize",
+        "gopher_quality",
+        "grouped_correlations",
+        "incremental_rollup",
+        "key_skew_profile",
+        "knn_ivf",
+        "knn_ivf_indexed",
+        "lang_confusion",
+        "late_shipment_priority",
+        "multimodal_features",
+        "multimodal_frame_sample",
+        "multimodal_metadata",
+        "multimodal_resize",
     ]
-    assert len(front_r11) == 50, len(front_r11)
-    fset = set(front_r11)
-    ordered = {k: q[k] for k in front_r11}
+    assert len(front_r12) == 50, len(front_r12)
+    fset = set(front_r12)
+    ordered = {k: q[k] for k in front_r12}
     ordered.update({k: v for k, v in q.items() if k not in fset})
     assert set(ordered) == set(q)
     return ordered
@@ -4190,6 +4253,12 @@ SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
     o["delta_v2_checkpoint_write"] = """
 SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
 WHERE c_custkey % 10 != 3
+"""
+
+    # Liquid clustering: optimize() re-clusters but never changes
+    # rows — the oracle is the plain projection.
+    o["delta_liquid_cluster"] = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 """
 
     # Row tracking: ids are asserted in-row (stable across the DV

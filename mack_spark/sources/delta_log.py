@@ -284,7 +284,13 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
      # advances the delta.rowTracking domain's rowIdHighWaterMark in
      # the same commit; to_df(with_row_ids=True) materializes
      # _row_id/_row_commit_version
-     "rowTracking"}
+     "rowTracking",
+     # liquid clustering (spec §Clustered Table): clustering columns
+     # live in the delta.clustering domain; OPTIMIZE re-clusters on
+     # them via the Morton key. delta-spark 3.x writes the feature as
+     # "clustering"; "clusteredTable" is the spec's older alias —
+     # accept both
+     "clustering", "clusteredTable"}
 )
 
 
@@ -308,8 +314,9 @@ def _initial_protocol(
             " (classic, v2)"
         )
     v2 = policy == "v2"
+    ntz = schema is not None and _has_ntz(schema)
     base_w = _required_writer_version(config, schema)
-    if not (dv or ict or v2 or rt):
+    if not (dv or ict or v2 or rt or ntz):
         return {"minReaderVersion": 1, "minWriterVersion": base_w}
     feats = _legacy_writer_features(base_w)
     rfeats = set()
@@ -322,6 +329,12 @@ def _initial_protocol(
         # row tracking's watermark lives in domain metadata, so the
         # feature implies domainMetadata (spec §Row Tracking)
         feats |= {"rowTracking", "domainMetadata"}
+    if ntz:
+        # a TIMESTAMP_NTZ column anywhere in the schema demands the
+        # reader+writer feature — a legacy-protocol log carrying the
+        # type would be read with wrong semantics by old readers
+        feats.add("timestampNtz")
+        rfeats.add("timestampNtz")
     if v2:
         feats.add("v2Checkpoint")
         rfeats.add("v2Checkpoint")
@@ -369,6 +382,24 @@ def _identity_columns(schema: StructType) -> Dict[str, dict]:
                     f"identity column {f.name!r} has step 0"
                 )
     return out
+
+
+def _has_ntz(dt) -> bool:
+    """True when the (possibly nested) type contains TIMESTAMP_NTZ —
+    a table carrying one MUST declare the ``timestampNtz`` reader+
+    writer feature (spec §Timestamp without timezone)."""
+    from pyspark.sql.types import ArrayType, MapType, TimestampNTZType
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(dt, TimestampNTZType):
+        return True
+    if isinstance(dt, _ST):
+        return any(_has_ntz(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _has_ntz(dt.elementType)
+    if isinstance(dt, MapType):
+        return _has_ntz(dt.keyType) or _has_ntz(dt.valueType)
+    return False
 
 
 def _identity_gen_fn(bc_offsets, name: str, next_val: int, step: int):
@@ -1979,6 +2010,7 @@ class DeltaProtocolTable:
         partition_by: Optional[List[str]] = None,
         properties: Optional[Dict[str, str]] = None,
         identity: Optional[Dict[str, dict]] = None,
+        cluster_by: Optional[List[str]] = None,
     ) -> "DeltaProtocolTable":
         """CREATE TABLE AS SELECT: data files + version-0 commit with
         protocol/metaData/add actions.
@@ -1988,12 +2020,28 @@ class DeltaProtocolTable:
         "allow_explicit_insert": False}}``. A declared column absent
         from ``df`` is appended as ``bigint`` and generated for the
         initial rows; one present in ``df`` must be ``bigint`` and
-        needs ``allow_explicit_insert``."""
+        needs ``allow_explicit_insert``.
+
+        ``cluster_by`` creates a LIQUID-CLUSTERED table (spec
+        §Clustered Table, delta-spark's ``clusterBy``): the columns
+        land in the ``delta.clustering`` domain and
+        :meth:`optimize` re-clusters on them by default. Mutually
+        exclusive with ``partition_by`` (Delta's rule)."""
         t = cls(spark, path)
         if cls.is_delta(path):
             raise FileExistsError(f"Delta table already exists at {path}")
         os.makedirs(_log_dir(t.path), exist_ok=True)
         partition_by = list(partition_by or [])
+        cluster_by = list(cluster_by or [])
+        if cluster_by and partition_by:
+            raise DeltaProtocolError(
+                "CLUSTER BY and PARTITIONED BY are mutually exclusive"
+            )
+        missing_cc = [c for c in cluster_by if c not in df.columns]
+        if missing_cc:
+            raise DeltaProtocolError(
+                f"clustering columns {missing_cc} not in the schema"
+            )
         table_schema = df.schema
         if identity:
             from pyspark.sql.types import LongType, StructField
@@ -2052,16 +2100,40 @@ class DeltaProtocolTable:
         }
         if id_hwms:
             meta = _patch_identity_hwm(meta, id_hwms)
+        proto = _initial_protocol(meta["configuration"], table_schema)
+        cluster_actions: List[dict] = []
+        if cluster_by:
+            if proto.get("minWriterVersion") == 7:
+                proto = dict(proto, writerFeatures=sorted(
+                    set(proto["writerFeatures"])
+                    | {"clustering", "domainMetadata"}
+                ))
+            else:
+                proto = {
+                    "minReaderVersion": proto["minReaderVersion"],
+                    "minWriterVersion": 7,
+                    "writerFeatures": sorted(
+                        _legacy_writer_features(proto["minWriterVersion"])
+                        | {"clustering", "domainMetadata"}
+                    ),
+                }
+            cluster_actions = [{"domainMetadata": {
+                "domain": "delta.clustering",
+                "configuration": json.dumps(
+                    {"clusteringColumns": [[c] for c in cluster_by]},
+                    separators=(",", ":"),
+                ),
+                "removed": False,
+            }}]
         actions = (
             [
                 {"commitInfo": {"timestamp": _now_ms(),
                                 "operation": "CREATE TABLE AS SELECT",
                                 "operationParameters": {}}},
-                {"protocol": _initial_protocol(
-                    meta["configuration"], table_schema
-                )},
+                {"protocol": proto},
                 {"metaData": meta},
             ]
+            + cluster_actions
             + [{"add": a} for a in adds]
         )
         t._commit(0, actions)
@@ -2665,6 +2737,38 @@ class DeltaProtocolTable:
             ),
         }}]
 
+    def _ntz_protocol_actions(
+        self, snap: DeltaSnapshot, new_meta: Optional[dict]
+    ) -> List[dict]:
+        """The protocol upgrade a schema evolution must carry when it
+        introduces the table's first TIMESTAMP_NTZ column (spec: the
+        type requires the ``timestampNtz`` reader+writer feature)."""
+        if new_meta is None:
+            return []
+        schema = StructType.fromJson(
+            json.loads(new_meta["schemaString"])
+        )
+        if not _has_ntz(schema):
+            return []
+        proto = snap.protocol
+        if "timestampNtz" in (proto.get("readerFeatures") or []):
+            return []
+        legacy_w = (
+            set(proto.get("writerFeatures") or [])
+            if proto.get("minWriterVersion", 1) == 7
+            else _legacy_writer_features(proto.get("minWriterVersion", 1))
+        )
+        readers = (
+            set(proto.get("readerFeatures") or [])
+            | _legacy_reader_features(proto.get("minReaderVersion", 1))
+        )
+        return [{"protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(readers | {"timestampNtz"}),
+            "writerFeatures": sorted(legacy_w | {"timestampNtz"}),
+        }}]
+
     # ------------------------------------------------------------------
     # CHECK constraints (writer version 3)
     # ------------------------------------------------------------------
@@ -2809,6 +2913,59 @@ class DeltaProtocolTable:
             "removed": False,
         })
 
+    # ------------------------------------------------------------------
+    # Liquid clustering (writer feature "clustering")
+    # ------------------------------------------------------------------
+
+    def clustering_columns(
+        self, snap: Optional[DeltaSnapshot] = None
+    ) -> List[str]:
+        """The table's clustering columns from the
+        ``delta.clustering`` domain (spec §Clustered Table), ``[]``
+        when unclustered. Nested names come back dotted."""
+        snap = snap or self.snapshot()
+        dm = snap.domains.get("delta.clustering")
+        if dm is None:
+            return []
+        try:
+            cols = json.loads(dm.get("configuration") or "{}").get(
+                "clusteringColumns"
+            ) or []
+        except ValueError:
+            return []
+        return [
+            ".".join(c) if isinstance(c, list) else str(c) for c in cols
+        ]
+
+    def set_cluster_by(self, cols: List[str]) -> None:
+        """``ALTER TABLE ... CLUSTER BY (cols)`` — replace the
+        clustering columns (metadata-only; the NEXT :meth:`optimize`
+        applies the new layout). ``CLUSTER BY NONE`` is ``[]``."""
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        cols = list(cols or [])
+        if snap.partition_columns and cols:
+            raise DeltaProtocolError(
+                "cannot CLUSTER BY a partitioned table"
+            )
+        known = {f.name for f in snap.schema.fields}
+        missing = [c for c in cols if c not in known]
+        if missing:
+            raise DeltaProtocolError(
+                f"clustering columns {missing} not in the schema"
+            )
+        self._commit_domain(
+            snap,
+            {"domain": "delta.clustering",
+             "configuration": json.dumps(
+                 {"clusteringColumns": [[c] for c in cols]},
+                 separators=(",", ":"),
+             ),
+             "removed": False},
+            extra_features={"clustering"},
+            operation="CLUSTER BY",
+        )
+
     def remove_domain_metadata(self, domain: str) -> None:
         """Tombstone ``domain`` (spec: a removed=true action; replay
         drops the domain from reconstructed state)."""
@@ -2820,12 +2977,18 @@ class DeltaProtocolTable:
             "domain": domain, "configuration": None, "removed": True,
         })
 
-    def _commit_domain(self, snap: DeltaSnapshot, dm: dict) -> None:
+    def _commit_domain(
+        self, snap: DeltaSnapshot, dm: dict,
+        extra_features: Optional[set] = None,
+        operation: Optional[str] = None,
+    ) -> None:
         actions = [
             {"commitInfo": {
                 "timestamp": _now_ms(),
-                "operation": "SET DOMAIN METADATA" if not dm["removed"]
-                else "REMOVE DOMAIN METADATA",
+                "operation": operation or (
+                    "SET DOMAIN METADATA" if not dm["removed"]
+                    else "REMOVE DOMAIN METADATA"
+                ),
                 "operationParameters": {"domain": dm["domain"]},
             }},
         ]
@@ -2836,11 +2999,12 @@ class DeltaProtocolTable:
             if cur_w == 7
             else _legacy_writer_features(cur_w)
         )
-        if "domainMetadata" not in have_w:
+        need = {"domainMetadata"} | (extra_features or set())
+        if not need <= have_w:
             new_proto = {
                 "minReaderVersion": proto.get("minReaderVersion", 1),
                 "minWriterVersion": 7,
-                "writerFeatures": sorted(have_w | {"domainMetadata"}),
+                "writerFeatures": sorted(have_w | need),
             }
             if proto.get("readerFeatures") is not None or (
                 proto.get("minReaderVersion", 1) == 3
@@ -3045,10 +3209,18 @@ class DeltaProtocolTable:
             config["delta.columnMapping.maxColumnId"] = str(max_id + 1)
         fields = json.loads(snap.metadata["schemaString"])["fields"]
         fields.append(field)
+        proto = None
+        if _has_ntz(dt):
+            ntz = self._ntz_protocol_actions(snap, {
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}
+                )
+            })
+            proto = ntz[0]["protocol"] if ntz else None
         self._commit_schema_change(
             snap, fields, "ADD COLUMNS",
             {"columns": [{"name": name, "type": data_type}]},
-            config=config,
+            config=config, protocol=proto,
         )
 
     def _update_config(
@@ -3476,6 +3648,7 @@ class DeltaProtocolTable:
                 "appId": txn_app_id, "version": int(txn_version),
                 "lastUpdated": _now_ms(),
             }})
+        actions += self._ntz_protocol_actions(snap, new_meta)
         if new_meta is not None:
             actions.append({"metaData": new_meta})
         actions += [{"add": a} for a in adds]
@@ -3531,6 +3704,7 @@ class DeltaProtocolTable:
             {"commitInfo": {"timestamp": _now_ms(), "operation": "WRITE",
                             "operationParameters": {"mode": "Overwrite"}}}
         ]
+        actions += self._ntz_protocol_actions(snap, new_meta)
         if new_meta is not None:
             actions.append({"metaData": new_meta})
         actions += (
@@ -4533,11 +4707,21 @@ class DeltaProtocolTable:
         predicates on ANY of them prune files — this one deliberately
         rewrites everything, exactly like Delta's. Returns
         ``{files_before, files_after, rewritten, version}`` (version
-        unchanged when nothing to do)."""
+        unchanged when nothing to do).
+
+        On a LIQUID-CLUSTERED table (``cluster_by`` at create /
+        :meth:`set_cluster_by`) a plain ``optimize()`` re-clusters on
+        the table's clustering columns — delta-spark's OPTIMIZE
+        behavior for clustered tables — via the same Morton-key full
+        re-cluster as ``zorder_by``."""
         import math
 
         snap = self.snapshot()
         self._assert_writable(snap)
+        if not zorder_by and not sort_by:
+            cc = self.clustering_columns(snap)
+            if cc:
+                zorder_by = cc
         if zorder_by:
             from mack_spark.layout import cluster_by_zorder
 

@@ -303,15 +303,15 @@ class TestProtocolGates:
         with open(os.path.join(t.path, "_delta_log", "%020d.json" % v), "w") as fh:
             fh.write(json.dumps({"protocol": proto}) + "\n")
 
-    def test_writer_version_6_refuses_commits(self, spark, tmp_path):
+    def test_writer_version_8_refuses_commits(self, spark, tmp_path):
         # writer 3 (constraints), 4 (CDF), 5 (column mapping writes,
-        # round 11), and 7 with supported features are implemented —
-        # the refusal line is now writer 6 (identity columns) and
-        # writer >7
+        # round 11), 6 (identity columns, round 12 —
+        # tests/test_identity_columns.py), and 7 with supported
+        # features are implemented — the refusal line is writer >7
         from mack_spark.sources.delta_log import DeltaProtocolError
 
         t = _mk(spark, tmp_path, [(1, "a")])
-        self._bump(t, minReaderVersion=1, minWriterVersion=6)
+        self._bump(t, minReaderVersion=1, minWriterVersion=8)
         df = spark.createDataFrame([(2, "b")], "pkey int, attr string")
         for op in (
             lambda: t.append(df),
@@ -323,6 +323,14 @@ class TestProtocolGates:
                 op()
         # reads still work — writer features don't gate readers
         assert t.to_df().count() == 1
+
+    def test_writer_version_6_now_writable(self, spark, tmp_path):
+        # a legacy writer-6 log without identity columns in the schema
+        # commits normally (identity generation is implemented)
+        t = _mk(spark, tmp_path, [(1, "a")])
+        self._bump(t, minReaderVersion=1, minWriterVersion=6)
+        t.append(spark.createDataFrame([(2, "b")], "pkey int, attr string"))
+        assert t.to_df().count() == 2
 
     def test_writer_version_5_unmapped_now_writable(self, spark, tmp_path):
         # a (nonconforming) writer-5 log WITHOUT column mapping is
