@@ -3344,6 +3344,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_liquid_cluster"] = q_delta_liquid_cluster
 
+    def q_delta_shallow_clone(spark, sf_dir):
+        # SHALLOW CLONE (round 12, delta-spark's zero-copy clone): a
+        # new log referencing the source's files by absolute path —
+        # O(metadata) at any size. In-row asserts: no data files copied
+        # under the clone root, the clone's delete leaves the source's
+        # inodes and row count untouched. Oracle: the clone's
+        # post-delete state.
+        import glob as _glob
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        base = tempfile.mkdtemp(prefix="mack-clone-")
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        src = DeltaProtocolTable.create(spark, base + "/src", cust)
+        src_files = {
+            p: os.stat(p).st_ino
+            for p in _glob.glob(base + "/src/*.parquet")
+        }
+        c = DeltaProtocolTable.shallow_clone(
+            spark, src.path, base + "/clone"
+        )
+        assert not [
+            p for p in _glob.glob(base + "/clone/**/*.parquet",
+                                  recursive=True)
+            if "_delta_log" not in p
+        ], "shallow clone copied data files"
+        c.delete_where("c_custkey % 5 = 2")
+        assert {
+            p: os.stat(p).st_ino
+            for p in _glob.glob(base + "/src/*.parquet")
+        } == src_files, "clone delete touched source files"
+        assert src.to_df().count() == cust.count()
+        return c.to_df()
+
+    q["delta_shallow_clone"] = q_delta_shallow_clone
+
     # Verification rotation: the driver checks the FIRST 50 keys in
     # declaration order each round. Round-12 priorities:
     # (a) the 4 NEW r12 rows (v2 checkpoint writes, identity columns,
@@ -3359,6 +3398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_identity_append",
         "delta_row_tracking",
         "delta_liquid_cluster",
+        "delta_shallow_clone",
         # (b) last green r8
         "revenue_grouping_sets",
         "revenue_pivot_by_status",
@@ -3406,7 +3446,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features",
         "multimodal_frame_sample",
         "multimodal_metadata",
-        "multimodal_resize",
     ]
     assert len(front_r12) == 50, len(front_r12)
     fset = set(front_r12)
@@ -4253,6 +4292,13 @@ SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
     o["delta_v2_checkpoint_write"] = """
 SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
 WHERE c_custkey % 10 != 3
+"""
+
+    # Shallow clone: the clone's post-delete state; the source stays
+    # intact (asserted in-row).
+    o["delta_shallow_clone"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+WHERE c_custkey % 5 != 2
 """
 
     # Liquid clustering: optimize() re-clusters but never changes

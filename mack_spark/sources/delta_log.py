@@ -290,7 +290,12 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
      # them via the Morton key. delta-spark 3.x writes the feature as
      # "clustering"; "clusteredTable" is the spec's older alias —
      # accept both
-     "clustering", "clusteredTable"}
+     "clustering", "clusteredTable",
+     # vacuumProtocolCheck (spec §Vacuum Protocol Check): the feature
+     # only asks that VACUUM honor the table protocol before deleting
+     # files — this writer's vacuum always replays the snapshot through
+     # the full protocol gate, so the check is inherently satisfied
+     "vacuumProtocolCheck"}
 )
 
 
@@ -1064,7 +1069,11 @@ class DeltaProtocolTable:
             feats = set(protocol.get("readerFeatures") or [])
             unsupported = sorted(
                 feats - {"deletionVectors", "columnMapping",
-                         "timestampNtz", "v2Checkpoint"}
+                         "timestampNtz", "v2Checkpoint",
+                         # reader-side vacuumProtocolCheck only asks
+                         # that VACUUM consult the protocol — reads
+                         # are unaffected (spec §Vacuum Protocol Check)
+                         "vacuumProtocolCheck"}
             )
             if unsupported:
                 raise DeltaProtocolError(
@@ -2134,6 +2143,69 @@ class DeltaProtocolTable:
                 {"metaData": meta},
             ]
             + cluster_actions
+            + [{"add": a} for a in adds]
+        )
+        t._commit(0, actions)
+        return t
+
+    @classmethod
+    def shallow_clone(
+        cls, spark: SparkSession, src_path: str, dst_path: str,
+    ) -> "DeltaProtocolTable":
+        """``CREATE TABLE ... SHALLOW CLONE`` (delta-spark's
+        zero-copy clone): a NEW log whose add actions reference the
+        source's CURRENT data files by absolute path — O(metadata) at
+        any table size, no data copied. The spec allows absolute
+        ``add.path``; this reader resolves them (``os.path.join``
+        passes absolute paths through). Mutations stay local to the
+        clone: deletes drop references, rewrites land under the clone
+        root, and VACUUM only walks the clone's directory, so source
+        files are never reclaimed from the clone side. Deletion-vector
+        descriptors are rewritten to absolute ``p`` storage so the
+        clone resolves the source's DV files; fresh DVs written by the
+        clone land under the clone root. Clustering/row-tracking
+        domains carry over; SetTransaction watermarks deliberately do
+        NOT (a clone is a new table to idempotent writers — delta's
+        behavior)."""
+        src = cls(spark, src_path)
+        snap = src.snapshot()
+        t = cls(spark, dst_path)
+        if cls.is_delta(dst_path):
+            raise FileExistsError(
+                f"Delta table already exists at {dst_path}"
+            )
+        os.makedirs(_log_dir(t.path), exist_ok=True)
+        adds = []
+        for p, a in snap.files.items():
+            a = dict(a)
+            if not os.path.isabs(p):
+                a["path"] = os.path.abspath(os.path.join(src.path, p))
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                a["deletionVector"] = dict(
+                    dv, storageType="p",
+                    pathOrInlineDv=os.path.abspath(
+                        _dv_file_path(src.path, dv)
+                    ),
+                )
+            a["dataChange"] = True
+            adds.append(a)
+        meta = dict(
+            snap.metadata, id=str(uuid.uuid4()), createdTime=_now_ms()
+        )
+        actions = (
+            [
+                {"commitInfo": {
+                    "timestamp": _now_ms(), "operation": "CLONE",
+                    "operationParameters": {
+                        "source": src.path, "isShallow": True,
+                    },
+                }},
+                {"protocol": snap.protocol},
+                {"metaData": meta},
+            ]
+            + [{"domainMetadata": dm}
+               for _d, dm in sorted(snap.domains.items())]
             + [{"add": a} for a in adds]
         )
         t._commit(0, actions)
@@ -4074,6 +4146,13 @@ class DeltaProtocolTable:
             return []
         dv_paths = [p for p in paths if snap.files[p].get("deletionVector")]
         plain = [p for p in paths if p not in set(dv_paths)]
+        # resolve matched scan paths back to SNAPSHOT KEYS by absolute
+        # path — keys may themselves be absolute (shallow clones
+        # reference the source's files), where relpath would never match
+        abs_to_key = {
+            os.path.normpath(os.path.abspath(os.path.join(self.path, p))): p
+            for p in paths
+        }
         rel = set()
         if plain:
             hits = (
@@ -4089,9 +4168,9 @@ class DeltaProtocolTable:
                     if "://" in f or f.startswith("file:")
                     else f
                 )
-                rel.add(
-                    os.path.relpath(local, self.path).replace(os.sep, "/")
-                )
+                key = abs_to_key.get(os.path.normpath(local))
+                if key is not None:
+                    rel.add(key)
         if dv_paths:
             # input_file_name() does not survive the DV scan's
             # mapInPandas — the scan's own __mack_dv_file column
