@@ -50,6 +50,11 @@ HEADLINE = [
     "delta_mapped_append", "delta_v2_checkpoint_read",
     "delta_ict_commits", "delta_timestamp_read", "delta_reorg_purge",
     "delta_txn_idempotent", "delta_rename_column",
+    # round-12 family (v2 checkpoint writes, identity columns, row
+    # tracking, liquid clustering, shallow clone)
+    "delta_v2_checkpoint_write", "delta_identity_append",
+    "delta_row_tracking", "delta_liquid_cluster",
+    "delta_shallow_clone",
 ]
 
 

@@ -12,7 +12,7 @@ executed-plan string:
 * CartesianProduct / BroadcastNestedLoopJoin presence,
 * Arrow/Python stages (mapInPandas etc.).
 
-Writes PLAN_AUDIT_r11.md. Usage: python scripts/plan_audit.py [sf_dir]
+Writes PLAN_AUDIT_r12.md. Usage: python scripts/plan_audit.py [sf_dir]
 """
 
 from __future__ import annotations
@@ -71,7 +71,7 @@ def main() -> None:
         )
         rows.append((name, n_ex, n_bc, single, cart, py, ""))
 
-    out = ["# Plan audit (round 11)", "",
+    out = ["# Plan audit (round 12)", "",
            f"Per-query physical-plan facts at `{sf_dir}` "
            "(lazy plans only; see skip list).", "",
            "| query | shuffles | broadcasts | single-partition | nested-loop/cartesian | python stage | note |",
@@ -94,7 +94,7 @@ def main() -> None:
             "broadcast query block of the ANN brute-force rerank baseline —",
             "never a data×data cartesian.", ""]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "PLAN_AUDIT_r11.md")
+                        "PLAN_AUDIT_r12.md")
     with open(path, "w") as f:
         f.write("\n".join(out))
     flagged = [r for r in rows if r[3] == "yes" or r[4] == "yes"]
