@@ -470,7 +470,10 @@ _Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
 # surviving rows as delete+insert churn, so CDF readers raise instead.
 _CDF_EXACT_REWRITE_OPS = frozenset(
     {"WRITE", "RESTORE", "TRUNCATE", "CREATE OR REPLACE TABLE AS SELECT",
-     "REPLACE TABLE AS SELECT"}
+     "REPLACE TABLE AS SELECT",
+     # a shallow clone's version-0 adds ARE the table's initial rows —
+     # deriving them as inserts is exact, same as CTAS
+     "CLONE"}
 )
 
 _ROARING_MAGIC = 1681511377

@@ -296,3 +296,50 @@ def test_protocol_read_pushdown_and_pruning(spark, tmp_path):
     assert rs and set(
         c.split(":")[0] for c in rs.group(1).split(",")
     ) == {"c_custkey", "c_name"}  # column-pruned scan
+
+
+def test_row_tracking_read_plan(spark, tmp_path):
+    """with_row_ids must stay scan-shaped: per-file bases join in via
+    BROADCAST (one row per file), zero data shuffles, and user filters
+    still push into the parquet scan — otherwise row-id reads would
+    re-shuffle 100 TB to attach a per-file constant."""
+    from mack_spark.sources.delta_log import DeltaProtocolTable
+
+    df = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "rt"), df,
+        properties={"delta.enableRowTracking": "true"},
+    )
+    plan = _plan(t.to_df(with_row_ids=True).filter("c_acctbal > 100"))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "GreaterThan(c_acctbal,100" in plan  # pushdown survives
+
+
+def test_identity_generation_is_narrow(spark, tmp_path):
+    """Identity assignment must add NO shuffle: one bounded
+    per-partition count job, then a narrow Arrow stage stamping each
+    partition's reserved range."""
+    from mack_spark.sources.delta_log import DeltaProtocolTable
+
+    df = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    t = DeltaProtocolTable.create(
+        spark, str(tmp_path / "idn"), df,
+        identity={"row_id": {"start": 1, "step": 1}},
+    )
+    # the written table reads back shuffle-free, and the generation
+    # plan itself (re-run on a fresh frame) is scan → mapInPandas
+    gen_df, _hwms, persisted = t._generate_identity(
+        t.snapshot().schema, df
+    )
+    try:
+        plan = _plan(gen_df)
+        assert "Exchange hashpartitioning" not in plan
+        assert "MapInPandas" in plan
+    finally:
+        if persisted is not None:
+            persisted.unpersist()

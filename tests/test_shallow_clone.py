@@ -129,6 +129,33 @@ class TestShallowClone:
             DeltaProtocolTable.shallow_clone(
                 spark, src.path, str(tmp_path / "clone"))
 
+    def test_stream_and_cdf_from_clone(self, spark, tmp_path):
+        # the streaming source resolves absolute add paths, and a
+        # clone's version-0 CLONE commit derives exactly as inserts
+        # under CDF (same as CTAS)
+        from mack_spark.streaming.delta_source import register
+
+        register(spark)
+        src = _mk_src(
+            spark, tmp_path, n=6,
+            properties={"delta.enableChangeDataFeed": "true"},
+        )
+        c = DeltaProtocolTable.shallow_clone(
+            spark, src.path, str(tmp_path / "clone"))
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = (
+            spark.readStream.format("delta_protocol")
+            .option("path", c.path).load()
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        assert spark.read.parquet(out).count() == 6
+        ch = c.table_changes(0, 0)
+        assert ch.count() == 6
+        assert {r["_change_type"] for r in ch.collect()} == {"insert"}
+
     def test_restore_and_time_travel_in_clone(self, spark, tmp_path):
         src = _mk_src(spark, tmp_path)
         c = DeltaProtocolTable.shallow_clone(
