@@ -4136,15 +4136,21 @@ class DeltaProtocolTable:
     # DELETE / UPDATE / VACUUM
     # ------------------------------------------------------------------
 
-    def _files_matching(self, snap: DeltaSnapshot, condition: str) -> List[str]:
+    def _files_matching(
+        self, snap: DeltaSnapshot, condition: str,
+        paths: Optional[List[str]] = None,
+    ) -> List[str]:
         """Relative paths of live files holding at least one row where
         ``condition`` is TRUE — Delta DELETE/UPDATE's phase 1, as ONE
         Spark scan: the predicate pushes down to the parquet reader
         (row-group stats skip non-matching files at scan level) and
-        ``input_file_name`` surfaces which files actually matched."""
+        ``input_file_name`` surfaces which files actually matched.
+        ``paths`` restricts the scan to a subset of the snapshot's
+        files (the concurrency checker probes only interleaved
+        adds)."""
         from urllib.parse import unquote, urlparse
 
-        paths = list(snap.files)
+        paths = list(snap.files) if paths is None else list(paths)
         if not paths:
             return []
         dv_paths = [p for p in paths if snap.files[p].get("deletionVector")]
@@ -4273,6 +4279,69 @@ class DeltaProtocolTable:
             adds.append(new_add)
         return removes, adds, fully_removed
 
+    def _commit_mutation(
+        self, snap: DeltaSnapshot, actions: List[dict],
+        condition: str, max_retries: int = 3,
+    ) -> int:
+        """Commit a DELETE/UPDATE's actions with Delta's
+        WriteSerializable concurrency rule instead of failing every
+        race: a lost commit race is RETRIED at the new head when every
+        interleaved commit was a BLIND APPEND (adds + txn +
+        row-tracking watermark only) whose new files hold NO row
+        matching ``condition`` — such appends commute with the
+        mutation, exactly delta-spark's ConcurrentAppend check. Any
+        interleaved remove/metaData/protocol/cdc, foreign domain
+        write, or a matching new row is a REAL conflict and raises
+        (the mutation's read set is stale). The matching test is
+        exact — it scans only the interleaved files — never a stats
+        guess that could silently skip rows a serial execution would
+        have deleted."""
+        from mack_spark.tables import ConcurrentModificationError
+
+        version = snap.version + 1
+        for _ in range(max_retries + 1):
+            try:
+                self._commit(version, actions, snap=snap)
+                return version
+            except ConcurrentModificationError:
+                head = self.snapshot()
+                new_adds: List[str] = []
+                for iv in range(version, head.version + 1):
+                    for a in self._commit_actions(iv):
+                        if "commitInfo" in a or "txn" in a:
+                            continue
+                        if "add" in a:
+                            new_adds.append(a["add"]["path"])
+                            continue
+                        if (
+                            "domainMetadata" in a
+                            and a["domainMetadata"].get("domain")
+                            == "delta.rowTracking"
+                        ):
+                            continue  # blind appends advance this
+                        raise ConcurrentModificationError(
+                            f"version {iv} of {self.path} committed a"
+                            " non-append change concurrently with this"
+                            " mutation — re-read and retry the"
+                            " operation"
+                        )
+                live_new = [p for p in new_adds if p in head.files]
+                if live_new and self._files_matching(
+                    head, condition, paths=live_new
+                ):
+                    raise ConcurrentModificationError(
+                        f"a concurrent append to {self.path} added rows"
+                        f" matching {condition!r} — this mutation's"
+                        " result would differ from a serial execution;"
+                        " re-read and retry"
+                    )
+                snap = head
+                version = head.version + 1
+        raise ConcurrentModificationError(
+            f"mutation of {self.path} lost {max_retries + 1} commit"
+            " races"
+        )
+
     def _delete_with_dvs(
         self, snap: DeltaSnapshot, condition: str, touched: List[str]
     ) -> dict:
@@ -4319,11 +4388,11 @@ class DeltaProtocolTable:
             + [{"remove": r} for r in removes]
             + [{"add": a} for a in adds]
         )
-        self._commit(snap.version + 1, actions, snap=snap)
+        v = self._commit_mutation(snap, actions, condition)
         return {
             "touched_files": len(touched),
             "total_files": len(snap.files),
-            "version": snap.version + 1,
+            "version": v,
             "deletion_vectors": len(adds),
             "rewritten_files": 0,
         }
@@ -4395,11 +4464,11 @@ class DeltaProtocolTable:
             ]
             + [{"add": a} for a in adds]
         )
-        self._commit(snap.version + 1, actions, snap=snap)
+        v = self._commit_mutation(snap, actions, condition)
         return {
             "touched_files": len(touched),
             "total_files": len(snap.files),
-            "version": snap.version + 1,
+            "version": v,
         }
 
     def _update_with_dvs(
@@ -4477,11 +4546,11 @@ class DeltaProtocolTable:
             + [{"add": a} for a in adds_dv]
             + [{"add": a} for a in adds_new]
         )
-        self._commit(snap.version + 1, actions, snap=snap)
+        v = self._commit_mutation(snap, actions, condition)
         return {
             "touched_files": len(touched),
             "total_files": len(snap.files),
-            "version": snap.version + 1,
+            "version": v,
             "deletion_vectors": len(adds_dv),
             "rewritten_files": len(adds_new),
         }
@@ -4610,11 +4679,11 @@ class DeltaProtocolTable:
             ]
             + [{"add": a} for a in adds]
         )
-        self._commit(snap.version + 1, actions, snap=snap)
+        v = self._commit_mutation(snap, actions, condition)
         return {
             "touched_files": len(touched),
             "total_files": len(snap.files),
-            "version": snap.version + 1,
+            "version": v,
         }
 
     def restore(self, version: int) -> dict:

@@ -1,0 +1,108 @@
+"""WriteSerializable concurrency for DELETE/UPDATE (round 12): a lost
+commit race retries at the new head when every interleaved commit was a
+blind append whose files hold no matching row (they commute with the
+mutation — delta-spark's ConcurrentAppend rule); a matching append or
+any non-append interleaving is a real conflict and raises. The race is
+injected deterministically: the first _commit of the mutation lets a
+rival append win the version."""
+
+import pytest
+
+from mack_spark.sources.delta_log import DeltaProtocolTable
+from mack_spark.tables import ConcurrentModificationError
+
+
+def _mk(spark, tmp_path, dv=False):
+    df = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(10)], "pk int, attr string"
+    )
+    props = {"delta.enableDeletionVectors": "true"} if dv else None
+    return DeltaProtocolTable.create(
+        spark, str(tmp_path / "t"), df, properties=props
+    )
+
+
+def _inject_rival(monkeypatch, spark, rival_rows):
+    """Make the FIRST _commit attempt lose to a rival append."""
+    orig = DeltaProtocolTable._commit
+    state = {"fired": False}
+
+    def racing(self, version, actions, snap=None):
+        if not state["fired"]:
+            state["fired"] = True
+            rival = DeltaProtocolTable(spark, self.path)
+            rival.append(spark.createDataFrame(
+                rival_rows, "pk int, attr string"
+            ))
+        return orig(self, version, actions, snap=snap)
+
+    monkeypatch.setattr(DeltaProtocolTable, "_commit", racing)
+    return state
+
+
+class TestConcurrentMutations:
+    @pytest.mark.parametrize("dv", [False, True])
+    def test_nonmatching_append_commutes(
+        self, spark, tmp_path, monkeypatch, dv
+    ):
+        t = _mk(spark, tmp_path, dv=dv)
+        state = _inject_rival(monkeypatch, spark, [(100, "new")])
+        res = t.delete_where("pk < 5")
+        assert state["fired"]
+        got = sorted(r["pk"] for r in t.to_df().collect())
+        # serial-equivalent: delete landed AND the rival row survived
+        assert got == [5, 6, 7, 8, 9, 100]
+        assert res["version"] == t.snapshot().version
+
+    def test_matching_append_conflicts(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = _mk(spark, tmp_path)
+        _inject_rival(monkeypatch, spark, [(1, "dup")])  # pk 1 < 5
+        with pytest.raises(ConcurrentModificationError, match="matching"):
+            t.delete_where("pk < 5")
+
+    def test_non_append_interleaving_conflicts(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = _mk(spark, tmp_path)
+        orig = DeltaProtocolTable._commit
+        state = {"fired": False}
+
+        def racing(self, version, actions, snap=None):
+            if not state["fired"]:
+                state["fired"] = True
+                DeltaProtocolTable(spark, self.path).delete_where("pk = 9")
+            return orig(self, version, actions, snap=snap)
+
+        monkeypatch.setattr(DeltaProtocolTable, "_commit", racing)
+        with pytest.raises(ConcurrentModificationError, match="non-append"):
+            t.delete_where("pk < 5")
+
+    def test_update_retries_too(self, spark, tmp_path, monkeypatch):
+        t = _mk(spark, tmp_path)
+        state = _inject_rival(monkeypatch, spark, [(200, "zz")])
+        t.update_where("pk = 3", {"attr": "'patched'"})
+        assert state["fired"]
+        rows = {r["pk"]: r["attr"] for r in t.to_df().collect()}
+        assert rows[3] == "patched"
+        assert rows[200] == "zz"
+
+    def test_row_tracking_append_commutes(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # a rival append on a row-tracking table also advances the
+        # delta.rowTracking domain — still a blind append, still
+        # commutes; ids stay unique
+        df = spark.createDataFrame(
+            [(i, f"k{i}") for i in range(10)], "pk int, attr string"
+        )
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "t"), df,
+            properties={"delta.enableRowTracking": "true"},
+        )
+        state = _inject_rival(monkeypatch, spark, [(100, "new")])
+        t.delete_where("pk < 5")
+        assert state["fired"]
+        ids = [r["_row_id"] for r in t.to_df(with_row_ids=True).collect()]
+        assert len(set(ids)) == len(ids)
