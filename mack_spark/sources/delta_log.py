@@ -1007,6 +1007,8 @@ class DeltaProtocolTable:
                     # pyarrow map types round-trip as [(k, v), ...]
                     if kind == "add" and isinstance(val.get("partitionValues"), list):
                         val = dict(val, partitionValues=dict(val["partitionValues"]))
+                    if kind == "add" and isinstance(val.get("tags"), list):
+                        val = dict(val, tags=dict(val["tags"]) or None)
                     if kind == "metaData" and isinstance(
                         val.get("configuration"), list
                     ):
@@ -2218,6 +2220,7 @@ class DeltaProtocolTable:
         self, df: DataFrame, partition_by: List[str],
         data_change: bool = True,
         snap: Optional[DeltaSnapshot] = None,
+        tags: Optional[Dict[str, str]] = None,
     ) -> List[dict]:
         """Write ``df`` as parquet through a staging dir, move the part
         files into the table root (same filesystem — atomic renames),
@@ -2289,16 +2292,17 @@ class DeltaProtocolTable:
                     continue  # Spark's empty-partition placeholder files
                 dest = os.path.join(self.path, rel_path)
                 os.rename(src, dest)
-                adds.append(
-                    {
-                        "path": rel_path.replace(os.sep, "/"),
-                        "partitionValues": part_values,
-                        "size": os.path.getsize(dest),
-                        "modificationTime": _now_ms(),
-                        "dataChange": data_change,
-                        "stats": stats,
-                    }
-                )
+                add = {
+                    "path": rel_path.replace(os.sep, "/"),
+                    "partitionValues": part_values,
+                    "size": os.path.getsize(dest),
+                    "modificationTime": _now_ms(),
+                    "dataChange": data_change,
+                    "stats": stats,
+                }
+                if tags:
+                    add["tags"] = dict(tags)
+                adds.append(add)
         import shutil
 
         shutil.rmtree(staging, ignore_errors=True)
@@ -2550,6 +2554,10 @@ class DeltaProtocolTable:
                 # stable row id at the next checkpoint-based replay
                 ("baseRowId", pa.int64()),
                 ("defaultRowCommitVersion", pa.int64()),
+                # tags carry the liquid-clustering provenance — losing
+                # them would make the next OPTIMIZE re-cluster the
+                # whole table instead of the new tail
+                ("tags", pa.map_(pa.string(), pa.string())),
             ]
         )
 
@@ -2586,6 +2594,9 @@ class DeltaProtocolTable:
                 "baseRowId": a.get("baseRowId"),
                 "defaultRowCommitVersion": a.get(
                     "defaultRowCommitVersion"
+                ),
+                "tags": (
+                    list(a["tags"].items()) if a.get("tags") else None
                 ),
             }
 
@@ -4862,28 +4873,60 @@ class DeltaProtocolTable:
 
         On a LIQUID-CLUSTERED table (``cluster_by`` at create /
         :meth:`set_cluster_by`) a plain ``optimize()`` re-clusters on
-        the table's clustering columns — delta-spark's OPTIMIZE
-        behavior for clustered tables — via the same Morton-key full
-        re-cluster as ``zorder_by``."""
+        the table's clustering columns — INCREMENTALLY, like
+        delta-spark's liquid OPTIMIZE: files already written by a
+        clustering pass (``add.tags.clusteringProvider = "liquid"``)
+        and right-sized are untouched; only new/small/DV'd files are
+        read and re-clustered, so steady-state nightly OPTIMIZE costs
+        O(new data), not O(100 TB). An explicit ``zorder_by`` remains
+        the FULL re-cluster."""
         import math
 
         snap = self.snapshot()
         self._assert_writable(snap)
+        from_clustering = False
         if not zorder_by and not sort_by:
             cc = self.clustering_columns(snap)
             if cc:
                 zorder_by = cc
+                from_clustering = True
         if zorder_by:
             from mack_spark.layout import cluster_by_zorder
 
-            total = sum(a.get("size", 0) for a in snap.files.values())
+            floor = (
+                min_file_bytes
+                if min_file_bytes is not None
+                else target_file_bytes // 2
+            )
+            if from_clustering:
+                doomed = [
+                    p
+                    for p, a in snap.files.items()
+                    if (a.get("tags") or {}).get("clusteringProvider")
+                    != "liquid"
+                    or a.get("size", target_file_bytes) < floor
+                    or a.get("deletionVector") is not None
+                ]
+            else:
+                doomed = list(snap.files)
+            if not doomed:
+                return {
+                    "files_before": len(snap.files),
+                    "files_after": len(snap.files),
+                    "rewritten": 0,
+                    "version": snap.version,
+                }
+            total = sum(
+                snap.files[p].get("size", 0) for p in doomed
+            )
             n = max(1, math.ceil(total / target_file_bytes))
-            doomed = list(snap.files)
             df = cluster_by_zorder(
                 self._read_files(snap, doomed), list(zorder_by), n
             )
             adds = self._write_data_files(
-                df, snap.partition_columns, data_change=False, snap=snap
+                df, snap.partition_columns, data_change=False, snap=snap,
+                tags={"clusteringProvider": "liquid"}
+                if from_clustering else None,
             )
             actions = (
                 [
@@ -4909,7 +4952,7 @@ class DeltaProtocolTable:
             self._commit(snap.version + 1, actions, snap=snap)
             return {
                 "files_before": len(snap.files),
-                "files_after": len(adds),
+                "files_after": len(snap.files) - len(doomed) + len(adds),
                 "rewritten": len(doomed),
                 "version": snap.version + 1,
             }

@@ -93,6 +93,55 @@ class TestClusteredOptimize:
                 if kind in a:
                     assert a[kind].get("dataChange") is False
 
+    def test_incremental_recluster_skips_clustered_files(
+        self, spark, tmp_path
+    ):
+        # liquid OPTIMIZE is INCREMENTAL: files a clustering pass wrote
+        # (tagged clusteringProvider=liquid) and right-sized stay
+        # untouched — inode-pinned; only the appended tail is rewritten
+        t = _mk(spark, tmp_path, n=400)
+        t.optimize(target_file_bytes=16 * 1024, min_file_bytes=1)
+        snap1 = t.snapshot()
+        clustered = {
+            p: os.stat(os.path.join(t.path, p)).st_ino
+            for p in snap1.files
+        }
+        assert all(
+            (a.get("tags") or {}).get("clusteringProvider") == "liquid"
+            for a in snap1.files.values()
+        )
+        t.append(spark.createDataFrame(
+            [(1, 1, 1), (2, 2, 2)], "k long, j long, v long"
+        ))
+        n_untagged = sum(
+            1 for a in t.snapshot().files.values()
+            if (a.get("tags") or {}).get("clusteringProvider") != "liquid"
+        )
+        assert n_untagged >= 1
+        res = t.optimize(target_file_bytes=16 * 1024, min_file_bytes=1)
+        assert res["rewritten"] == n_untagged  # only the appended tail
+        snap2 = t.snapshot()
+        for p, ino in clustered.items():
+            assert p in snap2.files, f"clustered file {p} was rewritten"
+            assert os.stat(os.path.join(t.path, p)).st_ino == ino
+        # third pass: nothing new → no-op
+        res3 = t.optimize(target_file_bytes=16 * 1024, min_file_bytes=1)
+        assert res3["rewritten"] == 0
+        assert res3["version"] == snap2.version
+
+    def test_tags_survive_checkpoint(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, n=100)
+        t.optimize(target_file_bytes=16 * 1024, min_file_bytes=1)
+        v = t.checkpoint()
+        for i in range(v + 1):
+            f = os.path.join(t.path, "_delta_log", "%020d.json" % i)
+            if os.path.exists(f):
+                os.unlink(f)
+        t2 = DeltaProtocolTable(spark, t.path)
+        # provenance survived the replay: a fresh optimize is a no-op
+        res = t2.optimize(target_file_bytes=16 * 1024, min_file_bytes=1)
+        assert res["rewritten"] == 0
+
     def test_explicit_zorder_overrides_clustering(self, spark, tmp_path):
         t = _mk(spark, tmp_path, n=100)
         res = t.optimize(target_file_bytes=4 * 1024, zorder_by=["j"])
