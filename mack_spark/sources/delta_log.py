@@ -4136,11 +4136,34 @@ class DeltaProtocolTable:
             ]
             + [{"add": a} for a in adds]
         )
-        self._commit(snap.version + 1, actions, snap=snap)
+
+        def _key_probe(head: DeltaSnapshot, paths: List[str]) -> bool:
+            # MERGE's read set is its source KEY set: an interleaved
+            # blind append conflicts iff it added a row whose target
+            # key a serial merge would have matched. Exact key sets
+            # probe with IN (capped — a huge set falls back to the
+            # envelope, which can only false-POSITIVE into a safe
+            # retry-refusal, never miss a conflict).
+            tgt = F.col(km.target_key_col)
+            if key_dtype == "timestamp":
+                tgt = F.unix_micros(tgt)
+            if not keys:
+                pred = F.lit(False)
+            elif exact and len(keys) <= 10_000:
+                pred = tgt.isin(list(keys))
+            else:
+                pred = (tgt >= F.lit(min(keys))) & (tgt <= F.lit(max(keys)))
+            if km.null_safe and null_count:
+                pred = pred | F.col(km.target_key_col).isNull()
+            return bool(
+                self._read_files(head, paths).where(pred).take(1)
+            )
+
+        v = self._commit_mutation(snap, actions, _key_probe)
         return {
             "touched_files": len(touched),
             "total_files": len(snap.files),
-            "version": snap.version + 1,
+            "version": v,
         }
 
     # ------------------------------------------------------------------
@@ -4292,7 +4315,7 @@ class DeltaProtocolTable:
 
     def _commit_mutation(
         self, snap: DeltaSnapshot, actions: List[dict],
-        condition: str, max_retries: int = 3,
+        condition, max_retries: int = 3,
     ) -> int:
         """Commit a DELETE/UPDATE's actions with Delta's
         WriteSerializable concurrency rule instead of failing every
@@ -4306,8 +4329,22 @@ class DeltaProtocolTable:
         (the mutation's read set is stale). The matching test is
         exact — it scans only the interleaved files — never a stats
         guess that could silently skip rows a serial execution would
-        have deleted."""
+        have deleted.
+
+        ``condition`` is a SQL predicate string (DELETE/UPDATE), or a
+        callable ``probe(head_snapshot, interleaved_paths) -> bool``
+        returning True on conflict (MERGE probes its source-key
+        set)."""
         from mack_spark.tables import ConcurrentModificationError
+
+        if callable(condition):
+            probe = condition
+            cond_desc = "the mutation's read set"
+        else:
+            probe = lambda h, ps: bool(  # noqa: E731
+                self._files_matching(h, condition, paths=ps)
+            )
+            cond_desc = repr(condition)
 
         version = snap.version + 1
         for _ in range(max_retries + 1):
@@ -4337,12 +4374,10 @@ class DeltaProtocolTable:
                             " operation"
                         )
                 live_new = [p for p in new_adds if p in head.files]
-                if live_new and self._files_matching(
-                    head, condition, paths=live_new
-                ):
+                if live_new and probe(head, live_new):
                     raise ConcurrentModificationError(
                         f"a concurrent append to {self.path} added rows"
-                        f" matching {condition!r} — this mutation's"
+                        f" matching {cond_desc} — this mutation's"
                         " result would differ from a serial execution;"
                         " re-read and retry"
                     )

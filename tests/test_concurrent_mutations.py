@@ -88,6 +88,45 @@ class TestConcurrentMutations:
         assert rows[3] == "patched"
         assert rows[200] == "zz"
 
+    def test_merge_commutes_with_nonmatching_append(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from mack_spark.tables import KeyedMerge
+
+        t = _mk(spark, tmp_path)
+        state = _inject_rival(monkeypatch, spark, [(500, "rival")])
+        src = spark.createDataFrame(
+            [(3, "merged"), (11, "inserted")], "pk int, attr string"
+        )
+        km = KeyedMerge(
+            source=src, condition="t.pk = s.pk",
+            matched_update={"attr": "s.attr"},
+            not_matched_insert="*",
+            target_key_col="pk", source_key_col="pk",
+        )
+        t.merge(km)
+        assert state["fired"]
+        rows = {r["pk"]: r["attr"] for r in t.to_df().collect()}
+        assert rows[3] == "merged"
+        assert rows[11] == "inserted"
+        assert rows[500] == "rival"
+
+    def test_merge_conflicts_with_matching_key_append(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from mack_spark.tables import KeyedMerge
+
+        t = _mk(spark, tmp_path)
+        _inject_rival(monkeypatch, spark, [(3, "rival")])  # key 3 merges
+        src = spark.createDataFrame([(3, "merged")], "pk int, attr string")
+        km = KeyedMerge(
+            source=src, condition="t.pk = s.pk",
+            matched_update={"attr": "s.attr"},
+            target_key_col="pk", source_key_col="pk",
+        )
+        with pytest.raises(ConcurrentModificationError, match="matching"):
+            t.merge(km)
+
     def test_row_tracking_append_commutes(
         self, spark, tmp_path, monkeypatch
     ):
