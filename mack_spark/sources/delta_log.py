@@ -389,6 +389,29 @@ def _identity_columns(schema: StructType) -> Dict[str, dict]:
     return out
 
 
+def _parse_interval_hours(s: str) -> float:
+    """Hours from Delta's interval-literal config values
+    (``interval 30 days``, ``interval 12 hours``, ...)."""
+    import re as _re
+
+    m = _re.match(
+        r"(?i)\s*interval\s+(\d+)\s+(nanosecond|microsecond|millisecond"
+        r"|second|minute|hour|day|week)s?\s*$",
+        str(s),
+    )
+    if not m:
+        raise DeltaProtocolError(
+            f"cannot parse interval literal {s!r} (expected"
+            " 'interval <n> <unit>')"
+        )
+    factor = {
+        "nanosecond": 1 / 3.6e12, "microsecond": 1 / 3.6e9,
+        "millisecond": 1 / 3.6e6, "second": 1 / 3600.0,
+        "minute": 1 / 60.0, "hour": 1.0, "day": 24.0, "week": 168.0,
+    }[m.group(2).lower()]
+    return int(m.group(1)) * factor
+
+
 def _has_ntz(dt) -> bool:
     """True when the (possibly nested) type contains TIMESTAMP_NTZ —
     a table carrying one MUST declare the ``timestampNtz`` reader+
@@ -5205,6 +5228,82 @@ class DeltaProtocolTable:
                     continue
                 try:
                     os.rmdir(root)
+                except OSError:
+                    pass
+        return sorted(doomed)
+
+    def cleanup_metadata(
+        self, retention_hours: Optional[float] = None,
+        dry_run: bool = False,
+    ) -> List[str]:
+        """Delta's METADATA cleanup (``delta.logRetentionDuration``,
+        default ``interval 30 days``): delete log entries — commit
+        JSONs, superseded checkpoints, orphaned v2 sidecars — that are
+        BOTH older than the retention horizon and below the latest
+        checkpoint, which alone reconstructs every surviving version.
+        Without this a long-lived table's ``_delta_log`` grows without
+        bound; after it, time travel to a cleaned version fails at
+        snapshot time (Delta's documented contract). Returns the
+        deleted (or, with ``dry_run``, deletable) log file names."""
+        import glob as _glob
+        import re as _re
+
+        snap = self.snapshot()
+        if retention_hours is None:
+            cfg = snap.metadata.get("configuration") or {}
+            retention_hours = _parse_interval_hours(
+                cfg.get("delta.logRetentionDuration", "interval 30 days")
+            )
+        lc = self._read_last_checkpoint()
+        if lc is None:
+            return []  # no checkpoint — every JSON is load-bearing
+        v_cp = lc["version"]
+        logdir = _log_dir(self.path)
+        horizon = time.time() - retention_hours * 3600.0
+        doomed: List[str] = []
+        survivors_ckpt: List[str] = []
+        for fn in os.listdir(logdir):
+            m = _re.match(r"^(\d{20})\.(json|checkpoint\..+|checkpoint)$", fn)
+            if not m:
+                continue
+            v = int(m.group(1))
+            full = os.path.join(logdir, fn)
+            expired = v < v_cp
+            try:
+                expired = expired and os.path.getmtime(full) <= horizon
+            except OSError:
+                continue
+            if expired:
+                doomed.append(fn)
+            elif fn.endswith(".parquet"):
+                survivors_ckpt.append(full)
+        # v2 sidecars: keep every file a SURVIVING checkpoint references
+        sidecar_dir = os.path.join(logdir, "_sidecars")
+        if os.path.isdir(sidecar_dir):
+            import pyarrow.parquet as _pq
+
+            referenced = set()
+            for cp in survivors_ckpt:
+                try:
+                    t = _pq.read_table(cp)
+                except Exception:  # noqa: BLE001 — non-checkpoint parquet
+                    continue
+                if "sidecar" in t.schema.names:
+                    for row in t.column("sidecar").to_pylist():
+                        if row and row.get("path"):
+                            referenced.add(row["path"])
+            for fn in os.listdir(sidecar_dir):
+                full = os.path.join(sidecar_dir, fn)
+                try:
+                    old = os.path.getmtime(full) <= horizon
+                except OSError:
+                    continue
+                if fn not in referenced and old:
+                    doomed.append(os.path.join("_sidecars", fn))
+        if not dry_run:
+            for fn in doomed:
+                try:
+                    os.unlink(os.path.join(logdir, fn))
                 except OSError:
                     pass
         return sorted(doomed)
