@@ -2030,7 +2030,14 @@ class DeltaProtocolTable:
             "numFiles": len(snap.files),
             "sizeInBytes": sum(a.get("size", 0) for a in snap.files.values()),
             "partitionColumns": snap.partition_columns,
+            "clusteringColumns": self.clustering_columns(snap),
             "properties": dict(snap.metadata.get("configuration") or {}),
+            "minReaderVersion": snap.protocol.get("minReaderVersion"),
+            "minWriterVersion": snap.protocol.get("minWriterVersion"),
+            "tableFeatures": sorted(
+                set(snap.protocol.get("readerFeatures") or [])
+                | set(snap.protocol.get("writerFeatures") or [])
+            ),
             "version": snap.version,
         }
 
@@ -2414,7 +2421,15 @@ class DeltaProtocolTable:
                 "writer after this operation's snapshot read — re-read and "
                 "retry the operation"
             )
-        if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        # delta.checkpointInterval (delta's table property) overrides
+        # the module default
+        try:
+            interval = int(cfg.get(
+                "delta.checkpointInterval", CHECKPOINT_INTERVAL
+            ))
+        except (TypeError, ValueError):
+            interval = CHECKPOINT_INTERVAL
+        if version > 0 and interval > 0 and version % interval == 0:
             self._write_checkpoint(version)
 
     def _assign_base_row_ids(

@@ -106,3 +106,30 @@ class TestCleanupMetadata:
                 **{"delta.logRetentionDuration": "interval 0 hours"})
         gone = t.cleanup_metadata()
         assert gone  # config's 0-hour retention applied
+
+
+class TestCheckpointInterval:
+    def test_table_property_overrides_default(self, spark, tmp_path):
+        df = spark.createDataFrame([(0, "s")], "pk int, attr string")
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "ci"), df,
+            properties={"delta.checkpointInterval": "3"},
+        )
+        for i in range(1, 4):
+            t.append(spark.createDataFrame(
+                [(i, f"v{i}")], "pk int, attr string"
+            ))
+        logdir = os.path.join(t.path, "_delta_log")
+        assert os.path.exists(
+            os.path.join(logdir, "%020d.checkpoint.parquet" % 3)
+        ), "delta.checkpointInterval=3 did not checkpoint at v3"
+
+    def test_detail_surfaces_protocol_and_clustering(self, spark, tmp_path):
+        df = spark.createDataFrame([(0, "s")], "pk int, attr string")
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "d"), df, cluster_by=["pk"]
+        )
+        d = t.detail()
+        assert d["clusteringColumns"] == ["pk"]
+        assert d["minWriterVersion"] == 7
+        assert "clustering" in d["tableFeatures"]
