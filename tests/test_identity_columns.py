@@ -232,3 +232,47 @@ class TestIdentityComposition:
         assert max(
             r["row_id"] for r in t2.to_df().select("row_id").collect()
         ) == 6
+
+
+class TestIdentityComposedFeatures:
+    def test_identity_with_generated_column_and_constraint(
+        self, spark, tmp_path
+    ):
+        # writer-6+ composition: identity generates first, so a
+        # generated column may derive from it; constraints see the
+        # full row
+        import json
+
+        df = spark.createDataFrame(
+            [(f"k{i}",) for i in range(6)], "name string"
+        )
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "t"), df,
+            identity={"row_id": {"start": 1, "step": 1}},
+        )
+        snap = t.snapshot()
+        schema_json = json.loads(snap.metadata["schemaString"])
+        schema_json["fields"].append({
+            "name": "row_id_even", "type": "boolean", "nullable": True,
+            "metadata": {
+                "delta.generationExpression": "row_id % 2 = 0"
+            },
+        })
+        t._commit(snap.version + 1, [
+            {"commitInfo": {"timestamp": 0, "operation": "ADD COLUMNS"}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+            {"metaData": dict(
+                snap.metadata,
+                schemaString=json.dumps(schema_json),
+            )},
+        ], snap=snap)
+        t.add_constraint("pos_id", "row_id > 0")
+        t.append(spark.createDataFrame([("x",), ("y",)], "name string"))
+        rows = {r["row_id"]: r["row_id_even"]
+                for r in t.to_df().collect()}
+        assert sorted(rows) == list(range(1, 9))
+        # files written BEFORE the generated column existed NULL-fill
+        # it (Delta: evolution does not backfill history); rows
+        # appended after compute it from the freshly-generated row_id
+        assert all(rows[i] is None for i in range(1, 7))
+        assert rows[7] is False and rows[8] is True
