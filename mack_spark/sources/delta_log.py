@@ -2431,6 +2431,19 @@ class DeltaProtocolTable:
             interval = CHECKPOINT_INTERVAL
         if version > 0 and interval > 0 and version % interval == 0:
             self._write_checkpoint(version)
+            if (
+                str(cfg.get("delta.enableExpiredLogCleanup", "true"))
+                .lower() == "true"
+            ):
+                # delta-spark's default: each checkpoint also expires
+                # log entries past delta.logRetentionDuration (30-day
+                # default, so nothing is cleaned unless configured
+                # shorter). Cleanup is advisory — it must never fail
+                # the commit that just landed.
+                try:
+                    self.cleanup_metadata()
+                except (OSError, DeltaProtocolError):
+                    pass
 
     def _assign_base_row_ids(
         self, version: int, actions: List[dict],

@@ -102,10 +102,14 @@ class TestCleanupMetadata:
         assert DeltaProtocolTable(spark, t.path).to_df().count() == 4
 
     def test_config_driven_retention(self, spark, tmp_path):
+        # with a 0-hour retention config the checkpoint at v10 already
+        # auto-expired the old JSONs (enableExpiredLogCleanup defaults
+        # true); the explicit call then has nothing left to do
         t = _mk(spark, tmp_path, CHECKPOINT_INTERVAL + 1,
                 **{"delta.logRetentionDuration": "interval 0 hours"})
-        gone = t.cleanup_metadata()
-        assert gone  # config's 0-hour retention applied
+        jsons = [f for f in _log_files(t) if f.endswith(".json")]
+        assert jsons == ["%020d.json" % CHECKPOINT_INTERVAL]
+        assert t.cleanup_metadata() == []
 
 
 class TestCheckpointInterval:
@@ -133,3 +137,41 @@ class TestCheckpointInterval:
         assert d["clusteringColumns"] == ["pk"]
         assert d["minWriterVersion"] == 7
         assert "clustering" in d["tableFeatures"]
+
+    def test_auto_cleanup_on_checkpoint(self, spark, tmp_path):
+        # delta.enableExpiredLogCleanup (delta-spark default true):
+        # each checkpoint also expires log entries past retention
+        df = spark.createDataFrame([(0, "s")], "pk int, attr string")
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "ac"), df,
+            properties={
+                "delta.checkpointInterval": "3",
+                "delta.logRetentionDuration": "interval 0 hours",
+            },
+        )
+        for i in range(1, 4):
+            t.append(spark.createDataFrame(
+                [(i, f"v{i}")], "pk int, attr string"
+            ))
+        logdir = os.path.join(t.path, "_delta_log")
+        jsons = sorted(f for f in os.listdir(logdir) if f.endswith(".json"))
+        assert jsons == ["%020d.json" % 3]  # 0-2 auto-expired at v3
+        assert DeltaProtocolTable(spark, t.path).to_df().count() == 4
+
+    def test_auto_cleanup_off_keeps_log(self, spark, tmp_path):
+        df = spark.createDataFrame([(0, "s")], "pk int, attr string")
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "na"), df,
+            properties={
+                "delta.checkpointInterval": "3",
+                "delta.logRetentionDuration": "interval 0 hours",
+                "delta.enableExpiredLogCleanup": "false",
+            },
+        )
+        for i in range(1, 4):
+            t.append(spark.createDataFrame(
+                [(i, f"v{i}")], "pk int, attr string"
+            ))
+        logdir = os.path.join(t.path, "_delta_log")
+        jsons = [f for f in os.listdir(logdir) if f.endswith(".json")]
+        assert len(jsons) == 4  # nothing expired
