@@ -5198,13 +5198,17 @@ class DeltaProtocolTable:
         return t
 
     def vacuum(
-        self, retention_hours: float = 168.0, dry_run: bool = False
+        self, retention_hours: Optional[float] = None,
+        dry_run: bool = False,
     ) -> List[str]:
         """Delta ``VACUUM``: list the table directory, delete every
         data file that is NOT referenced by the CURRENT snapshot and is
         older than the retention horizon (modification time — the same
         signal Delta uses for tombstoned and never-committed files
         alike, so crashed writers' staging debris is reclaimed too).
+        The default horizon comes from the table's
+        ``delta.deletedFileRetentionDuration`` (Delta's property;
+        ``interval 1 week`` when unset), exactly like delta-spark.
 
         After a vacuum, time travel to versions whose files were
         reclaimed fails loudly at read time (missing file), exactly
@@ -5214,6 +5218,13 @@ class DeltaProtocolTable:
         same retention discipline. Returns the reclaimed (or, with
         ``dry_run``, reclaimable) paths relative to the table root."""
         snap = self.snapshot()
+        if retention_hours is None:
+            retention_hours = _parse_interval_hours(
+                (snap.metadata.get("configuration") or {}).get(
+                    "delta.deletedFileRetentionDuration",
+                    "interval 1 week",
+                )
+            )
         live = {os.path.normpath(p) for p in snap.files}
         for a in snap.files.values():
             dv = a.get("deletionVector")

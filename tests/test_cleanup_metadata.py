@@ -175,3 +175,24 @@ class TestCheckpointInterval:
         logdir = os.path.join(t.path, "_delta_log")
         jsons = [f for f in os.listdir(logdir) if f.endswith(".json")]
         assert len(jsons) == 4  # nothing expired
+
+    def test_vacuum_retention_from_config(self, spark, tmp_path):
+        # delta.deletedFileRetentionDuration drives the default vacuum
+        # horizon, exactly delta-spark's behavior
+        df = spark.createDataFrame([(0, "s")], "pk int, attr string")
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "vr"), df,
+            properties={
+                "delta.deletedFileRetentionDuration": "interval 0 hours"
+            },
+        )
+        t.overwrite(spark.createDataFrame([(1, "n")], "pk int, attr string"))
+        gone = t.vacuum()  # config's 0-hour horizon reclaims at once
+        assert len(gone) == 1
+        # default (1 week) keeps tombstones: fresh table, nothing gone
+        t2 = DeltaProtocolTable.create(
+            spark, str(tmp_path / "vd"),
+            spark.createDataFrame([(0, "s")], "pk int, attr string"),
+        )
+        t2.overwrite(spark.createDataFrame([(1, "n")], "pk int, attr string"))
+        assert t2.vacuum() == []
