@@ -1819,8 +1819,10 @@ class DeltaProtocolTable:
 
     def table_changes(
         self,
-        starting_version: int,
+        starting_version: Optional[int] = None,
         ending_version: Optional[int] = None,
+        starting_timestamp=None,
+        ending_timestamp=None,
     ) -> DataFrame:
         """Change Data Feed read — Delta's ``table_changes(...)`` /
         ``readChangeFeed``: every row-level change committed in
@@ -1828,6 +1830,12 @@ class DeltaProtocolTable:
         as the table columns plus ``_change_type`` (``insert`` /
         ``delete`` / ``update_preimage`` / ``update_postimage``),
         ``_commit_version`` and ``_commit_timestamp``.
+
+        Timestamp bounds (Delta's ``startingTimestamp`` /
+        ``endingTimestamp``) resolve against monotonized commit times:
+        the start is the FIRST commit at or after the timestamp, the
+        end the LAST commit at or before it — exactly one of each
+        version/timestamp pair may be given.
 
         Per the spec, a commit's changes come from its ``cdc`` actions
         when present (MERGE/DELETE/UPDATE write them under
@@ -1852,6 +1860,28 @@ class DeltaProtocolTable:
             TimestampType,
         )
 
+        if starting_timestamp is not None:
+            if starting_version is not None:
+                raise ValueError(
+                    "give starting_version OR starting_timestamp,"
+                    " not both"
+                )
+            starting_version = self.first_version_at_or_after(
+                self._ts_ms(starting_timestamp)
+            )
+        if starting_version is None:
+            raise ValueError(
+                "table_changes needs starting_version or"
+                " starting_timestamp"
+            )
+        if ending_timestamp is not None:
+            if ending_version is not None:
+                raise ValueError(
+                    "give ending_version OR ending_timestamp, not both"
+                )
+            ending_version = self.version_at_timestamp(
+                self._ts_ms(ending_timestamp)
+            )
         end_snap = self.snapshot(version_as_of=ending_version)
         if not self._cdf_enabled(end_snap):
             raise DeltaProtocolError(

@@ -421,3 +421,27 @@ class TestConstraintAppendProtocol:
         assert sorted(map(tuple, t.to_df().collect())) == [
             (1, "a", 1), (2, "b", 2),
         ]
+
+
+class TestTableChangesTimestamps:
+    def test_timestamp_bounds_resolve_like_versions(self, spark, tmp_path):
+        # Delta's startingTimestamp/endingTimestamp on the batch CDF
+        # read: start = first commit at/after, end = last commit
+        # at/before (monotonized commit times)
+        t = _mk(spark, tmp_path, [(1, "a", 1)], name="ts")
+        t.append(spark.createDataFrame([(2, "b", 2)], SCHEMA))
+        t.append(spark.createDataFrame([(3, "c", 3)], SCHEMA))
+        hist = {h["version"]: h["timestamp"] for h in t.history()}
+        by_version = t.table_changes(1, 2).collect()
+        by_ts = t.table_changes(
+            starting_timestamp=hist[1], ending_timestamp=hist[2]
+        ).collect()
+        key = lambda r: (r["_commit_version"], r["pkey"])  # noqa: E731
+        assert sorted(map(key, by_ts)) == sorted(map(key, by_version))
+
+    def test_mixed_bounds_refused(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, [(1, "a", 1)], name="mx")
+        with pytest.raises(ValueError, match="not both"):
+            t.table_changes(0, starting_timestamp=0)
+        with pytest.raises(ValueError, match="needs starting"):
+            t.table_changes()
