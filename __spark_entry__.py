@@ -3383,6 +3383,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_shallow_clone"] = q_delta_shallow_clone
 
+    def q_delta_log_cleanup(spark, sf_dir):
+        # Metadata lifecycle (round 12): delta.checkpointInterval
+        # drives checkpoint cadence and delta.enableExpiredLogCleanup
+        # (delta-spark's default) auto-expires log entries past
+        # delta.logRetentionDuration at each checkpoint — asserted
+        # in-row (the JSON tail below the checkpoint is gone, state
+        # reconstructs purely from the checkpoint). Oracle: the data
+        # is unchanged by log lifecycle.
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        path = tempfile.mkdtemp(prefix="mack-logclean-") + "/t"
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        t = DeltaProtocolTable.create(
+            spark, path, cust.filter(F.col("c_custkey") % 4 == 0),
+            properties={
+                "delta.checkpointInterval": "3",
+                "delta.logRetentionDuration": "interval 0 hours",
+            },
+        )
+        for i in (1, 2, 3):
+            t.append(cust.filter(F.col("c_custkey") % 4 == i))
+        logdir = os.path.join(path, "_delta_log")
+        jsons = sorted(
+            f for f in os.listdir(logdir) if f.endswith(".json")
+        )
+        assert jsons == ["%020d.json" % 3], (
+            f"auto-cleanup left {jsons}"
+        )
+        assert os.path.exists(
+            os.path.join(logdir, "%020d.checkpoint.parquet" % 3)
+        ), "checkpointInterval=3 did not checkpoint at v3"
+        return DeltaProtocolTable(spark, path).to_df()
+
+    q["delta_log_cleanup"] = q_delta_log_cleanup
+
     # Verification rotation: the driver checks the FIRST 50 keys in
     # declaration order each round. Round-12 priorities:
     # (a) the 4 NEW r12 rows (v2 checkpoint writes, identity columns,
@@ -3399,6 +3438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_row_tracking",
         "delta_liquid_cluster",
         "delta_shallow_clone",
+        "delta_log_cleanup",
         # (b) last green r8
         "revenue_grouping_sets",
         "revenue_pivot_by_status",
@@ -3445,7 +3485,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipment_priority",
         "multimodal_features",
         "multimodal_frame_sample",
-        "multimodal_metadata",
     ]
     assert len(front_r12) == 50, len(front_r12)
     fset = set(front_r12)
@@ -4292,6 +4331,11 @@ SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
     o["delta_v2_checkpoint_write"] = """
 SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
 WHERE c_custkey % 10 != 3
+"""
+
+    # Log cleanup never touches data — plain projection.
+    o["delta_log_cleanup"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
 """
 
     # Shallow clone: the clone's post-delete state; the source stays
