@@ -61,9 +61,11 @@ of misreading data or violating a foreign table's contract.
 
 from __future__ import annotations
 
+import collections
 import datetime
 import json
 import os
+import threading
 import time
 import uuid
 from typing import Dict, List, Optional
@@ -430,21 +432,34 @@ def _has_ntz(dt) -> bool:
     return False
 
 
-def _identity_gen_fn(bc_offsets, name: str, next_val: int, step: int):
+# partition-id column materialized for identity generation's two-pass
+_IDENTITY_PID_COL = "__mack_identity_pid"
+
+
+def _identity_gen_fn(bc_offsets, name: str, next_val: int, step: int,
+                     pid_col: str):
     """Arrow-batched stamper for one identity column: each partition
     writes the contiguous id range its broadcast offset reserves —
     values never touch the driver. A factory so per-column bindings
-    survive loops over multiple identity columns."""
+    survive loops over multiple identity columns.
+
+    The partition id comes from ``pid_col`` — a column MATERIALIZED at
+    checkpoint time — never from ``TaskContext.partitionId()``: when
+    the stamped frame is spliced into a UNION (the merge insert path),
+    the task's partition id is union-global (shifted by the other
+    branch's partition count) and would key the offsets map wrong,
+    silently colliding id ranges."""
 
     def gen(batches):
         import numpy as np
-        from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        base = bc_offsets.value.get(pid, 0)
         seen = 0
         for pdf in batches:
             k = len(pdf)
+            if k == 0:
+                yield pdf
+                continue
+            base = bc_offsets.value.get(int(pdf[pid_col].iat[0]), 0)
             pdf[name] = next_val + step * (
                 base + seen + np.arange(k, dtype="int64")
             )
@@ -914,6 +929,100 @@ class DeltaSnapshot:
         }
 
 
+class _ReplayState:
+    """Incremental log-replay accumulator for ONE table path.
+
+    ``snapshot()`` used to re-read the checkpoint parquet and every
+    JSON tail file into fresh Python dicts on every call — at 100-TB
+    file counts (~10⁶ add actions) that is seconds of driver CPU and
+    GBs of garbage *per query*. This state object keeps the replayed
+    action state between calls so a warm ``snapshot()`` at an already-
+    seen version is an O(1) dict lookup and advancing to a new commit
+    applies only the NEW JSON tail (commit files are immutable once
+    written, per the protocol, which is what makes incremental replay
+    sound). Identity is anchored on the stat signature (inode, mtime
+    ns, size) of the highest applied commit file, so a table deleted
+    and recreated at the same path — or a test rewriting the log by
+    hand — invalidates the entry instead of serving stale state.
+    """
+
+    __slots__ = ("cp_key", "applied", "anchor", "files", "metadata",
+                 "protocol", "history", "txns", "domains", "snaps")
+
+    SNAP_KEEP = 8
+
+    def __init__(self, cp_key, applied, anchor, files, metadata,
+                 protocol, history, txns, domains):
+        self.cp_key = cp_key          # (version, parts) of checkpoint base
+        self.applied = applied        # highest replayed version
+        self.anchor = anchor          # (path, ino, mtime_ns, size)
+        self.files = files
+        self.metadata = metadata
+        self.protocol = protocol
+        self.history = history
+        self.txns = txns
+        self.domains = domains
+        self.snaps: Dict[int, "DeltaSnapshot"] = {}
+
+    def valid(self) -> bool:
+        path, ino, mtime_ns, size = self.anchor
+        try:
+            s = os.stat(path)
+        except OSError:
+            return False
+        return (s.st_ino, s.st_mtime_ns, s.st_size) == (ino, mtime_ns, size)
+
+    def take_snapshot(self, version: int) -> "DeltaSnapshot":
+        """A snapshot of the CURRENT accumulator state, cached per
+        version. Shallow dict/list copies: action dicts are never
+        mutated after apply (adds are replaced wholesale), so sharing
+        the entries across snapshots is safe; the copy is pointer-only
+        (O(n) once per new version, O(1) on every warm hit)."""
+        snap = DeltaSnapshot(
+            version, self.metadata, self.protocol, dict(self.files),
+            list(self.history), txns=dict(self.txns),
+            domains=dict(self.domains),
+        )
+        self.snaps[version] = snap
+        if len(self.snaps) > self.SNAP_KEEP:
+            for v in sorted(self.snaps):
+                if v != self.applied:
+                    del self.snaps[v]
+                    break
+        return snap
+
+
+_REPLAY_LOCK = threading.RLock()
+_REPLAY_CACHE: "collections.OrderedDict[str, _ReplayState]" = (
+    collections.OrderedDict()
+)
+_REPLAY_CACHE_MAX = 32
+# commit-JSON action cache: (path, version) -> (stat signature, actions).
+# Commit files are immutable, so a matching stat signature proves the
+# cached parse is current; bounded LRU keeps history/CDF scans from
+# re-reading every commit JSON per call.
+_COMMIT_CACHE: "collections.OrderedDict[tuple, tuple]" = (
+    collections.OrderedDict()
+)
+_COMMIT_CACHE_MAX = 4096
+
+
+def clear_replay_cache(path: Optional[str] = None) -> None:
+    """Drop the driver-side replay cache — all tables, or one path.
+    Tests that rewrite log files in place use this; normal operation
+    never needs it (commits invalidate incrementally, recreated tables
+    fail the anchor stat check)."""
+    with _REPLAY_LOCK:
+        if path is None:
+            _REPLAY_CACHE.clear()
+            _COMMIT_CACHE.clear()
+        else:
+            p = os.path.abspath(path)
+            _REPLAY_CACHE.pop(p, None)
+            for k in [k for k in _COMMIT_CACHE if k[0] == p]:
+                _COMMIT_CACHE.pop(k, None)
+
+
 class DeltaProtocolTable:
     """Handle to a Delta-protocol table on a local/shared filesystem."""
 
@@ -1005,28 +1114,41 @@ class DeltaProtocolTable:
                         " (no classic or uuid-named parquet)"
                     )
                 files = [cands[-1]]  # any complete checkpoint is valid
-        rows = []
-        for f in files:
-            rows.extend(pq.read_table(f).to_pylist())
+        # COLUMNAR extraction: materialize each action column on its
+        # own (`tbl.column(kind).to_pylist()` gives None for rows where
+        # that kind is null) instead of `to_pylist()`-ing full rows —
+        # a million-add checkpoint builds a million add dicts, not a
+        # million 6-wide row dicts with five nulls each. Ordering
+        # across kinds is immaterial inside a checkpoint (the spec
+        # forbids duplicate file actions per path).
+        tables = [pq.read_table(f) for f in files]
         # V2: file actions may live in sidecar files; read and inline
         # them (each sidecar holds add/remove rows only, per spec)
-        for row in list(rows):
-            sc = row.get("sidecar")
-            if sc is not None and sc.get("path"):
-                sp = os.path.join(_log_dir(self.path), "_sidecars",
-                                  sc["path"])
-                if not os.path.exists(sp):
-                    raise DeltaProtocolError(
-                        f"v2 checkpoint {version} of {self.path}"
-                        f" references missing sidecar {sc['path']}"
-                    )
-                rows.extend(pq.read_table(sp).to_pylist())
+        for t in list(tables):
+            if "sidecar" not in t.schema.names:
+                continue
+            for sc in t.column("sidecar").to_pylist():
+                if sc is not None and sc.get("path"):
+                    sp = os.path.join(_log_dir(self.path), "_sidecars",
+                                      sc["path"])
+                    if not os.path.exists(sp):
+                        raise DeltaProtocolError(
+                            f"v2 checkpoint {version} of {self.path}"
+                            f" references missing sidecar {sc['path']}"
+                        )
+                    tables.append(pq.read_table(sp))
         actions = []
-        for row in rows:
+        for t in tables:
+            names = set(t.schema.names)
             for kind in ("protocol", "metaData", "add", "remove", "txn",
                          "domainMetadata"):
-                val = row.get(kind)
-                if val is not None and any(v is not None for v in val.values()):
+                if kind not in names:
+                    continue
+                for val in t.column(kind).to_pylist():
+                    if val is None or not any(
+                        v is not None for v in val.values()
+                    ):
+                        continue
                     # pyarrow map types round-trip as [(k, v), ...]
                     if kind == "add" and isinstance(val.get("partitionValues"), list):
                         val = dict(val, partitionValues=dict(val["partitionValues"]))
@@ -1046,10 +1168,88 @@ class DeltaProtocolTable:
     def snapshot(self, version_as_of: Optional[int] = None) -> DeltaSnapshot:
         """Replay the log (checkpoint + JSON tail) to a snapshot.
         ``version_as_of`` reads the table as of that commit — Delta
-        time travel."""
+        time travel.
+
+        Replay is CACHED per table path (:class:`_ReplayState`): a warm
+        call at an already-replayed version returns the cached snapshot
+        in O(1); a call after new commits applies only the new JSON
+        tail. Cold replay verifies the consumed version sequence is
+        CONTIGUOUS (from 0, or from checkpoint+1) and raises
+        :class:`DeltaProtocolError` on a gap — a cleaned log must fail
+        time travel loudly, never silently reconstruct wrong state
+        from a surviving suffix (delta-spark's
+        BufferingLogDeletionIterator contract)."""
+        with _REPLAY_LOCK:
+            return self._snapshot_locked(version_as_of)
+
+    def _anchor_sig(self, applied: int):
+        """Stat signature anchoring a cache entry's identity: the
+        commit JSON of the highest applied version when present, else
+        the ``_last_checkpoint`` pointer (the JSON can only be absent
+        when metadata cleanup removed it below a checkpoint)."""
+        vf = _version_file(self.path, applied)
+        if not os.path.exists(vf):
+            vf = os.path.join(_log_dir(self.path), "_last_checkpoint")
+        s = os.stat(vf)
+        return (vf, s.st_ino, s.st_mtime_ns, s.st_size)
+
+    def _apply_version_file(self, v: int, files, history, txns, domains):
+        """Apply one commit JSON into the accumulators; returns the
+        (metadata, protocol) actions it carried, if any."""
+        metadata = protocol = None
+        with open(_version_file(self.path, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                self._apply(action, files, history, version=v,
+                            txns=txns, domains=domains)
+                metadata = action.get("metaData") or metadata
+                protocol = action.get("protocol") or protocol
+        return metadata, protocol
+
+    def _snapshot_locked(self, version_as_of: Optional[int]) -> DeltaSnapshot:
         versions = self._log_versions()
-        if not versions and self._read_last_checkpoint() is None:
+        cp = self._read_last_checkpoint()
+        if not versions and cp is None:
+            _REPLAY_CACHE.pop(self.path, None)
             raise FileNotFoundError(f"no Delta log at {self.path}")
+        head = max(versions) if versions else -1
+        if cp is not None:
+            head = max(head, cp["version"])
+        effective = head if version_as_of is None else min(version_as_of, head)
+
+        st = _REPLAY_CACHE.get(self.path)
+        if st is not None and not st.valid():
+            _REPLAY_CACHE.pop(self.path, None)
+            st = None
+        if st is not None:
+            _REPLAY_CACHE.move_to_end(self.path)
+            snap = st.snaps.get(effective)
+            if snap is not None:
+                return snap
+            if effective == st.applied:
+                return st.take_snapshot(effective)
+            if effective > st.applied:
+                tail = [v for v in versions if st.applied < v <= effective]
+                if tail == list(range(st.applied + 1, effective + 1)):
+                    for v in tail:
+                        m, p = self._apply_version_file(
+                            v, st.files, st.history, st.txns, st.domains
+                        )
+                        st.metadata = m or st.metadata
+                        st.protocol = p or st.protocol
+                    st.applied = effective
+                    st.anchor = self._anchor_sig(effective)
+                    self._validate_snapshot_meta(st.metadata, st.protocol)
+                    return st.take_snapshot(effective)
+                # tail has a gap (e.g. a newer checkpoint superseded
+                # cleaned versions) — fall through to a full replay,
+                # whose own contiguity check raises if truly broken
+                _REPLAY_CACHE.pop(self.path, None)
+                st = None
+
         files: Dict[str, dict] = {}
         metadata: Optional[dict] = None
         protocol: Optional[dict] = None
@@ -1058,7 +1258,7 @@ class DeltaProtocolTable:
         domains: Dict[str, dict] = {}
 
         start, last = 0, -1
-        cp = self._read_last_checkpoint()
+        cp_key = None
         if cp is not None and (
             version_as_of is None or cp["version"] <= version_as_of
         ):
@@ -1070,26 +1270,52 @@ class DeltaProtocolTable:
                 metadata = action.get("metaData") or metadata
                 protocol = action.get("protocol") or protocol
             start, last = cp["version"] + 1, cp["version"]
+            cp_key = (cp["version"], cp["parts"])
+        expected = start
         for v in versions:
             if v < start:
                 continue
             if version_as_of is not None and v > version_as_of:
                 break
-            with open(_version_file(self.path, v)) as fh:
-                for line in fh:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    action = json.loads(line)
-                    self._apply(action, files, history, version=v,
-                                txns=txns, domains=domains)
-                    metadata = action.get("metaData") or metadata
-                    protocol = action.get("protocol") or protocol
+            if v != expected:
+                raise DeltaProtocolError(
+                    f"log at {self.path} is missing commit versions"
+                    f" {expected}..{v - 1}"
+                    + (" below the checkpoint" if cp_key else "")
+                    + " — they were cleaned past the retention horizon"
+                    " or the log is damaged; cannot reconstruct"
+                    f" version {effective}"
+                )
+            m, p = self._apply_version_file(v, files, history, txns, domains)
+            metadata = m or metadata
+            protocol = p or protocol
             last = v
+            expected = v + 1
         if metadata is None or protocol is None:
             raise DeltaProtocolError(
                 f"log at {self.path} has no metaData/protocol action"
             )
+        self._validate_snapshot_meta(metadata, protocol)
+        prev = _REPLAY_CACHE.get(self.path)
+        if prev is None or last >= prev.applied:
+            st = _ReplayState(cp_key, last, self._anchor_sig(last), files,
+                              metadata, protocol, history, txns, domains)
+            if prev is not None:
+                st.snaps.update(prev.snaps)
+            _REPLAY_CACHE[self.path] = st
+            _REPLAY_CACHE.move_to_end(self.path)
+            while len(_REPLAY_CACHE) > _REPLAY_CACHE_MAX:
+                _REPLAY_CACHE.popitem(last=False)
+            return st.take_snapshot(last)
+        # older time-travel replay: cache the snapshot, keep the newer
+        # accumulator state
+        snap = DeltaSnapshot(last, metadata, protocol, files, history,
+                             txns=txns, domains=domains)
+        prev.snaps[last] = snap
+        return snap
+
+    @staticmethod
+    def _validate_snapshot_meta(metadata: dict, protocol: dict) -> None:
         mrv = protocol.get("minReaderVersion", 1)
         if mrv == 3:
             # table-features protocol: readable iff every declared
@@ -1127,8 +1353,6 @@ class DeltaProtocolTable:
                 f"table uses column mapping mode '{cmap}', which this"
                 " reader does not implement (only 'none', 'name', 'id')"
             )
-        return DeltaSnapshot(last, metadata, protocol, files, history,
-                             txns=txns, domains=domains)
 
     @staticmethod
     def _apply(action: dict, files: Dict[str, dict], history: List[dict],
@@ -1265,29 +1489,46 @@ class DeltaProtocolTable:
             return self._read_files_with_row_ids(snap, list(snap.files))
         return self._read_files(snap, list(snap.files))
 
+    @staticmethod
+    def _row_tracking_phys_cols(snap: DeltaSnapshot):
+        """The MATERIALIZED row-id / commit-version physical column
+        names (spec §Row Tracking), fixed in the table configuration at
+        enablement; ``(None, None)`` on tables that predate them."""
+        cfg = snap.metadata.get("configuration") or {}
+        return (
+            cfg.get("delta.rowTracking.materializedRowIdColumnName"),
+            cfg.get(
+                "delta.rowTracking.materializedRowCommitVersionColumnName"
+            ),
+        )
+
     def _read_files_with_row_ids(
         self, snap: DeltaSnapshot, paths: List[str]
     ) -> DataFrame:
         """Row-tracking read (spec §Row Tracking: Row IDs): every row
-        gets ``_row_id = add.baseRowId + its position in the file`` and
-        ``_row_commit_version = add.defaultRowCommitVersion`` — stable
-        across appends and DV deletes (surviving rows keep their
-        position). Executor-side throughout: the scan carries parquet
-        ``_metadata.row_index``, and the per-FILE bases join in via a
-        broadcast (one row per file — the same cardinality the driver
-        already holds as the snapshot's file list). Ids are fresh after
-        rewrites (OPTIMIZE/MERGE): this writer does not materialize row
-        ids into data files and refuses to pretend otherwise."""
+        gets ``_row_id = coalesce(materialized row id column,
+        add.baseRowId + its position in the file)`` and
+        ``_row_commit_version = coalesce(materialized commit version
+        column, add.defaultRowCommitVersion)`` — stable across appends,
+        DV deletes (surviving rows keep their position) AND rewrites
+        (OPTIMIZE/REORG/UPDATE/DELETE rewrites persist preserved ids
+        into the materialized columns; see
+        :meth:`_rewrite_with_preserved_row_ids`). Executor-side
+        throughout: the scan carries parquet ``_metadata.row_index``,
+        and the per-FILE bases join in via a broadcast (one row per
+        file — the same cardinality the driver already holds as the
+        snapshot's file list). Works on column-mapped tables: data
+        columns resolve by physical name (mode ``name``) or parquet
+        field id (mode ``id``); the materialized columns always resolve
+        by their configured physical name (they are hidden physical
+        columns, not mapped table columns)."""
         cfg = snap.metadata.get("configuration") or {}
         if str(cfg.get("delta.enableRowTracking", "false")).lower() != "true":
             raise DeltaProtocolError(
                 "with_row_ids=True requires delta.enableRowTracking=true"
             )
-        if snap.column_mapping_mode != "none":
-            raise DeltaProtocolError(
-                "with_row_ids reads on column-mapped tables are not"
-                " implemented — read without row ids or unmap"
-            )
+        mid, mcv = self._row_tracking_phys_cols(snap)
+        mat_cols = [c for c in (mid, mcv) if c]
         schema = snap.schema
         out_names = [f.name for f in schema.fields] + [
             "_row_id", "_row_commit_version",
@@ -1314,22 +1555,31 @@ class DeltaProtocolTable:
 
         def attach(scan: DataFrame, base_rows) -> DataFrame:
             base_df = self.spark.createDataFrame(
-                base_rows,
-                "__fk string, __base long, _row_commit_version long",
+                base_rows, "__fk string, __base long, __dcv long",
             )
+            j = scan.join(F.broadcast(base_df), "__fk")
+            rid = F.col("__base") + F.col("__ri")
+            rcv = F.col("__dcv")
+            if mid:
+                rid = F.coalesce(F.col(f"`{mid}`"), rid)
+            if mcv:
+                rcv = F.coalesce(F.col(f"`{mcv}`"), rcv)
             return (
-                scan.join(F.broadcast(base_df), "__fk")
-                .withColumn("_row_id", F.col("__base") + F.col("__ri"))
+                j.withColumn("_row_id", rid)
+                .withColumn("_row_commit_version", rcv)
                 .select(*out_names)
             )
 
         pcols = snap.partition_columns
+        cmode = snap.column_mapping_mode
         dv_paths = [p for p in paths if snap.files[p].get("deletionVector")]
         plain = [
             p for p in paths if snap.files[p].get("deletionVector") is None
         ]
+        from functools import reduce
+
         parts = []
-        if plain:
+        if plain and cmode == "none":
             if pcols and not all(
                 self._dir_matches_partition_values(p, snap.files[p], pcols)
                 for p in plain
@@ -1339,7 +1589,11 @@ class DeltaProtocolTable:
                     " directories (foreign layouts: read without row ids)"
                 )
             abs_paths = [os.path.join(self.path, p) for p in plain]
-            reader = self.spark.read.schema(schema)
+            read_schema = StructType(
+                list(schema.fields)
+                + [StructField(c, LongType(), True) for c in mat_cols]
+            )
+            reader = self.spark.read.schema(read_schema)
             if pcols:
                 reader = reader.option("basePath", self.path)
             # plain files key by full file URI — partitioned writes
@@ -1347,6 +1601,7 @@ class DeltaProtocolTable:
             # are not unique here
             scan = reader.parquet(*abs_paths).select(
                 *[f.name for f in schema.fields],
+                *[F.col(f"`{c}`") for c in mat_cols],
                 F.col("_metadata.file_path").alias("__fk"),
                 F.col("_metadata.row_index").alias("__ri"),
             )
@@ -1358,12 +1613,85 @@ class DeltaProtocolTable:
                 )
                 for p in plain
             ]))
+        elif plain:
+            # column-mapped: physical/field-id data schema; partition
+            # values attach as typed literals from the log (directory
+            # layout uses physical names and is not trusted)
+            phys = snap.physical_names()
+            types = {f.name: f.dataType for f in schema.fields}
+            data_fields = [f for f in schema.fields if f.name not in pcols]
+            if cmode == "id":
+                fids = {}
+                for f in data_fields:
+                    fid = (f.metadata or {}).get("delta.columnMapping.id")
+                    if fid is None:
+                        raise DeltaProtocolError(
+                            f"column mapping mode 'id' but field"
+                            f" {f.name!r} has no delta.columnMapping.id"
+                        )
+                    fids[f.name] = int(fid)
+                data_schema = StructType(
+                    [StructField(f.name, f.dataType, True,
+                                 {"parquet.field.id": fids[f.name]})
+                     for f in data_fields]
+                    + [StructField(c, LongType(), True) for c in mat_cols]
+                )
+                sess = _field_id_session(self.spark)
+                sel = [F.col(f"`{f.name}`") for f in data_fields]
+            else:
+                data_schema = StructType(
+                    [StructField(phys[f.name], f.dataType, True)
+                     for f in data_fields]
+                    + [StructField(c, LongType(), True) for c in mat_cols]
+                )
+                sess = self.spark
+                sel = [
+                    F.col(f"`{phys[f.name]}`").alias(f.name)
+                    for f in data_fields
+                ]
+            groups: Dict[tuple, List[str]] = {}
+            for p in plain:
+                pv = snap.files[p].get("partitionValues") or {}
+                key = tuple(
+                    _partition_lit(pv.get(phys[c], pv.get(c)))
+                    for c in pcols
+                )
+                groups.setdefault(key, []).append(p)
+            gparts = []
+            for key, grp in groups.items():
+                df = (
+                    sess.read.schema(data_schema)
+                    .parquet(*[os.path.join(self.path, p) for p in grp])
+                    .select(
+                        *sel,
+                        *[F.col(f"`{c}`") for c in mat_cols],
+                        F.col("_metadata.file_path").alias("__fk"),
+                        F.col("_metadata.row_index").alias("__ri"),
+                    )
+                )
+                for c, raw in zip(pcols, key):
+                    df = df.withColumn(c, F.lit(raw).cast(types[c]))
+                gparts.append(df.select(
+                    *[f.name for f in schema.fields], *mat_cols,
+                    "__fk", "__ri",
+                ))
+            scan = reduce(lambda a, b: a.unionByName(b), gparts)
+            parts.append(attach(scan, [
+                base_row(
+                    "file:" + os.path.abspath(os.path.join(self.path, p)),
+                    p,
+                )
+                for p in plain
+            ]))
         if dv_paths:
             # DV'd files key by basename (what the DV scan carries);
             # _read_dv_files already fails loudly on colliding basenames
-            dv_df = self._read_dv_files(snap, dv_paths, keep_meta=True)
+            dv_df = self._read_dv_files(
+                snap, dv_paths, keep_meta=True, extra_long_cols=mat_cols,
+            )
             scan = dv_df.select(
                 *[f.name for f in schema.fields],
+                *[F.col(f"`{c}`") for c in mat_cols],
                 F.col("__mack_dv_file").alias("__fk"),
                 F.col("__mack_dv_pos").alias("__ri"),
             )
@@ -1371,9 +1699,34 @@ class DeltaProtocolTable:
                 scan,
                 [base_row(os.path.basename(p), p) for p in dv_paths],
             ))
-        from functools import reduce
-
         return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _rewrite_with_preserved_row_ids(
+        self, snap: DeltaSnapshot, paths: List[str]
+    ):
+        """Read ``paths`` for a REWRITE (OPTIMIZE/REORG/UPDATE/DELETE),
+        carrying each row's stable id into the table's MATERIALIZED
+        row-id columns so the rewritten files preserve ``_row_id`` /
+        ``_row_commit_version`` (spec §Row Tracking: "writers must
+        preserve row IDs when rewriting files"). Returns
+        ``(df, preserved)``; falls back to a plain read (fresh ids)
+        when row tracking is off, the materialized column names are
+        not configured (pre-r13 tables), or a file predates the
+        baseRowId backfill."""
+        cfg = snap.metadata.get("configuration") or {}
+        if str(cfg.get("delta.enableRowTracking", "false")).lower() != "true":
+            return self._read_files(snap, paths), False
+        mid, mcv = self._row_tracking_phys_cols(snap)
+        if not mid or not mcv:
+            return self._read_files(snap, paths), False
+        if any(snap.files[p].get("baseRowId") is None for p in paths):
+            return self._read_files(snap, paths), False
+        df = self._read_files_with_row_ids(snap, paths)
+        return (
+            df.withColumnRenamed("_row_id", mid)
+            .withColumnRenamed("_row_commit_version", mcv),
+            True,
+        )
 
     def _read_files(self, snap: DeltaSnapshot, paths: List[str]) -> DataFrame:
         schema = snap.schema
@@ -1445,6 +1798,7 @@ class DeltaProtocolTable:
         snap: DeltaSnapshot,
         paths: List[str],
         keep_meta: bool = False,
+        extra_long_cols: Optional[List[str]] = None,
     ) -> DataFrame:
         """Data files minus their deletion vectors, decoded EXECUTOR-
         side: one grouped scan attaches parquet ``_metadata.row_index``
@@ -1479,7 +1833,12 @@ class DeltaProtocolTable:
         paths (delete/update with DVs, file matching) need to know
         which LIVE rows sit where; ``input_file_name()`` does not
         survive the mapInPandas boundary, so the scan's own metadata
-        columns carry that identity through."""
+        columns carry that identity through.
+
+        ``extra_long_cols`` names additional nullable ``bigint``
+        PHYSICAL columns to read by name regardless of the mapping
+        mode (row tracking's materialized id columns) — files without
+        them read NULL."""
         from functools import reduce
 
         from pyspark.sql.types import LongType, StringType, StructField
@@ -1493,6 +1852,8 @@ class DeltaProtocolTable:
         )
         types = {f.name: f.dataType for f in schema.fields}
         data_fields = [f for f in schema.fields if f.name not in pcols]
+        extras = list(extra_long_cols or [])
+        extra_fields = [StructField(c, LongType(), True) for c in extras]
         if snap.column_mapping_mode == "id":
             # id-mode files may carry ARBITRARY parquet column names
             # (converted Iceberg) — resolve by field id in the scoped
@@ -1514,6 +1875,7 @@ class DeltaProtocolTable:
                                 {"parquet.field.id": ids[f.name]})
                     for f in data_fields
                 ]
+                + extra_fields
             )
             scan_session = _field_id_session(self.spark)
             scan_cols = [F.col(f"`{f.name}`") for f in data_fields]
@@ -1521,12 +1883,14 @@ class DeltaProtocolTable:
             data_schema = StructType(
                 [StructField(phys[f.name], f.dataType, True)
                  for f in data_fields]
+                + extra_fields
             )
             scan_session = self.spark
             scan_cols = [
                 F.col(f"`{phys[f.name]}`").alias(f.name)
                 for f in data_fields
             ]
+        scan_cols += [F.col(f"`{c}`") for c in extras]
         out_names = [f.name for f in schema.fields]
 
         # file basename → DV descriptor (None for files WITHOUT a DV —
@@ -1616,20 +1980,23 @@ class DeltaProtocolTable:
             parts.append(scan(grp, pv))
         union = reduce(lambda a, b: a.unionByName(b), parts)
         ordered = union.select(
-            *out_names, "__mack_dv_pos", "__mack_dv_file"
+            *out_names, *extras, "__mack_dv_pos", "__mack_dv_file"
         )
         if keep_meta:
-            mapped_names = out_names + ["__mack_dv_pos", "__mack_dv_file"]
+            mapped_names = out_names + extras + [
+                "__mack_dv_pos", "__mack_dv_file",
+            ]
             out_schema = StructType(
                 list(schema.fields)
+                + extra_fields
                 + [
                     StructField("__mack_dv_pos", LongType(), True),
                     StructField("__mack_dv_file", StringType(), True),
                 ]
             )
         else:
-            mapped_names = out_names
-            out_schema = schema
+            mapped_names = out_names + extras
+            out_schema = StructType(list(schema.fields) + extra_fields)
         return ordered.mapInPandas(drop_deleted, schema=out_schema).select(
             *mapped_names
         )
@@ -1804,17 +2171,37 @@ class DeltaProtocolTable:
         return list(reversed(self.snapshot().history))
 
     def _commit_actions(self, version: int) -> List[dict]:
+        """Parsed actions of one commit JSON, cached by stat signature
+        (commit files are immutable once written — a matching
+        (inode, mtime ns, size) proves the cached parse is current).
+        History/CDF/timestamp scans walk every version; without the
+        cache each walk re-reads and re-parses the whole JSON tail.
+        Callers must treat the returned actions as READ-ONLY."""
         vf = _version_file(self.path, version)
-        if not os.path.exists(vf):
+        try:
+            s = os.stat(vf)
+        except OSError:
             raise DeltaProtocolError(
                 f"commit file for version {version} of {self.path} is gone"
             )
+        sig = (s.st_ino, s.st_mtime_ns, s.st_size)
+        key = (self.path, version)
+        with _REPLAY_LOCK:
+            hit = _COMMIT_CACHE.get(key)
+            if hit is not None and hit[0] == sig:
+                _COMMIT_CACHE.move_to_end(key)
+                return hit[1]
         out: List[dict] = []
         with open(vf) as fh:
             for line in fh:
                 line = line.strip()
                 if line:
                     out.append(json.loads(line))
+        with _REPLAY_LOCK:
+            _COMMIT_CACHE[key] = (sig, out)
+            _COMMIT_CACHE.move_to_end(key)
+            while len(_COMMIT_CACHE) > _COMMIT_CACHE_MAX:
+                _COMMIT_CACHE.popitem(last=False)
         return out
 
     def table_changes(
@@ -1883,10 +2270,45 @@ class DeltaProtocolTable:
                 self._ts_ms(ending_timestamp)
             )
         end_snap = self.snapshot(version_as_of=ending_version)
+        if starting_timestamp is not None and (
+            starting_version > end_snap.version
+        ):
+            # delta-spark's batch CDF contract: a startingTimestamp
+            # past the last commit raises rather than silently
+            # returning an empty feed (streaming is the mode that
+            # waits for future commits)
+            raise DeltaProtocolError(
+                f"startingTimestamp {starting_timestamp!r} is after"
+                f" the last commit (version {end_snap.version}) of"
+                f" {self.path} — no changes exist at or after it"
+            )
         if not self._cdf_enabled(end_snap):
             raise DeltaProtocolError(
                 f"change data feed is not enabled on {self.path}; set"
                 " table property delta.enableChangeDataFeed=true"
+            )
+        # every commit in the requested range must still HAVE its
+        # commit JSON: metadata cleanup deletes logs below the
+        # checkpoint, and replaying only the surviving suffix would
+        # silently return an INCOMPLETE change feed (delta-spark
+        # raises on a start version that is no longer available)
+        available = set(self._log_versions())
+        missing = [
+            v for v in range(max(starting_version, 0), end_snap.version + 1)
+            if v not in available
+        ]
+        if missing:
+            first_ok = next(
+                (v for v in sorted(available) if v > missing[-1]),
+                end_snap.version + 1,
+            )
+            raise DeltaProtocolError(
+                f"change data feed range [{starting_version},"
+                f" {end_snap.version}] of {self.path} is incomplete:"
+                f" commit JSONs for versions {missing[:10]}"
+                f"{'...' if len(missing) > 10 else ''} were cleaned"
+                f" past the retention horizon — start from {first_ok}"
+                " or later"
             )
         end_schema = end_snap.schema
         out_names = [f.name for f in end_schema.fields]
@@ -2174,6 +2596,20 @@ class DeltaProtocolTable:
         }
         if id_hwms:
             meta = _patch_identity_hwm(meta, id_hwms)
+        cfg = meta["configuration"]
+        if str(cfg.get("delta.enableRowTracking", "false")).lower() == "true":
+            # spec §Row Tracking: the MATERIALIZED row id / commit
+            # version column names are fixed at enablement (uuid-fresh
+            # so they can never collide with a user column, present or
+            # future); rewrites persist preserved ids under them
+            cfg.setdefault(
+                "delta.rowTracking.materializedRowIdColumnName",
+                f"_row-id-col-{uuid.uuid4()}",
+            )
+            cfg.setdefault(
+                "delta.rowTracking.materializedRowCommitVersionColumnName",
+                f"_row-commit-version-col-{uuid.uuid4()}",
+            )
         proto = _initial_protocol(meta["configuration"], table_schema)
         cluster_actions: List[dict] = []
         if cluster_by:
@@ -2322,7 +2758,17 @@ class DeltaProtocolTable:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(staging)
-        data_cols = [c for c in df.columns if c not in partition_by]
+        skip_stats = set()
+        if snap is not None:
+            # materialized row-id columns are hidden physical columns,
+            # not table columns — footer stats index TABLE columns
+            skip_stats = {
+                c for c in self._row_tracking_phys_cols(snap) if c
+            }
+        data_cols = [
+            c for c in df.columns
+            if c not in partition_by and c not in skip_stats
+        ]
         adds: List[dict] = []
         for root, _dirs, fnames in os.walk(staging):
             for fn in fnames:
@@ -2722,15 +3168,33 @@ class DeltaProtocolTable:
             top_rows = [r for r in rows if r.get("add") is None]
             n = max(1, math.ceil(len(add_rows) / CHECKPOINT_PART_ACTIONS))
             per = math.ceil(len(add_rows) / n) if add_rows else 0
+            # spec §V2 Spec Checkpoints: the sidecar file-action schema
+            # has BOTH add and remove columns. This writer never
+            # checkpoints tombstones, so remove is all-null — but a
+            # foreign v2 reader may validate the schema shape, so
+            # write it anyway.
+            remove_t = pa.struct(
+                [
+                    ("path", pa.string()),
+                    ("deletionTimestamp", pa.int64()),
+                    ("dataChange", pa.bool_()),
+                ]
+            )
             sidecars = []
             for i in range(n):
                 chunk = add_rows[i * per:(i + 1) * per] if per else []
                 name = f"{uuid.uuid4()}.parquet"
                 sp = os.path.join(sidecar_dir, name)
                 pq.write_table(
-                    pa.table({"add": pa.array(
-                        [shape_add(r["add"]) for r in chunk], type=add_t
-                    )}),
+                    pa.table({
+                        "add": pa.array(
+                            [shape_add(r["add"]) for r in chunk],
+                            type=add_t,
+                        ),
+                        "remove": pa.array(
+                            [None] * len(chunk), type=remove_t
+                        ),
+                    }),
                     sp,
                 )
                 sidecars.append({
@@ -3419,6 +3883,17 @@ class DeltaProtocolTable:
             config["delta.inCommitTimestampEnablementTimestamp"] = str(
                 _now_ms()
             )
+        if on(config, "delta.enableRowTracking") and (
+            "delta.rowTracking.materializedRowIdColumnName" not in config
+        ):
+            # fix the materialized row-id column names at enablement
+            # (spec §Row Tracking) — rewrites preserve ids under them
+            config["delta.rowTracking.materializedRowIdColumnName"] = (
+                f"_row-id-col-{uuid.uuid4()}"
+            )
+            config[
+                "delta.rowTracking.materializedRowCommitVersionColumnName"
+            ] = f"_row-commit-version-col-{uuid.uuid4()}"
         meta = dict(snap.metadata, configuration=config)
         actions = [
             {"commitInfo": {"timestamp": _now_ms(), "operation": operation,
@@ -3632,14 +4107,24 @@ class DeltaProtocolTable:
                     )
                 continue
             if persisted is None:
-                from pyspark import StorageLevel
-
-                persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+                # MATERIALIZE the partition id as a column, then
+                # localCheckpoint (NOT persist): the two passes — the
+                # per-partition count and the range stamp — must agree
+                # on each row's partition, and neither a cached plan
+                # (AQE may replan between jobs) nor task partition ids
+                # (union-global when the stamped frame is spliced into
+                # a union, as the merge insert path does) guarantee
+                # that. A column written into checkpointed data cannot
+                # drift; the eager checkpoint also pins the
+                # partitioning so within-partition row order is stable.
+                persisted = df.withColumn(
+                    _IDENTITY_PID_COL, F.spark_partition_id()
+                ).localCheckpoint(eager=True)
                 df = persisted
             counts = {
                 r["__pid"]: r["n"]
                 for r in df.groupBy(
-                    F.spark_partition_id().alias("__pid")
+                    F.col(_IDENTITY_PID_COL).alias("__pid")
                 ).agg(F.count(F.lit(1)).alias("n")).collect()
             }
             total = sum(counts.values())
@@ -3658,9 +4143,13 @@ class DeltaProtocolTable:
             )
             bc = self.spark.sparkContext.broadcast(offsets)
             df = df.mapInPandas(
-                _identity_gen_fn(bc, name, next_val, step), out_schema
+                _identity_gen_fn(bc, name, next_val, step,
+                                 _IDENTITY_PID_COL),
+                out_schema,
             )
             hwms[name] = next_val + step * (total - 1)
+        if persisted is not None and _IDENTITY_PID_COL in df.columns:
+            df = df.drop(_IDENTITY_PID_COL)
         return df, hwms, persisted
 
     def _resolve_write_schema(
@@ -3964,15 +4453,19 @@ class DeltaProtocolTable:
         self._assert_writable(snap)
         ids = _identity_columns(snap.schema)
         if ids:
-            # MERGE rewrites full rows and inserts new ones — neither
-            # clause can generate identity values or prove the
-            # high-water mark stays ahead, so refuse loudly rather
-            # than silently duplicate ids (delta-spark's own
-            # historical restriction on identity + MERGE)
-            raise DeltaProtocolError(
-                f"MERGE is not supported on tables with identity"
-                f" columns {sorted(ids)}; use append/delete/update"
-            )
+            # identity values are writer-assigned and immutable: a
+            # matched clause may never ASSIGN one (delta-spark's rule).
+            # Inserts are fine — omitted identity columns are generated
+            # for the insert set with the high-water mark synced in the
+            # SAME commit (see _merge_impl), and explicitly provided
+            # values go through the allowExplicitInsert gate.
+            upd_assigned = sorted(set(km.matched_update or {}) & set(ids))
+            if upd_assigned:
+                raise DeltaProtocolError(
+                    f"MERGE cannot assign identity columns"
+                    f" {upd_assigned} in a matched clause; their values"
+                    " are writer-assigned and immutable"
+                )
         if km.matched_update is not None or km.matched_delete is not None:
             self._assert_not_append_only(snap, "MERGE with matched clauses")
         # the source plan executes twice (key+multiplicity collect, then
@@ -4111,12 +4604,78 @@ class DeltaProtocolTable:
                 hit = True  # incomparable stats: don't prune
             if hit:
                 touched.append(p)
-        base = self._read_files(snap, touched)
-        if (
+        insert_only = (
             km.matched_update is None
             and km.matched_delete is None
             and km.not_matched_insert is not None
-        ):
+        )
+        gen_ids: List[str] = []
+        full_ids: Dict[str, dict] = {}
+        if insert_only:
+            base = self._read_files(snap, touched)
+        else:
+            import dataclasses as _dc
+
+            # identity columns omitted from the insert clause generate
+            # for the insert set AFTER the rewrite join (the clause
+            # stages NULL as a marker; _generate_identity fills the
+            # marked rows gap-free and the hwm lands in this commit).
+            # Must precede the row-tracking '*' expansion below, which
+            # would otherwise turn '*' into per-column source refs for
+            # identity columns the source does not carry.
+            full_ids = _identity_columns(snap.schema)
+            if full_ids and km.not_matched_insert is not None:
+                if km.not_matched_insert == "*":
+                    src_cols = set(km.source.columns)
+                    gen_ids = [c for c in full_ids if c not in src_cols]
+                    if gen_ids:
+                        ins = {
+                            f.name: (
+                                "CAST(NULL AS BIGINT)"
+                                if f.name in gen_ids
+                                else f"{km.source_alias}.`{f.name}`"
+                            )
+                            for f in snap.schema.fields
+                        }
+                        km = _dc.replace(km, not_matched_insert=ins)
+                else:
+                    gen_ids = [
+                        c for c in full_ids
+                        if c not in km.not_matched_insert
+                    ]
+                    if gen_ids:
+                        ins = dict(km.not_matched_insert)
+                        for c in gen_ids:
+                            ins[c] = "CAST(NULL AS BIGINT)"
+                        km = _dc.replace(km, not_matched_insert=ins)
+            # rewriting merge on a row-tracked table: read the touched
+            # files with preserved ids as the materialized columns;
+            # clause patches below keep kept/updated rows' _row_id
+            # stable (spec §Row Tracking) while updated rows take the
+            # new commit version and inserted rows get fresh ids
+            base, rt_preserved = self._rewrite_with_preserved_row_ids(
+                snap, touched
+            )
+            if rt_preserved:
+                mid, mcv = self._row_tracking_phys_cols(snap)
+                upd = km.matched_update
+                if upd is not None:
+                    upd = dict(upd)
+                    upd[mcv] = "CAST(NULL AS BIGINT)"
+                ins = km.not_matched_insert
+                if ins == "*":
+                    ins = {
+                        f.name: f"{km.source_alias}.`{f.name}`"
+                        for f in snap.schema.fields
+                    }
+                if ins is not None:
+                    ins = dict(ins)
+                    ins[mid] = "CAST(NULL AS BIGINT)"
+                    ins[mcv] = "CAST(NULL AS BIGINT)"
+                km = _dc.replace(
+                    km, matched_update=upd, not_matched_insert=ins
+                )
+        if insert_only:
             # insert-only MERGE: matched target rows are kept verbatim,
             # so NO file needs rewriting — the commit is add-only (the
             # same optimization Delta's own MERGE applies). The touched
@@ -4124,6 +4683,7 @@ class DeltaProtocolTable:
             # key range misses every source key cannot absorb an insert
             # candidate's match, so they are not even read.
             schema = snap.schema
+            ids = _identity_columns(schema)
             new_src = km.source.alias(km.source_alias).join(
                 base.alias(km.target_alias), F.expr(km.condition), "left_anti"
             )
@@ -4132,31 +4692,65 @@ class DeltaProtocolTable:
                 new_src = new_src.where(
                     F.coalesce(F.expr(cond), F.lit(False))
                 )
+            # identity columns omitted from the insert clause are
+            # GENERATED for the insert set (gap-free two-pass, spec
+            # §Identity Columns); provided ones go through
+            # _generate_identity's allowExplicitInsert gate + hwm sync
             if km.not_matched_insert == "*":
+                src_cols = set(km.source.columns)
+                gen_ids = [c for c in ids if c not in src_cols]
                 inserts = new_src.select(
                     *[
                         F.col(f"{km.source_alias}.`{f.name}`")
                         .cast(f.dataType)
                         .alias(f.name)
                         for f in schema.fields
+                        if f.name not in gen_ids
                     ]
                 )
             else:
+                gen_ids = [c for c in ids if c not in km.not_matched_insert]
                 inserts = new_src.select(
                     *[
                         F.expr(km.not_matched_insert[f.name])
                         .cast(f.dataType)
                         .alias(f.name)
                         for f in schema.fields
+                        if f.name not in gen_ids
                     ]
                 )
-            self._enforce_constraints(
-                snap, inserts, self._gen_checks(snap, inserts)
-            )
-            adds = self._write_data_files(inserts, snap.partition_columns, snap=snap)
+            id_hwms: Dict[str, int] = {}
+            id_persisted = None
+            if ids:
+                inserts, id_hwms, id_persisted = self._generate_identity(
+                    schema, inserts
+                )
+                inserts = inserts.select(*[f.name for f in schema.fields])
+            try:
+                self._enforce_constraints(
+                    snap, inserts, self._gen_checks(snap, inserts)
+                )
+                adds = self._write_data_files(
+                    inserts, snap.partition_columns, snap=snap
+                )
+            finally:
+                if id_persisted is not None:
+                    id_persisted.unpersist()
             # no cdc actions needed even under CDF: an add-only commit
             # derives exactly (every added row is an insert) — the same
             # optimization Delta applies to insert-only merges
+            meta_actions = _config_actions()
+            if id_hwms:
+                # identity high-water mark advances ATOMICALLY with the
+                # inserted data (same commit) — same contract as append
+                if meta_actions:
+                    meta_actions = [{"metaData": _patch_identity_hwm(
+                        meta_actions[0]["metaData"], id_hwms
+                    )}]
+                else:
+                    meta_actions = [{"metaData": _patch_identity_hwm(
+                        snap.metadata, id_hwms
+                    )}]
             actions = (
                 [
                     {"commitInfo": {
@@ -4168,7 +4762,7 @@ class DeltaProtocolTable:
                         },
                     }}
                 ]
-                + _config_actions()
+                + meta_actions
                 + [{"add": a} for a in adds]
             )
             self._commit(snap.version + 1, actions, snap=snap)
@@ -4185,18 +4779,63 @@ class DeltaProtocolTable:
         merged = interpret_keyed_merge(
             base, km, assume_unambiguous=unambiguous
         )
+        id_hwms: Dict[str, int] = {}
+        id_persisted = None
+        merged_persist = None
+        if gen_ids:
+            # inserted rows carry NULL in every to-generate identity
+            # column (staged by the clause patch above); matched/kept
+            # rows keep their non-null writer-assigned values — the
+            # NULL marker splits the two sets exactly
+            merged_persist = merged.persist()
+            marker = F.col(f"`{gen_ids[0]}`")
+            with_id = merged_persist.filter(marker.isNotNull())
+            need_id = merged_persist.filter(marker.isNull()).drop(*gen_ids)
+            gen_df, id_hwms, id_persisted = self._generate_identity(
+                snap.schema, need_id
+            )
+            merged = with_id.unionByName(gen_df.select(*with_id.columns))
+        elif full_ids and km.not_matched_insert is not None:
+            # every identity value provided explicitly — validate the
+            # allowExplicitInsert gate and sync the hwm (target rows'
+            # existing ids are ≤ hwm already, so the max is safe)
+            _df, id_hwms, id_persisted = self._generate_identity(
+                snap.schema, merged
+            )
         # MERGE validates generated columns rather than recomputing:
         # clause expressions produce the full row, so a value that
         # disagrees with the generation expression raises here instead
         # of committing silently-wrong data
         self._enforce_constraints(snap, merged, self._gen_checks(snap, merged))
         adds = self._write_data_files(merged, snap.partition_columns, snap=snap)
+        if id_persisted is not None:
+            id_persisted.unpersist()
+        if merged_persist is not None:
+            merged_persist.unpersist(blocking=False)
         cdc: List[dict] = []
         if cdf:
             from mack_spark.merge_exec import merge_changes
 
-            cdc = self._write_cdc_files(merge_changes(base, km), snap=snap)
+            # change files carry TABLE columns only — strip the
+            # materialized row-id passthrough columns when present
+            cdc = self._write_cdc_files(
+                merge_changes(base, km).select(
+                    *[f.name for f in snap.schema.fields], "_change_type"
+                ),
+                snap=snap,
+            )
             base.unpersist(blocking=False)
+        meta_actions = _config_actions()
+        if id_hwms:
+            # identity hwm advances atomically with the merged data
+            if meta_actions:
+                meta_actions = [{"metaData": _patch_identity_hwm(
+                    meta_actions[0]["metaData"], id_hwms
+                )}]
+            else:
+                meta_actions = [{"metaData": _patch_identity_hwm(
+                    snap.metadata, id_hwms
+                )}]
         actions = (
             [
                 {"commitInfo": {
@@ -4208,7 +4847,7 @@ class DeltaProtocolTable:
                     },
                 }}
             ]
-            + _config_actions()
+            + meta_actions
             + [{"cdc": c} for c in cdc]
             + [
                 {"remove": {"path": p, "deletionTimestamp": _now_ms(),
@@ -4555,7 +5194,11 @@ class DeltaProtocolTable:
         if self._dv_write_enabled(snap):
             return self._delete_with_dvs(snap, condition, touched)
         cdf = self._cdf_enabled(snap)
-        touched_df = self._read_files(snap, touched)
+        # row-tracked tables read with preserved ids so the survivors'
+        # _row_id stays stable through the rewrite
+        touched_df, _rt = self._rewrite_with_preserved_row_ids(
+            snap, touched
+        )
         if cdf:
             # the touched read feeds BOTH the kept-rows rewrite and the
             # deleted-rows change feed — compute it once
@@ -4566,7 +5209,9 @@ class DeltaProtocolTable:
         cdc: List[dict] = []
         if cdf:
             cdc = self._write_cdc_files(
-                touched_df.filter(cond).withColumn(
+                touched_df.filter(cond).select(
+                    *[f.name for f in snap.schema.fields]
+                ).withColumn(
                     "_change_type", F.lit("delete")
                 ),
                 snap=snap,
@@ -4739,10 +5384,25 @@ class DeltaProtocolTable:
             for c in (f.name for f in schema.fields)
         ]
         cdf = self._cdf_enabled(snap)
-        touched_df = self._read_files(snap, touched)
+        touched_df, rt_preserved = self._rewrite_with_preserved_row_ids(
+            snap, touched
+        )
+        mat_passthrough = []
+        if rt_preserved:
+            # spec §Row Tracking: updated rows KEEP their _row_id but
+            # take the NEW commit version (materialized CV goes NULL so
+            # the read falls back to the new file's
+            # defaultRowCommitVersion); untouched rows keep both
+            mid, mcv = self._row_tracking_phys_cols(snap)
+            mat_passthrough = [
+                F.col(f"`{mid}`"),
+                F.when(cond, F.lit(None).cast("long"))
+                .otherwise(F.col(f"`{mcv}`"))
+                .alias(mcv),
+            ]
         if cdf:
             touched_df = touched_df.persist()
-        rewritten = touched_df.select(*cols)
+        rewritten = touched_df.select(*cols, *mat_passthrough)
         if gen:
             # recompute generated columns AFTER the assignments (their
             # dependencies may have changed); deterministic generation
@@ -4753,13 +5413,19 @@ class DeltaProtocolTable:
                     if c in gen
                     else F.col(c)
                     for c in (f.name for f in schema.fields)
-                ]
+                ],
+                *(
+                    [F.col(f"`{c}`") for c in rewritten.columns
+                     if c not in types]
+                ),
             )
         self._enforce_constraints(snap, rewritten)
         adds = self._write_data_files(rewritten, snap.partition_columns, snap=snap)
         cdc: List[dict] = []
         if cdf:
-            pre = touched_df.filter(cond)
+            pre = touched_df.filter(cond).select(
+                *[f.name for f in schema.fields]
+            )
             post = pre.select(
                 *[
                     F.expr(assignments[c]).cast(types[c]).alias(c)
@@ -4925,7 +5591,9 @@ class DeltaProtocolTable:
                 "total_files": len(snap.files),
                 "version": snap.version,
             }
-        df = self._read_files(snap, targets)  # live rows only
+        # live rows only; row-tracked tables carry preserved ids into
+        # the materialized columns so REORG keeps _row_id stable
+        df, _rt = self._rewrite_with_preserved_row_ids(snap, targets)
         adds = self._write_data_files(
             df, snap.partition_columns, data_change=False, snap=snap
         )
@@ -5036,9 +5704,10 @@ class DeltaProtocolTable:
                 snap.files[p].get("size", 0) for p in doomed
             )
             n = max(1, math.ceil(total / target_file_bytes))
-            df = cluster_by_zorder(
-                self._read_files(snap, doomed), list(zorder_by), n
+            base_df, _rt = self._rewrite_with_preserved_row_ids(
+                snap, doomed
             )
+            df = cluster_by_zorder(base_df, list(zorder_by), n)
             adds = self._write_data_files(
                 df, snap.partition_columns, data_change=False, snap=snap,
                 tags={"clusteringProvider": "liquid"}
@@ -5094,7 +5763,7 @@ class DeltaProtocolTable:
             }
         small_bytes = sum(snap.files[p].get("size", 0) for p in doomed)
         n = max(1, math.ceil(small_bytes / target_file_bytes))
-        df = self._read_files(snap, doomed)
+        df, _rt = self._rewrite_with_preserved_row_ids(snap, doomed)
         if sort_by:
             df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(
                 *sort_by
@@ -5331,6 +6000,7 @@ class DeltaProtocolTable:
         horizon = time.time() - retention_hours * 3600.0
         doomed: List[str] = []
         survivors_ckpt: List[str] = []
+        json_cands: List[tuple] = []
         for fn in os.listdir(logdir):
             m = _re.match(r"^(\d{20})\.(json|checkpoint\..+|checkpoint)$", fn)
             if not m:
@@ -5342,10 +6012,24 @@ class DeltaProtocolTable:
                 expired = expired and os.path.getmtime(full) <= horizon
             except OSError:
                 continue
-            if expired:
+            if fn.endswith(".json"):
+                json_cands.append((v, fn, expired))
+            elif expired:
                 doomed.append(fn)
             elif fn.endswith(".parquet"):
                 survivors_ckpt.append(full)
+        # commit JSONs delete only as a CONTIGUOUS PREFIX of the
+        # surviving version sequence (delta-spark's
+        # BufferingLogDeletionIterator rule): with non-monotonic
+        # mtimes — restored or copied tables — per-file expiry could
+        # delete a MIDDLE version while older ones survive, and a
+        # later time-travel replay of the surviving tail would
+        # silently reconstruct wrong state. Stop at the first
+        # non-expired version instead.
+        for _v, fn, expired in sorted(json_cands):
+            if not expired:
+                break
+            doomed.append(fn)
         # v2 sidecars: keep every file a SURVIVING checkpoint references
         sidecar_dir = os.path.join(logdir, "_sidecars")
         if os.path.isdir(sidecar_dir):

@@ -979,6 +979,9 @@ class TestMultiPartCheckpoint:
             f for f in os.listdir(logdir) if ".checkpoint." in f
         )[0]
         os.unlink(os.path.join(logdir, victim))
+        # deleting a log file in place bypasses the commit protocol —
+        # drop the replay cache to simulate a fresh reader process
+        dl.clear_replay_cache(t.path)
         with pytest.raises(DeltaProtocolError, match="incomplete"):
             DeltaProtocolTable(spark, t.path).snapshot()
 

@@ -138,7 +138,14 @@ class TestIdentityGuards:
         with pytest.raises(ValueError, match="identity"):
             t.update_where("val > 0", {"row_id": "0"})
 
-    def test_merge_refused_on_identity_tables(self, spark, tmp_path):
+    def test_merge_allowed_but_identity_assignment_refused(
+        self, spark, tmp_path
+    ):
+        """r13: MERGE works on identity tables (inserts generate,
+        updates keep the target's writer-assigned id); only ASSIGNING
+        an identity column in a matched clause is refused —
+        delta-spark's rule. The old blanket refusal is gone; full
+        generation coverage lives in tests/test_advice_fixes_r13.py."""
         from mack_spark.tables import KeyedMerge
 
         t = _mk(spark, tmp_path, n=3)
@@ -150,8 +157,17 @@ class TestIdentityGuards:
             matched_update={"val": "s.val"},
             target_key_col="name", source_key_col="name",
         )
+        before = _ids(t)
+        t.merge(km)
+        assert _ids(t) == before  # updated row kept its identity value
+        assert t.to_df().where("name = 'k0'").collect()[0]["val"] == 9.9
+        km_bad = KeyedMerge(
+            source=src, condition="t.name = s.name",
+            matched_update={"row_id": "0", "val": "s.val"},
+            target_key_col="name", source_key_col="name",
+        )
         with pytest.raises(DeltaProtocolError, match="identity"):
-            t.merge(km)
+            t.merge(km_bad)
 
     def test_identity_partition_column_refused(self, spark, tmp_path):
         df = spark.createDataFrame([("a", 1.0)], "name string, val double")

@@ -3,10 +3,12 @@ PROTOCOL.md §Row Tracking). ``_commit`` assigns every fresh add a
 ``baseRowId`` (first of numRecords contiguous fresh row ids) and
 ``defaultRowCommitVersion``, advancing the ``delta.rowTracking``
 domain's ``rowIdHighWaterMark`` in the same commit;
-``to_df(with_row_ids=True)`` materializes ``_row_id = baseRowId + row
-position`` — stable across appends and DV deletes. Rewrites assign
-fresh ids (no materialized row-id column), which these tests pin
-explicitly rather than let it pass as silent preservation."""
+``to_df(with_row_ids=True)`` materializes ``_row_id =
+coalesce(materialized row-id column, baseRowId + row position)`` —
+stable across appends and DV deletes. Since r13, rewrites (OPTIMIZE /
+REORG / UPDATE / DELETE / MERGE) PRESERVE ids by writing them into the
+table's materialized row-id columns (spec §Row Tracking); those pins
+live in tests/test_advice_fixes_r13.py::TestMaterializedRowIds."""
 
 import json
 import os
