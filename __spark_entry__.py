@@ -3264,6 +3264,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_identity_append"] = q_delta_identity_append
 
+    def q_delta_identity_merge(spark, sf_dir):
+        # Identity + MERGE (round 13): a rewriting MERGE on an
+        # identity table updates matched rows (keeping their
+        # writer-assigned ids) and GENERATES gap-free ids for the
+        # insert set, syncing the high-water mark in the same commit.
+        # Ids land as the exact set 1..N, so every id aggregate
+        # derives from counts alone — the oracle needs no knowledge
+        # of the assignment order.
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+        from mack_spark.tables import KeyedMerge
+
+        path = tempfile.mkdtemp(prefix="mack-idmerge-") + "/t"
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        t = DeltaProtocolTable.create(
+            spark, path, cust.filter(F.col("c_custkey") % 2 == 0),
+            identity={"row_id": {"start": 1, "step": 1}},
+        )
+        src = cust.filter(F.col("c_custkey") % 3 == 0).select(
+            "c_custkey",
+            F.lit("MERGED").alias("c_mktsegment"),
+            "c_acctbal",
+        )
+        t.merge(KeyedMerge(
+            source=src, condition="t.c_custkey = s.c_custkey",
+            target_alias="t", source_alias="s",
+            matched_update={"c_mktsegment": "s.c_mktsegment"},
+            not_matched_insert={
+                "c_custkey": "s.c_custkey",
+                "c_mktsegment": "s.c_mktsegment",
+                "c_acctbal": "s.c_acctbal",
+            },
+            target_key_col="c_custkey", source_key_col="c_custkey",
+        ))
+        return t.to_df().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("row_id").alias("n_ids"),
+            F.min("row_id").alias("min_id"),
+            F.max("row_id").alias("max_id"),
+            F.sum("row_id").alias("sum_id"),
+            F.sum(
+                (F.col("c_mktsegment") == "MERGED").cast("long")
+            ).alias("n_merged"),
+        )
+
+    q["delta_identity_merge"] = q_delta_identity_merge
+
     def q_delta_row_tracking(spark, sf_dir):
         # Row tracking (round 12, spec §Row Tracking): adds carry
         # baseRowId/defaultRowCommitVersion, the delta.rowTracking
@@ -3303,6 +3353,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assert set(after) == {k for k in before if k % 10 != 4}
         moved = [k for k in after if after[k] != before[k]]
         assert not moved, f"DV delete moved row ids for {moved[:5]}"
+        # round 13: rewrites MATERIALIZE row ids (spec §Row Tracking),
+        # so _row_id is stable through OPTIMIZE too — the property
+        # incremental downstream keying depends on at 100 TB
+        res = t.optimize(target_file_bytes=1 << 22)
+        assert res["rewritten"] > 0, "OPTIMIZE found nothing to compact"
+        post_opt = {
+            r["c_custkey"]: r["_row_id"]
+            for r in t.to_df(with_row_ids=True)
+            .select("c_custkey", "_row_id").collect()
+        }
+        assert post_opt == after, "OPTIMIZE changed row ids"
         return t.to_df().select(
             "c_custkey", "c_mktsegment", "c_acctbal"
         )
@@ -3423,72 +3484,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["delta_log_cleanup"] = q_delta_log_cleanup
 
     # Verification rotation: the driver checks the FIRST 50 keys in
-    # declaration order each round. Round-12 priorities:
-    # (a) the 4 NEW r12 rows (v2 checkpoint writes, identity columns,
-    # row tracking, liquid clustering) — never driver-checked;
-    # (b) the 16 rows whose last green driver check is round 8 (the
-    # revenue_grouping_sets..zorder_cluster stragglers VERDICT r10
-    # scheduled for r12);
-    # (c) 30 of the round-9 cohort (alphabetical prefix; the rest
-    # rotate in r13).
-    front_r12 = [
-        # (a) never driver-checked
-        "delta_v2_checkpoint_write",
-        "delta_identity_append",
+    # declaration order each round. Round-13 priorities (VERDICT r12
+    # "Next round" #1):
+    # (a) the 22 rows whose last green driver check is round 9 — the
+    # multimodal / pii / profile / packing / streaming cohort plus the
+    # flagship type_2_scd_upsert; after this round no declared query's
+    # last driver check predates r10;
+    # (b) the NEW r13 row (identity + MERGE) and delta_row_tracking,
+    # whose in-row asserts now pin post-OPTIMIZE id stability;
+    # (c) fill to 50 from the round-10 cohort (alphabetical prefix;
+    # the rest rotate in r14).
+    front_r13 = [
+        # (a) last green r9
+        "multimodal_metadata",
+        "multimodal_resize",
+        "numeric_correlations",
+        "packing_efficiency",
+        "part_affinity",
+        "pii_redact",
+        "pii_rollup_by_source",
+        "pii_stats",
+        "retention_cohorts",
+        "sequence_packing",
+        "type_2_scd_upsert",
+        "unigram_quality",
+        "vocab_census",
+        "streaming_continuous_rollup",
+        "streaming_dedup_keys",
+        "streaming_delta_source",
+        "streaming_hourly",
+        "streaming_scd2_foreach_batch",
+        "streaming_sessionize",
+        "streaming_sliding",
+        "streaming_stream_stream_join",
+        "streaming_user_stats",
+        # (b) new / behavior-extended r13 rows
+        "delta_identity_merge",
         "delta_row_tracking",
-        "delta_liquid_cluster",
-        "delta_shallow_clone",
-        "delta_log_cleanup",
-        # (b) last green r8
-        "revenue_grouping_sets",
-        "revenue_pivot_by_status",
-        "salted_event_totals",
-        "salted_join_revenue",
-        "sample_deterministic",
-        "segment_spend_trend",
-        "sessionize",
-        "shipping_priority",
-        "sql_frontend_topsegments",
-        "token_counts",
-        "top_customers",
-        "totalprice_histogram",
-        "totalprice_percentiles",
-        "validate_append",
-        "with_md5_cols",
-        "zorder_cluster",
-        # (c) last green r9, alphabetical prefix
-        "append_without_duplicates",
-        "boilerplate_strip",
-        "chunk_documents",
-        "cluster_balance",
-        "constraint_append_pass",
-        "constraint_append_quarantine",
-        "corpus_curation",
-        "customer_rfm",
-        "dataset_split",
-        "dedup_ngram_spans",
-        "dedup_span_strip",
-        "delta_append_without_duplicates",
-        "delta_drop_duplicates_pkey",
-        "delta_kill_duplicates",
-        "drop_duplicates_pkey",
-        "embedding_diversity",
-        "embedding_norms",
-        "embedding_quantize",
-        "gopher_quality",
-        "grouped_correlations",
-        "incremental_rollup",
-        "key_skew_profile",
-        "knn_ivf",
-        "knn_ivf_indexed",
-        "lang_confusion",
-        "late_shipment_priority",
-        "multimodal_features",
-        "multimodal_frame_sample",
+        # (c) last green r10, alphabetical prefix
+        "chunk_dedup_stats",
+        "contamination_check",
+        "conversion_funnel",
+        "corpus_cube",
+        "corpus_rollup",
+        "curation_pipeline",
+        "customer_order_distribution",
+        "data_mix",
+        "dedup_cluster_sizes",
+        "dedup_clusters",
+        "dedup_embedding_banded",
+        "dedup_embedding_cosine",
+        "dedup_minhash_lsh",
+        "dedup_ngram_containment",
+        "dedup_ngram_jaccard",
+        "dedup_source_matrix",
+        "delta_cdf_changes",
+        "delta_column_mapped_read",
+        "delta_deletion_vector_read",
+        "delta_incremental_rollup",
+        "discounted_revenue",
+        "doc_stats",
+        "doclen_deciles",
+        "drop_near_duplicates",
+        "embedding_centroids",
+        "event_anomaly_hours",
     ]
-    assert len(front_r12) == 50, len(front_r12)
-    fset = set(front_r12)
-    ordered = {k: q[k] for k in front_r12}
+    assert len(front_r13) == 50, len(front_r13)
+    fset = set(front_r13)
+    ordered = {k: q[k] for k in front_r13}
     ordered.update({k: v for k, v in q.items() if k not in fset})
     assert set(ordered) == set(q)
     return ordered
@@ -4368,6 +4431,26 @@ SELECT count(*) AS n_rows,
        count(*) AS max_id,
        CAST(count(*) * (count(*) + 1) / 2 AS BIGINT) AS sum_id
 FROM customer
+"""
+
+    # Identity + MERGE: final rows = even custkeys (the base) plus odd
+    # custkeys divisible by 3 (the inserts); gap-free generation makes
+    # the id set exactly {1..N}; every source row (custkey % 3 = 0)
+    # ends up MERGED (matched→updated, unmatched→inserted).
+    o["delta_identity_merge"] = """
+WITH tot AS (
+  SELECT count(*) AS n FROM customer
+  WHERE c_custkey % 2 = 0 OR c_custkey % 3 = 0
+), mg AS (
+  SELECT count(*) AS n FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT tot.n AS n_rows,
+       tot.n AS n_ids,
+       CAST(1 AS BIGINT) AS min_id,
+       tot.n AS max_id,
+       CAST(tot.n * (tot.n + 1) / 2 AS BIGINT) AS sum_id,
+       mg.n AS n_merged
+FROM tot, mg
 """
 
     # ICT row: the data survives the % 9 delete (timestamps are
