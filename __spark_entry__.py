@@ -3314,6 +3314,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_identity_merge"] = q_delta_identity_merge
 
+    def q_delta_deep_clone(spark, sf_dir):
+        # DEEP CLONE (round 13): a standalone byte-copy of the live
+        # files via a distributed copy job + a fresh version-0 CLONE
+        # commit. Independence is the contract — asserted in-row by
+        # deleting rows from the SOURCE after cloning and checking the
+        # clone still serves the original state. Oracle: the full
+        # customer projection (what the clone must preserve).
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        base = tempfile.mkdtemp(prefix="mack-deepclone-")
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        src = DeltaProtocolTable.create(spark, base + "/src", cust)
+        clone = DeltaProtocolTable.deep_clone(
+            spark, src.path, base + "/dst"
+        )
+        assert clone.validate_checksum() is True
+        # clone files are standalone copies under the clone root
+        import os as _os
+
+        for p in clone.snapshot().files:
+            assert not _os.path.isabs(p) and _os.path.exists(
+                _os.path.join(clone.path, p)
+            ), f"clone file {p} not materialized"
+        src.delete_where("c_custkey % 2 = 0")
+        assert src.to_df().count() < cust.count(), "source delete no-op"
+        return clone.to_df().select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+
+    q["delta_deep_clone"] = q_delta_deep_clone
+
     def q_delta_row_tracking(spark, sf_dir):
         # Row tracking (round 12, spec §Row Tracking): adds carry
         # baseRowId/defaultRowCommitVersion, the delta.rowTracking
@@ -3520,6 +3555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_stats",
         # (b) new / behavior-extended r13 rows
         "delta_identity_merge",
+        "delta_deep_clone",
         "delta_row_tracking",
         # (c) last green r10, alphabetical prefix
         "chunk_dedup_stats",
@@ -3547,7 +3583,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclen_deciles",
         "drop_near_duplicates",
         "embedding_centroids",
-        "event_anomaly_hours",
     ]
     assert len(front_r13) == 50, len(front_r13)
     fset = set(front_r13)
@@ -4431,6 +4466,12 @@ SELECT count(*) AS n_rows,
        count(*) AS max_id,
        CAST(count(*) * (count(*) + 1) / 2 AS BIGINT) AS sum_id
 FROM customer
+"""
+
+    # Deep clone preserves the source's full state at clone time,
+    # independent of later source mutations.
+    o["delta_deep_clone"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
 """
 
     # Identity + MERGE: final rows = even custkeys (the base) plus odd

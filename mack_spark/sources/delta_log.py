@@ -2712,6 +2712,113 @@ class DeltaProtocolTable:
         t._commit(0, actions)
         return t
 
+    @classmethod
+    def deep_clone(
+        cls, spark: SparkSession, src_path: str, dst_path: str,
+    ) -> "DeltaProtocolTable":
+        """``CREATE TABLE ... CLONE`` (deep): a fully STANDALONE copy.
+        The source's live data files (and the deletion-vector files
+        they reference) are byte-copied under the clone root, and the
+        clone starts its own history at version 0 with a CLONE commit
+        — delta's deep clone does not carry source history, and
+        SetTransaction watermarks deliberately do not carry either
+        (the clone is a new table to idempotent writers).
+
+        SCALE: the file copy runs as a DISTRIBUTED job over the file
+        list (one task per slice of files; executors share storage
+        with the driver in this deployment — the same model DV reads
+        use), so a large clone is N parallel byte copies, never a
+        driver loop. Everything else is O(metadata).
+
+        Add entries carry over verbatim — stats, partitionValues,
+        baseRowId/defaultRowCommitVersion and the ``delta.rowTracking``
+        domain included, so ``_row_id`` is IDENTICAL on the clone and
+        future allocations continue past the source's high-water mark
+        (the materialized row-id columns inside copied files stay
+        consistent with the carried base ids). Absolute source paths
+        (a shallow clone's references) are materialized into the clone
+        root, which makes deep_clone(shallow_clone(t)) the standard
+        "detach from source" move."""
+        src = cls(spark, src_path)
+        snap = src.snapshot()
+        t = cls(spark, dst_path)
+        if cls.is_delta(dst_path):
+            raise FileExistsError(
+                f"Delta table already exists at {dst_path}"
+            )
+        os.makedirs(_log_dir(t.path), exist_ok=True)
+        pairs: List[tuple] = []  # (src_abs, dst_abs)
+        adds: List[dict] = []
+        for i, (p, a) in enumerate(sorted(snap.files.items())):
+            a = dict(a)
+            if os.path.isabs(p):
+                src_abs = p
+                rel = f"clone-{i:06d}-{os.path.basename(p)}"
+            else:
+                src_abs = os.path.join(src.path, p)
+                rel = p
+            pairs.append((src_abs, os.path.join(t.path, rel)))
+            a["path"] = rel.replace(os.sep, "/")
+            a["dataChange"] = True
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") in ("u", "p"):
+                dv_src = _dv_file_path(src.path, dv)
+                if dv.get("storageType") == "u":
+                    # same descriptor derives the same relative
+                    # location under the clone root
+                    dv_dst = _dv_file_path(t.path, dv)
+                else:
+                    dv_dst = os.path.join(
+                        t.path,
+                        f"clone-dv-{i:06d}-{os.path.basename(dv_src)}",
+                    )
+                    a["deletionVector"] = dict(
+                        dv, storageType="p",
+                        pathOrInlineDv=os.path.abspath(dv_dst),
+                    )
+                pairs.append((dv_src, dv_dst))
+            adds.append(a)
+        if pairs:
+            sc = spark.sparkContext
+            n_slices = max(1, min(len(pairs), sc.defaultParallelism))
+
+            def _cp(pair):
+                import os as _os
+                import shutil as _shutil
+
+                s, d = pair
+                _os.makedirs(_os.path.dirname(d), exist_ok=True)
+                _shutil.copyfile(s, d)
+
+            # imperative per-file byte copy IS the operation here —
+            # the one place an RDD job is the right tool
+            sc.parallelize(pairs, n_slices).foreach(_cp)
+            for _s, d in pairs:
+                if not os.path.exists(d):
+                    raise DeltaProtocolError(
+                        f"deep clone copy did not produce {d}"
+                    )
+        meta = dict(
+            snap.metadata, id=str(uuid.uuid4()), createdTime=_now_ms()
+        )
+        actions = (
+            [
+                {"commitInfo": {
+                    "timestamp": _now_ms(), "operation": "CLONE",
+                    "operationParameters": {
+                        "source": src.path, "isShallow": False,
+                    },
+                }},
+                {"protocol": snap.protocol},
+                {"metaData": meta},
+            ]
+            + [{"domainMetadata": dm}
+               for _d, dm in sorted(snap.domains.items())]
+            + [{"add": a} for a in adds]
+        )
+        t._commit(0, actions)
+        return t
+
     def _write_data_files(
         self, df: DataFrame, partition_by: List[str],
         data_change: bool = True,
@@ -2897,6 +3004,15 @@ class DeltaProtocolTable:
                 "writer after this operation's snapshot read — re-read and "
                 "retry the operation"
             )
+        # VERSION CHECKSUM (delta's <version>.crc sidecar): post-commit
+        # state summary foreign readers use to validate replay and skip
+        # recomputing table size. Best-effort — it must never fail the
+        # commit that just landed; cheap because the replay cache makes
+        # the post-commit snapshot an incremental tail apply.
+        try:
+            self._write_version_checksum(version)
+        except Exception:  # noqa: BLE001 — advisory sidecar only
+            pass
         # delta.checkpointInterval (delta's table property) overrides
         # the module default
         try:
@@ -2920,6 +3036,66 @@ class DeltaProtocolTable:
                     self.cleanup_metadata()
                 except (OSError, DeltaProtocolError):
                     pass
+
+    def _write_version_checksum(self, version: int) -> None:
+        """``<version>.crc`` (delta's version checksum sidecar): one
+        JSON line summarizing the post-commit snapshot — table size,
+        file count, protocol, metadata. delta-spark writes these per
+        commit and uses them to validate state reconstruction;
+        :meth:`validate_checksum` is the read half. Purely advisory:
+        the reader ignores foreign logs without them (only digit-named
+        ``.json`` files are log-structural)."""
+        snap = self.snapshot(version_as_of=version)
+        crc = {
+            "tableSizeBytes": sum(
+                int(a.get("size") or 0) for a in snap.files.values()
+            ),
+            "numFiles": len(snap.files),
+            "numMetadata": 1,
+            "numProtocol": 1,
+            "metadata": snap.metadata,
+            "protocol": snap.protocol,
+        }
+        path = os.path.join(_log_dir(self.path), "%020d.crc" % version)
+        with open(path, "w") as fh:
+            fh.write(json.dumps(crc, separators=(",", ":")))
+
+    def validate_checksum(self, version: Optional[int] = None) -> bool:
+        """Check the ``<version>.crc`` sidecar against a fresh replay
+        (delta's checksum validation). Returns True on match, False
+        when no checksum exists for the version; raises
+        :class:`DeltaProtocolError` on a MISMATCH — replayed state
+        disagreeing with the commit-time summary means the log or data
+        files were tampered with or corrupted."""
+        snap = self.snapshot(version_as_of=version)
+        path = os.path.join(
+            _log_dir(self.path), "%020d.crc" % snap.version
+        )
+        if not os.path.exists(path):
+            return False
+        with open(path) as fh:
+            crc = json.loads(fh.read())
+        size = sum(int(a.get("size") or 0) for a in snap.files.values())
+        mismatches = []
+        if crc.get("numFiles") is not None and crc["numFiles"] != len(
+            snap.files
+        ):
+            mismatches.append(
+                f"numFiles {crc['numFiles']} != {len(snap.files)}"
+            )
+        if (
+            crc.get("tableSizeBytes") is not None
+            and crc["tableSizeBytes"] != size
+        ):
+            mismatches.append(
+                f"tableSizeBytes {crc['tableSizeBytes']} != {size}"
+            )
+        if mismatches:
+            raise DeltaProtocolError(
+                f"version checksum mismatch at version {snap.version}"
+                f" of {self.path}: {'; '.join(mismatches)}"
+            )
+        return True
 
     def _assign_base_row_ids(
         self, version: int, actions: List[dict],
@@ -6002,7 +6178,9 @@ class DeltaProtocolTable:
         survivors_ckpt: List[str] = []
         json_cands: List[tuple] = []
         for fn in os.listdir(logdir):
-            m = _re.match(r"^(\d{20})\.(json|checkpoint\..+|checkpoint)$", fn)
+            m = _re.match(
+                r"^(\d{20})\.(json|checkpoint\..+|checkpoint|crc)$", fn
+            )
             if not m:
                 continue
             v = int(m.group(1))
