@@ -2371,7 +2371,49 @@ class DeltaProtocolTable:
             )
             cdc_session = _field_id_session(self.spark)
             cdc_select = out_names + ["_change_type"]
+        # PLAN SHAPE AT SCALE: a long catch-up range (thousands of
+        # commits) must not become a thousands-legged union plan —
+        # driver planning blows up long before execution does. CDC
+        # files and plain derived-insert files instead group into ONE
+        # scan each, with per-file (_commit_version, _commit_timestamp)
+        # attached through a broadcast of the file→commit map (the same
+        # metadata the driver already holds; same pattern as the
+        # row-tracking reader). Only the rare shapes — derived deletes
+        # (need the previous snapshot), DV'd or column-mapped derived
+        # inserts, re-added paths — keep a per-version frame.
         frames: List[DataFrame] = []
+        cdc_units: List[tuple] = []    # (abs_path, version, ts_ms)
+        plain_adds: List[tuple] = []   # (add_action, version, ts_ms)
+
+        def stamp(df: DataFrame, v: int, ts: int) -> DataFrame:
+            # in-commit timestamps take precedence over the file-
+            # mtime-style commitInfo.timestamp when present (spec
+            # §In-Commit Timestamps: the ICT is THE commit time)
+            return (
+                df.withColumn("_commit_version", F.lit(v).cast("long"))
+                .withColumn(
+                    "_commit_timestamp", F.timestamp_millis(F.lit(ts))
+                )
+                .select(
+                    *out_names,
+                    "_change_type",
+                    "_commit_version",
+                    "_commit_timestamp",
+                )
+            )
+
+        def attach_meta(scan: DataFrame, meta_rows, select_cols):
+            mdf = self.spark.createDataFrame(
+                meta_rows, "__fk string, __v long, __ts long"
+            )
+            return scan.join(F.broadcast(mdf), "__fk").select(
+                *select_cols,
+                F.col("__v").alias("_commit_version"),
+                F.timestamp_millis(F.col("__ts")).alias(
+                    "_commit_timestamp"
+                ),
+            )
+
         for v in self._log_versions():
             if v < starting_version or v > end_snap.version:
                 continue
@@ -2391,85 +2433,136 @@ class DeltaProtocolTable:
                 for a in actions
                 if "remove" in a and a["remove"].get("dataChange", True)
             ]
-            vframes: List[DataFrame] = []
-            if cdc:
-                vframes.append(
-                    cdc_session.read.schema(cdc_schema).parquet(
-                        *[os.path.join(self.path, c["path"]) for c in cdc]
-                    ).select(*cdc_select)
-                )
-            else:
-                if removes and adds and op not in _CDF_EXACT_REWRITE_OPS:
-                    # deriving add/remove pairs as whole-file
-                    # insert/delete is only exact for operations that
-                    # replace entire files (overwrite, restore). A
-                    # MERGE/UPDATE/DELETE without cdc predates CDF
-                    # enablement, and an UNKNOWN foreign operation that
-                    # both adds and removes data files may be a
-                    # partial-file rewrite — deriving it would
-                    # misrepresent surviving rows as churn. Raise for
-                    # both rather than fabricate wrong changes.
-                    raise DeltaProtocolError(
-                        f"commit {v} ({op or 'unknown operation'}) adds"
-                        " and removes data files without recording"
-                        " change data — its row-level changes cannot be"
-                        " derived exactly; query changes from a later"
-                        " version"
-                    )
-                if adds:
-                    pseudo = DeltaSnapshot(
-                        v, end_snap.metadata, end_snap.protocol,
-                        {a["path"]: a for a in adds}, [],
-                    )
-                    vframes.append(
-                        self._read_files(
-                            pseudo, [a["path"] for a in adds]
-                        ).withColumn("_change_type", F.lit("insert"))
-                    )
-                if removes:
-                    prev = self.snapshot(version_as_of=v - 1)
-                    rfiles: Dict[str, dict] = {}
-                    for r in removes:
-                        a = prev.files.get(r["path"])
-                        if a is None:
-                            raise DeltaProtocolError(
-                                f"commit {v} removes {r['path']}, which"
-                                f" version {v - 1} does not contain —"
-                                " cannot derive its deleted rows"
-                            )
-                        rfiles[r["path"]] = a
-                    pseudo = DeltaSnapshot(
-                        v, end_snap.metadata, end_snap.protocol, rfiles, []
-                    )
-                    vframes.append(
-                        self._read_files(pseudo, list(rfiles)).withColumn(
-                            "_change_type", F.lit("delete")
-                        )
-                    )
-            if not vframes:
-                continue
-            df = reduce(lambda a, b: a.unionByName(b), vframes)
-            # in-commit timestamps take precedence over the file-
-            # mtime-style commitInfo.timestamp when present (spec
-            # §In-Commit Timestamps: the ICT is THE commit time)
             ts = int(
                 ci.get("inCommitTimestamp")
                 or ci.get("timestamp", _now_ms())
             )
-            frames.append(
-                df.withColumn(
-                    "_commit_version", F.lit(v).cast("long")
+            if cdc:
+                cdc_units.extend(
+                    (os.path.join(self.path, c["path"]), v, ts)
+                    for c in cdc
                 )
-                .withColumn(
-                    "_commit_timestamp", F.timestamp_millis(F.lit(ts))
+                continue
+            if removes and adds and op not in _CDF_EXACT_REWRITE_OPS:
+                # deriving add/remove pairs as whole-file
+                # insert/delete is only exact for operations that
+                # replace entire files (overwrite, restore). A
+                # MERGE/UPDATE/DELETE without cdc predates CDF
+                # enablement, and an UNKNOWN foreign operation that
+                # both adds and removes data files may be a
+                # partial-file rewrite — deriving it would
+                # misrepresent surviving rows as churn. Raise for
+                # both rather than fabricate wrong changes.
+                raise DeltaProtocolError(
+                    f"commit {v} ({op or 'unknown operation'}) adds"
+                    " and removes data files without recording"
+                    " change data — its row-level changes cannot be"
+                    " derived exactly; query changes from a later"
+                    " version"
                 )
+            if adds:
+                if cmode == "none" and all(
+                    a.get("deletionVector") is None for a in adds
+                ):
+                    plain_adds.extend((a, v, ts) for a in adds)
+                else:
+                    pseudo = DeltaSnapshot(
+                        v, end_snap.metadata, end_snap.protocol,
+                        {a["path"]: a for a in adds}, [],
+                    )
+                    frames.append(stamp(
+                        self._read_files(
+                            pseudo, [a["path"] for a in adds]
+                        ).withColumn("_change_type", F.lit("insert")),
+                        v, ts,
+                    ))
+            if removes:
+                prev = self.snapshot(version_as_of=v - 1)
+                rfiles: Dict[str, dict] = {}
+                for r in removes:
+                    a = prev.files.get(r["path"])
+                    if a is None:
+                        raise DeltaProtocolError(
+                            f"commit {v} removes {r['path']}, which"
+                            f" version {v - 1} does not contain —"
+                            " cannot derive its deleted rows"
+                        )
+                    rfiles[r["path"]] = a
+                pseudo = DeltaSnapshot(
+                    v, end_snap.metadata, end_snap.protocol, rfiles, []
+                )
+                frames.append(stamp(
+                    self._read_files(pseudo, list(rfiles)).withColumn(
+                        "_change_type", F.lit("delete")
+                    ),
+                    v, ts,
+                ))
+        if cdc_units:
+            # ONE scan over every change file in range
+            scan = (
+                cdc_session.read.schema(cdc_schema)
+                .parquet(*[p for p, _v, _t in cdc_units])
                 .select(
-                    *out_names,
-                    "_change_type",
-                    "_commit_version",
-                    "_commit_timestamp",
+                    *cdc_select,
+                    F.col("_metadata.file_path").alias("__fk"),
                 )
             )
+            frames.append(attach_meta(
+                scan,
+                [("file:" + os.path.abspath(p), v, ts)
+                 for p, v, ts in cdc_units],
+                out_names + ["_change_type"],
+            ))
+        if plain_adds:
+            pcols = end_snap.partition_columns
+            from collections import Counter as _Counter
+
+            path_count = _Counter(a["path"] for a, _v, _t in plain_adds)
+
+            def groupable(a: dict) -> bool:
+                # a path re-added in several commits in range would
+                # duplicate through a shared scan; foreign partition
+                # layouts need the literal-attach read
+                return path_count[a["path"]] == 1 and (
+                    not pcols
+                    or self._dir_matches_partition_values(
+                        a["path"], a, pcols
+                    )
+                )
+
+            grouped = [u for u in plain_adds if groupable(u[0])]
+            for a, v, ts in (u for u in plain_adds if not groupable(u[0])):
+                pseudo = DeltaSnapshot(
+                    v, end_snap.metadata, end_snap.protocol,
+                    {a["path"]: a}, [],
+                )
+                frames.append(stamp(
+                    self._read_files(pseudo, [a["path"]]).withColumn(
+                        "_change_type", F.lit("insert")
+                    ),
+                    v, ts,
+                ))
+            if grouped:
+                reader = self.spark.read.schema(end_schema)
+                if pcols:
+                    reader = reader.option("basePath", self.path)
+                scan = reader.parquet(
+                    *[os.path.join(self.path, a["path"])
+                      for a, _v, _t in grouped]
+                ).select(
+                    *out_names,
+                    F.col("_metadata.file_path").alias("__fk"),
+                ).withColumn("_change_type", F.lit("insert"))
+                frames.append(attach_meta(
+                    scan,
+                    [(
+                        "file:" + os.path.abspath(
+                            os.path.join(self.path, a["path"])
+                        ),
+                        v, ts,
+                    ) for a, v, ts in grouped],
+                    out_names + ["_change_type"],
+                ))
         if not frames:
             return self.spark.createDataFrame([], full_schema)
         return reduce(lambda a, b: a.unionByName(b), frames)

@@ -445,3 +445,32 @@ class TestTableChangesTimestamps:
             t.table_changes(0, starting_timestamp=0)
         with pytest.raises(ValueError, match="needs starting"):
             t.table_changes()
+
+
+class TestCdfPlanShape:
+    def test_many_commit_range_plans_few_scans(self, spark, tmp_path):
+        """r13: a long CDF range groups change files and plain derived
+        inserts into ONE scan each (per-file commit metadata attached
+        via a broadcast file→commit map) instead of a per-version
+        union leg — a thousands-commit catch-up must not become a
+        thousands-legged plan."""
+        t = _mk(spark, tmp_path, [(0, "a", 0)])
+        for i in range(20):  # 20 derived-insert commits
+            t.append(spark.createDataFrame(
+                [(100 + i, "b", i)], SCHEMA
+            ))
+        for i in range(4):   # 4 cdc-writing commits
+            t.delete_where(f"pkey = {100 + i}")
+        df = t.table_changes(starting_version=0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_scans = plan.count("FileScan") + plan.count("Scan parquet")
+        assert n_scans <= 6, f"{n_scans} scan nodes for a 25-commit range"
+        # values are unchanged by the plan shape: per-commit versions
+        # still attach row-exactly
+        got = {
+            (r["pkey"], r["_change_type"], r["_commit_version"])
+            for r in df.collect()
+        }
+        assert (100, "insert", 1) in got
+        assert (100, "delete", 21) in got
+        assert len(got) == 1 + 20 + 4
