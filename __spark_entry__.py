@@ -3349,6 +3349,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_deep_clone"] = q_delta_deep_clone
 
+    def q_delta_log_compaction(spark, sf_dir):
+        # Log compaction (round 13, spec §Log Compaction Files):
+        # compact_log writes <start>.<end>.compacted.json with the
+        # range's reconciled actions; the reader substitutes it for
+        # the whole commit span. Proven in-row by DELETING the
+        # covered commit JSONs and replaying through the compaction
+        # alone. Oracle: the post-delete table state.
+        import os as _os
+        import tempfile
+
+        from mack_spark.sources.delta_log import (
+            DeltaProtocolTable,
+            clear_replay_cache,
+        )
+
+        path = tempfile.mkdtemp(prefix="mack-compact-") + "/t"
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        t = DeltaProtocolTable.create(
+            spark, path, cust.filter(F.col("c_custkey") % 3 == 0)
+        )
+        t.append(cust.filter(F.col("c_custkey") % 3 == 1))
+        t.append(cust.filter(F.col("c_custkey") % 3 == 2))
+        t.delete_where("c_custkey % 5 = 0")
+        head = t.snapshot().version
+        assert head == 3
+        t.compact_log(1, head)
+        logdir = _os.path.join(t.path, "_delta_log")
+        for v in range(1, head + 1):
+            _os.unlink(_os.path.join(logdir, "%020d.json" % v))
+        clear_replay_cache(t.path)
+        t2 = DeltaProtocolTable(spark, t.path)
+        assert t2.snapshot().version == head, "compaction not consumed"
+        return t2.to_df().select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+
+    q["delta_log_compaction"] = q_delta_log_compaction
+
     def q_delta_row_tracking(spark, sf_dir):
         # Row tracking (round 12, spec §Row Tracking): adds carry
         # baseRowId/defaultRowCommitVersion, the delta.rowTracking
@@ -3556,6 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) new / behavior-extended r13 rows
         "delta_identity_merge",
         "delta_deep_clone",
+        "delta_log_compaction",
         "delta_row_tracking",
         # (c) last green r10, alphabetical prefix
         "chunk_dedup_stats",
@@ -3582,7 +3623,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats",
         "doclen_deciles",
         "drop_near_duplicates",
-        "embedding_centroids",
     ]
     assert len(front_r13) == 50, len(front_r13)
     fset = set(front_r13)
@@ -4466,6 +4506,12 @@ SELECT count(*) AS n_rows,
        count(*) AS max_id,
        CAST(count(*) * (count(*) + 1) / 2 AS BIGINT) AS sum_id
 FROM customer
+"""
+
+    # Log compaction replay = the table after the % 5 delete.
+    o["delta_log_compaction"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+WHERE c_custkey % 5 != 0
 """
 
     # Deep clone preserves the source's full state at clone time,

@@ -1055,6 +1055,23 @@ class DeltaProtocolTable:
                 out.append(int(f[:-5]))
         return sorted(out)
 
+    def _compacted_ranges(self) -> Dict[tuple, str]:
+        """Log COMPACTION files (spec §Log Compaction Files):
+        ``<start>.<end>.compacted.json`` holds the reconciled actions
+        of a commit range; a reader MAY consume one in place of the
+        individual commits. Returns {(start, end): filename}."""
+        import re as _re
+
+        d = _log_dir(self.path)
+        if not os.path.isdir(d):
+            return {}
+        out: Dict[tuple, str] = {}
+        for f in os.listdir(d):
+            m = _re.match(r"^(\d{20})\.(\d{20})\.compacted\.json$", f)
+            if m:
+                out[(int(m.group(1)), int(m.group(2)))] = f
+        return out
+
     def _read_last_checkpoint(self) -> Optional[dict]:
         """``{"version": v, "parts": n|None}`` from ``_last_checkpoint``
         (the spec allows a checkpoint split across ``parts`` files)."""
@@ -1189,7 +1206,16 @@ class DeltaProtocolTable:
         when metadata cleanup removed it below a checkpoint)."""
         vf = _version_file(self.path, applied)
         if not os.path.exists(vf):
-            vf = os.path.join(_log_dir(self.path), "_last_checkpoint")
+            lc = os.path.join(_log_dir(self.path), "_last_checkpoint")
+            if os.path.exists(lc):
+                vf = lc
+            else:
+                # compacted-only tail: anchor on the compaction file
+                # that carries the applied version
+                for (s0, e0), fn in sorted(self._compacted_ranges().items()):
+                    if s0 <= applied <= e0:
+                        vf = os.path.join(_log_dir(self.path), fn)
+                        break
         s = os.stat(vf)
         return (vf, s.st_ino, s.st_mtime_ns, s.st_size)
 
@@ -1212,12 +1238,17 @@ class DeltaProtocolTable:
     def _snapshot_locked(self, version_as_of: Optional[int]) -> DeltaSnapshot:
         versions = self._log_versions()
         cp = self._read_last_checkpoint()
-        if not versions and cp is None:
+        compacted = self._compacted_ranges()
+        if not versions and cp is None and not compacted:
             _REPLAY_CACHE.pop(self.path, None)
             raise FileNotFoundError(f"no Delta log at {self.path}")
         head = max(versions) if versions else -1
         if cp is not None:
             head = max(head, cp["version"])
+        if compacted:
+            # a compaction file may be the only surviving carrier of
+            # its range's tail versions
+            head = max(head, max(e for (_s, e) in compacted))
         effective = head if version_as_of is None else min(version_as_of, head)
 
         st = _REPLAY_CACHE.get(self.path)
@@ -1228,8 +1259,13 @@ class DeltaProtocolTable:
             _REPLAY_CACHE.move_to_end(self.path)
             snap = st.snaps.get(effective)
             if snap is not None:
-                return snap
+                return snap  # validated when first created
             if effective == st.applied:
+                # re-validate: a prior advance may have applied a tail
+                # whose validation RAISED into a swallowing caller
+                # (e.g. the best-effort checksum write) — the state is
+                # current but must still refuse unreadable protocols
+                self._validate_snapshot_meta(st.metadata, st.protocol)
                 return st.take_snapshot(effective)
             if effective > st.applied:
                 tail = [v for v in versions if st.applied < v <= effective]
@@ -1272,25 +1308,67 @@ class DeltaProtocolTable:
             start, last = cp["version"] + 1, cp["version"]
             cp_key = (cp["version"], cp["parts"])
         expected = start
-        for v in versions:
-            if v < start:
+        vset = {v for v in versions if v >= start}
+        cap = effective
+        while expected <= cap:
+            # a compaction file starting exactly here and staying in
+            # range substitutes for its whole commit span (spec §Log
+            # Compaction Files — only when it covers >1 commit; a
+            # single-commit span gains nothing over the JSON)
+            span = max(
+                (e for (s, e) in compacted if s == expected and
+                 e <= cap and e > s),
+                default=None,
+            )
+            if span is not None:
+                cf = os.path.join(
+                    _log_dir(self.path), compacted[(expected, span)]
+                )
+                with open(cf) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        action = json.loads(line)
+                        self._apply(action, files, history, txns=txns,
+                                    domains=domains)
+                        metadata = action.get("metaData") or metadata
+                        protocol = action.get("protocol") or protocol
+                last = span
+                expected = span + 1
                 continue
-            if version_as_of is not None and v > version_as_of:
-                break
-            if v != expected:
+            if expected in vset:
+                m, p = self._apply_version_file(
+                    expected, files, history, txns, domains
+                )
+                metadata = m or metadata
+                protocol = p or protocol
+                last = expected
+                expected += 1
+                continue
+            remaining = [v for v in vset if v > expected and v <= cap]
+            if remaining:
                 raise DeltaProtocolError(
                     f"log at {self.path} is missing commit versions"
-                    f" {expected}..{v - 1}"
+                    f" {expected}..{remaining[0] - 1}"
                     + (" below the checkpoint" if cp_key else "")
                     + " — they were cleaned past the retention horizon"
                     " or the log is damaged; cannot reconstruct"
                     f" version {effective}"
                 )
-            m, p = self._apply_version_file(v, files, history, txns, domains)
-            metadata = m or metadata
-            protocol = p or protocol
-            last = v
-            expected = v + 1
+            break
+        if last < effective:
+            # something witnessed versions up to `effective` (a later
+            # json, checkpoint pointer, or compaction range) but the
+            # replay could not consume that far — e.g. time travel into
+            # the middle of a compacted span whose commit JSONs are
+            # gone. Never silently serve an older state.
+            raise DeltaProtocolError(
+                f"log at {self.path} is missing commit versions"
+                f" {last + 1}..{effective} — cannot reconstruct"
+                f" version {effective} (a compaction file covers the"
+                " span end-to-end only)"
+            )
         if metadata is None or protocol is None:
             raise DeltaProtocolError(
                 f"log at {self.path} has no metaData/protocol action"
@@ -6239,6 +6317,73 @@ class DeltaProtocolTable:
                     pass
         return sorted(doomed)
 
+    def compact_log(self, start: int, end: int) -> str:
+        """Write a LOG COMPACTION file (spec §Log Compaction Files):
+        ``<start>.<end>.compacted.json`` holding the reconciled
+        actions of commits ``[start, end]`` — latest metaData/protocol
+        in range, per-appId latest txn, per-domain latest
+        domainMetadata, adds net of in-range removes, and REMOVE
+        tombstones for files the range deleted (they must still erase
+        pre-range adds when a reader substitutes this file for the
+        commit span). Readers (this one included —
+        :meth:`snapshot`) may replay the single compaction file
+        instead of ``end - start + 1`` commit JSONs; commit files
+        themselves are untouched (retention/cleanup still governs
+        their lifetime). Returns the written filename.
+
+        SCALE: between checkpoints, a busy table accumulates a long
+        JSON tail; compacting it turns O(commits) tail reads into one
+        file without the full weight of a checkpoint."""
+        if not 0 <= start <= end:
+            raise ValueError(f"invalid compaction range [{start}, {end}]")
+        files_in: Dict[str, dict] = {}
+        removed: Dict[str, dict] = {}
+        metadata: Optional[dict] = None
+        protocol: Optional[dict] = None
+        txns: Dict[str, int] = {}
+        domains: Dict[str, dict] = {}
+        for v in range(start, end + 1):
+            for a in self._commit_actions(v):
+                if "add" in a:
+                    p = a["add"]["path"]
+                    files_in[p] = a["add"]
+                    removed.pop(p, None)
+                elif "remove" in a:
+                    p = a["remove"]["path"]
+                    files_in.pop(p, None)
+                    removed[p] = a["remove"]
+                elif "metaData" in a:
+                    metadata = a["metaData"]
+                elif "protocol" in a:
+                    protocol = a["protocol"]
+                elif "txn" in a:
+                    t = a["txn"]
+                    if t.get("appId") is not None and t.get("version") is not None:
+                        txns[t["appId"]] = max(
+                            int(t["version"]), txns.get(t["appId"], -1)
+                        )
+                elif "domainMetadata" in a:
+                    dm = a["domainMetadata"]
+                    if dm.get("domain") is not None:
+                        domains[dm["domain"]] = dm
+        lines: List[dict] = []
+        if protocol is not None:
+            lines.append({"protocol": protocol})
+        if metadata is not None:
+            lines.append({"metaData": metadata})
+        lines += [{"txn": {"appId": app, "version": ver}}
+                  for app, ver in sorted(txns.items())]
+        lines += [{"domainMetadata": dm}
+                  for _d, dm in sorted(domains.items())]
+        lines += [{"remove": r} for _p, r in sorted(removed.items())]
+        lines += [{"add": a} for _p, a in sorted(files_in.items())]
+        fn = "%020d.%020d.compacted.json" % (start, end)
+        with open(os.path.join(_log_dir(self.path), fn), "w") as fh:
+            fh.write("\n".join(
+                json.dumps(a, separators=(",", ":")) for a in lines
+            ) + "\n")
+        return fn
+
     def cleanup_metadata(
         self, retention_hours: Optional[float] = None,
         dry_run: bool = False,
@@ -6271,6 +6416,19 @@ class DeltaProtocolTable:
         survivors_ckpt: List[str] = []
         json_cands: List[tuple] = []
         for fn in os.listdir(logdir):
+            mc = _re.match(r"^(\d{20})\.(\d{20})\.compacted\.json$", fn)
+            if mc:
+                # a compaction file is expendable once its whole range
+                # sits below the checkpoint (the checkpoint replays it)
+                v = int(mc.group(2))
+                try:
+                    if v < v_cp and os.path.getmtime(
+                        os.path.join(logdir, fn)
+                    ) <= horizon:
+                        doomed.append(fn)
+                except OSError:
+                    pass
+                continue
             m = _re.match(
                 r"^(\d{20})\.(json|checkpoint\..+|checkpoint|crc)$", fn
             )

@@ -51,7 +51,13 @@ class TestCleanupMetadata:
         v = t.snapshot().version
         assert v > CHECKPOINT_INTERVAL
         gone = t.cleanup_metadata(retention_hours=0.0)
-        assert gone == ["%020d.json" % i for i in range(CHECKPOINT_INTERVAL)]
+        # r13: version checksum sidecars expire alongside their commits
+        assert [f for f in gone if f.endswith(".json")] == [
+            "%020d.json" % i for i in range(CHECKPOINT_INTERVAL)
+        ]
+        assert [f for f in gone if f.endswith(".crc")] == [
+            "%020d.crc" % i for i in range(CHECKPOINT_INTERVAL)
+        ]
         # state fully reconstructs from the checkpoint + JSON tail
         t2 = DeltaProtocolTable(spark, t.path)
         assert t2.to_df().count() == CHECKPOINT_INTERVAL + 3
