@@ -5972,12 +5972,73 @@ class DeltaProtocolTable:
             "version": snap.version + 1,
         }
 
+    def _partition_predicate_files(
+        self, snap: DeltaSnapshot, where: str
+    ) -> set:
+        """Live file paths whose partition values satisfy ``where`` —
+        the ``OPTIMIZE ... WHERE`` scope rule (delta's: the predicate
+        may reference PARTITION columns only). Evaluation is one Spark
+        job over the DISTINCT partition tuples (cardinality = number
+        of partitions, never number of files), so SQL semantics —
+        casts, three-valued logic, functions — come from Catalyst, not
+        a reimplementation."""
+        pcols = snap.partition_columns
+        if not pcols:
+            raise DeltaProtocolError(
+                "OPTIMIZE ... WHERE requires a partitioned table (the"
+                " predicate may reference partition columns only)"
+            )
+        types = {
+            f.name: f.dataType
+            for f in snap.schema.fields
+            if f.name in pcols
+        }
+        by_tuple: Dict[tuple, List[str]] = {}
+        for p, a in snap.files.items():
+            pv = a.get("partitionValues") or {}
+            by_tuple.setdefault(
+                tuple(pv.get(c) for c in pcols), []
+            ).append(p)
+        from pyspark.sql.types import (
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        tuples = list(by_tuple)
+        sdf = self.spark.createDataFrame(
+            [(i,) + t for i, t in enumerate(tuples)],
+            StructType(
+                [StructField("__i", IntegerType(), False)]
+                + [StructField(c, StringType(), True) for c in pcols]
+            ),
+        ).select(
+            "__i",
+            *[F.col(c).cast(types[c]).alias(c) for c in pcols],
+        )
+        try:
+            keep = {
+                r["__i"]
+                for r in sdf.filter(F.expr(where)).select("__i").collect()
+            }
+        except Exception as ex:  # noqa: BLE001 — analysis errors
+            raise DeltaProtocolError(
+                f"OPTIMIZE ... WHERE predicate {where!r} must reference"
+                f" partition columns {pcols} only: {ex}"
+            )
+        out: set = set()
+        for i in keep:
+            out.update(by_tuple[tuples[i]])
+        return out
+
     def optimize(
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
         min_file_bytes: Optional[int] = None,
         sort_by: Optional[List[str]] = None,
         zorder_by: Optional[List[str]] = None,
+        where: Optional[str] = None,
     ) -> dict:
         """Delta ``OPTIMIZE``: bin-pack the small-file tail into
         right-sized files in one commit, with ``dataChange: false`` on
@@ -6015,6 +6076,14 @@ class DeltaProtocolTable:
 
         snap = self.snapshot()
         self._assert_writable(snap)
+        # OPTIMIZE ... WHERE: restrict every candidate set to the
+        # partitions the predicate selects (delta's partition-predicate
+        # scope) — files outside stay untouched, unread
+        scope = (
+            self._partition_predicate_files(snap, where)
+            if where is not None
+            else None
+        )
         from_clustering = False
         if not zorder_by and not sort_by:
             cc = self.clustering_columns(snap)
@@ -6040,6 +6109,8 @@ class DeltaProtocolTable:
                 ]
             else:
                 doomed = list(snap.files)
+            if scope is not None:
+                doomed = [p for p in doomed if p in scope]
             if not doomed:
                 return {
                     "files_before": len(snap.files),
@@ -6095,6 +6166,8 @@ class DeltaProtocolTable:
         groups: Dict[tuple, List[str]] = {}
         pcols = snap.partition_columns
         for p, a in snap.files.items():
+            if scope is not None and p not in scope:
+                continue
             if a.get("size", target_file_bytes) < min_file_bytes:
                 pv = a.get("partitionValues") or {}
                 groups.setdefault(

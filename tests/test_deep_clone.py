@@ -206,3 +206,64 @@ class TestVersionChecksums:
         gone = t.cleanup_metadata()
         assert "%020d.crc" % 0 in gone
         assert "%020d.json" % 0 in gone
+
+
+class TestOptimizeWhere:
+    """r13: ``OPTIMIZE ... WHERE`` — delta's partition-predicate scope:
+    only files in selected partitions compact; everything else is
+    untouched (not read, not rewritten)."""
+
+    def _small_files(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, name="ow", partition=True)
+        for i in range(3):
+            t.append(spark.createDataFrame(
+                [(200 + i, "x", "even"), (300 + i, "y", "odd")],
+                "pkey int, attr string, par string",
+            ))
+        return t
+
+    def test_scoped_compaction(self, spark, tmp_path):
+        t = self._small_files(spark, tmp_path)
+        snap = t.snapshot()
+        odd_before = {
+            p for p, a in snap.files.items()
+            if (a.get("partitionValues") or {}).get("par") == "odd"
+        }
+        want = sorted(map(tuple, t.to_df().collect()))
+        res = t.optimize(target_file_bytes=1 << 20, where="par = 'even'")
+        assert res["rewritten"] > 0
+        after = t.snapshot()
+        odd_after = {
+            p for p, a in after.files.items()
+            if (a.get("partitionValues") or {}).get("par") == "odd"
+        }
+        assert odd_after == odd_before  # untouched, same log entries
+        assert sorted(map(tuple, t.to_df().collect())) == want
+
+    def test_scoped_zorder(self, spark, tmp_path):
+        t = self._small_files(spark, tmp_path)
+        want = sorted(map(tuple, t.to_df().collect()))
+        res = t.optimize(
+            target_file_bytes=1 << 20, zorder_by=["pkey"],
+            where="par = 'odd'",
+        )
+        assert res["rewritten"] > 0
+        assert sorted(map(tuple, t.to_df().collect())) == want
+
+    def test_unpartitioned_refused(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, name="up")
+        with pytest.raises(DeltaProtocolError, match="partitioned"):
+            t.optimize(where="pkey = 1")
+
+    def test_non_partition_predicate_refused(self, spark, tmp_path):
+        t = self._small_files(spark, tmp_path)
+        with pytest.raises(DeltaProtocolError, match="partition columns"):
+            t.optimize(where="attr = 'x'")
+
+    def test_no_match_is_noop(self, spark, tmp_path):
+        t = self._small_files(spark, tmp_path)
+        v = t.snapshot().version
+        res = t.optimize(target_file_bytes=1 << 20,
+                         where="par = 'nothing'")
+        assert res["rewritten"] == 0
+        assert t.snapshot().version == v
