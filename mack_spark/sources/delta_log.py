@@ -997,6 +997,20 @@ _REPLAY_CACHE: "collections.OrderedDict[str, _ReplayState]" = (
     collections.OrderedDict()
 )
 _REPLAY_CACHE_MAX = 32
+# replay serializes PER TABLE PATH, not globally: a cold replay of a
+# million-add checkpoint takes seconds, and a streaming microbatch
+# thread replaying table A must not block a batch thread reading
+# table B. The global lock above only guards the cache dicts (held
+# for microseconds); these per-path locks guard the replay itself.
+_PATH_LOCKS: Dict[str, "threading.RLock"] = {}
+
+
+def _path_lock(path: str) -> "threading.RLock":
+    with _REPLAY_LOCK:
+        lk = _PATH_LOCKS.get(path)
+        if lk is None:
+            lk = _PATH_LOCKS[path] = threading.RLock()
+        return lk
 # commit-JSON action cache: (path, version) -> (stat signature, actions).
 # Commit files are immutable, so a matching stat signature proves the
 # cached parse is current; bounded LRU keeps history/CDF scans from
@@ -1016,9 +1030,11 @@ def clear_replay_cache(path: Optional[str] = None) -> None:
         if path is None:
             _REPLAY_CACHE.clear()
             _COMMIT_CACHE.clear()
+            _PATH_LOCKS.clear()
         else:
             p = os.path.abspath(path)
             _REPLAY_CACHE.pop(p, None)
+            _PATH_LOCKS.pop(p, None)
             for k in [k for k in _COMMIT_CACHE if k[0] == p]:
                 _COMMIT_CACHE.pop(k, None)
 
@@ -1196,7 +1212,7 @@ class DeltaProtocolTable:
         time travel loudly, never silently reconstruct wrong state
         from a surviving suffix (delta-spark's
         BufferingLogDeletionIterator contract)."""
-        with _REPLAY_LOCK:
+        with _path_lock(self.path):
             return self._snapshot_locked(version_as_of)
 
     def _anchor_sig(self, applied: int):
@@ -1240,7 +1256,8 @@ class DeltaProtocolTable:
         cp = self._read_last_checkpoint()
         compacted = self._compacted_ranges()
         if not versions and cp is None and not compacted:
-            _REPLAY_CACHE.pop(self.path, None)
+            with _REPLAY_LOCK:
+                _REPLAY_CACHE.pop(self.path, None)
             raise FileNotFoundError(f"no Delta log at {self.path}")
         head = max(versions) if versions else -1
         if cp is not None:
@@ -1251,12 +1268,16 @@ class DeltaProtocolTable:
             head = max(head, max(e for (_s, e) in compacted))
         effective = head if version_as_of is None else min(version_as_of, head)
 
-        st = _REPLAY_CACHE.get(self.path)
+        with _REPLAY_LOCK:
+            st = _REPLAY_CACHE.get(self.path)
         if st is not None and not st.valid():
-            _REPLAY_CACHE.pop(self.path, None)
+            with _REPLAY_LOCK:
+                _REPLAY_CACHE.pop(self.path, None)
             st = None
         if st is not None:
-            _REPLAY_CACHE.move_to_end(self.path)
+            with _REPLAY_LOCK:
+                if self.path in _REPLAY_CACHE:
+                    _REPLAY_CACHE.move_to_end(self.path)
             snap = st.snaps.get(effective)
             if snap is not None:
                 return snap  # validated when first created
@@ -1283,7 +1304,8 @@ class DeltaProtocolTable:
                 # tail has a gap (e.g. a newer checkpoint superseded
                 # cleaned versions) — fall through to a full replay,
                 # whose own contiguity check raises if truly broken
-                _REPLAY_CACHE.pop(self.path, None)
+                with _REPLAY_LOCK:
+                    _REPLAY_CACHE.pop(self.path, None)
                 st = None
 
         files: Dict[str, dict] = {}
@@ -1374,16 +1396,18 @@ class DeltaProtocolTable:
                 f"log at {self.path} has no metaData/protocol action"
             )
         self._validate_snapshot_meta(metadata, protocol)
-        prev = _REPLAY_CACHE.get(self.path)
+        with _REPLAY_LOCK:
+            prev = _REPLAY_CACHE.get(self.path)
         if prev is None or last >= prev.applied:
             st = _ReplayState(cp_key, last, self._anchor_sig(last), files,
                               metadata, protocol, history, txns, domains)
             if prev is not None:
                 st.snaps.update(prev.snaps)
-            _REPLAY_CACHE[self.path] = st
-            _REPLAY_CACHE.move_to_end(self.path)
-            while len(_REPLAY_CACHE) > _REPLAY_CACHE_MAX:
-                _REPLAY_CACHE.popitem(last=False)
+            with _REPLAY_LOCK:
+                _REPLAY_CACHE[self.path] = st
+                _REPLAY_CACHE.move_to_end(self.path)
+                while len(_REPLAY_CACHE) > _REPLAY_CACHE_MAX:
+                    _REPLAY_CACHE.popitem(last=False)
             return st.take_snapshot(last)
         # older time-travel replay: cache the snapshot, keep the newer
         # accumulator state

@@ -55,6 +55,10 @@ HEADLINE = [
     "delta_v2_checkpoint_write", "delta_identity_append",
     "delta_row_tracking", "delta_liquid_cluster",
     "delta_shallow_clone",
+    # round-13 family (identity merge, deep clone, log compaction,
+    # metadata cleanup)
+    "delta_identity_merge", "delta_deep_clone",
+    "delta_log_compaction", "delta_log_cleanup",
 ]
 
 

@@ -12,7 +12,7 @@ executed-plan string:
 * CartesianProduct / BroadcastNestedLoopJoin presence,
 * Arrow/Python stages (mapInPandas etc.).
 
-Writes PLAN_AUDIT_r12.md. Usage: python scripts/plan_audit.py [sf_dir]
+Writes PLAN_AUDIT_r13.md. Usage: python scripts/plan_audit.py [sf_dir]
 """
 
 from __future__ import annotations
@@ -94,7 +94,7 @@ def main() -> None:
             "broadcast query block of the ANN brute-force rerank baseline —",
             "never a data×data cartesian.", ""]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "PLAN_AUDIT_r12.md")
+                        "PLAN_AUDIT_r13.md")
     with open(path, "w") as f:
         f.write("\n".join(out))
     flagged = [r for r in rows if r[3] == "yes" or r[4] == "yes"]
