@@ -436,6 +436,24 @@ def _has_ntz(dt) -> bool:
 _IDENTITY_PID_COL = "__mack_identity_pid"
 
 
+class _CheckpointHandle:
+    """Release handle for an eagerly local-checkpointed frame.
+    ``DataFrame.unpersist`` only uncaches CacheManager plans, not a
+    checkpointed RDD's storage blocks — this best-effort reaches the
+    underlying RDD so identity generation's materialized insert set is
+    freed deterministically instead of waiting on the ContextCleaner's
+    GC cycle. Failure is harmless (the cleaner reclaims eventually)."""
+
+    def __init__(self, df):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        try:
+            self._df._jdf.queryExecution().toRdd().unpersist(blocking)
+        except Exception:  # noqa: BLE001 — advisory cleanup only
+            pass
+
+
 def _identity_gen_fn(bc_offsets, name: str, next_val: int, step: int,
                      pid_col: str):
     """Arrow-batched stamper for one identity column: each partition
@@ -457,6 +475,8 @@ def _identity_gen_fn(bc_offsets, name: str, next_val: int, step: int,
         for pdf in batches:
             k = len(pdf)
             if k == 0:
+                # the output schema still expects the identity column
+                pdf[name] = np.empty(0, dtype="int64")
                 yield pdf
                 continue
             base = bc_offsets.value.get(int(pdf[pid_col].iat[0]), 0)
@@ -1291,12 +1311,23 @@ class DeltaProtocolTable:
             if effective > st.applied:
                 tail = [v for v in versions if st.applied < v <= effective]
                 if tail == list(range(st.applied + 1, effective + 1)):
-                    for v in tail:
-                        m, p = self._apply_version_file(
-                            v, st.files, st.history, st.txns, st.domains
-                        )
-                        st.metadata = m or st.metadata
-                        st.protocol = p or st.protocol
+                    try:
+                        for v in tail:
+                            m, p = self._apply_version_file(
+                                v, st.files, st.history, st.txns,
+                                st.domains,
+                            )
+                            st.metadata = m or st.metadata
+                            st.protocol = p or st.protocol
+                    except Exception:
+                        # a partially applied tail (transient IO error,
+                        # commit file read mid-write) would leave the
+                        # accumulator half-advanced — e.g. a duplicate
+                        # history entry on retry. Drop the entry; the
+                        # next call replays cleanly from disk.
+                        with _REPLAY_LOCK:
+                            _REPLAY_CACHE.pop(self.path, None)
+                        raise
                     st.applied = effective
                     st.anchor = self._anchor_sig(effective)
                     self._validate_snapshot_meta(st.metadata, st.protocol)
@@ -1410,10 +1441,20 @@ class DeltaProtocolTable:
                     _REPLAY_CACHE.popitem(last=False)
             return st.take_snapshot(last)
         # older time-travel replay: cache the snapshot, keep the newer
-        # accumulator state
+        # accumulator state. Bounded like take_snapshot's cache — CDF
+        # derived-remove reads call snapshot(v-1) per version in range,
+        # and each old snapshot pins an O(n_files) dict
         snap = DeltaSnapshot(last, metadata, protocol, files, history,
                              txns=txns, domains=domains)
         prev.snaps[last] = snap
+        while len(prev.snaps) > _ReplayState.SNAP_KEEP:
+            victim = next(
+                (v for v in sorted(prev.snaps)
+                 if v not in (prev.applied, last)), None,
+            )
+            if victim is None:
+                break
+            del prev.snaps[victim]
         return snap
 
     @staticmethod
@@ -1823,7 +1864,14 @@ class DeltaProtocolTable:
             return self._read_files(snap, paths), False
         if any(snap.files[p].get("baseRowId") is None for p in paths):
             return self._read_files(snap, paths), False
-        df = self._read_files_with_row_ids(snap, paths)
+        try:
+            df = self._read_files_with_row_ids(snap, paths)
+        except DeltaProtocolError:
+            # a layout the row-id read refuses (foreign partition
+            # directories) — fall back to the pre-materialization
+            # behavior: plain read, fresh ids, rather than failing the
+            # whole rewrite
+            return self._read_files(snap, paths), False
         return (
             df.withColumnRenamed("_row_id", mid)
             .withColumnRenamed("_row_commit_version", mcv),
@@ -2974,6 +3022,11 @@ class DeltaProtocolTable:
                 pairs.append((dv_src, dv_dst))
             adds.append(a)
         if pairs:
+            # dedup: several adds may reference the SAME DV file (a
+            # foreign writer packs many files' bitmaps into one .bin) —
+            # two tasks copying to one destination concurrently would
+            # corrupt it
+            pairs = sorted(set(pairs))
             sc = spark.sparkContext
             n_slices = max(1, min(len(pairs), sc.defaultParallelism))
 
@@ -4488,10 +4541,11 @@ class DeltaProtocolTable:
                 # that. A column written into checkpointed data cannot
                 # drift; the eager checkpoint also pins the
                 # partitioning so within-partition row order is stable.
-                persisted = df.withColumn(
+                ckpt = df.withColumn(
                     _IDENTITY_PID_COL, F.spark_partition_id()
                 ).localCheckpoint(eager=True)
-                df = persisted
+                persisted = _CheckpointHandle(ckpt)
+                df = ckpt
             counts = {
                 r["__pid"]: r["n"]
                 for r in df.groupBy(
@@ -5153,6 +5207,7 @@ class DeltaProtocolTable:
         id_hwms: Dict[str, int] = {}
         id_persisted = None
         merged_persist = None
+        gen_df = None
         if gen_ids:
             # inserted rows carry NULL in every to-generate identity
             # column (staged by the clause patch above); matched/kept
@@ -5165,11 +5220,16 @@ class DeltaProtocolTable:
             gen_df, id_hwms, id_persisted = self._generate_identity(
                 snap.schema, need_id
             )
-            merged = with_id.unionByName(gen_df.select(*with_id.columns))
+            gen_df = gen_df.select(*with_id.columns)
+            merged = with_id.unionByName(gen_df)
         elif full_ids and km.not_matched_insert is not None:
             # every identity value provided explicitly — validate the
             # allowExplicitInsert gate and sync the hwm (target rows'
-            # existing ids are ≤ hwm already, so the max is safe)
+            # existing ids are ≤ hwm already, so the max is safe).
+            # Persist first: the hwm aggregate and the file write must
+            # not each execute the full rewrite join
+            merged_persist = merged.persist()
+            merged = merged_persist
             _df, id_hwms, id_persisted = self._generate_identity(
                 snap.schema, merged
             )
@@ -5179,23 +5239,35 @@ class DeltaProtocolTable:
         # of committing silently-wrong data
         self._enforce_constraints(snap, merged, self._gen_checks(snap, merged))
         adds = self._write_data_files(merged, snap.partition_columns, snap=snap)
-        if id_persisted is not None:
-            id_persisted.unpersist()
-        if merged_persist is not None:
-            merged_persist.unpersist(blocking=False)
         cdc: List[dict] = []
         if cdf:
             from mack_spark.merge_exec import merge_changes
 
             # change files carry TABLE columns only — strip the
             # materialized row-id passthrough columns when present
-            cdc = self._write_cdc_files(
-                merge_changes(base, km).select(
-                    *[f.name for f in snap.schema.fields], "_change_type"
-                ),
-                snap=snap,
+            changes = merge_changes(base, km).select(
+                *[f.name for f in snap.schema.fields], "_change_type"
             )
+            if gen_df is not None:
+                # the clause patch staged NULL as the generation
+                # marker, which is NOT the committed value — inserted
+                # rows' change records must carry the GENERATED ids,
+                # so they come from the generated frame itself
+                changes = changes.filter(
+                    F.col("_change_type") != "insert"
+                ).unionByName(
+                    gen_df.select(
+                        *[f.name for f in snap.schema.fields]
+                    ).withColumn("_change_type", F.lit("insert"))
+                )
+            cdc = self._write_cdc_files(changes, snap=snap)
             base.unpersist(blocking=False)
+        # unpersist only after BOTH consumers (data files + change
+        # files) have executed — gen_df's lineage runs through them
+        if id_persisted is not None:
+            id_persisted.unpersist()
+        if merged_persist is not None:
+            merged_persist.unpersist(blocking=False)
         meta_actions = _config_actions()
         if id_hwms:
             # identity hwm advances atomically with the merged data

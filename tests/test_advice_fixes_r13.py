@@ -451,3 +451,49 @@ class TestIdentityMerge:
             [(99, "z")], "pkey int, attr string"
         ))
         assert 778 in {r["rid"] for r in t.to_df().collect()}
+
+
+class TestIdentityMergeCdf:
+    def test_cdf_insert_rows_carry_generated_ids(self, spark, tmp_path):
+        """Review find (r13): merge_changes runs on the patched clause
+        set whose insert stages NULL as the generation marker — the
+        change feed must still record the GENERATED ids, not the
+        marker, or downstream CDF consumers key on NULL."""
+        from mack_spark.tables import KeyedMerge
+
+        df = spark.createDataFrame(
+            [(i, f"r{i}") for i in range(6)], "pkey int, attr string"
+        )
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "cdfid"), df,
+            identity={"rid": {"start": 1, "step": 1}},
+            properties={"delta.enableChangeDataFeed": "true"},
+        )
+        src = spark.createDataFrame(
+            [(4, "upd"), (100, "new"), (101, "new")],
+            "pkey int, attr string",
+        )
+        t.merge(KeyedMerge(
+            source=src, condition="t.pkey = s.pkey",
+            target_alias="t", source_alias="s",
+            matched_update={"attr": "s.attr"},
+            not_matched_insert={"pkey": "s.pkey", "attr": "s.attr"},
+            target_key_col="pkey", source_key_col="pkey",
+        ))
+        table_ids = {
+            r["pkey"]: r["rid"] for r in t.to_df().collect()
+        }
+        assert sorted(table_ids.values()) == list(range(1, 9))
+        changes = t.table_changes(starting_version=1).collect()
+        inserts = {
+            r["pkey"]: r["rid"] for r in changes
+            if r["_change_type"] == "insert"
+        }
+        assert set(inserts) == {100, 101}
+        # the change feed carries the COMMITTED ids, never NULL
+        assert inserts == {k: table_ids[k] for k in (100, 101)}
+        post = {
+            r["pkey"]: r["rid"] for r in changes
+            if r["_change_type"] == "update_postimage"
+        }
+        assert post == {4: table_ids[4]}
