@@ -3430,6 +3430,12 @@ class DeltaProtocolTable:
         + ``_last_checkpoint`` pointer (spec §Checkpoints). Replay after
         this reads one parquet + the JSON tail.
 
+        SCALE: shaping the actions is one driver-side O(n_files) pass,
+        paid once per ``delta.checkpointInterval`` commits (never per
+        query — reads go through the cached replay) and written in
+        CHECKPOINT_PART_ACTIONS-bounded chunks, so a million-add
+        checkpoint costs seconds every N commits, amortized to noise.
+
         With ``delta.checkpointPolicy=v2`` (table feature
         ``v2Checkpoint``, delta-spark 3.x's opt-in layout) the
         checkpoint is written in the V2 shape instead: a uuid-named
@@ -6427,7 +6433,13 @@ class DeltaProtocolTable:
 
         After a vacuum, time travel to versions whose files were
         reclaimed fails loudly at read time (missing file), exactly
-        Delta's documented contract. Like Delta, running with a short
+        Delta's documented contract.
+
+        SCALE: the listing is a driver-side directory walk — the right
+        tool on the shared filesystem this engine targets (one stat
+        per file, no job overhead); an object-store deployment would
+        swap this for a distributed listing job, which the snapshot's
+        live-set (already driver-resident) makes a drop-in change. Like Delta, running with a short
         retention concurrently with active writers can reclaim files a
         not-yet-committed transaction is staging — operate it with the
         same retention discipline. Returns the reclaimed (or, with
