@@ -3389,6 +3389,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_log_compaction"] = q_delta_log_compaction
 
+    def q_delta_optimize_where(spark, sf_dir):
+        # OPTIMIZE ... WHERE (round 13): partition-predicate-scoped
+        # compaction — only the selected partition's small files are
+        # read/rewritten; the other partitions' log entries stay
+        # byte-identical (asserted in-row). Oracle: the data is
+        # unchanged by compaction.
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        path = tempfile.mkdtemp(prefix="mack-optwhere-") + "/t"
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        t = DeltaProtocolTable.create(
+            spark, path, cust.filter(F.col("c_custkey") % 2 == 0),
+            partition_by=["c_mktsegment"],
+        )
+        for i in range(2):
+            t.append(cust.filter(F.col("c_custkey") % 4 == 2 * i + 1))
+        before = {
+            p: a for p, a in t.snapshot().files.items()
+            if (a.get("partitionValues") or {}).get("c_mktsegment")
+            != "BUILDING"
+        }
+        res = t.optimize(
+            target_file_bytes=1 << 22,
+            where="c_mktsegment = 'BUILDING'",
+        )
+        assert res["rewritten"] > 0, "scoped OPTIMIZE compacted nothing"
+        after = {
+            p: a for p, a in t.snapshot().files.items()
+            if (a.get("partitionValues") or {}).get("c_mktsegment")
+            != "BUILDING"
+        }
+        assert after == before, "OPTIMIZE WHERE touched outside scope"
+        return t.to_df().select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+
+    q["delta_optimize_where"] = q_delta_optimize_where
+
     def q_delta_row_tracking(spark, sf_dir):
         # Row tracking (round 12, spec §Row Tracking): adds carry
         # baseRowId/defaultRowCommitVersion, the delta.rowTracking
@@ -4506,6 +4548,11 @@ SELECT count(*) AS n_rows,
        count(*) AS max_id,
        CAST(count(*) * (count(*) + 1) / 2 AS BIGINT) AS sum_id
 FROM customer
+"""
+
+    # Scoped OPTIMIZE rearranges bytes, never rows: full data.
+    o["delta_optimize_where"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
 """
 
     # Log compaction replay = the table after the % 5 delete.
