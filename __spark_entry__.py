@@ -3431,6 +3431,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_optimize_where"] = q_delta_optimize_where
 
+    def q_streaming_delta_sink(spark, sf_dir):
+        # Streaming SINK (round 13): protocol table → protocol table
+        # entirely through the streaming engine —
+        # readStream.format("delta_protocol") into
+        # writeStream.format("delta_protocol"). Each microbatch lands
+        # as ONE log commit with a SetTransaction watermark
+        # (exactly-once on replay, asserted in tests); here the drain
+        # must land exactly the source's rows in the sink table.
+        import tempfile
+        import uuid as _uuid
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+        from mack_spark.streaming.delta_source import register
+
+        register(spark)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        base = tempfile.mkdtemp(prefix="mack-sink-")
+        src = DeltaProtocolTable.create(
+            spark, base + "/src",
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+        )
+        src.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+        dst = DeltaProtocolTable.create(
+            spark, base + "/dst", orders.limit(0),
+        )
+        sq = (
+            spark.readStream.format("delta_protocol")
+            .option("path", src.path).load()
+            .writeStream.format("delta_protocol")
+            .option("path", dst.path)
+            .option("checkpointLocation",
+                    base + "/ck" + _uuid.uuid4().hex[:6])
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        snap = dst.snapshot()
+        assert snap.txns, "sink committed no SetTransaction watermark"
+        assert any(
+            h.get("operation") == "STREAMING UPDATE"
+            for h in snap.history
+        )
+        return dst.to_df()
+
+    q["streaming_delta_sink"] = q_streaming_delta_sink
+
     def q_delta_row_tracking(spark, sf_dir):
         # Row tracking (round 12, spec §Row Tracking): adds carry
         # baseRowId/defaultRowCommitVersion, the delta.rowTracking
@@ -3639,6 +3687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_identity_merge",
         "delta_deep_clone",
         "delta_log_compaction",
+        "streaming_delta_sink",
         "delta_row_tracking",
         # (c) last green r10, alphabetical prefix
         "chunk_dedup_stats",
@@ -3664,7 +3713,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discounted_revenue",
         "doc_stats",
         "doclen_deciles",
-        "drop_near_duplicates",
     ]
     assert len(front_r13) == 50, len(front_r13)
     fset = set(front_r13)
@@ -4548,6 +4596,11 @@ SELECT count(*) AS n_rows,
        count(*) AS max_id,
        CAST(count(*) * (count(*) + 1) / 2 AS BIGINT) AS sum_id
 FROM customer
+"""
+
+    # The streaming sink drain lands exactly the source's rows.
+    o["streaming_delta_sink"] = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 """
 
     # Scoped OPTIMIZE rearranges bytes, never rows: full data.

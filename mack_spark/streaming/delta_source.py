@@ -73,8 +73,10 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -662,6 +664,245 @@ class DeltaProtocolBatchReader(DataSourceReader):
         return _read_add_file(partition)
 
 
+class _SinkFileMessage(WriterCommitMessage):
+    """One staged parquet file written by an executor task (picklable;
+    shipped back to the driver for the log commit)."""
+
+    def __init__(self, rel_path: Optional[str], size: int,
+                 stats: Optional[str]):
+        self.rel_path = rel_path
+        self.size = size
+        self.stats = stats
+
+
+class DeltaProtocolStreamWriter(DataSourceStreamArrowWriter):
+    """Structured-Streaming SINK for open-protocol Delta tables —
+    ``df.writeStream.format("delta_protocol").option("path", p)`` with
+    Delta's exactly-once contract:
+
+    * ``write`` (executor, Arrow batches): each task writes its rows
+      as ONE parquet file directly under the table root (uuid-named —
+      unreferenced files are invisible to readers and vacuum-able, the
+      same not-yet-committed model delta-spark uses) and returns the
+      file name + footer stats.
+    * ``commit`` (driver, per microbatch): ONE log version holding the
+      adds plus a SetTransaction ``{appId, version: batchId}``. On
+      restart Spark re-runs the last batch; the txn watermark makes
+      the replay a NO-OP (staged duplicates are deleted, nothing
+      recommitted) — Delta's idempotent streaming-sink rule. The appId
+      comes from ``.option("txnAppId", ...)`` or defaults to the
+      query's checkpointLocation, which is unique per query by
+      construction.
+    * a lost commit race against another writer retries like any blind
+      append (re-snapshot, re-check the watermark, next version).
+
+    Append output mode only. CHECK constraints and generated columns
+    are enforced at commit time with one bounded scan over the staged
+    files; identity-column, partitioned, and column-mapped targets are
+    refused loudly (generation/partition-layout/physical-naming are
+    driver-coordinated writes this executor-local sink cannot express
+    yet). Row-tracked targets work — the commit assigns baseRowIds.
+
+    SCALE: data never moves through the driver; each microbatch is N
+    executor-local parquet writes + one O(metadata) commit."""
+
+    def __init__(self, schema: StructType, options: dict,
+                 overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "delta_protocol sink supports APPEND output mode only"
+            )
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "delta_protocol sink requires .option('path', ...)"
+            )
+        self._path = os.path.abspath(path)
+        self._schema = schema
+        app_id = options.get("txnappid") or options.get(
+            "checkpointlocation"
+        )
+        if not app_id:
+            raise ValueError(
+                "delta_protocol sink needs a txnAppId option or a"
+                " checkpointLocation to key exactly-once commits"
+            )
+        self._app_id = str(app_id)
+        # fail fast, driver-side, before any task runs
+        from pyspark.sql import SparkSession
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        self._validate_target(DeltaProtocolTable(
+            SparkSession.getActiveSession(), self._path
+        ))
+
+    def _validate_target(self, t) -> None:
+        from mack_spark.sources.delta_log import (
+            DeltaProtocolError,
+            _identity_columns,
+        )
+
+        snap = t.snapshot()
+        t._assert_writable(snap)
+        if snap.partition_columns:
+            raise DeltaProtocolError(
+                "delta_protocol sink does not support PARTITIONED"
+                " targets yet — write unpartitioned or use"
+                " foreachBatch + DeltaProtocolTable.append"
+            )
+        if snap.column_mapping_mode != "none":
+            raise DeltaProtocolError(
+                "delta_protocol sink does not support column-mapped"
+                " targets — use foreachBatch +"
+                " DeltaProtocolTable.append"
+            )
+        ids = _identity_columns(snap.schema)
+        if ids:
+            raise DeltaProtocolError(
+                f"delta_protocol sink cannot generate identity columns"
+                f" {sorted(ids)} — use foreachBatch +"
+                " DeltaProtocolTable.append"
+            )
+        table_fields = {
+            f.name: f.dataType for f in snap.schema.fields
+        }
+        stream_fields = {
+            f.name: f.dataType for f in self._schema.fields
+        }
+        if table_fields != stream_fields:
+            raise DeltaProtocolError(
+                f"stream schema {sorted(stream_fields)} does not match"
+                f" the table schema {sorted(table_fields)} — the sink"
+                " is schema-enforced (no implicit evolution)"
+            )
+
+    def write(self, iterator) -> _SinkFileMessage:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from mack_spark.sources.delta_log import (
+            STATS_COLS,
+            _collect_file_stats,
+        )
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _SinkFileMessage(None, 0, None)
+        tbl = pa.Table.from_batches(batches)
+        fname = f"part-{_uuid.uuid4().hex}-stream.snappy.parquet"
+        dest = os.path.join(self._path, fname)
+        pq.write_table(tbl, dest, compression="snappy")
+        stats = _collect_file_stats(
+            dest, [f.name for f in self._schema.fields][:STATS_COLS]
+        )
+        return _SinkFileMessage(fname, os.path.getsize(dest), stats)
+
+    def _drop_staged(self, messages) -> None:
+        for m in messages or []:
+            if m is not None and getattr(m, "rel_path", None):
+                try:
+                    os.unlink(os.path.join(self._path, m.rel_path))
+                except OSError:
+                    pass
+
+    def commit(self, messages, batchId: int) -> None:
+        from pyspark.sql import SparkSession
+
+        from mack_spark.sources.delta_log import (
+            DeltaProtocolTable,
+            _generated_columns,
+            _now_ms,
+        )
+        from mack_spark.tables import ConcurrentModificationError
+
+        spark = SparkSession.getActiveSession()
+        t = DeltaProtocolTable(spark, self._path)
+        files = [
+            m for m in messages
+            if m is not None and getattr(m, "rel_path", None)
+        ]
+        for _attempt in range(5):
+            snap = t.snapshot()
+            self._validate_target(t)
+            last = snap.txns.get(self._app_id)
+            if last is not None and batchId <= last:
+                # replayed microbatch after a restart — the previous
+                # run's commit already holds these rows
+                self._drop_staged(messages)
+                return
+            if not files:
+                # empty batch still advances the watermark so a replay
+                # of it stays a no-op
+                actions = [
+                    {"commitInfo": {
+                        "timestamp": _now_ms(),
+                        "operation": "STREAMING UPDATE",
+                        "operationParameters": {
+                            "outputMode": "Append",
+                            "queryId": self._app_id,
+                            "epochId": batchId,
+                        },
+                    }},
+                    {"txn": {"appId": self._app_id,
+                             "version": int(batchId)}},
+                ]
+            else:
+                checks = t._check_constraints(snap)
+                gen = _generated_columns(snap.schema)
+                if checks or gen:
+                    staged = spark.read.schema(snap.schema).parquet(
+                        *[os.path.join(self._path, m.rel_path)
+                          for m in files]
+                    )
+                    t._enforce_constraints(
+                        snap, staged, t._gen_checks(snap, staged)
+                    )
+                actions = (
+                    [
+                        {"commitInfo": {
+                            "timestamp": _now_ms(),
+                            "operation": "STREAMING UPDATE",
+                            "operationParameters": {
+                                "outputMode": "Append",
+                                "queryId": self._app_id,
+                                "epochId": batchId,
+                            },
+                            "operationMetrics": {
+                                "numAddedFiles": len(files),
+                            },
+                        }},
+                        {"txn": {"appId": self._app_id,
+                                 "version": int(batchId)}},
+                    ]
+                    + [
+                        {"add": {
+                            "path": m.rel_path,
+                            "partitionValues": {},
+                            "size": m.size,
+                            "modificationTime": _now_ms(),
+                            "dataChange": True,
+                            "stats": m.stats,
+                        }}
+                        for m in files
+                    ]
+                )
+            try:
+                t._commit(snap.version + 1, actions, snap=snap)
+                return
+            except ConcurrentModificationError:
+                continue  # blind append: re-snapshot and retry
+        raise ConcurrentModificationError(
+            f"streaming sink lost the commit race 5 times at"
+            f" {self._path} (batch {batchId})"
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        self._drop_staged(messages)
+
+
 class DeltaProtocolDataSource(DataSource):
     """``spark.dataSource.register(DeltaProtocolDataSource)`` then
     ``spark.read.format('delta_protocol').option('path', p)`` (batch,
@@ -689,6 +930,11 @@ class DeltaProtocolDataSource(DataSource):
 
     def streamReader(self, schema) -> DeltaProtocolStreamReader:
         return DeltaProtocolStreamReader(schema, dict(self.options))
+
+    def streamWriter(self, schema, overwrite) -> DeltaProtocolStreamWriter:
+        return DeltaProtocolStreamWriter(
+            schema, dict(self.options), overwrite
+        )
 
 
 def register(spark) -> None:

@@ -1,0 +1,255 @@
+"""Round-13: Structured-Streaming SINK for open-protocol Delta tables
+(``writeStream.format("delta_protocol")``) with Delta's exactly-once
+contract: executors write uuid-named parquet directly under the table
+root (unreferenced = invisible), the driver commits ONE log version
+per microbatch carrying the adds plus a SetTransaction
+``{appId, version: batchId}``, and a replayed batch after restart is a
+no-op (staged duplicates dropped, nothing recommitted). Constraints
+and generated columns enforce at commit over just the staged files;
+identity / partitioned / column-mapped targets refuse loudly.
+"""
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from mack_spark.sources.delta_log import (
+    DeltaProtocolError,
+    DeltaProtocolTable,
+)
+from mack_spark.streaming.delta_source import (
+    DeltaProtocolStreamWriter,
+    _SinkFileMessage,
+    register,
+)
+
+SCHEMA = "pkey int, attr string"
+
+
+def _mk(spark, tmp_path, name, df=None, **kw):
+    if df is None:
+        df = spark.createDataFrame([], SCHEMA)
+    return DeltaProtocolTable.create(
+        spark, str(tmp_path / name), df, **kw
+    )
+
+
+def _run_stream(spark, src_path, dst_path, ckpt):
+    register(spark)
+    sq = (
+        spark.readStream.format("delta_protocol")
+        .option("path", src_path).load()
+        .writeStream.format("delta_protocol")
+        .option("path", dst_path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+
+
+class TestSinkEndToEnd:
+    def test_protocol_to_protocol_stream(self, spark, tmp_path):
+        src = _mk(spark, tmp_path, "src", spark.createDataFrame(
+            [(i, f"r{i}") for i in range(40)], SCHEMA
+        ))
+        src.append(spark.createDataFrame(
+            [(i, "b") for i in range(40, 60)], SCHEMA
+        ))
+        dst = _mk(spark, tmp_path, "dst")
+        _run_stream(spark, src.path, dst.path, str(tmp_path / "ck"))
+        assert sorted(
+            r["pkey"] for r in dst.to_df().collect()
+        ) == list(range(60))
+        snap = dst.snapshot()
+        # one SetTransaction per query, watermarked at the last batch
+        assert len(snap.txns) == 1
+        assert snap.history[-1]["operation"] == "STREAMING UPDATE"
+
+    def test_restart_resumes_without_duplicates(self, spark, tmp_path):
+        src = _mk(spark, tmp_path, "src", spark.createDataFrame(
+            [(i, "a") for i in range(30)], SCHEMA
+        ))
+        dst = _mk(spark, tmp_path, "dst")
+        ck = str(tmp_path / "ck")
+        _run_stream(spark, src.path, dst.path, ck)
+        assert dst.to_df().count() == 30
+        src.append(spark.createDataFrame(
+            [(i, "b") for i in range(30, 45)], SCHEMA
+        ))
+        _run_stream(spark, src.path, dst.path, ck)
+        got = sorted(r["pkey"] for r in dst.to_df().collect())
+        assert got == list(range(45))  # no dup, no loss
+
+    def test_row_tracked_target_gets_base_row_ids(self, spark, tmp_path):
+        src = _mk(spark, tmp_path, "src", spark.createDataFrame(
+            [(i, "a") for i in range(10)], SCHEMA
+        ))
+        dst = _mk(spark, tmp_path, "dst",
+                  properties={"delta.enableRowTracking": "true"})
+        _run_stream(spark, src.path, dst.path, str(tmp_path / "ck"))
+        ids = sorted(
+            r["_row_id"]
+            for r in dst.to_df(with_row_ids=True).collect()
+        )
+        assert ids == list(range(10))
+
+
+class TestSinkExactlyOnce:
+    def _writer(self, dst, app="app-1"):
+        return DeltaProtocolStreamWriter(
+            dst.snapshot().schema,
+            {"path": dst.path, "txnappid": app},
+            False,
+        )
+
+    def _staged(self, dst, n=1):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        msgs = []
+        for i in range(n):
+            f = f"part-{uuid.uuid4().hex}-stream.snappy.parquet"
+            pq.write_table(
+                pa.table({
+                    "pkey": pa.array([900 + i], pa.int32()),
+                    "attr": pa.array(["x"]),
+                }),
+                os.path.join(dst.path, f),
+            )
+            msgs.append(_SinkFileMessage(
+                f, os.path.getsize(os.path.join(dst.path, f)),
+                '{"numRecords":1,"minValues":{},"maxValues":{},'
+                '"nullCount":{}}',
+            ))
+        return msgs
+
+    def test_commit_then_replay_is_noop(self, spark, tmp_path):
+        dst = _mk(spark, tmp_path, "dst", spark.createDataFrame(
+            [(0, "z")], SCHEMA
+        ))
+        w = self._writer(dst)
+        w.commit(self._staged(dst), 7)
+        v = dst.snapshot().version
+        assert dst.to_df().count() == 2
+        # replay of batch 7 (and anything older) commits NOTHING and
+        # deletes the staged duplicates
+        dup = self._staged(dst)
+        w.commit(dup, 7)
+        w.commit(self._staged(dst), 3)
+        assert dst.snapshot().version == v
+        assert dst.to_df().count() == 2
+        assert not os.path.exists(
+            os.path.join(dst.path, dup[0].rel_path)
+        )
+
+    def test_empty_batch_advances_watermark(self, spark, tmp_path):
+        dst = _mk(spark, tmp_path, "dst")
+        w = self._writer(dst)
+        w.commit([_SinkFileMessage(None, 0, None)], 0)
+        assert dst.snapshot().txns["app-1"] == 0
+        w.commit(self._staged(dst), 1)
+        assert dst.to_df().count() == 1
+
+    def test_abort_drops_staged(self, spark, tmp_path):
+        dst = _mk(spark, tmp_path, "dst")
+        w = self._writer(dst)
+        msgs = self._staged(dst, n=2)
+        w.abort(msgs, 0)
+        for m in msgs:
+            assert not os.path.exists(os.path.join(dst.path, m.rel_path))
+        assert dst.to_df().count() == 0
+
+    def test_concurrent_append_retries(self, spark, tmp_path):
+        dst = _mk(spark, tmp_path, "dst", spark.createDataFrame(
+            [(0, "z")], SCHEMA
+        ))
+        w = self._writer(dst)
+        # interleave a blind append between the writer's snapshot and
+        # its commit by pre-writing the next version file — the sink
+        # must re-snapshot and land on the version after it
+        dst.append(spark.createDataFrame([(1, "y")], SCHEMA))
+        w.commit(self._staged(dst), 0)
+        assert dst.to_df().count() == 3
+
+
+class TestSinkGuards:
+    def test_constraint_enforced_at_commit(self, spark, tmp_path):
+        dst = _mk(spark, tmp_path, "dst", spark.createDataFrame(
+            [(1, "a")], SCHEMA
+        ))
+        dst.add_constraint("pk_small", "pkey < 500")
+        w = DeltaProtocolStreamWriter(
+            dst.snapshot().schema,
+            {"path": dst.path, "txnappid": "a"},
+            False,
+        )
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        f = f"part-{uuid.uuid4().hex}-stream.snappy.parquet"
+        pq.write_table(
+            pa.table({"pkey": pa.array([900], pa.int32()),
+                      "attr": pa.array(["x"])}),
+            os.path.join(dst.path, f),
+        )
+        msg = _SinkFileMessage(
+            f, os.path.getsize(os.path.join(dst.path, f)),
+            '{"numRecords":1,"minValues":{},"maxValues":{},'
+            '"nullCount":{}}',
+        )
+        with pytest.raises(Exception, match="pk_small"):
+            w.commit([msg], 0)
+        # nothing committed
+        assert dst.to_df().count() == 1
+
+    def test_identity_target_refused(self, spark, tmp_path):
+        dst = _mk(spark, tmp_path, "dst",
+                  identity={"rid": {"start": 1, "step": 1}})
+        with pytest.raises(DeltaProtocolError, match="identity"):
+            DeltaProtocolStreamWriter(
+                DeltaProtocolTable(spark, dst.path).snapshot().schema,
+                {"path": dst.path, "txnappid": "a"}, False,
+            )
+
+    def test_partitioned_target_refused(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "a", "p")],
+                                   "pkey int, attr string, par string")
+        dst = _mk(spark, tmp_path, "dst", df, partition_by=["par"])
+        with pytest.raises(DeltaProtocolError, match="PARTITIONED"):
+            DeltaProtocolStreamWriter(
+                dst.snapshot().schema,
+                {"path": dst.path, "txnappid": "a"}, False,
+            )
+
+    def test_schema_mismatch_refused(self, spark, tmp_path):
+        from pyspark.sql.types import (
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        dst = _mk(spark, tmp_path, "dst")
+        wrong = StructType([StructField("other", IntegerType(), True)])
+        with pytest.raises(DeltaProtocolError, match="schema"):
+            DeltaProtocolStreamWriter(
+                wrong, {"path": dst.path, "txnappid": "a"}, False,
+            )
+
+    def test_overwrite_mode_refused(self, spark, tmp_path):
+        dst = _mk(spark, tmp_path, "dst")
+        with pytest.raises(ValueError, match="APPEND"):
+            DeltaProtocolStreamWriter(
+                dst.snapshot().schema,
+                {"path": dst.path, "txnappid": "a"}, True,
+            )
+
+    def test_missing_app_id_refused(self, spark, tmp_path):
+        dst = _mk(spark, tmp_path, "dst")
+        with pytest.raises(ValueError, match="txnAppId"):
+            DeltaProtocolStreamWriter(
+                dst.snapshot().schema, {"path": dst.path}, False,
+            )
