@@ -3479,6 +3479,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_delta_sink"] = q_streaming_delta_sink
 
+    def q_delta_nms_merge(spark, sf_dir):
+        # whenNotMatchedBySource MERGE (round 13, delta-spark 2.3+):
+        # one commit syncs the table to a source — matched rows
+        # update, unmatched-by-source rows update (flag STALE) or
+        # delete by condition. Key pruning is invalid for these
+        # merges (unmatched rows live everywhere), so touched =
+        # every live file — asserted in-row.
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+        from mack_spark.tables import KeyedMerge
+
+        path = tempfile.mkdtemp(prefix="mack-nms-") + "/t"
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        t = DeltaProtocolTable.create(spark, path, cust.repartition(4))
+        src = cust.filter(F.col("c_custkey") % 3 == 0).select(
+            "c_custkey",
+            F.lit("SYNCED").alias("c_mktsegment"),
+            "c_acctbal",
+        )
+        res = t.merge(KeyedMerge(
+            source=src, condition="t.c_custkey = s.c_custkey",
+            target_alias="t", source_alias="s",
+            matched_update={"c_mktsegment": "s.c_mktsegment"},
+            not_matched_by_source_update={"c_mktsegment": "'STALE'"},
+            not_matched_by_source_update_condition="t.c_custkey % 2 = 0",
+            not_matched_by_source_delete=True,
+            target_key_col="c_custkey", source_key_col="c_custkey",
+        ))
+        assert res["touched_files"] == res["total_files"], \
+            "nms merge must read every live file"
+        return t.to_df().select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+
+    q["delta_nms_merge"] = q_delta_nms_merge
+
     def q_delta_row_tracking(spark, sf_dir):
         # Row tracking (round 12, spec §Row Tracking): adds carry
         # baseRowId/defaultRowCommitVersion, the delta.rowTracking
@@ -3688,6 +3727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_deep_clone",
         "delta_log_compaction",
         "streaming_delta_sink",
+        "delta_nms_merge",
         "delta_row_tracking",
         # (c) last green r10, alphabetical prefix
         "chunk_dedup_stats",
@@ -3712,7 +3752,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_incremental_rollup",
         "discounted_revenue",
         "doc_stats",
-        "doclen_deciles",
     ]
     assert len(front_r13) == 50, len(front_r13)
     fset = set(front_r13)
@@ -4596,6 +4635,17 @@ SELECT count(*) AS n_rows,
        count(*) AS max_id,
        CAST(count(*) * (count(*) + 1) / 2 AS BIGINT) AS sum_id
 FROM customer
+"""
+
+    # whenNotMatchedBySource sync: matched (% 3 = 0) rows SYNCED;
+    # unmatched evens flagged STALE; unmatched odds deleted.
+    o["delta_nms_merge"] = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 3 = 0 THEN 'SYNCED'
+            ELSE 'STALE' END AS c_mktsegment,
+       c_acctbal
+FROM customer
+WHERE c_custkey % 3 = 0 OR c_custkey % 2 = 0
 """
 
     # The streaming sink drain lands exactly the source's rows.

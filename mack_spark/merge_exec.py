@@ -99,6 +99,29 @@ def interpret_keyed_merge(
     kept_matched = t_present & s_present & ~upd_applies & ~del_applies
     target_only = t_present & ~s_present
 
+    # whenNotMatchedBySource clauses (delta-spark 2.3+): target rows no
+    # source row matched take the first applicable of update → delete;
+    # rows matching neither clause are kept verbatim
+    nms_update = getattr(km, "not_matched_by_source_update", None)
+    nms_update_cond = getattr(
+        km, "not_matched_by_source_update_condition", None
+    )
+    nms_delete = getattr(km, "not_matched_by_source_delete", None)
+    if nms_update is None:
+        nms_upd_applies = F.lit(False)
+    elif nms_update_cond is None:
+        nms_upd_applies = F.lit(True)
+    else:
+        nms_upd_applies = F.coalesce(F.expr(nms_update_cond), F.lit(False))
+    if nms_delete is None:
+        nms_del_applies = F.lit(False)
+    elif nms_delete is True:
+        nms_del_applies = F.lit(True)
+    else:
+        nms_del_applies = F.coalesce(F.expr(nms_delete), F.lit(False))
+    nms_is_update = target_only & nms_upd_applies
+    nms_kept = target_only & ~nms_upd_applies & ~nms_del_applies
+
     if km.not_matched_insert is None:
         insert_ok = F.lit(False)
     else:
@@ -123,14 +146,21 @@ def interpret_keyed_merge(
             if c in (km.matched_update or {})
             else F.col(f"{t}.`{c}`")
         )
-        val = F.when(is_update, upd_expr).when(
-            t_present, F.col(f"{t}.`{c}`")
+        nms_upd_expr = (
+            F.expr(nms_update[c])
+            if c in (nms_update or {})
+            else F.col(f"{t}.`{c}`")
+        )
+        val = (
+            F.when(is_update, upd_expr)
+            .when(nms_is_update, nms_upd_expr)
+            .when(t_present, F.col(f"{t}.`{c}`"))
         )
         if km.not_matched_insert is not None:
             val = val.otherwise(_insert_expr(c))
         cols.append(val.cast(fields[c].dataType).alias(c))
 
-    keep = is_update | kept_matched | target_only | insert_ok
+    keep = is_update | kept_matched | nms_is_update | nms_kept | insert_ok
     return joined.where(keep).select(*cols)
 
 
@@ -172,6 +202,26 @@ def merge_changes(base: DataFrame, km, change_type_col: str = "_change_type") ->
 
     is_update = t_present & s_present & upd_applies
     is_delete = t_present & s_present & ~upd_applies & del_applies
+    target_only = t_present & ~s_present
+    nms_update = getattr(km, "not_matched_by_source_update", None)
+    nms_update_cond = getattr(
+        km, "not_matched_by_source_update_condition", None
+    )
+    nms_delete = getattr(km, "not_matched_by_source_delete", None)
+    if nms_update is None:
+        nms_upd_applies = F.lit(False)
+    elif nms_update_cond is None:
+        nms_upd_applies = F.lit(True)
+    else:
+        nms_upd_applies = F.coalesce(F.expr(nms_update_cond), F.lit(False))
+    if nms_delete is None:
+        nms_del_applies = F.lit(False)
+    elif nms_delete is True:
+        nms_del_applies = F.lit(True)
+    else:
+        nms_del_applies = F.coalesce(F.expr(nms_delete), F.lit(False))
+    nms_is_update = target_only & nms_upd_applies
+    nms_is_delete = target_only & ~nms_upd_applies & nms_del_applies
     if km.not_matched_insert is None:
         insert_ok = F.lit(False)
     else:
@@ -203,15 +253,34 @@ def merge_changes(base: DataFrame, km, change_type_col: str = "_change_type") ->
             return F.col(f"{s}.`{c}`")
         return F.expr(km.not_matched_insert[c])
 
+    def _nms_post(c):
+        if c in (nms_update or {}):
+            return F.expr(nms_update[c])
+        return F.col(f"{t}.`{c}`")
+
     # the otherwise branch must be an EMPTY array of the same struct
     # type; a zero-length slice of a typed one-entry array names the
     # type without spelling it out
+    empty = F.slice(F.array(_entry("insert", _pre)), 1, 0)
+    # build the insert entry only when an insert clause exists — a
+    # merge without one (update/delete-only, nms-only) must not
+    # dereference the absent clause while constructing a branch that
+    # can never fire
+    ins_branch = (
+        F.array(_entry("insert", _ins))
+        if km.not_matched_insert is not None
+        else empty
+    )
     changes = (
         F.when(is_update, F.array(_entry("update_preimage", _pre),
                                   _entry("update_postimage", _post)))
         .when(is_delete, F.array(_entry("delete", _pre)))
-        .when(insert_ok, F.array(_entry("insert", _ins)))
-        .otherwise(F.slice(F.array(_entry("insert", _pre)), 1, 0))
+        .when(nms_is_update,
+              F.array(_entry("update_preimage", _pre),
+                      _entry("update_postimage", _nms_post)))
+        .when(nms_is_delete, F.array(_entry("delete", _pre)))
+        .when(insert_ok, ins_branch)
+        .otherwise(empty)
     )
     ex = joined.select(F.explode(changes).alias("__c"))
     return ex.select(

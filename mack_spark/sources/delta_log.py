@@ -4890,7 +4890,13 @@ class DeltaProtocolTable:
             # for the insert set with the high-water mark synced in the
             # SAME commit (see _merge_impl), and explicitly provided
             # values go through the allowExplicitInsert gate.
-            upd_assigned = sorted(set(km.matched_update or {}) & set(ids))
+            upd_assigned = sorted(
+                (
+                    set(km.matched_update or {})
+                    | set(km.not_matched_by_source_update or {})
+                )
+                & set(ids)
+            )
             if upd_assigned:
                 raise DeltaProtocolError(
                     f"MERGE cannot assign identity columns"
@@ -4984,11 +4990,17 @@ class DeltaProtocolTable:
         keys.sort()
         import bisect
 
-        if not key_rows:
+        nms_active = (
+            km.not_matched_by_source_update is not None
+            or km.not_matched_by_source_delete is not None
+        )
+        if not key_rows and not nms_active:
             # empty source: no matches, no inserts — a true no-op, no
             # data commit (Delta's merge with an empty source changes
-            # nothing). A requested config update still lands (the
-            # caller's watermark must advance even over an empty range).
+            # nothing; with a whenNotMatchedBySource clause an empty
+            # source is NOT a no-op — every target row is unmatched).
+            # A requested config update still lands (the caller's
+            # watermark must advance even over an empty range).
             if extra_config:
                 self._update_config(snap, extra_config, "MERGE")
                 return {
@@ -5011,6 +5023,14 @@ class DeltaProtocolTable:
         # touched and the merge reduces to its not-matched-insert
         # branch over an empty base
         prune_all = not keys and not null_matches
+        if nms_active:
+            # a whenNotMatchedBySource clause can change a row in ANY
+            # live file (unmatched rows are everywhere the source
+            # keys are NOT) — key pruning is invalid; every file is
+            # touched, exactly like delta-spark's own plan for these
+            # merges
+            touched = list(snap.files)
+            prune_all = True  # skip the key loop below
         for p in [] if prune_all else snap.files:
             st = snap.file_stats(p)
             rng = self._prunable_range(snap, p, km.target_key_col)
@@ -5039,6 +5059,7 @@ class DeltaProtocolTable:
             km.matched_update is None
             and km.matched_delete is None
             and km.not_matched_insert is not None
+            and not nms_active
         )
         gen_ids: List[str] = []
         full_ids: Dict[str, dict] = {}
@@ -5093,6 +5114,13 @@ class DeltaProtocolTable:
                 if upd is not None:
                     upd = dict(upd)
                     upd[mcv] = "CAST(NULL AS BIGINT)"
+                nupd = km.not_matched_by_source_update
+                if nupd is not None:
+                    nupd = dict(nupd)
+                    nupd[mcv] = "CAST(NULL AS BIGINT)"
+                    km = _dc.replace(
+                        km, not_matched_by_source_update=nupd
+                    )
                 ins = km.not_matched_insert
                 if ins == "*":
                     ins = {
@@ -5313,6 +5341,11 @@ class DeltaProtocolTable:
             # probe with IN (capped — a huge set falls back to the
             # envelope, which can only false-POSITIVE into a safe
             # retry-refusal, never miss a conflict).
+            if nms_active:
+                # a whenNotMatchedBySource clause reads EVERY target
+                # row — any interleaved append holds rows a serial
+                # merge would have acted on, so it always conflicts
+                return bool(paths)
             tgt = F.col(km.target_key_col)
             if key_dtype == "timestamp":
                 tgt = F.unix_micros(tgt)

@@ -93,6 +93,14 @@ class KeyedMerge:
     # condition=): a source row matching no target row inserts only when
     # this SQL evaluates true (NULL = false).
     not_matched_condition: Optional[str] = None
+    # Delta's whenNotMatchedBySource clauses (delta-spark 2.3+): act on
+    # TARGET rows no source row matched — the SCD-style prune/flag
+    # side of MERGE. Update first, then delete (same first-applicable
+    # ordering as the matched clauses); expressions may reference the
+    # target alias only (source columns are all-NULL on these rows).
+    not_matched_by_source_update: Optional[Dict[str, str]] = None
+    not_matched_by_source_update_condition: Optional[str] = None
+    not_matched_by_source_delete: Union[bool, str, None] = None
     # Optional file-skipping contract: when set, the builder asserts
     # that ``condition`` IMPLIES ``t.target_key_col = s.source_key_col``
     # (``<=>`` when null_safe) — i.e. a target row can only match when
@@ -139,6 +147,23 @@ def apply_keyed_merge(dt, km: KeyedMerge) -> None:
             )
         else:
             m = m.whenNotMatchedInsert(values=km.not_matched_insert)
+    if km.not_matched_by_source_update:
+        if km.not_matched_by_source_update_condition:
+            m = m.whenNotMatchedBySourceUpdate(
+                condition=km.not_matched_by_source_update_condition,
+                set=km.not_matched_by_source_update,
+            )
+        else:
+            m = m.whenNotMatchedBySourceUpdate(
+                set=km.not_matched_by_source_update
+            )
+    if km.not_matched_by_source_delete:
+        if isinstance(km.not_matched_by_source_delete, str):
+            m = m.whenNotMatchedBySourceDelete(
+                condition=km.not_matched_by_source_delete
+            )
+        else:
+            m = m.whenNotMatchedBySourceDelete()
     m.execute()
 
 
@@ -983,6 +1008,13 @@ class ManagedTable:
         merely range-overlaps without containing a matched key.
         """
         if km is None or not km.target_key_col or not km.source_key_col:
+            return False
+        if (
+            km.not_matched_by_source_update
+            or km.not_matched_by_source_delete
+        ):
+            # not-matched-by-source clauses touch rows in ANY file —
+            # key pruning is invalid; fall back to the post-state path
             return False
         if meta["partition_columns"]:
             return False

@@ -1,0 +1,213 @@
+"""Round-13: MERGE ``whenNotMatchedBySource`` clauses (delta-spark
+2.3+): target rows NO source row matched take update-then-delete
+(first applicable wins), expressions reference the target alias only.
+Key pruning is invalid for these merges (unmatched rows live in every
+file), so the touched set is the full live file list and any
+interleaved concurrent append conflicts — both delta-spark's own
+behavior. The ManagedTable keyed fast path falls back to post-state;
+the clause compiler emits whenNotMatchedBySourceUpdate/Delete.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mack_spark.sources.delta_log import (
+    DeltaProtocolError,
+    DeltaProtocolTable,
+)
+from mack_spark.tables import KeyedMerge, apply_keyed_merge
+
+SCHEMA = "pkey int, status string, v int"
+
+
+def _mk(spark, tmp_path, name="t", props=None, n=10):
+    df = spark.createDataFrame(
+        [(i, "old", 1) for i in range(n)], SCHEMA
+    )
+    return DeltaProtocolTable.create(
+        spark, str(tmp_path / name), df, properties=props or {}
+    )
+
+
+def _km(src, **kw):
+    return KeyedMerge(
+        source=src, condition="t.pkey = s.pkey",
+        target_alias="t", source_alias="s",
+        target_key_col="pkey", source_key_col="pkey", **kw,
+    )
+
+
+class TestNmsSemantics:
+    def test_full_sync_merge(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(3, "upd", 2), (20, "new", 2)], SCHEMA
+        )
+        res = t.merge(_km(
+            src,
+            matched_update={"status": "s.status", "v": "s.v"},
+            not_matched_insert="*",
+            not_matched_by_source_update={"status": "'stale'"},
+            not_matched_by_source_update_condition="t.pkey >= 5",
+            not_matched_by_source_delete=True,
+        ))
+        # nms clauses read every file — no key pruning
+        assert res["touched_files"] == res["total_files"]
+        rows = {r["pkey"]: r["status"] for r in t.to_df().collect()}
+        assert rows == {
+            3: "upd", 5: "stale", 6: "stale", 7: "stale",
+            8: "stale", 9: "stale", 20: "new",
+        }
+
+    def test_update_clause_order_first_applicable(self, spark, tmp_path):
+        # update applies before delete; only non-updated rows delete
+        t = _mk(spark, tmp_path, n=6)
+        t.merge(_km(
+            spark.createDataFrame([(0, "m", 2)], SCHEMA),
+            matched_update={"status": "s.status"},
+            not_matched_by_source_update={"status": "'kept'"},
+            not_matched_by_source_update_condition="t.pkey % 2 = 0",
+            not_matched_by_source_delete=True,
+        ))
+        rows = {r["pkey"]: r["status"] for r in t.to_df().collect()}
+        assert rows == {0: "m", 2: "kept", 4: "kept"}
+
+    def test_empty_source_is_not_a_noop(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, n=5)
+        empty = spark.createDataFrame([], SCHEMA)
+        t.merge(_km(
+            empty,
+            matched_update={"status": "s.status"},
+            not_matched_by_source_delete=True,
+        ))
+        assert t.to_df().count() == 0
+
+    def test_conditional_delete_only(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, n=8)
+        t.merge(_km(
+            spark.createDataFrame([(7, "m", 2)], SCHEMA),
+            matched_update={"status": "s.status"},
+            not_matched_by_source_delete="t.pkey < 3",
+        ))
+        rows = sorted(r["pkey"] for r in t.to_df().collect())
+        assert rows == [3, 4, 5, 6, 7]
+
+    def test_cdf_records_nms_changes(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, n=4,
+                props={"delta.enableChangeDataFeed": "true"})
+        t.merge(_km(
+            spark.createDataFrame([(0, "m", 2)], SCHEMA),
+            matched_update={"status": "s.status"},
+            not_matched_by_source_update={"status": "'stale'"},
+            not_matched_by_source_update_condition="t.pkey = 1",
+            not_matched_by_source_delete="t.pkey = 2",
+        ))
+        ch = {
+            (r["pkey"], r["_change_type"])
+            for r in t.table_changes(starting_version=1).collect()
+        }
+        assert (1, "update_preimage") in ch
+        assert (1, "update_postimage") in ch
+        assert (2, "delete") in ch
+        assert not any(p == 3 for p, _c in ch)  # untouched row: silent
+
+    def test_row_tracking_preserved(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, n=6,
+                props={"delta.enableRowTracking": "true"})
+        before = {
+            r["pkey"]: r["_row_id"]
+            for r in t.to_df(with_row_ids=True).collect()
+        }
+        t.merge(_km(
+            spark.createDataFrame([(0, "m", 2)], SCHEMA),
+            matched_update={"status": "s.status"},
+            not_matched_by_source_update={"status": "'stale'"},
+        ))
+        after = {
+            r["pkey"]: r["_row_id"]
+            for r in t.to_df(with_row_ids=True).collect()
+        }
+        assert after == before
+
+    def test_identity_assignment_refused(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "a")], "pkey int, attr string")
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "idt"), df,
+            identity={"rid": {"start": 1, "step": 1}},
+        )
+        src = spark.createDataFrame([(1, "b")], "pkey int, attr string")
+        with pytest.raises(DeltaProtocolError, match="identity"):
+            t.merge(KeyedMerge(
+                source=src, condition="t.pkey = s.pkey",
+                target_alias="t", source_alias="s",
+                matched_update={"attr": "s.attr"},
+                not_matched_by_source_update={"rid": "0"},
+                target_key_col="pkey", source_key_col="pkey",
+            ))
+
+
+class TestNmsCompilerAndSeam:
+    def test_apply_keyed_merge_emits_builder_calls(self, spark):
+        calls = []
+
+        class FakeBuilder:
+            def __getattr__(self, name):
+                def rec(*a, **kw):
+                    calls.append((name, kw))
+                    return self
+                return rec
+
+        class FakeDt:
+            def alias(self, a):
+                return FakeBuilder()
+
+        src = spark.createDataFrame([(1, "a", 1)], SCHEMA)
+        apply_keyed_merge(FakeDt(), _km(
+            src,
+            matched_update={"status": "s.status"},
+            not_matched_by_source_update={"status": "'stale'"},
+            not_matched_by_source_update_condition="t.v = 1",
+            not_matched_by_source_delete="t.v = 2",
+        ))
+        names = [n for n, _ in calls]
+        assert "whenNotMatchedBySourceUpdate" in names
+        assert "whenNotMatchedBySourceDelete" in names
+        kw = dict(calls)[
+            "whenNotMatchedBySourceUpdate"
+        ]
+        assert kw == {"condition": "t.v = 1",
+                      "set": {"status": "'stale'"}}
+
+    def test_concurrent_append_conflicts(self, spark, tmp_path):
+        from mack_spark.tables import ConcurrentModificationError
+
+        t = _mk(spark, tmp_path, n=4)
+        # pre-write the NEXT version file to simulate an interleaved
+        # blind append landing between snapshot and commit
+        victim = DeltaProtocolTable(spark, t.path)
+        snap = victim.snapshot()
+        t.append(spark.createDataFrame([(100, "x", 1)], SCHEMA))
+
+        import mack_spark.sources.delta_log as dl
+
+        km = _km(
+            spark.createDataFrame([(0, "m", 2)], SCHEMA),
+            matched_update={"status": "s.status"},
+            not_matched_by_source_delete=True,
+        )
+        # force the merge to plan against the stale snapshot
+        orig = dl.DeltaProtocolTable.snapshot
+        calls = {"n": 0}
+
+        def stale_once(self, version_as_of=None):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return snap
+            return orig(self, version_as_of)
+
+        dl.DeltaProtocolTable.snapshot = stale_once
+        try:
+            with pytest.raises(ConcurrentModificationError):
+                victim.merge(km)
+        finally:
+            dl.DeltaProtocolTable.snapshot = orig
