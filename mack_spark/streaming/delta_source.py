@@ -665,14 +665,15 @@ class DeltaProtocolBatchReader(DataSourceReader):
 
 
 class _SinkFileMessage(WriterCommitMessage):
-    """One staged parquet file written by an executor task (picklable;
-    shipped back to the driver for the log commit)."""
+    """Staged parquet files written by ONE executor task (picklable;
+    shipped back to the driver for the log commit). ``entries`` is a
+    list of dicts — ``{"rel_path", "size", "stats",
+    "partitionValues"}`` — one per file (a task writes one file per
+    partition-value combination it saw; unpartitioned tasks write at
+    most one)."""
 
-    def __init__(self, rel_path: Optional[str], size: int,
-                 stats: Optional[str]):
-        self.rel_path = rel_path
-        self.size = size
-        self.stats = stats
+    def __init__(self, entries: Optional[list] = None):
+        self.entries = entries or []
 
 
 class DeltaProtocolStreamWriter(DataSourceStreamArrowWriter):
@@ -698,8 +699,12 @@ class DeltaProtocolStreamWriter(DataSourceStreamArrowWriter):
 
     Append output mode only. CHECK constraints and generated columns
     are enforced at commit time with one bounded scan over the staged
-    files; identity-column, partitioned, and column-mapped targets are
-    refused loudly (generation/partition-layout/physical-naming are
+    files. PARTITIONED targets work: each task writes one file per
+    partition-value combination it saw — files exclude the partition
+    columns and the adds record ``partitionValues`` (the log is
+    authoritative; the reader attaches them as typed literals, no
+    directory layout required). Identity-column and column-mapped
+    targets are refused loudly (generation/physical-naming are
     driver-coordinated writes this executor-local sink cannot express
     yet). Row-tracked targets work — the commit assigns baseRowIds.
 
@@ -745,12 +750,7 @@ class DeltaProtocolStreamWriter(DataSourceStreamArrowWriter):
 
         snap = t.snapshot()
         t._assert_writable(snap)
-        if snap.partition_columns:
-            raise DeltaProtocolError(
-                "delta_protocol sink does not support PARTITIONED"
-                " targets yet — write unpartitioned or use"
-                " foreachBatch + DeltaProtocolTable.append"
-            )
+        self._pcols = list(snap.partition_columns)
         if snap.column_mapping_mode != "none":
             raise DeltaProtocolError(
                 "delta_protocol sink does not support column-mapped"
@@ -790,21 +790,57 @@ class DeltaProtocolStreamWriter(DataSourceStreamArrowWriter):
 
         batches = [b for b in iterator if b.num_rows]
         if not batches:
-            return _SinkFileMessage(None, 0, None)
+            return _SinkFileMessage()
         tbl = pa.Table.from_batches(batches)
-        fname = f"part-{_uuid.uuid4().hex}-stream.snappy.parquet"
-        dest = os.path.join(self._path, fname)
-        pq.write_table(tbl, dest, compression="snappy")
-        stats = _collect_file_stats(
-            dest, [f.name for f in self._schema.fields][:STATS_COLS]
-        )
-        return _SinkFileMessage(fname, os.path.getsize(dest), stats)
+
+        def _emit(sub: "pa.Table", pv: Optional[dict]):
+            fname = f"part-{_uuid.uuid4().hex}-stream.snappy.parquet"
+            dest = os.path.join(self._path, fname)
+            pq.write_table(sub, dest, compression="snappy")
+            stats = _collect_file_stats(
+                dest, list(sub.schema.names)[:STATS_COLS]
+            )
+            return {
+                "rel_path": fname,
+                "size": os.path.getsize(dest),
+                "stats": stats,
+                "partitionValues": pv or {},
+            }
+
+        if not self._pcols:
+            return _SinkFileMessage([_emit(tbl, None)])
+        # partitioned target: one file per partition-value combination
+        # this task saw (spec: data files exclude partition columns;
+        # the log's partitionValues is authoritative — the reader
+        # attaches them as typed literals, no directory layout needed)
+        import pyarrow.compute as pc
+
+        from mack_spark.tables import _partition_value_str
+
+        entries = []
+        distinct = tbl.group_by(self._pcols).aggregate([])
+        for i in range(distinct.num_rows):
+            mask = None
+            pv = {}
+            for c in self._pcols:
+                v = distinct.column(c)[i]
+                if not v.is_valid:
+                    cond = pc.is_null(tbl.column(c))
+                    pv[c] = None
+                else:
+                    cond = pc.equal(tbl.column(c), v)
+                    pv[c] = _partition_value_str(v.as_py())
+                mask = cond if mask is None else pc.and_(mask, cond)
+            sub = tbl.filter(mask).drop_columns(self._pcols)
+            if sub.num_rows:
+                entries.append(_emit(sub, pv))
+        return _SinkFileMessage(entries)
 
     def _drop_staged(self, messages) -> None:
         for m in messages or []:
-            if m is not None and getattr(m, "rel_path", None):
+            for e in getattr(m, "entries", None) or []:
                 try:
-                    os.unlink(os.path.join(self._path, m.rel_path))
+                    os.unlink(os.path.join(self._path, e["rel_path"]))
                 except OSError:
                     pass
 
@@ -821,8 +857,8 @@ class DeltaProtocolStreamWriter(DataSourceStreamArrowWriter):
         spark = SparkSession.getActiveSession()
         t = DeltaProtocolTable(spark, self._path)
         files = [
-            m for m in messages
-            if m is not None and getattr(m, "rel_path", None)
+            e for m in messages if m is not None
+            for e in (getattr(m, "entries", None) or [])
         ]
         for _attempt in range(5):
             snap = t.snapshot()
@@ -850,12 +886,35 @@ class DeltaProtocolStreamWriter(DataSourceStreamArrowWriter):
                              "version": int(batchId)}},
                 ]
             else:
+                adds = [
+                    {
+                        "path": e["rel_path"],
+                        "partitionValues": e.get("partitionValues") or {},
+                        "size": e["size"],
+                        "modificationTime": _now_ms(),
+                        "dataChange": True,
+                        "stats": e["stats"],
+                    }
+                    for e in files
+                ]
                 checks = t._check_constraints(snap)
                 gen = _generated_columns(snap.schema)
                 if checks or gen:
-                    staged = spark.read.schema(snap.schema).parquet(
-                        *[os.path.join(self._path, m.rel_path)
-                          for m in files]
+                    # read the staged files the way the table reader
+                    # would (partition values attach as typed literals
+                    # from the adds — staged files exclude partition
+                    # columns), so constraints on partition columns
+                    # evaluate correctly
+                    from mack_spark.sources.delta_log import (
+                        DeltaSnapshot,
+                    )
+
+                    pseudo = DeltaSnapshot(
+                        snap.version, snap.metadata, snap.protocol,
+                        {a["path"]: a for a in adds}, [],
+                    )
+                    staged = t._read_files(
+                        pseudo, [a["path"] for a in adds]
                     )
                     t._enforce_constraints(
                         snap, staged, t._gen_checks(snap, staged)
@@ -871,23 +930,13 @@ class DeltaProtocolStreamWriter(DataSourceStreamArrowWriter):
                                 "epochId": batchId,
                             },
                             "operationMetrics": {
-                                "numAddedFiles": len(files),
+                                "numAddedFiles": len(adds),
                             },
                         }},
                         {"txn": {"appId": self._app_id,
                                  "version": int(batchId)}},
                     ]
-                    + [
-                        {"add": {
-                            "path": m.rel_path,
-                            "partitionValues": {},
-                            "size": m.size,
-                            "modificationTime": _now_ms(),
-                            "dataChange": True,
-                            "stats": m.stats,
-                        }}
-                        for m in files
-                    ]
+                    + [{"add": a} for a in adds]
                 )
             try:
                 t._commit(snap.version + 1, actions, snap=snap)

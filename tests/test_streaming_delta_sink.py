@@ -5,8 +5,10 @@ root (unreferenced = invisible), the driver commits ONE log version
 per microbatch carrying the adds plus a SetTransaction
 ``{appId, version: batchId}``, and a replayed batch after restart is a
 no-op (staged duplicates dropped, nothing recommitted). Constraints
-and generated columns enforce at commit over just the staged files;
-identity / partitioned / column-mapped targets refuse loudly.
+and generated columns enforce at commit over just the staged files
+(partition values attach as typed literals). Partitioned targets work
+(tasks split batches by partition values); identity / column-mapped
+targets refuse loudly.
 """
 
 import os
@@ -119,11 +121,13 @@ class TestSinkExactlyOnce:
                 }),
                 os.path.join(dst.path, f),
             )
-            msgs.append(_SinkFileMessage(
-                f, os.path.getsize(os.path.join(dst.path, f)),
-                '{"numRecords":1,"minValues":{},"maxValues":{},'
-                '"nullCount":{}}',
-            ))
+            msgs.append(_SinkFileMessage([{
+                "rel_path": f,
+                "size": os.path.getsize(os.path.join(dst.path, f)),
+                "stats": '{"numRecords":1,"minValues":{},'
+                         '"maxValues":{},"nullCount":{}}',
+                "partitionValues": {},
+            }]))
         return msgs
 
     def test_commit_then_replay_is_noop(self, spark, tmp_path):
@@ -142,13 +146,13 @@ class TestSinkExactlyOnce:
         assert dst.snapshot().version == v
         assert dst.to_df().count() == 2
         assert not os.path.exists(
-            os.path.join(dst.path, dup[0].rel_path)
+            os.path.join(dst.path, dup[0].entries[0]["rel_path"])
         )
 
     def test_empty_batch_advances_watermark(self, spark, tmp_path):
         dst = _mk(spark, tmp_path, "dst")
         w = self._writer(dst)
-        w.commit([_SinkFileMessage(None, 0, None)], 0)
+        w.commit([_SinkFileMessage()], 0)
         assert dst.snapshot().txns["app-1"] == 0
         w.commit(self._staged(dst), 1)
         assert dst.to_df().count() == 1
@@ -159,7 +163,9 @@ class TestSinkExactlyOnce:
         msgs = self._staged(dst, n=2)
         w.abort(msgs, 0)
         for m in msgs:
-            assert not os.path.exists(os.path.join(dst.path, m.rel_path))
+            assert not os.path.exists(
+                os.path.join(dst.path, m.entries[0]["rel_path"])
+            )
         assert dst.to_df().count() == 0
 
     def test_concurrent_append_retries(self, spark, tmp_path):
@@ -196,11 +202,13 @@ class TestSinkGuards:
                       "attr": pa.array(["x"])}),
             os.path.join(dst.path, f),
         )
-        msg = _SinkFileMessage(
-            f, os.path.getsize(os.path.join(dst.path, f)),
-            '{"numRecords":1,"minValues":{},"maxValues":{},'
-            '"nullCount":{}}',
-        )
+        msg = _SinkFileMessage([{
+            "rel_path": f,
+            "size": os.path.getsize(os.path.join(dst.path, f)),
+            "stats": '{"numRecords":1,"minValues":{},"maxValues":{},'
+                     '"nullCount":{}}',
+            "partitionValues": {},
+        }])
         with pytest.raises(Exception, match="pk_small"):
             w.commit([msg], 0)
         # nothing committed
@@ -215,15 +223,45 @@ class TestSinkGuards:
                 {"path": dst.path, "txnappid": "a"}, False,
             )
 
-    def test_partitioned_target_refused(self, spark, tmp_path):
-        df = spark.createDataFrame([(1, "a", "p")],
-                                   "pkey int, attr string, par string")
-        dst = _mk(spark, tmp_path, "dst", df, partition_by=["par"])
-        with pytest.raises(DeltaProtocolError, match="PARTITIONED"):
-            DeltaProtocolStreamWriter(
-                dst.snapshot().schema,
-                {"path": dst.path, "txnappid": "a"}, False,
-            )
+    def test_partitioned_target_streams(self, spark, tmp_path):
+        """r13 follow-up: partitioned targets work — tasks split
+        batches by partition values, files exclude the partition
+        columns, adds record partitionValues, the reader attaches
+        typed literals."""
+        import pyarrow.parquet as pq
+
+        src_df = spark.createDataFrame(
+            [(i, f"r{i}", "even" if i % 2 == 0 else "odd")
+             for i in range(20)],
+            "pkey int, attr string, par string",
+        )
+        src = DeltaProtocolTable.create(
+            spark, str(tmp_path / "psrc"), src_df,
+        )
+        dst = DeltaProtocolTable.create(
+            spark, str(tmp_path / "pdst"), src_df.limit(0),
+            partition_by=["par"],
+        )
+        _run_stream(spark, src.path, dst.path, str(tmp_path / "pck"))
+        got = sorted(map(tuple, dst.to_df().collect()))
+        assert got == sorted(map(tuple, src_df.collect()))
+        snap = dst.snapshot()
+        for p, a in snap.files.items():
+            if not a.get("dataChange", True):
+                continue
+            pv = a.get("partitionValues") or {}
+            if "stream" not in p:
+                continue  # the empty CTAS placeholder, if any
+            assert pv.get("par") in ("even", "odd")
+            cols = set(pq.read_schema(
+                os.path.join(dst.path, p)
+            ).names)
+            assert "par" not in cols  # spec: files exclude partition cols
+        # partition-scoped OPTIMIZE composes with sink-written files
+        res = dst.optimize(target_file_bytes=1 << 20,
+                           where="par = 'even'")
+        assert res["rewritten"] > 0
+        assert sorted(map(tuple, dst.to_df().collect())) == got
 
     def test_schema_mismatch_refused(self, spark, tmp_path):
         from pyspark.sql.types import (
