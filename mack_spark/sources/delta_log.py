@@ -4853,7 +4853,12 @@ class DeltaProtocolTable:
         except ValueError:
             return rng
 
-    def merge(self, km, extra_config: Optional[Dict[str, str]] = None) -> dict:
+    def merge(
+        self,
+        km,
+        extra_config: Optional[Dict[str, str]] = None,
+        schema_evolution: bool = False,
+    ) -> dict:
         """Execute a :class:`~mack_spark.tables.KeyedMerge` as one Delta
         commit. Requires the descriptor's file-skipping contract
         (``target_key_col``/``source_key_col``): the condition implies
@@ -4867,6 +4872,13 @@ class DeltaProtocolTable:
         consumer records "this merge reflects source version V" such
         that either both land or neither does, so a crash between two
         separate commits can never double-apply a change range.
+
+        ``schema_evolution=True`` (delta's ``withSchemaEvolution`` /
+        autoMerge): with ``not_matched_insert="*"``, source columns the
+        target lacks are APPENDED to the table schema (nullable) in the
+        same commit; pre-existing rows read NULL for them and inserted
+        rows carry the source values. Requires the ``"*"`` insert
+        clause (delta's SET*/INSERT* rule) and an unmapped table.
 
         Returns ``{touched_files, total_files, version}`` so callers
         can observe the pruning.
@@ -4882,6 +4894,9 @@ class DeltaProtocolTable:
             )
         snap = self.snapshot()
         self._assert_writable(snap)
+        evolve_meta: Optional[dict] = None
+        if schema_evolution:
+            evolve_meta, snap = self._evolved_merge_snapshot(snap, km)
         ids = _identity_columns(snap.schema)
         if ids:
             # identity values are writer-assigned and immutable: a
@@ -4913,22 +4928,72 @@ class DeltaProtocolTable:
         source = km.source.persist()
         km = dataclasses.replace(km, source=source)
         try:
-            return self._merge_impl(snap, km, extra_config=extra_config)
+            return self._merge_impl(
+                snap, km, extra_config=extra_config,
+                evolve_meta=evolve_meta,
+            )
         finally:
             source.unpersist(blocking=False)
+
+    def _evolved_merge_snapshot(self, snap: DeltaSnapshot, km):
+        """Schema evolution for MERGE (delta's autoMerge): source
+        columns absent from the target append to the schema as
+        NULLABLE fields. Returns ``(metaData action dict or None,
+        snapshot)`` — the snapshot's metadata is patched IN MEMORY so
+        every downstream read/clause/projection already sees the
+        evolved schema (old files NULL-fill through the explicit-schema
+        scan, same as append's mergeSchema), and the action lands in
+        the merge commit so evolution + data are atomic."""
+        if km.not_matched_insert != "*":
+            raise DeltaProtocolError(
+                "merge schema evolution requires"
+                " not_matched_insert='*' (delta's SET*/INSERT* rule)"
+            )
+        if snap.column_mapping_mode != "none":
+            raise DeltaProtocolError(
+                "merge schema evolution on column-mapped tables is not"
+                " implemented — evolve via append(merge_schema=True)"
+            )
+        tgt = {f.name for f in snap.schema.fields}
+        new_fields = [
+            f for f in km.source.schema.fields if f.name not in tgt
+        ]
+        if not new_fields:
+            return None, snap
+        ntz = [f.name for f in new_fields if _has_ntz(f.dataType)]
+        if ntz:
+            raise DeltaProtocolError(
+                f"merge schema evolution cannot declare the"
+                f" timestampNtz feature for new columns {ntz} — evolve"
+                " via append(merge_schema=True) first"
+            )
+        from pyspark.sql.types import StructField
+
+        evolved = StructType(
+            list(snap.schema.fields)
+            + [StructField(f.name, f.dataType, True) for f in new_fields]
+        )
+        meta = dict(snap.metadata, schemaString=evolved.json())
+        return {"metaData": meta}, DeltaSnapshot(
+            snap.version, meta, snap.protocol, snap.files,
+            snap.history, txns=snap.txns, domains=snap.domains,
+        )
 
     def _merge_impl(
         self,
         snap: DeltaSnapshot,
         km,
         extra_config: Optional[Dict[str, str]] = None,
+        evolve_meta: Optional[dict] = None,
     ) -> dict:
         from mack_spark.merge_exec import interpret_keyed_merge
 
         def _config_actions() -> List[dict]:
-            # extra_config rides the merge commit as a metaData update
+            # extra_config (and schema evolution's metaData) ride the
+            # merge commit as ONE metaData update — snap.metadata is
+            # already the evolved shape when evolution applies
             if not extra_config:
-                return []
+                return [evolve_meta] if evolve_meta else []
             config = dict(snap.metadata.get("configuration") or {})
             config.update(extra_config)
             return [{"metaData": dict(snap.metadata, configuration=config)}]

@@ -211,3 +211,82 @@ class TestNmsCompilerAndSeam:
                 victim.merge(km)
         finally:
             dl.DeltaProtocolTable.snapshot = orig
+
+
+class TestMergeSchemaEvolution:
+    """r13: merge(schema_evolution=True) — delta's autoMerge: source
+    columns absent from the target append as nullable fields in the
+    SAME commit; old rows read NULL, inserts carry source values."""
+
+    def _t(self, spark, tmp_path, name="evo"):
+        return DeltaProtocolTable.create(
+            spark, str(tmp_path / name),
+            spark.createDataFrame(
+                [(i, "old") for i in range(6)], "pkey int, attr string"
+            ),
+        )
+
+    def _km(self, src, **kw):
+        return KeyedMerge(
+            source=src, condition="t.pkey = s.pkey",
+            target_alias="t", source_alias="s",
+            target_key_col="pkey", source_key_col="pkey", **kw,
+        )
+
+    def test_evolves_and_null_fills(self, spark, tmp_path):
+        t = self._t(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(3, "upd", 9.5), (20, "new", 1.5)],
+            "pkey int, attr string, score double",
+        )
+        t.merge(self._km(
+            src, matched_update={"attr": "s.attr"},
+            not_matched_insert="*",
+        ), schema_evolution=True)
+        df = t.to_df()
+        assert [f.name for f in df.schema.fields] == [
+            "pkey", "attr", "score",
+        ]
+        rows = {r["pkey"]: (r["attr"], r["score"]) for r in df.collect()}
+        assert rows[20] == ("new", 1.5)
+        assert rows[3] == ("upd", None)
+        assert rows[0] == ("old", None)
+        # evolution landed ATOMICALLY with the data: one commit
+        assert t.snapshot().version == 1
+        # and future appends enforce the evolved schema
+        t.append(spark.createDataFrame(
+            [(99, "z", 2.0)], "pkey int, attr string, score double"
+        ))
+        assert t.to_df().count() == 8
+
+    def test_no_new_columns_is_plain_merge(self, spark, tmp_path):
+        t = self._t(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(0, "u")], "pkey int, attr string"
+        )
+        t.merge(self._km(
+            src, matched_update={"attr": "s.attr"},
+            not_matched_insert="*",
+        ), schema_evolution=True)
+        assert [f.name for f in t.snapshot().schema.fields] == [
+            "pkey", "attr",
+        ]
+
+    def test_default_does_not_evolve(self, spark, tmp_path):
+        t = self._t(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(20, "new", 1.5)], "pkey int, attr string, score double"
+        )
+        t.merge(self._km(src, not_matched_insert="*"))
+        assert "score" not in t.to_df().columns
+
+    def test_requires_star_insert(self, spark, tmp_path):
+        t = self._t(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(20, "new", 1.5)], "pkey int, attr string, score double"
+        )
+        with pytest.raises(DeltaProtocolError, match="INSERT"):
+            t.merge(self._km(
+                src,
+                not_matched_insert={"pkey": "s.pkey", "attr": "s.attr"},
+            ), schema_evolution=True)
