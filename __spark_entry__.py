@@ -3518,6 +3518,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_nms_merge"] = q_delta_nms_merge
 
+    def q_delta_merge_evolution(spark, sf_dir):
+        # MERGE schema evolution (round 13, delta's autoMerge):
+        # INSERT * with a source column the target lacks evolves the
+        # schema in the SAME commit — pre-existing rows NULL-fill the
+        # new column, inserts carry the source values. One commit does
+        # evolution + data (asserted in-row).
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+        from mack_spark.tables import KeyedMerge
+
+        path = tempfile.mkdtemp(prefix="mack-mevo-") + "/t"
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        t = DeltaProtocolTable.create(
+            spark, path, cust.filter(F.col("c_custkey") % 2 == 0)
+        )
+        src = cust.filter(F.col("c_custkey") % 3 == 0).select(
+            "c_custkey",
+            F.lit("SYNCED").alias("c_mktsegment"),
+            "c_acctbal",
+            (F.col("c_custkey") * 10).cast("long").alias("score"),
+        )
+        t.merge(KeyedMerge(
+            source=src, condition="t.c_custkey = s.c_custkey",
+            target_alias="t", source_alias="s",
+            matched_update={"c_mktsegment": "s.c_mktsegment"},
+            not_matched_insert="*",
+            target_key_col="c_custkey", source_key_col="c_custkey",
+        ), schema_evolution=True)
+        snap = t.snapshot()
+        assert snap.version == 1, "evolution + data must be ONE commit"
+        assert [f.name for f in snap.schema.fields] == [
+            "c_custkey", "c_mktsegment", "c_acctbal", "score",
+        ]
+        return t.to_df().select(
+            "c_custkey", "c_mktsegment", "c_acctbal", "score"
+        )
+
+    q["delta_merge_evolution"] = q_delta_merge_evolution
+
     def q_delta_row_tracking(spark, sf_dir):
         # Row tracking (round 12, spec §Row Tracking): adds carry
         # baseRowId/defaultRowCommitVersion, the delta.rowTracking
@@ -3728,6 +3770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_log_compaction",
         "streaming_delta_sink",
         "delta_nms_merge",
+        "delta_merge_evolution",
         "delta_row_tracking",
         # (c) last green r10, alphabetical prefix
         "chunk_dedup_stats",
@@ -3751,7 +3794,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_deletion_vector_read",
         "delta_incremental_rollup",
         "discounted_revenue",
-        "doc_stats",
     ]
     assert len(front_r13) == 50, len(front_r13)
     fset = set(front_r13)
@@ -4635,6 +4677,21 @@ SELECT count(*) AS n_rows,
        count(*) AS max_id,
        CAST(count(*) * (count(*) + 1) / 2 AS BIGINT) AS sum_id
 FROM customer
+"""
+
+    # Merge schema evolution: evens are the base (matched % 6 = 0 rows
+    # get SYNCED, score NULL-fills); odd multiples of 3 insert with
+    # the evolved score column populated.
+    o["delta_merge_evolution"] = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 3 = 0 THEN 'SYNCED'
+            ELSE c_mktsegment END AS c_mktsegment,
+       c_acctbal,
+       CASE WHEN c_custkey % 2 = 1 AND c_custkey % 3 = 0
+            THEN CAST(c_custkey * 10 AS BIGINT)
+            ELSE NULL END AS score
+FROM customer
+WHERE c_custkey % 2 = 0 OR c_custkey % 3 = 0
 """
 
     # whenNotMatchedBySource sync: matched (% 3 = 0) rows SYNCED;
