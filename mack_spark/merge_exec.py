@@ -130,10 +130,30 @@ def interpret_keyed_merge(
         if cond:
             insert_ok = insert_ok & F.coalesce(F.expr(cond), F.lit(False))
 
+    src_cols = set(km.source.columns)
+
     def _insert_expr(c):
         if km.not_matched_insert == "*":
-            return F.col(f"{s}.`{c}`")
-        return F.expr(km.not_matched_insert[c])
+            # INSERT *: by-name; target columns the source lacks are
+            # NULL (delta's insert-all rule — e.g. after evolution the
+            # source may not carry every target column)
+            return F.col(f"{s}.`{c}`") if c in src_cols else F.lit(None)
+        if c in km.not_matched_insert:
+            return F.expr(km.not_matched_insert[c])
+        # Delta's explicit-values INSERT: unspecified columns are NULL
+        return F.lit(None)
+
+    def _upd_expr(c):
+        # UPDATE SET * (whenMatchedUpdateAll): same-named source column
+        # when the source carries one, else the target value
+        if km.matched_update == "*":
+            return (
+                F.col(f"{s}.`{c}`") if c in src_cols
+                else F.col(f"{t}.`{c}`")
+            )
+        if c in (km.matched_update or {}):
+            return F.expr(km.matched_update[c])
+        return F.col(f"{t}.`{c}`")
 
     # single projection: per-row CASE picks the branch value, cast to
     # the target schema like Delta's write path does (matched clause
@@ -141,11 +161,7 @@ def interpret_keyed_merge(
     fields = {f.name: f for f in base.schema.fields}
     cols = []
     for c in out_cols:
-        upd_expr = (
-            F.expr(km.matched_update[c])
-            if c in (km.matched_update or {})
-            else F.col(f"{t}.`{c}`")
-        )
+        upd_expr = _upd_expr(c)
         nms_upd_expr = (
             F.expr(nms_update[c])
             if c in (nms_update or {})
@@ -243,15 +259,24 @@ def merge_changes(base: DataFrame, km, change_type_col: str = "_change_type") ->
     def _pre(c):
         return F.col(f"{t}.`{c}`")
 
+    src_cols = set(km.source.columns)
+
     def _post(c):
+        if km.matched_update == "*":
+            return (
+                F.col(f"{s}.`{c}`") if c in src_cols
+                else F.col(f"{t}.`{c}`")
+            )
         if c in (km.matched_update or {}):
             return F.expr(km.matched_update[c])
         return F.col(f"{t}.`{c}`")
 
     def _ins(c):
         if km.not_matched_insert == "*":
-            return F.col(f"{s}.`{c}`")
-        return F.expr(km.not_matched_insert[c])
+            return F.col(f"{s}.`{c}`") if c in src_cols else F.lit(None)
+        if c in km.not_matched_insert:
+            return F.expr(km.not_matched_insert[c])
+        return F.lit(None)
 
     def _nms_post(c):
         if c in (nms_update or {}):

@@ -1039,6 +1039,26 @@ _COMMIT_CACHE: "collections.OrderedDict[tuple, tuple]" = (
     collections.OrderedDict()
 )
 _COMMIT_CACHE_MAX = 4096
+# in-commit-timestamp floor cache: path -> (version, stat signature of
+# that version's commit file, inCommitTimestamp or None). Saves the
+# open+parse of the previous commit JSON that every ICT commit
+# otherwise pays; the stat signature (commit files are immutable,
+# put-if-absent) proves the cached floor belongs to the file on disk,
+# so a table deleted and recreated at the same path misses cleanly.
+_ICT_FLOOR: "collections.OrderedDict[str, tuple]" = (
+    collections.OrderedDict()
+)
+_ICT_FLOOR_MAX = 256
+
+
+def _ict_floor_store(
+    path: str, version: int, sig: tuple, ict: Optional[int]
+) -> None:
+    with _REPLAY_LOCK:
+        _ICT_FLOOR[path] = (version, sig, ict)
+        _ICT_FLOOR.move_to_end(path)
+        while len(_ICT_FLOOR) > _ICT_FLOOR_MAX:
+            _ICT_FLOOR.popitem(last=False)
 
 
 def clear_replay_cache(path: Optional[str] = None) -> None:
@@ -1051,10 +1071,12 @@ def clear_replay_cache(path: Optional[str] = None) -> None:
             _REPLAY_CACHE.clear()
             _COMMIT_CACHE.clear()
             _PATH_LOCKS.clear()
+            _ICT_FLOOR.clear()
         else:
             p = os.path.abspath(path)
             _REPLAY_CACHE.pop(p, None)
             _PATH_LOCKS.pop(p, None)
+            _ICT_FLOOR.pop(p, None)
             for k in [k for k in _COMMIT_CACHE if k[0] == p]:
                 _COMMIT_CACHE.pop(k, None)
 
@@ -3208,20 +3230,40 @@ class DeltaProtocolTable:
         )
         prev_ict = None
         pf = _version_file(self.path, version - 1)
-        if ict_on and version > 0 and os.path.exists(pf):
+        if ict_on and version > 0:
             try:
-                with open(pf) as fh:
-                    for line in fh:
-                        line = line.strip()
-                        if not line:
-                            continue
-                        a = json.loads(line)
-                        if "commitInfo" in a:
-                            v = a["commitInfo"].get("inCommitTimestamp")
-                            prev_ict = int(v) if v is not None else None
-                            break
-            except (OSError, ValueError):
-                prev_ict = None
+                pstat = os.stat(pf)
+            except OSError:
+                pstat = None
+            if pstat is not None:
+                sig = (pstat.st_ino, pstat.st_mtime_ns, pstat.st_size)
+                with _REPLAY_LOCK:
+                    cached = _ICT_FLOOR.get(self.path)
+                if (
+                    cached is not None
+                    and cached[0] == version - 1
+                    and cached[1] == sig
+                ):
+                    prev_ict = cached[2]
+                else:
+                    try:
+                        with open(pf) as fh:
+                            for line in fh:
+                                line = line.strip()
+                                if not line:
+                                    continue
+                                a = json.loads(line)
+                                if "commitInfo" in a:
+                                    v = a["commitInfo"].get(
+                                        "inCommitTimestamp"
+                                    )
+                                    prev_ict = (
+                                        int(v) if v is not None else None
+                                    )
+                                    break
+                    except (OSError, ValueError):
+                        prev_ict = None
+                    _ict_floor_store(self.path, version - 1, sig, prev_ict)
         if meta is None and snap is None:
             # legacy caller without a snapshot: the previous commit's
             # commitInfo is the only signal available
@@ -3252,6 +3294,22 @@ class DeltaProtocolTable:
                 "writer after this operation's snapshot read — re-read and "
                 "retry the operation"
             )
+        if ict_on:
+            # seed the floor cache with the commit just written so the
+            # NEXT commit skips re-parsing this file
+            try:
+                s = os.stat(_version_file(self.path, version))
+                _ict_floor_store(
+                    self.path, version,
+                    (s.st_ino, s.st_mtime_ns, s.st_size),
+                    (
+                        actions[0]["commitInfo"].get("inCommitTimestamp")
+                        if actions and "commitInfo" in actions[0]
+                        else None
+                    ),
+                )
+            except OSError:
+                pass
         # VERSION CHECKSUM (delta's <version>.crc sidecar): post-commit
         # state summary foreign readers use to validate replay and skip
         # recomputing table size. Best-effort — it must never fail the
@@ -4874,11 +4932,13 @@ class DeltaProtocolTable:
         separate commits can never double-apply a change range.
 
         ``schema_evolution=True`` (delta's ``withSchemaEvolution`` /
-        autoMerge): with ``not_matched_insert="*"``, source columns the
-        target lacks are APPENDED to the table schema (nullable) in the
-        same commit; pre-existing rows read NULL for them and inserted
-        rows carry the source values. Requires the ``"*"`` insert
-        clause (delta's SET*/INSERT* rule) and an unmapped table.
+        autoMerge): with a star clause (``not_matched_insert="*"``
+        and/or ``matched_update="*"``), source columns the target lacks
+        are APPENDED to the table schema (nullable) in the same commit;
+        pre-existing rows read NULL for them, inserted rows carry the
+        source values, and updated rows do under ``matched_update="*"``.
+        Column-mapped tables evolve too — new fields get fresh mapping
+        ids and ``col-<uuid>`` physical names.
 
         Returns ``{touched_files, total_files, version}`` so callers
         can observe the pruning.
@@ -4905,6 +4965,13 @@ class DeltaProtocolTable:
             # for the insert set with the high-water mark synced in the
             # SAME commit (see _merge_impl), and explicitly provided
             # values go through the allowExplicitInsert gate.
+            if km.matched_update == "*":
+                raise DeltaProtocolError(
+                    "MERGE whenMatchedUpdateAll (UPDATE SET *) is not"
+                    " allowed on a table with identity columns"
+                    f" {sorted(ids)}: SET * would assign them, and"
+                    " identity values are writer-assigned and immutable"
+                )
             upd_assigned = sorted(
                 (
                     set(km.matched_update or {})
@@ -4943,16 +5010,21 @@ class DeltaProtocolTable:
         every downstream read/clause/projection already sees the
         evolved schema (old files NULL-fill through the explicit-schema
         scan, same as append's mergeSchema), and the action lands in
-        the merge commit so evolution + data are atomic."""
-        if km.not_matched_insert != "*":
+        the merge commit so evolution + data are atomic.
+
+        Evolution triggers on either star clause — delta's rule: with
+        ``not_matched_insert="*"`` inserted rows carry the new columns,
+        and with ``matched_update="*"`` (UPDATE SET *) updated rows do;
+        rows touched by neither read NULL. On COLUMN-MAPPED tables each
+        evolved-in field gets a fresh mapping id and a ``col-<uuid>``
+        physical name (same assignment as :meth:`add_column`), with
+        ``delta.columnMapping.maxColumnId`` bumped in the same
+        metaData action."""
+        if km.not_matched_insert != "*" and km.matched_update != "*":
             raise DeltaProtocolError(
-                "merge schema evolution requires"
-                " not_matched_insert='*' (delta's SET*/INSERT* rule)"
-            )
-        if snap.column_mapping_mode != "none":
-            raise DeltaProtocolError(
-                "merge schema evolution on column-mapped tables is not"
-                " implemented — evolve via append(merge_schema=True)"
+                "merge schema evolution requires a star clause —"
+                " not_matched_insert='*' or matched_update='*'"
+                " (delta's SET*/INSERT* rule)"
             )
         tgt = {f.name for f in snap.schema.fields}
         new_fields = [
@@ -4967,13 +5039,37 @@ class DeltaProtocolTable:
                 f" timestampNtz feature for new columns {ntz} — evolve"
                 " via append(merge_schema=True) first"
             )
-        from pyspark.sql.types import StructField
-
-        evolved = StructType(
-            list(snap.schema.fields)
-            + [StructField(f.name, f.dataType, True) for f in new_fields]
+        fields = json.loads(snap.metadata["schemaString"])["fields"]
+        config = None
+        if snap.column_mapping_mode != "none":
+            config = dict(snap.metadata.get("configuration") or {})
+            max_id = int(config.get(
+                "delta.columnMapping.maxColumnId", len(fields)
+            ))
+            for f in new_fields:
+                max_id += 1
+                fields.append({
+                    "name": f.name, "type": f.dataType.jsonValue(),
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": max_id,
+                        "delta.columnMapping.physicalName":
+                            f"col-{uuid.uuid4()}",
+                    },
+                })
+            config["delta.columnMapping.maxColumnId"] = str(max_id)
+        else:
+            for f in new_fields:
+                fields.append({
+                    "name": f.name, "type": f.dataType.jsonValue(),
+                    "nullable": True, "metadata": {},
+                })
+        meta = dict(
+            snap.metadata,
+            schemaString=json.dumps({"type": "struct", "fields": fields}),
         )
-        meta = dict(snap.metadata, schemaString=evolved.json())
+        if config is not None:
+            meta["configuration"] = config
         return {"metaData": meta}, DeltaSnapshot(
             snap.version, meta, snap.protocol, snap.files,
             snap.history, txns=snap.txns, domains=snap.domains,
@@ -5150,7 +5246,10 @@ class DeltaProtocolTable:
                             f.name: (
                                 "CAST(NULL AS BIGINT)"
                                 if f.name in gen_ids
-                                else f"{km.source_alias}.`{f.name}`"
+                                else (
+                                    f"{km.source_alias}.`{f.name}`"
+                                    if f.name in src_cols else "NULL"
+                                )
                             )
                             for f in snap.schema.fields
                         }
@@ -5176,6 +5275,15 @@ class DeltaProtocolTable:
             if rt_preserved:
                 mid, mcv = self._row_tracking_phys_cols(snap)
                 upd = km.matched_update
+                if upd == "*":
+                    # expand UPDATE SET * so the row-tracking column
+                    # patch below can ride the same dict (identity
+                    # tables already refused SET * in merge())
+                    _sc = set(km.source.columns)
+                    upd = {
+                        f.name: f"{km.source_alias}.`{f.name}`"
+                        for f in snap.schema.fields if f.name in _sc
+                    }
                 if upd is not None:
                     upd = dict(upd)
                     upd[mcv] = "CAST(NULL AS BIGINT)"
@@ -5188,8 +5296,12 @@ class DeltaProtocolTable:
                     )
                 ins = km.not_matched_insert
                 if ins == "*":
+                    _isc = set(km.source.columns)
                     ins = {
-                        f.name: f"{km.source_alias}.`{f.name}`"
+                        f.name: (
+                            f"{km.source_alias}.`{f.name}`"
+                            if f.name in _isc else "NULL"
+                        )
                         for f in snap.schema.fields
                     }
                 if ins is not None:
@@ -5225,7 +5337,10 @@ class DeltaProtocolTable:
                 gen_ids = [c for c in ids if c not in src_cols]
                 inserts = new_src.select(
                     *[
-                        F.col(f"{km.source_alias}.`{f.name}`")
+                        (
+                            F.col(f"{km.source_alias}.`{f.name}`")
+                            if f.name in src_cols else F.lit(None)
+                        )
                         .cast(f.dataType)
                         .alias(f.name)
                         for f in schema.fields

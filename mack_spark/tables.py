@@ -77,15 +77,18 @@ class KeyedMerge:
     ``target_alias`` / ``source_alias`` columns, exactly as
     ``DeltaTable.alias(...).merge(...)`` consumes them.
     ``not_matched_insert`` is either the string ``"*"``
-    (``whenNotMatchedInsertAll``) or a column→expression map.
-    ``matched_delete`` is True or a condition string.
+    (``whenNotMatchedInsertAll``) or a column→expression map;
+    ``matched_update`` likewise accepts ``"*"``
+    (``whenMatchedUpdateAll`` — every target column takes the
+    same-named source column when the source has one, else keeps its
+    value). ``matched_delete`` is True or a condition string.
     """
 
     source: DataFrame
     condition: str
     target_alias: str = "t"
     source_alias: str = "s"
-    matched_update: Optional[Dict[str, str]] = None
+    matched_update: Union[str, Dict[str, str], None] = None
     matched_update_condition: Optional[str] = None
     matched_delete: Union[bool, str, None] = None
     not_matched_insert: Union[str, Dict[str, str], None] = None
@@ -123,7 +126,12 @@ def apply_keyed_merge(dt, km: KeyedMerge) -> None:
     m = dt.alias(km.target_alias).merge(
         km.source.alias(km.source_alias), km.condition
     )
-    if km.matched_update:
+    if km.matched_update == "*":
+        if km.matched_update_condition:
+            m = m.whenMatchedUpdateAll(condition=km.matched_update_condition)
+        else:
+            m = m.whenMatchedUpdateAll()
+    elif km.matched_update:
         if km.matched_update_condition:
             m = m.whenMatchedUpdate(
                 condition=km.matched_update_condition, set=km.matched_update
@@ -944,13 +952,21 @@ class ManagedTable:
             dele = F.lit(True)
         else:
             dele = F.coalesce(F.expr(km.matched_delete), F.lit(False))
+        src_cols = set(km.source.columns)
+
+        def _upd_expr(c):
+            if km.matched_update == "*":
+                # UPDATE SET *: same-named source column when present,
+                # else the target value carries through
+                if c in src_cols:
+                    return F.col(f"{s}.`{c}`")
+                return F.col(f"{t}.`{c}`")
+            if c in (km.matched_update or {}):
+                return F.expr(km.matched_update[c])
+            return F.col(f"{t}.`{c}`")
+
         updated = pairs.where(upd).select(
-            *[
-                F.expr(km.matched_update[c]).alias(c)
-                if c in (km.matched_update or {})
-                else F.col(f"{t}.`{c}`").alias(c)
-                for c in out_cols
-            ]
+            *[_upd_expr(c).alias(c) for c in out_cols]
         )
         kept = pairs.where(~upd & ~dele).select(
             *[F.col(f"{t}.`{c}`").alias(c) for c in out_cols]
@@ -967,11 +983,23 @@ class ManagedTable:
                 )
             if km.not_matched_insert == "*":
                 inserts = new_src.select(
-                    *[F.col(f"{s}.`{c}`").alias(c) for c in out_cols]
+                    *[
+                        (
+                            F.col(f"{s}.`{c}`") if c in src_cols
+                            else F.lit(None)
+                        ).alias(c)
+                        for c in out_cols
+                    ]
                 )
             else:
                 inserts = new_src.select(
-                    *[F.expr(km.not_matched_insert[c]).alias(c) for c in out_cols]
+                    *[
+                        (
+                            F.expr(km.not_matched_insert[c])
+                            if c in km.not_matched_insert else F.lit(None)
+                        ).alias(c)
+                        for c in out_cols
+                    ]
                 )
             result = result.unionByName(inserts)
         for f in declared.fields:

@@ -290,3 +290,185 @@ class TestMergeSchemaEvolution:
                 src,
                 not_matched_insert={"pkey": "s.pkey", "attr": "s.attr"},
             ), schema_evolution=True)
+
+
+class TestMergeUpdateAll:
+    """r14: ``matched_update="*"`` (delta's whenMatchedUpdateAll /
+    UPDATE SET *) — every target column takes the same-named source
+    column when the source carries one, else keeps its value; with
+    ``schema_evolution=True`` it is a star clause that triggers
+    evolution (delta's SET*/INSERT* rule), and column-mapped tables
+    evolve with fresh field ids + col-<uuid> physical names."""
+
+    def _t(self, spark, tmp_path, name="ua", **kw):
+        return DeltaProtocolTable.create(
+            spark, str(tmp_path / name),
+            spark.createDataFrame(
+                [(i, "old", 1) for i in range(6)], SCHEMA
+            ), **kw,
+        )
+
+    def test_update_all_plain(self, spark, tmp_path):
+        t = self._t(spark, tmp_path)
+        src = spark.createDataFrame([(2, "upd", 9)], SCHEMA)
+        t.merge(_km(src, matched_update="*"))
+        rows = {r["pkey"]: (r["status"], r["v"]) for r in t.to_df().collect()}
+        assert rows[2] == ("upd", 9)
+        assert rows[0] == ("old", 1)
+        assert len(rows) == 6  # no insert clause: source row 2 updates only
+
+    def test_update_all_source_missing_column_keeps_target(
+        self, spark, tmp_path
+    ):
+        t = self._t(spark, tmp_path)
+        # source lacks `v`: SET * updates status, keeps v
+        src = spark.createDataFrame([(3, "upd")], "pkey int, status string")
+        t.merge(_km(src, matched_update="*"))
+        rows = {r["pkey"]: (r["status"], r["v"]) for r in t.to_df().collect()}
+        assert rows[3] == ("upd", 1)
+
+    def test_update_all_evolves(self, spark, tmp_path):
+        t = self._t(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(1, "upd", 2, 7.5), (99, "noins", 0, 1.0)],
+            SCHEMA + ", score double",
+        )
+        t.merge(_km(src, matched_update="*"), schema_evolution=True)
+        df = t.to_df()
+        assert [f.name for f in df.schema.fields] == [
+            "pkey", "status", "v", "score",
+        ]
+        rows = {r["pkey"]: (r["status"], r["score"]) for r in df.collect()}
+        assert rows[1] == ("upd", 7.5)     # updated row carries new col
+        assert rows[0] == ("old", None)    # untouched row NULL-fills
+        assert 99 not in rows              # no insert clause
+        assert t.snapshot().version == 1   # evolution + data atomic
+
+    def test_update_all_with_insert_star(self, spark, tmp_path):
+        t = self._t(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(1, "upd", 2, 7.5), (99, "new", 0, 1.0)],
+            SCHEMA + ", score double",
+        )
+        t.merge(
+            _km(src, matched_update="*", not_matched_insert="*"),
+            schema_evolution=True,
+        )
+        rows = {
+            r["pkey"]: (r["status"], r["score"])
+            for r in t.to_df().collect()
+        }
+        assert rows[1] == ("upd", 7.5)
+        assert rows[99] == ("new", 1.0)
+        assert rows[0] == ("old", None)
+
+    def test_update_all_condition(self, spark, tmp_path):
+        t = self._t(spark, tmp_path)
+        src = spark.createDataFrame([(0, "u0", 5), (1, "u1", 9)], SCHEMA)
+        t.merge(_km(
+            src, matched_update="*",
+            matched_update_condition="s.v > 6",
+        ))
+        rows = {r["pkey"]: r["status"] for r in t.to_df().collect()}
+        assert rows[1] == "u1"
+        assert rows[0] == "old"  # condition false: kept
+
+    def test_update_all_identity_refused(self, spark, tmp_path):
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "idua"),
+            spark.createDataFrame([(1, "a")], "pkey int, attr string"),
+            identity={"rid": {"start": 1, "step": 1}},
+        )
+        src = spark.createDataFrame([(1, "b")], "pkey int, attr string")
+        with pytest.raises(DeltaProtocolError, match="identity"):
+            t.merge(_km(src, matched_update="*"))
+
+    def test_update_all_row_tracking_preserved(self, spark, tmp_path):
+        t = self._t(spark, tmp_path, name="uart",
+                    properties={"delta.enableRowTracking": "true"})
+        before = {
+            r["pkey"]: r["_row_id"]
+            for r in t.to_df(with_row_ids=True).collect()
+        }
+        t.merge(_km(
+            spark.createDataFrame([(0, "m", 2)], SCHEMA),
+            matched_update="*",
+        ))
+        after = {
+            r["pkey"]: r["_row_id"]
+            for r in t.to_df(with_row_ids=True).collect()
+        }
+        assert after == before
+        rows = {r["pkey"]: r["status"] for r in t.to_df().collect()}
+        assert rows[0] == "m"
+
+    def test_clause_compiler_update_all(self):
+        from mack_spark.tables import apply_keyed_merge
+
+        class Rec:
+            def __init__(self):
+                self.calls = []
+
+            def __getattr__(self, name):
+                def f(*a, **k):
+                    self.calls.append((name, k))
+                    return self
+                return f
+
+        class FakeSrc:
+            def alias(self, a):
+                return self
+
+        rec = Rec()
+        km = KeyedMerge(
+            source=FakeSrc(), condition="t.k = s.k",
+            matched_update="*",
+        )
+        apply_keyed_merge(rec, km)
+        names = [n for n, _ in rec.calls]
+        assert "whenMatchedUpdateAll" in names
+        assert "whenMatchedUpdate" not in names
+
+
+class TestMergeEvolutionMapped:
+    """r14: schema evolution on COLUMN-MAPPED tables — new fields get
+    fresh mapping ids and col-<uuid> physical names (the add_column
+    assignment), maxColumnId bumps in the same metaData action."""
+
+    def test_mapped_evolution(self, spark, tmp_path):
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from test_column_mapping_rw import _mk_name_mode_rw
+
+        t, phys = _mk_name_mode_rw(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(1, "X", 9.5), (44, "new", 1.5)],
+            "k int, v string, score double",
+        )
+        t.merge(KeyedMerge(
+            source=src, condition="t.k = s.k",
+            target_alias="t", source_alias="s",
+            matched_update="*", not_matched_insert="*",
+            target_key_col="k", source_key_col="k",
+        ), schema_evolution=True)
+        df = t.to_df()
+        assert [f.name for f in df.schema.fields] == ["k", "v", "p", "score"]
+        rows = {r["k"]: (r["v"], r["score"]) for r in df.collect()}
+        assert rows[1] == ("X", 9.5)
+        assert rows[44] == ("new", 1.5)
+        assert rows[2] == ("y", None)  # untouched: NULL-fills
+        # the evolved field carries fresh mapping metadata
+        import json as _json
+        snap = t.snapshot()
+        fields = _json.loads(snap.metadata["schemaString"])["fields"]
+        new = [f for f in fields if f["name"] == "score"][0]
+        md = new["metadata"]
+        assert md["delta.columnMapping.id"] == 4
+        assert md["delta.columnMapping.physicalName"].startswith("col-")
+        cfg = snap.metadata["configuration"]
+        assert cfg["delta.columnMapping.maxColumnId"] == "4"
+        # appends after evolution enforce + map the evolved schema
+        t.append(spark.createDataFrame(
+            [(77, "z", "p3", 2.0)], "k int, v string, p string, score double"
+        ))
+        assert t.to_df().where("k = 77").collect()[0]["score"] == 2.0
