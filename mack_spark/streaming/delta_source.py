@@ -703,10 +703,26 @@ class DeltaProtocolStreamWriter(DataSourceStreamArrowWriter):
     partition-value combination it saw — files exclude the partition
     columns and the adds record ``partitionValues`` (the log is
     authoritative; the reader attaches them as typed literals, no
-    directory layout required). Identity-column and column-mapped
-    targets are refused loudly (generation/physical-naming are
-    driver-coordinated writes this executor-local sink cannot express
-    yet). Row-tracked targets work — the commit assigns baseRowIds.
+    directory layout required). Row-tracked targets work — the commit
+    assigns baseRowIds.
+
+    COLUMN-MAPPED targets work executor-side: the physical mapping is
+    captured at construction (it cannot change mid-stream — the schema
+    check re-verifies per commit), each task renames logical→physical
+    and stamps ``parquet.field.id`` before writing, and partitionValues
+    come out physical-keyed, exactly like the batch writer's files.
+
+    IDENTITY targets work via a commit-time rewrite: identity values
+    must physically exist in the data files (spec §Identity Columns),
+    and an executor task cannot reserve a gap-free range without
+    coordination, so ``commit`` reads the staged batch back (executor-
+    side scan), routes it through :meth:`DeltaProtocolTable.append`
+    with ``txnAppId``/``txnVersion`` — which generates gap-free ids,
+    syncs the high-water mark, enforces constraints, and lands the
+    SetTransaction watermark in the SAME commit — then deletes the
+    staging files. One extra read+write of the BATCH (never the
+    table), all executor-side; replays stay no-ops through append's
+    own watermark check.
 
     SCALE: data never moves through the driver; each microbatch is N
     executor-local parquet writes + one O(metadata) commit."""
@@ -751,25 +767,42 @@ class DeltaProtocolStreamWriter(DataSourceStreamArrowWriter):
         snap = t.snapshot()
         t._assert_writable(snap)
         self._pcols = list(snap.partition_columns)
+        # logical → (physicalName, field id) when the target is
+        # column-mapped; executors rename + stamp parquet.field.id so
+        # staged files look exactly like the batch writer's
+        self._phys = None
         if snap.column_mapping_mode != "none":
-            raise DeltaProtocolError(
-                "delta_protocol sink does not support column-mapped"
-                " targets — use foreachBatch +"
-                " DeltaProtocolTable.append"
-            )
+            phys = snap.physical_names()
+            self._phys = {
+                f.name: (
+                    phys.get(f.name, f.name),
+                    (f.metadata or {}).get("delta.columnMapping.id"),
+                )
+                for f in snap.schema.fields
+            }
         ids = _identity_columns(snap.schema)
-        if ids:
-            raise DeltaProtocolError(
-                f"delta_protocol sink cannot generate identity columns"
-                f" {sorted(ids)} — use foreachBatch +"
-                " DeltaProtocolTable.append"
-            )
-        table_fields = {
-            f.name: f.dataType for f in snap.schema.fields
-        }
+        self._identity_rewrite = bool(ids)
         stream_fields = {
             f.name: f.dataType for f in self._schema.fields
         }
+        if ids:
+            # identity values are writer-assigned: the stream must NOT
+            # carry them (commit generates gap-free ids for the batch)
+            explicit = sorted(set(stream_fields) & set(ids))
+            if explicit:
+                raise DeltaProtocolError(
+                    f"the stream carries identity columns {explicit} —"
+                    " identity values are writer-assigned; drop them"
+                    " and let the sink generate ids at commit"
+                )
+            table_fields = {
+                f.name: f.dataType for f in snap.schema.fields
+                if f.name not in ids
+            }
+        else:
+            table_fields = {
+                f.name: f.dataType for f in snap.schema.fields
+            }
         if table_fields != stream_fields:
             raise DeltaProtocolError(
                 f"stream schema {sorted(stream_fields)} does not match"
@@ -793,7 +826,22 @@ class DeltaProtocolStreamWriter(DataSourceStreamArrowWriter):
             return _SinkFileMessage()
         tbl = pa.Table.from_batches(batches)
 
+        def _to_physical(sub: "pa.Table") -> "pa.Table":
+            if self._phys is None:
+                return sub
+            fields = []
+            for name in sub.schema.names:
+                f = sub.schema.field(name)
+                phys, fid = self._phys.get(name, (name, None))
+                md = (
+                    {b"PARQUET:field_id": str(int(fid)).encode()}
+                    if fid is not None else None
+                )
+                fields.append(pa.field(phys, f.type, f.nullable, md))
+            return pa.table(sub.columns, schema=pa.schema(fields))
+
         def _emit(sub: "pa.Table", pv: Optional[dict]):
+            sub = _to_physical(sub)
             fname = f"part-{_uuid.uuid4().hex}-stream.snappy.parquet"
             dest = os.path.join(self._path, fname)
             pq.write_table(sub, dest, compression="snappy")
@@ -806,6 +854,22 @@ class DeltaProtocolStreamWriter(DataSourceStreamArrowWriter):
                 "stats": stats,
                 "partitionValues": pv or {},
             }
+
+        if self._identity_rewrite:
+            # identity target: stage the batch RAW (logical names, all
+            # columns, no partition split) — commit() reads it back and
+            # rewrites through the append path, which generates the ids
+            # and handles partitioning/mapping
+            fname = f"part-{_uuid.uuid4().hex}-stream-staged.snappy.parquet"
+            pq.write_table(
+                tbl, os.path.join(self._path, fname), compression="snappy"
+            )
+            return _SinkFileMessage([{
+                "rel_path": fname,
+                "size": os.path.getsize(os.path.join(self._path, fname)),
+                "stats": "{}",
+                "partitionValues": {},
+            }])
 
         if not self._pcols:
             return _SinkFileMessage([_emit(tbl, None)])
@@ -823,13 +887,15 @@ class DeltaProtocolStreamWriter(DataSourceStreamArrowWriter):
             mask = None
             pv = {}
             for c in self._pcols:
+                # partitionValues are PHYSICAL-keyed on mapped tables
+                pk = self._phys[c][0] if self._phys else c
                 v = distinct.column(c)[i]
                 if not v.is_valid:
                     cond = pc.is_null(tbl.column(c))
-                    pv[c] = None
+                    pv[pk] = None
                 else:
                     cond = pc.equal(tbl.column(c), v)
-                    pv[c] = _partition_value_str(v.as_py())
+                    pv[pk] = _partition_value_str(v.as_py())
                 mask = cond if mask is None else pc.and_(mask, cond)
             sub = tbl.filter(mask).drop_columns(self._pcols)
             if sub.num_rows:
@@ -854,12 +920,46 @@ class DeltaProtocolStreamWriter(DataSourceStreamArrowWriter):
         )
         from mack_spark.tables import ConcurrentModificationError
 
+        # the streaming commit callback can run on a thread with no
+        # ACTIVE session (Spark's microbatch thread pool) — fall back
+        # to the process-wide instantiated session
         spark = SparkSession.getActiveSession()
+        if spark is None:
+            spark = SparkSession.builder.getOrCreate()
         t = DeltaProtocolTable(spark, self._path)
         files = [
             e for m in messages if m is not None
             for e in (getattr(m, "entries", None) or [])
         ]
+        if self._identity_rewrite:
+            # re-validate (schema may have moved mid-stream), then
+            # rewrite the staged batch through the append path:
+            # identity generation, hwm sync, constraint enforcement,
+            # mapped physical naming, and the SetTransaction watermark
+            # all land in ONE commit (append's txnAppId support); a
+            # replayed batch is a no-op inside append itself
+            self._validate_target(t)
+            snap = t.snapshot()
+            last = snap.txns.get(self._app_id)
+            if last is not None and batchId <= last:
+                self._drop_staged(messages)
+                return
+            staged = (
+                spark.read.schema(self._schema).parquet(
+                    *[os.path.join(self._path, e["rel_path"])
+                      for e in files]
+                )
+                if files
+                else spark.createDataFrame([], self._schema)
+            )
+            try:
+                t.append(
+                    staged, txn_app_id=self._app_id,
+                    txn_version=int(batchId),
+                )
+            finally:
+                self._drop_staged(messages)
+            return
         for _attempt in range(5):
             snap = t.snapshot()
             self._validate_target(t)

@@ -7,8 +7,9 @@ per microbatch carrying the adds plus a SetTransaction
 no-op (staged duplicates dropped, nothing recommitted). Constraints
 and generated columns enforce at commit over just the staged files
 (partition values attach as typed literals). Partitioned targets work
-(tasks split batches by partition values); identity / column-mapped
-targets refuse loudly.
+(tasks split batches by partition values). r14: identity targets
+generate ids via a commit-time rewrite through the append path;
+column-mapped targets write physical names + field ids executor-side.
 """
 
 import os
@@ -214,7 +215,10 @@ class TestSinkGuards:
         # nothing committed
         assert dst.to_df().count() == 1
 
-    def test_identity_target_refused(self, spark, tmp_path):
+    def test_explicit_identity_in_stream_refused(self, spark, tmp_path):
+        # identity values are writer-assigned: a stream CARRYING the
+        # identity column is refused; a stream without it generates
+        # (TestSinkIdentityAndMapped)
         dst = _mk(spark, tmp_path, "dst",
                   identity={"rid": {"start": 1, "step": 1}})
         with pytest.raises(DeltaProtocolError, match="identity"):
@@ -291,3 +295,144 @@ class TestSinkGuards:
             DeltaProtocolStreamWriter(
                 dst.snapshot().schema, {"path": dst.path}, False,
             )
+
+
+class TestSinkIdentityAndMapped:
+    """r14: identity targets generate gap-free ids at commit (the
+    staged batch rewrites through the append path — ids + hwm +
+    SetTransaction in ONE commit); column-mapped targets write
+    physical names + parquet field ids executor-side, no rewrite."""
+
+    def test_identity_generation_end_to_end(self, spark, tmp_path):
+        src = _mk(spark, tmp_path, "src", spark.createDataFrame(
+            [(i, f"r{i}") for i in range(25)], SCHEMA
+        ))
+        dst = DeltaProtocolTable.create(
+            spark, str(tmp_path / "dst"),
+            spark.createDataFrame([], SCHEMA),
+            identity={"rid": {"start": 1, "step": 1}},
+        )
+        ck = str(tmp_path / "ck")
+        _run_stream(spark, src.path, dst.path, ck)
+        rows = dst.to_df().collect()
+        assert sorted(r["rid"] for r in rows) == list(range(1, 26))
+        assert sorted(r["pkey"] for r in rows) == list(range(25))
+        # second run continues past the synced high-water mark
+        src.append(spark.createDataFrame(
+            [(i, "b") for i in range(25, 40)], SCHEMA
+        ))
+        _run_stream(spark, src.path, dst.path, ck)
+        rows = dst.to_df().collect()
+        assert sorted(r["rid"] for r in rows) == list(range(1, 41))
+        # exactly-once: the watermark advanced under the sink's appId
+        assert len(dst.snapshot().txns) == 1
+        # no orphaned staging files (drop happens after commit)
+        staged = [
+            f for f in os.listdir(dst.path)
+            if f.endswith("-stream-staged.snappy.parquet")
+        ]
+        assert staged == []
+
+    def test_identity_replay_is_noop(self, spark, tmp_path):
+        dst = DeltaProtocolTable.create(
+            spark, str(tmp_path / "dst"),
+            spark.createDataFrame([(0, "z")], SCHEMA),
+            identity={"rid": {"start": 1, "step": 1}},
+        )
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        w = DeltaProtocolStreamWriter(
+            spark.createDataFrame([], SCHEMA).schema,
+            {"path": dst.path, "txnappid": "app-id"}, False,
+        )
+
+        def _stage():
+            f = f"part-{uuid.uuid4().hex}-stream-staged.snappy.parquet"
+            pq.write_table(
+                pa.table({"pkey": pa.array([7], pa.int32()),
+                          "attr": pa.array(["x"])}),
+                os.path.join(dst.path, f),
+            )
+            return _SinkFileMessage([{
+                "rel_path": f,
+                "size": os.path.getsize(os.path.join(dst.path, f)),
+                "stats": "{}", "partitionValues": {},
+            }])
+
+        w.commit([_stage()], 0)
+        assert dst.to_df().count() == 2
+        ids0 = sorted(r["rid"] for r in dst.to_df().collect())
+        # replay of batch 0: staged dropped, nothing recommitted,
+        # no ids consumed
+        w.commit([_stage()], 0)
+        assert dst.to_df().count() == 2
+        assert sorted(r["rid"] for r in dst.to_df().collect()) == ids0
+        w.commit([_stage()], 1)
+        assert dst.to_df().count() == 3
+
+    def test_mapped_target_stream(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        src = _mk(spark, tmp_path, "src", spark.createDataFrame(
+            [(i, f"r{i}") for i in range(15)], SCHEMA
+        ))
+        dst = _mk(spark, tmp_path, "dst", spark.createDataFrame(
+            [(999, "seed")], "pkey0 int, attr string"
+        ))
+        dst.enable_column_mapping()
+        # rename forces logical != physical (enable keeps old names)
+        dst.rename_column("pkey0", "pkey")
+        _run_stream(spark, src.path, dst.path, str(tmp_path / "ck"))
+        got = sorted(r["pkey"] for r in dst.to_df().collect())
+        assert got == list(range(15)) + [999]
+        snap = dst.snapshot()
+        phys = snap.physical_names()
+        assert phys["pkey"] == "pkey0"  # mapping actually diverges
+        for p in snap.files:
+            if "stream" not in p:
+                continue
+            sch = pq.read_schema(os.path.join(dst.path, p))
+            assert set(sch.names) == {phys["pkey"], phys["attr"]}
+            # field ids stamped for id-mode readers
+            fld = sch.field(phys["pkey"])
+            assert fld.metadata and b"PARQUET:field_id" in fld.metadata
+
+    def test_mapped_partitioned_target_stream(self, spark, tmp_path):
+        src_df = spark.createDataFrame(
+            [(i, f"r{i}", "even" if i % 2 == 0 else "odd")
+             for i in range(12)],
+            "pkey int, attr string, par string",
+        )
+        src = DeltaProtocolTable.create(
+            spark, str(tmp_path / "mpsrc"), src_df,
+        )
+        dst = DeltaProtocolTable.create(
+            spark, str(tmp_path / "mpdst"), src_df.limit(0),
+            partition_by=["par"],
+        )
+        dst.enable_column_mapping()
+        _run_stream(spark, src.path, dst.path, str(tmp_path / "mpck"))
+        got = sorted(map(tuple, dst.to_df().collect()))
+        assert got == sorted(map(tuple, src_df.collect()))
+        snap = dst.snapshot()
+        ppar = snap.physical_names()["par"]
+        for p, a in snap.files.items():
+            if "stream" not in p:
+                continue
+            pv = a.get("partitionValues") or {}
+            assert pv.get(ppar) in ("even", "odd")  # physical-keyed
+
+    def test_identity_mapped_combined(self, spark, tmp_path):
+        src = _mk(spark, tmp_path, "src", spark.createDataFrame(
+            [(i, "a") for i in range(8)], SCHEMA
+        ))
+        dst = DeltaProtocolTable.create(
+            spark, str(tmp_path / "dst"),
+            spark.createDataFrame([], SCHEMA),
+            identity={"rid": {"start": 10, "step": 2}},
+        )
+        dst.enable_column_mapping()
+        _run_stream(spark, src.path, dst.path, str(tmp_path / "ck"))
+        rows = dst.to_df().collect()
+        assert sorted(r["rid"] for r in rows) == list(range(10, 26, 2))
