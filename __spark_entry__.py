@@ -555,6 +555,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_scd2_merge"] = q_scd2_delta
 
+    def q_scd2_sql_dml(spark, sf_dir):
+        # r14: the SAME reference SCD2 flow as LITERAL SQL MERGE text —
+        # the DML front-end (mack_spark/sql_dml.py) parses the statement
+        # and compiles it onto the KeyedMerge executor; delta-spark
+        # users keep writing MERGE INTO as SQL. The staged dual-row
+        # source (reference mack/__init__.py:99-140) registers as a
+        # temp view; the MERGE is executed from text, not builders.
+        import tempfile
+
+        from mack_spark.sql_dml import execute_dml
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        base = _scd_base(spark, sf_dir)
+        updates = _scd_updates(spark, sf_dir)
+        attrs = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+        b_cur = base.where(F.col("is_current"))
+        closers = (
+            updates.alias("u")
+            .join(b_cur.alias("b"), F.col("u.c_custkey") == F.col("b.c_custkey"))
+            .where(
+                " OR ".join(f"u.{a} <> b.{a}" for a in attrs)
+            )
+            .select(
+                F.lit(None).cast("bigint").alias("mergeKey"), "u.*"
+            )
+        )
+        staged = closers.unionByName(
+            updates.select(F.col("c_custkey").alias("mergeKey"), "*")
+        )
+        staged.createOrReplaceTempView("scd2_sql_staged")
+        path = tempfile.mkdtemp(prefix="mack-delta-sqlmerge-") + "/t"
+        t = DeltaProtocolTable.create(spark, path, base)
+        changed = " OR ".join(
+            f"staged.{a} <> base.{a}" for a in attrs
+        )
+        execute_dml(spark, f"""
+            MERGE INTO delta.`{path}` base
+            USING scd2_sql_staged staged
+            ON base.c_custkey = staged.mergeKey
+            WHEN MATCHED AND base.is_current = true AND ({changed})
+                THEN UPDATE SET is_current = false,
+                                end_time = staged.effective_time
+            WHEN NOT MATCHED THEN INSERT
+                (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+                 is_current, effective_time, end_time)
+                VALUES (staged.c_custkey, staged.c_name,
+                        staged.c_nationkey, staged.c_acctbal,
+                        staged.c_mktsegment, true,
+                        staged.effective_time, null)
+        """)
+        return t.to_df()
+
+    q["delta_sql_merge"] = q_scd2_sql_dml
+
     def q_kill_delta(spark, sf_dir):
         # kill_duplicates the way the reference executes it — a native
         # Delta MERGE with whenMatchedDelete (reference
@@ -4515,6 +4569,8 @@ FROM updates WHERE c_custkey NOT IN (SELECT c_custkey FROM base)
     o["streaming_scd2_foreach_batch"] = o["type_2_scd_upsert"]
     # ... and so must the native Delta-protocol MERGE commit.
     o["delta_scd2_merge"] = o["type_2_scd_upsert"]
+    # the SQL-text MERGE front-end computes the identical post-state
+    o["delta_sql_merge"] = o["type_2_scd_upsert"]
     # The protocol-backed dedup merges land in the same post-states as
     # their plan forms (whenMatchedDelete / whenNotMatchedInsertAll).
     o["delta_kill_duplicates"] = o["kill_duplicates"]

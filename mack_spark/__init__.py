@@ -50,6 +50,7 @@ from mack_spark.keys import (
     with_md5_cols,
 )
 from mack_spark.scd import type_2_scd_upsert, type_2_scd_generic_upsert
+from mack_spark.sql_dml import DeltaSqlDml, execute_dml
 from mack_spark.dedup import (
     kill_duplicates,
     drop_duplicates_pkey,
@@ -109,4 +110,6 @@ __all__ = [
     "with_md5_cols",
     "humanize_bytes",
     "humanize_bytes_binary",
+    "DeltaSqlDml",
+    "execute_dml",
 ]
