@@ -6,7 +6,10 @@ with nothing beyond the stdlib + numpy:
 * **BMP** — uncompressed 24/32-bpp Windows bitmaps (BITMAPINFOHEADER);
 * **PPM/PGM** — binary P6 (RGB) / P5 (grayscale) netpbm;
 * **PNG** — 8-bit gray/gray-alpha/RGB/RGBA, non-interlaced, all five
-  scanline filters, inflated with stdlib ``zlib``.
+  scanline filters, inflated with stdlib ``zlib``;
+* **JPEG** — sequential baseline (huffman + DCT, any sampling
+  factors, restart markers) via :mod:`mack_spark.jpeg`; progressive /
+  arithmetic refuse at the fence.
 
 ``decode_image`` sniffs the magic bytes and returns a ``(h, w, c)``
 uint8 numpy array; ``encode_ppm`` re-encodes for byte-stable output
@@ -210,6 +213,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_pnm(payload)
+    if payload[:2] == b"\xff\xd8":
+        from mack_spark.jpeg import decode_jpeg  # baseline sequential
+
+        return decode_jpeg(payload)
     raise ImageFormatError("unrecognized image magic")
 
 

@@ -312,3 +312,61 @@ def probe_media(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
             )
 
     return df.select(id_col, binary_col).mapInPandas(run, out_schema)
+
+
+def decode_dims(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """Pixel-level dimension probe: decode every payload with the real
+    codecs (BMP/PPM/PGM/PNG/**baseline JPEG** — mack_spark.codecs) and
+    return ``(id_col, width, height, channels, format)``. The corpus
+    question it answers — "what are the true decoded dimensions of
+    every image, by container format" — needs a real decode: container
+    headers can lie, and JPEG dims live after an arbitrary number of
+    APP/DQT/DHT segments.
+
+    Undecodable payloads degrade to ``format='unknown'`` with NULL
+    dims (never fail the pass). Arrow-batched ``mapInPandas``, one
+    payload in memory per worker at a time.
+    """
+    from mack_spark.codecs import ImageFormatError
+    from mack_spark.codecs import decode_image as _decode
+
+    out_schema = StructType([
+        df.schema[id_col],
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("format", StringType(), True),
+    ])
+
+    def _fmt(p: bytes) -> str:
+        if p[:2] == b"\xff\xd8":
+            return "jpeg"
+        if p[:8] == b"\x89PNG\r\n\x1a\n":
+            return "png"
+        if p[:2] == b"BM":
+            return "bmp"
+        if p[:2] in (b"P5", b"P6"):
+            return "pnm"
+        return "unknown"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf[binary_col]:
+                try:
+                    img = _decode(bytes(p))
+                    rows.append((
+                        int(img.shape[1]), int(img.shape[0]),
+                        int(img.shape[2]), _fmt(bytes(p)),
+                    ))
+                except (ImageFormatError, ValueError, TypeError):
+                    rows.append((None, None, None, "unknown"))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "width": [r[0] for r in rows],
+                "height": [r[1] for r in rows],
+                "channels": [r[2] for r in rows],
+                "format": [r[3] for r in rows],
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(run, out_schema)

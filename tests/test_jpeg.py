@@ -1,0 +1,161 @@
+"""Round-14: baseline JPEG codec (mack_spark/jpeg.py) — huffman + DCT
+in numpy, no Pillow. The decoder reads tables from the file's own
+DQT/DHT segments while the encoder writes the Annex K tables, so
+round-trip equality is two independent implementations agreeing.
+Progressive (SOF2) and non-baseline modes refuse at the fence, like
+the mp4a/avc1 codec boundary (VERDICT r13 What's missing #5).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from mack_spark.codecs import ImageFormatError, decode_image
+from mack_spark.jpeg import decode_jpeg, encode_jpeg_baseline
+
+
+def _rt(img, **kw):
+    payload = encode_jpeg_baseline(img, **kw)
+    out = decode_jpeg(payload)
+    ref = img if img.ndim == 3 else img[:, :, None]
+    return out, int(np.abs(out.astype(int) - ref.astype(int)).max()), payload
+
+
+class TestRoundTrip:
+    def test_constant_gray_exact(self):
+        out, err, _ = _rt(np.full((16, 16), 127, np.uint8))
+        assert out.shape == (16, 16, 1)
+        assert err <= 1
+
+    def test_constant_rgb(self):
+        out, err, _ = _rt(np.full((24, 40, 3), [200, 30, 90], np.uint8))
+        assert out.shape == (24, 40, 3)
+        assert err <= 2
+
+    def test_gradient_ac_coefficients(self):
+        g = np.tile(np.arange(64, dtype=np.uint8) * 4, (32, 1))
+        out, err, _ = _rt(np.stack([g, g, g], 2), quality=95)
+        assert err <= 8
+
+    def test_noise_high_quality_bounded(self):
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, (17, 23, 3), dtype=np.int64).astype(
+            np.uint8
+        )
+        out, err, _ = _rt(img, quality=100)
+        assert out.shape == (17, 23, 3)
+        assert err <= 40  # q=100 still quantizes; bounded, not exact
+
+    def test_chroma_420_subsampling(self):
+        out, err, payload = _rt(
+            np.full((20, 20, 3), [10, 250, 60], np.uint8),
+            subsample="420",
+        )
+        assert err <= 4
+        # the SOF really declares 2x2 luma sampling
+        i = payload.index(b"\xff\xc0")
+        assert payload[i + 11] == 0x22
+
+    def test_420_odd_dims(self):
+        img = np.zeros((33, 31, 3), np.uint8)
+        img[:, :, 0] = 90
+        img[:16, :, 1] = 200
+        out, err, _ = _rt(img, subsample="420", quality=95)
+        assert out.shape == (33, 31, 3)
+        assert err <= 16  # block-mean chroma at the half-plane edge
+
+    def test_restart_markers(self):
+        g = np.tile(np.arange(64, dtype=np.uint8) * 4, (32, 1))
+        out, err, payload = _rt(
+            np.stack([g, g, g], 2), quality=95, restart_interval=2
+        )
+        assert err <= 8
+        assert b"\xff\xdd" in payload          # DRI present
+        assert bytes([0xFF, 0xD0]) in payload  # at least one RST0
+
+    def test_odd_sizes_crop(self):
+        out, err, _ = _rt(np.full((9, 13, 3), 5, np.uint8))
+        assert out.shape == (9, 13, 3)
+        assert err <= 2
+
+    def test_dispatch_magic(self):
+        payload = encode_jpeg_baseline(np.full((8, 8), 42, np.uint8))
+        out = decode_image(payload)
+        assert out.shape == (8, 8, 1)
+        assert abs(int(out[0, 0, 0]) - 42) <= 1
+
+
+class TestFences:
+    def test_progressive_refused(self):
+        # minimal SOF2 skeleton: SOI + progressive frame header
+        sof2 = (
+            b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
+            + b"\x08" + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00"
+        )
+        with pytest.raises(ImageFormatError, match="progressive"):
+            decode_jpeg(sof2)
+
+    def test_lossless_refused(self):
+        sof3 = (
+            b"\xff\xd8\xff\xc3" + struct.pack(">H", 11)
+            + b"\x08" + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00"
+        )
+        with pytest.raises(ImageFormatError, match="not supported"):
+            decode_jpeg(sof3)
+
+    def test_not_jpeg_refused(self):
+        with pytest.raises(ImageFormatError, match="SOI"):
+            decode_jpeg(b"BM000000")
+
+    def test_truncated_entropy_refused(self):
+        payload = encode_jpeg_baseline(
+            np.arange(64, dtype=np.uint8).reshape(8, 8)
+        )
+        with pytest.raises(ImageFormatError):
+            decode_jpeg(payload[: len(payload) // 2])
+
+    def test_12bit_refused(self):
+        sof0_12 = (
+            b"\xff\xd8\xff\xc0" + struct.pack(">H", 11)
+            + b"\x0c" + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00"
+        )
+        with pytest.raises(ImageFormatError, match="8-bit"):
+            decode_jpeg(sof0_12)
+
+
+class TestStructure:
+    def test_markers_well_formed(self):
+        payload = encode_jpeg_baseline(np.full((8, 8, 3), 99, np.uint8))
+        assert payload[:2] == b"\xff\xd8"
+        assert payload[-2:] == b"\xff\xd9"
+        assert b"JFIF\x00" in payload
+        # two DQTs, four DHTs for color
+        assert payload.count(b"\xff\xdb") >= 2
+        assert payload.count(b"\xff\xc4") >= 4
+
+    def test_gray_single_component(self):
+        payload = encode_jpeg_baseline(np.full((8, 8), 50, np.uint8))
+        i = payload.index(b"\xff\xc0")
+        ncomp = payload[i + 9]
+        assert ncomp == 1
+
+    def test_byte_stuffing_roundtrip(self):
+        # an image tuned to produce 0xFF bytes in the entropy stream
+        rng = np.random.RandomState(3)
+        for _ in range(5):
+            img = rng.randint(0, 256, (16, 16, 3), dtype=np.int64).astype(
+                np.uint8
+            )
+            payload = encode_jpeg_baseline(img, quality=100)
+            out = decode_jpeg(payload)
+            assert out.shape == (16, 16, 3)
+
+    def test_pixel_feature_fn_on_jpeg(self):
+        from mack_spark.codecs import pixel_feature_fn
+
+        payload = encode_jpeg_baseline(np.full((16, 16), 8, np.uint8))
+        feats = pixel_feature_fn(8)(payload)
+        assert len(feats) == 8
+        assert abs(sum(feats) - 1.0) < 1e-9
+        assert feats[0] == 1.0  # all intensity in the lowest bucket
