@@ -3587,6 +3587,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_delta_sink"] = q_streaming_delta_sink
 
+    def q_streaming_identity_sink(spark, sf_dir):
+        # r14: streaming sink into an IDENTITY target (VERDICT r13
+        # "Next round" #4). The sink stages each microbatch raw and
+        # commits it through the append path — gap-free id generation,
+        # hwm sync, and the SetTransaction watermark in ONE commit.
+        # The id aggregates are closed-form in the row count (ids are
+        # exactly 1..N as a SET), so the oracle hash-checks them from
+        # counts alone; per-row generation order is engine-internal
+        # and deliberately not part of the contract.
+        import tempfile
+        import uuid as _uuid
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+        from mack_spark.streaming.delta_source import register
+
+        register(spark)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        base = tempfile.mkdtemp(prefix="mack-idsink-")
+        src = DeltaProtocolTable.create(
+            spark, base + "/src",
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+        )
+        src.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+        dst = DeltaProtocolTable.create(
+            spark, base + "/dst", orders.limit(0),
+            identity={"row_seq": {"start": 1, "step": 1}},
+        )
+        sq = (
+            spark.readStream.format("delta_protocol")
+            .option("path", src.path).load()
+            .writeStream.format("delta_protocol")
+            .option("path", dst.path)
+            .option("checkpointLocation",
+                    base + "/ck" + _uuid.uuid4().hex[:6])
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        snap = dst.snapshot()
+        assert snap.txns, "sink committed no SetTransaction watermark"
+        return dst.to_df().groupBy().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("row_seq").alias("min_id"),
+            F.max("row_seq").alias("max_id"),
+            F.count_distinct("row_seq").alias("n_distinct_ids"),
+            F.sum("row_seq").alias("id_sum"),
+        )
+
+    q["streaming_identity_sink"] = q_streaming_identity_sink
+
     def q_delta_nms_merge(spark, sf_dir):
         # whenNotMatchedBySource MERGE (round 13, delta-spark 2.3+):
         # one commit syncs the table to a source — matched rows
@@ -3627,11 +3679,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["delta_nms_merge"] = q_delta_nms_merge
 
     def q_delta_merge_evolution(spark, sf_dir):
-        # MERGE schema evolution (round 13, delta's autoMerge):
-        # INSERT * with a source column the target lacks evolves the
-        # schema in the SAME commit — pre-existing rows NULL-fill the
-        # new column, inserts carry the source values. One commit does
-        # evolution + data (asserted in-row).
+        # MERGE schema evolution (r13, extended r14 with UPDATE SET * —
+        # delta's autoMerge SET*/INSERT* rule): a source column the
+        # target lacks evolves the schema in the SAME commit —
+        # untouched rows NULL-fill the new column, inserts carry the
+        # source values, and UPDATED rows do too under matched_update
+        # "*". One commit does evolution + data (asserted in-row).
         import tempfile
 
         from mack_spark.sources.delta_log import DeltaProtocolTable
@@ -3653,7 +3706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t.merge(KeyedMerge(
             source=src, condition="t.c_custkey = s.c_custkey",
             target_alias="t", source_alias="s",
-            matched_update={"c_mktsegment": "s.c_mktsegment"},
+            matched_update="*",
             not_matched_insert="*",
             target_key_col="c_custkey", source_key_col="c_custkey",
         ), schema_evolution=True)
@@ -3838,74 +3891,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["delta_log_cleanup"] = q_delta_log_cleanup
 
     # Verification rotation: the driver checks the FIRST 50 keys in
-    # declaration order each round. Round-13 priorities (VERDICT r12
+    # declaration order each round. Round-14 priorities (VERDICT r13
     # "Next round" #1):
-    # (a) the 22 rows whose last green driver check is round 9 — the
-    # multimodal / pii / profile / packing / streaming cohort plus the
-    # flagship type_2_scd_upsert; after this round no declared query's
-    # last driver check predates r10;
-    # (b) the NEW r13 row (identity + MERGE) and delta_row_tracking,
-    # whose in-row asserts now pin post-OPTIMIZE id stability;
-    # (c) fill to 50 from the round-10 cohort (alphabetical prefix;
-    # the rest rotate in r14).
-    front_r13 = [
-        # (a) last green r9
-        "multimodal_metadata",
-        "multimodal_resize",
-        "numeric_correlations",
-        "packing_efficiency",
-        "part_affinity",
-        "pii_redact",
-        "pii_rollup_by_source",
-        "pii_stats",
-        "retention_cohorts",
-        "sequence_packing",
-        "type_2_scd_upsert",
-        "unigram_quality",
-        "vocab_census",
-        "streaming_continuous_rollup",
-        "streaming_dedup_keys",
-        "streaming_delta_source",
-        "streaming_hourly",
-        "streaming_scd2_foreach_batch",
-        "streaming_sessionize",
-        "streaming_sliding",
-        "streaming_stream_stream_join",
-        "streaming_user_stats",
-        # (b) new / behavior-extended r13 rows
-        "delta_identity_merge",
-        "delta_deep_clone",
-        "delta_log_compaction",
-        "streaming_delta_sink",
-        "delta_nms_merge",
+    # (a) the FOUR never-driver-checked rows — delta_optimize_where
+    # (the only pre-r14 query with no CORRECTNESS_r* entry in any
+    # round) plus the three new r14 rows (SQL DML MERGE, JPEG codec,
+    # identity streaming sink);
+    # (b) delta_merge_evolution, behavior-extended this round
+    # (UPDATE SET * evolution);
+    # (c) all 29 rows whose last green driver check is round 10 —
+    # after this round no declared query's last check predates r11;
+    # (d) fill to 50 from the round-11 cohort (alphabetical prefix;
+    # the remaining 34 rotate in r15).
+    front_r14 = [
+        # (a) never driver-checked
+        "delta_optimize_where",
+        "delta_sql_merge",
+        "multimodal_jpeg_dims",
+        "streaming_identity_sink",
+        # (b) behavior-extended r14
         "delta_merge_evolution",
-        "delta_row_tracking",
-        # (c) last green r10, alphabetical prefix
-        "chunk_dedup_stats",
-        "contamination_check",
-        "conversion_funnel",
-        "corpus_cube",
-        "corpus_rollup",
-        "curation_pipeline",
-        "customer_order_distribution",
-        "data_mix",
-        "dedup_cluster_sizes",
-        "dedup_clusters",
-        "dedup_embedding_banded",
-        "dedup_embedding_cosine",
-        "dedup_minhash_lsh",
-        "dedup_ngram_containment",
-        "dedup_ngram_jaccard",
-        "dedup_source_matrix",
-        "delta_cdf_changes",
-        "delta_column_mapped_read",
-        "delta_deletion_vector_read",
-        "delta_incremental_rollup",
-        "discounted_revenue",
+        # (c) last green r10 — the full cohort
+        "doc_stats",
+        "doclen_deciles",
+        "drop_near_duplicates",
+        "embedding_centroids",
+        "event_anomaly_hours",
+        "event_debounce",
+        "event_gap_quartiles",
+        "find_composite_key_candidates",
+        "forecast_revenue",
+        "idle_rich_customers",
+        "is_composite_key_candidate",
+        "lang_split_check",
+        "large_volume_orders",
+        "market_share",
+        "min_cost_supplier",
+        "nation_trade_volume",
+        "numeric_outliers",
+        "parts_supplier_counts",
+        "product_profit",
+        "promo_revenue",
+        "quality_by_source",
+        "referential_audit",
+        "sample_stratified",
+        "semantic_dedup_report",
+        "small_quantity_revenue",
+        "supplier_revenue_share",
+        "tfidf_top_terms",
+        "training_shards",
+        "waiting_suppliers",
+        # (d) last green r11, alphabetical prefix
+        "asof_join_purchase_view",
+        "brand_part_rank",
+        "click_and_purchase",
+        "click_without_purchase",
+        "column_profile",
+        "daily_funnel_full_outer",
+        "dedup_embedding_scaled",
+        "dedup_exact",
+        "dedup_incremental_lsh",
+        "dedup_simhash",
+        "dedup_simhash_near",
+        "delta_constraint_append",
+        "delta_dv_delete",
+        "delta_ict_commits",
+        "delta_id_mode_read",
+        "delta_mapped_append",
     ]
-    assert len(front_r13) == 50, len(front_r13)
-    fset = set(front_r13)
-    ordered = {k: q[k] for k in front_r13}
+    assert len(front_r14) == 50, len(front_r14)
+    fset = set(front_r14)
+    ordered = {k: q[k] for k in front_r14}
     ordered.update({k: v for k, v in q.items() if k not in fset})
     assert set(ordered) == set(q)
     return ordered
@@ -4792,12 +4848,15 @@ FROM customer
     # Merge schema evolution: evens are the base (matched % 6 = 0 rows
     # get SYNCED, score NULL-fills); odd multiples of 3 insert with
     # the evolved score column populated.
+    # UPDATE SET * evolution: every source-touched row (matched OR
+    # inserted, i.e. %3=0) carries SYNCED and the evolved score; only
+    # never-touched target rows NULL-fill.
     o["delta_merge_evolution"] = """
 SELECT c_custkey,
        CASE WHEN c_custkey % 3 = 0 THEN 'SYNCED'
             ELSE c_mktsegment END AS c_mktsegment,
        c_acctbal,
-       CASE WHEN c_custkey % 2 = 1 AND c_custkey % 3 = 0
+       CASE WHEN c_custkey % 3 = 0
             THEN CAST(c_custkey * 10 AS BIGINT)
             ELSE NULL END AS score
 FROM customer
@@ -4818,6 +4877,17 @@ WHERE c_custkey % 3 = 0 OR c_custkey % 2 = 0
     # The streaming sink drain lands exactly the source's rows.
     o["streaming_delta_sink"] = """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+"""
+
+    # Identity sink: generated ids are exactly the SET 1..N (gap-free,
+    # spec §Identity Columns), so every aggregate is closed-form in N.
+    o["streaming_identity_sink"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS min_id,
+       CAST(count(*) AS BIGINT) AS max_id,
+       CAST(count(*) AS BIGINT) AS n_distinct_ids,
+       CAST(count(*) * (count(*) + 1) // 2 AS BIGINT) AS id_sum
+FROM orders
 """
 
     # Scoped OPTIMIZE rearranges bytes, never rows: full data.

@@ -12,7 +12,10 @@ executed-plan string:
 * CartesianProduct / BroadcastNestedLoopJoin presence,
 * Arrow/Python stages (mapInPandas etc.).
 
-Writes PLAN_AUDIT_r13.md. Usage: python scripts/plan_audit.py [sf_dir]
+Writes PLAN_AUDIT_r{N}.md (N from --round, default 14). Every
+registered query lands in EXACTLY ONE of table / skip-list —
+asserted, so a new query can never silently dodge the audit.
+Usage: python scripts/plan_audit.py [sf_dir] [--round N]
 """
 
 from __future__ import annotations
@@ -40,7 +43,13 @@ EXECUTING_NAMES = {
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = list(sys.argv[1:])
+    rnd = 14
+    if "--round" in args:
+        i = args.index("--round")
+        rnd = int(args[i + 1])
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     spark = get_session("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
@@ -71,7 +80,15 @@ def main() -> None:
         )
         rows.append((name, n_ex, n_bc, single, cart, py, ""))
 
-    out = ["# Plan audit (round 12)", "",
+    audited_names = {r[0] for r in rows}
+    all_names = set(entrymod.queries())
+    assert audited_names.isdisjoint(skipped), (
+        audited_names & set(skipped)
+    )
+    assert audited_names | set(skipped) == all_names, (
+        all_names - audited_names - set(skipped)
+    )
+    out = [f"# Plan audit (round {rnd})", "",
            f"Per-query physical-plan facts at `{sf_dir}` "
            "(lazy plans only; see skip list).", "",
            "| query | shuffles | broadcasts | single-partition | nested-loop/cartesian | python stage | note |",
@@ -94,7 +111,7 @@ def main() -> None:
             "broadcast query block of the ANN brute-force rerank baseline —",
             "never a data×data cartesian.", ""]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "PLAN_AUDIT_r13.md")
+                        f"PLAN_AUDIT_r{rnd}.md")
     with open(path, "w") as f:
         f.write("\n".join(out))
     flagged = [r for r in rows if r[3] == "yes" or r[4] == "yes"]
