@@ -80,6 +80,7 @@ def _tokenize(sql: str) -> List[_Tok]:
     Comments are not supported (raise rather than mis-parse)."""
     out: List[_Tok] = []
     pos, depth = 0, 0
+    open_cases = 0
     n = len(sql)
     while pos < n:
         if sql.startswith("--", pos) or sql.startswith("/*", pos):
@@ -105,9 +106,27 @@ def _tokenize(sql: str) -> List[_Tok]:
             depth -= 1
             if depth < 0:
                 raise SqlDmlError("unbalanced ')' in DML statement")
+        if m.lastgroup == "word" and text.upper() == "CASE":
+            # CASE ... END nests like parens: its WHEN/THEN/ELSE must
+            # stay invisible to the MERGE clause scan and the SET
+            # comma-splitter
+            out.append(_Tok("word", text, m.start(), m.end(), depth))
+            depth += 1
+            open_cases += 1
+            continue
+        if (
+            m.lastgroup == "word" and text.upper() == "END"
+            and open_cases > 0
+        ):
+            # END closes a CASE only while one is open — `end` is also
+            # a legitimate column name (the SCD2 convention)
+            depth -= 1
+            open_cases -= 1
         out.append(_Tok(m.lastgroup, text, m.start(), m.end(), depth))
     if depth != 0:
-        raise SqlDmlError("unbalanced '(' in DML statement")
+        raise SqlDmlError(
+            "unbalanced '(' or CASE without END in DML statement"
+        )
     return out
 
 
@@ -205,6 +224,7 @@ class DeltaSqlDml:
         if i >= len(toks):
             raise SqlDmlError("missing target table")
         t = toks[i]
+        name_fallback = None
         if (
             t.kind == "word" and t.upper == "DELTA"
             and i + 2 < len(toks) and toks[i + 1].text == "."
@@ -221,10 +241,15 @@ class DeltaSqlDml:
                     " it first, or use delta.`/path` syntax"
                 )
             table = self._tables[name]
+            name_fallback = name
             i += 1
         else:
             raise SqlDmlError(f"cannot parse target at {t.text!r}")
         alias, i = self._maybe_alias(toks, i)
+        if alias is None:
+            # no alias: clause expressions reference the table NAME
+            # (delta allows both); path targets have no usable name
+            alias = name_fallback
         return table, alias, i
 
     def _maybe_alias(

@@ -272,3 +272,56 @@ class TestParserErrors:
                 WHEN MATCHED THEN DELETE
                 WHEN MATCHED THEN UPDATE SET v = 1
             """, tables={"tbl": t})
+
+
+class TestParserHardening:
+    """r14 self-review: CASE ... END nests like parens (its WHEN/THEN
+    must not confuse the MERGE clause scan or the SET comma-split);
+    alias-less statements reference the table name."""
+
+    def test_case_expression_in_set(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        execute_dml(spark, """
+            UPDATE tbl SET status = CASE WHEN v > 50 THEN 'big'
+                                         ELSE 'small' END,
+                           v = v + 1
+            WHERE pkey IN (1, 9)
+        """, tables={"tbl": t})
+        rows = {r["pkey"]: (r["status"], r["v"]) for r in t.to_df().collect()}
+        assert rows[1] == ("small", 11)
+        assert rows[9] == ("big", 91)
+        assert rows[5] == ("old", 50)
+
+    def test_case_in_merge_clause(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        spark.createDataFrame([(0, "a", 5), (1, "b", 95)], SCHEMA)\
+            .createOrReplaceTempView("u6")
+        execute_dml(spark, """
+            MERGE INTO tbl t USING u6 s ON t.pkey = s.pkey
+            WHEN MATCHED THEN UPDATE SET
+                status = CASE WHEN s.v > 50 THEN 'hi' ELSE 'lo' END
+            WHEN NOT MATCHED THEN INSERT (pkey, status, v)
+                VALUES (s.pkey, CASE WHEN s.v > 50 THEN 'hi'
+                                     ELSE 'lo' END, s.v)
+        """, tables={"tbl": t})
+        rows = {r["pkey"]: r["status"] for r in t.to_df().collect()}
+        assert rows[0] == "lo" and rows[1] == "hi"
+
+    def test_no_alias_uses_table_name(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        spark.createDataFrame([(2, "x", 7)], SCHEMA)\
+            .createOrReplaceTempView("u7")
+        execute_dml(spark, """
+            MERGE INTO tbl USING u7 s ON tbl.pkey = s.pkey
+            WHEN MATCHED THEN UPDATE SET v = s.v + tbl.v
+        """, tables={"tbl": t})
+        assert t.to_df().where("pkey = 2").collect()[0]["v"] == 27
+
+    def test_unbalanced_case_refused(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        with pytest.raises(SqlDmlError, match="CASE"):
+            execute_dml(
+                spark,
+                "UPDATE tbl SET v = CASE WHEN 1=1 THEN 2",
+                tables={"tbl": t},
+            )
