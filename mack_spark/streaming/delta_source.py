@@ -136,12 +136,17 @@ class _AddFilePartition(InputPartition):
     into rows, picklable."""
 
     def __init__(self, abs_path: str, field_names: List[str],
-                 part_values: dict, part_types: dict, schema_json: str):
+                 part_values: dict, part_types: dict, schema_json: str,
+                 col_resolve: Optional[dict] = None):
         self.abs_path = abs_path
         self.field_names = field_names  # full output order
         self.part_values = part_values  # col -> raw string (or None)
         self.part_types = part_types    # col -> simpleString type
         self.schema_json = schema_json  # full StructType json
+        # column-mapped tables: logical -> ("name", physicalName) or
+        # ("id", fieldId); None on unmapped tables (file columns are
+        # the logical names)
+        self.col_resolve = col_resolve
 
 
 # CDF metadata columns appended to the table schema when
@@ -393,7 +398,6 @@ class DeltaProtocolStreamReader(DataSourceStreamReader):
         self._advance_cursor(start)
         self._advance_cursor(end)
         snap = self._table.snapshot(version_as_of=hi)
-        _refuse_column_mapping(snap)
         first_v = lo if lo_i is not None else lo + 1
         out: List[InputPartition] = []
         for v in range(first_v, hi + 1):
@@ -427,33 +431,59 @@ def _read_add_file(p: _AddFilePartition) -> Iterator:
         for c, v in p.part_values.items()
         if c in p.part_types
     }
+
+    # column-mapped tables: map each LOGICAL output column to the
+    # file's physical column — by physicalName (name mode) or by
+    # parquet field id (id mode); unresolved columns NULL-fill like
+    # pre-evolution files
+    def _file_col(name: str) -> Optional[str]:
+        if p.col_resolve is None:
+            return name if name in set(table.column_names) else None
+        r = p.col_resolve.get(name)
+        if r is None:
+            # CDF meta columns etc. resolve by their literal name
+            return name if name in set(table.column_names) else None
+        mode, key = r
+        if mode == "name":
+            return key if key in set(table.column_names) else None
+        for f in table.schema:
+            md = f.metadata or {}
+            fid = md.get(b"PARQUET:field_id")
+            if fid is not None and int(fid) == int(key):
+                return f.name
+        return None
+
     try:
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(StructType.fromJson(
             json.loads(p.schema_json)
         ))
-        file_cols = set(table.column_names)
         cols = []
         for name in p.field_names:
             t = target.field(name).type
+            fc = _file_col(name)
             if name in consts:
                 cols.append(
                     pa.array([consts[name]] * table.num_rows, type=t)
                 )
-            elif name not in file_cols:
+            elif fc is None:
                 # file committed before a mergeSchema evolution: the
                 # column does not exist physically — NULL-fill, same as
                 # to_df()'s explicit-schema parquet read
                 cols.append(pa.nulls(table.num_rows, type=t))
             else:
-                cols.append(table.column(name).cast(t).combine_chunks())
+                cols.append(table.column(fc).cast(t).combine_chunks())
         yield from pa.Table.from_arrays(cols, schema=target).to_batches()
         return
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError, KeyError):
         pass  # fall back to row tuples below
-    data = {name: col.to_pylist() for name, col in
-            zip(table.column_names, table.columns)}
+    data = {
+        name: table.column(fc).to_pylist()
+        for name in p.field_names
+        for fc in [_file_col(name)]
+        if fc is not None
+    }
     for i in range(table.num_rows):
         yield tuple(
             consts[name] if name in consts
@@ -469,19 +499,6 @@ def _table(path: str):
     from mack_spark.sources.delta_log import DeltaProtocolTable
 
     return DeltaProtocolTable(None, path)
-
-
-def _refuse_column_mapping(snap) -> None:
-    """The format readers pull parquet columns by LOGICAL name; on a
-    column-mapped table those names don't exist physically and the
-    NULL-fill fallback would silently blank every column. Read such
-    tables through DeltaProtocolTable.to_df(), which translates
-    physical names."""
-    if snap.column_mapping_mode != "none":
-        raise ValueError(
-            "the delta_protocol format reader does not support column-"
-            "mapped tables; use DeltaProtocolTable.to_df()"
-        )
 
 
 def _cdf_units(table, path: str, v: int) -> List[dict]:
@@ -567,6 +584,23 @@ def _units_to_partitions(
     types = {f.name: f.dataType.simpleString() for f in schema.fields}
     names = [f.name for f in schema.fields]
     schema_json = schema.json()
+    # column-mapped tables: executors resolve file columns by
+    # physicalName (name mode) / parquet field id (id mode), and
+    # partitionValues arrive PHYSICAL-keyed — translate back to logical
+    col_resolve = None
+    phys_to_logical = {}
+    if snap.column_mapping_mode != "none":
+        mode = snap.column_mapping_mode
+        col_resolve = {}
+        for f in snap.schema.fields:
+            md = f.metadata or {}
+            phys = md.get("delta.columnMapping.physicalName", f.name)
+            fid = md.get("delta.columnMapping.id")
+            if mode == "id" and fid is not None:
+                col_resolve[f.name] = ("id", int(fid))
+            else:
+                col_resolve[f.name] = ("name", phys)
+            phys_to_logical[phys] = f.name
     out = []
     for u in units:
         a = u["add"]
@@ -576,7 +610,10 @@ def _units_to_partitions(
                 " files with deletion vectors; use"
                 " DeltaProtocolTable.to_df()"
             )
-        consts = dict(a.get("partitionValues") or {})
+        consts = {
+            phys_to_logical.get(k, k): v
+            for k, v in (a.get("partitionValues") or {}).items()
+        }
         consts.update(u["overlay"])
         const_types = {c: types[c] for c in pcols}
         const_types.update(
@@ -593,6 +630,7 @@ def _units_to_partitions(
                 consts,
                 const_types,
                 schema_json,
+                col_resolve=col_resolve,
             )
         )
     return out
@@ -626,12 +664,6 @@ class DeltaProtocolBatchReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         table = _table(self._path)
-        _refuse_column_mapping(
-            table.snapshot(
-                version_as_of=self._ending if self._read_cdf
-                else self._version
-            )
-        )
         if self._read_cdf:
             # batch CDF read (Delta's readChangeFeed + startingVersion/
             # endingVersion): every change-feed file of the commits in

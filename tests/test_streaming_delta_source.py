@@ -480,3 +480,99 @@ class TestChangeFeedSource:
         # v0: >=1 data file; v1: cdc file(s); v2: cdc file(s) — every
         # change file admitted exactly once, one per trigger
         assert total >= 3
+
+
+class TestColumnMappedSource:
+    """r14: the format readers resolve file columns through the
+    column mapping — physicalName (name mode) / parquet field id (id
+    mode) — and translate physical-keyed partitionValues back to
+    logical, so mapped tables stream and batch-read like plain ones."""
+
+    def _mk_mapped(self, spark, tmp_path, name="mt"):
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / name),
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "pkey0 int, attr string"
+            ),
+        )
+        t.enable_column_mapping()
+        t.rename_column("pkey0", "pkey")  # logical != physical
+        return t
+
+    def test_batch_read_mapped_name_mode(self, spark, tmp_path):
+        register(spark)
+        t = self._mk_mapped(spark, tmp_path)
+        t.append(spark.createDataFrame(
+            [(3, "c")], "pkey int, attr string"
+        ))
+        df = (spark.read.format("delta_protocol")
+              .option("path", t.path).load())
+        assert df.columns == ["pkey", "attr"]
+        assert sorted(map(tuple, df.collect())) == [
+            (1, "a"), (2, "b"), (3, "c"),
+        ]
+
+    def test_batch_read_mapped_id_mode(self, spark, tmp_path):
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).parent))
+        from test_column_mapping_rw import _mk_id_mode
+
+        register(spark)
+        t = _mk_id_mode(spark, tmp_path)
+        df = (spark.read.format("delta_protocol")
+              .option("path", t.path).load())
+        assert sorted(map(tuple, df.collect())) == [(1, "x"), (2, "y")]
+
+    def test_stream_mapped_source(self, spark, tmp_path):
+        register(spark)
+        t = self._mk_mapped(spark, tmp_path)
+        got = _drain(spark, t.path, str(tmp_path / "w"))
+        assert got == [(1, "a"), (2, "b")]
+        t.append(spark.createDataFrame(
+            [(3, "c")], "pkey int, attr string"
+        ))
+        got = _drain(spark, t.path, str(tmp_path / "w"))
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+    def test_mapped_partitioned_values_logical(self, spark, tmp_path):
+        register(spark)
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "mp"),
+            spark.createDataFrame(
+                [(1, "a", "e"), (2, "b", "w")],
+                "pkey int, attr string, par string",
+            ),
+            partition_by=["par"],
+        )
+        t.enable_column_mapping()
+        t.rename_column("par", "region")
+        t.append(spark.createDataFrame(
+            [(3, "c", "e")], "pkey int, attr string, region string"
+        ))
+        df = (spark.read.format("delta_protocol")
+              .option("path", t.path).load())
+        assert df.columns == ["pkey", "attr", "region"]
+        rows = sorted(map(tuple, df.collect()))
+        assert rows == [(1, "a", "e"), (2, "b", "w"), (3, "c", "e")]
+
+    def test_mapped_cdf_batch(self, spark, tmp_path):
+        register(spark)
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "mc"),
+            spark.createDataFrame(
+                [(1, "a")], "pkey int, attr string"
+            ),
+            properties={"delta.enableChangeDataFeed": "true"},
+        )
+        t.enable_column_mapping()
+        t.rename_column("pkey", "k")
+        t.append(spark.createDataFrame(
+            [(2, "b")], "k int, attr string"
+        ))
+        df = (spark.read.format("delta_protocol")
+              .option("path", t.path)
+              .option("readChangeFeed", "true")
+              .option("startingVersion", "2").load())
+        rows = {(r["k"], r["_change_type"]) for r in df.collect()}
+        assert rows == {(2, "insert")}
