@@ -1120,17 +1120,23 @@ class TestColumnMappingRead:
             (1, "x", "p1"), (2, "y", "p1"), (3, "z", "p2"), (9, "q", "p9"),
         ]
 
-    def test_format_reader_refuses_mapped(self, spark, tmp_path):
+    def test_format_reader_reads_mapped(self, spark, tmp_path):
+        # r14: the format reader resolves mapped columns (physicalName
+        # / field id) instead of refusing — this FOREIGN name-mode log
+        # must read to logical names through it
         register_mod = __import__(
             "mack_spark.streaming.delta_source", fromlist=["register"]
         )
         register_mod.register(spark)
         t = self._mk_mapped(spark, tmp_path)
-        with pytest.raises(Exception, match="column-"):
-            (
-                spark.read.format("delta_protocol")
-                .option("path", t.path).load().collect()
-            )
+        df = (
+            spark.read.format("delta_protocol")
+            .option("path", t.path).load()
+        )
+        assert df.columns == ["k", "v", "p"]
+        assert sorted(map(tuple, df.collect())) == [
+            (1, "x", "p1"), (2, "y", "p1"), (3, "z", "p2"),
+        ]
 
     def test_id_mode_without_parquet_ids_fails_loudly(self, spark, tmp_path):
         """id-mode reads resolve by parquet FIELD ID (round 11); this
