@@ -1496,7 +1496,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from mack_spark.multimodal import decode_dims
 
-        docs = _t(spark, sf_dir, "documents").select("doc_id")
+        # documents lands as few parquet splits; fan the codec work out
+        # across the executor threads before the Python stages (the
+        # multimodal scaling rule — see multimodal.py module docstring)
+        docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(32)
         gen_schema = StructType(
             [docs.schema["doc_id"], StructField("payload", BinaryType())]
         )
