@@ -362,12 +362,13 @@ class DeltaSqlDml:
             raise SqlDmlError("MERGE needs at least one WHEN clause")
         condition = sql[toks[i].end:toks[first_when].start].strip()
 
-        kw: dict = {}
-        order: List[str] = []
+        clauses: List[tuple] = []
         w = first_when
         while w < len(toks):
-            w = self._parse_when(sql, toks, w, t_alias, kw, order)
-        self._apply_clause_order(kw, order)
+            w = self._parse_when(sql, toks, w, t_alias, clauses)
+        kw = self._desugar_clauses(
+            clauses, t_alias, s_alias, list(source.columns)
+        )
 
         tk, sk, null_safe = self._extract_keys(condition, t_alias, s_alias)
         km = KeyedMerge(
@@ -383,21 +384,13 @@ class DeltaSqlDml:
         return table.merge(km)
 
     def _parse_when(
-        self, sql: str, toks: List[_Tok], w: int, t_alias: str, kw: dict,
-        order: List[str],
+        self, sql: str, toks: List[_Tok], w: int, t_alias: str,
+        clauses: List[tuple],
     ) -> int:
         """Parse one ``WHEN ... THEN ...`` clause starting at ``w``
-        (a WHEN token); populate the KeyedMerge kwargs and record
-        statement order; return the index of the next WHEN (or
-        len(toks))."""
-        def _dup(key):
-            if key in kw:
-                raise SqlDmlError(
-                    "the MERGE descriptor supports ONE clause of each"
-                    f" kind; duplicate {key.replace('_', ' ')} clause"
-                )
-            order.append(key)
-
+        (a WHEN token); append ``(group, action, cond, payload)`` to
+        ``clauses`` in statement order; return the index of the next
+        WHEN (or len(toks))."""
         i = w + 1
         if _kw_at(toks, i, "NOT", "MATCHED", "BY", "SOURCE"):
             kind = "nms"
@@ -429,24 +422,13 @@ class DeltaSqlDml:
         end = nxt if nxt >= 0 else len(toks)
 
         if _kw_at(toks, i, "DELETE"):
-            key = (
-                "not_matched_by_source_delete" if kind == "nms"
-                else "matched_delete"
-            )
             if kind == "insert":
                 raise SqlDmlError("WHEN NOT MATCHED cannot DELETE")
-            _dup(key)
-            kw[key] = cond if cond is not None else True
+            clauses.append((kind, "delete", cond, None))
             return end
         if _kw_at(toks, i, "UPDATE", "SET"):
             if kind == "insert":
                 raise SqlDmlError("WHEN NOT MATCHED cannot UPDATE")
-            ukey = (
-                "not_matched_by_source_update" if kind == "nms"
-                else "matched_update"
-            )
-            ckey = ukey + "_condition"
-            _dup(ukey)
             i += 2
             if i < end and toks[i].text == "*":
                 if kind == "nms":
@@ -454,76 +436,182 @@ class DeltaSqlDml:
                         "WHEN NOT MATCHED BY SOURCE cannot UPDATE SET *"
                         " (source columns are all-NULL on those rows)"
                     )
-                kw[ukey] = "*"
+                payload = "*"
             else:
-                kw[ukey] = self._parse_assignments(
+                payload = self._parse_assignments(
                     sql, toks, i, end, t_alias
                 )
-            if cond is not None:
-                kw[ckey] = cond
+            clauses.append((kind, "update", cond, payload))
             return end
         if _kw_at(toks, i, "INSERT"):
             if kind != "insert":
                 raise SqlDmlError(
                     "INSERT belongs to WHEN NOT MATCHED clauses"
                 )
-            _dup("not_matched_insert")
             i += 1
             if i < len(toks) and toks[i].text == "*":
-                kw["not_matched_insert"] = "*"
+                payload = "*"
             else:
-                kw["not_matched_insert"] = self._parse_insert(
-                    sql, toks, i, end, t_alias
-                )
-            if cond is not None:
-                kw["not_matched_condition"] = cond
+                payload = self._parse_insert(sql, toks, i, end, t_alias)
+            clauses.append((kind, "insert", cond, payload))
             return end
         raise SqlDmlError(
             f"cannot parse merge action at {toks[i].text!r}"
             if i < len(toks) else "WHEN clause missing its action"
         )
 
-    @staticmethod
-    def _apply_clause_order(kw: dict, order: List[str]) -> None:
-        """Delta applies WHEN clauses in STATEMENT order (first
-        applicable wins); the KeyedMerge executors fix update-then-
-        delete. When the statement puts DELETE before UPDATE in a
-        group, fold NOT(delete-condition) into the update condition so
-        first-applicable comes out identical. Delta's own rule that
-        every clause but the LAST of its group must carry a condition
-        is enforced here too (a condition-less clause earlier makes
-        the rest dead)."""
-        for u, d, c in (
-            ("matched_update", "matched_delete",
-             "matched_update_condition"),
-            ("not_matched_by_source_update", "not_matched_by_source_delete",
-             "not_matched_by_source_update_condition"),
-        ):
-            if u not in kw or d not in kw:
-                # single clause in the group: condition-less is fine
+    def _desugar_clauses(
+        self, clauses: List[tuple], t_alias: str, s_alias: str,
+        src_cols: List[str],
+    ) -> dict:
+        """Compile the statement's clause list onto the single-clause-
+        per-kind KeyedMerge descriptor, preserving delta's FIRST-
+        APPLICABLE-IN-STATEMENT-ORDER semantics exactly.
+
+        Within each group (matched / not-matched-by-source / insert),
+        clause i fires iff its own condition holds AND no earlier
+        clause's did — so the effective per-clause conditions ``e_i``
+        are mutually disjoint by construction. That makes the group a
+        pure desugar: the descriptor's one update gets per-column
+        ``CASE WHEN e_i THEN expr_i ELSE target END`` expressions with
+        condition ``OR(e_i over updates)``, the one delete gets
+        ``OR(e_i over deletes)``, and multiple INSERT clauses merge the
+        same way with NULL for columns a firing clause doesn't set.
+        Disjointness also makes the descriptor's fixed update-then-
+        delete evaluation order irrelevant. Delta's own rule that only
+        the LAST clause of a group may omit its condition is enforced
+        (an unconditional earlier clause makes the rest dead code).
+
+        Single-clause groups pass through untouched (no CASE
+        wrapping), so simple statements compile to the same descriptor
+        they did before multi-clause support."""
+        kw: dict = {}
+        for group in ("matched", "nms", "insert"):
+            rows = [c for c in clauses if c[0] == group]
+            if not rows:
                 continue
-            first = u if order.index(u) < order.index(d) else d
-            second = d if first == u else u
-            first_cond = (
-                kw.get(c) if first == u else (
-                    kw[d] if kw[d] is not True else None
+            for j, (_g, act, cond, _p) in enumerate(rows):
+                if cond is None and j != len(rows) - 1:
+                    raise SqlDmlError(
+                        f"WHEN {group.upper()} {act.upper()} clause"
+                        f" #{j + 1} has no AND condition but is not the"
+                        " last clause of its group — the later clauses"
+                        " can never apply (delta requires conditions on"
+                        " all but the last clause of a group)"
+                    )
+            # effective disjoint conditions, statement order
+            effs: List[Optional[str]] = []
+            for j, (_g, _a, cond, _p) in enumerate(rows):
+                parts = [
+                    f"(NOT coalesce(({c}), false))"
+                    for (_gg, _aa, c, _pp) in rows[:j]
+                ]
+                if cond is not None:
+                    parts.append(f"({cond})")
+                effs.append(" AND ".join(parts) if parts else None)
+            if group in ("matched", "nms"):
+                ukey = (
+                    "matched_update" if group == "matched"
+                    else "not_matched_by_source_update"
                 )
+                dkey = (
+                    "matched_delete" if group == "matched"
+                    else "not_matched_by_source_delete"
+                )
+                upds = [
+                    (e, p) for (g, a, c, p), e in zip(rows, effs)
+                    if a == "update"
+                ]
+                dels = [
+                    e for (g, a, c, p), e in zip(rows, effs)
+                    if a == "delete"
+                ]
+                if len(upds) == 1:
+                    kw[ukey] = upds[0][1]
+                    if upds[0][0] is not None:
+                        kw[ukey + "_condition"] = upds[0][0]
+                elif len(upds) > 1:
+                    kw[ukey] = self._merge_update_sets(
+                        upds, t_alias, s_alias, src_cols
+                    )
+                    conds = [e for e, _ in upds]
+                    kw[ukey + "_condition"] = (
+                        None if any(e is None for e in conds)
+                        else " OR ".join(f"({e})" for e in conds)
+                    )
+                    if kw[ukey + "_condition"] is None:
+                        del kw[ukey + "_condition"]
+                if len(dels) == 1:
+                    kw[dkey] = dels[0] if dels[0] is not None else True
+                elif len(dels) > 1:
+                    kw[dkey] = (
+                        True if any(e is None for e in dels)
+                        else " OR ".join(f"({e})" for e in dels)
+                    )
+            else:  # insert group
+                ins = list(zip(effs, [p for (_g, _a, _c, p) in rows]))
+                if len(ins) == 1:
+                    kw["not_matched_insert"] = ins[0][1]
+                    if ins[0][0] is not None:
+                        kw["not_matched_condition"] = ins[0][0]
+                else:
+                    kw["not_matched_insert"] = self._merge_insert_sets(
+                        ins, s_alias, src_cols
+                    )
+                    conds = [e for e, _ in ins]
+                    if not any(e is None for e in conds):
+                        kw["not_matched_condition"] = " OR ".join(
+                            f"({e})" for e in conds
+                        )
+        return kw
+
+    @staticmethod
+    def _merge_update_sets(
+        upds: List[tuple], t_alias: str, s_alias: str,
+        src_cols: List[str],
+    ) -> Dict[str, str]:
+        """Fold multiple UPDATE clauses (disjoint effective conditions)
+        into one per-column CASE set. ``SET *`` expands by name over
+        the source columns (the executors' own rule)."""
+        expanded = []
+        for e, p in upds:
+            if p == "*":
+                p = {c: f"{s_alias}.`{c}`" for c in src_cols}
+            expanded.append((e, p))
+        cols = sorted({c for _e, p in expanded for c in p})
+        out = {}
+        for col in cols:
+            whens = "".join(
+                f" WHEN {e if e is not None else 'true'} THEN ({p[col]})"
+                for e, p in expanded if col in p
             )
-            if first_cond is None:
-                raise SqlDmlError(
-                    f"the {first.replace('_', ' ')} clause precedes"
-                    f" another {second.split('_')[-1]} clause but has"
-                    " no AND condition — the later clause can never"
-                    " apply (delta requires conditions on all but the"
-                    " last clause of a group)"
-                )
-            if first == d:
-                # DELETE first: update applies only when delete didn't
-                neg = f"(NOT coalesce(({kw[d]}), false))"
-                kw[c] = (
-                    f"{neg} AND ({kw[c]})" if kw.get(c) is not None
-                    else neg
-                )
+            out[col] = (
+                f"CASE{whens} ELSE {t_alias}.`{col}` END"
+            )
+        return out
+
+    @staticmethod
+    def _merge_insert_sets(
+        ins: List[tuple], s_alias: str, src_cols: List[str]
+    ) -> Dict[str, str]:
+        """Fold multiple INSERT clauses into one per-column CASE values
+        map; a firing clause that doesn't set a column inserts NULL
+        (delta's explicit-values rule)."""
+        expanded = []
+        for e, p in ins:
+            if p == "*":
+                p = {c: f"{s_alias}.`{c}`" for c in src_cols}
+            expanded.append((e, p))
+        cols = sorted({c for _e, p in expanded for c in p})
+        out = {}
+        for col in cols:
+            whens = "".join(
+                f" WHEN {e if e is not None else 'true'} THEN "
+                f"({p.get(col, 'NULL')})"
+                for e, p in expanded
+            )
+            out[col] = f"CASE{whens} END"
+        return out
 
     # -- pieces ------------------------------------------------------------
 

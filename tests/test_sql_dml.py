@@ -223,15 +223,15 @@ class TestParserErrors:
         with pytest.raises(SqlDmlError, match="spark.sql"):
             execute_dml(spark, "SELECT 1")
 
-    def test_duplicate_clause(self, spark, tmp_path):
+    def test_unconditional_clause_must_be_last(self, spark, tmp_path):
         t = _mk(spark, tmp_path)
         spark.createDataFrame([(1, "x", 0)], SCHEMA)\
             .createOrReplaceTempView("u2")
-        with pytest.raises(SqlDmlError, match="ONE clause"):
+        with pytest.raises(SqlDmlError, match="not the last"):
             execute_dml(spark, """
                 MERGE INTO tbl t USING u2 s ON t.pkey = s.pkey
-                WHEN MATCHED AND t.v = 1 THEN UPDATE SET v = 1
-                WHEN MATCHED THEN UPDATE SET v = 2
+                WHEN MATCHED THEN UPDATE SET v = 1
+                WHEN MATCHED AND t.v = 1 THEN UPDATE SET v = 2
             """, tables={"tbl": t})
 
     def test_no_key_equality(self, spark, tmp_path):
@@ -325,3 +325,88 @@ class TestParserHardening:
                 "UPDATE tbl SET v = CASE WHEN 1=1 THEN 2",
                 tables={"tbl": t},
             )
+
+
+class TestMultiClause:
+    """r14: multiple WHEN clauses of the SAME kind — delta's first-
+    applicable-in-statement-order semantics, desugared onto the
+    single-clause descriptor with disjoint CASE conditions."""
+
+    def test_two_update_clauses_first_applicable(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        spark.createDataFrame(
+            [(1, "a", 95), (2, "b", 30), (3, "c", 5)], SCHEMA
+        ).createOrReplaceTempView("m1")
+        execute_dml(spark, """
+            MERGE INTO tbl t USING m1 s ON t.pkey = s.pkey
+            WHEN MATCHED AND s.v > 50 THEN UPDATE SET status = 'big'
+            WHEN MATCHED AND s.v > 10 THEN UPDATE SET status = 'mid',
+                                                      v = s.v
+            WHEN MATCHED THEN UPDATE SET status = 'tiny'
+        """, tables={"tbl": t})
+        rows = {r["pkey"]: (r["status"], r["v"]) for r in t.to_df().collect()}
+        assert rows[1] == ("big", 10)    # first clause; v untouched
+        assert rows[2] == ("mid", 30)    # second clause sets v too
+        assert rows[3] == ("tiny", 30)   # fallthrough; v untouched
+        assert rows[5] == ("old", 50)    # unmatched
+
+    def test_update_update_delete_mix(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        spark.createDataFrame(
+            [(1, "a", 95), (2, "b", 30), (3, "c", 5)], SCHEMA
+        ).createOrReplaceTempView("m2")
+        execute_dml(spark, """
+            MERGE INTO tbl t USING m2 s ON t.pkey = s.pkey
+            WHEN MATCHED AND s.v > 50 THEN DELETE
+            WHEN MATCHED AND s.v > 10 THEN UPDATE SET status = 'mid'
+            WHEN MATCHED THEN DELETE
+        """, tables={"tbl": t})
+        rows = {r["pkey"]: r["status"] for r in t.to_df().collect()}
+        assert 1 not in rows           # first delete
+        assert rows[2] == "mid"        # update claims it before delete
+        assert 3 not in rows           # fallthrough delete
+        assert rows[5] == "old"
+
+    def test_two_insert_clauses(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, n=2)
+        spark.createDataFrame(
+            [(10, "a", 95), (11, "b", 5)], SCHEMA
+        ).createOrReplaceTempView("m3")
+        execute_dml(spark, """
+            MERGE INTO tbl t USING m3 s ON t.pkey = s.pkey
+            WHEN NOT MATCHED AND s.v > 50 THEN
+                INSERT (pkey, status, v) VALUES (s.pkey, 'hot', s.v)
+            WHEN NOT MATCHED THEN INSERT (pkey, status)
+                VALUES (s.pkey, 'cold')
+        """, tables={"tbl": t})
+        rows = {r["pkey"]: (r["status"], r["v"]) for r in t.to_df().collect()}
+        assert rows[10] == ("hot", 95)
+        assert rows[11] == ("cold", None)  # second clause: v unset = NULL
+
+    def test_update_star_with_conditioned_update(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        spark.createDataFrame(
+            [(1, "a", 95), (2, "b", 5)], SCHEMA
+        ).createOrReplaceTempView("m4")
+        execute_dml(spark, """
+            MERGE INTO tbl t USING m4 s ON t.pkey = s.pkey
+            WHEN MATCHED AND s.v > 50 THEN UPDATE SET status = 'cap'
+            WHEN MATCHED THEN UPDATE SET *
+        """, tables={"tbl": t})
+        rows = {r["pkey"]: (r["status"], r["v"]) for r in t.to_df().collect()}
+        assert rows[1] == ("cap", 10)   # first clause only sets status
+        assert rows[2] == ("b", 5)      # SET * takes all source values
+
+    def test_two_nms_updates(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, n=4)
+        spark.createDataFrame([(0, "k", 0)], SCHEMA)\
+            .createOrReplaceTempView("m5")
+        execute_dml(spark, """
+            MERGE INTO tbl t USING m5 s ON t.pkey = s.pkey
+            WHEN NOT MATCHED BY SOURCE AND t.pkey = 1
+                THEN UPDATE SET status = 'one'
+            WHEN NOT MATCHED BY SOURCE AND t.pkey = 2 THEN DELETE
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'rest'
+        """, tables={"tbl": t})
+        rows = {r["pkey"]: r["status"] for r in t.to_df().collect()}
+        assert rows == {0: "old", 1: "one", 3: "rest"}
