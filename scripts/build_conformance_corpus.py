@@ -713,7 +713,65 @@ def build_partitioned(d: str):
     }
 
 
+def build_log_compaction(d: str):
+    """Foreign ``<start>.<end>.compacted.json`` (spec §Log Compaction
+    Files): versions 1-3's reconciled actions in one file — including
+    the commitInfo lines foreign writers keep — with the covered raw
+    JSONs DELETED, so replay MUST substitute the compaction."""
+    t = os.path.join(d, "table")
+    proto, fields, meta = _base_actions(
+        "c0a5c1a5-0000-0000-0000-00000000000c"
+    )
+    adds = []
+    for ver in range(5):
+        add = _data_file(
+            t, f"part-{ver:05d}-lc.snappy.parquet",
+            {"k": [ver * 10 + j for j in range(2)],
+             "v": [f"c{ver}{j}" for j in range(2)]},
+        )
+        adds.append(add)
+        actions = [_commit_info("WRITE"), {"add": add}]
+        if ver == 0:
+            actions = [_commit_info("CREATE"), {"protocol": proto},
+                       {"metaData": meta}, {"add": add}]
+        _log_write(t, ver, actions)
+    logdir = os.path.join(t, "_delta_log")
+    # versions 1-3 compact into one file; v2's add was REMOVED in v3's
+    # span, so the compaction carries the remove reconciliation —
+    # rewrite v3 first to be a delete of v2's file
+    os.unlink(os.path.join(logdir, "%020d.json" % 3))
+    _log_write(t, 3, [
+        _commit_info("DELETE"),
+        {"remove": {"path": adds[2]["path"], "deletionTimestamp": TS,
+                    "dataChange": True}},
+    ])
+    compacted = [
+        _commit_info("COMPACTION"),
+        {"add": adds[1]},
+        # net effect of v2 add + v3 remove: a REMOVE tombstone (a
+        # pre-span add of the same path must still erase)
+        {"remove": {"path": adds[2]["path"], "deletionTimestamp": TS,
+                    "dataChange": True}},
+    ]
+    with open(os.path.join(
+        logdir, "%020d.%020d.compacted.json" % (1, 3)
+    ), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in compacted) + "\n")
+    for ver in (1, 2, 3):
+        os.unlink(os.path.join(logdir, "%020d.json" % ver))
+    live = [0, 1, 4]  # v2's file removed by v3; v3 itself adds nothing
+    return {
+        "rows": sorted(
+            [ver * 10 + j, f"c{ver}{j}"]
+            for ver in live for j in range(2)
+        ),
+        "columns": ["k", "v"],
+        "facts": {"version": 4},
+    }
+
+
 BUILDERS = {
+    "log_compaction": build_log_compaction,
     "classic_checkpoint": build_classic_checkpoint,
     "multipart_checkpoint": build_multipart_checkpoint,
     "v2_checkpoint": build_v2_checkpoint,
