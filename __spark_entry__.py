@@ -609,6 +609,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_sql_merge"] = q_scd2_sql_dml
 
+    def q_multiclause_merge(spark, sf_dir):
+        # r14: MULTI-CLAUSE SQL MERGE — three WHEN MATCHED clauses with
+        # delta's first-applicable-in-statement-order semantics,
+        # desugared by the DML front-end onto the single-clause
+        # descriptor with disjoint CASE conditions (sql_dml.py
+        # _desugar_clauses). The whole path is literal SQL text.
+        import tempfile
+
+        from mack_spark.sql_dml import execute_dml
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        path = tempfile.mkdtemp(prefix="mack-mcm-") + "/t"
+        t = DeltaProtocolTable.create(spark, path, cust)
+        cust.createOrReplaceTempView("mc_src")
+        execute_dml(spark, """
+            MERGE INTO tgt t USING mc_src s ON t.c_custkey = s.c_custkey
+            WHEN MATCHED AND s.c_acctbal > 5000 THEN
+                UPDATE SET c_mktsegment = 'VIP'
+            WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET c_mktsegment = 'STD'
+        """, tables={"tgt": t})
+        return t.to_df()
+
+    q["delta_multiclause_merge"] = q_multiclause_merge
+
     def q_kill_delta(spark, sf_dir):
         # kill_duplicates the way the reference executes it — a native
         # Delta MERGE with whenMatchedDelete (reference
@@ -3910,6 +3938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) never driver-checked
         "delta_optimize_where",
         "delta_sql_merge",
+        "delta_multiclause_merge",
         "multimodal_jpeg_dims",
         "streaming_identity_sink",
         # (b) behavior-extended r14
@@ -3960,7 +3989,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_dv_delete",
         "delta_ict_commits",
         "delta_id_mode_read",
-        "delta_mapped_append",
     ]
     assert len(front_r14) == 50, len(front_r14)
     fset = set(front_r14)
@@ -4684,6 +4712,17 @@ FROM updates WHERE c_custkey NOT IN (SELECT c_custkey FROM base)
     o["delta_scd2_merge"] = o["type_2_scd_upsert"]
     # the SQL-text MERGE front-end computes the identical post-state
     o["delta_sql_merge"] = o["type_2_scd_upsert"]
+
+    # multi-clause first-applicable: >5000 -> VIP; else <0 -> deleted;
+    # else STD (every customer matches; unmatched set is empty)
+    o["delta_multiclause_merge"] = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal > 5000 THEN 'VIP' ELSE 'STD' END
+         AS c_mktsegment,
+       c_acctbal
+FROM customer
+WHERE c_acctbal > 5000 OR c_acctbal >= 0
+"""
     # The protocol-backed dedup merges land in the same post-states as
     # their plan forms (whenMatchedDelete / whenNotMatchedInsertAll).
     o["delta_kill_duplicates"] = o["kill_duplicates"]
