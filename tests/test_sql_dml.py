@@ -5,7 +5,9 @@ update_where, delete_where). delta-spark users write these as SQL;
 this closes the parity gap the r13 verdict flagged (What's missing #4).
 Clause expressions pass through verbatim (they are already SQL over
 the statement's aliases); UPDATE/DELETE conditions lose their alias
-qualifier token-aware (string literals survive).
+qualifier token-aware (string literals survive). Multiple WHEN
+clauses per kind desugar to disjoint CASE conditions preserving
+delta's first-applicable statement order (TestMultiClause).
 """
 
 import pytest
