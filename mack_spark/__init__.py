@@ -51,6 +51,7 @@ from mack_spark.keys import (
 )
 from mack_spark.scd import type_2_scd_upsert, type_2_scd_generic_upsert
 from mack_spark.sql_dml import DeltaSqlDml, execute_dml
+from mack_spark.sql_ddl import DeltaSqlSession
 from mack_spark.dedup import (
     kill_duplicates,
     drop_duplicates_pkey,
@@ -111,5 +112,6 @@ __all__ = [
     "humanize_bytes",
     "humanize_bytes_binary",
     "DeltaSqlDml",
+    "DeltaSqlSession",
     "execute_dml",
 ]
