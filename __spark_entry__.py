@@ -637,6 +637,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_multiclause_merge"] = q_multiclause_merge
 
+    def q_sql_lifecycle(spark, sf_dir):
+        # r14: the WHOLE delta-spark SQL lifecycle as literal text
+        # through the utility front-end (mack_spark/sql_ddl.py) — CTAS,
+        # DELETE, RESTORE, then a time-travel SELECT that anti-joins
+        # the restored head against VERSION AS OF 1 to report exactly
+        # the rows the restore brought back. Restored set == the
+        # deleted set (o_totalprice > 300000), so the oracle is a plain
+        # aggregation over orders; the revenue sum uses the fixed-point
+        # decimal idiom every money oracle here uses.
+        import tempfile
+
+        from mack_spark.sql_ddl import DeltaSqlSession
+
+        _t(spark, sf_dir, "orders").createOrReplaceTempView("sqlc_orders")
+        path = tempfile.mkdtemp(prefix="mack-sqlc-") + "/t"
+        sq = DeltaSqlSession(spark)
+        sq.sql(
+            f"CREATE TABLE ord USING DELTA LOCATION '{path}' AS"
+            f" SELECT o_orderkey, o_orderpriority, o_totalprice"
+            f" FROM sqlc_orders"
+        )
+        sq.sql("DELETE FROM ord WHERE o_totalprice > 300000")
+        sq.sql("RESTORE TABLE ord TO VERSION AS OF 0")
+        return sq.sql("""
+            SELECT cur.o_orderpriority AS priority,
+                   count(*) AS n_restored,
+                   CAST(SUM(CAST(FLOOR(cur.o_totalprice * 10000.0)
+                                 AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+                     AS restored_value
+            FROM ord cur
+            LEFT ANTI JOIN ord VERSION AS OF 1 gone
+              ON cur.o_orderkey = gone.o_orderkey
+            GROUP BY cur.o_orderpriority
+            ORDER BY priority
+        """)
+
+    q["delta_sql_lifecycle"] = q_sql_lifecycle
+
     def q_kill_delta(spark, sf_dir):
         # kill_duplicates the way the reference executes it — a native
         # Delta MERGE with whenMatchedDelete (reference
@@ -3924,10 +3962,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Verification rotation: the driver checks the FIRST 50 keys in
     # declaration order each round. Round-14 priorities (VERDICT r13
     # "Next round" #1):
-    # (a) the FOUR never-driver-checked rows — delta_optimize_where
+    # (a) the never-driver-checked rows — delta_optimize_where
     # (the only pre-r14 query with no CORRECTNESS_r* entry in any
-    # round) plus the three new r14 rows (SQL DML MERGE, JPEG codec,
-    # identity streaming sink);
+    # round) plus the new r14 rows (SQL DML MERGE, SQL utility
+    # lifecycle, JPEG codec, identity streaming sink);
     # (b) delta_merge_evolution, behavior-extended this round
     # (UPDATE SET * evolution);
     # (c) all 29 rows whose last green driver check is round 10 —
@@ -3937,6 +3975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front_r14 = [
         # (a) never driver-checked
         "delta_optimize_where",
+        "delta_sql_lifecycle",
         "delta_sql_merge",
         "delta_multiclause_merge",
         "multimodal_jpeg_dims",
@@ -3988,7 +4027,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_constraint_append",
         "delta_dv_delete",
         "delta_ict_commits",
-        "delta_id_mode_read",
     ]
     assert len(front_r14) == 50, len(front_r14)
     fset = set(front_r14)
@@ -4722,6 +4760,20 @@ SELECT c_custkey,
        c_acctbal
 FROM customer
 WHERE c_acctbal > 5000 OR c_acctbal >= 0
+"""
+
+    # SQL lifecycle: DELETE removed o_totalprice > 300000, RESTORE
+    # brought them back; the anti-join vs VERSION AS OF 1 is exactly
+    # that deleted set
+    o["delta_sql_lifecycle"] = """
+SELECT o_orderpriority AS priority,
+       count(*) AS n_restored,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0) AS DECIMAL(38,0)))
+            AS DOUBLE) / 10000.0 AS restored_value
+FROM orders
+WHERE o_totalprice > 300000
+GROUP BY o_orderpriority
+ORDER BY priority
 """
     # The protocol-backed dedup merges land in the same post-states as
     # their plan forms (whenMatchedDelete / whenNotMatchedInsertAll).
