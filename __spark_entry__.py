@@ -675,6 +675,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_sql_lifecycle"] = q_sql_lifecycle
 
+    def q_type_widening(spark, sf_dir):
+        # r14: typeWidening table feature (spec §Type Widening) — a
+        # METADATA-ONLY int→long widen (alter_column_type; no file
+        # rewritten), then an append whose values need the wide type.
+        # The scan upcasts the narrow pre-widen files and reads the
+        # wide ones natively under one snapshot schema; the oracle is
+        # the same union in DuckDB arithmetic.
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        li = _t(spark, sf_dir, "lineitem").select(
+            F.col("l_linenumber").cast("int").alias("ln"),
+            F.col("l_quantity").cast("int").alias("qty"),
+        )
+        path = tempfile.mkdtemp(prefix="mack-widen-") + "/t"
+        t = DeltaProtocolTable.create(spark, path, li)
+        t.alter_column_type("qty", "bigint")
+        t.append(
+            li.select(
+                (F.col("ln") + 100).alias("ln"),
+                (F.col("qty").cast("bigint") * F.lit(10000000000))
+                .alias("qty"),
+            )
+        )
+        return (
+            t.to_df()
+            .groupBy("ln")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("qty").alias("total_qty"),
+            )
+            .orderBy("ln")
+        )
+
+    q["delta_type_widening"] = q_type_widening
+
     def q_kill_delta(spark, sf_dir):
         # kill_duplicates the way the reference executes it — a native
         # Delta MERGE with whenMatchedDelete (reference
@@ -3976,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) never driver-checked
         "delta_optimize_where",
         "delta_sql_lifecycle",
+        "delta_type_widening",
         "delta_sql_merge",
         "delta_multiclause_merge",
         "multimodal_jpeg_dims",
@@ -4026,7 +4064,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_near",
         "delta_constraint_append",
         "delta_dv_delete",
-        "delta_ict_commits",
     ]
     assert len(front_r14) == 50, len(front_r14)
     fset = set(front_r14)
@@ -4774,6 +4811,27 @@ FROM orders
 WHERE o_totalprice > 300000
 GROUP BY o_orderpriority
 ORDER BY priority
+"""
+
+    # type widening: narrow generation (int qty) UNION wide generation
+    # (qty * 1e10 as BIGINT); sums cast to BIGINT (DuckDB sums integers
+    # into HUGEINT, which the compare would flag as a dtype mismatch)
+    o["delta_type_widening"] = """
+WITH base AS (
+  SELECT CAST(l_linenumber AS INTEGER) AS ln,
+         CAST(l_quantity AS INTEGER) AS qty
+  FROM lineitem
+), both_gens AS (
+  SELECT ln, CAST(qty AS BIGINT) AS qty FROM base
+  UNION ALL
+  SELECT ln + 100 AS ln, CAST(qty AS BIGINT) * 10000000000 AS qty
+  FROM base
+)
+SELECT ln, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(qty) AS BIGINT) AS total_qty
+FROM both_gens
+GROUP BY ln
+ORDER BY ln
 """
     # The protocol-backed dedup merges land in the same post-states as
     # their plan forms (whenMatchedDelete / whenNotMatchedInsertAll).

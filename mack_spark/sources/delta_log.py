@@ -297,7 +297,11 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
      # only asks that VACUUM honor the table protocol before deleting
      # files — this writer's vacuum always replays the snapshot through
      # the full protocol gate, so the check is inherently satisfied
-     "vacuumProtocolCheck"}
+     "vacuumProtocolCheck",
+     # type widening (spec §Type Widening): alter_column_type commits
+     # widened schemas with delta.typeChanges field metadata; new
+     # writes carry the wide type, old files upcast at scan time
+     "typeWidening", "typeWidening-preview"}
 )
 
 
@@ -1492,7 +1496,16 @@ class DeltaProtocolTable:
                          # reader-side vacuumProtocolCheck only asks
                          # that VACUUM consult the protocol — reads
                          # are unaffected (spec §Vacuum Protocol Check)
-                         "vacuumProtocolCheck"}
+                         "vacuumProtocolCheck",
+                         # type widening (spec §Type Widening): files
+                         # written before a widen keep the NARROWER
+                         # physical type; Spark's parquet reader
+                         # upcasts to the snapshot schema natively
+                         # (probed: int→long/double/decimal,
+                         # float→double, date→timestamp_ntz, decimal
+                         # growth), so reads need no extra work.
+                         # "-preview" is delta-spark 3.x's name
+                         "typeWidening", "typeWidening-preview"}
             )
             if unsupported:
                 raise DeltaProtocolError(
@@ -4340,6 +4353,151 @@ class DeltaProtocolTable:
             snap, fields, "ADD COLUMNS",
             {"columns": [{"name": name, "type": data_type}]},
             config=config, protocol=proto,
+        )
+
+    # integer widths, for the int→int / int→decimal rules
+    _INT_ORDER = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+    _INT_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+
+    @classmethod
+    def _is_type_widening(cls, ft: str, tt: str) -> bool:
+        """The spec's §Type Widening matrix over schema-JSON simple
+        strings: byte→short→integer→long, float→double,
+        date→timestamp_ntz, byte/short/integer→double, integer
+        types→decimal with enough integral digits, and decimal growth
+        that loses neither scale nor integral digits. Everything else
+        (narrowing, float→decimal, long→double, string casts) is NOT
+        widening and must be refused — old files' values would change
+        meaning or lose precision."""
+        import re as _re
+
+        if ft == tt:
+            return False
+        if ft in cls._INT_ORDER and tt in cls._INT_ORDER:
+            return cls._INT_ORDER[tt] > cls._INT_ORDER[ft]
+        if ft == "float" and tt == "double":
+            return True
+        if ft == "date" and tt == "timestamp_ntz":
+            return True
+        if ft in ("byte", "short", "integer") and tt == "double":
+            return True
+        dec = _re.compile(r"^decimal\((\d+),(-?\d+)\)$")
+        mt = dec.match(tt)
+        if mt is not None:
+            tp, ts = int(mt.group(1)), int(mt.group(2))
+            mf = dec.match(ft)
+            if mf is not None:
+                fp, fs = int(mf.group(1)), int(mf.group(2))
+                return ts >= fs and tp - ts >= fp - fs and (tp, ts) != (fp, fs)
+            if ft in cls._INT_DIGITS:
+                return tp - ts >= cls._INT_DIGITS[ft]
+        return False
+
+    def alter_column_type(self, col: str, new_type: str) -> None:
+        """``ALTER TABLE ... ALTER COLUMN ... TYPE`` under the
+        typeWidening table feature (spec §Type Widening) — a
+        METADATA-ONLY commit: the schema field takes the wider type and
+        records the change in ``delta.typeChanges`` field metadata
+        (fromType/toType/tableVersion, the spec's audit trail); no data
+        file is rewritten. Files written before the widen keep their
+        narrower physical parquet type — Spark's reader upcasts them to
+        the snapshot schema at scan time (probed for the whole matrix),
+        which is what makes this O(metadata) on a 100 TB table.
+
+        Refuses non-widening changes (the spec's matrix), partition
+        columns (their values live as log strings keyed by the layout),
+        identity columns (always ``long`` by construction), nested
+        fields, and columns referenced by CHECK constraints or
+        generation expressions (the stored SQL would silently change
+        meaning — the spec's writer rule)."""
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        from pyspark.sql.types import _parse_datatype_string
+
+        fields = json.loads(snap.metadata["schemaString"])["fields"]
+        by_name = {f["name"]: f for f in fields}
+        if col not in by_name:
+            if "." in col:
+                raise DeltaProtocolError(
+                    f"cannot widen {col!r}: nested fields are not"
+                    " supported — widen top-level columns only"
+                )
+            raise DeltaProtocolError(f"no column {col!r} to widen")
+        if col in (snap.metadata.get("partitionColumns") or []):
+            raise DeltaProtocolError(
+                f"cannot widen partition column {col!r}"
+            )
+        if col in _identity_columns(snap.schema):
+            raise DeltaProtocolError(
+                f"cannot widen identity column {col!r} — identity"
+                " columns are always long"
+            )
+        self._refuse_referenced(snap, col, "widen")
+
+        new_dt = _parse_datatype_string(new_type)
+        ft = by_name[col]["type"]
+        tt = new_dt.jsonValue()
+        if not isinstance(ft, str) or not isinstance(tt, str):
+            raise DeltaProtocolError(
+                f"cannot widen {col!r}: only primitive types widen"
+                f" (have {ft!r} → {tt!r})"
+            )
+        if not self._is_type_widening(ft, tt):
+            raise DeltaProtocolError(
+                f"{ft} → {tt} is not a supported type widening for"
+                f" column {col!r} (spec §Type Widening matrix)"
+            )
+
+        field = by_name[col]
+        md = dict(field.get("metadata") or {})
+        changes = list(md.get("delta.typeChanges") or [])
+        changes.append({
+            "fromType": ft, "toType": tt,
+            "tableVersion": snap.version + 1,
+        })
+        md["delta.typeChanges"] = changes
+        field["type"] = tt
+        field["metadata"] = md
+
+        proto = snap.protocol
+        cur_w = proto.get("minWriterVersion", 1)
+        have_w = (
+            set(proto.get("writerFeatures") or [])
+            if cur_w == 7
+            else _legacy_writer_features(cur_w)
+        )
+        have_r = (
+            set(proto.get("readerFeatures") or [])
+            if proto.get("minReaderVersion", 1) == 3
+            else _legacy_reader_features(proto.get("minReaderVersion", 1))
+        )
+        new_proto = None
+        if "typeWidening" not in have_w or "typeWidening" not in have_r:
+            # reader-writer feature: old readers must not misread the
+            # narrow physical bytes, so the READER version gates too
+            new_proto = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(have_r | {"typeWidening"}),
+                "writerFeatures": sorted(have_w | {"typeWidening"}),
+            }
+        if tt == "timestamp_ntz" and "timestampNtz" not in have_w:
+            base = new_proto or {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": sorted(have_r),
+                "writerFeatures": sorted(have_w),
+            }
+            base["readerFeatures"] = sorted(
+                set(base["readerFeatures"]) | {"timestampNtz"}
+            )
+            base["writerFeatures"] = sorted(
+                set(base["writerFeatures"]) | {"timestampNtz"}
+            )
+            new_proto = base
+        self._commit_schema_change(
+            snap, fields, "CHANGE COLUMN",
+            {"column": col, "fromType": ft, "toType": tt},
+            protocol=new_proto,
         )
 
     def _update_config(

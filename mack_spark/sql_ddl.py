@@ -377,6 +377,17 @@ class DeltaSqlSession:
                 raise SqlDmlError("ADD COLUMN needs a type")
             table.add_column(cname, ctype)
             return done(added=json.dumps([cname]))
+        if _kw_at(toks, i, "ALTER", "COLUMN") or _kw_at(
+            toks, i, "CHANGE", "COLUMN"
+        ):
+            cname = _unquote_ident(toks[i + 2].text)
+            if not _kw_at(toks, i + 3, "TYPE"):
+                raise SqlDmlError(
+                    "ALTER COLUMN supports TYPE <wider-type> only"
+                )
+            ctype = sql[toks[i + 3].end:toks[-1].end].strip()
+            table.alter_column_type(cname, ctype)
+            return done(widened=json.dumps({cname: ctype}))
         if _kw_at(toks, i, "RENAME", "COLUMN"):
             old = _unquote_ident(toks[i + 2].text)
             if not _kw_at(toks, i + 3, "TO"):

@@ -770,6 +770,58 @@ def build_log_compaction(d: str):
     }
 
 
+def build_type_widening(d: str):
+    """A FOREIGN widened table (spec §Type Widening): v0 writes k as
+    integer / amt as float, v1 is a delta-spark-style CHANGE COLUMN
+    commit (schema widened to long/double, delta.typeChanges recorded,
+    reader+writer feature declared), v2 appends a file whose PHYSICAL
+    types are already wide. The reader must upcast the v0 file and read
+    the v2 file natively, under one snapshot schema."""
+    t = os.path.join(d, "table")
+    narrow = [_field("k", "integer"), _field("amt", "float")]
+    meta0 = _meta(narrow, mid="c0a5c1a5-0000-0000-0000-00000000000d")
+    add0 = _data_file(
+        t, "part-00000-narrow.snappy.parquet",
+        {"k": pa.array([1, 2], pa.int32()),
+         "amt": pa.array([1.5, 2.5], pa.float32())},
+    )
+    _log_write(t, 0, [
+        _commit_info("CREATE"),
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": meta0}, {"add": add0},
+    ])
+    wide = [
+        _field("k", "long", {"delta.typeChanges": [
+            {"fromType": "integer", "toType": "long", "tableVersion": 1},
+        ]}),
+        _field("amt", "double", {"delta.typeChanges": [
+            {"fromType": "float", "toType": "double", "tableVersion": 1},
+        ]}),
+    ]
+    meta1 = _meta(wide, mid="c0a5c1a5-0000-0000-0000-00000000000d")
+    _log_write(t, 1, [
+        _commit_info("CHANGE COLUMN"),
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["typeWidening"],
+            "writerFeatures": ["appendOnly", "invariants",
+                               "typeWidening"],
+        }},
+        {"metaData": meta1},
+    ])
+    add2 = _data_file(
+        t, "part-00002-wide.snappy.parquet",
+        {"k": pa.array([2**40], pa.int64()),
+         "amt": pa.array([3.25], pa.float64())},
+    )
+    _log_write(t, 2, [_commit_info("WRITE"), {"add": add2}])
+    return {
+        "rows": [[1, 1.5], [2, 2.5], [2**40, 3.25]],
+        "columns": ["k", "amt"],
+        "facts": {"version": 2, "widened": ["k", "amt"]},
+    }
+
+
 BUILDERS = {
     "log_compaction": build_log_compaction,
     "classic_checkpoint": build_classic_checkpoint,
@@ -783,6 +835,7 @@ BUILDERS = {
     "ict": build_ict,
     "row_tracking": build_row_tracking,
     "partitioned": build_partitioned,
+    "type_widening": build_type_widening,
 }
 
 
