@@ -4834,6 +4834,22 @@ class DeltaProtocolTable:
         dfields = {f.name: f for f in df.schema.fields}
         extra = [f.name for f in df.schema.fields if f.name not in cfields]
         missing = [f.name for f in committed.fields if f.name not in dfields]
+        # store assignment for widened tables: a frame column NARROWER
+        # than the table's (per the §Type Widening matrix — exactly the
+        # value-preserving casts) upcasts silently, the way INSERT does
+        # in delta-spark after an ALTER COLUMN TYPE; anything outside
+        # the matrix still raises below
+        for n, f in list(dfields.items()):
+            cf = cfields.get(n)
+            if cf is None or f.dataType == cf.dataType:
+                continue
+            ft, tt = f.dataType.jsonValue(), cf.dataType.jsonValue()
+            if (
+                isinstance(ft, str) and isinstance(tt, str)
+                and self._is_type_widening(ft, tt)
+            ):
+                df = df.withColumn(n, F.col(f"`{n}`").cast(cf.dataType))
+        dfields = {f.name: f for f in df.schema.fields}
         mismatched = sorted(
             n
             for n in dfields

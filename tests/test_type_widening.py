@@ -129,6 +129,25 @@ class TestWidenCommit:
         rows = {r["pkey"]: r["qty"] for r in t.to_df().collect()}
         assert rows[1] == 9999999999 and rows[0] == 0
 
+    def test_narrow_frame_append_store_assigns(self, spark, tmp_path):
+        """After a widen, appending a frame still typed with the OLD
+        narrow type upcasts silently (store assignment, the
+        value-preserving matrix only) — delta-spark's INSERT behavior."""
+        t = _mk(spark, tmp_path)
+        t.alter_column_type("qty", "bigint")
+        t.append(spark.createDataFrame(
+            [(200, 7, 1.0, dt.date(2022, 1, 1))], SCHEMA  # qty still int
+        ))
+        rows = {r["pkey"]: r["qty"] for r in t.to_df().collect()}
+        assert rows[200] == 7
+        assert dict(t.to_df().dtypes)["qty"] == "bigint"
+        # a NON-widening mismatch still refuses
+        with pytest.raises(DeltaProtocolError, match="schema mismatch"):
+            t.append(spark.createDataFrame(
+                [(201, "x", 1.0, dt.date(2022, 1, 1))],
+                "pkey int, qty string, price float, d date",
+            ))
+
     def test_time_travel_sees_narrow_schema(self, spark, tmp_path):
         t = _mk(spark, tmp_path)
         t.alter_column_type("qty", "bigint")
