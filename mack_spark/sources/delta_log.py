@@ -4991,9 +4991,26 @@ class DeltaProtocolTable:
             f"append to {self.path} lost {max_retries + 1} commit races"
         )
 
-    def overwrite(self, df: DataFrame, merge_schema: bool = False) -> None:
+    def overwrite(
+        self, df: DataFrame, merge_schema: bool = False,
+        replace_where: Optional[str] = None,
+    ) -> None:
         """Transactional overwrite: remove every live file, add the new
-        ones, one commit. Schema-enforced like :meth:`append`."""
+        ones, one commit. Schema-enforced like :meth:`append`.
+
+        ``replace_where`` is delta-spark's predicate overwrite
+        (``.option("replaceWhere", ...)``): ONLY rows matching the
+        predicate are replaced, atomically — files with no matching row
+        are untouched (footer-stats pruning, the same phase-1 scan
+        DELETE uses), partially-matching files are rewritten keeping
+        their non-matching rows, and the new data lands alongside.
+        Every incoming row must satisfy the predicate (Delta's
+        replaceWhere constraint check — violating rows raise). This is
+        the idiomatic 100-TB partition/date-range backfill: cost is
+        O(matching data), never O(table)."""
+        if replace_where is not None:
+            self._overwrite_where(df, replace_where, merge_schema)
+            return
         snap = self.snapshot()
         self._assert_writable(snap)
         self._assert_not_append_only(snap, "OVERWRITE")
@@ -5035,6 +5052,109 @@ class DeltaProtocolTable:
             + [{"add": a} for a in adds]
         )
         self._commit(snap.version + 1, actions, snap=snap)
+
+    def _overwrite_where(
+        self, df: DataFrame, condition: str, merge_schema: bool
+    ) -> dict:
+        """``replaceWhere`` execution: one commit that removes the
+        predicate's files, re-adds their surviving rows, and adds the
+        new data. Kept rows carry preserved row ids on row-tracked
+        tables; CDF tables record the replaced rows as deletes and the
+        new rows as inserts (cdc actions — the rewritten survivors are
+        NOT changes, exactly the DELETE+append shape)."""
+        if merge_schema:
+            raise DeltaProtocolError(
+                "replaceWhere with mergeSchema is not supported — evolve"
+                " the schema first (add_column), then replace"
+            )
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        self._assert_not_append_only(snap, "OVERWRITE")
+        df, id_hwms, id_persisted = self._generate_identity(
+            snap.schema, df
+        )
+        try:
+            aligned, _ = self._resolve_write_schema(snap, df, False)
+            cond = F.coalesce(F.expr(condition), F.lit(False))
+            # Delta's replaceWhere constraint: every incoming row must
+            # match the predicate, else the "replace" would silently
+            # widen into an insert
+            if not aligned.filter(~cond).isEmpty():
+                raise DeltaProtocolError(
+                    f"replaceWhere {condition!r}: the new data contains"
+                    " rows NOT matching the predicate"
+                )
+            self._enforce_constraints(
+                snap, aligned, self._gen_checks(snap, df)
+            )
+            cdf = self._cdf_enabled(snap)
+            touched = self._files_matching(snap, condition)
+            kept_adds: List[dict] = []
+            cdc: List[dict] = []
+            touched_df = None
+            if touched:
+                touched_df, _rt = self._rewrite_with_preserved_row_ids(
+                    snap, touched
+                )
+                if cdf:
+                    touched_df = touched_df.persist()
+                kept = touched_df.filter(~cond)
+                kept_adds = self._write_data_files(
+                    kept, snap.partition_columns, snap=snap
+                )
+            new_adds = self._write_data_files(
+                aligned, snap.partition_columns, snap=snap
+            )
+            if cdf:
+                out_cols = [f.name for f in snap.schema.fields]
+                changes = aligned.select(*out_cols).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+                if touched_df is not None:
+                    changes = touched_df.filter(cond).select(
+                        *out_cols
+                    ).withColumn(
+                        "_change_type", F.lit("delete")
+                    ).unionByName(changes)
+                cdc = self._write_cdc_files(changes, snap=snap)
+                if touched_df is not None:
+                    touched_df.unpersist(blocking=False)
+        finally:
+            if id_persisted is not None:
+                id_persisted.unpersist()
+        meta = None
+        if id_hwms:
+            meta = _patch_identity_hwm(snap.metadata, id_hwms)
+        actions = [
+            {"commitInfo": {
+                "timestamp": _now_ms(), "operation": "WRITE",
+                "operationParameters": {
+                    "mode": "Overwrite", "predicate": condition,
+                },
+                "operationMetrics": {
+                    "numRemovedFiles": len(touched),
+                    "numAddedFiles": len(kept_adds) + len(new_adds),
+                },
+            }}
+        ]
+        if meta is not None:
+            actions.append({"metaData": meta})
+        actions += (
+            [{"cdc": c} for c in cdc]
+            + [
+                {"remove": {"path": p, "deletionTimestamp": _now_ms(),
+                            "dataChange": True}}
+                for p in touched
+            ]
+            + [{"add": a} for a in kept_adds]
+            + [{"add": a} for a in new_adds]
+        )
+        v = self._commit_mutation(snap, actions, condition)
+        return {
+            "touched_files": len(touched),
+            "total_files": len(snap.files),
+            "version": v,
+        }
 
     # ------------------------------------------------------------------
     # keyed MERGE — the two-phase, file-pruned execution
