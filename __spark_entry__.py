@@ -712,6 +712,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delta_type_widening"] = q_type_widening
 
+    def q_replace_where(spark, sf_dir):
+        # r14: replaceWhere predicate overwrite (delta-spark's
+        # .option("replaceWhere", ...)) — the partition backfill: one
+        # commit replaces exactly the 1-URGENT partition with
+        # recomputed rows (price doubled), stats-pruning every other
+        # partition's files. Oracle: the same CASE arithmetic over
+        # orders.
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+
+        ords = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        path = tempfile.mkdtemp(prefix="mack-rw-") + "/t"
+        t = DeltaProtocolTable.create(
+            spark, path, ords, partition_by=["o_orderpriority"]
+        )
+        repl = ords.where("o_orderpriority = '1-URGENT'").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        t.overwrite(repl, replace_where="o_orderpriority = '1-URGENT'")
+        return (
+            t.to_df()
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                (
+                    F.sum(
+                        F.floor(F.col("o_totalprice") * 10000.0)
+                        .cast("decimal(38,0)")
+                    ).cast("double") / F.lit(10000.0)
+                ).alias("total_price"),
+            )
+            .orderBy("o_orderpriority")
+        )
+
+    q["delta_replace_where"] = q_replace_where
+
     def q_kill_delta(spark, sf_dir):
         # kill_duplicates the way the reference executes it — a native
         # Delta MERGE with whenMatchedDelete (reference
@@ -4063,8 +4102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash",
         "dedup_simhash_near",
         "delta_constraint_append",
-        "delta_dv_delete",
     ]
+    front_r14.insert(3, "delta_replace_where")
     assert len(front_r14) == 50, len(front_r14)
     fset = set(front_r14)
     ordered = {k: q[k] for k in front_r14}
@@ -4832,6 +4871,21 @@ SELECT ln, CAST(count(*) AS BIGINT) AS n,
 FROM both_gens
 GROUP BY ln
 ORDER BY ln
+"""
+
+    # replaceWhere backfill: 1-URGENT rows carry doubled prices, every
+    # other partition untouched
+    o["delta_replace_where"] = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR((CASE WHEN o_orderpriority = '1-URGENT'
+                                 THEN o_totalprice * 2
+                                 ELSE o_totalprice END) * 10000.0)
+                     AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+         AS total_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
 """
     # The protocol-backed dedup merges land in the same post-states as
     # their plan forms (whenMatchedDelete / whenNotMatchedInsertAll).
