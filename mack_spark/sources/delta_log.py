@@ -4013,6 +4013,32 @@ class DeltaProtocolTable:
         self._assert_writable(snap)
         self._update_config(snap, props, "SET TBLPROPERTIES")
 
+    def unset_properties(self, keys: List[str]) -> None:
+        """``ALTER TABLE ... UNSET TBLPROPERTIES``: drop ``keys`` from
+        the configuration as one metaData commit. Missing keys are
+        ignored (delta's IF EXISTS behavior is the only sane one
+        without a metastore error contract). The PROTOCOL never
+        downgrades — unsetting delta.enableChangeDataFeed stops future
+        cdc writes but the feature stays declared, exactly Delta's
+        rule."""
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        config = {
+            k: v
+            for k, v in (snap.metadata.get("configuration") or {}).items()
+            if k not in set(keys)
+        }
+        meta = dict(snap.metadata, configuration=config)
+        actions = [
+            {"commitInfo": {
+                "timestamp": _now_ms(),
+                "operation": "UNSET TBLPROPERTIES",
+                "operationParameters": {"properties": sorted(keys)},
+            }},
+            {"metaData": meta},
+        ]
+        self._commit(snap.version + 1, actions, snap=snap)
+
     # ------------------------------------------------------------------
     # Domain metadata (writer feature "domainMetadata")
     # ------------------------------------------------------------------

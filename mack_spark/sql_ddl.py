@@ -408,6 +408,13 @@ class DeltaSqlSession:
             props = self._tblproperties(toks, i + 2)
             table.set_properties(props)
             return done(set=json.dumps(sorted(props)))
+        if _kw_at(toks, i, "UNSET", "TBLPROPERTIES"):
+            j = i + 2
+            if _kw_at(toks, j, "IF", "EXISTS"):
+                j += 2
+            keys, _ = self._paren_keys(toks, j)
+            table.unset_properties(keys)
+            return done(unset=json.dumps(sorted(keys)))
         if _kw_at(toks, i, "ADD", "CONSTRAINT"):
             cname = _unquote_ident(toks[i + 2].text)
             if not _kw_at(toks, i + 3, "CHECK"):
@@ -434,6 +441,25 @@ class DeltaSqlSession:
         raise SqlDmlError(
             f"unsupported ALTER TABLE action at {toks[i].text!r}"
         )
+
+    def _paren_keys(self, toks: List[_Tok], i: int) -> Tuple[List[str], int]:
+        """Parse ``('k1', 'k2', ...)`` at ``i`` (UNSET TBLPROPERTIES)."""
+        if i >= len(toks) or toks[i].text != "(":
+            raise SqlDmlError("UNSET TBLPROPERTIES needs ('k', ...)")
+        depth0 = toks[i].depth
+        keys: List[str] = []
+        j = i + 1
+        while j < len(toks) and not (
+            toks[j].text == ")" and toks[j].depth == depth0
+        ):
+            if toks[j].text == ",":
+                j += 1
+                continue
+            keys.append(self._string_lit(toks[j]))
+            j += 1
+        if j >= len(toks):
+            raise SqlDmlError("unterminated UNSET TBLPROPERTIES list")
+        return keys, j + 1
 
     def _tblproperties(self, toks: List[_Tok], i: int) -> Dict[str, str]:
         """Parse ``('k' = 'v', ...)`` at ``i``."""

@@ -170,6 +170,21 @@ class TestAlterTable:
         cfg = t.snapshot().metadata["configuration"]
         assert cfg["delta.enableChangeDataFeed"] == "true"
 
+    def test_unset_tblproperties(self, spark, tmp_path, sq):
+        t = _mk(spark, tmp_path)
+        sq.register("tbl", t)
+        sq.sql(
+            "ALTER TABLE tbl SET TBLPROPERTIES"
+            " ('delta.appendOnly' = 'false', 'custom.tag' = 'x')"
+        )
+        sq.sql(
+            "ALTER TABLE tbl UNSET TBLPROPERTIES IF EXISTS"
+            " ('custom.tag', 'never.was.set')"
+        )
+        cfg = t.snapshot().metadata["configuration"]
+        assert "custom.tag" not in cfg
+        assert cfg["delta.appendOnly"] == "false"
+
     def test_constraints(self, spark, tmp_path, sq):
         t = _mk(spark, tmp_path)
         sq.register("tbl", t)
