@@ -1625,14 +1625,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_jpeg_dims(spark, sf_dir):
         # r14: REAL JPEG corpus pass (VERDICT r13 What's missing #5).
-        # Each document synthesizes a deterministic image, encodes it
-        # as sequential-baseline JFIF (mack_spark/jpeg.py — huffman +
-        # DCT in numpy, 4:2:0 for even ids / 4:4:4 for odd), ROUND-
+        # Each document synthesizes a deterministic image and encodes
+        # it as JFIF (mack_spark/jpeg.py — huffman + DCT in numpy,
+        # 4:2:0 for even ids / 4:4:4 for odd; every THIRD doc encodes
+        # PROGRESSIVE SOF2 — multi-scan spectral selection +
+        # successive approximation — the other two baseline), ROUND-
         # TRIPS it through the decoder with an in-row max-error assert
-        # (a codec regression fails the query loudly), then the
-        # decode_dims operator re-decodes the payloads the way a real
-        # corpus audit would. Emitted dims are closed-form in doc_id,
-        # so the oracle hash-checks the full pipeline.
+        # AND a progressive==baseline pixel-equality assert (a codec
+        # regression in either entropy layout fails the query loudly),
+        # then the decode_dims operator re-decodes the payloads the
+        # way a real corpus audit would. Emitted dims are closed-form
+        # in doc_id, so the oracle hash-checks the full pipeline.
         import pandas as pd
         from pyspark.sql.types import BinaryType, StructField, StructType
 
@@ -1649,7 +1652,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         def gen(batches):
             import numpy as np
 
-            from mack_spark.jpeg import decode_jpeg, encode_jpeg_baseline
+            from mack_spark.jpeg import (
+                decode_jpeg,
+                encode_jpeg_baseline,
+                encode_jpeg_progressive,
+            )
 
             for pdf in batches:
                 payloads = []
@@ -1668,6 +1675,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         np.abs(d.astype(int) - rgb.astype(int)).max()
                     )
                     assert err <= 4, f"jpeg round-trip err {err} doc {did}"
+                    if did % 3 == 0:
+                        pp = encode_jpeg_progressive(
+                            rgb, quality=90, subsample=sub
+                        )
+                        dp = decode_jpeg(pp)
+                        assert np.array_equal(d, dp), (
+                            f"progressive != baseline decode, doc {did}"
+                        )
+                        p = pp
                     payloads.append(p)
                 yield pd.DataFrame(
                     {"doc_id": pdf["doc_id"], "payload": payloads}

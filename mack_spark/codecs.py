@@ -7,9 +7,10 @@ with nothing beyond the stdlib + numpy:
 * **PPM/PGM** — binary P6 (RGB) / P5 (grayscale) netpbm;
 * **PNG** — 8-bit gray/gray-alpha/RGB/RGBA, non-interlaced, all five
   scanline filters, inflated with stdlib ``zlib``;
-* **JPEG** — sequential baseline (huffman + DCT, any sampling
-  factors, restart markers) via :mod:`mack_spark.jpeg`; progressive /
-  arithmetic refuse at the fence.
+* **JPEG** — sequential baseline AND progressive (huffman + DCT, any
+  sampling factors, restart markers, multi-scan spectral selection +
+  successive approximation) via :mod:`mack_spark.jpeg`; arithmetic /
+  lossless refuse at the fence.
 
 ``decode_image`` sniffs the magic bytes and returns a ``(h, w, c)``
 uint8 numpy array; ``encode_ppm`` re-encodes for byte-stable output

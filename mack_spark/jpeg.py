@@ -1,30 +1,40 @@
-"""Baseline JPEG (ITU T.81 sequential DCT, huffman) codec in numpy.
+"""JPEG (ITU T.81 huffman DCT) codec in numpy — baseline AND
+progressive.
 
 Nearly every real image corpus is stored as JPEG; without it the
 multimodal operators could only read their metadata. This module
 decodes — and, for byte-stable test goldens and deterministic fake
-corpora, encodes — SEQUENTIAL BASELINE JFIF with nothing beyond the
+corpora, encodes — huffman-coded JFIF with nothing beyond the
 stdlib + numpy:
 
-* marker walk (SOI/APP*/DQT/SOF0/SOF1/DHT/DRI/SOS/EOI), 8-bit and
-  16-bit quant tables, multiple tables per segment;
+* marker walk (SOI/APP*/DQT/SOF0/SOF1/SOF2/DHT/DRI/SOS/EOI), 8-bit
+  and 16-bit quant tables, multiple tables per segment;
 * canonical huffman decoding from the file's own DHT segments;
-* restart markers (DRI / RSTn) with DC-predictor + bit-alignment
-  resets;
+* restart markers (DRI / RSTn) with DC-predictor + bit-alignment +
+  EOB-run resets;
 * any sampling factors the spec allows (4:4:4, 4:2:2, 4:2:0, ...)
   with nearest-neighbor chroma upsampling;
+* PROGRESSIVE (SOF2, T.81 Annex G): multi-scan decoding with
+  spectral selection AND successive approximation — DC first/refine,
+  AC first/refine with EOB runs, interleaved DC scans,
+  non-interleaved per-component AC scans (the spec's rule), tables
+  redefined between scans;
 * exact float IDCT/FDCT as an 8×8 orthonormal basis product (no
   integer approximations — determinism beats speed here);
 * JFIF YCbCr↔RGB (BT.601 full range), grayscale passthrough.
 
-PROGRESSIVE (SOF2), arithmetic coding (SOF9+), lossless and
-hierarchical modes raise :class:`ImageFormatError` at the fence, same
-as the mp4a/avc1 codec boundary — honest refusal, never a wrong pixel.
+Arithmetic coding (SOF9+), lossless and hierarchical modes raise
+:class:`ImageFormatError` at the fence, same as the mp4a/avc1 codec
+boundary — honest refusal, never a wrong pixel.
 
-The encoder writes the Annex K example tables (quant scaled by the
+The encoders write the Annex K example tables (quant scaled by the
 libjpeg quality formula, the standard huffman tables) — but the
 decoder always reads tables from the file, so the two halves stay
-independent evidence in round-trip tests.
+independent evidence in round-trip tests. The PROGRESSIVE encoder
+emits a libjpeg-style scan script (coarse DC, banded AC, then
+refinement passes down to full precision), so a progressive encode
+decodes to EXACTLY the same pixels as the baseline encode of the same
+image — the round-trip oracle the tests pin.
 
 SCALE: runs inside Arrow-batched ``mapInPandas`` workers, one image
 per batch row; the distribution shape is identical to the other
@@ -40,7 +50,9 @@ import numpy as np
 
 from mack_spark.codecs import ImageFormatError
 
-__all__ = ["decode_jpeg", "encode_jpeg_baseline"]
+__all__ = [
+    "decode_jpeg", "encode_jpeg_baseline", "encode_jpeg_progressive",
+]
 
 # raster index of the i-th zigzag scan position (T.81 figure A.6)
 ZIGZAG = np.array([
@@ -103,6 +115,8 @@ class _HuffTable:
 
     def __init__(self, counts: List[int], vals: bytes):
         # counts[i] = number of codes of length i+1 (16 entries)
+        if len(counts) != 16 or len(vals) < sum(counts):
+            raise ImageFormatError("truncated JPEG DHT segment")
         self.mincode = [0] * 17
         self.maxcode = [-1] * 17
         self.valptr = [0] * 17
@@ -122,7 +136,12 @@ class _HuffTable:
         for ln in range(1, 17):
             code = (code << 1) | br.read_bit()
             if self.maxcode[ln] >= 0 and code <= self.maxcode[ln]:
-                return self.vals[self.valptr[ln] + code - self.mincode[ln]]
+                i = self.valptr[ln] + code - self.mincode[ln]
+                if i >= len(self.vals):  # truncated DHT segment
+                    raise ImageFormatError(
+                        "JPEG huffman table shorter than its counts"
+                    )
+                return self.vals[i]
         raise ImageFormatError("invalid huffman code in JPEG stream")
 
 
@@ -157,9 +176,28 @@ def _destuff(data: bytes) -> List[bytes]:
     return intervals
 
 
+def _entropy_end(data: bytes, start: int) -> int:
+    """Offset of the first REAL marker after ``start`` (skipping byte
+    stuffing FF 00, restart markers, and FF fill bytes) — where a
+    progressive scan's entropy-coded segment ends."""
+    i, n = start, len(data)
+    while i < n - 1:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        m = data[i + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            i += 2
+        elif m == 0xFF:
+            i += 1  # fill byte
+        else:
+            return i
+    return n
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode sequential-baseline JFIF to ``(h, w, c)`` uint8
-    (c = 3 for YCbCr color, 1 for grayscale)."""
+    """Decode huffman JFIF — sequential baseline OR progressive — to
+    ``(h, w, c)`` uint8 (c = 3 for YCbCr color, 1 for grayscale)."""
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise ImageFormatError("not a JPEG (missing SOI)")
@@ -167,6 +205,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: Dict[Tuple[int, int], _HuffTable] = {}
     restart_interval = 0
     frame = None  # (h, w, comps) from SOF
+    progressive = False
+    coef = None  # progressive coefficient store, built at first SOS
     i = 2
     n = len(data)
     while i < n:
@@ -210,7 +250,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
             precision = seg[0]
             if precision != 8:
                 raise ImageFormatError(
@@ -225,17 +265,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     "id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq,
                 })
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise ImageFormatError(
-                "progressive JPEG (SOF2) is not supported — baseline"
-                " sequential only (re-encode or decode upstream)"
-            )
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ImageFormatError(
                 f"JPEG mode SOF{marker - 0xC0} (lossless/arithmetic/"
-                "hierarchical) is not supported — baseline sequential"
-                " only"
+                "hierarchical) is not supported — huffman sequential"
+                " and progressive only"
             )
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
@@ -245,10 +281,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append({"cs": cs, "td": tt >> 4, "ta": tt & 0x0F})
-            return _decode_scan(
-                data[nxt:], frame, scan, qt, huff, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    data[nxt:], frame, scan, qt, huff, restart_interval
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if coef is None:
+                coef = _ProgState(frame)
+            end = _entropy_end(data, nxt)
+            _decode_prog_scan(
+                data[nxt:end], frame, scan, ss, se, ah, al,
+                huff, restart_interval, coef,
             )
+            i = end
+            continue
         i = nxt
+    if progressive and coef is not None:
+        return _reconstruct_from_coefs(frame, coef, qt)
     raise ImageFormatError("JPEG has no SOS scan")
 
 
@@ -336,6 +387,258 @@ def _decode_scan(ecs, frame, scan, qt, huff, restart_interval):
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         out.append(np.clip(p[:h, :w], 0, 255))
+    if len(out) == 1:
+        return out[0].round().astype(np.uint8)[:, :, None]
+    if len(out) != 3:
+        raise ImageFormatError(
+            f"{len(out)}-component JPEG not supported (1 or 3)"
+        )
+    y, cb, cr = out
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(rgb, 0, 255).round().astype(np.uint8)
+
+
+# ------------------------------------------------------- progressive decode
+
+
+class _ProgState:
+    """Per-component quantized-coefficient store for progressive
+    decoding (T.81 Annex G): scans accumulate into these planes; the
+    IDCT runs ONCE at EOI. Blocks are laid out on the interleaved MCU
+    grid; non-interleaved scans index the component's own block window
+    inside it."""
+
+    __slots__ = ("blocks", "mcux", "mcuy", "ni_dims")
+
+    def __init__(self, frame):
+        h, w, comps = frame
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        self.mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        self.mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        self.blocks: Dict[int, np.ndarray] = {}
+        self.ni_dims: Dict[int, Tuple[int, int]] = {}
+        for c in comps:
+            bh = self.mcuy * c["v"]
+            bw = self.mcux * c["h"]
+            self.blocks[c["id"]] = np.zeros((bh, bw, 64), dtype=np.int32)
+            # non-interleaved window (G.1: ceil of the component's own
+            # sample dimensions, NOT the padded MCU grid)
+            cw = (w * c["h"] + 8 * hmax - 1) // (8 * hmax)
+            ch = (h * c["v"] + 8 * vmax - 1) // (8 * vmax)
+            self.ni_dims[c["id"]] = (ch, cw)
+
+
+def _decode_prog_scan(
+    ecs, frame, scan, ss, se, ah, al, huff, restart_interval, st,
+):
+    """One progressive scan (T.81 G.2): DC first/refine (Ss=0,
+    interleaved or single-component), AC first/refine (Ss>0, single
+    component only — the spec's rule) with EOB runs. Restart intervals
+    reset the DC predictors, the EOB run, and bit alignment."""
+    _h, _w, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[s["cs"]] for s in scan]
+    tabs = {s["cs"]: (s["td"], s["ta"]) for s in scan}
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ImageFormatError("JPEG DC scan with Se != 0")
+    if not is_dc and len(scan) != 1:
+        raise ImageFormatError(
+            "progressive AC scan must be single-component"
+        )
+    if not is_dc and (ss > se or se > 63):
+        raise ImageFormatError("bad progressive spectral band")
+
+    # the scan's unit sequence: MCUs (interleaved) or single blocks
+    if len(scan) > 1:
+        n_units = st.mcux * st.mcuy
+    else:
+        c = order[0]
+        ch, cw = st.ni_dims[c["id"]]
+        n_units = ch * cw
+    intervals = _destuff(ecs)
+    per_int = restart_interval if restart_interval else n_units
+    it = iter(intervals)
+    br = _BitReader(next(it))
+    pred = {c["id"]: 0 for c in comps}
+    eobrun = 0
+    left = per_int
+    for unit in range(n_units):
+        if left == 0:
+            try:
+                br = _BitReader(next(it))
+            except StopIteration:
+                raise ImageFormatError(
+                    "JPEG restart interval missing RST marker"
+                ) from None
+            pred = {c["id"]: 0 for c in comps}
+            eobrun = 0
+            left = per_int
+        if is_dc:
+            if len(scan) > 1:
+                my, mx = divmod(unit, st.mcux)
+                for c in order:
+                    td = tabs[c["id"]][0]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            _prog_dc_block(
+                                br, st.blocks[c["id"]],
+                                my * c["v"] + by, mx * c["h"] + bx,
+                                huff.get((0, td)), pred, c["id"], ah, al,
+                            )
+            else:
+                c = order[0]
+                ch, cw = st.ni_dims[c["id"]]
+                byy, bxx = divmod(unit, cw)
+                _prog_dc_block(
+                    br, st.blocks[c["id"]], byy, bxx,
+                    huff.get((0, tabs[c["id"]][0])), pred, c["id"],
+                    ah, al,
+                )
+        else:
+            c = order[0]
+            ch, cw = st.ni_dims[c["id"]]
+            byy, bxx = divmod(unit, cw)
+            ac_t = huff.get((1, tabs[c["id"]][1]))
+            if ah == 0:
+                eobrun = _prog_ac_first_block(
+                    br, st.blocks[c["id"]], byy, bxx, ac_t,
+                    ss, se, al, eobrun,
+                )
+            else:
+                eobrun = _prog_ac_refine_block(
+                    br, st.blocks[c["id"]], byy, bxx, ac_t,
+                    ss, se, al, eobrun,
+                )
+        left -= 1
+
+
+def _prog_dc_block(br, blocks, byy, bxx, dc_t, pred, cid, ah, al):
+    if ah == 0:  # first pass: huffman diff at reduced precision
+        if dc_t is None:
+            raise ImageFormatError("JPEG scan references missing DHT")
+        s = dc_t.decode(br)
+        diff = _extend(br.read_bits(s), s) if s else 0
+        pred[cid] += diff
+        blocks[byy, bxx, 0] = pred[cid] << al
+    else:  # refinement: one bit
+        if br.read_bit():
+            blocks[byy, bxx, 0] = int(blocks[byy, bxx, 0]) | (1 << al)
+
+
+def _prog_ac_first_block(br, blocks, byy, bxx, ac_t, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    if ac_t is None:
+        raise ImageFormatError("JPEG scan references missing DHT")
+    blk = blocks[byy, bxx]
+    k = ss
+    while k <= se:
+        rs = ac_t.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ImageFormatError("JPEG AC run past band end")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine_block(br, blocks, byy, bxx, ac_t, ss, se, al, eobrun):
+    """AC successive-approximation refinement (T.81 G.2.2 / the
+    libjpeg decode_mcu_AC_refine shape): runs count only ZERO-history
+    coefficients; every nonzero-history coefficient passed over reads
+    one correction bit; blocks inside an EOB run still read correction
+    bits for their nonzero band coefficients."""
+    if ac_t is None:
+        raise ImageFormatError("JPEG scan references missing DHT")
+    p1 = 1 << al
+    blk = blocks[byy, bxx]
+    k = ss
+
+    def correct(c: int) -> int:
+        if br.read_bit() and (c & p1) == 0:
+            return c + (p1 if c >= 0 else -p1)
+        return c
+
+    if eobrun == 0:
+        while k <= se:
+            rs = ac_t.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    # unlike AC-first, the EOB run INCLUDES the current
+                    # block: its remaining nonzero coefficients still
+                    # read correction bits in the tail below
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ImageFormatError(
+                        "JPEG AC refinement magnitude must be 1"
+                    )
+                val = p1 if br.read_bit() else -p1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    blk[k] = correct(c)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0 and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c != 0:
+                blk[k] = correct(c)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_from_coefs(frame, st, qt):
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    assemble the image — one vectorized pass per component."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    out = []
+    for c in comps:
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ImageFormatError("JPEG scan references missing DQT")
+        zz = st.blocks[c["id"]].astype(np.float64)  # (bh, bw, 64) zigzag
+        raster = np.zeros_like(zz)
+        raster[..., ZIGZAG] = zz * q.astype(np.float64)
+        bh, bw = raster.shape[:2]
+        blocks = raster.reshape(bh, bw, 8, 8)
+        spatial = np.einsum("ij,xyjk,kl->xyil", _C.T, blocks, _C)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        plane = plane + 128.0
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out.append(np.clip(plane[:h, :w], 0, 255))
     if len(out) == 1:
         return out[0].round().astype(np.uint8)[:, :, None]
     if len(out) != 3:
@@ -516,14 +819,9 @@ def _encode_block(
     return dc
 
 
-def encode_jpeg_baseline(
-    img: np.ndarray, quality: int = 90, subsample: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode ``(h, w, 3)`` RGB or ``(h, w[, 1])`` grayscale uint8 to
-    sequential-baseline JFIF. ``subsample``: '444' or '420' (chroma).
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs (exercises the decoder's restart path)."""
+def _prepare_planes(img: np.ndarray, subsample: str):
+    """RGB→YCbCr + chroma subsampling shared by both encoders.
+    Returns (planes, samp, h, w, gray)."""
     img = np.asarray(img, dtype=np.float64)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -534,24 +832,33 @@ def encode_jpeg_baseline(
     if subsample not in ("444", "420"):
         raise ImageFormatError(f"unsupported subsampling {subsample!r}")
     if gray:
-        planes = [img[:, :, 0]]
-        samp = [(1, 1)]
-    else:
-        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsample == "420":
-            # pad to even, then 2×2 mean
-            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
-            def _half(p):
-                pp = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
-                return pp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            planes = [y, _half(cb), _half(cr)]
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            planes = [y, cb, cr]
-            samp = [(1, 1), (1, 1), (1, 1)]
+        return [img[:, :, 0]], [(1, 1)], h, w, True
+    r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if subsample == "420":
+        # pad to even, then 2×2 mean
+        ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+
+        def _half(p):
+            pp = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            return pp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+        return [y, _half(cb), _half(cr)], [(2, 2), (1, 1), (1, 1)], h, w, \
+            False
+    return [y, cb, cr], [(1, 1), (1, 1), (1, 1)], h, w, False
+
+
+def encode_jpeg_baseline(
+    img: np.ndarray, quality: int = 90, subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode ``(h, w, 3)`` RGB or ``(h, w[, 1])`` grayscale uint8 to
+    sequential-baseline JFIF. ``subsample``: '444' or '420' (chroma).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (exercises the decoder's restart path)."""
+    planes, samp, h, w, gray = _prepare_planes(img, subsample)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -630,4 +937,237 @@ def encode_jpeg_baseline(
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------ progressive encoder
+
+
+def _quantized_blocks(plane, q_z, bh, bw_):
+    """FDCT + quantize one padded component plane into an
+    ``(bh, bw, 64)`` int32 array of ZIGZAG coefficients."""
+    th_, tw_ = bh * 8, bw_ * 8
+    ph, pw = plane.shape
+    p = np.pad(
+        plane, ((0, th_ - ph), (0, tw_ - pw)), mode="edge"
+    ) - 128.0
+    blocks = p.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3)
+    coefs = np.einsum("ij,xyjk,kl->xyil", _C, blocks, _C.T)
+    flat = coefs.reshape(bh, bw_, 64)[..., ZIGZAG]
+    return np.round(flat / q_z.astype(np.float64)).astype(np.int32)
+
+
+def _enc_dc_scan(out, coefs, comp_ids, samp, mcux, mcuy, dc_maps,
+                 ah, al, restart_interval):
+    """DC scan entropy (first pass: huffman diffs of dc >> Al;
+    refinement: one bit per block), interleaved MCU order."""
+    bw = _BitWriter()
+    pred = [0] * len(comp_ids)
+    rst = 0
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.flush()
+            out += bw.buf
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            pred = [0] * len(comp_ids)
+        my, mx = divmod(mcu, mcux)
+        for ci in range(len(comp_ids)):
+            sh, sv = samp[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    dc = int(coefs[ci][my * sv + by, mx * sh + bx, 0])
+                    if ah == 0:
+                        v = dc >> al  # arithmetic shift (T.81 DC rule)
+                        s, code = _magnitude(v - pred[ci])
+                        c, ln = dc_maps[ci][s]
+                        bw.write(c, ln)
+                        if s:
+                            bw.write(code, s)
+                        pred[ci] = v
+                    else:
+                        bw.write((dc >> al) & 1, 1)
+    bw.flush()
+    out += bw.buf
+
+
+def _enc_ac_first_block(bw, blk, ac_map, ss, se, al):
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = (abs(v) >> al)  # AC point transform truncates toward zero
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            c, ln = ac_map[0xF0]
+            bw.write(c, ln)
+            r -= 16
+        s, code = _magnitude(t if v > 0 else -t)
+        c, ln = ac_map[(r << 4) | s]
+        bw.write(c, ln)
+        bw.write(code, s)
+        r = 0
+    if r > 0:
+        c, ln = ac_map[0x00]  # EOB (run length 1 — no EOBRUN batching)
+        bw.write(c, ln)
+
+
+def _enc_ac_refine_block(bw, blk, ac_map, ss, se, al):
+    """The libjpeg encode_mcu_AC_refine shape: ``t = |coef| >> Al``;
+    t == 1 is NEWLY significant (emit run+sign), t > 1 is history
+    (buffer its correction bit ``t & 1``); runs count zero-history
+    positions only; ZRL only before the last newly-significant index;
+    a trailing EOB carries the buffered correction bits."""
+    absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    eob = 0  # index AFTER the last newly-significant coefficient
+    for idx, t in enumerate(absv):
+        if t == 1:
+            eob = idx + 1
+    r = 0
+    pending: List[int] = []
+    for idx, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and idx < eob:
+            c, ln = ac_map[0xF0]
+            bw.write(c, ln)
+            r -= 16
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        if t > 1:
+            pending.append(t & 1)
+            continue
+        c, ln = ac_map[(r << 4) | 1]
+        bw.write(c, ln)
+        r = 0
+        bw.write(1 if int(blk[ss + idx]) > 0 else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+    if r > 0 or pending:
+        c, ln = ac_map[0x00]
+        bw.write(c, ln)
+        for b in pending:
+            bw.write(b, 1)
+
+
+def _enc_ac_scan(out, coefs_c, ni, ac_map, ss, se, ah, al,
+                 restart_interval):
+    """One single-component AC scan over the component's
+    non-interleaved block window."""
+    ch, cw = ni
+    bw = _BitWriter()
+    rst = 0
+    for unit in range(ch * cw):
+        if restart_interval and unit and unit % restart_interval == 0:
+            bw.flush()
+            out += bw.buf
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+        byy, bxx = divmod(unit, cw)
+        blk = coefs_c[byy, bxx]
+        if ah == 0:
+            _enc_ac_first_block(bw, blk, ac_map, ss, se, al)
+        else:
+            _enc_ac_refine_block(bw, blk, ac_map, ss, se, al)
+    bw.flush()
+    out += bw.buf
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode to PROGRESSIVE JFIF (SOF2) with a libjpeg-style scan
+    script: coarse DC, banded AC at reduced precision, then successive
+    refinement down to full precision — so the decode equals the
+    baseline encode's decode EXACTLY (same quantized coefficients),
+    which is the round-trip oracle the tests pin."""
+    planes, samp, h, w, gray = _prepare_planes(img, subsample)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    q_lum_z = _scaled_q(_Q_LUM, quality)[ZIGZAG]
+    q_chr_z = _scaled_q(_Q_CHR, quality)[ZIGZAG]
+    ncomp = 1 if gray else 3
+    coefs = []
+    ni = []
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        coefs.append(_quantized_blocks(
+            planes[ci], q_lum_z if ci == 0 else q_chr_z,
+            mcuy * sv, mcux * sh,
+        ))
+        ni.append((
+            (h * sv + 8 * vmax - 1) // (8 * vmax),
+            (w * sh + 8 * hmax - 1) // (8 * hmax),
+        ))
+    dc_maps = [_code_map(*(_DC_LUM if ci == 0 else _DC_CHR))
+               for ci in range(ncomp)]
+    ac_maps = [_code_map(*(_AC_LUM if ci == 0 else _AC_CHR))
+               for ci in range(ncomp)]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, qz in ((0, q_lum_z),) + (() if gray else ((1, q_chr_z),)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
+            + bytes(int(v) for v in qz)
+    out += b"\xff\xc2" + struct.pack(">H", 8 + 3 * ncomp) + b"\x08" \
+        + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        out += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    for tc, th, (counts, vals) in (
+        (0, 0, _DC_LUM), (1, 0, _AC_LUM),
+    ) + (() if gray else ((0, 1, _DC_CHR), (1, 1, _AC_CHR))):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
+            + bytes([(tc << 4) | th]) + bytes(counts) + vals
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">H", 4) \
+            + struct.pack(">H", restart_interval)
+
+    def sos(comp_list, ss, se, ah, al):
+        out.extend(b"\xff\xda")
+        out.extend(struct.pack(">H", 6 + 2 * len(comp_list)))
+        out.append(len(comp_list))
+        for ci in comp_list:
+            td = 0 if ci == 0 else 1
+            out.append(ci + 1)
+            out.append((td << 4) | td)
+        out.extend(bytes([ss, se, (ah << 4) | al]))
+
+    all_comps = list(range(ncomp))
+    # scan script: DC first (Al=1) → banded AC firsts → refinements
+    sos(all_comps, 0, 0, 0, 1)
+    _enc_dc_scan(out, coefs, all_comps, samp, mcux, mcuy, dc_maps,
+                 0, 1, restart_interval)
+    if gray:
+        script = [(0, 1, 63, 0, 1), (0, 1, 63, 1, 0)]
+    else:
+        script = [
+            (0, 1, 5, 0, 2),
+            (1, 1, 63, 0, 1),
+            (2, 1, 63, 0, 1),
+            (0, 6, 63, 0, 2),
+            (0, 1, 63, 2, 1),
+            (1, 1, 63, 1, 0),
+            (2, 1, 63, 1, 0),
+            (0, 1, 63, 1, 0),
+        ]
+    for ci, ss, se, ah, al in script:
+        sos([ci], ss, se, ah, al)
+        _enc_ac_scan(out, coefs[ci], ni[ci], ac_maps[ci], ss, se, ah,
+                     al, restart_interval)
+    # final DC refinement to full precision
+    sos(all_comps, 0, 0, 1, 0)
+    _enc_dc_scan(out, coefs, all_comps, samp, mcux, mcuy, dc_maps,
+                 1, 0, restart_interval)
+    out += b"\xff\xd9"
     return bytes(out)

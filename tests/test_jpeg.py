@@ -1,9 +1,13 @@
-"""Round-14: baseline JPEG codec (mack_spark/jpeg.py) — huffman + DCT
-in numpy, no Pillow. The decoder reads tables from the file's own
-DQT/DHT segments while the encoder writes the Annex K tables, so
-round-trip equality is two independent implementations agreeing.
-Progressive (SOF2) and non-baseline modes refuse at the fence, like
-the mp4a/avc1 codec boundary (VERDICT r13 What's missing #5).
+"""Round-14: JPEG codec (mack_spark/jpeg.py) — huffman + DCT in
+numpy, no Pillow, baseline AND progressive (T.81 Annex G). The decoder
+reads tables from the file's own DQT/DHT segments while the encoders
+write the Annex K tables, so round-trip equality is two independent
+implementations agreeing. The PROGRESSIVE oracle is stronger still:
+a progressive encode (multi-scan, spectral selection + successive
+approximation) must decode to EXACTLY the same pixels as the baseline
+encode of the same image — identical quantized coefficients through
+two entirely different entropy layouts. Arithmetic/lossless modes
+refuse at the fence, like the mp4a/avc1 codec boundary.
 """
 
 import struct
@@ -12,7 +16,11 @@ import numpy as np
 import pytest
 
 from mack_spark.codecs import ImageFormatError, decode_image
-from mack_spark.jpeg import decode_jpeg, encode_jpeg_baseline
+from mack_spark.jpeg import (
+    decode_jpeg,
+    encode_jpeg_baseline,
+    encode_jpeg_progressive,
+)
 
 
 def _rt(img, **kw):
@@ -86,16 +94,80 @@ class TestRoundTrip:
         assert abs(int(out[0, 0, 0]) - 42) <= 1
 
 
-class TestFences:
-    def test_progressive_refused(self):
-        # minimal SOF2 skeleton: SOI + progressive frame header
+class TestProgressive:
+    """decode(progressive encode) == decode(baseline encode), exactly:
+    both encoders quantize to the same coefficients, so any bit of
+    divergence is an entropy-layer bug in one of the four scan kinds."""
+
+    CASES = [
+        ((24, 24, 3), "444"), ((37, 29, 3), "444"),
+        ((37, 29, 3), "420"), ((16, 16, 1), "444"),
+        ((8, 8, 3), "444"), ((64, 48, 3), "420"),
+        ((9, 17, 1), "444"), ((100, 60, 3), "420"),
+    ]
+
+    @pytest.mark.parametrize("shape,sub", CASES)
+    def test_equals_baseline_decode(self, shape, sub):
+        rng = np.random.RandomState(sum(shape))
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg_baseline(
+            img, quality=80, subsample=sub
+        ))
+        prog = decode_jpeg(encode_jpeg_progressive(
+            img, quality=80, subsample=sub
+        ))
+        assert np.array_equal(base, prog)
+
+    @pytest.mark.parametrize("quality", [10, 50, 95])
+    def test_quality_sweep(self, quality):
+        rng = np.random.RandomState(quality)
+        img = rng.randint(0, 256, size=(40, 40, 3)).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_baseline(img, quality=quality)),
+            decode_jpeg(encode_jpeg_progressive(img, quality=quality)),
+        )
+
+    def test_restart_intervals(self):
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, size=(32, 40, 3)).astype(np.uint8)
+        prog = encode_jpeg_progressive(img, quality=70, restart_interval=3)
+        assert bytes([0xFF, 0xD0]) in prog
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_baseline(img, quality=70)),
+            decode_jpeg(prog),
+        )
+
+    def test_structure_is_multi_scan_sof2(self):
+        img = np.full((16, 16, 3), [9, 200, 77], np.uint8)
+        payload = encode_jpeg_progressive(img)
+        assert b"\xff\xc2" in payload       # SOF2, not SOF0
+        assert b"\xff\xc0" not in payload
+        assert payload.count(b"\xff\xda") == 10  # the color scan script
+
+    def test_dispatch_magic_progressive(self):
+        payload = encode_jpeg_progressive(np.full((8, 8), 42, np.uint8))
+        out = decode_image(payload)
+        assert out.shape == (8, 8, 1)
+        assert abs(int(out[0, 0, 0]) - 42) <= 1
+
+    def test_truncated_progressive_refused(self):
+        payload = encode_jpeg_progressive(
+            np.arange(64, dtype=np.uint8).reshape(8, 8)
+        )
+        with pytest.raises(ImageFormatError):
+            decode_jpeg(payload[: len(payload) // 2 - 40])
+
+    def test_no_scans_refused(self):
         sof2 = (
             b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
             + b"\x08" + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00"
+            + b"\xff\xd9"
         )
-        with pytest.raises(ImageFormatError, match="progressive"):
+        with pytest.raises(ImageFormatError, match="no SOS"):
             decode_jpeg(sof2)
 
+
+class TestFences:
     def test_lossless_refused(self):
         sof3 = (
             b"\xff\xd8\xff\xc3" + struct.pack(">H", 11)
