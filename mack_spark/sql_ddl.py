@@ -212,6 +212,33 @@ class DeltaSqlSession:
                 row.append(v)
         return self._spark.createDataFrame([tuple(row)], StructType(fields))
 
+    def _paren_items(
+        self, toks: List[_Tok], i: int
+    ) -> Tuple[List[List[_Tok]], int]:
+        """Split ``( ... , ... )`` at ``i`` into per-item token lists
+        (commas at inner depth separate; deeper ones belong to items)."""
+        if i >= len(toks) or toks[i].text != "(":
+            raise SqlDmlError("expected '('")
+        depth0 = toks[i].depth
+        items: List[List[_Tok]] = []
+        cur: List[_Tok] = []
+        j = i + 1
+        while j < len(toks):
+            t = toks[j]
+            if (t.depth == depth0 + 1 and t.text == ",") or (
+                t.depth == depth0 and t.text == ")"
+            ):
+                if not cur:
+                    raise SqlDmlError("empty item in parenthesized list")
+                items.append(cur)
+                cur = []
+                if t.text == ")":
+                    return items, j + 1
+            else:
+                cur.append(t)
+            j += 1
+        raise SqlDmlError("unterminated parenthesized list")
+
     def _paren_idents(
         self, toks: List[_Tok], i: int, with_types: bool = False
     ) -> Tuple[List, int]:
@@ -517,7 +544,8 @@ class DeltaSqlSession:
 
         col_defs = None
         if i < len(toks) and toks[i].text == "(":
-            col_defs, i = self._paren_idents(toks, i, with_types=True)
+            items, i = self._paren_items(toks, i)
+            col_defs = [self._parse_col_def(sql, it) for it in items]
         if not _kw_at(toks, i, "USING", "DELTA"):
             raise SqlDmlError("only CREATE TABLE ... USING DELTA is supported")
         i += 2
@@ -557,12 +585,34 @@ class DeltaSqlSession:
         if col_defs is None and select_sql is None:
             raise SqlDmlError("CREATE TABLE needs (column defs) or AS SELECT")
 
+        identity = None
         if select_sql is not None:
             stoks = _tokenize(select_sql)
             df = self._spark.sql(self._rewrite_query(select_sql, stoks))
         else:
-            ddl = ", ".join(f"`{c}` {t}" for c, t in col_defs)
-            df = self._spark.createDataFrame([], ddl)
+            from pyspark.sql.types import (
+                StructField as _SF,
+                StructType as _ST,
+                _parse_datatype_string,
+            )
+
+            fields = []
+            for d in col_defs:
+                if d["identity"] is not None:
+                    # identity columns go through create()'s identity
+                    # param (appended as bigint, hwm-managed) — never
+                    # through the frame schema
+                    identity = dict(identity or {})
+                    identity[d["name"]] = d["identity"]
+                    continue
+                md = {}
+                if d["generated"] is not None:
+                    md["delta.generationExpression"] = d["generated"]
+                fields.append(_SF(
+                    d["name"], _parse_datatype_string(d["type"]),
+                    d["nullable"], md,
+                ))
+            df = self._spark.createDataFrame([], _ST(fields))
 
         if DeltaProtocolTable.is_delta(path):
             if if_not_exists:
@@ -586,7 +636,7 @@ class DeltaSqlSession:
         table = DeltaProtocolTable.create(
             self._spark, path, df,
             partition_by=partition_by, properties=properties,
-            cluster_by=cluster_by,
+            cluster_by=cluster_by, identity=identity,
         )
         if reg_name:
             self.register(reg_name, table)
@@ -594,6 +644,94 @@ class DeltaSqlSession:
             {"path": path, "created": json.dumps(True),
              "version": table.snapshot().version}
         )
+
+    def _parse_col_def(self, sql: str, item: List[_Tok]) -> dict:
+        """One CREATE TABLE column definition: ``name type [NOT NULL]
+        [GENERATED ALWAYS AS (expr) | GENERATED ALWAYS|BY DEFAULT AS
+        IDENTITY [(START WITH n INCREMENT BY m)]]``."""
+        if len(item) < 2:
+            raise SqlDmlError(
+                f"column {item[0].text!r} needs a type"
+            )
+        name = _unquote_ident(item[0].text)
+        opts_at = len(item)
+        for idx in range(1, len(item)):
+            t = item[idx]
+            if t.kind == "word" and t.upper in ("GENERATED", "NOT"):
+                opts_at = idx
+                break
+        typ = sql[item[1].start:item[opts_at - 1].end]
+        d = {"name": name, "type": typ, "nullable": True,
+             "generated": None, "identity": None}
+        j = opts_at
+        while j < len(item):
+            if _kw_at(item, j, "NOT", "NULL"):
+                d["nullable"] = False
+                j += 2
+            elif _kw_at(item, j, "GENERATED"):
+                if _kw_at(item, j + 1, "ALWAYS", "AS", "IDENTITY"):
+                    allow = False
+                    j += 4
+                elif _kw_at(item, j + 1, "BY", "DEFAULT", "AS",
+                            "IDENTITY"):
+                    allow = True
+                    j += 5
+                elif _kw_at(item, j + 1, "ALWAYS", "AS") and (
+                    j + 3 < len(item) and item[j + 3].text == "("
+                ):
+                    # generation expression: the parenthesized text
+                    depth0 = item[j + 3].depth
+                    k = j + 4
+                    while k < len(item) and not (
+                        item[k].text == ")" and item[k].depth == depth0
+                    ):
+                        k += 1
+                    if k >= len(item):
+                        raise SqlDmlError(
+                            "unterminated GENERATED ALWAYS AS (expr)"
+                        )
+                    d["generated"] = sql[
+                        item[j + 3].end:item[k].start
+                    ].strip()
+                    j = k + 1
+                    continue
+                else:
+                    raise SqlDmlError(
+                        f"cannot parse GENERATED clause for {name!r}"
+                    )
+                start, step = 1, 1
+                if j < len(item) and item[j].text == "(":
+                    if not _kw_at(item, j + 1, "START", "WITH"):
+                        raise SqlDmlError(
+                            "IDENTITY options need START WITH"
+                        )
+                    start = int(item[j + 3].text)
+                    if not _kw_at(item, j + 4, "INCREMENT", "BY"):
+                        raise SqlDmlError(
+                            "IDENTITY options need INCREMENT BY"
+                        )
+                    stepi = j + 6
+                    neg = item[stepi].text == "-"
+                    if neg:
+                        stepi += 1
+                    step = int(item[stepi].text) * (-1 if neg else 1)
+                    j = stepi + 2  # past the closing paren
+                else:
+                    pass
+                if typ.strip().lower() not in ("bigint", "long"):
+                    raise SqlDmlError(
+                        f"IDENTITY column {name!r} must be BIGINT"
+                    )
+                d["identity"] = {
+                    "start": start, "step": step,
+                    "allow_explicit_insert": allow,
+                }
+            else:
+                raise SqlDmlError(
+                    f"unsupported column option {item[j].text!r} for"
+                    f" {name!r}"
+                )
+        return d
 
     def _convert(self, toks: List[_Tok]) -> DataFrame:
         from mack_spark.sources.delta_log import DeltaProtocolTable

@@ -265,6 +265,46 @@ class TestCreateConvert:
         cfg = t.snapshot().metadata["configuration"]
         assert cfg["delta.appendOnly"] == "true"
 
+    def test_create_identity_column(self, spark, tmp_path, sq):
+        p = str(tmp_path / "ident")
+        sq.sql(
+            f"CREATE TABLE delta.`{p}` ("
+            f" id BIGINT GENERATED ALWAYS AS IDENTITY"
+            f"   (START WITH 10 INCREMENT BY 2),"
+            f" v INT NOT NULL"
+            f") USING DELTA"
+        )
+        t = DeltaProtocolTable(spark, p)
+        t.append(spark.createDataFrame([(7,), (8,)], "v int"))
+        rows = sorted(
+            (r["id"], r["v"]) for r in t.to_df().collect()
+        )
+        assert rows == [(10, 7), (12, 8)]
+
+    def test_create_generated_column(self, spark, tmp_path, sq):
+        p = str(tmp_path / "gen")
+        sq.sql(
+            f"CREATE TABLE delta.`{p}` ("
+            f" a INT, doubled INT GENERATED ALWAYS AS (a * 2)"
+            f") USING DELTA"
+        )
+        t = DeltaProtocolTable(spark, p)
+        t.append(spark.createDataFrame([(3,), (4,)], "a int"))
+        rows = sorted(
+            (r["a"], r["doubled"]) for r in t.to_df().collect()
+        )
+        assert rows == [(3, 6), (4, 8)]
+
+    def test_create_identity_requires_bigint(self, sq, tmp_path):
+        from mack_spark.sql_dml import SqlDmlError
+
+        with pytest.raises(SqlDmlError, match="BIGINT"):
+            sq.sql(
+                f"CREATE TABLE delta.`{tmp_path}/x` ("
+                f" id INT GENERATED ALWAYS AS IDENTITY"
+                f") USING DELTA"
+            )
+
     def test_convert_to_delta(self, spark, tmp_path, sq):
         p = str(tmp_path / "plain")
         spark.createDataFrame(
