@@ -2859,7 +2859,7 @@ class DeltaProtocolTable:
         df, id_hwms, id_persisted = t._generate_identity(table_schema, df)
         try:
             df = df.select(*[f.name for f in table_schema.fields])
-            adds = t._write_data_files(df, partition_by)
+            adds = t._write_data_files(df, partition_by, config=properties)
         finally:
             if id_persisted is not None:
                 id_persisted.unpersist()
@@ -3107,6 +3107,7 @@ class DeltaProtocolTable:
         data_change: bool = True,
         snap: Optional[DeltaSnapshot] = None,
         tags: Optional[Dict[str, str]] = None,
+        config: Optional[Dict[str, str]] = None,
     ) -> List[dict]:
         """Write ``df`` as parquet through a staging dir, move the part
         files into the table root (same filesystem — atomic renames),
@@ -3159,6 +3160,31 @@ class DeltaProtocolTable:
             c for c in df.columns
             if c not in partition_by and c not in skip_stats
         ]
+        # Delta's stats-indexing controls (scale lever: stats on a
+        # 2000-column table bloat every add action; stats on the WRONG
+        # columns lose pruning): delta.dataSkippingStatsColumns names
+        # the exact set (overrides the count), else
+        # delta.dataSkippingNumIndexedCols caps the first-N (-1 = all)
+        cfg = config if config is not None else (
+            (snap.metadata.get("configuration") or {})
+            if snap is not None else {}
+        )
+        explicit = (cfg or {}).get("delta.dataSkippingStatsColumns")
+        if explicit:
+            wanted = {
+                c.strip().strip("`") for c in explicit.split(",")
+            }
+            if snap is not None and snap.column_mapping_mode != "none":
+                pn = snap.physical_names()
+                wanted = {pn.get(c, c) for c in wanted}
+            stat_cols = [c for c in data_cols if c in wanted]
+        else:
+            n_idx = int(
+                (cfg or {}).get(
+                    "delta.dataSkippingNumIndexedCols", STATS_COLS
+                )
+            )
+            stat_cols = data_cols if n_idx < 0 else data_cols[:n_idx]
         adds: List[dict] = []
         for root, _dirs, fnames in os.walk(staging):
             for fn in fnames:
@@ -3183,7 +3209,7 @@ class DeltaProtocolTable:
                     rel_path = os.path.join(rel_dir, fn)
                 else:
                     rel_path = fn
-                stats = _collect_file_stats(src, data_cols[:STATS_COLS])
+                stats = _collect_file_stats(src, stat_cols)
                 if json.loads(stats)["numRecords"] == 0:
                     continue  # Spark's empty-partition placeholder files
                 dest = os.path.join(self.path, rel_path)

@@ -1,0 +1,101 @@
+"""Round-14: Delta's stats-indexing table properties —
+``delta.dataSkippingNumIndexedCols`` (first-N cap, -1 = all, default
+32) and ``delta.dataSkippingStatsColumns`` (explicit set, overrides
+the count). On a 2000-column table at 100 TB, stats on every column
+bloat every add action and slow every snapshot replay; stats on the
+WRONG columns lose file pruning — these properties are the lever, and
+delta-spark honors them on every write path."""
+
+import json
+
+import pytest
+
+from mack_spark.sources.delta_log import DeltaProtocolTable
+
+
+def _stats_cols(t):
+    snap = t.snapshot()
+    cols = set()
+    for a in snap.files.values():
+        st = json.loads(a["stats"])
+        cols |= set(st["minValues"])
+    return cols
+
+
+class TestStatsIndexing:
+    def test_default_first_32(self, spark, tmp_path):
+        wide = spark.createDataFrame(
+            [tuple(range(40))], ", ".join(f"c{i} int" for i in range(40))
+        )
+        t = DeltaProtocolTable.create(spark, str(tmp_path / "w"), wide)
+        got = _stats_cols(t)
+        assert got == {f"c{i}" for i in range(32)}
+
+    def test_num_indexed_cols_cap(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, 2, 3, 4)], "a int, b int, c int, d int")
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "n"), df,
+            properties={"delta.dataSkippingNumIndexedCols": "2"},
+        )
+        assert _stats_cols(t) == {"a", "b"}
+        # appends honor the committed property too
+        t.append(df)
+        assert _stats_cols(t) == {"a", "b"}
+
+    def test_num_indexed_cols_all(self, spark, tmp_path):
+        wide = spark.createDataFrame(
+            [tuple(range(40))], ", ".join(f"c{i} int" for i in range(40))
+        )
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "all"), wide,
+            properties={"delta.dataSkippingNumIndexedCols": "-1"},
+        )
+        assert len(_stats_cols(t)) == 40
+
+    def test_explicit_stats_columns(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "x"), df,
+            properties={"delta.dataSkippingStatsColumns": "b, `c`"},
+        )
+        assert _stats_cols(t) == {"b", "c"}
+
+    def test_set_property_changes_future_writes(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+        t = DeltaProtocolTable.create(spark, str(tmp_path / "p"), df)
+        t.set_properties({"delta.dataSkippingStatsColumns": "c"})
+        t.append(df)
+        snap = t.snapshot()
+        per_file = sorted(
+            tuple(sorted(json.loads(a["stats"])["minValues"]))
+            for a in snap.files.values()
+        )
+        # the old file keeps its full stats; the new one carries c only
+        assert per_file == [("a", "b", "c"), ("c",)]
+
+    def test_pruning_still_works_on_indexed_column(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, i * 10) for i in range(100)], "k int, v int"
+        ).repartition(4, "k")
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "pr"), df,
+            properties={"delta.dataSkippingStatsColumns": "k"},
+        )
+        assert t.to_df().where("k = 5").count() == 1
+        res = t.delete_where("k = 5")
+        assert res["touched_files"] <= res["total_files"]
+        assert t.to_df().count() == 99
+
+    def test_mapped_table_explicit_logical_names(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, 2)], "a int, b int")
+        t = DeltaProtocolTable.create(spark, str(tmp_path / "m"), df)
+        t.enable_column_mapping()
+        t.set_properties({"delta.dataSkippingStatsColumns": "b"})
+        t.append(df)
+        snap = t.snapshot()
+        phys_b = snap.physical_names()["b"]
+        newest = json.loads(
+            max(snap.files.values(), key=lambda a: a["modificationTime"])
+            ["stats"]
+        )
+        assert set(newest["minValues"]) == {phys_b}
