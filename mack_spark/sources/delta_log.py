@@ -78,6 +78,9 @@ CHECKPOINT_INTERVAL = 10
 # stats are collected for the first N schema columns, the spec's
 # dataSkippingNumIndexedCols shape
 STATS_COLS = 32
+# string min/max truncate to this prefix (Delta's 32-char rule): long
+# text columns must not embed their content in every add action
+_STRING_STAT_PREFIX = 32
 # distinct source keys above this cap degrade merge file-skipping from
 # the exact key-set to the true min/max envelope (module-level so tests
 # can exercise the overflow path at small scale)
@@ -202,6 +205,19 @@ def _collect_file_stats(abs_path: str, stat_cols: List[str]) -> str:
         jlo, jhi = _json_stat_value(lo), _json_stat_value(hi)
         if jlo is None or jhi is None:
             continue
+        # Delta truncates STRING stats to a 32-char prefix (a 100 KB
+        # document column must not ship its text inside every add
+        # action and every snapshot replay). A truncated MIN prefix is
+        # still a valid lower bound; a truncated MAX needs a
+        # tie-breaker above every string sharing the prefix — U+FFFF
+        # sorts after any real corpus character
+        if isinstance(jlo, str) and not isinstance(lo, (
+            datetime.date, datetime.datetime
+        )):
+            if len(jlo) > _STRING_STAT_PREFIX:
+                jlo = jlo[:_STRING_STAT_PREFIX]
+            if len(jhi) > _STRING_STAT_PREFIX:
+                jhi = jhi[:_STRING_STAT_PREFIX] + "￿"
         mins[col] = jlo
         maxs[col] = jhi
         nulls[col] = nn

@@ -86,6 +86,26 @@ class TestStatsIndexing:
         assert res["touched_files"] <= res["total_files"]
         assert t.to_df().count() == 99
 
+    def test_long_string_stats_truncate(self, spark, tmp_path):
+        long_a = "a" * 500
+        long_z = "z" * 500 + "tail"
+        df = spark.createDataFrame(
+            [(1, long_a), (2, long_z)], "k int, text string"
+        ).coalesce(1)
+        t = DeltaProtocolTable.create(spark, str(tmp_path / "t"), df)
+        a = next(iter(t.snapshot().files.values()))
+        st = json.loads(a["stats"])
+        assert st["minValues"]["text"] == "a" * 32
+        assert st["maxValues"]["text"] == "z" * 32 + "￿"
+        assert len(a["stats"]) < 500  # the content never ships
+        # the truncated bounds stay VALID: both real values fall inside
+        assert st["minValues"]["text"] <= long_a
+        assert st["maxValues"]["text"] >= long_z
+        # and a predicate on the column still finds its rows
+        assert t.to_df().where(
+            f"text = '{long_z}'"
+        ).count() == 1
+
     def test_mapped_table_explicit_logical_names(self, spark, tmp_path):
         df = spark.createDataFrame([(1, 2)], "a int, b int")
         t = DeltaProtocolTable.create(spark, str(tmp_path / "m"), df)
