@@ -143,6 +143,8 @@ class DeltaSqlSession:
             return self._spark.sql(self._rewrite_query(stmt, toks))
         if head in ("MERGE", "UPDATE", "DELETE"):
             return self._metrics_df(self._dml.execute(stmt))
+        if head == "INSERT":
+            return self._insert(stmt, toks)
         if head == "DESCRIBE" or head == "DESC":
             return self._describe(toks)
         if head == "OPTIMIZE":
@@ -288,6 +290,80 @@ class DeltaSqlSession:
         name = f"__mack_sql_view_{self._view_n}"
         df.createOrReplaceTempView(name)
         return name
+
+    # -- INSERT ----------------------------------------------------------
+
+    def _insert(self, sql: str, toks: List[_Tok]) -> DataFrame:
+        """``INSERT INTO t [(cols)] SELECT ...|VALUES ...``,
+        ``INSERT OVERWRITE t ...``, and Delta's ``INSERT INTO t
+        REPLACE WHERE pred SELECT ...`` — dispatched onto append /
+        overwrite / the replaceWhere predicate overwrite. A column
+        list NULL-fills the omitted columns (store assignment casts
+        narrower source types up on widened tables)."""
+        overwrite = False
+        i = 1
+        if _kw_at(toks, i, "OVERWRITE"):
+            overwrite = True
+            i += 1
+            if _kw_at(toks, i, "TABLE"):
+                i += 1
+        elif _kw_at(toks, i, "INTO"):
+            i += 1
+        else:
+            raise SqlDmlError("expected INSERT INTO / INSERT OVERWRITE")
+        table, _name, i = self._table_at(toks, i)
+        cols = None
+        if i < len(toks) and toks[i].text == "(":
+            cols, i = self._paren_idents(toks, i)
+        replace_where = None
+        if _kw_at(toks, i, "REPLACE", "WHERE"):
+            if overwrite:
+                raise SqlDmlError(
+                    "REPLACE WHERE goes with INSERT INTO, not OVERWRITE"
+                )
+            j = _find_kw(toks, i + 2, "SELECT")
+            jv = _find_kw(toks, i + 2, "VALUES")
+            j = min(x for x in (j, jv) if x >= 0) if max(j, jv) >= 0 else -1
+            if j < 0:
+                raise SqlDmlError("REPLACE WHERE needs a SELECT/VALUES")
+            replace_where = sql[toks[i + 1].end:toks[j].start].strip()
+            i = j
+        if i >= len(toks):
+            raise SqlDmlError("INSERT needs SELECT ... or VALUES ...")
+        body = sql[toks[i].start:]
+        df = self._spark.sql(self._rewrite_query(body, _tokenize(body)))
+        schema = table.snapshot().schema
+        if cols is not None:
+            if len(cols) != len(df.columns):
+                raise SqlDmlError(
+                    f"INSERT column list has {len(cols)} names but the"
+                    f" query produces {len(df.columns)} columns"
+                )
+            df = df.toDF(*cols)
+            from pyspark.sql import functions as F
+
+            for f in schema.fields:
+                if f.name not in cols:
+                    df = df.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+        elif len(df.columns) == len(schema.fields):
+            # positional: VALUES / SELECT columns map to schema order
+            df = df.toDF(*[f.name for f in schema.fields])
+        if replace_where is not None:
+            table.overwrite(df, replace_where=replace_where)
+        elif overwrite:
+            table.overwrite(df)
+        else:
+            table.append(df)
+        snap = table.snapshot()
+        return self._metrics_df({
+            "version": snap.version,
+            "mode": (
+                "replaceWhere" if replace_where is not None
+                else "overwrite" if overwrite else "append"
+            ),
+        })
 
     # -- DESCRIBE -------------------------------------------------------
 

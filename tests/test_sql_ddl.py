@@ -393,6 +393,55 @@ class TestSelectRewrite:
         assert n == 9 + 0  # 10 inserts + 1 delete, minus pkey 3 gone
 
 
+class TestInsert:
+    def test_insert_into_values(self, spark, tmp_path, sq):
+        t = _mk(spark, tmp_path)
+        sq.register("tbl", t)
+        sq.sql("INSERT INTO tbl VALUES (100, 'new', 1), (101, 'new', 2)")
+        assert t.to_df().where("status = 'new'").count() == 2
+        assert t.to_df().count() == 12
+
+    def test_insert_into_select_from_registered(self, spark, tmp_path, sq):
+        t = _mk(spark, tmp_path)
+        sq.register("tbl", t)
+        sq.sql(
+            "INSERT INTO tbl SELECT pkey + 1000, status, v FROM tbl"
+            " WHERE pkey < 3"
+        )
+        assert t.to_df().count() == 13
+
+    def test_insert_column_list_null_fills(self, spark, tmp_path, sq):
+        t = _mk(spark, tmp_path)
+        sq.register("tbl", t)
+        sq.sql("INSERT INTO tbl (pkey, v) VALUES (500, 9)")
+        row = t.to_df().where("pkey = 500").collect()[0]
+        assert row["status"] is None and row["v"] == 9
+
+    def test_insert_overwrite(self, spark, tmp_path, sq):
+        t = _mk(spark, tmp_path)
+        sq.register("tbl", t)
+        sq.sql("INSERT OVERWRITE tbl VALUES (1, 'only', 0)")
+        rows = t.to_df().collect()
+        assert len(rows) == 1 and rows[0]["status"] == "only"
+
+    def test_insert_replace_where(self, spark, tmp_path, sq):
+        t = _mk(spark, tmp_path)
+        sq.register("tbl", t)
+        sq.sql(
+            "INSERT INTO tbl REPLACE WHERE pkey < 5"
+            " SELECT pkey, 'repl' AS status, v FROM tbl WHERE pkey < 5"
+        )
+        assert t.to_df().where("status = 'repl'").count() == 5
+        assert t.to_df().count() == 10
+
+    def test_insert_widened_store_assign(self, spark, tmp_path, sq):
+        t = _mk(spark, tmp_path)
+        t.alter_column_type("v", "bigint")
+        sq.register("tbl", t)
+        sq.sql("INSERT INTO tbl VALUES (700, 'w', 5)")  # int literal
+        assert t.to_df().where("pkey = 700").collect()[0]["v"] == 5
+
+
 class TestDmlPassthrough:
     def test_update_returns_metrics_df(self, spark, tmp_path, sq):
         t = _mk(spark, tmp_path)
