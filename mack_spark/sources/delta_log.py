@@ -7073,6 +7073,41 @@ class DeltaProtocolTable:
                     pass
         return sorted(doomed)
 
+    def fsck_repair(self, dry_run: bool = False) -> List[str]:
+        """``FSCK REPAIR TABLE``: drop references to data files that no
+        longer exist on storage (deleted out-of-band — the failure mode
+        after a botched manual cleanup or retention misconfig). One
+        commit of plain removes; DV'd files whose deletion-vector file
+        is gone are removed too (their deleted rows can't be
+        reconstructed). O(snapshot files) stat calls, no data read."""
+        snap = self.snapshot()
+        if not dry_run:
+            self._assert_writable(snap)
+        missing: List[str] = []
+        for p, a in snap.files.items():
+            if not os.path.exists(os.path.join(self.path, p)):
+                missing.append(p)
+                continue
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") in ("u", "p") and not (
+                os.path.exists(_dv_file_path(self.path, dv))
+            ):
+                missing.append(p)
+        if dry_run or not missing:
+            return missing
+        actions = [
+            {"commitInfo": {
+                "timestamp": _now_ms(), "operation": "FSCK",
+                "operationParameters": {"numRemovedFiles": len(missing)},
+            }}
+        ] + [
+            {"remove": {"path": p, "deletionTimestamp": _now_ms(),
+                        "dataChange": True}}
+            for p in missing
+        ]
+        self._commit(snap.version + 1, actions, snap=snap)
+        return missing
+
     def compact_log(self, start: int, end: int) -> str:
         """Write a LOG COMPACTION file (spec §Log Compaction Files):
         ``<start>.<end>.compacted.json`` holding the reconciled

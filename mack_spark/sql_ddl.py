@@ -48,6 +48,7 @@ import json
 from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -159,6 +160,10 @@ class DeltaSqlSession:
             return self._create(stmt, toks)
         if head == "CONVERT":
             return self._convert(toks)
+        if head == "SHOW":
+            return self._show(toks)
+        if head == "FSCK":
+            return self._fsck(toks)
         raise SqlDmlError(
             f"unsupported statement head {toks[0].text!r} — supported:"
             " SELECT/WITH, MERGE/UPDATE/DELETE, DESCRIBE"
@@ -618,6 +623,49 @@ class DeltaSqlSession:
         else:
             raise SqlDmlError(f"cannot parse CREATE TABLE name {t.text!r}")
 
+        # CLONE form: CREATE TABLE t [SHALLOW|DEEP] CLONE src [LOCATION]
+        clone_kind = None
+        if _kw_at(toks, i, "SHALLOW", "CLONE"):
+            clone_kind, i = "shallow", i + 2
+        elif _kw_at(toks, i, "DEEP", "CLONE"):
+            clone_kind, i = "deep", i + 2
+        elif _kw_at(toks, i, "CLONE"):
+            clone_kind, i = "deep", i + 1  # delta: bare CLONE is deep
+        if clone_kind is not None:
+            src, _sname, i = self._table_at(toks, i)
+            if _kw_at(toks, i, "VERSION", "AS", "OF") or _kw_at(
+                toks, i, "TIMESTAMP", "AS", "OF"
+            ):
+                raise SqlDmlError(
+                    "CLONE of a past version is not supported — RESTORE"
+                    " the source first, or clone and restore the clone"
+                )
+            if _kw_at(toks, i, "LOCATION"):
+                path = self._string_lit(toks[i + 1])
+                i += 2
+            if i != len(toks):
+                raise SqlDmlError(
+                    f"unexpected token {toks[i].text!r} in CLONE"
+                )
+            if path is None:
+                raise SqlDmlError(
+                    "CLONE needs LOCATION '<path>' or the delta.`/path`"
+                    " target form"
+                )
+            fn = (
+                DeltaProtocolTable.shallow_clone
+                if clone_kind == "shallow"
+                else DeltaProtocolTable.deep_clone
+            )
+            table = fn(self._spark, src.path, path)
+            if reg_name:
+                self.register(reg_name, table)
+            return self._metrics_df({
+                "path": path, "clone": clone_kind,
+                "source": src.path,
+                "version": table.snapshot().version,
+            })
+
         col_defs = None
         if i < len(toks) and toks[i].text == "(":
             items, i = self._paren_items(toks, i)
@@ -837,6 +885,72 @@ class DeltaSqlSession:
         return self._metrics_df(
             {"path": path, "version": snap.version,
              "numFiles": len(snap.files)}
+        )
+
+    # -- SHOW / FSCK ------------------------------------------------------
+
+    def _show(self, toks: List[_Tok]) -> DataFrame:
+        if _kw_at(toks, 1, "TBLPROPERTIES"):
+            table, _, _ = self._table_at(toks, 2)
+            cfg = table.snapshot().metadata.get("configuration") or {}
+            return self._spark.createDataFrame(
+                sorted(cfg.items()),
+                StructType([StructField("key", StringType()),
+                            StructField("value", StringType())]),
+            )
+        if _kw_at(toks, 1, "COLUMNS", "IN") or _kw_at(
+            toks, 1, "COLUMNS", "FROM"
+        ):
+            table, _, _ = self._table_at(toks, 3)
+            names = [f.name for f in table.snapshot().schema.fields]
+            return self._spark.createDataFrame(
+                [(n,) for n in names],
+                StructType([StructField("col_name", StringType())]),
+            )
+        if _kw_at(toks, 1, "PARTITIONS"):
+            table, _, _ = self._table_at(toks, 2)
+            snap = table.snapshot()
+            pcols = snap.partition_columns
+            if not pcols:
+                raise SqlDmlError("SHOW PARTITIONS: table is unpartitioned")
+            types = {f.name: f.dataType for f in snap.schema.fields}
+            phys = (
+                snap.physical_names()
+                if snap.column_mapping_mode != "none"
+                else {c: c for c in pcols}
+            )
+            seen = sorted({
+                tuple(
+                    (a.get("partitionValues") or {}).get(phys[c])
+                    for c in pcols
+                )
+                for a in snap.files.values()
+            }, key=lambda t: tuple("" if v is None else v for v in t))
+            df = self._spark.createDataFrame(
+                seen or [],
+                StructType([StructField(c, StringType()) for c in pcols]),
+            )
+            for c in pcols:
+                df = df.withColumn(c, F.col(f"`{c}`").cast(types[c]))
+            return df
+        raise SqlDmlError(
+            "SHOW supports TBLPROPERTIES, COLUMNS IN/FROM, PARTITIONS"
+        )
+
+    def _fsck(self, toks: List[_Tok]) -> DataFrame:
+        if not _kw_at(toks, 1, "REPAIR", "TABLE"):
+            raise SqlDmlError("expected FSCK REPAIR TABLE <t> [DRY RUN]")
+        table, _, i = self._table_at(toks, 3)
+        dry = False
+        if i < len(toks) and _kw_at(toks, i, "DRY", "RUN"):
+            dry = True
+            i += 2
+        if i != len(toks):
+            raise SqlDmlError(f"unexpected token {toks[i].text!r} in FSCK")
+        missing = table.fsck_repair(dry_run=dry)
+        return self._spark.createDataFrame(
+            [(p,) for p in missing],
+            StructType([StructField("path", StringType())]),
         )
 
     # -- SELECT rewrite -----------------------------------------------------

@@ -316,6 +316,66 @@ class TestCreateConvert:
         assert t.to_df().count() == 50
 
 
+class TestCloneShowFsck:
+    def test_shallow_and_deep_clone(self, spark, tmp_path, sq):
+        t = _mk(spark, tmp_path)
+        sq.register("src", t)
+        p_sh = str(tmp_path / "sh")
+        p_dp = str(tmp_path / "dp")
+        res = sq.sql(
+            f"CREATE TABLE sh SHALLOW CLONE src LOCATION '{p_sh}'"
+        ).collect()[0]
+        assert res["clone"] == "shallow"
+        assert sq.sql("SELECT count(*) AS n FROM sh").collect()[0]["n"] == 10
+        sq.sql(f"CREATE TABLE dp DEEP CLONE src LOCATION '{p_dp}'")
+        assert sq.sql("SELECT count(*) AS n FROM dp").collect()[0]["n"] == 10
+        # deep clone is standalone: data files live under the clone
+        dp = DeltaProtocolTable(spark, p_dp)
+        assert all(not p.startswith("/") for p in dp.snapshot().files)
+
+    def test_show_tblproperties_and_columns(self, spark, tmp_path, sq):
+        t = _mk(spark, tmp_path)
+        t.set_properties({"delta.appendOnly": "false", "x.y": "z"})
+        sq.register("tbl", t)
+        props = {
+            r["key"]: r["value"]
+            for r in sq.sql("SHOW TBLPROPERTIES tbl").collect()
+        }
+        assert props["x.y"] == "z"
+        cols = [r["col_name"]
+                for r in sq.sql("SHOW COLUMNS IN tbl").collect()]
+        assert cols == ["pkey", "status", "v"]
+
+    def test_show_partitions(self, spark, tmp_path, sq):
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 else "b", i) for i in range(10)], SCHEMA
+        )
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "p"), df, partition_by=["status", "v"]
+        )
+        sq.register("tbl", t)
+        rows = sq.sql("SHOW PARTITIONS tbl").collect()
+        assert len(rows) == 10
+        assert {r["status"] for r in rows} == {"a", "b"}
+        assert isinstance(rows[0]["v"], int)  # typed, not string
+
+    def test_fsck_repair(self, spark, tmp_path, sq):
+        t = _mk(spark, tmp_path)
+        t.append(spark.createDataFrame([(100, "x", 1)], SCHEMA))
+        sq.register("tbl", t)
+        victim = sorted(t.snapshot().files)[0]
+        os.unlink(os.path.join(t.path, victim))
+        dry = [r["path"] for r in
+               sq.sql("FSCK REPAIR TABLE tbl DRY RUN").collect()]
+        assert dry == [victim]
+        assert t.snapshot().version == 1  # dry run commits nothing
+        fixed = [r["path"] for r in
+                 sq.sql("FSCK REPAIR TABLE tbl").collect()]
+        assert fixed == [victim]
+        assert t.snapshot().version == 2
+        t.to_df().count()  # table reads cleanly again
+
+
 class TestSelectRewrite:
     def test_registered_name_and_where(self, spark, tmp_path, sq):
         t = _mk(spark, tmp_path)
