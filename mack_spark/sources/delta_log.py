@@ -7073,6 +7073,62 @@ class DeltaProtocolTable:
                     pass
         return sorted(doomed)
 
+    def generate_symlink_manifest(self) -> List[str]:
+        """``GENERATE symlink_format_manifest FOR TABLE`` — the
+        Presto/Trino/Athena interop artifact: text manifests under
+        ``_symlink_format_manifest/`` (one per partition directory,
+        Hive layout) whose lines are the absolute URIs of the CURRENT
+        snapshot's data files. Engines that speak SymlinkTextInputFormat
+        read the table without understanding the Delta log. O(files)
+        metadata, no data read.
+
+        Refuses tables with deletion vectors (a symlink reader would
+        resurrect deleted rows) and column-mapped tables (the manifest
+        reader resolves columns by physical parquet schema) — Delta's
+        own rules."""
+        snap = self.snapshot()
+        if snap.column_mapping_mode != "none":
+            raise DeltaProtocolError(
+                "symlink manifests are not supported on column-mapped"
+                " tables"
+            )
+        if any(a.get("deletionVector") for a in snap.files.values()):
+            raise DeltaProtocolError(
+                "symlink manifests are not supported on tables with"
+                " deletion vectors — readers would see deleted rows"
+            )
+        from urllib.parse import quote
+
+        root = os.path.join(self.path, "_symlink_format_manifest")
+        groups: Dict[str, List[str]] = {}
+        for p, a in snap.files.items():
+            if snap.partition_columns:
+                pv = a.get("partitionValues") or {}
+                segs = []
+                for c in snap.partition_columns:
+                    v = pv.get(c)
+                    segs.append(
+                        f"{c}=__HIVE_DEFAULT_PARTITION__" if v is None
+                        else f"{c}={quote(str(v), safe='')}"
+                    )
+                d = os.path.join(*segs)
+            else:
+                d = ""
+            ap = p if p.startswith("/") else os.path.join(self.path, p)
+            groups.setdefault(d, []).append("file://" + ap)
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)  # drop stale partitions
+        written: List[str] = []
+        for d, uris in sorted(groups.items()):
+            mdir = os.path.join(root, d) if d else root
+            os.makedirs(mdir, exist_ok=True)
+            mpath = os.path.join(mdir, "manifest")
+            with open(mpath, "w") as fh:
+                fh.write("\n".join(sorted(uris)) + "\n")
+            written.append(os.path.relpath(mpath, self.path))
+        return sorted(written)
+
     def fsck_repair(self, dry_run: bool = False) -> List[str]:
         """``FSCK REPAIR TABLE``: drop references to data files that no
         longer exist on storage (deleted out-of-band — the failure mode

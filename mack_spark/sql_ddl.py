@@ -164,6 +164,25 @@ class DeltaSqlSession:
             return self._show(toks)
         if head == "FSCK":
             return self._fsck(toks)
+        if head == "GENERATE":
+            mode = toks[1].text if len(toks) > 1 else ""
+            if mode.lower() != "symlink_format_manifest" and not (
+                toks[1].kind == "string"
+                and self._string_lit(toks[1]) == "symlink_format_manifest"
+            ):
+                raise SqlDmlError(
+                    "GENERATE supports symlink_format_manifest only"
+                )
+            if not _kw_at(toks, 2, "FOR", "TABLE"):
+                raise SqlDmlError(
+                    "expected GENERATE symlink_format_manifest FOR TABLE"
+                )
+            table, _, _ = self._table_at(toks, 4)
+            paths = table.generate_symlink_manifest()
+            return self._spark.createDataFrame(
+                [(p,) for p in paths],
+                StructType([StructField("manifest", StringType())]),
+            )
         raise SqlDmlError(
             f"unsupported statement head {toks[0].text!r} — supported:"
             " SELECT/WITH, MERGE/UPDATE/DELETE, DESCRIBE"

@@ -376,6 +376,51 @@ class TestCloneShowFsck:
         t.to_df().count()  # table reads cleanly again
 
 
+class TestGenerateManifest:
+    def test_unpartitioned_manifest(self, spark, tmp_path, sq):
+        t = _mk(spark, tmp_path)
+        sq.register("tbl", t)
+        rows = sq.sql(
+            "GENERATE symlink_format_manifest FOR TABLE tbl"
+        ).collect()
+        assert [r["manifest"] for r in rows] == [
+            "_symlink_format_manifest/manifest"
+        ]
+        lines = open(
+            os.path.join(t.path, "_symlink_format_manifest", "manifest")
+        ).read().splitlines()
+        assert sorted(lines) == sorted(
+            "file://" + os.path.join(t.path, p)
+            for p in t.snapshot().files
+        )
+
+    def test_partitioned_manifest_tracks_current(self, spark, tmp_path, sq):
+        df = spark.createDataFrame(
+            [(i, "a" if i < 5 else "b", i) for i in range(10)], SCHEMA
+        )
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "p"), df, partition_by=["status"]
+        )
+        sq.register("tbl", t)
+        sq.sql("GENERATE symlink_format_manifest FOR TABLE tbl")
+        root = os.path.join(t.path, "_symlink_format_manifest")
+        assert sorted(os.listdir(root)) == ["status=a", "status=b"]
+        # drop partition b; regeneration removes its stale manifest
+        t.delete_where("status = 'b'")
+        sq.sql("GENERATE symlink_format_manifest FOR TABLE tbl")
+        assert sorted(os.listdir(root)) == ["status=a"]
+
+    def test_dv_table_refused(self, spark, tmp_path, sq):
+        t = _mk(
+            spark, tmp_path,
+            properties={"delta.enableDeletionVectors": "true"},
+        )
+        t.delete_where("pkey = 1")
+        sq.register("tbl", t)
+        with pytest.raises(Exception, match="deletion vectors"):
+            sq.sql("GENERATE symlink_format_manifest FOR TABLE tbl")
+
+
 class TestSelectRewrite:
     def test_registered_name_and_where(self, spark, tmp_path, sq):
         t = _mk(spark, tmp_path)
