@@ -3397,6 +3397,19 @@ class DeltaProtocolTable:
                     self.cleanup_metadata()
                 except (OSError, DeltaProtocolError):
                     pass
+        if (
+            str(cfg.get(
+                "delta.compatibility.symlinkFormatManifest.enabled",
+                "false",
+            )).lower() == "true"
+        ):
+            # delta-spark's post-commit hook: keep the Presto/Trino
+            # manifests current on every data-changing commit.
+            # Advisory like the checksum — the commit itself stands
+            try:
+                self.generate_symlink_manifest()
+            except (OSError, DeltaProtocolError):
+                pass
 
     def _write_version_checksum(self, version: int) -> None:
         """``<version>.crc`` (delta's version checksum sidecar): one

@@ -410,6 +410,30 @@ class TestGenerateManifest:
         sq.sql("GENERATE symlink_format_manifest FOR TABLE tbl")
         assert sorted(os.listdir(root)) == ["status=a"]
 
+    def test_auto_manifest_property(self, spark, tmp_path, sq):
+        """delta.compatibility.symlinkFormatManifest.enabled keeps the
+        manifests current on every commit (delta-spark's post-commit
+        hook)."""
+        t = _mk(
+            spark, tmp_path,
+            properties={
+                "delta.compatibility.symlinkFormatManifest.enabled":
+                    "true",
+            },
+        )
+        mpath = os.path.join(
+            t.path, "_symlink_format_manifest", "manifest"
+        )
+        assert os.path.exists(mpath)
+        before = set(open(mpath).read().splitlines())
+        t.append(spark.createDataFrame([(100, "x", 1)], SCHEMA))
+        after = set(open(mpath).read().splitlines())
+        assert len(after) > len(before)
+        assert after == {
+            "file://" + os.path.join(t.path, p)
+            for p in t.snapshot().files
+        }
+
     def test_dv_table_refused(self, spark, tmp_path, sq):
         t = _mk(
             spark, tmp_path,
