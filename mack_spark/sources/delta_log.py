@@ -411,6 +411,23 @@ def _identity_columns(schema: StructType) -> Dict[str, dict]:
     return out
 
 
+def _parse_byte_size(s, default: int) -> int:
+    """A Delta size property value: plain bytes (``104857600``) or a
+    ``b/kb/mb/gb`` suffix. Unset/unparseable → ``default`` (a malformed
+    tuning knob must not break OPTIMIZE)."""
+    import re as _re
+
+    if s is None:
+        return default
+    m = _re.match(r"^\s*(\d+)\s*(b|kb|mb|gb)?\s*$", str(s), _re.IGNORECASE)
+    if not m:
+        return default
+    mult = {"b": 1, "kb": 1 << 10, "mb": 1 << 20, "gb": 1 << 30}[
+        (m.group(2) or "b").lower()
+    ]
+    return int(m.group(1)) * mult
+
+
 def _parse_interval_hours(s: str) -> float:
     """Hours from Delta's interval-literal config values
     (``interval 30 days``, ``interval 12 hours``, ...)."""
@@ -3409,6 +3426,38 @@ class DeltaProtocolTable:
             try:
                 self.generate_symlink_manifest()
             except (OSError, DeltaProtocolError):
+                pass
+        if (
+            str(cfg.get("delta.autoOptimize.autoCompact", "false"))
+            .lower() == "true"
+            and not getattr(self, "_in_auto_compact", False)
+            and not any(
+                a.get("commitInfo", {}).get("operation") == "OPTIMIZE"
+                for a in actions
+            )
+        ):
+            # auto compaction (delta's autoCompact post-commit hook):
+            # once the small-file tail passes minNumFiles, run the
+            # selective OPTIMIZE right after the commit. The operation
+            # check + reentrancy flag stop the hook from chasing its
+            # own compaction commit
+            try:
+                target = _parse_byte_size(
+                    cfg.get("delta.targetFileSize"), 128 * 1024 * 1024
+                )
+                min_n = int(cfg.get("delta.autoOptimize.minNumFiles", 50))
+                post = self.snapshot()
+                small = sum(
+                    1 for a in post.files.values()
+                    if a.get("size", 0) < target // 2
+                )
+                if small >= min_n:
+                    self._in_auto_compact = True
+                    try:
+                        self.optimize(target_file_bytes=target)
+                    finally:
+                        self._in_auto_compact = False
+            except (OSError, DeltaProtocolError, ValueError):
                 pass
 
     def _write_version_checksum(self, version: int) -> None:
@@ -6724,7 +6773,7 @@ class DeltaProtocolTable:
 
     def optimize(
         self,
-        target_file_bytes: int = 128 * 1024 * 1024,
+        target_file_bytes: Optional[int] = None,
         min_file_bytes: Optional[int] = None,
         sort_by: Optional[List[str]] = None,
         zorder_by: Optional[List[str]] = None,
@@ -6766,6 +6815,15 @@ class DeltaProtocolTable:
 
         snap = self.snapshot()
         self._assert_writable(snap)
+        if target_file_bytes is None:
+            # delta.targetFileSize (Delta's table property) sets the
+            # bin-pack target when the caller doesn't; 128 MiB default
+            target_file_bytes = _parse_byte_size(
+                (snap.metadata.get("configuration") or {}).get(
+                    "delta.targetFileSize"
+                ),
+                128 * 1024 * 1024,
+            )
         # OPTIMIZE ... WHERE: restrict every candidate set to the
         # partitions the predicate selects (delta's partition-predicate
         # scope) — files outside stay untouched, unread
