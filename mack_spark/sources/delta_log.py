@@ -317,7 +317,11 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
      # type widening (spec §Type Widening): alter_column_type commits
      # widened schemas with delta.typeChanges field metadata; new
      # writes carry the wide type, old files upcast at scan time
-     "typeWidening", "typeWidening-preview"}
+     "typeWidening", "typeWidening-preview",
+     # column defaults (spec §Default Columns, writer-only): the SQL
+     # INSERT path fills omitted columns from CURRENT_DEFAULT field
+     # metadata; set/drop via set_column_default
+     "allowColumnDefaults"}
 )
 
 
@@ -342,8 +346,9 @@ def _initial_protocol(
         )
     v2 = policy == "v2"
     ntz = schema is not None and _has_ntz(schema)
+    defaults = schema is not None and bool(_column_defaults(schema))
     base_w = _required_writer_version(config, schema)
-    if not (dv or ict or v2 or rt or ntz):
+    if not (dv or ict or v2 or rt or ntz or defaults):
         return {"minReaderVersion": 1, "minWriterVersion": base_w}
     feats = _legacy_writer_features(base_w)
     rfeats = set()
@@ -365,6 +370,10 @@ def _initial_protocol(
     if v2:
         feats.add("v2Checkpoint")
         rfeats.add("v2Checkpoint")
+    if defaults:
+        # writer-only feature (spec §Default Columns): readers see
+        # plain data; only INSERT-time writers must apply defaults
+        feats.add("allowColumnDefaults")
     proto = {
         "minReaderVersion": 3 if rfeats else 1,
         "minWriterVersion": 7,
@@ -373,6 +382,19 @@ def _initial_protocol(
     if rfeats:
         proto["readerFeatures"] = sorted(rfeats)
     return proto
+
+
+def _column_defaults(schema: StructType) -> Dict[str, str]:
+    """column → default expression, from the spec's ``CURRENT_DEFAULT``
+    field metadata (writer feature ``allowColumnDefaults``): INSERTs
+    that omit the column fill it from the expression."""
+    out: Dict[str, str] = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        expr = md.get("CURRENT_DEFAULT")
+        if expr is not None:
+            out[f.name] = str(expr)
+    return out
 
 
 def _generated_columns(schema: StructType) -> Dict[str, str]:
@@ -4629,6 +4651,66 @@ class DeltaProtocolTable:
             {"column": col, "fromType": ft, "toType": tt},
             protocol=new_proto,
         )
+
+    def set_column_default(self, col: str, expr: Optional[str]) -> None:
+        """``ALTER TABLE ... ALTER COLUMN ... SET DEFAULT expr`` (or
+        DROP DEFAULT with ``expr=None``) — spec §Default Columns:
+        ``CURRENT_DEFAULT`` field metadata plus the writer-only
+        ``allowColumnDefaults`` feature. Metadata-only; existing rows
+        are untouched (defaults apply at INSERT time, not backfill —
+        Delta's rule, and the 100-TB-sane one)."""
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        fields = json.loads(snap.metadata["schemaString"])["fields"]
+        by_name = {f["name"]: f for f in fields}
+        if col not in by_name:
+            raise DeltaProtocolError(f"no column {col!r} for DEFAULT")
+        if col in _generated_columns(snap.schema) or col in (
+            _identity_columns(snap.schema)
+        ):
+            raise DeltaProtocolError(
+                f"column {col!r} is generated/identity — it cannot also"
+                " carry a DEFAULT"
+            )
+        md = dict(by_name[col].get("metadata") or {})
+        if expr is None:
+            md.pop("CURRENT_DEFAULT", None)
+        else:
+            md["CURRENT_DEFAULT"] = expr
+        by_name[col]["metadata"] = md
+        proto = None
+        if expr is not None:
+            p = snap.protocol
+            cur_w = p.get("minWriterVersion", 1)
+            have_w = (
+                set(p.get("writerFeatures") or [])
+                if cur_w == 7
+                else _legacy_writer_features(cur_w)
+            )
+            if "allowColumnDefaults" not in have_w:
+                proto = {
+                    "minReaderVersion": p.get("minReaderVersion", 1),
+                    "minWriterVersion": 7,
+                    "writerFeatures": sorted(
+                        have_w | {"allowColumnDefaults"}
+                    ),
+                }
+                if p.get("readerFeatures") is not None or (
+                    p.get("minReaderVersion", 1) == 3
+                ):
+                    proto["readerFeatures"] = sorted(
+                        set(p.get("readerFeatures") or [])
+                    )
+        self._commit_schema_change(
+            snap, fields,
+            "SET DEFAULT" if expr is not None else "DROP DEFAULT",
+            {"column": col, "default": expr},
+            protocol=proto,
+        )
+
+    def column_defaults(self) -> Dict[str, str]:
+        """column → CURRENT_DEFAULT expression of the live schema."""
+        return _column_defaults(self.snapshot().schema)
 
     def _update_config(
         self, snap: DeltaSnapshot, props: Dict[str, str], operation: str

@@ -364,13 +364,18 @@ class DeltaSqlSession:
                     f" query produces {len(df.columns)} columns"
                 )
             df = df.toDF(*cols)
-            from pyspark.sql import functions as F
+            from mack_spark.sources.delta_log import _column_defaults
 
+            defaults = _column_defaults(schema)
             for f in schema.fields:
                 if f.name not in cols:
-                    df = df.withColumn(
-                        f.name, F.lit(None).cast(f.dataType)
+                    # spec §Default Columns: omitted columns fill from
+                    # CURRENT_DEFAULT; NULL otherwise
+                    fill = (
+                        F.expr(defaults[f.name])
+                        if f.name in defaults else F.lit(None)
                     )
+                    df = df.withColumn(f.name, fill.cast(f.dataType))
         elif len(df.columns) == len(schema.fields):
             # positional: VALUES / SELECT columns map to schema order
             df = df.toDF(*[f.name for f in schema.fields])
@@ -508,13 +513,21 @@ class DeltaSqlSession:
             toks, i, "CHANGE", "COLUMN"
         ):
             cname = _unquote_ident(toks[i + 2].text)
-            if not _kw_at(toks, i + 3, "TYPE"):
-                raise SqlDmlError(
-                    "ALTER COLUMN supports TYPE <wider-type> only"
-                )
-            ctype = sql[toks[i + 3].end:toks[-1].end].strip()
-            table.alter_column_type(cname, ctype)
-            return done(widened=json.dumps({cname: ctype}))
+            if _kw_at(toks, i + 3, "TYPE"):
+                ctype = sql[toks[i + 3].end:toks[-1].end].strip()
+                table.alter_column_type(cname, ctype)
+                return done(widened=json.dumps({cname: ctype}))
+            if _kw_at(toks, i + 3, "SET", "DEFAULT"):
+                expr = sql[toks[i + 4].end:toks[-1].end].strip()
+                table.set_column_default(cname, expr)
+                return done(default=json.dumps({cname: expr}))
+            if _kw_at(toks, i + 3, "DROP", "DEFAULT"):
+                table.set_column_default(cname, None)
+                return done(default=json.dumps({cname: None}))
+            raise SqlDmlError(
+                "ALTER COLUMN supports TYPE <wider-type>,"
+                " SET DEFAULT <expr>, DROP DEFAULT"
+            )
         if _kw_at(toks, i, "RENAME", "COLUMN"):
             old = _unquote_ident(toks[i + 2].text)
             if not _kw_at(toks, i + 3, "TO"):
@@ -751,6 +764,8 @@ class DeltaSqlSession:
                 md = {}
                 if d["generated"] is not None:
                     md["delta.generationExpression"] = d["generated"]
+                if d["default"] is not None:
+                    md["CURRENT_DEFAULT"] = d["default"]
                 fields.append(_SF(
                     d["name"], _parse_datatype_string(d["type"]),
                     d["nullable"], md,
@@ -800,17 +815,35 @@ class DeltaSqlSession:
         opts_at = len(item)
         for idx in range(1, len(item)):
             t = item[idx]
-            if t.kind == "word" and t.upper in ("GENERATED", "NOT"):
+            if t.kind == "word" and t.upper in (
+                "GENERATED", "NOT", "DEFAULT",
+            ):
                 opts_at = idx
                 break
         typ = sql[item[1].start:item[opts_at - 1].end]
         d = {"name": name, "type": typ, "nullable": True,
-             "generated": None, "identity": None}
+             "generated": None, "identity": None, "default": None}
         j = opts_at
         while j < len(item):
             if _kw_at(item, j, "NOT", "NULL"):
                 d["nullable"] = False
                 j += 2
+            elif _kw_at(item, j, "DEFAULT"):
+                # the default expression runs to the next option
+                # keyword (or item end)
+                k = j + 1
+                while k < len(item) and not (
+                    item[k].kind == "word"
+                    and item[k].upper in ("GENERATED", "NOT")
+                    and item[k].depth == item[j].depth
+                ):
+                    k += 1
+                if k == j + 1:
+                    raise SqlDmlError(
+                        f"DEFAULT needs an expression for {name!r}"
+                    )
+                d["default"] = sql[item[j + 1].start:item[k - 1].end]
+                j = k
             elif _kw_at(item, j, "GENERATED"):
                 if _kw_at(item, j + 1, "ALWAYS", "AS", "IDENTITY"):
                     allow = False

@@ -295,6 +295,27 @@ class TestCreateConvert:
         )
         assert rows == [(3, 6), (4, 8)]
 
+    def test_column_defaults(self, spark, tmp_path, sq):
+        """spec §Default Columns: CREATE col DEFAULT, INSERT fills
+        omitted columns from CURRENT_DEFAULT, ALTER SET/DROP DEFAULT."""
+        p = str(tmp_path / "defs")
+        sq.sql(
+            f"CREATE TABLE dt (k INT, status STRING DEFAULT 'fresh',"
+            f" score DOUBLE DEFAULT 1.5) USING DELTA LOCATION '{p}'"
+        )
+        t = DeltaProtocolTable(spark, p)
+        assert "allowColumnDefaults" in (
+            t.snapshot().protocol.get("writerFeatures") or []
+        )
+        sq.sql("INSERT INTO dt (k) VALUES (1)")
+        row = t.to_df().collect()[0]
+        assert (row["status"], row["score"]) == ("fresh", 1.5)
+        sq.sql("ALTER TABLE dt ALTER COLUMN status SET DEFAULT 'aged'")
+        sq.sql("ALTER TABLE dt ALTER COLUMN score DROP DEFAULT")
+        sq.sql("INSERT INTO dt (k) VALUES (2)")
+        row2 = t.to_df().where("k = 2").collect()[0]
+        assert row2["status"] == "aged" and row2["score"] is None
+
     def test_create_identity_requires_bigint(self, sq, tmp_path):
         from mack_spark.sql_dml import SqlDmlError
 
