@@ -1081,7 +1081,7 @@ def _enc_ac_scan(out, coefs_c, ni, ac_map, ss, se, ah, al,
 
 def encode_jpeg_progressive(
     img: np.ndarray, quality: int = 90, subsample: str = "444",
-    restart_interval: int = 0,
+    restart_interval: int = 0, separate_dc: bool = False,
 ) -> bytes:
     """Encode to PROGRESSIVE JFIF (SOF2) with a libjpeg-style scan
     script: coarse DC, banded AC at reduced precision, then successive
@@ -1144,10 +1144,29 @@ def encode_jpeg_progressive(
         out.extend(bytes([ss, se, (ah << 4) | al]))
 
     all_comps = list(range(ncomp))
+    if separate_dc and subsample != "444" and not gray:
+        raise ImageFormatError(
+            "separate_dc needs 4:4:4 (per-component DC block order"
+            " equals the MCU grid only without subsampling)"
+        )
+
+    def dc_scan(comp_list, ah, al):
+        # T.81 allows DC scans per component too (ns=1, block raster
+        # order) — exercised via separate_dc to cover the decoder's
+        # non-interleaved DC path on color frames
+        if separate_dc:
+            for ci in comp_list:
+                sos([ci], 0, 0, ah, al)
+                _enc_dc_scan(out, [coefs[ci]], [0],
+                             [samp[ci]], mcux, mcuy, [dc_maps[ci]],
+                             ah, al, restart_interval)
+        else:
+            sos(comp_list, 0, 0, ah, al)
+            _enc_dc_scan(out, coefs, comp_list, samp, mcux, mcuy,
+                         dc_maps, ah, al, restart_interval)
+
     # scan script: DC first (Al=1) → banded AC firsts → refinements
-    sos(all_comps, 0, 0, 0, 1)
-    _enc_dc_scan(out, coefs, all_comps, samp, mcux, mcuy, dc_maps,
-                 0, 1, restart_interval)
+    dc_scan(all_comps, 0, 1)
     if gray:
         script = [(0, 1, 63, 0, 1), (0, 1, 63, 1, 0)]
     else:
@@ -1166,8 +1185,6 @@ def encode_jpeg_progressive(
         _enc_ac_scan(out, coefs[ci], ni[ci], ac_maps[ci], ss, se, ah,
                      al, restart_interval)
     # final DC refinement to full precision
-    sos(all_comps, 0, 0, 1, 0)
-    _enc_dc_scan(out, coefs, all_comps, samp, mcux, mcuy, dc_maps,
-                 1, 0, restart_interval)
+    dc_scan(all_comps, 1, 0)
     out += b"\xff\xd9"
     return bytes(out)

@@ -137,6 +137,28 @@ class TestProgressive:
             decode_jpeg(prog),
         )
 
+    def test_separate_dc_scans(self):
+        """Per-component (non-interleaved) DC scans — T.81 allows DC
+        scans with ns=1 too; this covers the decoder's block-raster DC
+        path on a COLOR frame."""
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 256, size=(24, 40, 3)).astype(np.uint8)
+        prog = encode_jpeg_progressive(
+            img, quality=80, separate_dc=True
+        )
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_baseline(img, quality=80)),
+            decode_jpeg(prog),
+        )
+        # 3 DC-first + 3 DC-refine + 8 AC scans = 14 SOS markers
+        assert prog.count(b"\xff\xda") == 14
+
+    def test_separate_dc_refuses_420(self):
+        img = np.zeros((16, 16, 3), np.uint8)
+        with pytest.raises(ImageFormatError, match="separate_dc"):
+            encode_jpeg_progressive(img, subsample="420",
+                                    separate_dc=True)
+
     def test_structure_is_multi_scan_sof2(self):
         img = np.full((16, 16, 3), [9, 200, 77], np.uint8)
         payload = encode_jpeg_progressive(img)
