@@ -7149,6 +7149,7 @@ class DeltaProtocolTable:
     def vacuum(
         self, retention_hours: Optional[float] = None,
         dry_run: bool = False,
+        lite: bool = False,
     ) -> List[str]:
         """Delta ``VACUUM``: list the table directory, delete every
         data file that is NOT referenced by the CURRENT snapshot and is
@@ -7194,6 +7195,8 @@ class DeltaProtocolTable:
                     )
                 )
         horizon = time.time() - retention_hours * 3600.0
+        if lite:
+            return self._vacuum_lite(snap, live, horizon, dry_run)
         doomed: List[str] = []
         for root, dirs, fnames in os.walk(self.path):
             dirs[:] = [d for d in dirs if d != "_delta_log"]
@@ -7222,6 +7225,70 @@ class DeltaProtocolTable:
                     continue
                 try:
                     os.rmdir(root)
+                except OSError:
+                    pass
+        return sorted(doomed)
+
+    def _vacuum_lite(
+        self, snap: DeltaSnapshot, live: set, horizon: float,
+        dry_run: bool,
+    ) -> List[str]:
+        """VACUUM LITE (delta 3.3's log-driven vacuum): reclaimable
+        files come from the log's REMOVE tombstones instead of a
+        storage listing — O(available log tail) instead of O(every
+        object under the table root), the difference between seconds
+        and hours on a 100 TB prefix. Tradeoffs are delta's own: only
+        TOMBSTONED files are reclaimed (crashed writers' staging debris
+        needs a full vacuum), and tombstones whose commits were already
+        expired by log cleanup are assumed handled by earlier vacuums.
+        Absolute-path tombstones pointing outside the table root (a
+        shallow clone's source files) are never touched."""
+        import re as _re
+
+        logdir = _log_dir(self.path)
+        versions = sorted(
+            int(m.group(1))
+            for f in os.listdir(logdir)
+            if (m := _re.match(r"^(\d{20})\.json$", f))
+        )
+        doomed: List[str] = []
+        seen: set = set()
+        for v in versions:
+            if v > snap.version:
+                break
+            for a in self._commit_actions(v):
+                r = a.get("remove")
+                if not r or not r.get("path"):
+                    continue
+                p = r["path"]
+                if p.startswith("/") or "://" in p:
+                    # absolute reference (shallow-clone source) — not
+                    # ours to reclaim
+                    continue
+                rel = os.path.normpath(p)
+                if rel.startswith(".."):
+                    continue
+                ts = r.get("deletionTimestamp") or 0
+                if ts / 1000.0 > horizon:
+                    continue
+                candidates = [rel]
+                dv = r.get("deletionVector")
+                if dv and dv.get("storageType") == "u":
+                    dvrel = os.path.normpath(os.path.relpath(
+                        _dv_file_path(self.path, dv), self.path
+                    ))
+                    if not dvrel.startswith(".."):
+                        candidates.append(dvrel)
+                for c in candidates:
+                    if c in live or c in seen:
+                        continue
+                    seen.add(c)
+                    if os.path.exists(os.path.join(self.path, c)):
+                        doomed.append(c.replace(os.sep, "/"))
+        if not dry_run:
+            for rel in doomed:
+                try:
+                    os.unlink(os.path.join(self.path, rel))
                 except OSError:
                     pass
         return sorted(doomed)

@@ -454,6 +454,10 @@ class DeltaSqlSession:
         table, _, i = self._table_at(toks, 1)
         retention = None
         dry = False
+        lite = False
+        if i < len(toks) and _kw_at(toks, i, "LITE"):
+            lite = True
+            i += 1
         if i < len(toks) and _kw_at(toks, i, "RETAIN"):
             retention = float(toks[i + 1].text)
             if not _kw_at(toks, i + 2, "HOURS"):
@@ -464,7 +468,9 @@ class DeltaSqlSession:
             i += 2
         if i != len(toks):
             raise SqlDmlError(f"unexpected token {toks[i].text!r} in VACUUM")
-        paths = table.vacuum(retention_hours=retention, dry_run=dry)
+        paths = table.vacuum(
+            retention_hours=retention, dry_run=dry, lite=lite
+        )
         return self._spark.createDataFrame(
             [(p,) for p in paths],
             StructType([StructField("path", StringType())]),
