@@ -2985,6 +2985,7 @@ class DeltaProtocolTable:
     @classmethod
     def shallow_clone(
         cls, spark: SparkSession, src_path: str, dst_path: str,
+        version_as_of=None,
     ) -> "DeltaProtocolTable":
         """``CREATE TABLE ... SHALLOW CLONE`` (delta-spark's
         zero-copy clone): a NEW log whose add actions reference the
@@ -3002,7 +3003,7 @@ class DeltaProtocolTable:
         NOT (a clone is a new table to idempotent writers — delta's
         behavior)."""
         src = cls(spark, src_path)
-        snap = src.snapshot()
+        snap = src.snapshot(version_as_of)
         t = cls(spark, dst_path)
         if cls.is_delta(dst_path):
             raise FileExistsError(
@@ -3048,6 +3049,7 @@ class DeltaProtocolTable:
     @classmethod
     def deep_clone(
         cls, spark: SparkSession, src_path: str, dst_path: str,
+        version_as_of=None,
     ) -> "DeltaProtocolTable":
         """``CREATE TABLE ... CLONE`` (deep): a fully STANDALONE copy.
         The source's live data files (and the deletion-vector files
@@ -3073,7 +3075,7 @@ class DeltaProtocolTable:
         root, which makes deep_clone(shallow_clone(t)) the standard
         "detach from source" move."""
         src = cls(spark, src_path)
-        snap = src.snapshot()
+        snap = src.snapshot(version_as_of)
         t = cls(spark, dst_path)
         if cls.is_delta(dst_path):
             raise FileExistsError(

@@ -671,13 +671,15 @@ class DeltaSqlSession:
             clone_kind, i = "deep", i + 1  # delta: bare CLONE is deep
         if clone_kind is not None:
             src, _sname, i = self._table_at(toks, i)
-            if _kw_at(toks, i, "VERSION", "AS", "OF") or _kw_at(
-                toks, i, "TIMESTAMP", "AS", "OF"
-            ):
-                raise SqlDmlError(
-                    "CLONE of a past version is not supported — RESTORE"
-                    " the source first, or clone and restore the clone"
+            version_of = None
+            if _kw_at(toks, i, "VERSION", "AS", "OF"):
+                version_of = int(toks[i + 3].text)
+                i += 4
+            elif _kw_at(toks, i, "TIMESTAMP", "AS", "OF"):
+                version_of = src.version_at_timestamp(
+                    src._ts_ms(self._string_lit(toks[i + 3]))
                 )
+                i += 4
             if _kw_at(toks, i, "LOCATION"):
                 path = self._string_lit(toks[i + 1])
                 i += 2
@@ -695,7 +697,8 @@ class DeltaSqlSession:
                 if clone_kind == "shallow"
                 else DeltaProtocolTable.deep_clone
             )
-            table = fn(self._spark, src.path, path)
+            table = fn(self._spark, src.path, path,
+                       version_as_of=version_of)
             if reg_name:
                 self.register(reg_name, table)
             return self._metrics_df({

@@ -354,6 +354,20 @@ class TestCloneShowFsck:
         dp = DeltaProtocolTable(spark, p_dp)
         assert all(not p.startswith("/") for p in dp.snapshot().files)
 
+    def test_clone_version_as_of(self, spark, tmp_path, sq):
+        t = _mk(spark, tmp_path)
+        t.delete_where("pkey >= 5")
+        sq.register("src", t)
+        p = str(tmp_path / "v0clone")
+        sq.sql(
+            f"CREATE TABLE oldc SHALLOW CLONE src VERSION AS OF 0"
+            f" LOCATION '{p}'"
+        )
+        assert sq.sql(
+            "SELECT count(*) AS n FROM oldc"
+        ).collect()[0]["n"] == 10  # pre-delete state
+        assert t.to_df().count() == 5  # source head unchanged
+
     def test_show_tblproperties_and_columns(self, spark, tmp_path, sq):
         t = _mk(spark, tmp_path)
         t.set_properties({"delta.appendOnly": "false", "x.y": "z"})
