@@ -379,10 +379,18 @@ def _decode_scan(ecs, frame, scan, qt, huff, restart_interval):
                     planes[c["id"]][py:py + 8, px:px + 8] = spatial
         mcu += 1
         left -= 1
-    # level shift, clip, upsample to full resolution, crop
+    return _assemble_image(
+        [planes[c["id"]] for c in comps], comps, h, w, hmax, vmax
+    )
+
+
+def _assemble_image(raw_planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Level shift, upsample, crop, and color-convert decoded
+    component planes — shared by the sequential and progressive
+    decoders (one copy of the BT.601 matrix)."""
     out = []
-    for c in comps:
-        p = planes[c["id"]] + 128.0
+    for c, plane in zip(comps, raw_planes):
+        p = plane + 128.0
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
@@ -633,24 +641,8 @@ def _reconstruct_from_coefs(frame, st, qt):
         bh, bw = raster.shape[:2]
         blocks = raster.reshape(bh, bw, 8, 8)
         spatial = np.einsum("ij,xyjk,kl->xyil", _C.T, blocks, _C)
-        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-        plane = plane + 128.0
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        out.append(np.clip(plane[:h, :w], 0, 255))
-    if len(out) == 1:
-        return out[0].round().astype(np.uint8)[:, :, None]
-    if len(out) != 3:
-        raise ImageFormatError(
-            f"{len(out)}-component JPEG not supported (1 or 3)"
-        )
-    y, cb, cr = out
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(rgb, 0, 255).round().astype(np.uint8)
+        out.append(spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _assemble_image(out, comps, h, w, hmax, vmax)
 
 
 # ---------------------------------------------------------------- encoder
@@ -874,26 +866,10 @@ def encode_jpeg_baseline(
     dc_chr = _code_map(*_DC_CHR)
     ac_chr = _code_map(*_AC_CHR)
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
-        + struct.pack(">HH", 1, 1) + b"\x00\x00"
-    for tq, qz in ((0, q_lum_z),) + (() if gray else ((1, q_chr_z),)):
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
-            + bytes(int(v) for v in qz)
     ncomp = 1 if gray else 3
-    out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * ncomp) + b"\x08" \
-        + struct.pack(">HH", h, w) + bytes([ncomp])
-    for ci in range(ncomp):
-        sh, sv = samp[ci]
-        out += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    for tc, th, (counts, vals) in (
-        (0, 0, _DC_LUM), (1, 0, _AC_LUM),
-    ) + (() if gray else ((0, 1, _DC_CHR), (1, 1, _AC_CHR))):
-        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
-            + bytes([(tc << 4) | th]) + bytes(counts) + vals
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">H", 4) \
-            + struct.pack(">H", restart_interval)
+    out = _write_headers(
+        0xC0, h, w, samp, gray, q_lum_z, q_chr_z, restart_interval
+    )
     out += b"\xff\xda" + struct.pack(">H", 6 + 2 * ncomp) + bytes([ncomp])
     for ci in range(ncomp):
         out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -938,6 +914,34 @@ def encode_jpeg_baseline(
     out += bw.buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _write_headers(
+    sof_marker, h, w, samp, gray, q_lum_z, q_chr_z, restart_interval
+) -> bytearray:
+    """SOI through DRI — the header block both encoders share; only
+    the SOF marker differs (C0 sequential, C2 progressive)."""
+    ncomp = 1 if gray else 3
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, qz in ((0, q_lum_z),) + (() if gray else ((1, q_chr_z),)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
+            + bytes(int(v) for v in qz)
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", 8 + 3 * ncomp) \
+        + b"\x08" + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        out += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    for tc, th, (counts, vals) in (
+        (0, 0, _DC_LUM), (1, 0, _AC_LUM),
+    ) + (() if gray else ((0, 1, _DC_CHR), (1, 1, _AC_CHR))):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
+            + bytes([(tc << 4) | th]) + bytes(counts) + vals
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">H", 4) \
+            + struct.pack(">H", restart_interval)
+    return out
 
 
 # ------------------------------------------------------ progressive encoder
@@ -1113,25 +1117,9 @@ def encode_jpeg_progressive(
     ac_maps = [_code_map(*(_AC_LUM if ci == 0 else _AC_CHR))
                for ci in range(ncomp)]
 
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
-        + struct.pack(">HH", 1, 1) + b"\x00\x00"
-    for tq, qz in ((0, q_lum_z),) + (() if gray else ((1, q_chr_z),)):
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
-            + bytes(int(v) for v in qz)
-    out += b"\xff\xc2" + struct.pack(">H", 8 + 3 * ncomp) + b"\x08" \
-        + struct.pack(">HH", h, w) + bytes([ncomp])
-    for ci in range(ncomp):
-        sh, sv = samp[ci]
-        out += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    for tc, th, (counts, vals) in (
-        (0, 0, _DC_LUM), (1, 0, _AC_LUM),
-    ) + (() if gray else ((0, 1, _DC_CHR), (1, 1, _AC_CHR))):
-        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
-            + bytes([(tc << 4) | th]) + bytes(counts) + vals
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">H", 4) \
-            + struct.pack(">H", restart_interval)
+    out = _write_headers(
+        0xC2, h, w, samp, gray, q_lum_z, q_chr_z, restart_interval
+    )
 
     def sos(comp_list, ss, se, ah, al):
         out.extend(b"\xff\xda")

@@ -172,6 +172,23 @@ def _json_stat_value(v):
     return None
 
 
+def _bump_string_prefix(prefix: str) -> Optional[str]:
+    """The smallest string STRICTLY GREATER than every string starting
+    with ``prefix``: increment the rightmost code point that can grow
+    (skipping the surrogate gap) and drop everything after it. None
+    when every code point is already U+10FFFF (no finite upper bound
+    exists at this prefix length)."""
+    for k in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[k])
+        if cp >= 0x10FFFF:
+            continue
+        nxt = cp + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            nxt = 0xE000  # never emit lone surrogates
+        return prefix[:k] + chr(nxt)
+    return None
+
+
 def _collect_file_stats(abs_path: str, stat_cols: List[str]) -> str:
     """Per-file Delta ``stats`` JSON from the parquet footer (pyarrow —
     no Spark job): numRecords + min/max/nullCount for the indexed
@@ -208,16 +225,25 @@ def _collect_file_stats(abs_path: str, stat_cols: List[str]) -> str:
         # Delta truncates STRING stats to a 32-char prefix (a 100 KB
         # document column must not ship its text inside every add
         # action and every snapshot replay). A truncated MIN prefix is
-        # still a valid lower bound; a truncated MAX needs a
-        # tie-breaker above every string sharing the prefix — U+FFFF
-        # sorts after any real corpus character
+        # still a valid lower bound; a truncated MAX must be bumped
+        # STRICTLY ABOVE every string sharing the prefix: increment the
+        # rightmost incrementable code point and drop the rest —
+        # appending a sentinel char is NOT enough (U+FFFF sorts below
+        # supplementary-plane text like emoji, which would let merge
+        # pruning wrongly skip files). If no code point is
+        # incrementable (a prefix of U+10FFFF), the max is OMITTED —
+        # pruning then keeps the file, never wrongly drops it.
         if isinstance(jlo, str) and not isinstance(lo, (
             datetime.date, datetime.datetime
         )):
             if len(jlo) > _STRING_STAT_PREFIX:
                 jlo = jlo[:_STRING_STAT_PREFIX]
             if len(jhi) > _STRING_STAT_PREFIX:
-                jhi = jhi[:_STRING_STAT_PREFIX] + "￿"
+                jhi = _bump_string_prefix(jhi[:_STRING_STAT_PREFIX])
+                if jhi is None:
+                    mins[col] = jlo
+                    nulls[col] = nn
+                    continue
         mins[col] = jlo
         maxs[col] = jhi
         nulls[col] = nn
@@ -3236,11 +3262,15 @@ class DeltaProtocolTable:
                 wanted = {pn.get(c, c) for c in wanted}
             stat_cols = [c for c in data_cols if c in wanted]
         else:
-            n_idx = int(
-                (cfg or {}).get(
-                    "delta.dataSkippingNumIndexedCols", STATS_COLS
+            try:
+                n_idx = int(
+                    (cfg or {}).get(
+                        "delta.dataSkippingNumIndexedCols", STATS_COLS
+                    )
                 )
-            )
+            except (TypeError, ValueError):
+                n_idx = STATS_COLS  # malformed knob: default, not a
+                # failed write (same policy as _parse_byte_size)
             stat_cols = data_cols if n_idx < 0 else data_cols[:n_idx]
         adds: List[dict] = []
         for root, _dirs, fnames in os.walk(staging):
@@ -3481,8 +3511,12 @@ class DeltaProtocolTable:
                         self.optimize(target_file_bytes=target)
                     finally:
                         self._in_auto_compact = False
-            except (OSError, DeltaProtocolError, ValueError):
-                pass
+            except Exception:  # noqa: BLE001 — post-commit hook: the
+                pass  # PRIMARY commit already landed; a lost compaction
+                # race (ConcurrentModificationError) or any other hook
+                # failure must not surface as a failed mutation or
+                # trigger the caller's append retry (which would
+                # double-commit the same files)
 
     def _write_version_checksum(self, version: int) -> None:
         """``<version>.crc`` (delta's version checksum sidecar): one
@@ -7201,7 +7235,16 @@ class DeltaProtocolTable:
             return self._vacuum_lite(snap, live, horizon, dry_run)
         doomed: List[str] = []
         for root, dirs, fnames in os.walk(self.path):
-            dirs[:] = [d for d in dirs if d != "_delta_log"]
+            # delta's rule: hidden (_/. prefixed) directories are not
+            # vacuumed — the log, symlink manifests, engine metadata —
+            # EXCEPT _change_data (CDC files age out with data-file
+            # retention) and this writer's own _staging_* dirs
+            # (crashed-writer debris is exactly what vacuum reclaims)
+            dirs[:] = [
+                d for d in dirs
+                if d == "_change_data" or d.startswith("_staging_")
+                or not (d.startswith("_") or d.startswith("."))
+            ]
             for fn in fnames:
                 full = os.path.join(root, fn)
                 rel = os.path.normpath(os.path.relpath(full, self.path))

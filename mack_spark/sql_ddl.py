@@ -165,7 +165,11 @@ class DeltaSqlSession:
         if head == "FSCK":
             return self._fsck(toks)
         if head == "GENERATE":
-            mode = toks[1].text if len(toks) > 1 else ""
+            if len(toks) < 2:
+                raise SqlDmlError(
+                    "GENERATE supports symlink_format_manifest only"
+                )
+            mode = toks[1].text
             if mode.lower() != "symlink_format_manifest" and not (
                 toks[1].kind == "string"
                 and self._string_lit(toks[1]) == "symlink_format_manifest"
@@ -401,6 +405,8 @@ class DeltaSqlSession:
             table, _, i = self._table_at(toks, 2)
             limit = None
             if i < len(toks) and _kw_at(toks, i, "LIMIT"):
+                if i + 1 >= len(toks) or toks[i + 1].kind != "num":
+                    raise SqlDmlError("LIMIT needs a number")
                 limit = int(toks[i + 1].text)
             rows = table.history()
             if limit is not None:
@@ -459,6 +465,8 @@ class DeltaSqlSession:
             lite = True
             i += 1
         if i < len(toks) and _kw_at(toks, i, "RETAIN"):
+            if i + 2 >= len(toks) or toks[i + 1].kind != "num":
+                raise SqlDmlError("VACUUM RETAIN takes '<n> HOURS'")
             retention = float(toks[i + 1].text)
             if not _kw_at(toks, i + 2, "HOURS"):
                 raise SqlDmlError("VACUUM RETAIN takes '<n> HOURS'")
@@ -791,6 +799,13 @@ class DeltaSqlSession:
                      "version": table.snapshot().version}
                 )
             if or_replace and select_sql is not None:
+                if partition_by or cluster_by or properties:
+                    raise SqlDmlError(
+                        "CREATE OR REPLACE on an existing table only"
+                        " replaces the DATA here — a new table spec"
+                        " (PARTITIONED/CLUSTER BY, TBLPROPERTIES) is"
+                        " not applied; ALTER the table or recreate it"
+                    )
                 table = DeltaProtocolTable(self._spark, path)
                 table.overwrite(df)
                 if reg_name:
@@ -1032,6 +1047,7 @@ class DeltaSqlSession:
         from mack_spark.sources.delta_log import DeltaProtocolTable
 
         spans: List[Tuple[int, int, str]] = []  # (start, end, replacement)
+        from_depths: set = set()
         i = 0
         n = len(toks)
         while i < n:
@@ -1056,11 +1072,25 @@ class DeltaSqlSession:
                 spans.append((t.start, toks[j].end, view))
                 i = j + 1
                 continue
-            if t.kind == "word" and t.upper in ("FROM", "JOIN"):
+            # clause keywords end a FROM table list — commas after
+            # them (ORDER BY a, b) are NOT table separators; join
+            # syntax (LEFT/ON/USING...) stays inside the list
+            if (
+                t.kind == "word" and t.depth in from_depths
+                and t.upper in self._FROM_END
+            ):
+                from_depths.discard(t.depth)
+            # a comma at the depth of an open FROM list continues it
+            # (FROM a, b) — treat it like FROM again
+            if t.kind == "word" and t.upper in ("FROM", "JOIN") or (
+                t.text == "," and t.depth in from_depths
+            ):
                 j = i + 1
                 if j >= n or toks[j].text == "(":
                     i += 1
                     continue
+                if t.kind == "word" and t.upper == "FROM":
+                    from_depths.add(t.depth)
                 table = None
                 name = None
                 if (
@@ -1114,6 +1144,14 @@ class DeltaSqlSession:
             pos = end
         out.append(sql[pos:])
         return "".join(out)
+
+    # keywords that terminate a FROM table list (the join family does
+    # NOT — `FROM a JOIN b ON ..., c` keeps the list open)
+    _FROM_END = {
+        "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "WINDOW",
+        "UNION", "EXCEPT", "INTERSECT", "MINUS", "QUALIFY",
+        "DISTRIBUTE", "CLUSTER", "SORT", "PIVOT", "UNPIVOT", "SELECT",
+    }
 
     _ALIAS_STOP = {
         "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "WINDOW", "JOIN",

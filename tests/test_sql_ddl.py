@@ -469,6 +469,37 @@ class TestGenerateManifest:
             for p in t.snapshot().files
         }
 
+    def test_vacuum_spares_manifests(self, spark, tmp_path, sq):
+        """Full VACUUM must not reclaim _symlink_format_manifest (or
+        any hidden dir except _change_data / staging debris) — the r14
+        review's finding; delta skips hidden dirs the same way."""
+        t = _mk(spark, tmp_path)
+        sq.register("tbl", t)
+        sq.sql("GENERATE symlink_format_manifest FOR TABLE tbl")
+        mpath = os.path.join(
+            t.path, "_symlink_format_manifest", "manifest"
+        )
+        os.utime(mpath, (0, 0))  # ancient — eligible if ever listed
+        t.delete_where("pkey = 0")
+        t.vacuum(retention_hours=0)
+        assert os.path.exists(mpath)
+
+    def test_from_comma_list_rewrites_all_refs(self, spark, tmp_path, sq):
+        ta = _mk(spark, tmp_path, "a")
+        tb = _mk(spark, tmp_path, "b")
+        sq.register("ta", ta).register("tb", tb)
+        n = sq.sql(
+            "SELECT count(*) AS n FROM ta, tb"
+            " WHERE ta.pkey = tb.pkey"
+        ).collect()[0]["n"]
+        assert n == 10
+        # commas AFTER the from list (ORDER BY x, y) are not table refs
+        rows = sq.sql(
+            "SELECT ta.pkey, ta.v FROM ta, tb WHERE ta.pkey = tb.pkey"
+            " ORDER BY ta.v, ta.pkey"
+        ).collect()
+        assert len(rows) == 10
+
     def test_dv_table_refused(self, spark, tmp_path, sq):
         t = _mk(
             spark, tmp_path,

@@ -96,7 +96,9 @@ class TestStatsIndexing:
         a = next(iter(t.snapshot().files.values()))
         st = json.loads(a["stats"])
         assert st["minValues"]["text"] == "a" * 32
-        assert st["maxValues"]["text"] == "z" * 32 + "￿"
+        # max truncates by BUMPING the last code point ('z' → '{') —
+        # strictly above every string sharing the prefix
+        assert st["maxValues"]["text"] == "z" * 31 + "{"
         assert len(a["stats"]) < 500  # the content never ships
         # the truncated bounds stay VALID: both real values fall inside
         assert st["minValues"]["text"] <= long_a
@@ -105,6 +107,45 @@ class TestStatsIndexing:
         assert t.to_df().where(
             f"text = '{long_z}'"
         ).count() == 1
+
+    def test_supplementary_plane_max_bound_valid(self, spark, tmp_path):
+        """The r14 review's counterexample: a >32-char value whose
+        33rd char is an emoji (supplementary plane). A U+FFFF sentinel
+        would sort BELOW it and let merge pruning wrongly skip the
+        file; the bumped prefix stays a strict upper bound."""
+        val = "A" * 32 + "\U0001F600" + "tail"
+        df = spark.createDataFrame(
+            [(1, val)], "k int, text string"
+        ).coalesce(1)
+        t = DeltaProtocolTable.create(spark, str(tmp_path / "e"), df)
+        st = json.loads(
+            next(iter(t.snapshot().files.values()))["stats"]
+        )
+        assert st["maxValues"]["text"] == "A" * 31 + "B"
+        assert st["maxValues"]["text"] > val
+        # the real proof: a keyed MERGE on that exact value must NOT
+        # prune the file away
+        from mack_spark.tables import KeyedMerge
+
+        src = spark.createDataFrame([(val,)], "text string")
+        t.merge(KeyedMerge(
+            source=src,
+            condition="t.text = s.text",
+            target_alias="t", source_alias="s",
+            target_key_col="text", source_key_col="text",
+            matched_update={"k": "99"},
+        ))
+        assert t.to_df().collect()[0]["k"] == 99
+
+    def test_bump_string_prefix_edges(self):
+        from mack_spark.sources.delta_log import _bump_string_prefix
+
+        assert _bump_string_prefix("abc") == "abd"
+        # surrogate gap skipped: U+D7FF bumps to U+E000
+        assert _bump_string_prefix("a퟿") == "a"
+        # max code point: carry left
+        assert _bump_string_prefix("a\U0010FFFF") == "b"
+        assert _bump_string_prefix("\U0010FFFF" * 3) is None
 
     def test_mapped_table_explicit_logical_names(self, spark, tmp_path):
         df = spark.createDataFrame([(1, 2)], "a int, b int")
