@@ -172,6 +172,37 @@ def _json_stat_value(v):
     return None
 
 
+def _encode_stats_parsed(sp) -> Optional[str]:
+    """A checkpoint's ``stats_parsed`` struct (pyarrow dict form) as
+    the JSON ``stats`` string the replay carries: leaves pass through
+    :func:`_json_stat_value` (temporal normalization), nested structs
+    recurse, unconvertible leaves are omitted (the spec allows partial
+    stats — skipping falls back to 'cannot prune')."""
+    if not isinstance(sp, dict):
+        return None
+
+    def conv(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                c = conv(v)
+                if c is not None:
+                    out[k] = c
+            return out or None
+        return _json_stat_value(node)
+
+    out: Dict[str, object] = {}
+    if sp.get("numRecords") is not None:
+        out["numRecords"] = int(sp["numRecords"])
+    for key in ("minValues", "maxValues", "nullCount"):
+        c = conv(sp.get(key))
+        if c is not None:
+            out[key] = c
+    if not out:
+        return None
+    return json.dumps(out)
+
+
 def _bump_string_prefix(prefix: str) -> Optional[str]:
     """The smallest string STRICTLY GREATER than every string starting
     with ``prefix``: increment the rightmost code point that can grow
@@ -1322,6 +1353,19 @@ class DeltaProtocolTable:
                         dv = val["deletionVector"]
                         if all(v is None for v in dv.values()):
                             val = dict(val, deletionVector=None)
+                    if kind == "add" and not val.get("stats") and (
+                        val.get("stats_parsed") is not None
+                    ):
+                        # Databricks checkpoints under
+                        # delta.checkpoint.writeStatsAsJson=false carry
+                        # ONLY the struct form — re-encode it so file
+                        # skipping keeps working on foreign tables
+                        enc = _encode_stats_parsed(val["stats_parsed"])
+                        if enc is not None:
+                            val = dict(val, stats=enc)
+                    if kind == "add" and "stats_parsed" in val:
+                        val = {k: v for k, v in val.items()
+                               if k != "stats_parsed"}
                     actions.append({kind: val})
         return actions
 

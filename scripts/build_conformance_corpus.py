@@ -822,6 +822,89 @@ def build_type_widening(d: str):
     }
 
 
+def build_stats_parsed_checkpoint(d: str):
+    """A Databricks-style checkpoint written under
+    ``delta.checkpoint.writeStatsAsJson=false``: add rows carry ONLY
+    the ``stats_parsed`` STRUCT (no ``stats`` JSON string). The reader
+    must re-encode the struct so footer-based file skipping keeps
+    working on the foreign table."""
+    t = os.path.join(d, "table")
+    proto, fields, meta = _base_actions(
+        "c0a5c1a5-0000-0000-0000-00000000000e"
+    )
+    adds = []
+    for ver in range(3):
+        add = _data_file(
+            t, f"part-{ver:05d}-sp.snappy.parquet",
+            {"k": [ver * 10 + j for j in range(3)],
+             "v": [f"s{ver}{j}" for j in range(3)]},
+        )
+        adds.append(add)
+        actions = [_commit_info("WRITE"), {"add": add}]
+        if ver == 0:
+            actions = [_commit_info("CREATE"), {"protocol": proto},
+                       {"metaData": meta}, {"add": add}]
+        _log_write(t, ver, actions)
+    stats_t = pa.struct([
+        ("numRecords", pa.int64()),
+        ("minValues", pa.struct([("k", pa.int64()),
+                                 ("v", pa.string())])),
+        ("maxValues", pa.struct([("k", pa.int64()),
+                                 ("v", pa.string())])),
+        ("nullCount", pa.struct([("k", pa.int64()),
+                                 ("v", pa.int64())])),
+    ])
+    add_t = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("stats_parsed", stats_t),
+    ])
+    schema = pa.schema([
+        ("protocol", _PROTO_T), ("metaData", _META_T), ("add", add_t),
+    ])
+    blank = {"protocol": None, "metaData": None, "add": None}
+    rows = [dict(blank, protocol=proto), dict(blank, metaData=meta)]
+    for ver, a in enumerate(adds):
+        sp = {
+            "numRecords": 3,
+            "minValues": {"k": ver * 10, "v": f"s{ver}0"},
+            "maxValues": {"k": ver * 10 + 2, "v": f"s{ver}2"},
+            "nullCount": {"k": 0, "v": 0},
+        }
+        rows.append(dict(blank, add=dict(
+            {k: v for k, v in a.items() if k != "stats"},
+            stats_parsed=sp,
+        )))
+    logdir = os.path.join(t, "_delta_log")
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        os.path.join(logdir, "%020d.checkpoint.parquet" % 2),
+        compression="snappy",
+    )
+    with open(os.path.join(logdir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 2, "size": len(rows)}, fh)
+    for ver in range(3):
+        os.unlink(os.path.join(logdir, "%020d.json" % ver))
+    return {
+        "rows": sorted(
+            [ver * 10 + j, f"s{ver}{j}"]
+            for ver in range(3) for j in range(3)
+        ),
+        "columns": ["k", "v"],
+        "facts": {
+            "version": 2,
+            "stats_from_struct": {
+                f"part-{ver:05d}-sp.snappy.parquet": [ver * 10,
+                                                      ver * 10 + 2]
+                for ver in range(3)
+            },
+        },
+    }
+
+
 BUILDERS = {
     "log_compaction": build_log_compaction,
     "classic_checkpoint": build_classic_checkpoint,
@@ -836,6 +919,7 @@ BUILDERS = {
     "row_tracking": build_row_tracking,
     "partitioned": build_partitioned,
     "type_widening": build_type_widening,
+    "stats_parsed_checkpoint": build_stats_parsed_checkpoint,
 }
 
 

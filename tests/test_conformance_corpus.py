@@ -171,6 +171,25 @@ class TestVariantBehaviors:
         )
         assert new_ids == [0, 1, 2, 3, 4, 5]
 
+    def test_stats_parsed_struct_reencodes(self, spark, tmp_path):
+        """A writeStatsAsJson=false checkpoint (struct-only stats) must
+        still feed file skipping: the replayed adds carry re-encoded
+        JSON stats matching the struct's bounds."""
+        path, expected = _load(tmp_path, "stats_parsed_checkpoint")
+        t = DeltaProtocolTable(spark, path)
+        snap = t.snapshot()
+        want = expected["facts"]["stats_from_struct"]
+        for fname, (lo, hi) in want.items():
+            st = snap.file_stats(fname)
+            assert st is not None, fname
+            assert st["minValues"]["k"] == lo
+            assert st["maxValues"]["k"] == hi
+            assert st["numRecords"] == 3
+        # and the bounds actually prune: a keyed delete of one file's
+        # range touches exactly that file
+        res = t.delete_where("k = 11")
+        assert res["touched_files"] == 1
+
     def test_partitioned_literal_attach(self, spark, tmp_path):
         path, _ = _load(tmp_path, "partitioned")
         t = DeltaProtocolTable(spark, path)
