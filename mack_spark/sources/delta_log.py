@@ -172,6 +172,89 @@ def _json_stat_value(v):
     return None
 
 
+def _stats_parsed_type(schema: StructType):
+    """The typed ``stats_parsed`` arrow struct for a table schema
+    (``delta.checkpoint.writeStatsAsStruct``), plus the per-column
+    decoders that turn the JSON stats values back into typed leaves.
+    Returns ``(pa.DataType, {col: decode_fn})`` or None when no column
+    maps to a stable arrow type."""
+    import pyarrow as pa
+
+    def ident(v):
+        return v
+
+    def to_dt(v):
+        if isinstance(v, str):
+            return datetime.datetime.fromisoformat(v)
+        return v
+
+    def to_date(v):
+        if isinstance(v, str):
+            return datetime.date.fromisoformat(v)
+        return v
+
+    arrow_of = {
+        "byte": (pa.int8(), ident), "short": (pa.int16(), ident),
+        "integer": (pa.int32(), ident), "long": (pa.int64(), ident),
+        "float": (pa.float32(), ident), "double": (pa.float64(), ident),
+        "string": (pa.string(), ident), "boolean": (pa.bool_(), ident),
+        "date": (pa.date32(), to_date),
+        "timestamp": (pa.timestamp("us"), to_dt),
+        "timestamp_ntz": (pa.timestamp("us"), to_dt),
+    }
+    fields = []
+    dec: Dict[str, object] = {}
+    for f in schema.fields:
+        j = f.dataType.jsonValue()
+        if not isinstance(j, str) or j not in arrow_of:
+            continue
+        t, fn = arrow_of[j]
+        fields.append((f.name, t))
+        dec[f.name] = fn
+    if not fields:
+        return None
+    mm = pa.struct(fields)
+    nc = pa.struct([(n, pa.int64()) for n, _t in fields])
+    return (
+        pa.struct([
+            ("numRecords", pa.int64()),
+            ("minValues", mm), ("maxValues", mm), ("nullCount", nc),
+        ]),
+        dec,
+    )
+
+
+def _shape_stats_parsed(stats_json, decoders):
+    """One add's JSON ``stats`` string as the typed struct row."""
+    if not stats_json:
+        return None
+    try:
+        st = json.loads(stats_json)
+    except (TypeError, ValueError):
+        return None
+
+    def pick(section, typed=True):
+        src = st.get(section) or {}
+        out = {}
+        for col, fn in decoders.items():
+            v = src.get(col)
+            if v is None:
+                out[col] = None
+                continue
+            try:
+                out[col] = fn(v) if typed else int(v)
+            except (TypeError, ValueError):
+                out[col] = None
+        return out
+
+    return {
+        "numRecords": st.get("numRecords"),
+        "minValues": pick("minValues"),
+        "maxValues": pick("maxValues"),
+        "nullCount": pick("nullCount", typed=False),
+    }
+
+
 def _encode_stats_parsed(sp) -> Optional[str]:
     """A checkpoint's ``stats_parsed`` struct (pyarrow dict form) as
     the JSON ``stats`` string the replay carries: leaves pass through
@@ -3794,6 +3877,22 @@ class DeltaProtocolTable:
                 ("tags", pa.map_(pa.string(), pa.string())),
             ]
         )
+        # delta.checkpoint.writeStatsAsStruct: ALSO write the typed
+        # stats_parsed struct (Databricks readers scan it without
+        # parsing JSON per file). Columns whose type has no stable
+        # arrow mapping (decimal, nested) are left out of the struct —
+        # the JSON form still carries them.
+        stats_struct = None
+        if str(
+            (snap.metadata.get("configuration") or {}).get(
+                "delta.checkpoint.writeStatsAsStruct", "false"
+            )
+        ).lower() == "true":
+            stats_struct = _stats_parsed_type(snap.schema)
+            if stats_struct is not None:
+                add_t = pa.struct(
+                    list(add_t) + [("stats_parsed", stats_struct[0])]
+                )
 
         def shape_meta(m):
             if m is None:
@@ -3831,6 +3930,12 @@ class DeltaProtocolTable:
                 ),
                 "tags": (
                     list(a["tags"].items()) if a.get("tags") else None
+                ),
+                **(
+                    {"stats_parsed": _shape_stats_parsed(
+                        a.get("stats"), stats_struct[1]
+                    )}
+                    if stats_struct is not None else {}
                 ),
             }
 

@@ -190,6 +190,59 @@ class TestVariantBehaviors:
         res = t.delete_where("k = 11")
         assert res["touched_files"] == 1
 
+    def test_write_stats_as_struct_roundtrip(self, spark, tmp_path):
+        """delta.checkpoint.writeStatsAsStruct: this writer's own
+        checkpoints carry the typed stats_parsed struct, and a reader
+        given ONLY the struct (stats column nulled) reconstructs the
+        same bounds — both conformance directions."""
+        import datetime as dt
+
+        import pyarrow.parquet as pq
+
+        df = spark.createDataFrame(
+            [(i, f"v{i}", dt.date(2020, 1, 1 + i)) for i in range(5)],
+            "k int, v string, d date",
+        ).coalesce(1)
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "s"), df,
+            properties={
+                "delta.checkpoint.writeStatsAsStruct": "true",
+                "delta.checkpointInterval": "1",
+            },
+        )
+        t.append(df)  # v1 → checkpoint at interval 1
+        cp = os.path.join(
+            t.path, "_delta_log", "%020d.checkpoint.parquet" % 1
+        )
+        tbl = pq.read_table(cp)
+        adds = [a for a in tbl.column("add").to_pylist() if a]
+        assert all(a.get("stats_parsed") for a in adds)
+        sp = adds[0]["stats_parsed"]
+        assert sp["numRecords"] == 5
+        assert sp["minValues"]["k"] == 0 and sp["maxValues"]["k"] == 4
+        assert sp["minValues"]["d"] == dt.date(2020, 1, 1)
+        # reverse direction: null out the JSON stats, drop the replay
+        # cache, and confirm the struct alone feeds file skipping
+        import pyarrow as pa
+
+        cols = {n: tbl.column(n) for n in tbl.schema.names}
+        new_adds = [
+            None if a is None else dict(a, stats=None)
+            for a in tbl.column("add").to_pylist()
+        ]
+        add_field = tbl.schema.field("add").type
+        cols["add"] = pa.array(new_adds, type=add_field)
+        pq.write_table(
+            pa.table(cols), cp, compression="snappy"
+        )
+        clear_replay_cache(t.path)
+        t2 = DeltaProtocolTable(spark, t.path)
+        st = t2.snapshot()
+        some = next(iter(st.files))
+        fs = st.file_stats(some)
+        assert fs is not None and fs["minValues"]["k"] == 0
+        assert t2.to_df().count() == 10
+
     def test_partitioned_literal_attach(self, spark, tmp_path):
         path, _ = _load(tmp_path, "partitioned")
         t = DeltaProtocolTable(spark, path)
