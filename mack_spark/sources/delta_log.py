@@ -3882,17 +3882,23 @@ class DeltaProtocolTable:
         # parsing JSON per file). Columns whose type has no stable
         # arrow mapping (decimal, nested) are left out of the struct —
         # the JSON form still carries them.
+        cp_cfg = snap.metadata.get("configuration") or {}
         stats_struct = None
         if str(
-            (snap.metadata.get("configuration") or {}).get(
-                "delta.checkpoint.writeStatsAsStruct", "false"
-            )
+            cp_cfg.get("delta.checkpoint.writeStatsAsStruct", "false")
         ).lower() == "true":
             stats_struct = _stats_parsed_type(snap.schema)
             if stats_struct is not None:
                 add_t = pa.struct(
                     list(add_t) + [("stats_parsed", stats_struct[0])]
                 )
+        # writeStatsAsJson=false drops the JSON form from CHECKPOINT
+        # adds (commit JSONs keep theirs) — only honored when the
+        # struct actually carries the stats, else skipping would be
+        # silently lost
+        drop_json_stats = stats_struct is not None and str(
+            cp_cfg.get("delta.checkpoint.writeStatsAsJson", "true")
+        ).lower() == "false"
 
         def shape_meta(m):
             if m is None:
@@ -3916,7 +3922,7 @@ class DeltaProtocolTable:
                 "size": a.get("size"),
                 "modificationTime": a.get("modificationTime"),
                 "dataChange": bool(a.get("dataChange", True)),
-                "stats": a.get("stats"),
+                "stats": None if drop_json_stats else a.get("stats"),
                 "deletionVector": None if dv is None else {
                     "storageType": dv.get("storageType"),
                     "pathOrInlineDv": dv.get("pathOrInlineDv"),

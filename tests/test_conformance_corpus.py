@@ -243,6 +243,39 @@ class TestVariantBehaviors:
         assert fs is not None and fs["minValues"]["k"] == 0
         assert t2.to_df().count() == 10
 
+    def test_write_stats_as_json_false(self, spark, tmp_path):
+        """writeStatsAsJson=false + writeStatsAsStruct=true: checkpoint
+        adds carry ONLY the struct; replay re-encodes it and skipping
+        survives a checkpoint-based cold read."""
+        import pyarrow.parquet as pq
+
+        df = spark.createDataFrame(
+            [(i, i * 2) for i in range(20)], "k int, v int"
+        ).coalesce(2)
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "j"), df,
+            properties={
+                "delta.checkpoint.writeStatsAsStruct": "true",
+                "delta.checkpoint.writeStatsAsJson": "false",
+                "delta.checkpointInterval": "1",
+            },
+        )
+        t.append(df)
+        cp = os.path.join(
+            t.path, "_delta_log", "%020d.checkpoint.parquet" % 1
+        )
+        adds = [a for a in pq.read_table(cp).column("add").to_pylist()
+                if a]
+        assert all(a.get("stats") is None for a in adds)
+        assert all(a.get("stats_parsed") for a in adds)
+        clear_replay_cache(t.path)
+        t2 = DeltaProtocolTable(spark, t.path)
+        snap = t2.snapshot()
+        assert all(
+            snap.file_stats(p) is not None for p in snap.files
+        )
+        assert t2.to_df().count() == 40
+
     def test_partitioned_literal_attach(self, spark, tmp_path):
         path, _ = _load(tmp_path, "partitioned")
         t = DeltaProtocolTable(spark, path)
