@@ -172,12 +172,18 @@ def _json_stat_value(v):
     return None
 
 
-def _stats_parsed_type(schema: StructType):
+def _stats_parsed_type(schema: StructType, name_map=None):
     """The typed ``stats_parsed`` arrow struct for a table schema
     (``delta.checkpoint.writeStatsAsStruct``), plus the per-column
     decoders that turn the JSON stats values back into typed leaves.
     Returns ``(pa.DataType, {col: decode_fn})`` or None when no column
-    maps to a stable arrow type."""
+    maps to a stable arrow type.
+
+    ``name_map`` (logical → physical) MUST be passed for column-mapped
+    tables: the spec keys checkpoint ``stats_parsed`` fields by
+    PHYSICAL name, and the per-file ``stats`` JSON the decoders read
+    is physical-keyed too — logical keys would decode every min/max/
+    nullCount to null and emit a nonconformant struct."""
     import pyarrow as pa
 
     def ident(v):
@@ -209,8 +215,9 @@ def _stats_parsed_type(schema: StructType):
         if not isinstance(j, str) or j not in arrow_of:
             continue
         t, fn = arrow_of[j]
-        fields.append((f.name, t))
-        dec[f.name] = fn
+        key = (name_map or {}).get(f.name, f.name)
+        fields.append((key, t))
+        dec[key] = fn
     if not fields:
         return None
     mm = pa.struct(fields)
@@ -3887,7 +3894,11 @@ class DeltaProtocolTable:
         if str(
             cp_cfg.get("delta.checkpoint.writeStatsAsStruct", "false")
         ).lower() == "true":
-            stats_struct = _stats_parsed_type(snap.schema)
+            stats_struct = _stats_parsed_type(
+                snap.schema,
+                snap.physical_names()
+                if snap.column_mapping_mode != "none" else None,
+            )
             if stats_struct is not None:
                 add_t = pa.struct(
                     list(add_t) + [("stats_parsed", stats_struct[0])]

@@ -625,6 +625,8 @@ class DeltaSqlSession:
         while j < len(toks) and not (
             toks[j].text == ")" and toks[j].depth == depth0
         ):
+            if j + 2 >= len(toks):
+                raise SqlDmlError("unterminated TBLPROPERTIES list")
             k = self._string_lit(toks[j])
             if toks[j + 1].text != "=":
                 raise SqlDmlError("TBLPROPERTIES needs 'k' = 'v' pairs")
@@ -844,6 +846,11 @@ class DeltaSqlSession:
             ):
                 opts_at = idx
                 break
+        if opts_at <= 1:
+            # 'c NOT NULL' with no type: the slice below would be a
+            # reversed span and fail later with a confusing datatype
+            # parse error
+            raise SqlDmlError(f"column {name!r} needs a type")
         typ = sql[item[1].start:item[opts_at - 1].end]
         d = {"name": name, "type": typ, "nullable": True,
              "generated": None, "identity": None, "default": None}
@@ -1086,11 +1093,14 @@ class DeltaSqlSession:
                 t.text == "," and t.depth in from_depths
             ):
                 j = i + 1
+                if t.kind == "word" and t.upper == "FROM":
+                    # the FROM list is open even when its first item is
+                    # a derived table '(SELECT ...)': a later comma at
+                    # this depth still continues the table list
+                    from_depths.add(t.depth)
                 if j >= n or toks[j].text == "(":
                     i += 1
                     continue
-                if t.kind == "word" and t.upper == "FROM":
-                    from_depths.add(t.depth)
                 table = None
                 name = None
                 if (
