@@ -1288,11 +1288,25 @@ def clear_replay_cache(path: Optional[str] = None) -> None:
 
 
 class DeltaProtocolTable:
-    """Handle to a Delta-protocol table on a local/shared filesystem."""
+    """Handle to a Delta-protocol table on a local/shared filesystem.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``log_store`` picks the commit put-if-absent implementation
+    (:mod:`mack_spark.sources.log_store`): the default
+    :class:`~mack_spark.sources.log_store.PosixLogStore` uses atomic
+    exclusive create (POSIX/HDFS/ABFS/GCS); on stores without one
+    (S3), pass a
+    :class:`~mack_spark.sources.log_store.CoordinatedLogStore` so
+    multi-writer commits are arbitrated by an external coordination
+    table instead of silently depending on a primitive the store
+    doesn't provide. The store travels with the HANDLE — every commit
+    this object makes goes through it."""
+
+    def __init__(self, spark: SparkSession, path: str, log_store=None):
+        from mack_spark.sources.log_store import DEFAULT_LOG_STORE
+
         self.spark = spark
         self.path = os.path.abspath(path)
+        self.log_store = log_store or DEFAULT_LOG_STORE
 
     # ------------------------------------------------------------------
     # log replay
@@ -1313,6 +1327,10 @@ class DeltaProtocolTable:
         d = _log_dir(self.path)
         if not os.path.isdir(d):
             return []
+        # finish any claimed-but-unmaterialized commits first (no-op
+        # on atomic-create stores) so the listing sees every durable
+        # version — the coordinated store's crash-fixup rule
+        self.log_store.reconcile(d)
         out = []
         for f in os.listdir(d):
             if f.endswith(".json") and f[:-5].isdigit():
@@ -3000,6 +3018,7 @@ class DeltaProtocolTable:
         properties: Optional[Dict[str, str]] = None,
         identity: Optional[Dict[str, dict]] = None,
         cluster_by: Optional[List[str]] = None,
+        log_store=None,
     ) -> "DeltaProtocolTable":
         """CREATE TABLE AS SELECT: data files + version-0 commit with
         protocol/metaData/add actions.
@@ -3016,7 +3035,7 @@ class DeltaProtocolTable:
         land in the ``delta.clustering`` domain and
         :meth:`optimize` re-clusters on them by default. Mutually
         exclusive with ``partition_by`` (Delta's rule)."""
-        t = cls(spark, path)
+        t = cls(spark, path, log_store=log_store)
         if cls.is_delta(path):
             raise FileExistsError(f"Delta table already exists at {path}")
         os.makedirs(_log_dir(t.path), exist_ok=True)
@@ -3545,15 +3564,18 @@ class DeltaProtocolTable:
             actions = _copy.deepcopy(actions)
             self._assign_base_row_ids(version, actions, snap)
         payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
+        from mack_spark.sources.log_store import LogStoreConflict
+
         try:
-            with open(_version_file(self.path, version), "x") as fh:
-                fh.write(payload + "\n")
-        except FileExistsError:
+            self.log_store.put_if_absent(
+                _version_file(self.path, version), payload + "\n"
+            )
+        except LogStoreConflict:
             raise ConcurrentModificationError(
                 f"version {version} of {self.path} was committed by another "
                 "writer after this operation's snapshot read — re-read and "
                 "retry the operation"
-            )
+            ) from None
         if ict_on:
             # seed the floor cache with the commit just written so the
             # NEXT commit skips re-parsing this file

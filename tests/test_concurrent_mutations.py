@@ -12,13 +12,29 @@ from mack_spark.sources.delta_log import DeltaProtocolTable
 from mack_spark.tables import ConcurrentModificationError
 
 
-def _mk(spark, tmp_path, dv=False):
+@pytest.fixture(params=["posix", "coordinated"])
+def log_store(request, tmp_path):
+    """Every case runs over BOTH commit stores: the POSIX O_EXCL one
+    and the object-store coordinator (round 15) — the retry/conflict
+    semantics must be store-independent."""
+    from mack_spark.sources.log_store import (
+        CoordinatedLogStore,
+        PosixLogStore,
+    )
+
+    if request.param == "posix":
+        return PosixLogStore()
+    return CoordinatedLogStore(str(tmp_path / "coordinator"))
+
+
+def _mk(spark, tmp_path, dv=False, log_store=None):
     df = spark.createDataFrame(
         [(i, f"k{i}") for i in range(10)], "pk int, attr string"
     )
     props = {"delta.enableDeletionVectors": "true"} if dv else None
     return DeltaProtocolTable.create(
-        spark, str(tmp_path / "t"), df, properties=props
+        spark, str(tmp_path / "t"), df, properties=props,
+        log_store=log_store,
     )
 
 
@@ -30,7 +46,9 @@ def _inject_rival(monkeypatch, spark, rival_rows):
     def racing(self, version, actions, snap=None):
         if not state["fired"]:
             state["fired"] = True
-            rival = DeltaProtocolTable(spark, self.path)
+            rival = DeltaProtocolTable(
+                spark, self.path, log_store=self.log_store
+            )
             rival.append(spark.createDataFrame(
                 rival_rows, "pk int, attr string"
             ))
@@ -43,9 +61,9 @@ def _inject_rival(monkeypatch, spark, rival_rows):
 class TestConcurrentMutations:
     @pytest.mark.parametrize("dv", [False, True])
     def test_nonmatching_append_commutes(
-        self, spark, tmp_path, monkeypatch, dv
+        self, spark, tmp_path, monkeypatch, dv, log_store
     ):
-        t = _mk(spark, tmp_path, dv=dv)
+        t = _mk(spark, tmp_path, dv=dv, log_store=log_store)
         state = _inject_rival(monkeypatch, spark, [(100, "new")])
         res = t.delete_where("pk < 5")
         assert state["fired"]
@@ -55,32 +73,34 @@ class TestConcurrentMutations:
         assert res["version"] == t.snapshot().version
 
     def test_matching_append_conflicts(
-        self, spark, tmp_path, monkeypatch
+        self, spark, tmp_path, monkeypatch, log_store
     ):
-        t = _mk(spark, tmp_path)
+        t = _mk(spark, tmp_path, log_store=log_store)
         _inject_rival(monkeypatch, spark, [(1, "dup")])  # pk 1 < 5
         with pytest.raises(ConcurrentModificationError, match="matching"):
             t.delete_where("pk < 5")
 
     def test_non_append_interleaving_conflicts(
-        self, spark, tmp_path, monkeypatch
+        self, spark, tmp_path, monkeypatch, log_store
     ):
-        t = _mk(spark, tmp_path)
+        t = _mk(spark, tmp_path, log_store=log_store)
         orig = DeltaProtocolTable._commit
         state = {"fired": False}
 
         def racing(self, version, actions, snap=None):
             if not state["fired"]:
                 state["fired"] = True
-                DeltaProtocolTable(spark, self.path).delete_where("pk = 9")
+                DeltaProtocolTable(
+                spark, self.path, log_store=self.log_store
+            ).delete_where("pk = 9")
             return orig(self, version, actions, snap=snap)
 
         monkeypatch.setattr(DeltaProtocolTable, "_commit", racing)
         with pytest.raises(ConcurrentModificationError, match="non-append"):
             t.delete_where("pk < 5")
 
-    def test_update_retries_too(self, spark, tmp_path, monkeypatch):
-        t = _mk(spark, tmp_path)
+    def test_update_retries_too(self, spark, tmp_path, monkeypatch, log_store):
+        t = _mk(spark, tmp_path, log_store=log_store)
         state = _inject_rival(monkeypatch, spark, [(200, "zz")])
         t.update_where("pk = 3", {"attr": "'patched'"})
         assert state["fired"]
@@ -89,11 +109,11 @@ class TestConcurrentMutations:
         assert rows[200] == "zz"
 
     def test_merge_commutes_with_nonmatching_append(
-        self, spark, tmp_path, monkeypatch
+        self, spark, tmp_path, monkeypatch, log_store
     ):
         from mack_spark.tables import KeyedMerge
 
-        t = _mk(spark, tmp_path)
+        t = _mk(spark, tmp_path, log_store=log_store)
         state = _inject_rival(monkeypatch, spark, [(500, "rival")])
         src = spark.createDataFrame(
             [(3, "merged"), (11, "inserted")], "pk int, attr string"
@@ -112,11 +132,11 @@ class TestConcurrentMutations:
         assert rows[500] == "rival"
 
     def test_merge_conflicts_with_matching_key_append(
-        self, spark, tmp_path, monkeypatch
+        self, spark, tmp_path, monkeypatch, log_store
     ):
         from mack_spark.tables import KeyedMerge
 
-        t = _mk(spark, tmp_path)
+        t = _mk(spark, tmp_path, log_store=log_store)
         _inject_rival(monkeypatch, spark, [(3, "rival")])  # key 3 merges
         src = spark.createDataFrame([(3, "merged")], "pk int, attr string")
         km = KeyedMerge(
@@ -128,7 +148,7 @@ class TestConcurrentMutations:
             t.merge(km)
 
     def test_row_tracking_append_commutes(
-        self, spark, tmp_path, monkeypatch
+        self, spark, tmp_path, monkeypatch, log_store
     ):
         # a rival append on a row-tracking table also advances the
         # delta.rowTracking domain — still a blind append, still
@@ -139,6 +159,7 @@ class TestConcurrentMutations:
         t = DeltaProtocolTable.create(
             spark, str(tmp_path / "t"), df,
             properties={"delta.enableRowTracking": "true"},
+            log_store=log_store,
         )
         state = _inject_rival(monkeypatch, spark, [(100, "new")])
         t.delete_where("pk < 5")
