@@ -6435,7 +6435,16 @@ class DeltaProtocolTable:
         interleaved commit was a BLIND APPEND (adds + txn +
         row-tracking watermark only) whose new files hold NO row
         matching ``condition`` — such appends commute with the
-        mutation, exactly delta-spark's ConcurrentAppend check. Any
+        mutation, exactly delta-spark's ConcurrentAppend check — or a
+        pure REWRITE (OPTIMIZE/clustering: every remove and add
+        carries ``dataChange: false``) whose removed files are
+        DISJOINT from this mutation's touched set. Disjoint rewrites
+        commute because their inputs were stats-pruned out of the
+        mutation's candidate set, and pruning is conservative: a
+        pruned file provably holds no matching row, so the rewrite's
+        output holds none either (delta-spark's ConflictChecker
+        resolves DELETE-vs-OPTIMIZE races the same way). A rewrite
+        that touched any of the mutation's own files, any other
         interleaved remove/metaData/protocol/cdc, foreign domain
         write, or a matching new row is a REAL conflict and raises
         (the mutation's read set is stale). The matching test is
@@ -6458,6 +6467,9 @@ class DeltaProtocolTable:
             )
             cond_desc = repr(condition)
 
+        my_touched = {
+            a["remove"]["path"] for a in actions if "remove" in a
+        }
         version = snap.version + 1
         for _ in range(max_retries + 1):
             try:
@@ -6467,7 +6479,26 @@ class DeltaProtocolTable:
                 head = self.snapshot()
                 new_adds: List[str] = []
                 for iv in range(version, head.version + 1):
-                    for a in self._commit_actions(iv):
+                    iv_actions = self._commit_actions(iv)
+                    # pure rewrite (OPTIMIZE/clustering): every remove
+                    # AND add says dataChange:false
+                    rm = [a["remove"] for a in iv_actions if "remove" in a]
+                    ad = [a["add"] for a in iv_actions if "add" in a]
+                    if rm and not any(
+                        r.get("dataChange", True) for r in rm
+                    ) and not any(
+                        x.get("dataChange", True) for x in ad
+                    ):
+                        clash = {r["path"] for r in rm} & my_touched
+                        if clash:
+                            raise ConcurrentModificationError(
+                                f"version {iv} of {self.path} rewrote"
+                                f" {len(clash)} file(s) this mutation"
+                                " also touches — re-read and retry the"
+                                " operation"
+                            )
+                        continue  # disjoint rewrite commutes
+                    for a in iv_actions:
                         if "commitInfo" in a or "txn" in a:
                             continue
                         if "add" in a:
@@ -6497,6 +6528,66 @@ class DeltaProtocolTable:
                 version = head.version + 1
         raise ConcurrentModificationError(
             f"mutation of {self.path} lost {max_retries + 1} commit"
+            " races"
+        )
+
+    def _commit_rewrite(
+        self, snap: DeltaSnapshot, actions: List[dict],
+        max_retries: int = 3,
+    ) -> int:
+        """Commit an OPTIMIZE/clustering rewrite (every remove+add
+        ``dataChange: false``) with delta's ConflictChecker leniency
+        instead of failing every race: a lost commit race RETRIES at
+        the new head when every interleaved commit either (a) was a
+        blind append — new files cannot be this rewrite's inputs, and
+        a ``dataChange:false`` commit cannot un-append them — or (b)
+        removed only files DISJOINT from this rewrite's inputs (a
+        concurrent DELETE/UPDATE/OPTIMIZE of other files). An
+        interleaved commit that removed any input file means those
+        bytes were rewritten or deleted elsewhere — recommitting would
+        resurrect them, so it raises (delta-spark's
+        ConcurrentDeleteReadException). Without this, auto-compaction
+        on a busy append-heavy table would spuriously fail under
+        load."""
+        from mack_spark.tables import ConcurrentModificationError
+
+        my_inputs = {
+            a["remove"]["path"] for a in actions if "remove" in a
+        }
+        version = snap.version + 1
+        for _ in range(max_retries + 1):
+            try:
+                self._commit(version, actions, snap=snap)
+                return version
+            except ConcurrentModificationError:
+                head = self.snapshot()
+                for iv in range(version, head.version + 1):
+                    for a in self._commit_actions(iv):
+                        if (
+                            "commitInfo" in a or "txn" in a
+                            or "add" in a or "cdc" in a
+                        ):
+                            continue
+                        if "domainMetadata" in a:
+                            continue  # rowTracking/clustering advance
+                        if "remove" in a:
+                            if a["remove"]["path"] in my_inputs:
+                                raise ConcurrentModificationError(
+                                    f"version {iv} of {self.path}"
+                                    " removed a file this rewrite"
+                                    " compacts — its input set is"
+                                    " stale; re-run OPTIMIZE"
+                                )
+                            continue
+                        raise ConcurrentModificationError(
+                            f"version {iv} of {self.path} committed a"
+                            " metadata/protocol change concurrently"
+                            " with this rewrite — re-run OPTIMIZE"
+                        )
+                snap = head
+                version = head.version + 1
+        raise ConcurrentModificationError(
+            f"rewrite of {self.path} lost {max_retries + 1} commit"
             " races"
         )
 
@@ -7206,12 +7297,12 @@ class DeltaProtocolTable:
                 ]
                 + [{"add": a} for a in adds]
             )
-            self._commit(snap.version + 1, actions, snap=snap)
+            v = self._commit_rewrite(snap, actions)
             return {
                 "files_before": len(snap.files),
                 "files_after": len(snap.files) - len(doomed) + len(adds),
                 "rewritten": len(doomed),
-                "version": snap.version + 1,
+                "version": v,
             }
         if min_file_bytes is None:
             min_file_bytes = target_file_bytes // 2
@@ -7267,12 +7358,12 @@ class DeltaProtocolTable:
             ]
             + [{"add": a} for a in adds]
         )
-        self._commit(snap.version + 1, actions, snap=snap)
+        v = self._commit_rewrite(snap, actions)
         return {
             "files_before": len(snap.files),
             "files_after": len(snap.files) - len(doomed) + len(adds),
             "rewritten": len(doomed),
-            "version": snap.version + 1,
+            "version": v,
         }
 
     @classmethod

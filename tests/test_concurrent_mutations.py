@@ -166,3 +166,114 @@ class TestConcurrentMutations:
         assert state["fired"]
         ids = [r["_row_id"] for r in t.to_df(with_row_ids=True).collect()]
         assert len(set(ids)) == len(ids)
+
+
+class TestRewriteConflictMatrix:
+    """Round 15: delta ConflictChecker refinements — mutations retry
+    across DISJOINT dataChange:false rewrites, and OPTIMIZE retries
+    across blind appends / disjoint removes."""
+
+    def _mk_partitioned(self, spark, tmp_path):
+        # many small files per partition so OPTIMIZE has work in each
+        df = spark.createDataFrame(
+            [(i, i % 2, f"k{i}") for i in range(20)],
+            "pk int, part int, attr string",
+        ).repartition(10)
+        return DeltaProtocolTable.create(
+            spark, str(tmp_path / "t"), df, partition_by=["part"]
+        )
+
+    def test_delete_commutes_with_disjoint_optimize(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """DELETE of partition 0 races an OPTIMIZE WHERE part=1:
+        the rewrite's removes are disjoint from the delete's touched
+        files — BOTH commit (previously the delete raised)."""
+        t = self._mk_partitioned(spark, tmp_path)
+        orig = DeltaProtocolTable._commit
+        state = {"fired": False, "opt": None}
+
+        def racing(self, version, actions, snap=None):
+            if not state["fired"]:
+                state["fired"] = True
+                state["opt"] = DeltaProtocolTable(spark, self.path).optimize(
+                    where="part = 1"
+                )
+            return orig(self, version, actions, snap=snap)
+
+        monkeypatch.setattr(DeltaProtocolTable, "_commit", racing)
+        res = t.delete_where("part = 0")
+        assert state["fired"] and state["opt"]["rewritten"] > 0
+        got = sorted(r["pk"] for r in t.to_df().collect())
+        assert got == list(range(1, 20, 2))  # part 0 gone, part 1 intact
+        assert res["version"] == t.snapshot().version
+
+    def test_delete_conflicts_with_overlapping_optimize(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """An OPTIMIZE that compacted the same partition the DELETE
+        touches rewrote the delete's input files — real conflict."""
+        t = self._mk_partitioned(spark, tmp_path)
+        orig = DeltaProtocolTable._commit
+        state = {"fired": False}
+
+        def racing(self, version, actions, snap=None):
+            if not state["fired"]:
+                state["fired"] = True
+                DeltaProtocolTable(spark, self.path).optimize(
+                    where="part = 0"
+                )
+            return orig(self, version, actions, snap=snap)
+
+        monkeypatch.setattr(DeltaProtocolTable, "_commit", racing)
+        with pytest.raises(ConcurrentModificationError, match="rewrote"):
+            t.delete_where("part = 0")
+
+    def test_optimize_retries_over_blind_append(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Auto-compaction's race: OPTIMIZE loses the commit to a
+        concurrent append and retries instead of raising."""
+        t = self._mk_partitioned(spark, tmp_path)
+        orig = DeltaProtocolTable._commit
+        state = {"fired": False}
+
+        def racing(self, version, actions, snap=None):
+            ci = actions[0].get("commitInfo", {}) if actions else {}
+            if not state["fired"] and ci.get("operation") == "OPTIMIZE":
+                state["fired"] = True
+                DeltaProtocolTable(spark, self.path).append(
+                    spark.createDataFrame(
+                        [(100, 0, "new")], "pk int, part int, attr string"
+                    )
+                )
+            return orig(self, version, actions, snap=snap)
+
+        monkeypatch.setattr(DeltaProtocolTable, "_commit", racing)
+        res = t.optimize()
+        assert state["fired"]
+        assert res["rewritten"] > 0
+        rows = {r["pk"] for r in t.to_df().collect()}
+        assert rows == set(range(20)) | {100}  # nothing lost, append kept
+
+    def test_optimize_conflicts_when_input_deleted(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A concurrent DELETE removed files this OPTIMIZE compacts —
+        recommitting would resurrect deleted rows; must raise."""
+        t = self._mk_partitioned(spark, tmp_path)
+        orig = DeltaProtocolTable._commit
+        state = {"fired": False}
+
+        def racing(self, version, actions, snap=None):
+            ci = actions[0].get("commitInfo", {}) if actions else {}
+            if not state["fired"] and ci.get("operation") == "OPTIMIZE":
+                state["fired"] = True
+                DeltaProtocolTable(spark, self.path).delete_where(
+                    "part = 0"
+                )
+            return orig(self, version, actions, snap=snap)
+
+        monkeypatch.setattr(DeltaProtocolTable, "_commit", racing)
+        with pytest.raises(ConcurrentModificationError, match="input"):
+            t.optimize()
