@@ -891,6 +891,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_delta_source"] = q_delta_stream
 
+    def q_delta_copy_into(spark, sf_dir):
+        # COPY INTO (round 15): Databricks' idempotent batch file
+        # ingest on the open-protocol table — three overlapping COPYs
+        # (two via the SQL front-end) land each source file exactly
+        # once through per-file SetTransaction watermarks riding the
+        # same commit as the rows; the oracle is the plain union of
+        # the landing slices (= all of orders).
+        import os
+        import shutil
+        import tempfile
+
+        from mack_spark.sources.delta_log import DeltaProtocolTable
+        from mack_spark.sql_ddl import DeltaSqlSession
+
+        orders = _t(spark, sf_dir, "orders")
+        root = tempfile.mkdtemp(prefix="mack-copyinto-")
+        landing = os.path.join(root, "landing")
+        os.makedirs(landing)
+        for i in range(3):
+            stage = os.path.join(root, f"stage{i}")
+            orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1) \
+                .write.mode("overwrite").parquet(stage)
+            part = next(
+                f for f in os.listdir(stage)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            shutil.copyfile(
+                os.path.join(stage, part),
+                os.path.join(landing, f"p{i}.parquet"),
+            )
+        t = DeltaProtocolTable.create(
+            spark, root + "/t", orders.limit(0)
+        )
+        m1 = t.copy_into(landing, files=["p0.parquet", "p1.parquet"])
+        assert m1["num_loaded_files"] == 2, m1
+        sq = DeltaSqlSession(spark).register("cp_target", t)
+        r2 = sq.sql(
+            f"COPY INTO cp_target FROM '{landing}' FILEFORMAT ="
+            " PARQUET FILES = ('p1.parquet', 'p2.parquet')"
+        ).collect()[0]
+        assert r2["num_loaded_files"] == 1, r2
+        assert r2["num_skipped_files"] == 1, r2
+        r3 = sq.sql(
+            f"COPY INTO cp_target FROM '{landing}' FILEFORMAT = PARQUET"
+        ).collect()[0]
+        assert r3["num_loaded_files"] == 0, r3
+        assert r3["num_skipped_files"] == 3, r3
+        return t.to_df().select(*ORDERS_COLS)
+
+    q["delta_copy_into"] = q_delta_copy_into
+
     # ----- reference core: constraint/validated appends
     def q_cpass(spark, sf_dir):
         return _dirty_lineitem(spark, sf_dir).filter(_CONSTRAINTS)
@@ -4912,6 +4963,9 @@ ORDER BY o_orderpriority
     o["streaming_delta_source"] = (
         "SELECT " + ", ".join(ORDERS_COLS) + " FROM orders"
     )
+    # COPY INTO: three overlapping copies of a 3-slice partition of
+    # orders land each slice exactly once — the table is orders
+    o["delta_copy_into"] = o["streaming_delta_source"]
 
     # Change Data Feed: the oracle reconstructs the exact change rows
     # of the two commits — the merge's update pre/post pairs + inserts

@@ -5427,6 +5427,163 @@ class DeltaProtocolTable:
             f"append to {self.path} lost {max_retries + 1} commit races"
         )
 
+    def copy_into(
+        self,
+        source_path: str,
+        file_format: str = "parquet",
+        files: Optional[List[str]] = None,
+        pattern: Optional[str] = None,
+        force: bool = False,
+        max_retries: int = 3,
+    ) -> dict:
+        """``COPY INTO``: idempotent batch file ingest (delta-spark /
+        Databricks semantics — the retry-safe answer to "load this
+        landing directory into the table, again, until it's all in").
+
+        Each source file lands EXACTLY ONCE: a per-file SetTransaction
+        watermark (``appId = "copyInto:" + sha1(abs path)``,
+        ``version = mtime_ms``) rides the same commit as the file's
+        rows, so re-running the statement — after success, after a
+        crash, after a restart — skips everything already loaded and
+        picks up only new or modified files. ``force=True`` reloads
+        regardless (Databricks' ``COPY_OPTIONS('force'='true')``).
+
+        ``files`` restricts to explicit names (relative to
+        ``source_path``), ``pattern`` to a glob. Only
+        ``FILEFORMAT = PARQUET`` is supported: parquet carries its own
+        schema, which is validated against the table's (the same
+        enforcement as :meth:`append`; a mismatched file fails the
+        whole statement before anything commits).
+
+        Returns ``{"num_affected_rows", "num_inserted_rows",
+        "num_skipped_files", "num_loaded_files", "version"}``.
+
+        SCALE: candidate discovery is one listing of the source
+        prefix; already-loaded filtering is a dict probe per candidate
+        against the snapshot's txn map (replayed incrementally, cached
+        across calls); data moves executor-side through one
+        ``spark.read.parquet`` of only the NEW files."""
+        import fnmatch
+        import hashlib as _hashlib
+
+        if file_format.lower() != "parquet":
+            raise DeltaProtocolError(
+                f"COPY INTO supports FILEFORMAT = PARQUET, got"
+                f" {file_format!r}"
+            )
+        src = os.path.abspath(source_path)
+        if files is not None:
+            cands = [os.path.join(src, f) for f in files]
+            missing = [p for p in cands if not os.path.isfile(p)]
+            if missing:
+                raise FileNotFoundError(
+                    f"COPY INTO FILES not found: {missing}"
+                )
+        elif os.path.isfile(src):
+            cands = [src]
+        else:
+            cands = []
+            for root, dirs, fnames in os.walk(src):
+                dirs[:] = [d for d in dirs if not d.startswith("_")]
+                for fn in fnames:
+                    if not fn.endswith(".parquet") or fn.startswith("."):
+                        continue
+                    p = os.path.join(root, fn)
+                    if pattern is not None and not fnmatch.fnmatch(
+                        os.path.relpath(p, src), pattern
+                    ):
+                        continue
+                    cands.append(p)
+        cands.sort()
+
+        def _app_id(p: str) -> str:
+            return "copyInto:" + _hashlib.sha1(
+                os.path.abspath(p).encode()
+            ).hexdigest()
+
+        from mack_spark.tables import ConcurrentModificationError
+
+        snap = self.snapshot()
+        self._assert_writable(snap)
+        new_files: List[tuple] = []  # (path, appId, mtime_ms)
+        skipped = 0
+        for p in cands:
+            app = _app_id(p)
+            mtime_ms = int(os.stat(p).st_mtime_ns // 1_000_000)
+            if not force and snap.txns.get(app, -1) >= mtime_ms:
+                skipped += 1
+                continue
+            new_files.append((p, app, mtime_ms))
+        if not new_files:
+            return {
+                "num_affected_rows": 0, "num_inserted_rows": 0,
+                "num_skipped_files": skipped, "num_loaded_files": 0,
+                "version": snap.version,
+            }
+        df = self.spark.read.parquet(*[p for p, _a, _m in new_files])
+        aligned, _ = self._resolve_write_schema(snap, df, False)
+        self._enforce_constraints(
+            snap, aligned, self._gen_checks(snap, df)
+        )
+        adds = self._write_data_files(
+            aligned, snap.partition_columns, snap=snap
+        )
+        n_rows = sum(
+            int(json.loads(a["stats"]).get("numRecords") or 0)
+            if a.get("stats") else 0
+            for a in adds
+        )
+        actions = [
+            {"commitInfo": {
+                "timestamp": _now_ms(), "operation": "COPY INTO",
+                "operationParameters": {
+                    "source": src, "fileFormat": "parquet",
+                },
+                "operationMetrics": {
+                    "numLoadedFiles": len(new_files),
+                    "numSkippedFiles": skipped,
+                    "numOutputRows": n_rows,
+                },
+            }}
+        ] + [
+            {"txn": {"appId": app, "version": mtime_ms,
+                     "lastUpdated": _now_ms()}}
+            for _p, app, mtime_ms in new_files
+        ] + [{"add": a} for a in adds]
+        for _ in range(max_retries + 1):
+            head = self.snapshot()
+            if (
+                head.metadata["schemaString"]
+                != snap.metadata["schemaString"]
+            ):
+                raise ConcurrentModificationError(
+                    f"schema of {self.path} changed concurrently with"
+                    " this COPY INTO — re-validate and retry"
+                )
+            if not force and any(
+                head.txns.get(app, -1) >= m
+                for _p, app, m in new_files
+            ):
+                raise ConcurrentModificationError(
+                    "a concurrent COPY INTO loaded overlapping source"
+                    f" files into {self.path} — re-run to pick up the"
+                    " remainder exactly once"
+                )
+            try:
+                self._commit(head.version + 1, actions, snap=head)
+                return {
+                    "num_affected_rows": n_rows,
+                    "num_inserted_rows": n_rows,
+                    "num_skipped_files": skipped,
+                    "num_loaded_files": len(new_files),
+                    "version": head.version + 1,
+                }
+            except ConcurrentModificationError:
+                continue
+        raise ConcurrentModificationError(
+            f"COPY INTO {self.path} lost {max_retries + 1} commit races"
+        )
+
     def overwrite(
         self, df: DataFrame, merge_schema: bool = False,
         replace_where: Optional[str] = None,

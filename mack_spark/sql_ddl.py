@@ -146,6 +146,8 @@ class DeltaSqlSession:
             return self._metrics_df(self._dml.execute(stmt))
         if head == "INSERT":
             return self._insert(stmt, toks)
+        if head == "COPY":
+            return self._copy_into(toks)
         if head == "DESCRIBE" or head == "DESC":
             return self._describe(toks)
         if head == "OPTIMIZE":
@@ -320,6 +322,73 @@ class DeltaSqlSession:
         return name
 
     # -- INSERT ----------------------------------------------------------
+
+    def _copy_into(self, toks: List[_Tok]) -> DataFrame:
+        """``COPY INTO t FROM '<path>' FILEFORMAT = PARQUET
+        [FILES = ('a','b')] [PATTERN = '<glob>']
+        [COPY_OPTIONS ('force' = 'true')]`` — Databricks' idempotent
+        batch file ingest, dispatched onto
+        :meth:`DeltaProtocolTable.copy_into` (per-file SetTransaction
+        watermarks make re-runs land each source file exactly once)."""
+        if not _kw_at(toks, 1, "INTO"):
+            raise SqlDmlError("expected COPY INTO")
+        table, _name, i = self._table_at(toks, 2)
+        source = None
+        file_format = None
+        files = None
+        pattern = None
+        force = False
+        while i < len(toks):
+            if _kw_at(toks, i, "FROM"):
+                source = self._string_lit(toks[i + 1])
+                i += 2
+            elif _kw_at(toks, i, "FILEFORMAT"):
+                if i + 2 >= len(toks) or toks[i + 1].text != "=":
+                    raise SqlDmlError("FILEFORMAT needs '= <format>'")
+                file_format = toks[i + 2].text
+                i += 3
+            elif _kw_at(toks, i, "FILES"):
+                if i + 1 >= len(toks) or toks[i + 1].text != "=":
+                    raise SqlDmlError("FILES needs '= (...)'")
+                items, i = self._paren_items(toks, i + 2)
+                files = [
+                    self._string_lit(it[0]) for it in items
+                ]
+            elif _kw_at(toks, i, "PATTERN"):
+                if i + 2 >= len(toks) or toks[i + 1].text != "=":
+                    raise SqlDmlError("PATTERN needs '= <glob>'")
+                pattern = self._string_lit(toks[i + 2])
+                i += 3
+            elif _kw_at(toks, i, "COPY_OPTIONS"):
+                opts = self._tblproperties(toks, i + 1)
+                force = str(opts.get("force", "false")).lower() == "true"
+                # _tblproperties returns the dict but not the end
+                # index; skip to the matching close paren
+                d0 = toks[i + 1].depth
+                j = i + 2
+                while j < len(toks) and not (
+                    toks[j].text == ")" and toks[j].depth == d0
+                ):
+                    j += 1
+                i = j + 1
+            else:
+                raise SqlDmlError(
+                    f"unexpected token {toks[i].text!r} in COPY INTO"
+                )
+        if source is None:
+            raise SqlDmlError("COPY INTO needs FROM '<path>'")
+        if file_format is None:
+            raise SqlDmlError("COPY INTO needs FILEFORMAT = PARQUET")
+        m = table.copy_into(
+            source, file_format=file_format, files=files,
+            pattern=pattern, force=force,
+        )
+        return self._metrics_df({
+            "num_affected_rows": m["num_affected_rows"],
+            "num_inserted_rows": m["num_inserted_rows"],
+            "num_skipped_files": m["num_skipped_files"],
+            "num_loaded_files": m["num_loaded_files"],
+        })
 
     def _insert(self, sql: str, toks: List[_Tok]) -> DataFrame:
         """``INSERT INTO t [(cols)] SELECT ...|VALUES ...``,
