@@ -304,6 +304,69 @@ def _lloyd_fitted_states():
     return out
 
 
+_DOC_FP_EXPR = "count(*)*1000000 + sum(length(text))"
+
+
+def _bpe_fitted_counts():
+    """Per-word BPE token counts of each gate corpus's vocabulary,
+    computed at oracle-generation time with the SAME deterministic
+    trainer the Spark query uses (operators/bpe.py — hash-gated
+    sample replicated here byte-for-byte via hashlib.md5, total-order
+    tie-breaks; bit-identical by construction, the
+    ``_lloyd_fitted_states`` precedent). Returns
+    ``[(fingerprint, [(word, n_tokens)])]`` gated on an exact-integer
+    content probe of the ``documents`` view."""
+    import hashlib
+
+    import duckdb
+
+    from mack_spark.operators.bpe import (
+        encode_word,
+        train_bpe_merges_from_texts,
+    )
+
+    out = []
+    for d in _GATE_SF_DIRS:
+        try:
+            rows = duckdb.sql(
+                f"SELECT doc_id, text FROM '{d}/documents.parquet' "
+                "ORDER BY doc_id"
+            ).fetchall()
+            fp = duckdb.sql(
+                f"SELECT {_DOC_FP_EXPR} FROM '{d}/documents.parquet'"
+            ).fetchone()[0]
+        except Exception:
+            continue
+        cap = 4096
+        sample = rows
+        if len(rows) > cap:
+            # replicate train_bpe_merges' md5 gate exactly: first 8
+            # hex chars of md5("bpe||<id>") < cut
+            cut = format(int(cap / float(len(rows)) * 2**32), "08x")
+            sample = [
+                r for r in rows
+                if hashlib.md5(
+                    f"bpe||{r[0]}".encode()
+                ).hexdigest()[:8] < cut
+            ]
+        merges = train_bpe_merges_from_texts(
+            (r[1] for r in sample), n_merges=48
+        )
+        ranks = {tuple(m): i for i, m in enumerate(merges)}
+        vocab = sorted({
+            w for _id, t in rows for w in (t or "").split()
+        })
+        assert len(vocab) <= 2000, (
+            f"{d}: vocabulary of {len(vocab)} words is too large to"
+            " inline as SQL literals — shrink or gate the oracle"
+        )
+        out.append((
+            int(fp),
+            [(w, len(encode_word(w, ranks))) for w in vocab],
+        ))
+    return out
+
+
 def _fp_gated_values_sql(states, row_sql_for) -> str:
     """UNION ALL of per-corpus VALUES blocks, each gated on the content
     fingerprint of the ``embeddings`` view."""
@@ -1049,6 +1112,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["token_counts"] = q_token_counts
+
+    def q_token_counts_bpe(spark, sf_dir):
+        # REAL byte-level BPE counts (round 15): train merges on the
+        # hash-gated bounded sample (the 256·k pattern), apply
+        # executor-side via Arrow. The oracle replays the SAME
+        # deterministic trainer at oracle-build time and inlines the
+        # per-word token counts of the (small) corpus vocabulary as
+        # fingerprint-gated SQL literals — the _lloyd_fitted_states
+        # precedent.
+        from mack_spark.operators.bpe import (
+            bpe_token_count,
+            train_bpe_merges,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        merges = train_bpe_merges(
+            docs, n_merges=48, max_train_rows=4096
+        )
+        return bpe_token_count(
+            docs.select("doc_id", "text"), merges
+        ).select("doc_id", "n_bpe_tokens")
+
+    q["token_counts_bpe"] = q_token_counts_bpe
+
+    def q_sequence_packing_bpe(spark, sf_dir):
+        # the packing plan LLM pipelines actually ship: budget by real
+        # BPE token counts, not whitespace words
+        from mack_spark.operators.bpe import train_bpe_merges
+        from mack_spark.operators.packing import pack_sequences
+
+        docs = _t(spark, sf_dir, "documents")
+        merges = train_bpe_merges(
+            docs, n_merges=48, max_train_rows=4096
+        )
+        return pack_sequences(
+            docs, ["lang"], budget=256,
+            tokenizer="bpe", bpe_merges=merges,
+        )
+
+    q["sequence_packing_bpe"] = q_sequence_packing_bpe
 
     def q_cube(spark, sf_dir):
         from mack_spark.operators import corpus_cube
@@ -7365,6 +7468,75 @@ SELECT lang, source, count(*) AS n_docs,
        CAST(sum(len({_toks_sql('text')})) AS BIGINT) AS total_tokens,
        CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY CUBE (lang, source)
+"""
+
+    # BPE counts: fingerprint-gated VALUES of (word, n_tokens) — the
+    # oracle-side replay of the stored merge table over the corpus
+    # vocabulary (see _bpe_fitted_counts)
+    _bpe_states = _bpe_fitted_counts()
+    _bpe_vocab_sql = " UNION ALL ".join(
+        "SELECT word, n_tok FROM (VALUES {}) t(word, n_tok) "
+        "WHERE (SELECT {} FROM documents) = {}".format(
+            ", ".join(
+                "('{}', {})".format(w.replace("'", "''"), n)
+                for w, n in counts
+            ),
+            _DOC_FP_EXPR,
+            fp,
+        )
+        for fp, counts in _bpe_states
+    ) or "SELECT NULL AS word, NULL AS n_tok WHERE FALSE"
+    o["token_counts_bpe"] = f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+), v AS ({_bpe_vocab_sql}),
+sums AS (
+  SELECT w.doc_id, SUM(v.n_tok) AS n
+  FROM words w JOIN v USING (word)
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN sums s USING (doc_id)
+"""
+
+    # BPE-budgeted packing: the whitespace pack CTE with n_tokens
+    # sourced from the replayed merge table instead
+    o["sequence_packing_bpe"] = f"""
+WITH RECURSIVE v AS ({_bpe_vocab_sql}),
+wrds AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+), bsum AS (
+  SELECT w.doc_id, SUM(v.n_tok) AS n
+  FROM wrds w JOIN v USING (word) GROUP BY w.doc_id
+), toks AS (
+  SELECT d.lang, d.doc_id,
+         CAST(COALESCE(b.n, 0) AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN bsum b USING (doc_id)
+), ord AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM toks
+), state AS (
+  SELECT lang, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+         n_tokens AS acc
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN s.acc > 0 AND s.acc + o.n_tokens > 256
+              THEN s.seq_id + 1 ELSE s.seq_id END,
+         CASE WHEN s.acc > 0 AND s.acc + o.n_tokens > 256
+              THEN CAST(0 AS BIGINT) ELSE s.acc END,
+         CASE WHEN s.acc > 0 AND s.acc + o.n_tokens > 256
+              THEN o.n_tokens ELSE s.acc + o.n_tokens END
+  FROM state s JOIN ord o ON o.lang = s.lang AND o.rn = s.rn + 1
+)
+SELECT lang, doc_id, n_tokens, seq_id, seq_offset FROM state
 """
 
     o["token_counts"] = f"""

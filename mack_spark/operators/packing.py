@@ -39,6 +39,8 @@ def pack_sequences(
     text_col: str = "text",
     budget: int = 2048,
     token_count_col: Optional[str] = None,
+    tokenizer: str = "whitespace",
+    bpe_merges=None,
 ) -> DataFrame:
     """Assign each document a ``(seq_id, seq_offset)`` within its group.
 
@@ -46,10 +48,32 @@ def pack_sequences(
     ``seq_offset`` is the document's token offset inside its sequence.
     ``token_count_col`` supplies precomputed counts; otherwise tokens
     are counted with the engine tokenizer (:func:`mack_spark.functions
-    .tokens`) JVM-side before the Python stage.
+    .tokens`) JVM-side before the Python stage —
+    ``tokenizer="bpe"`` counts with a trained byte-level BPE merge
+    table instead (:mod:`mack_spark.operators.bpe`; pass
+    ``bpe_merges`` from :func:`~mack_spark.operators.bpe
+    .train_bpe_merges` or :func:`~mack_spark.operators.bpe
+    .load_bpe_tokenizer`), which is what production packing keys on:
+    real context budgets are BPE budgets, not whitespace ones.
 
     Returns ``(*group_cols, id_col, n_tokens, seq_id, seq_offset)``.
     """
+    if tokenizer not in ("whitespace", "bpe"):
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    if tokenizer == "bpe":
+        if token_count_col:
+            raise ValueError(
+                "pass either token_count_col or tokenizer='bpe', not both"
+            )
+        if bpe_merges is None:
+            raise ValueError("tokenizer='bpe' needs bpe_merges")
+        from mack_spark.operators.bpe import bpe_token_count
+
+        df = bpe_token_count(
+            df.select(*group_cols, id_col, text_col),
+            bpe_merges, text_col=text_col, out_col="__bpe_n",
+        )
+        token_count_col = "__bpe_n"
     if not group_cols:
         raise ValueError(
             "pack_sequences requires group_cols: packing is sequential per "

@@ -388,6 +388,8 @@ def vocab_census(
     text_col: str = "text",
     id_col: str = "doc_id",
     top: int = 200,
+    tokenizer: str = "words",
+    bpe_merges=None,
 ) -> DataFrame:
     """Corpus vocabulary heavy hitters: the ``top`` words by total
     occurrences, with document spread — ``(word, n_docs,
@@ -406,10 +408,30 @@ def vocab_census(
     (TakeOrderedAndProject), never a global sort. The full order is a
     total one (ties broken by spread then word), so ``top`` is
     deterministic.
+
+    ``tokenizer="bpe"`` censuses TRAINED BPE tokens instead of words
+    (pass ``bpe_merges``; :mod:`mack_spark.operators.bpe`) — the view
+    a tokenizer-budget audit actually needs: which learned subwords
+    dominate the corpus, not which whitespace words.
     """
-    ex = df.select(
-        F.col(id_col), F.explode(mf.tokens(F.col(text_col))).alias("word")
-    )
+    if tokenizer == "bpe":
+        if bpe_merges is None:
+            raise ValueError("tokenizer='bpe' needs bpe_merges")
+        from mack_spark.operators.bpe import bpe_tokenize
+
+        ex = bpe_tokenize(
+            df.select(id_col, text_col), bpe_merges, text_col=text_col,
+            out_col="__toks",
+        ).select(
+            F.col(id_col), F.explode(F.col("__toks")).alias("word")
+        )
+    elif tokenizer != "words":
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    else:
+        ex = df.select(
+            F.col(id_col),
+            F.explode(mf.tokens(F.col(text_col))).alias("word"),
+        )
     return (
         ex.groupBy("word")
         .agg(
