@@ -88,6 +88,20 @@ def decode_wav(payload: bytes):
             raise AudioFormatError(f"unsupported PCM bit depth {bits}")
     elif tag == 3 and bits == 32:  # IEEE float
         x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    elif tag == 7:  # G.711 mu-law (telephony corpora) — formulaic
+        y = ~np.frombuffer(data, dtype=np.uint8)
+        sign = y & 0x80
+        e = (y >> 4) & 0x7
+        m = (y & 0x0F).astype(np.int32)
+        mag = (((m << 3) + 0x84) << e) - 0x84
+        x = np.where(sign != 0, -mag, mag).astype(np.float32) / 32768.0
+    elif tag == 6:  # G.711 A-law — formulaic
+        y = np.frombuffer(data, dtype=np.uint8) ^ 0x55
+        sign = y & 0x80
+        e = (y >> 4) & 0x7
+        m = (y & 0x0F).astype(np.int32)
+        mag = np.where(e == 0, (m << 4) + 8, ((m << 4) + 0x108) << np.maximum(e - 1, 0))
+        x = np.where(sign != 0, -mag, mag).astype(np.float32) / 32768.0
     else:
         raise AudioFormatError(f"unsupported WAV format tag {tag} bits {bits}")
     n = (len(x) // n_ch) * n_ch
@@ -123,7 +137,12 @@ def audio_features(payload: bytes, dim: int = 16) -> list:
     """
     if dim < 5:
         raise ValueError(f"dim must be >= 5 to fit summary stats, got {dim}")
-    samples, rate = decode_wav(payload)
+    if payload[:4] == b"fLaC":  # lossless path (mack_spark/flac.py)
+        from mack_spark.flac import decode_flac_float
+
+        samples, rate = decode_flac_float(payload)
+    else:
+        samples, rate = decode_wav(payload)
     mono = samples.mean(axis=1)
     n = mono.shape[0]
     duration = n / float(rate)

@@ -26,6 +26,18 @@ extension surface (SURVEY.md §2d). SCALE: both parsers run inside the
 Arrow-batched ``mapInPandas`` workers of multimodal.py, one payload at
 a time — no pixel/sample materialization, memory per worker is one
 clip's bytes.
+
+WHY MP3/AAC SAMPLES STAY FENCED (and what decodes instead): MPEG-1
+Layer III's huffman tables (ISO 11172-3 Table B.7, 34 of them) and
+512-tap synthesis window (Table B.3) are normative spec DATA with no
+derivation — unlike JPEG, whose entropy tables ride inside every
+file, they cannot be reconstructed offline without risking a silently
+wrong decoder, so ``parse_mp3`` stays header-level and sample decode
+raises loudly rather than approximating. The fully SELF-DESCRIBING
+audio codec — every parameter in the stream, every constant formulaic
+— is FLAC, and :mod:`mack_spark.flac` implements real lossless decode
+(+ encode) for it; ``probe_container`` routes ``fLaC`` payloads there
+and ``audio_features`` decodes them transparently.
 """
 
 from __future__ import annotations
@@ -520,6 +532,17 @@ def probe_container(payload: bytes) -> Dict:
         from mack_spark.video import gif_frame_count
 
         out.update(format="gif", n_streams=1, n_frames=gif_frame_count(payload))
+        return out
+    if payload[:4] == b"fLaC":
+        from mack_spark.flac import decode_flac
+
+        samples, sr, _bps = decode_flac(payload)
+        out.update(
+            format="flac",
+            duration_ms=int(len(samples) * 1000 / sr),
+            n_streams=1,
+            sample_rate=sr,
+        )
         return out
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from mack_spark.audio import decode_wav
