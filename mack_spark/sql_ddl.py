@@ -97,6 +97,26 @@ _DETAIL_SCHEMA = StructType([
 ])
 
 
+def _parse_at_suffix(text: str):
+    """delta-spark's ``@`` time-travel shorthand: ``v<N>`` → version,
+    ``yyyyMMddHHmmss[SSS]`` → timestamp string. Returns
+    ``(version|None, timestamp|None)`` — both None when the text is
+    not a travel suffix."""
+    import re as _re
+
+    if _re.fullmatch(r"[vV]\d+", text):
+        return int(text[1:]), None
+    if _re.fullmatch(r"\d{14}(\d{3})?", text):
+        ts = (
+            f"{text[0:4]}-{text[4:6]}-{text[6:8]}"
+            f" {text[8:10]}:{text[10:12]}:{text[12:14]}"
+        )
+        if len(text) == 17:
+            ts += f".{text[14:17]}"
+        return None, ts
+    return None, None
+
+
 def _str_map(d: Optional[dict]) -> Dict[str, str]:
     """Delta's DESCRIBE HISTORY renders parameter/metric maps as
     string→string; JSON-encode anything structured."""
@@ -505,9 +525,32 @@ class DeltaSqlSession:
                 list(d["tableFeatures"]), int(d["version"]),
             )
             return self._spark.createDataFrame([row], _DETAIL_SCHEMA)
-        raise SqlDmlError(
-            "DESCRIBE supports HISTORY and DETAIL; plain DESCRIBE runs"
-            " through spark.sql on a registered view"
+        # plain DESCRIBE [TABLE] t — delta-spark's column listing with
+        # the partition-information section
+        i = 1
+        if _kw_at(toks, i, "TABLE"):
+            i += 1
+        table, _, _ = self._table_at(toks, i)
+        snap = table.snapshot()
+        rows = [
+            (f.name, f.dataType.simpleString(),
+             (f.metadata or {}).get("comment"))
+            for f in snap.schema.fields
+        ]
+        pcols = snap.partition_columns
+        if pcols:
+            types = {f.name: f.dataType.simpleString()
+                     for f in snap.schema.fields}
+            rows.append(("# Partition Information", "", ""))
+            rows.append(("# col_name", "data_type", "comment"))
+            rows += [(c, types.get(c, ""), None) for c in pcols]
+        return self._spark.createDataFrame(
+            rows,
+            StructType([
+                StructField("col_name", StringType()),
+                StructField("data_type", StringType()),
+                StructField("comment", StringType()),
+            ]),
         )
 
     # -- OPTIMIZE / VACUUM / RESTORE -------------------------------------
@@ -1042,6 +1085,45 @@ class DeltaSqlSession:
     # -- SHOW / FSCK ------------------------------------------------------
 
     def _show(self, toks: List[_Tok]) -> DataFrame:
+        if _kw_at(toks, 1, "CREATE", "TABLE"):
+            table, name, _ = self._table_at(toks, 3)
+            snap = table.snapshot()
+            cols = []
+            for f in snap.schema.fields:
+                line = f"  `{f.name}` {f.dataType.simpleString().upper()}"
+                if not f.nullable:
+                    line += " NOT NULL"
+                cols.append(line)
+            ident = (
+                f"delta.`{table.path}`" if name is None else f"`{name}`"
+            )
+            stmt = (
+                f"CREATE TABLE {ident} (\n" + ",\n".join(cols) + ")\n"
+                "USING DELTA"
+            )
+            pcols = snap.partition_columns
+            if pcols:
+                stmt += "\nPARTITIONED BY (" + ", ".join(
+                    f"`{c}`" for c in pcols
+                ) + ")"
+            ccols = table.clustering_columns(snap)
+            if ccols:
+                stmt += "\nCLUSTER BY (" + ", ".join(
+                    f"`{c}`" for c in ccols
+                ) + ")"
+            cfg = snap.metadata.get("configuration") or {}
+            if cfg:
+                stmt += "\nTBLPROPERTIES (" + ", ".join(
+                    "'{}' = '{}'".format(
+                        k.replace("'", "''"), v.replace("'", "''")
+                    )
+                    for k, v in sorted(cfg.items())
+                ) + ")"
+            stmt += f"\nLOCATION '{table.path}'"
+            return self._spark.createDataFrame(
+                [(stmt,)],
+                StructType([StructField("createtab_stmt", StringType())]),
+            )
         if _kw_at(toks, 1, "TBLPROPERTIES"):
             table, _, _ = self._table_at(toks, 2)
             cfg = table.snapshot().metadata.get("configuration") or {}
@@ -1172,12 +1254,21 @@ class DeltaSqlSession:
                     continue
                 table = None
                 name = None
+                version_of = None
+                timestamp_of = None
                 if (
                     toks[j].kind == "word" and toks[j].upper == "DELTA"
                     and j + 2 < n and toks[j + 1].text == "."
                     and toks[j + 2].kind == "bquote"
                 ):
                     path = _unquote_ident(toks[j + 2].text)
+                    # delta-spark's path@v3 / path@yyyyMMddHHmmssSSS
+                    # time-travel suffix INSIDE the backticks
+                    if "@" in path:
+                        base, _, suf = path.rpartition("@")
+                        v, ts = _parse_at_suffix(suf)
+                        if v is not None or ts is not None:
+                            path, version_of, timestamp_of = base, v, ts
                     table = DeltaProtocolTable(self._spark, path)
                     ref_start, ref_end = toks[j].start, toks[j + 2].end
                     j += 3
@@ -1190,8 +1281,6 @@ class DeltaSqlSession:
                 if table is None:
                     i += 1
                     continue
-                version_of = None
-                timestamp_of = None
                 if _kw_at(toks, j, "VERSION", "AS", "OF"):
                     version_of = int(toks[j + 3].text)
                     ref_end = toks[j + 3].end
@@ -1200,6 +1289,22 @@ class DeltaSqlSession:
                     timestamp_of = self._string_lit(toks[j + 3])
                     ref_end = toks[j + 3].end
                     j += 4
+                elif (
+                    j + 1 < n and toks[j].text == "@"
+                    and toks[j + 1].kind in ("word", "num")
+                ):
+                    # name@v3 / name@yyyyMMddHHmmssSSS (delta-spark's
+                    # identifier time-travel shorthand)
+                    v, ts = _parse_at_suffix(toks[j + 1].text)
+                    if v is None and ts is None:
+                        raise SqlDmlError(
+                            f"bad @ time-travel suffix"
+                            f" {toks[j + 1].text!r} — expected @v<N> or"
+                            " @yyyyMMddHHmmssSSS"
+                        )
+                    version_of, timestamp_of = v, ts
+                    ref_end = toks[j + 1].end
+                    j += 2
                 df = table.to_df(
                     version_as_of=version_of, timestamp_as_of=timestamp_of
                 )

@@ -51,7 +51,7 @@ _TOKEN_RE = re.compile(
     | (?P<bquote>`(?:[^`]|``)*`)
     | (?P<num>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?)
     | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
-    | (?P<op><=>|<>|<=|>=|!=|\|\||::|[(),.;=<>*+\-/%\[\]{}])
+    | (?P<op><=>|<>|<=|>=|!=|\|\||::|[(),.;=<>*+\-/%\[\]{}@])
     """,
     re.VERBOSE,
 )

@@ -698,3 +698,89 @@ class TestErrors:
         sq.register("tbl", t)
         with pytest.raises(SqlDmlError, match="unexpected token"):
             sq.sql("VACUUM tbl RETAIN 0 HOURS WET RUN")
+
+
+class TestSqlTailR15:
+    """Round 15: SHOW CREATE TABLE, plain DESCRIBE TABLE, and the
+    ``@v`` / ``@yyyyMMddHHmmssSSS`` time-travel shorthand."""
+
+    def test_show_create_table(self, spark, tmp_path, sq):
+        df = spark.createDataFrame(
+            [(1, "a", "x")], "pkey int, status string, p string"
+        )
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "t"), df, partition_by=["p"],
+            properties={"delta.appendOnly": "false"},
+        )
+        sq.register("tbl", t)
+        stmt = sq.sql("SHOW CREATE TABLE tbl").collect()[0]["createtab_stmt"]
+        assert "CREATE TABLE `tbl`" in stmt
+        assert "`pkey` INT" in stmt and "`status` STRING" in stmt
+        assert "USING DELTA" in stmt
+        assert "PARTITIONED BY (`p`)" in stmt
+        assert "'delta.appendOnly' = 'false'" in stmt
+        assert f"LOCATION '{t.path}'" in stmt
+
+    def test_describe_table_plain(self, spark, tmp_path, sq):
+        df = spark.createDataFrame(
+            [(1, "a", "x")], "pkey int, status string, p string"
+        )
+        t = DeltaProtocolTable.create(
+            spark, str(tmp_path / "t"), df, partition_by=["p"]
+        )
+        sq.register("tbl", t)
+        rows = sq.sql("DESCRIBE TABLE tbl").collect()
+        names = [r["col_name"] for r in rows]
+        assert names[:3] == ["pkey", "status", "p"]
+        assert "# Partition Information" in names
+        assert names[-1] == "p"  # partition column restated
+        assert rows[0]["data_type"] == "int"
+
+    def test_at_version_suffix(self, spark, tmp_path, sq):
+        t = _mk(spark, tmp_path)
+        t.delete_where("pkey < 5")
+        sq.register("tbl", t)
+        assert sq.sql("SELECT count(*) AS c FROM tbl@v0").collect()[0]["c"] == 10
+        assert sq.sql("SELECT count(*) AS c FROM tbl@v1").collect()[0]["c"] == 5
+        # and it composes with predicates + qualified refs
+        r = sq.sql(
+            "SELECT count(*) AS c FROM tbl@v0 WHERE tbl.pkey >= 8"
+        ).collect()[0]
+        assert r["c"] == 2
+
+    def test_at_suffix_in_path_backticks(self, spark, tmp_path, sq):
+        t = _mk(spark, tmp_path)
+        t.delete_where("pkey < 5")
+        r = sq.sql(
+            f"SELECT count(*) AS c FROM delta.`{t.path}@v0`"
+        ).collect()[0]
+        assert r["c"] == 10
+
+    def test_at_timestamp_suffix(self, spark, tmp_path, sq):
+        import datetime as dt
+
+        # ICT guarantees strictly increasing per-commit timestamps
+        t = _mk(
+            spark, tmp_path,
+            properties={"delta.enableInCommitTimestamps": "true"},
+        )
+        t.delete_where("pkey < 5")
+        icts = {
+            r["version"]: r["inCommitTimestamp"] for r in t.history()
+        }
+        ms = icts[1] - 1  # just before the delete landed
+        when = dt.datetime.fromtimestamp(
+            ms / 1000.0, tz=dt.timezone.utc
+        )
+        suffix = when.strftime("%Y%m%d%H%M%S") + f"{ms % 1000:03d}"
+        sq.register("tbl", t)
+        r = sq.sql(
+            f"SELECT count(*) AS c FROM tbl@{suffix}"
+        ).collect()[0]
+        assert r["c"] == 10  # v0 was current just before v1
+
+    def test_bad_at_suffix_raises(self, spark, tmp_path, sq):
+        t = _mk(spark, tmp_path)
+        sq.register("tbl", t)
+        with pytest.raises(SqlDmlError, match="time-travel"):
+            sq.sql("SELECT * FROM tbl@banana")
