@@ -905,6 +905,258 @@ def build_stats_parsed_checkpoint(d: str):
     }
 
 
+def build_stats_parsed_dv_checkpoint(d: str):
+    """Round 15: struct-only stats AND a deletion vector in the SAME
+    foreign checkpoint — the reader must both re-encode stats_parsed
+    for skipping and honor the DV descriptor (dropping either
+    resurrects rows or loses bounds)."""
+    t = os.path.join(d, "table")
+    fields = [_field("k", "integer"), _field("v", "string")]
+    meta = _meta(fields, mid="c0a5c1a5-0000-0000-0000-00000000000f")
+    proto = _dv_proto()
+    add0 = _data_file(
+        t, "part-00000-spdv.snappy.parquet",
+        {"k": list(range(10)), "v": [f"a{j}" for j in range(10)]},
+    )
+    add1 = _data_file(
+        t, "part-00001-spdv.snappy.parquet",
+        {"k": [100 + j for j in range(5)],
+         "v": [f"b{j}" for j in range(5)]},
+    )
+    _log_write(t, 0, [
+        _commit_info("CREATE"), {"protocol": proto},
+        {"metaData": meta}, {"add": add0}, {"add": add1},
+    ])
+    bitmap = _dv_bitmap([1, 4])  # delete k=1, k=4 from file 0
+    dv = {
+        "storageType": "i",
+        "pathOrInlineDv": _z85_encode(bitmap),
+        "offset": None,
+        "sizeInBytes": len(bitmap),
+        "cardinality": 2,
+    }
+    add0_dv = dict(add0, dataChange=False, deletionVector=dv)
+    _log_write(t, 1, [
+        _commit_info("DELETE"),
+        {"remove": {"path": add0["path"], "deletionTimestamp": TS,
+                    "dataChange": True}},
+        {"add": add0_dv},
+    ])
+    # checkpoint at v1: struct-only stats + the DV descriptor
+    stats_t = pa.struct([
+        ("numRecords", pa.int64()),
+        ("minValues", pa.struct([("k", pa.int64()), ("v", pa.string())])),
+        ("maxValues", pa.struct([("k", pa.int64()), ("v", pa.string())])),
+        ("nullCount", pa.struct([("k", pa.int64()), ("v", pa.int64())])),
+    ])
+    dv_t = pa.struct([
+        ("storageType", pa.string()), ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int32()), ("sizeInBytes", pa.int32()),
+        ("cardinality", pa.int64()),
+    ])
+    add_t = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("deletionVector", dv_t),
+        ("stats_parsed", stats_t),
+    ])
+    proto_t = pa.struct([
+        ("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32()),
+        ("readerFeatures", pa.list_(pa.string())),
+        ("writerFeatures", pa.list_(pa.string())),
+    ])
+    schema = pa.schema([
+        ("protocol", proto_t), ("metaData", _META_T), ("add", add_t),
+    ])
+    blank = {"protocol": None, "metaData": None, "add": None}
+    rows = [dict(blank, protocol=proto), dict(blank, metaData=meta)]
+    rows.append(dict(blank, add={
+        "path": add0["path"], "partitionValues": {},
+        "size": add0["size"], "modificationTime": TS,
+        "dataChange": False, "deletionVector": dv,
+        "stats_parsed": {
+            "numRecords": 10,
+            "minValues": {"k": 0, "v": "a0"},
+            "maxValues": {"k": 9, "v": "a9"},
+            "nullCount": {"k": 0, "v": 0},
+        },
+    }))
+    rows.append(dict(blank, add={
+        "path": add1["path"], "partitionValues": {},
+        "size": add1["size"], "modificationTime": TS,
+        "dataChange": True, "deletionVector": None,
+        "stats_parsed": {
+            "numRecords": 5,
+            "minValues": {"k": 100, "v": "b0"},
+            "maxValues": {"k": 104, "v": "b4"},
+            "nullCount": {"k": 0, "v": 0},
+        },
+    }))
+    logdir = os.path.join(t, "_delta_log")
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        os.path.join(logdir, "%020d.checkpoint.parquet" % 1),
+        compression="snappy",
+    )
+    with open(os.path.join(logdir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": len(rows)}, fh)
+    for ver in range(2):
+        os.unlink(os.path.join(logdir, "%020d.json" % ver))
+    return {
+        "rows": sorted(
+            [[j, f"a{j}"] for j in range(10) if j not in (1, 4)]
+            + [[100 + j, f"b{j}"] for j in range(5)]
+        ),
+        "columns": ["k", "v"],
+        "facts": {
+            "version": 1,
+            "stats_from_struct": {
+                "part-00001-spdv.snappy.parquet": [100, 104],
+            },
+        },
+    }
+
+
+def build_liquid_clustered(d: str):
+    """Round 15: a FOREIGN liquid-clustered table — clustering columns
+    in the ``delta.clustering`` domain, cluster-written files tagged
+    ``clusteringProvider: liquid``. The reader must surface the
+    clustering columns and an incremental OPTIMIZE must leave
+    right-sized liquid files untouched while re-clustering the
+    untagged tail."""
+    t = os.path.join(d, "table")
+    fields = [_field("k", "integer"), _field("v", "string")]
+    meta = _meta(fields, mid="c0a5c1a5-0000-0000-0000-000000000010")
+    proto = {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["clustering", "domainMetadata",
+                           "v2Checkpoint"],
+    }
+    add0 = _data_file(
+        t, "part-00000-liq.snappy.parquet",
+        {"k": list(range(5)), "v": [f"c{j}" for j in range(5)]},
+    )
+    add0 = dict(add0, tags={"clusteringProvider": "liquid"})
+    _log_write(t, 0, [
+        _commit_info("CLUSTER BY"), {"protocol": proto},
+        {"metaData": meta},
+        {"domainMetadata": {
+            "domain": "delta.clustering",
+            "configuration": json.dumps(
+                {"clusteringColumns": [["k"]]}
+            ),
+            "removed": False,
+        }},
+        {"add": add0},
+    ])
+    add1 = _data_file(
+        t, "part-00001-tail.snappy.parquet",
+        {"k": [10 + j for j in range(3)],
+         "v": [f"t{j}" for j in range(3)]},
+    )
+    _log_write(t, 1, [_commit_info("WRITE"), {"add": add1}])
+    return {
+        "rows": sorted(
+            [[j, f"c{j}"] for j in range(5)]
+            + [[10 + j, f"t{j}"] for j in range(3)]
+        ),
+        "columns": ["k", "v"],
+        "facts": {
+            "version": 1,
+            "clustering_columns": ["k"],
+            "liquid_files": ["part-00000-liq.snappy.parquet"],
+            "tail_files": ["part-00001-tail.snappy.parquet"],
+        },
+    }
+
+
+def build_type_widening_preview_mapped(d: str):
+    """Round 15: type widening under the PREVIEW feature naming
+    (delta-spark 3.x wrote ``typeWidening-preview``) on a COLUMN-MAPPED
+    table — narrow and wide physical files coexist under physical
+    names; the reader must resolve mapping AND upcast per file."""
+    t = os.path.join(d, "table")
+    phys_k, phys_amt = "col-7f001", "col-7f002"
+    narrow = [
+        _field("k", "integer", {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": phys_k,
+        }),
+        _field("amt", "float", {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": phys_amt,
+        }),
+    ]
+    cfg = {
+        "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": "2",
+    }
+    meta0 = _meta(
+        narrow, mid="c0a5c1a5-0000-0000-0000-000000000011", config=cfg
+    )
+    proto0 = {
+        "minReaderVersion": 2, "minWriterVersion": 5,
+    }
+    add0 = _data_file(
+        t, "part-00000-nrw.snappy.parquet",
+        {phys_k: pa.array([1, 2], pa.int32()),
+         phys_amt: pa.array([1.5, 2.5], pa.float32())},
+    )
+    _log_write(t, 0, [
+        _commit_info("CREATE"), {"protocol": proto0},
+        {"metaData": meta0}, {"add": add0},
+    ])
+    wide = [
+        _field("k", "long", {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": phys_k,
+            "delta.typeChanges": [
+                {"fromType": "integer", "toType": "long",
+                 "tableVersion": 1},
+            ],
+        }),
+        _field("amt", "double", {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": phys_amt,
+            "delta.typeChanges": [
+                {"fromType": "float", "toType": "double",
+                 "tableVersion": 1},
+            ],
+        }),
+    ]
+    meta1 = _meta(
+        wide, mid="c0a5c1a5-0000-0000-0000-000000000011", config=cfg
+    )
+    _log_write(t, 1, [
+        _commit_info("CHANGE COLUMN"),
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping", "typeWidening-preview"],
+            "writerFeatures": ["columnMapping", "typeWidening-preview"],
+        }},
+        {"metaData": meta1},
+    ])
+    add2 = _data_file(
+        t, "part-00002-wde.snappy.parquet",
+        {phys_k: pa.array([2**41], pa.int64()),
+         phys_amt: pa.array([4.75], pa.float64())},
+    )
+    _log_write(t, 2, [_commit_info("WRITE"), {"add": add2}])
+    return {
+        "rows": [[1, 1.5], [2, 2.5], [2**41, 4.75]],
+        "columns": ["k", "amt"],
+        "facts": {
+            "version": 2,
+            "widened": ["k", "amt"],
+            "physical": {"k": phys_k, "amt": phys_amt},
+        },
+    }
+
+
 BUILDERS = {
     "log_compaction": build_log_compaction,
     "classic_checkpoint": build_classic_checkpoint,
@@ -920,6 +1172,9 @@ BUILDERS = {
     "partitioned": build_partitioned,
     "type_widening": build_type_widening,
     "stats_parsed_checkpoint": build_stats_parsed_checkpoint,
+    "stats_parsed_dv_checkpoint": build_stats_parsed_dv_checkpoint,
+    "liquid_clustered": build_liquid_clustered,
+    "type_widening_preview_mapped": build_type_widening_preview_mapped,
 }
 
 

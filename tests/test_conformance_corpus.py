@@ -437,3 +437,64 @@ class TestWriterShape:
         assert sorted(r["k"] for r in t2.to_df().collect()) == list(
             range(8)
         )
+
+
+class TestRound15Variants:
+    """Variant-specific assertions for the r15 corpus additions."""
+
+    def test_stats_parsed_dv_bounds_and_mask(self, spark, tmp_path):
+        path, expected = _load(tmp_path, "stats_parsed_dv_checkpoint")
+        t = DeltaProtocolTable(spark, path)
+        snap = t.snapshot()
+        # struct-only stats re-encoded: bounds present for the DV-free
+        # file, and they prune a keyed delete to exactly that file
+        want = expected["facts"]["stats_from_struct"]
+        for fname, (lo, hi) in want.items():
+            st = snap.file_stats(fname)
+            assert st is not None, fname
+            assert st["minValues"]["k"] == lo
+            assert st["maxValues"]["k"] == hi
+        res = t.delete_where("k = 102")
+        assert res["touched_files"] == 1
+        # and the DV'd rows stayed deleted through the checkpoint read
+        ks = {r["k"] for r in t.to_df().collect()}
+        assert 1 not in ks and 4 not in ks and 102 not in ks
+
+    def test_liquid_clustering_surfaced_and_incremental(
+        self, spark, tmp_path
+    ):
+        path, expected = _load(tmp_path, "liquid_clustered")
+        t = DeltaProtocolTable(spark, path)
+        snap = t.snapshot()
+        assert t.clustering_columns(snap) == (
+            expected["facts"]["clustering_columns"]
+        )
+        # foreign liquid tags honored: files tagged by the foreign
+        # clustering pass but SMALL are still re-clustered; what
+        # matters is the tail is picked up and rows survive exactly
+        before = set(snap.files)
+        assert set(expected["facts"]["liquid_files"]) <= before
+        res = t.optimize(min_file_bytes=1)  # right-size floor: 1 byte
+        snap2 = t.snapshot()
+        # the liquid file was right-sized and DV-free → untouched
+        for f in expected["facts"]["liquid_files"]:
+            assert f in snap2.files, "foreign liquid file was rewritten"
+        for f in expected["facts"]["tail_files"]:
+            assert f not in snap2.files, "untagged tail not re-clustered"
+        got = sorted([list(r) for r in t.to_df().collect()])
+        assert got == sorted(expected["rows"])
+        assert res["rewritten"] >= 1
+
+    def test_preview_widening_under_mapping(self, spark, tmp_path):
+        path, expected = _load(tmp_path, "type_widening_preview_mapped")
+        t = DeltaProtocolTable(spark, path)
+        snap = t.snapshot()
+        assert snap.physical_names() == expected["facts"]["physical"]
+        types = {f.name: f.dataType.simpleString()
+                 for f in snap.schema.fields}
+        assert types == {"k": "bigint", "amt": "double"}
+        # this writer can continue the table: append through the
+        # mapped+widened schema and read back
+        t.append(spark.createDataFrame([(7, 7.5)], "k long, amt double"))
+        got = sorted(r["k"] for r in t.to_df().collect())
+        assert got == [1, 2, 7, 2**41]
