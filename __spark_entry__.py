@@ -4285,77 +4285,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["delta_log_cleanup"] = q_delta_log_cleanup
 
     # Verification rotation: the driver checks the FIRST 50 keys in
-    # declaration order each round. Round-14 priorities (VERDICT r13
+    # declaration order each round. Round-15 priorities (VERDICT r14
     # "Next round" #1):
-    # (a) the never-driver-checked rows — delta_optimize_where
-    # (the only pre-r14 query with no CORRECTNESS_r* entry in any
-    # round) plus the new r14 rows (SQL DML MERGE, SQL utility
-    # lifecycle, JPEG codec, identity streaming sink);
-    # (b) delta_merge_evolution, behavior-extended this round
-    # (UPDATE SET * evolution);
-    # (c) all 29 rows whose last green driver check is round 10 —
-    # after this round no declared query's last check predates r11;
-    # (d) fill to 50 from the round-11 cohort (alphabetical prefix;
-    # the remaining 34 rotate in r15).
-    front_r14 = [
-        # (a) never driver-checked
-        "delta_optimize_where",
-        "delta_sql_lifecycle",
-        "delta_type_widening",
-        "delta_sql_merge",
-        "delta_multiclause_merge",
-        "multimodal_jpeg_dims",
-        "streaming_identity_sink",
-        # (b) behavior-extended r14
-        "delta_merge_evolution",
-        # (c) last green r10 — the full cohort
-        "doc_stats",
-        "doclen_deciles",
-        "drop_near_duplicates",
-        "embedding_centroids",
-        "event_anomaly_hours",
-        "event_debounce",
-        "event_gap_quartiles",
-        "find_composite_key_candidates",
-        "forecast_revenue",
-        "idle_rich_customers",
-        "is_composite_key_candidate",
-        "lang_split_check",
-        "large_volume_orders",
-        "market_share",
-        "min_cost_supplier",
-        "nation_trade_volume",
-        "numeric_outliers",
-        "parts_supplier_counts",
-        "product_profit",
-        "promo_revenue",
-        "quality_by_source",
-        "referential_audit",
-        "sample_stratified",
-        "semantic_dedup_report",
-        "small_quantity_revenue",
-        "supplier_revenue_share",
-        "tfidf_top_terms",
-        "training_shards",
-        "waiting_suppliers",
-        # (d) last green r11, alphabetical prefix
-        "asof_join_purchase_view",
-        "brand_part_rank",
-        "click_and_purchase",
-        "click_without_purchase",
-        "column_profile",
-        "daily_funnel_full_outer",
-        "dedup_embedding_scaled",
-        "dedup_exact",
-        "dedup_incremental_lsh",
-        "dedup_simhash",
-        "dedup_simhash_near",
-        "delta_constraint_append",
+    # (a) the four NEW r15 rows (COPY INTO, BPE counts + BPE packing,
+    # FLAC codec) — never driver-checked;
+    # (b) the full 38-row cohort whose last green driver check is
+    # round 11 — after this round no declared query's last check
+    # predates r12;
+    # (c) fill to 50 from the round-12 cohort (alphabetical prefix;
+    # the rest rotate in r16).
+    front_r15 = [
+        # (a) new r15 rows
+        "delta_copy_into",
+        "token_counts_bpe",
+        "sequence_packing_bpe",
+        "multimodal_flac_features",
+        # (b) last green r11 — the full cohort
+        "delta_dv_delete",
+        "delta_ict_commits",
+        "delta_id_mode_read",
+        "delta_mapped_append",
+        "delta_rename_column",
+        "delta_reorg_purge",
+        "delta_scd2_merge",
+        "delta_timestamp_read",
+        "delta_txn_idempotent",
+        "delta_v2_checkpoint_read",
+        "drop_duplicates",
+        "dup_detect_groups",
+        "events_hourly_rollup",
+        "fingerprint_winnow",
+        "gap_fill_daily",
+        "interval_join_active_sessions",
+        "kill_duplicates",
+        "knn_brute_force",
+        "knn_brute_force_numpy",
+        "knn_ivf_kmeans",
+        "knn_ivfpq",
+        "knn_lsh",
+        "knn_pq_adc",
+        "lang_robust_stats",
+        "length_drift_psi",
+        "lsh_hot_buckets",
+        "order_gap_stats",
+        "order_priority_semi",
+        "pricing_summary",
+        "props_json_stats",
+        "quiet_customers_anti",
+        "regional_revenue",
+        "repetition_stats",
+        "returned_revenue",
+        "span_contamination",
+        "streaming_cdf_source",
+        "streaming_quality_gate",
+        "streaming_scd2_cdf",
+        # (c) last green r12, alphabetical prefix
+        "append_without_duplicates",
+        "boilerplate_strip",
+        "chunk_documents",
+        "cluster_balance",
+        "constraint_append_pass",
+        "constraint_append_quarantine",
+        "corpus_curation",
+        "customer_rfm",
     ]
-    front_r14.insert(3, "delta_replace_where")
-    assert len(front_r14) == 50, len(front_r14)
-    fset = set(front_r14)
-    ordered = {k: q[k] for k in front_r14}
+    assert len(front_r15) == 50, len(front_r15)
+    fset = set(front_r15)
+    ordered = {k: q[k] for k in front_r15}
     ordered.update({k: v for k, v in q.items() if k not in fset})
     assert set(ordered) == set(q)
     return ordered

@@ -86,6 +86,13 @@ def main() -> None:
     # count and a pointer to the complete record. A parsed record of
     # the 90 most expensive queries beats parsed:null for all 130.
     budget = 1900  # headroom under the 2000-char capture window
+    # The driver artifact alone must let ANY query be diffed round-over-
+    # round (VERDICT r14 "what's wrong" #1), but 190+ names never fit in
+    # 2000 chars. So: "t_alpha" carries EVERY query's time (2 decimals)
+    # in ALPHABETICAL key order — the name list is recoverable from the
+    # committed BENCH_LOCAL.json / CORRECTNESS_LOCAL artifacts, and the
+    # ordering convention is stable across rounds — while "queries"
+    # still names the slowest ones greedily within the remaining budget.
     base = {
         "metric": result["metric"],
         "value": result["value"],
@@ -94,6 +101,8 @@ def main() -> None:
         "n_queries": len(timings),
         "queries_omitted": 0,
         "full": "BENCH_LOCAL.json",
+        "t_alpha_order": "sorted(queries)",
+        "t_alpha": [round(timings[k], 2) for k in sorted(timings)],
         "queries": {},
     }
     line = ""
