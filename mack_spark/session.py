@@ -57,6 +57,14 @@ def get_session(app_name: str = "mack_spark", shuffle_partitions: int | None = N
         os.environ["PYTHONPATH"] = (
             pkg_root + (os.pathsep + existing if existing else "")
         )
+    # Optimized writes (opt guide §6 file sizing): protocol/managed
+    # writes derive their file count from estimated bytes instead of
+    # inheriting the incoming partitioning — see
+    # mack_spark.layout.optimize_write_partitions. Session-level
+    # default like delta-spark's optimizeWrite; per-table
+    # delta.autoOptimize.optimizeWrite overrides. MACK_OPTIMIZE_WRITE=0
+    # restores legacy behavior.
+    ow = os.environ.get("MACK_OPTIMIZE_WRITE", "true")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -64,6 +72,7 @@ def get_session(app_name: str = "mack_spark", shuffle_partitions: int | None = N
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.mack.delta.optimizeWrite.enabled", ow)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

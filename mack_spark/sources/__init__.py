@@ -18,11 +18,55 @@ the same file as a naive µs TIMESTAMP — observes identical instants:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
 
 NANO_TS_TABLES = {"events": ["ts"]}
+
+# Spread key per table for the input-skew repartition below: a
+# high-cardinality column so hash partitioning distributes evenly
+# (opt guide §2.5 — 20-100x more distinct keys than partitions).
+_SPREAD_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+    "events": "user_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+# Files smaller than this never get the repartition treatment — the
+# exchange would cost more than the single-task scan it replaces.
+_PARALLELIZE_MIN_BYTES = int(
+    os.environ.get("MACK_PARALLELIZE_MIN_BYTES", str(256 * 1024))
+)
+
+# (path, mtime, size) -> row-group count; footer reads are cheap but
+# load_table runs once per query per table, so don't repeat them.
+_RG_CACHE: dict = {}
+
+
+def _row_groups(path: str) -> int:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return 1 << 30  # unreadable locally (e.g. non-local fs): skip
+    key = (path, st.st_mtime_ns, st.st_size)
+    hit = _RG_CACHE.get(key)
+    if hit is None:
+        try:
+            import pyarrow.parquet as pq
+
+            hit = pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            hit = 1 << 30
+        _RG_CACHE[key] = hit
+    return hit
 
 
 def _normalize_ts(df: DataFrame, cols) -> DataFrame:
@@ -39,13 +83,42 @@ def _normalize_ts(df: DataFrame, cols) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table; timestamps normalized to µs precision."""
+    """Read one testdata table; timestamps normalized to µs precision.
+
+    INPUT-SKEW FIX (opt guide §2.5 "one huge unsplittable file"): the
+    testdata ships each table as a single parquet file with ONE row
+    group, so every scan — and every map-side stage fused onto it
+    (tokenize/md5/decimal partial aggregation) — runs in one task while
+    the rest of the cluster idles. When the file has fewer row groups
+    than the session's parallelism (and is big enough for an exchange
+    to pay for itself), repartition immediately after the read on a
+    high-cardinality key. At real scale inputs carry many row groups
+    (>= parallelism), so the guard makes this a provable no-op there —
+    no shuffle is ever added to a properly laid-out 100 TB input.
+    Hash partitioning on a real column (not round-robin) keeps the
+    row->partition map deterministic under task retries (SPARK-38388)
+    and skips the sortBeforeRepartition local sort.
+    """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
     if name in NANO_TS_TABLES:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return _normalize_ts(df, NANO_TS_TABLES[name])
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _normalize_ts(spark.read.parquet(path), NANO_TS_TABLES[name])
+    else:
+        df = spark.read.parquet(path)
+    key = _SPREAD_KEYS.get(name)
+    par = spark.sparkContext.defaultParallelism
+    try:
+        fsize = os.path.getsize(path)
+    except OSError:
+        fsize = 0
+    if (
+        key is not None
+        and fsize >= _PARALLELIZE_MIN_BYTES
+        and _row_groups(path) < par
+    ):
+        df = df.repartition(par, F.col(key))
+    return df
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

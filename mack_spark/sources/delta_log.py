@@ -3093,7 +3093,18 @@ class DeltaProtocolTable:
         df, id_hwms, id_persisted = t._generate_identity(table_schema, df)
         try:
             df = df.select(*[f.name for f in table_schema.fields])
-            adds = t._write_data_files(df, partition_by, config=properties)
+            adds = t._write_data_files(
+                df, partition_by, config=properties,
+                # Arrow identity stamping pays a per-partition Python
+                # round-trip; coalesce-sizing would chain every source
+                # partition through ONE sequential worker (measured
+                # 4.7 s vs 0.5 s on a 32-partition 15k-row frame) —
+                # size through a real exchange instead
+                sizing_method=(
+                    "repartition" if id_persisted is not None
+                    else "coalesce"
+                ),
+            )
         finally:
             if id_persisted is not None:
                 id_persisted.unpersist()
@@ -3344,6 +3355,7 @@ class DeltaProtocolTable:
         snap: Optional[DeltaSnapshot] = None,
         tags: Optional[Dict[str, str]] = None,
         config: Optional[Dict[str, str]] = None,
+        sizing_method: str = "coalesce",
     ) -> List[dict]:
         """Write ``df`` as parquet through a staging dir, move the part
         files into the table root (same filesystem — atomic renames),
@@ -3381,6 +3393,20 @@ class DeltaProtocolTable:
             partition_by = [phys.get(c, c) for c in partition_by]
 
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        if data_change:
+            # Optimized write (layout.py): file count from estimated
+            # bytes, not incoming partitioning. ONLY for data-changing
+            # writes — OPTIMIZE/REORG/clustering rewrites
+            # (dataChange:false) manage their own layout (target-size
+            # binning, range-disjoint clustered files) and must not be
+            # re-coalesced.
+            from mack_spark.layout import optimize_write_partitions
+
+            cfg_ow = config if config is not None else (
+                (snap.metadata.get("configuration") or {})
+                if snap is not None else {}
+            )
+            df = optimize_write_partitions(df, cfg_ow, method=sizing_method)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -5116,6 +5142,13 @@ class DeltaProtocolTable:
                     cols.append(F.col(f"`{c}`").alias(phys.get(c, c)))
             changes = changes.select(*cols)
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        from mack_spark.layout import optimize_write_partitions
+
+        changes = optimize_write_partitions(
+            changes,
+            (snap.metadata.get("configuration") or {})
+            if snap is not None else None,
+        )
         changes.write.mode("overwrite").parquet(staging)
         cdir = os.path.join(self.path, "_change_data")
         os.makedirs(cdir, exist_ok=True)
@@ -5380,7 +5413,11 @@ class DeltaProtocolTable:
                 snap, aligned, self._gen_checks(snap, df)
             )
             adds = self._write_data_files(
-                aligned, snap.partition_columns, snap=snap
+                aligned, snap.partition_columns, snap=snap,
+                sizing_method=(
+                    "repartition" if id_persisted is not None
+                    else "coalesce"
+                ),
             )
         finally:
             if id_persisted is not None:
@@ -5618,7 +5655,11 @@ class DeltaProtocolTable:
                 snap, aligned, self._gen_checks(snap, df)
             )
             adds = self._write_data_files(
-                aligned, snap.partition_columns, snap=snap
+                aligned, snap.partition_columns, snap=snap,
+                sizing_method=(
+                    "repartition" if id_persisted is not None
+                    else "coalesce"
+                ),
             )
         finally:
             if id_persisted is not None:
@@ -6257,7 +6298,11 @@ class DeltaProtocolTable:
                     snap, inserts, self._gen_checks(snap, inserts)
                 )
                 adds = self._write_data_files(
-                    inserts, snap.partition_columns, snap=snap
+                    inserts, snap.partition_columns, snap=snap,
+                    sizing_method=(
+                        "repartition" if id_persisted is not None
+                        else "coalesce"
+                    ),
                 )
             finally:
                 if id_persisted is not None:
@@ -6339,7 +6384,13 @@ class DeltaProtocolTable:
         # disagrees with the generation expression raises here instead
         # of committing silently-wrong data
         self._enforce_constraints(snap, merged, self._gen_checks(snap, merged))
-        adds = self._write_data_files(merged, snap.partition_columns, snap=snap)
+        adds = self._write_data_files(
+            merged, snap.partition_columns, snap=snap,
+            # same Arrow-stamping caveat as append: see sizing_method
+            sizing_method=(
+                "repartition" if id_persisted is not None else "coalesce"
+            ),
+        )
         cdc: List[dict] = []
         if cdf:
             from mack_spark.merge_exec import merge_changes

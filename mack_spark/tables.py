@@ -413,7 +413,9 @@ class ManagedTable:
         snapshot = "v=0"
         snap_dir = os.path.join(path, snapshot)
         if df is not None:
-            writer = df.write.mode("overwrite")
+            from mack_spark.layout import optimize_write_partitions
+
+            writer = optimize_write_partitions(df).write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(snap_dir)
@@ -634,7 +636,9 @@ class ManagedTable:
             meta["schema"] = declared.json()
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
         try:
-            writer = df.write.mode("overwrite")
+            from mack_spark.layout import optimize_write_partitions
+
+            writer = optimize_write_partitions(df).write.mode("overwrite")
             if meta["partition_columns"]:
                 writer = writer.partitionBy(*meta["partition_columns"])
             writer.parquet(staging)
@@ -668,6 +672,7 @@ class ManagedTable:
         operation: str = "WRITE",
         partition_by: Optional[List[str]] = None,
         schema_change: bool = True,
+        sized: bool = True,
     ) -> None:
         """Materialize ``df`` as a fresh snapshot, then swing the pointer.
 
@@ -684,6 +689,12 @@ class ManagedTable:
         # DIFFERENT directories; the commit CAS then picks one pointer.
         new_snapshot = f"v={meta['version'] + 1}-{uuid.uuid4().hex[:8]}"
         parts = partition_by if partition_by is not None else meta["partition_columns"]
+        if sized:
+            # sized=False: the caller (optimize_compact / clustered
+            # rewrites) laid out the partitioning itself — respect it
+            from mack_spark.layout import optimize_write_partitions
+
+            df = optimize_write_partitions(df)
         writer = df.write.mode("overwrite")
         if parts:
             writer = writer.partitionBy(*parts)
@@ -890,12 +901,17 @@ class ManagedTable:
         operation: str,
         rewrite_df: DataFrame,
         untouched_files: List[str],
+        sized: bool = True,
     ) -> None:
         """Write ``rewrite_df`` as the next snapshot's rewritten region,
         hard-link ``untouched_files`` unchanged (zero copy), commit."""
         old_snapshot = meta["current"]
         new_snapshot = f"v={meta['version'] + 1}-{uuid.uuid4().hex[:8]}"
         new_dir = os.path.join(self.path, new_snapshot)
+        if sized:
+            from mack_spark.layout import optimize_write_partitions
+
+            rewrite_df = optimize_write_partitions(rewrite_df)
         rewrite_df.write.mode("overwrite").parquet(new_dir)
         for f in untouched_files:
             dest = os.path.join(new_dir, os.path.basename(f))
@@ -1219,8 +1235,10 @@ class ManagedTable:
         old_snapshot = meta["current"]
         new_snapshot = f"v={meta['version'] + 1}-{uuid.uuid4().hex[:8]}"
         new_dir = os.path.join(self.path, new_snapshot)
+        from mack_spark.layout import optimize_write_partitions
+
         (
-            post_state.filter(cond)
+            optimize_write_partitions(post_state.filter(cond))
             .write.mode("overwrite")
             .partitionBy(*parts)
             .parquet(new_dir)
@@ -1842,7 +1860,9 @@ def optimize_compact(
                 .parquet(*small)
                 .repartition(n)
             )
-            table._commit_partial_rewrite(meta, "OPTIMIZE", rewrite, big)
+            table._commit_partial_rewrite(
+                meta, "OPTIMIZE", rewrite, big, sized=False
+            )
             return {
                 "files_before": before["numFiles"],
                 "files_after": table.detail()["numFiles"],
@@ -1853,7 +1873,7 @@ def optimize_compact(
         df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
     else:
         df = df.repartition(n)
-    table.overwrite(df, operation="OPTIMIZE", schema_change=False)
+    table.overwrite(df, operation="OPTIMIZE", schema_change=False, sized=False)
     return {
         "files_before": before["numFiles"],
         "files_after": table.detail()["numFiles"],
