@@ -60,31 +60,183 @@ def _crc_table(poly: int, width: int) -> np.ndarray:
     return tbl
 
 
-_CRC8_TBL = _crc_table(0x07, 8)
-_CRC16_TBL = _crc_table(0x8005, 16)
+# plain Python int lists: indexing a numpy array returns np.uint32,
+# whose int() conversion doubled the per-byte loop cost
+_CRC8_TBL = _crc_table(0x07, 8).tolist()
+_CRC16_TBL = _crc_table(0x8005, 16).tolist()
+
+
+def _crc8_seq(data: bytes) -> int:
+    c = 0
+    tbl = _CRC8_TBL
+    for b in data:
+        c = tbl[(c ^ b) & 0xFF]
+    return c
+
+
+def _crc16_seq(data: bytes) -> int:
+    c = 0
+    tbl = _CRC16_TBL
+    for b in data:
+        c = (tbl[((c >> 8) ^ b) & 0xFF] ^ (c << 8)) & 0xFFFF
+    return c
+
+
+# Vectorized CRC: with zero init and no final xor these CRCs are
+# GF(2)-LINEAR in the message bits, so crc(m) is the XOR of each set
+# bit's individual contribution, which depends only on the bit's
+# distance from the message END. Precompute contribution masks per
+# (byte-distance, bit) by feeding zero bytes through the bytewise
+# step, then evaluate with one unpackbits + bitwise_xor reduction —
+# exact, and ~100x faster than the per-byte loop on frame-sized data.
+
+
+class _CrcMasks:
+    def __init__(self, width: int, tbl):
+        self.width = width
+        self.tbl = tbl
+        self.masks = self._build(1024)
+
+    def _build(self, n: int) -> np.ndarray:
+        tbl, width = self.tbl, self.width
+        masks = np.empty((n, 8), dtype=np.uint32)
+        for j in range(8):
+            masks[0, j] = tbl[1 << (7 - j)]
+        for k in range(1, n):
+            for j in range(8):
+                c = int(masks[k - 1, j])
+                if width == 8:
+                    c = tbl[c & 0xFF]
+                else:
+                    c = (tbl[(c >> 8) & 0xFF] ^ (c << 8)) & 0xFFFF
+                masks[k, j] = c
+        return masks
+
+    def compute(self, data: bytes) -> int:
+        L = len(data)
+        if L == 0:
+            return 0
+        if L > self.masks.shape[0]:
+            self.masks = self._build(max(L, 2 * self.masks.shape[0]))
+        bits = np.unpackbits(
+            np.frombuffer(data, dtype=np.uint8)
+        ).reshape(L, 8).astype(np.uint32)
+        m = self.masks[L - 1::-1]
+        return int(np.bitwise_xor.reduce((bits * m).ravel()))
+
+
+_CRC8_MASKS = _CrcMasks(8, _CRC8_TBL)
+_CRC16_MASKS = _CrcMasks(16, _CRC16_TBL)
 
 
 def _crc8(data: bytes) -> int:
-    c = 0
-    for b in data:
-        c = int(_CRC8_TBL[(c ^ b) & 0xFF])
-    return c
+    # masks win past the fixed numpy overhead; headers stay bytewise
+    if len(data) < 64:
+        return _crc8_seq(data)
+    return _CRC8_MASKS.compute(data)
 
 
 def _crc16(data: bytes) -> int:
-    c = 0
-    for b in data:
-        c = (int(_CRC16_TBL[((c >> 8) ^ b) & 0xFF]) ^ (c << 8)) & 0xFFFF
-    return c
+    if len(data) < 64:
+        return _crc16_seq(data)
+    return _CRC16_MASKS.compute(data)
 
 
 # --------------------------------------------------------------- bits
 
 
 class _BitReader:
-    def __init__(self, buf: bytes, pos: int = 0):
+    def __init__(self, buf: bytes, pos: int = 0, shared=None):
         self.buf = buf
         self.pos = pos  # bit position
+        # (bits, ones) unpacked view of ``buf`` for the vectorized
+        # block readers; built lazily once and shareable across the
+        # per-frame readers decode_flac creates over the same payload.
+        self._shared = shared
+
+    def _ensure_bits(self):
+        if self._shared is None:
+            bits = np.unpackbits(np.frombuffer(self.buf, dtype=np.uint8))
+            ones = np.flatnonzero(bits).astype(np.int64)
+            self._shared = (bits, ones)
+        return self._shared
+
+    def read_signed_block(self, n: int, width: int) -> np.ndarray:
+        """``n`` consecutive ``width``-bit signed values, vectorized —
+        bit-identical to ``[read_signed(width) for _ in range(n)]``."""
+        if n <= 0:
+            return np.zeros(0, dtype=np.int64)
+        if width == 0:
+            return np.zeros(n, dtype=np.int64)
+        bits, _ones = self._ensure_bits()
+        pos = self.pos
+        end = pos + n * width
+        if end > len(bits):
+            raise FlacFormatError("truncated FLAC stream")
+        m = (
+            bits[pos:end]
+            .reshape(n, width)
+            .astype(np.int64)
+        )
+        w = (np.int64(1) << np.arange(width - 1, -1, -1, dtype=np.int64))
+        v = m @ w
+        half = np.int64(1) << (width - 1)
+        v = np.where(v >= half, v - (np.int64(1) << width), v)
+        self.pos = end
+        return v
+
+    def read_rice_block(self, n: int, param: int) -> np.ndarray:
+        """``n`` zigzagged Rice(``param``) residuals, vectorized — the
+        unary terminators are found with a pointer-doubling scan over
+        the payload's 1-bit positions, so the work is O(ones + n log n)
+        numpy ops instead of one Python call per BIT."""
+        if n <= 0:
+            return np.zeros(0, dtype=np.int64)
+        bits, ones = self._ensure_bits()
+        nbits = len(bits)
+        size = len(ones)
+        # jump function on `ones` indices: consuming a terminator at
+        # ones[j] plus `param` payload bits, the next terminator is the
+        # first 1-bit at or after ones[j] + param + 1
+        j0 = int(np.searchsorted(ones, self.pos))
+        if j0 >= size:
+            raise FlacFormatError("truncated FLAC stream")
+        G = np.searchsorted(ones, ones + param + 1)
+        G = np.minimum(G, size - 1 if size else 0).astype(np.int64)
+        # orbit listing by doubling: idx[i] = G^i(j0)
+        idx = np.empty(n, dtype=np.int64)
+        idx[0] = j0
+        filled = 1
+        Gk = G
+        while filled < n:
+            take = min(filled, n - filled)
+            idx[filled:filled + take] = Gk[idx[:take]]
+            filled += take
+            if filled < n:
+                Gk = Gk[Gk]
+        T = ones[idx]
+        starts = np.empty(n, dtype=np.int64)
+        starts[0] = self.pos
+        if n > 1:
+            starts[1:] = T[:-1] + param + 1
+        q = T - starts
+        if (q < 0).any():
+            raise FlacFormatError("truncated FLAC stream")
+        if param:
+            pay_idx = (T + 1)[:, None] + np.arange(param, dtype=np.int64)
+            if int(pay_idx[-1, -1]) >= nbits:
+                raise FlacFormatError("truncated FLAC stream")
+            m = bits[pay_idx].astype(np.int64)
+            w = (np.int64(1) << np.arange(param - 1, -1, -1,
+                                          dtype=np.int64))
+            pay = m @ w
+        else:
+            if int(T[-1]) >= nbits:
+                raise FlacFormatError("truncated FLAC stream")
+            pay = np.zeros(n, dtype=np.int64)
+        u = (q << param) | pay
+        self.pos = int(T[-1]) + param + 1
+        return np.where(u & 1, -(u >> 1) - 1, u >> 1)
 
     def read(self, n: int) -> int:
         v = 0
@@ -150,6 +302,24 @@ class _BitWriter:
     def align(self) -> None:
         if self.nbits:
             self.write(0, 8 - self.nbits)
+
+    def write_bits(self, bits: np.ndarray) -> None:
+        """Append a 0/1 uint8 array — bit-identical to writing each
+        element with ``write(b, 1)``, but packed with numpy."""
+        if len(bits) == 0:
+            return
+        if self.nbits:
+            head_n = min(8 - self.nbits, len(bits))
+            for b in bits[:head_n]:
+                self.write(int(b), 1)
+            bits = bits[head_n:]
+            if len(bits) == 0:
+                return
+        nbytes = len(bits) >> 3
+        if nbytes:
+            self.out += np.packbits(bits[: nbytes * 8]).tobytes()
+        for b in bits[nbytes * 8:]:
+            self.write(int(b), 1)
 
     def bytes(self) -> bytes:
         assert self.nbits == 0
@@ -230,7 +400,7 @@ def _decode_residual(br: _BitReader, block_size: int, order: int):
     nparts = 1 << po
     if block_size % nparts != 0:
         raise FlacFormatError("partition order does not divide block size")
-    res: List[int] = []
+    parts: List[np.ndarray] = []
     for p in range(nparts):
         n = block_size // nparts - (order if p == 0 else 0)
         if n < 0:
@@ -239,15 +409,14 @@ def _decode_residual(br: _BitReader, block_size: int, order: int):
         if param == escape:
             raw = br.read(5)
             if raw == 0:
-                res.extend([0] * n)
+                parts.append(np.zeros(n, dtype=np.int64))
             else:
-                res.extend(br.read_signed(raw) for _ in range(n))
+                parts.append(br.read_signed_block(n, raw))
         else:
-            for _ in range(n):
-                q = br.read_unary()
-                u = (q << param) | br.read(param)
-                res.append(-(u >> 1) - 1 if (u & 1) else (u >> 1))
-    return np.array(res, dtype=np.int64)
+            parts.append(br.read_rice_block(n, param))
+    return (
+        np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+    )
 
 
 def _restore_predicted(
@@ -285,9 +454,7 @@ def _decode_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
         v = br.read_signed(eff)
         x = np.full(block_size, v, dtype=np.int64)
     elif t == 1:
-        x = np.array(
-            [br.read_signed(eff) for _ in range(block_size)], dtype=np.int64
-        )
+        x = br.read_signed_block(block_size, eff)
     elif 8 <= t <= 12:
         order = t - 8
         warm = [br.read_signed(eff) for _ in range(order)]
@@ -350,9 +517,10 @@ def decode_flac(payload: bytes):
     chans: List[np.ndarray] = [np.empty(0, dtype=np.int64)
                                for _ in range(si["ch"])]
     out_blocks: List[np.ndarray] = []
+    shared_bits = None
     while off < len(payload):
         start = off
-        br = _BitReader(payload, off * 8)
+        br = _BitReader(payload, off * 8, shared=shared_bits)
         sync = br.read(14)
         if sync != 0x3FFE:
             raise FlacFormatError(f"lost frame sync at byte {off}")
@@ -412,6 +580,7 @@ def decode_flac(payload: bytes):
         if _crc16(payload[start:frame_end]) != expect16:
             raise FlacFormatError("frame CRC-16 mismatch")
         off = br.byte_pos()
+        shared_bits = br._shared  # reuse the unpacked payload bits
         if ch_code == 8:  # left-side: right = left - side
             subs = [subs[0], subs[0] - subs[1]]
         elif ch_code == 9:  # right-side: left = right + side
@@ -460,10 +629,25 @@ def _write_residual(bw: _BitWriter, res: np.ndarray) -> bool:
     bw.write(0, 2)  # rice, 4-bit params
     bw.write(0, 4)  # partition order 0
     bw.write(p, 4)
-    for v in u:
-        bw.write_unary(int(v) >> p)
-        if p:
-            bw.write(int(v) & ((1 << p) - 1), p)
+    # Vectorized bit-array construction (one unary run + terminator +
+    # p payload bits per sample), bit-identical to the per-sample
+    # write_unary/write loop it replaces.
+    q = (u >> p).astype(np.int64)
+    n = len(u)
+    widths = q + 1 + p
+    starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        starts[1:] = np.cumsum(widths)[:-1]
+    total = int(starts[-1] + widths[-1]) if n else 0
+    bits = np.zeros(total, dtype=np.uint8)
+    bits[starts + q] = 1  # unary terminators
+    if p:
+        pay_idx = (starts + q + 1)[:, None] + np.arange(p, dtype=np.int64)
+        pay = (
+            (u[:, None] >> np.arange(p - 1, -1, -1, dtype=np.int64)) & 1
+        ).astype(np.uint8)
+        bits[pay_idx.ravel()] = pay.ravel()
+    bw.write_bits(bits)
     return True
 
 
@@ -484,20 +668,29 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int) -> None:
         cost = int(np.abs(res).sum())
         if best_cost is None or cost < best_cost:
             best_order, best_res, best_cost = order, res, cost
-    if _write_residual(_BitWriter(), best_res):  # rice-codable?
+    probe = _BitWriter()
+    if _write_residual(probe, best_res):  # rice-codable?
         bw.write(0, 1)
         bw.write(8 + best_order, 6)  # FIXED, order
         bw.write(0, 1)  # no wasted bits
         for i in range(best_order):
             bw.write_signed(int(x[i]), bps)
-        _write_residual(bw, best_res)
+        # splice the probe's already-built residual instead of
+        # re-encoding it (the probe IS the encoding)
+        bw.write_bits(np.unpackbits(np.frombuffer(bytes(probe.out),
+                                                  dtype=np.uint8)))
+        if probe.nbits:
+            bw.write(probe.acc, probe.nbits)
         return
-    # verbatim fallback
+    # verbatim fallback — vectorized fixed-width packing
     bw.write(0, 1)
     bw.write(1, 6)
     bw.write(0, 1)
-    for v in x:
-        bw.write_signed(int(v), bps)
+    vals = x.astype(np.int64) & ((np.int64(1) << bps) - 1)
+    bits = (
+        (vals[:, None] >> np.arange(bps - 1, -1, -1, dtype=np.int64)) & 1
+    ).astype(np.uint8)
+    bw.write_bits(bits.ravel())
 
 
 def encode_flac(
