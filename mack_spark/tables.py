@@ -1391,7 +1391,11 @@ class DeltaBackedTable:
 
     def overwrite(self, df: DataFrame, operation: str = "WRITE",
                   partition_by: Optional[List[str]] = None,
-                  schema_change: bool = True) -> None:
+                  schema_change: bool = True,
+                  sized: bool = True) -> None:
+        # ``sized`` mirrors ManagedTable.overwrite; delta-spark applies
+        # its own optimized-write sizing, so the flag is accepted and
+        # ignored here.
         w = df.write.format("delta").mode("overwrite")
         if schema_change:
             w = w.option("overwriteSchema", "true")
