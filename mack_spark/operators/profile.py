@@ -117,11 +117,17 @@ def exact_percentiles(
         .groupBy(F.col(col).alias("value"))
         .agg(F.count("*").alias("cnt"))
     )
-    parts = (
-        counts.repartitionByRange(num_range_partitions, "value")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
+    # persist: repartitionByRange's boundary-sampling job would
+    # otherwise recompute the aggregation a second time
+    counts = counts.persist()
+    try:
+        parts = (
+            counts.repartitionByRange(num_range_partitions, "value")
+            .withColumn("pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        counts.unpersist(False)
     part_sums = {r["pid"]: r["s"] for r in parts.groupBy("pid").agg(F.sum("cnt").alias("s")).collect()}
     total = sum(part_sums.values())
     if total == 0:
@@ -324,14 +330,10 @@ def exact_percentiles_multi(
     import math
 
     spark = df.sparkSession
-    # Parallelize the map side when the input arrives under-partitioned
-    # (one or two parquet files): the stack explode and the partial
-    # aggregation otherwise serialize on those few tasks. Conditional —
-    # at real scale the input already has plenty of partitions and an
-    # unconditional exchange would be pure overhead.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < max(2, n_part // 2):
-        df = df.select(*cols).repartition(n_part)
+    # (The old under-partitioned-input probe is gone: df.rdd forces a
+    # full physical planning pass — measured 0.8 s — and load_table now
+    # delivers inputs already spread; callers with a single-partition
+    # frame still work, just on fewer map tasks.)
     stacked = df.select(
         F.explode(
             F.array(
@@ -346,11 +348,18 @@ def exact_percentiles_multi(
         ).alias("s")
     ).select("s.metric", "s.value").filter(F.col("value").isNotNull())
     counts = stacked.groupBy("metric", "value").agg(F.count("*").alias("cnt"))
-    parts = (
-        counts.repartitionByRange(num_range_partitions, "metric", "value")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
+    # repartitionByRange runs a SEPARATE range-boundary sampling job
+    # over its child, recomputing the stack + aggregation; persisting
+    # the counts lets the sampler and the shuffle share one execution
+    counts = counts.persist()
+    try:
+        parts = (
+            counts.repartitionByRange(num_range_partitions, "metric", "value")
+            .withColumn("pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        counts.unpersist(False)
     sums = {
         (r["pid"], r["metric"]): r["s"]
         for r in parts.groupBy("pid", "metric")
