@@ -93,10 +93,16 @@ ORDERS_COLS = [
 CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    # spread=True: repartition the single-row-group testdata file right
+    # after the read (opt guide §2.5) — opted into per query, only where
+    # interleaved A/B measurement showed the exchange pays for itself
+    # (expensive per-row work downstream of the scan).
     from mack_spark.sources import load_table
 
-    return load_table(spark, sf_dir, name)
+    return load_table(spark, sf_dir, name, spread=spread)
 
 
 # ---------------------------------------------------------------------------
@@ -1395,10 +1401,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plain-SQL oracle.
         from mack_spark.operators import salted_join
 
-        li = _t(spark, sf_dir, "lineitem").select(
+        li = _t(spark, sf_dir, "lineitem", spread=True).select(
             "l_orderkey", "l_extendedprice", "l_discount"
         )
-        orders = _t(spark, sf_dir, "orders").select(
+        orders = _t(spark, sf_dir, "orders", spread=True).select(
             "o_orderkey", "o_orderpriority"
         )
         joined = salted_join(li, orders, "l_orderkey", "o_orderkey", num_salts=8)
@@ -1529,7 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_emb_neardup(spark, sf_dir):
         return embedding_near_dup_pairs(
-            _t(spark, sf_dir, "embeddings"), threshold=0.3, bits=4
+            _t(spark, sf_dir, "embeddings", spread=True), threshold=0.3, bits=4
         )
 
     q["dedup_embedding_cosine"] = q_emb_neardup
@@ -2324,7 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mack_spark.operators.profile import numeric_correlations
 
         return numeric_correlations(
-            _t(spark, sf_dir, "lineitem"),
+            _t(spark, sf_dir, "lineitem", spread=True),
             ["l_quantity", "l_extendedprice", "l_discount"],
             group_cols=["l_returnflag"],
         )
@@ -2337,7 +2343,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fan-out is bounded by order size (~4 lines), so the pair
         # count stays linear in lineitem at any scale; top-k rides
         # TakeOrderedAndProject with a full tie-break.
-        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        li = (
+            _t(spark, sf_dir, "lineitem", spread=True)
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
         a, b = li.alias("a"), li.alias("b")
         pairs = a.join(
             b,
@@ -2473,7 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mack_spark.operators.similarity import embedding_near_dup_pairs_banded
 
         return embedding_near_dup_pairs_banded(
-            _t(spark, sf_dir, "embeddings"),
+            _t(spark, sf_dir, "embeddings", spread=True),
             threshold=0.3,
             n_tables=3,
             bits_per_table=6,
@@ -2492,7 +2502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mack_spark.operators.similarity import embedding_near_dup_pairs
 
         return embedding_near_dup_pairs(
-            _t(spark, sf_dir, "embeddings"), threshold=0.3, bits=None
+            _t(spark, sf_dir, "embeddings", spread=True), threshold=0.3, bits=None
         )
 
     q["dedup_embedding_scaled"] = q_dedup_embedding_scaled

@@ -82,22 +82,33 @@ def _normalize_ts(df: DataFrame, cols) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Read one testdata table; timestamps normalized to µs precision.
 
-    INPUT-SKEW FIX (opt guide §2.5 "one huge unsplittable file"): the
-    testdata ships each table as a single parquet file with ONE row
-    group, so every scan — and every map-side stage fused onto it
-    (tokenize/md5/decimal partial aggregation) — runs in one task while
-    the rest of the cluster idles. When the file has fewer row groups
-    than the session's parallelism (and is big enough for an exchange
-    to pay for itself), repartition immediately after the read on a
-    high-cardinality key. At real scale inputs carry many row groups
-    (>= parallelism), so the guard makes this a provable no-op there —
-    no shuffle is ever added to a properly laid-out 100 TB input.
-    Hash partitioning on a real column (not round-robin) keeps the
-    row->partition map deterministic under task retries (SPARK-38388)
-    and skips the sortBeforeRepartition local sort.
+    INPUT-SKEW FIX (opt guide §2.5 "one huge unsplittable file"), now
+    OPT-IN via ``spread=True``: the testdata ships each table as a
+    single parquet file with ONE row group, so every scan — and every
+    map-side stage fused onto it — runs in one task while the rest of
+    the cluster idles. When ``spread`` is requested, the file has fewer
+    row groups than the session's parallelism, and it is big enough for
+    an exchange to pay for itself, repartition immediately after the
+    read on a high-cardinality key. At real scale inputs carry many
+    row groups (>= parallelism), so the guard makes this a provable
+    no-op there — no shuffle is ever added to a properly laid-out
+    100 TB input. Hash partitioning on a real column (not round-robin)
+    keeps the row->partition map deterministic under task retries
+    (SPARK-38388) and skips the sortBeforeRepartition local sort.
+
+    Opt-in, not default, by measurement (interleaved A/B over every
+    affected query, OPTIMIZATION_r15.md): the exchange only pays when
+    the work downstream of the scan is expensive PER ROW (per-pair
+    vector math, wide correlation matrices). For the common
+    scan→filter→aggregate shape, the map-side partial aggregation
+    already collapses the data before any shuffle, and forcing a
+    full-width exchange first made ~30 queries 1.5-2x slower while
+    helping ~6.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
@@ -113,7 +124,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except OSError:
         fsize = 0
     if (
-        key is not None
+        spread
+        and key is not None
         and fsize >= _PARALLELIZE_MIN_BYTES
         and _row_groups(path) < par
     ):
