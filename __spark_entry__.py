@@ -4148,33 +4148,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         t.append(cust.filter(F.col("c_custkey") % 2 == 1))
         n = cust.count()
-        before = {
-            r["c_custkey"]: r["_row_id"]
-            for r in t.to_df(with_row_ids=True)
-            .select("c_custkey", "_row_id").collect()
-        }
-        assert sorted(before.values()) == list(range(n)), \
-            "row ids not contiguous 0..N-1"
+        # The stability asserts run DISTRIBUTED (joins + one-row
+        # aggregates) rather than collecting the pk→_row_id map to the
+        # driver: the map is O(table rows), so the old collect-and-
+        # compare shape was itself a scale-killer at 100 TB (guide §5).
+        # localCheckpoint pins each version's ids against the next
+        # mutation; the driver only ever sees single assert rows.
+        def _ids():
+            return t.to_df(with_row_ids=True).select(
+                "c_custkey", "_row_id"
+            )
+
+        before = _ids().localCheckpoint(eager=True)
+        row = before.agg(
+            F.count("*").alias("cnt"),
+            F.count_distinct("_row_id").alias("dst"),
+            F.min("_row_id").alias("lo"),
+            F.max("_row_id").alias("hi"),
+        ).collect()[0]
+        assert (row["cnt"], row["dst"], row["lo"], row["hi"]) == (
+            n, n, 0, n - 1
+        ), "row ids not contiguous 0..N-1"
         t.delete_where("c_custkey % 10 = 4")
-        after = {
-            r["c_custkey"]: r["_row_id"]
-            for r in t.to_df(with_row_ids=True)
-            .select("c_custkey", "_row_id").collect()
-        }
-        assert set(after) == {k for k in before if k % 10 != 4}
-        moved = [k for k in after if after[k] != before[k]]
-        assert not moved, f"DV delete moved row ids for {moved[:5]}"
+        after = _ids().localCheckpoint(eager=True)
+        rb, ra = F.col("b._row_id"), F.col("a._row_id")
+        chk = (
+            before.alias("b")
+            .join(after.alias("a"), "c_custkey", "full_outer")
+            .agg(
+                F.sum(rb.isNull().cast("long")).alias("after_only"),
+                F.sum(
+                    ((F.col("c_custkey") % 10 == 4) & ra.isNotNull())
+                    .cast("long")
+                ).alias("kept_deleted"),
+                F.sum(
+                    ((F.col("c_custkey") % 10 != 4) & ra.isNull())
+                    .cast("long")
+                ).alias("lost"),
+                F.sum(
+                    (rb.isNotNull() & ra.isNotNull() & (ra != rb))
+                    .cast("long")
+                ).alias("moved"),
+            )
+            .collect()[0]
+        )
+        assert (chk["after_only"], chk["kept_deleted"], chk["lost"]) \
+            == (0, 0, 0), f"DV delete changed the key set: {chk}"
+        assert chk["moved"] == 0, \
+            f"DV delete moved row ids for {chk['moved']} keys"
         # round 13: rewrites MATERIALIZE row ids (spec §Row Tracking),
         # so _row_id is stable through OPTIMIZE too — the property
         # incremental downstream keying depends on at 100 TB
         res = t.optimize(target_file_bytes=1 << 22)
         assert res["rewritten"] > 0, "OPTIMIZE found nothing to compact"
-        post_opt = {
-            r["c_custkey"]: r["_row_id"]
-            for r in t.to_df(with_row_ids=True)
-            .select("c_custkey", "_row_id").collect()
-        }
-        assert post_opt == after, "OPTIMIZE changed row ids"
+        rx, ry = F.col("x._row_id"), F.col("y._row_id")
+        mism = (
+            after.alias("x")
+            .join(_ids().alias("y"), "c_custkey", "full_outer")
+            .agg(
+                F.sum(
+                    (rx.isNull() | ry.isNull() | (rx != ry))
+                    .cast("long")
+                ).alias("mismatch")
+            )
+            .collect()[0]
+        )
+        assert mism["mismatch"] == 0, "OPTIMIZE changed row ids"
         return t.to_df().select(
             "c_custkey", "c_mktsegment", "c_acctbal"
         )
