@@ -112,7 +112,8 @@ _TARGET_MIN = 4 * 1024 * 1024    # don't split below ~4 MB per task
 
 
 def optimize_write_partitions(
-    df: DataFrame, config=None, method: str = "coalesce"
+    df: DataFrame, config=None, method: str = "coalesce",
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Coalesce ``df`` for writing so output files land between ~4 MB
     and ~128 MB (estimated). Never *increases* the partition count
@@ -121,6 +122,18 @@ def optimize_write_partitions(
     over-partitioned small commits shrink. Scale-adaptive by
     construction: ``n = max(ceil(est / 128 MB), min(parallelism,
     est // 4 MB), 1)`` grows linearly with the data.
+
+    ``size_hint`` (bytes) lets callers that already KNOW the write's
+    volume — rewrites of known files (merge/update/delete sum the
+    snapshot ``add.size`` of the touched set), COPY INTO (source file
+    sizes) — skip the per-write plan probe entirely. The probe costs a
+    full driver-side analyzer+optimizer pass of the frame (measured
+    11-16 ms on simple frames, 35-50 ms on merge-shaped joins, per
+    write), and on join plans its row estimate is multiplicative
+    garbage anyway (a 60 MB rewrite estimated at 40 GB); the snapshot
+    stats are both free and closer to the truth. Hinted callers decide
+    ``method`` themselves (they know whether their frame evaluates
+    Python — DV scans, identity stamping).
 
     ``method="repartition"`` sizes through a real exchange instead
     (delta optimizeWrite's actual shape). Callers use it when the
@@ -138,12 +151,16 @@ def optimize_write_partitions(
         )
     if not enabled:
         return df
-    try:
-        est = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:
-        return df
+    if size_hint is not None and size_hint > 0:
+        est = int(size_hint)
+    else:
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan()
+                .stats().sizeInBytes()
+            )
+        except Exception:
+            return df
     if est <= 0 or est > (1 << 50):  # unknown/absurd estimate: leave as-is
         return df
     par = spark.sparkContext.defaultParallelism
@@ -152,20 +169,26 @@ def optimize_write_partitions(
         min(par, est // _TARGET_MIN),
         -(-est // _TARGET_MAX),  # ceil
     )
-    if method != "repartition":
+    if method != "repartition" and n < par:
         # Auto-upgrade to exchange-sizing when the plan evaluates
         # Python anywhere: coalesce has no stage boundary, so it would
         # chain every upstream partition through ONE sequential Python
         # worker round-trip (~140 ms each, measured) instead of
-        # running them in parallel.
+        # running them in parallel. The scan reads the ANALYZED plan:
+        # analysis is already done eagerly for every DataFrame, so
+        # this is one toString round trip (~1-2 ms), not an optimizer
+        # pass — and the Python batch operators (MapInPandas /
+        # MapInArrow / FlatMapGroupsInPandas) render identically in
+        # analyzed and optimized logical plans. Skipped when the sized
+        # count keeps the session's full width (n >= parallelism
+        # cannot squeeze Python below the core count).
         try:
-            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            plan_str = df._jdf.queryExecution().analyzed().toString()
             if any(
-                m in plan
+                m in plan_str
                 for m in (
-                    "MapInPandas", "MapInArrow", "ArrowEvalPython",
-                    "BatchEvalPython", "FlatMapGroupsInPandas",
-                    "PythonUDF",
+                    "MapInPandas", "MapInArrow",
+                    "FlatMapGroupsInPandas", "PythonUDF",
                 )
             ):
                 method = "repartition"

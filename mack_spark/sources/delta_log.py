@@ -3349,6 +3349,39 @@ class DeltaProtocolTable:
         t._commit(0, actions)
         return t
 
+    def _rewrite_size_hint(
+        self, snap: "DeltaSnapshot", paths: List[str],
+        extra_rows: int = 0, include_base: bool = True,
+    ) -> Optional[int]:
+        """Free size estimate for a rewrite of ``paths``: the snapshot
+        already records every file's ``add.size`` (and ``numRecords``
+        in its stats), so rewrites of a known file set never need the
+        per-write plan probe — sum the sizes, and price ``extra_rows``
+        incoming source rows at the touched set's observed bytes/row.
+        ``include_base=False`` prices only the extra rows (add-only
+        commits: insert-only merges). Returns None (caller falls back
+        to the plan probe) when any size is missing or the row width
+        cannot be derived."""
+        total = 0
+        rows = 0
+        for p in paths:
+            a = snap.files.get(p) or {}
+            s = a.get("size")
+            if s is None:
+                return None
+            total += int(s)
+            if extra_rows:
+                st = snap.file_stats(p) or {}
+                nr = st.get("numRecords")
+                if nr:
+                    rows += int(nr)
+        est = total if include_base else 0
+        if extra_rows:
+            if not rows or not total:
+                return None
+            est += int(extra_rows * (total / rows))
+        return est or None
+
     def _write_data_files(
         self, df: DataFrame, partition_by: List[str],
         data_change: bool = True,
@@ -3356,6 +3389,7 @@ class DeltaProtocolTable:
         tags: Optional[Dict[str, str]] = None,
         config: Optional[Dict[str, str]] = None,
         sizing_method: str = "coalesce",
+        size_hint: Optional[int] = None,
     ) -> List[dict]:
         """Write ``df`` as parquet through a staging dir, move the part
         files into the table root (same filesystem — atomic renames),
@@ -3406,7 +3440,9 @@ class DeltaProtocolTable:
                 (snap.metadata.get("configuration") or {})
                 if snap is not None else {}
             )
-            df = optimize_write_partitions(df, cfg_ow, method=sizing_method)
+            df = optimize_write_partitions(
+                df, cfg_ow, method=sizing_method, size_hint=size_hint
+            )
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -5109,6 +5145,7 @@ class DeltaProtocolTable:
 
     def _write_cdc_files(
         self, changes: DataFrame, snap: Optional[DeltaSnapshot] = None,
+        size_hint: Optional[int] = None,
     ) -> List[dict]:
         """Persist a change frame (table columns + ``_change_type``)
         under ``_change_data/`` and return its ``cdc`` actions (spec
@@ -5148,6 +5185,7 @@ class DeltaProtocolTable:
             changes,
             (snap.metadata.get("configuration") or {})
             if snap is not None else None,
+            size_hint=size_hint,
         )
         changes.write.mode("overwrite").parquet(staging)
         cdir = os.path.join(self.path, "_change_data")
@@ -5562,8 +5600,17 @@ class DeltaProtocolTable:
         self._enforce_constraints(
             snap, aligned, self._gen_checks(snap, df)
         )
+        try:
+            # the source files' byte sizes ARE the write's volume —
+            # no plan probe needed (layout.optimize_write_partitions)
+            src_bytes = sum(
+                os.path.getsize(p) for p, _a, _m in new_files
+            )
+        except OSError:
+            src_bytes = None
         adds = self._write_data_files(
-            aligned, snap.partition_columns, snap=snap
+            aligned, snap.partition_columns, snap=snap,
+            size_hint=src_bytes,
         )
         n_rows = sum(
             int(json.loads(a["stats"]).get("numRecords") or 0)
@@ -5734,7 +5781,8 @@ class DeltaProtocolTable:
                     touched_df = touched_df.persist()
                 kept = touched_df.filter(~cond)
                 kept_adds = self._write_data_files(
-                    kept, snap.partition_columns, snap=snap
+                    kept, snap.partition_columns, snap=snap,
+                    size_hint=self._rewrite_size_hint(snap, touched),
                 )
             new_adds = self._write_data_files(
                 aligned, snap.partition_columns, snap=snap
@@ -6303,6 +6351,17 @@ class DeltaProtocolTable:
                         "repartition" if id_persisted is not None
                         else "coalesce"
                     ),
+                    # add-only commit: at most every source row lands,
+                    # priced at the touched files' bytes/row — skips
+                    # the plan probe over the anti-join
+                    size_hint=(
+                        self._rewrite_size_hint(
+                            snap, touched,
+                            extra_rows=sum(r[1] for r in key_rows),
+                            include_base=False,
+                        )
+                        if exact else None
+                    ),
                 )
             finally:
                 if id_persisted is not None:
@@ -6384,12 +6443,26 @@ class DeltaProtocolTable:
         # disagrees with the generation expression raises here instead
         # of committing silently-wrong data
         self._enforce_constraints(snap, merged, self._gen_checks(snap, merged))
+        # Rewrite volume is known from the snapshot: the touched files'
+        # bytes plus (at most) every source row priced at the touched
+        # set's bytes/row. The plan probe would run a full optimizer
+        # pass over the merge join — and estimate it multiplicatively
+        # wrong anyway. Falls back to the probe when the source key
+        # collect was capped (source row count then unknown).
+        merge_hint = (
+            self._rewrite_size_hint(
+                snap, touched,
+                extra_rows=sum(r[1] for r in key_rows),
+            )
+            if exact else None
+        )
         adds = self._write_data_files(
             merged, snap.partition_columns, snap=snap,
             # same Arrow-stamping caveat as append: see sizing_method
             sizing_method=(
                 "repartition" if id_persisted is not None else "coalesce"
             ),
+            size_hint=merge_hint,
         )
         cdc: List[dict] = []
         if cdf:
@@ -6412,7 +6485,9 @@ class DeltaProtocolTable:
                         *[f.name for f in snap.schema.fields]
                     ).withColumn("_change_type", F.lit("insert"))
                 )
-            cdc = self._write_cdc_files(changes, snap=snap)
+            cdc = self._write_cdc_files(
+                changes, snap=snap, size_hint=merge_hint
+            )
             base.unpersist(blocking=False)
         # unpersist only after BOTH consumers (data files + change
         # files) have executed — gen_df's lineage runs through them
@@ -6823,6 +6898,7 @@ class DeltaProtocolTable:
                     "_change_type", F.lit("delete")
                 ),
                 snap=snap,
+                size_hint=self._rewrite_size_hint(snap, touched),
             )
             matched.unpersist(blocking=False)
         removes, adds, fully_removed = self._dv_remove_add_actions(
@@ -6896,7 +6972,10 @@ class DeltaProtocolTable:
             touched_df = touched_df.persist()
         cond = F.coalesce(F.expr(condition), F.lit(False))
         kept = touched_df.filter(~cond)
-        adds = self._write_data_files(kept, snap.partition_columns, snap=snap)
+        del_hint = self._rewrite_size_hint(snap, touched)
+        adds = self._write_data_files(
+            kept, snap.partition_columns, snap=snap, size_hint=del_hint
+        )
         cdc: List[dict] = []
         if cdf:
             cdc = self._write_cdc_files(
@@ -6905,6 +6984,7 @@ class DeltaProtocolTable:
                 ).withColumn(
                     "_change_type", F.lit("delete")
                 ),
+                size_hint=del_hint,
                 snap=snap,
             )
             touched_df.unpersist(blocking=False)
@@ -6973,7 +7053,11 @@ class DeltaProtocolTable:
                     ]
                 )
             self._enforce_constraints(snap, post)
-            adds_new = self._write_data_files(post, snap.partition_columns, snap=snap)
+            dvu_hint = self._rewrite_size_hint(snap, touched)
+            adds_new = self._write_data_files(
+                post, snap.partition_columns, snap=snap,
+                size_hint=dvu_hint,
+            )
             cdc: List[dict] = []
             if self._cdf_enabled(snap):
                 cdc = self._write_cdc_files(
@@ -6985,6 +7069,9 @@ class DeltaProtocolTable:
                         )
                     ),
                     snap=snap,
+                    size_hint=(
+                        2 * dvu_hint if dvu_hint is not None else None
+                    ),
                 )
         finally:
             matched.unpersist(blocking=False)
@@ -7111,7 +7198,11 @@ class DeltaProtocolTable:
                 ),
             )
         self._enforce_constraints(snap, rewritten)
-        adds = self._write_data_files(rewritten, snap.partition_columns, snap=snap)
+        upd_hint = self._rewrite_size_hint(snap, touched)
+        adds = self._write_data_files(
+            rewritten, snap.partition_columns, snap=snap,
+            size_hint=upd_hint,
+        )
         cdc: List[dict] = []
         if cdf:
             pre = touched_df.filter(cond).select(
@@ -7142,6 +7233,9 @@ class DeltaProtocolTable:
                     )
                 ),
                 snap=snap,
+                size_hint=(
+                    2 * upd_hint if upd_hint is not None else None
+                ),
             )
             touched_df.unpersist(blocking=False)
         actions = (
