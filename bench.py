@@ -20,6 +20,44 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from mack_spark.session import get_session
 
+# Fixed naming priority for the driver's 2000-char capture window:
+# first every name the r15 JSON line carried (keeps the driver's
+# round-over-round common-named diff at full coverage — additions
+# only, names never removed), then the r14 named set ordered by its
+# r14 cost. A name's presence no longer depends on this run's times,
+# so the named diff can't self-select regressions (VERDICT r15 #5).
+_FIXED_NAMED = [
+    # --- r15 named set (alphabetical) ---
+    "contamination_check", "dedup_ngram_containment",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_near",
+    "delta_copy_into", "delta_drop_duplicates_pkey", "delta_dv_delete",
+    "delta_incremental_rollup", "delta_kill_duplicates",
+    "delta_row_tracking", "incremental_rollup", "knn_ivf_indexed",
+    "multimodal_flac_features", "numeric_outliers",
+    "sql_frontend_topsegments", "streaming_cdf_source",
+    "streaming_delta_sink", "streaming_delta_source",
+    "streaming_identity_sink", "streaming_scd2_cdf",
+    "streaming_scd2_foreach_batch", "streaming_sessionize",
+    "streaming_stream_stream_join", "totalprice_percentiles",
+    # --- r14 named set (by r14 cost desc) ---
+    "dedup_embedding_scaled", "dedup_embedding_banded",
+    "dedup_embedding_cosine", "delta_identity_merge",
+    "delta_append_without_duplicates", "grouped_correlations",
+    "drop_duplicates_pkey", "knn_ivfpq", "multimodal_jpeg_dims",
+    "delta_cdf_changes", "streaming_user_stats", "salted_join_revenue",
+    "delta_optimize_where", "delta_scd2_merge", "delta_sql_merge",
+    "event_gap_quartiles", "delta_constraint_append", "part_affinity",
+    "numeric_correlations", "drop_duplicates", "parts_supplier_counts",
+    "customer_rfm", "doclen_deciles", "kill_duplicates", "lang_confusion",
+    "lang_split_check", "large_volume_orders", "delta_reorg_purge",
+    "streaming_continuous_rollup", "dedup_source_matrix",
+    "delta_replace_where", "knn_ivf_kmeans", "regional_revenue",
+    "market_share", "delta_v2_checkpoint_write", "delta_sql_lifecycle",
+    "nation_trade_volume", "dedup_minhash_lsh", "delta_liquid_cluster",
+    "embedding_diversity", "dedup_incremental_lsh",
+    "delta_identity_append",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -92,7 +130,12 @@ def main() -> None:
     # in ALPHABETICAL key order — the name list is recoverable from the
     # committed BENCH_LOCAL.json / CORRECTNESS_LOCAL artifacts, and the
     # ordering convention is stable across rounds — while "queries"
-    # still names the slowest ones greedily within the remaining budget.
+    # names a FIXED priority set (VERDICT r15 "next round" #4: naming
+    # the slowest-per-run made the round-over-round named diff
+    # systematically select regressions). Priority: every name the r15
+    # line carried (so the driver's common-named diff keeps full
+    # coverage, additions only), then the r14 named set by its r14
+    # cost, then anything else by current cost if budget remains.
     base = {
         "metric": result["metric"],
         "value": result["value"],
@@ -105,14 +148,28 @@ def main() -> None:
         "t_alpha": [round(timings[k], 2) for k in sorted(timings)],
         "queries": {},
     }
-    line = ""
-    by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
-    for i in range(len(by_cost), -1, -1):
-        base["queries"] = dict(sorted(by_cost[:i]))
-        base["queries_omitted"] = len(timings) - i
-        line = json.dumps(base, separators=(",", ":"))
-        if len(line) <= budget:
+    priority = [n for n in _FIXED_NAMED if n in timings]
+    priority += sorted(
+        (n for n in timings if n not in set(_FIXED_NAMED)),
+        key=lambda n: (-timings[n], n),
+    )
+    named: dict[str, float] = {}
+    base["queries"] = {}
+    base["queries_omitted"] = len(timings)
+    line = json.dumps(base, separators=(",", ":"))
+    for n in priority:
+        trial = dict(named)
+        trial[n] = round(timings[n], 2)
+        base["queries"] = dict(sorted(trial.items()))
+        base["queries_omitted"] = len(timings) - len(trial)
+        candidate = json.dumps(base, separators=(",", ":"))
+        if len(candidate) > budget:
+            # fixed-priority packing: stop at the first name that
+            # doesn't fit so the named SET stays a stable prefix of
+            # the priority list across rounds (no fitness selection)
             break
+        named = trial
+        line = candidate
     print(line, flush=True)
 
 

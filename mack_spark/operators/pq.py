@@ -365,13 +365,15 @@ def ivfpq_topk(
         ).select("cid", "cvec", mf.l2_norm(F.col("cvec")).alias("cnrm"))
     )
     probes = _ivf_assign_topn(queries, cents, id_col, vec_col, n_probe)
-    cells = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
-    qcells = {
-        r["query_id"]: set()
-        for r in probes.select("query_id").distinct().collect()
-    }
-    for r in probes.select("query_id", "cell").collect():
-        qcells[r["query_id"]].add(r["cell"])
+    # ONE collect of the (query, cell) probe pairs serves the probe
+    # cell list AND the per-query masks — the assign plan (cross join +
+    # window) used to execute three times for three separate collects
+    # of the same tiny frame.
+    probe_pairs = probes.select("query_id", "cell").collect()
+    cells = sorted({r["cell"] for r in probe_pairs})
+    qcells: dict = {}
+    for r in probe_pairs:
+        qcells.setdefault(r["query_id"], set()).add(r["cell"])
 
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
