@@ -92,74 +92,102 @@ def exact_percentiles(
     float hazards).
 
     SCALE: rows collapse to (value, count) by a partial-final groupBy
-    FIRST, so ordered work runs over distinct values, not rows. The
-    global cumulative count is then computed WITHOUT a single-partition
-    sort: the (value, count) relation is range-partitioned by value
-    (partition index ascends with value) and the per-partition totals —
-    at most ``num_range_partitions`` numbers — come back to the driver,
-    which does the prefix-sum arithmetic itself: for each target rank
-    ``ceil(p*n)`` it computes WHICH partition holds that rank and the
-    residual local rank inside it. The final job then windows ONLY the
-    probed partitions (≤ one per requested percentile) — the classic
-    distributed prefix-sum with the rank lookup fused into the offsets
-    pass, so no stage ever cumsums the full value domain and nothing
-    collapses to a single partition.
+    FIRST, so ordered work runs over distinct values, not rows, and the
+    global cumulative count is computed WITHOUT a single-partition
+    sort — the classic distributed prefix-sum with the rank lookup
+    fused into the offsets pass, so no stage ever cumsums the full
+    value domain and nothing collapses to a single partition.
 
-    The range-partitioned relation is pinned with an eager
-    ``localCheckpoint``: range boundaries come from sampling, and the
-    offsets job and the final job must observe the SAME partitioning.
+    The whole lookup is ONE lazy, driver-free plan (r16): the value
+    domain is split into ``num_range_partitions`` buckets by
+    ``width_bucket`` between the observed min/max — a DETERMINISTIC
+    pure function of the row, unlike ``repartitionByRange``'s sampled
+    boundaries — and the prefix-sum offsets arithmetic that previous
+    revisions did on the driver (two blocking collects + an eager
+    checkpoint of every distinct value, ~4 sequential jobs of mostly
+    fixed per-job cost) now runs as a tiny window over the ≤
+    ``num_range_partitions`` bucket sums inside the same plan. The
+    count aggregation's exchange is consumed three times (ranges,
+    bucket sums, probe scan) and reused, so the scan still runs once.
+    Equal-WIDTH buckets can be population-skewed where equal-FREQUENCY
+    ranges would not be, but only probed buckets are ever cumsummed,
+    and the bucket count is the caller's knob.
     """
-    import math
-
     spark = df.sparkSession
+    nb = int(num_range_partitions)
     counts = (
         df.filter(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("value"))
         .agg(F.count("*").alias("cnt"))
     )
-    # persist: repartitionByRange's boundary-sampling job would
-    # otherwise recompute the aggregation a second time
-    counts = counts.persist()
-    try:
-        parts = (
-            counts.repartitionByRange(num_range_partitions, "value")
-            .withColumn("pid", F.spark_partition_id())
-            .localCheckpoint(eager=True)
+    # ranges consumes ALL of (value, cnt) — `total` is genuinely used
+    # downstream, so column pruning cannot specialize this consumer's
+    # copy of the count aggregate and break the exchange reuse that
+    # keeps the scan single-execution
+    ranges = counts.agg(
+        F.min("value").cast("double").alias("lo"),
+        F.max("value").cast("double").alias("hi"),
+        F.sum("cnt").alias("total"),
+    )
+    # bucket index ascends with value (monotonic cast + monotonic
+    # width_bucket); value == max lands in nbk+1, clamp it back.
+    # nbk = least(nb, total): never more buckets than rows — and the
+    # bucket expression thereby consumes `total`, keeping every copy
+    # of the ranges subtree identical for exchange reuse.
+    nbk = F.least(F.lit(nb).cast("long"), F.col("total"))
+    parts = counts.crossJoin(F.broadcast(ranges)).withColumn(
+        "pid",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                nbk,
+                F.width_bucket(
+                    F.col("value").cast("double"),
+                    F.col("lo"), F.col("hi"), nbk,
+                ),
+            ),
+        ).otherwise(F.lit(1)).cast("int"),  # single value (or NaN bound)
+    ).select("value", "cnt", "pid", "total")
+    bsum = parts.groupBy("pid").agg(
+        F.sum("cnt").alias("s"), F.max("total").alias("total")
+    )
+    w_before = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bsum.select(
+        "pid", "s", "total",
+        F.coalesce(F.sum("s").over(w_before), F.lit(0)).alias("cum_before"),
+    )
+    ps_df = spark.createDataFrame([(float(p),) for p in ps], "p double")
+    # smallest value whose cumulative count reaches ceil(p*n); the
+    # double multiply + ceil matches the driver/oracle arithmetic
+    probes = (
+        offs.crossJoin(F.broadcast(ps_df))
+        .withColumn(
+            "rank",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("p") * F.col("total").cast("double")),
+            ),
         )
-    finally:
-        counts.unpersist(False)
-    part_sums = {r["pid"]: r["s"] for r in parts.groupBy("pid").agg(F.sum("cnt").alias("s")).collect()}
-    total = sum(part_sums.values())
-    if total == 0:
-        return spark.createDataFrame([], "p double, value " + dict(df.dtypes)[col])
-    # Driver-side rank → (partition, local rank) resolution: ≤ one
-    # tiny tuple per requested percentile.
-    bounds, acc = [], 0
-    for pid in sorted(part_sums):
-        acc += part_sums[pid]
-        bounds.append((pid, acc))  # cumulative count through pid
-    probes = []
-    for p in ps:
-        # smallest value whose cumulative count reaches ceil(p*n);
-        # double multiply matches Spark's ceil(p * total) exactly
-        rank = max(1, math.ceil(float(p) * float(total)))
-        lo = 0
-        for pid, cum_through in bounds:
-            if rank <= cum_through:
-                probes.append((float(p), pid, rank - lo))
-                break
-            lo = cum_through
-    probe_df = spark.createDataFrame(probes, "p double, pid int, local_rank long")
-    needed = sorted({pid for _, pid, _ in probes})
+        .filter(
+            (F.col("cum_before") < F.col("rank"))
+            & (F.col("rank") <= F.col("cum_before") + F.col("s"))
+        )
+        .select(
+            "pid", "p", (F.col("rank") - F.col("cum_before")).alias("local_rank")
+        )
+    )
+    # per-(pid, p) window: a bucket probed by several percentiles is
+    # duplicated by the join, so each p cumsums its own copy
     w = (
-        Window.partitionBy("pid")
+        Window.partitionBy("pid", "p")
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        parts.filter(F.col("pid").isin(needed))
+        parts.join(F.broadcast(probes), "pid")
         .withColumn("cum_local", F.sum("cnt").over(w))
-        .join(F.broadcast(probe_df), "pid")
         .filter(F.col("cum_local") >= F.col("local_rank"))
         .groupBy("p")
         .agg(F.min("value").alias("value"))
