@@ -96,7 +96,40 @@ def _deciles_variant(spread):
     return build
 
 
+def _entry_spread_variant(qname, force_spread):
+    """Run the DECLARED builder with every ``_t`` load's spread forced
+    to ``force_spread`` — A/B's the per-query annotation itself (r16
+    re-judge of the r15 spread landings, VERDICT item 8)."""
+
+    def build(spark, sf_dir):
+        import __spark_entry__ as entrymod
+
+        q = entrymod.queries()[qname]
+        orig = entrymod._t
+
+        def t(spark_, sf_dir_, name, spread=False, **kw):
+            return orig(spark_, sf_dir_, name, spread=force_spread, **kw)
+
+        entrymod._t = t
+        try:
+            return q(spark, sf_dir)
+        finally:
+            entrymod._t = orig
+
+    return build
+
+
 VARIANTS = {
+    # r16 re-judge: A = annotated (spread=True, current tree),
+    # B = un-annotated
+    "grouped_correlations": (
+        _entry_spread_variant("grouped_correlations", True),
+        _entry_spread_variant("grouped_correlations", False),
+    ),
+    "salted_join_revenue": (
+        _entry_spread_variant("salted_join_revenue", True),
+        _entry_spread_variant("salted_join_revenue", False),
+    ),
     "numeric_outliers": (
         _percentile_variant(
             "lineitem",

@@ -259,6 +259,8 @@ def _random_scd2_inputs(spark, seed):
     return base, updates
 
 
+# slow (~55 s): exhaustive descriptor/post-state equivalence; the per-operation seam tests pin the contract
+@pytest.mark.slow
 def test_keyed_merge_descriptor_equals_post_state(spark):
     from merge_interpreter import interpret_keyed_merge
 

@@ -448,6 +448,8 @@ class TestTableChangesTimestamps:
 
 
 class TestCdfPlanShape:
+    # slow (~15 s): many-commit scale shape; small-range CDF plan tests remain default
+    @pytest.mark.slow
     def test_many_commit_range_plans_few_scans(self, spark, tmp_path):
         """r13: a long CDF range groups change files and plain derived
         inserts into ONE scan each (per-file commit metadata attached

@@ -338,6 +338,8 @@ class TestExecutorSideDecode:
                 got = _dv_positions_np("/nonexistent", dv)
                 assert got.tolist() == pos
 
+    # slow (~7 s): million-position scale shape
+    @pytest.mark.slow
     def test_million_deleted_positions(self, spark, tmp_path):
         """The VERDICT-r10 done-criterion: a DV with ≥10⁶ deleted
         positions reads correctly — previously this materialized a

@@ -4,6 +4,7 @@ SupportsTriggerAvailableNow hook — pyspark logs "Falling back to
 single batch execution"); the helper loops runs against one checkpoint
 until drained, delivering the availableNow contract — everything
 available, in bounded batches, exactly once."""
+import pytest
 
 import os
 
@@ -12,6 +13,8 @@ from mack_spark.streaming import drain_available_now
 from mack_spark.streaming.delta_source import register
 
 
+# slow (~19 s): long-backlog scale run; bounded-batch semantics also pinned by the fast drain tests
+@pytest.mark.slow
 def test_drain_backlog_bounded_batches_exactly_once(spark, tmp_path):
     register(spark)
     n, files = 40, 8

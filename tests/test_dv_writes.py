@@ -141,6 +141,8 @@ class TestDeleteWithDvs:
         got = sorted(r["pkey"] for r in t.to_df().collect())
         assert got == [11, 13, 15, 17, 19]
 
+    # slow (~6 s): million-row scale shape
+    @pytest.mark.slow
     def test_million_row_dv_write_and_read(self, spark, tmp_path):
         """Scale pin: a DV covering ~10⁶ positions is written executor-
         side and read back exactly — no driver materialization."""

@@ -233,6 +233,8 @@ def test_keyless_file_stays_untouched(spark, tmp_path):
     assert out.filter("pkey is null").count() == 5
 
 
+# slow (~50 s): randomized equivalence sweep; the deterministic keyed-merge twins above pin the same contract
+@pytest.mark.slow
 def test_randomized_keyed_vs_full_rewrite(spark, tmp_path):
     """Property: on arbitrary layouts and update batches, the keyed
     file merge must equal the same upsert on a single-file twin (which

@@ -3,6 +3,11 @@
 Run scripts/oracle_check.py directly for per-query iteration or sf0.01.
 """
 
+import pytest
+
+# slow (~440 s): the full 190-query local oracle sweep. The driver re-runs its own oracle gate every round and scripts/oracle_check.py covers targeted sweeps at sf0.001/sf0.01; this module is the redundant in-suite copy.
+pytestmark = pytest.mark.slow
+
 import os
 import subprocess
 import sys

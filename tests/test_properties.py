@@ -5,6 +5,8 @@ formatting invariants plus seeded distributed-equivalence checks."""
 import math
 import random
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -127,6 +129,8 @@ def test_salted_left_join_keeps_unmatched_once(spark):
 
 @given(st.integers(min_value=0, max_value=10**6))
 @settings(max_examples=6, deadline=None)
+# slow (~12 s): randomized pruning-equivalence sweep
+@pytest.mark.slow
 def test_file_pruned_merge_equals_full_rewrite(seed):
     import tempfile
 
@@ -206,6 +210,8 @@ def _scd2_expected(base_rows, updates, eff):
 
 @given(st.integers(min_value=0, max_value=10**6))
 @settings(max_examples=6, deadline=None)
+# slow (~16 s): randomized model check; deterministic SCD2 tests cover the merge contract
+@pytest.mark.slow
 def test_scd2_random_batches_match_model(seed):
     import datetime
     import tempfile

@@ -226,6 +226,8 @@ class TestScaleReplay:
         warm = (time.monotonic() - t0) / 20
         assert warm < 0.01, f"warm snapshot() took {warm * 1000:.1f}ms"
 
+    # slow (~6 s): big-checkpoint scale shape
+    @pytest.mark.slow
     def test_commit_after_big_checkpoint_is_incremental(
         self, spark, tmp_path
     ):

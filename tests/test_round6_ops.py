@@ -347,6 +347,8 @@ class TestCountAnomalyWindows:
 
 
 class TestClusterSizes:
+    # slow (~16 s): cross-operator consistency twin; each operator keeps its own default tests
+    @pytest.mark.slow
     def test_histogram_consistent_with_clusters(self, spark):
         from mack_spark.operators.cluster import (
             near_dup_cluster_sizes,

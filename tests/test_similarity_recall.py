@@ -11,6 +11,12 @@ import os
 
 import pytest
 
+# slow (~210 s): statistical recall bars against brute-force ground
+# truth. Correctness of the ANN operators is pinned by the
+# deterministic index/probe tests (test_ivf_index, test_lsh_index,
+# test_pq) in the default set.
+pytestmark = pytest.mark.slow
+
 from mack_spark.operators import (
     brute_force_topk,
     lsh_bucketed_topk,

@@ -281,6 +281,8 @@ class TestRateLimiting:
         batches = [int(f) for f in os.listdir(offdir) if f.isdigit()]
         assert len(batches) >= 4, sorted(batches)
 
+    # slow (~15 s): rate-limit scale run; exactly-once-across-restarts stays default
+    @pytest.mark.slow
     def test_available_now_with_limit_stays_exactly_once(
         self, spark, tmp_path
     ):
@@ -407,6 +409,8 @@ class TestChangeFeedSource:
         )
         assert only_v1.count() == 3
 
+    # slow (~20 s): multi-rewrite scale run; cdf stream basics stay default
+    @pytest.mark.slow
     def test_streaming_cdf_follows_rewrites(self, spark, tmp_path):
         register(spark)
         t = self._mk_cdf(spark, tmp_path)
